@@ -1,0 +1,62 @@
+package graft
+
+import graft.agg.{CofactorAggregate, MultiplyTriple, SumTriple, ToCofactor}
+import graft.ring.Triple
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.functions.call_function
+
+/**
+ * Public API: SQL function registration + Column helpers.
+ *
+ * SQL surface (mirrors the reference's registrations,
+ * duckdb_imputation_extension.cpp:48-249, minus the 399 generated
+ * arity-specific names — one generic aggregate dispatches on types):
+ *
+ *  - `sum_to_triple(cols…)`  fused lift+sum aggregate → triple struct
+ *  - `sum_to_nb_agg(cols…)`  fused NB variant
+ *  - `to_cofactor(cols…)` / `to_nb_agg(cols…)` per-row lift
+ *  - `sum_triple(triple)` / `sum_nb_agg(nbagg)` aggregate over lifted rows
+ *  - `multiply_triple(a, b)` / `multiply_nb_agg(a, b)` ring product
+ */
+object Graft {
+
+  @volatile private var registered: Set[SparkSession] = Set.empty
+
+  def register(spark: SparkSession): SparkSession = {
+    if (!registered.contains(spark)) synchronized {
+      val reg = spark.sessionState.functionRegistry
+      reg.createOrReplaceTempFunction("sum_to_triple", es => CofactorAggregate(es, nbMode = false), "scala_udf")
+      reg.createOrReplaceTempFunction("sum_to_nb_agg", es => CofactorAggregate(es, nbMode = true), "scala_udf")
+      reg.createOrReplaceTempFunction("to_cofactor", es => ToCofactor(es, nbMode = false), "scala_udf")
+      reg.createOrReplaceTempFunction("to_nb_agg", es => ToCofactor(es, nbMode = true), "scala_udf")
+      reg.createOrReplaceTempFunction("sum_triple", es => SumTriple(es.head), "scala_udf")
+      reg.createOrReplaceTempFunction("sum_nb_agg", es => SumTriple(es.head), "scala_udf")
+      reg.createOrReplaceTempFunction("multiply_triple", es => MultiplyTriple(es(0), es(1)), "scala_udf")
+      reg.createOrReplaceTempFunction("multiply_nb_agg", es => MultiplyTriple(es(0), es(1)), "scala_udf")
+      registered += spark
+    }
+    spark
+  }
+
+  /** Fused cofactor aggregate over continuous (`DoubleType`/`FloatType`)
+    * and categorical (integer-typed) columns. */
+  def sumTriple(cols: Column*): Column = call_function("sum_to_triple", cols: _*)
+  def sumNbAgg(cols: Column*): Column = call_function("sum_to_nb_agg", cols: _*)
+  def toCofactor(cols: Column*): Column = call_function("to_cofactor", cols: _*)
+  def toNbAgg(cols: Column*): Column = call_function("to_nb_agg", cols: _*)
+  def sumTripleOf(c: Column): Column = call_function("sum_triple", c)
+  def multiplyTriple(a: Column, b: Column): Column = call_function("multiply_triple", a, b)
+
+  /** Decode a collected triple struct Row into a [[Triple]]. */
+  def tripleFromRow(r: Row): Triple = {
+    val nb = r.length == 4
+    Triple(
+      r.getLong(0),
+      r.getSeq[Double](1).toArray,
+      r.getSeq[Double](2).toArray,
+      r.getSeq[collection.Map[Int, Double]](3).map(_.toMap).toArray,
+      if (nb) Array.empty else r.getSeq[collection.Map[Int, Double]](4).map(_.toMap).toArray,
+      if (nb) Array.empty else r.getSeq[collection.Map[Long, Double]](5).map(_.toMap).toArray
+    )
+  }
+}

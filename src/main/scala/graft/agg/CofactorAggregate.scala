@@ -1,0 +1,268 @@
+package graft.agg
+
+import graft.ring.Triple
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import scala.collection.mutable
+
+/**
+ * Mutable aggregation state for the fused lift+sum cofactor aggregate.
+ * Mirrors the reference's SumState (sum/sum_state.h:14-28): dense arrays
+ * for the continuous part plus one hash map per categorical column whose
+ * value is `[count, Σx_0 … Σx_{numCols-1}]` (count-only in NB mode), and
+ * one map per categorical pair for co-occurrence counts.
+ */
+final class CofactorBuffer(val numCols: Int, val catCols: Int, val nbMode: Boolean) {
+  var n: Long = 0L
+  val lin = new Array[Double](numCols)
+  val quad = new Array[Double](if (nbMode) numCols else numCols * (numCols + 1) / 2)
+  val catMaps: Array[mutable.HashMap[Int, Array[Double]]] =
+    Array.fill(catCols)(new mutable.HashMap[Int, Array[Double]])
+  val quadCat: Array[mutable.HashMap[Long, Double]] =
+    if (nbMode) Array.empty else Array.fill(catCols * (catCols + 1) / 2)(new mutable.HashMap[Long, Double])
+  // scratch row (avoids per-row allocation in update)
+  val rowNum = new Array[Double](numCols)
+  val rowCat = new Array[Int](catCols)
+
+  private val catSlots = if (nbMode) 1 else numCols + 1
+
+  /** Accumulate one row from the scratch arrays (sum_no_lift.cpp:53-216). */
+  def updateRow(): Unit = {
+    n += 1
+    var i = 0
+    while (i < numCols) { lin(i) += rowNum(i); i += 1 }
+    if (nbMode) {
+      i = 0
+      while (i < numCols) { quad(i) += rowNum(i) * rowNum(i); i += 1 }
+    } else {
+      var idx = 0
+      i = 0
+      while (i < numCols) {
+        var j = i
+        while (j < numCols) { quad(idx) += rowNum(i) * rowNum(j); idx += 1; j += 1 }
+        i += 1
+      }
+    }
+    var j = 0
+    while (j < catCols) {
+      val slot = catMaps(j).getOrElseUpdate(rowCat(j), new Array[Double](catSlots))
+      slot(0) += 1.0
+      if (!nbMode) {
+        i = 0
+        while (i < numCols) { slot(i + 1) += rowNum(i); i += 1 }
+      }
+      j += 1
+    }
+    if (!nbMode) {
+      j = 0
+      while (j < catCols) {
+        var k = j
+        while (k < catCols) {
+          val pm = quadCat(Triple.pairIdx(j, k, catCols))
+          val key = Triple.catKey(rowCat(j), rowCat(k))
+          pm.update(key, pm.getOrElse(key, 0.0) + 1.0)
+          k += 1
+        }
+        j += 1
+      }
+    }
+  }
+
+  /** Pairwise partial-state merge (sum_state.cpp:11-114). */
+  def merge(o: CofactorBuffer): Unit = {
+    n += o.n
+    var i = 0
+    while (i < lin.length) { lin(i) += o.lin(i); i += 1 }
+    i = 0
+    while (i < quad.length) { quad(i) += o.quad(i); i += 1 }
+    var j = 0
+    while (j < catCols) {
+      o.catMaps(j).foreach { case (k, v) =>
+        val slot = catMaps(j).getOrElseUpdate(k, new Array[Double](catSlots))
+        var s = 0
+        while (s < catSlots) { slot(s) += v(s); s += 1 }
+      }
+      j += 1
+    }
+    j = 0
+    while (j < quadCat.length) {
+      val pm = quadCat(j)
+      o.quadCat(j).foreach { case (k, v) => pm.update(k, pm.getOrElse(k, 0.0) + v) }
+      j += 1
+    }
+  }
+
+  /** Fold an already-lifted triple into the state (sum.cpp:57-261). */
+  def addTriple(t: Triple): Unit = {
+    n += t.n
+    var i = 0
+    while (i < lin.length) { lin(i) += t.lin(i); i += 1 }
+    i = 0
+    while (i < quad.length) { quad(i) += t.quad(i); i += 1 }
+    var j = 0
+    while (j < catCols) {
+      t.linCat(j).foreach { case (k, v) =>
+        catMaps(j).getOrElseUpdate(k, new Array[Double](catSlots))(0) += v
+      }
+      if (!nbMode) {
+        i = 0
+        while (i < numCols) {
+          t.quadNumCat(i * catCols + j).foreach { case (k, v) =>
+            catMaps(j).getOrElseUpdate(k, new Array[Double](catSlots))(i + 1) += v
+          }
+          i += 1
+        }
+      }
+      j += 1
+    }
+    j = 0
+    while (j < quadCat.length) {
+      val pm = quadCat(j)
+      t.quadCat(j).foreach { case (k, v) => pm.update(k, pm.getOrElse(k, 0.0) + v) }
+      j += 1
+    }
+  }
+
+  def toTriple: Triple = Triple(
+    n,
+    lin.clone(),
+    quad.clone(),
+    Array.tabulate(catCols)(j => catMaps(j).map { case (k, v) => k -> v(0) }.toMap),
+    if (nbMode) Array.empty
+    else Array.tabulate(numCols * catCols) { idx =>
+      // canonical form (matches ring.Triple): exact-zero sums are dropped
+      val i = idx / catCols; val j = idx % catCols
+      catMaps(j).collect { case (k, v) if v(i + 1) != 0.0 => k -> v(i + 1) }.toMap
+    },
+    if (nbMode) Array.empty else Array.tabulate(quadCat.length)(j => quadCat(j).toMap)
+  )
+}
+
+object CofactorBuffer {
+  def fromTriple(t: Triple, nbMode: Boolean): CofactorBuffer = {
+    val b = new CofactorBuffer(t.numCols, t.catCols, nbMode)
+    b.addTriple(t)
+    b
+  }
+}
+
+/**
+ * Fused lift+sum cofactor aggregate — the Spark-native form of the
+ * reference's generated `sum_to_triple_<x>_<y>` family
+ * (duckdb_imputation_extension.cpp:83-113, sum_no_lift.cpp:53-216). One
+ * generic [[TypedImperativeAggregate]] parameterized by the child types
+ * replaces the 399 generated names: children with floating-point types are
+ * continuous, integer-typed children are categorical (the reference's
+ * bind-time dispatch, lift.cpp:31-38).
+ *
+ * Runs as partial aggregation per task + merge after shuffle
+ * (ObjectHashAggregateExec), which is exactly the reference's
+ * update/combine/finalize split (sum_state.cpp) distributed across
+ * executors. Null handling: rows with any NULL argument are skipped (the
+ * reference's MICE drivers eliminate NULLs with COALESCE before
+ * aggregating; partition.cpp:210-220).
+ */
+case class CofactorAggregate(
+    children: Seq[Expression],
+    nbMode: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CofactorBuffer] {
+
+  private lazy val isNum: Array[Boolean] = children.map(_.dataType match {
+    case DoubleType | FloatType | _: DecimalType => true
+    case IntegerType | LongType | ShortType | ByteType | BooleanType => false
+    case dt => throw new IllegalArgumentException(s"cofactor: unsupported column type $dt")
+  }).toArray
+  private lazy val numChildren: Array[Expression] =
+    children.zip(isNum).collect { case (c, true) => c }.toArray
+  private lazy val catChildren: Array[Expression] =
+    children.zip(isNum).collect { case (c, false) => c }.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val bad = children.map(_.dataType).filterNot {
+      case DoubleType | FloatType | _: DecimalType | IntegerType | LongType | ShortType | ByteType | BooleanType => true
+      case _ => false
+    }
+    if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cofactor aggregate needs FLOAT/DOUBLE (continuous) or integer (categorical) columns, got ${bad.mkString(", ")}")
+  }
+
+  override def dataType: DataType = TripleCodec.dataType(nbMode)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): CofactorBuffer =
+    new CofactorBuffer(numChildren.length, catChildren.length, nbMode)
+
+  private def toDouble(v: Any): Double = v match {
+    case d: java.lang.Double => d
+    case f: java.lang.Float => f.toDouble
+    case i: java.lang.Integer => i.toDouble
+    case l: java.lang.Long => l.toDouble
+    case s: java.lang.Short => s.toDouble
+    case b: java.lang.Byte => b.toDouble
+    case b: java.lang.Boolean => if (b) 1.0 else 0.0
+    case d: Decimal => d.toDouble
+  }
+  private def toInt(v: Any): Int = v match {
+    case i: java.lang.Integer => i
+    case l: java.lang.Long => l.toInt
+    case s: java.lang.Short => s.toInt
+    case b: java.lang.Byte => b.toInt
+    case b: java.lang.Boolean => if (b) 1 else 0
+  }
+
+  override def update(buffer: CofactorBuffer, input: InternalRow): CofactorBuffer = {
+    var i = 0
+    while (i < numChildren.length) {
+      val v = numChildren(i).eval(input)
+      if (v == null) return buffer
+      buffer.rowNum(i) = toDouble(v)
+      i += 1
+    }
+    var j = 0
+    while (j < catChildren.length) {
+      val v = catChildren(j).eval(input)
+      if (v == null) return buffer
+      buffer.rowCat(j) = toInt(v)
+      j += 1
+    }
+    buffer.updateRow()
+    buffer
+  }
+
+  override def merge(buffer: CofactorBuffer, input: CofactorBuffer): CofactorBuffer = {
+    buffer.merge(input); buffer
+  }
+
+  override def eval(buffer: CofactorBuffer): Any = TripleCodec.toCatalyst(buffer.toTriple, nbMode)
+
+  override def serialize(buffer: CofactorBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeBoolean(buffer.nbMode)
+    TripleCodec.write(buffer.toTriple, out)
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): CofactorBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val nb = in.readBoolean()
+    CofactorBuffer.fromTriple(TripleCodec.read(in), nb)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CofactorAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CofactorAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): CofactorAggregate =
+    copy(children = newChildren)
+  override def prettyName: String = if (nbMode) "sum_to_nb_agg" else "sum_to_triple"
+}

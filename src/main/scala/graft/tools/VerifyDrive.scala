@@ -1,0 +1,70 @@
+package graft.tools
+
+import graft.Graft
+import org.apache.spark.sql.SparkSession
+
+/** Manual end-to-end drive of the cofactor ring surface against real
+  * testdata parquet (not a unit test — run via `sbt runMain`). */
+object VerifyDrive {
+  def main(args: Array[String]): Unit = {
+    val spark = Graft.register(SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").createOrReplaceTempView("lineitem")
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet").createOrReplaceTempView("orders")
+
+    println("== [1] fused cofactor over lineitem (2 num, 1 cat) ==")
+    val t = spark.sql(
+      "SELECT sum_to_triple(l_quantity, l_extendedprice, l_linenumber) AS t FROM lineitem").head.getStruct(0)
+    val trip = Graft.tripleFromRow(t)
+    println(s"N=${trip.n} lin=${trip.lin.toSeq} quad=${trip.quad.toSeq}")
+    println(s"linCat=${trip.linCat.head.toSeq.sortBy(_._1)}")
+
+    println("== [2] cross-check against plain SQL aggregates ==")
+    val chk = spark.sql(
+      """SELECT count(*) n, sum(l_quantity) sq, sum(l_extendedprice) se,
+        |       sum(l_quantity*l_quantity) sqq, sum(l_quantity*l_extendedprice) sqe
+        |FROM lineitem""".stripMargin).head
+    println(s"plain: n=${chk.getLong(0)} sq=${chk.getDouble(1)} se=${chk.getDouble(2)} sqq=${chk.getDouble(3)} sqe=${chk.getDouble(4)}")
+    assert(trip.n == chk.getLong(0))
+    assert(math.abs(trip.lin(0) - chk.getDouble(1)) < 1e-6)
+    assert(math.abs(trip.lin(1) - chk.getDouble(2)) < 1e-6)
+    assert(math.abs(trip.quad(0) - chk.getDouble(3)) < 1e-6)
+    assert(math.abs(trip.quad(1) - chk.getDouble(4)) < 1e-6)
+    println("cross-check OK")
+
+    println("== [3] factorized join (orders x lineitem by orderkey) vs materialized ==")
+    val fact = spark.sql(
+      """SELECT sum_triple(multiply_triple(A, B)) AS t FROM
+        |  (SELECT l_orderkey k, sum_to_triple(l_quantity, l_linenumber) AS A FROM lineitem GROUP BY l_orderkey) a
+        |  JOIN (SELECT o_orderkey k, sum_to_triple(o_totalprice) AS B FROM orders GROUP BY o_orderkey) b USING (k)
+        |""".stripMargin).head.getStruct(0)
+    val mat = spark.sql(
+      """SELECT sum_to_triple(l_quantity, o_totalprice, l_linenumber) AS t
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin).head.getStruct(0)
+    val (tf, tm) = (Graft.tripleFromRow(fact), Graft.tripleFromRow(mat))
+    // factorized column order is (A nums, B nums); materialized matches here
+    println(s"fact: N=${tf.n} lin=${tf.lin.toSeq}")
+    println(s"mat : N=${tm.n} lin=${tm.lin.toSeq}")
+    assert(tf.approxEquals(tm, 1e-9), "factorized != materialized")
+    println("factorized == materialized OK")
+
+    println("== [4] probe: string column rejected ==")
+    try {
+      spark.sql("SELECT sum_to_triple(l_quantity, l_returnflag) FROM lineitem").head
+      println("ERROR: no exception raised")
+    } catch {
+      case e: Exception => println(s"rejected as expected: ${e.getMessage.linesIterator.next()}")
+    }
+
+    println("== [5] probe: explain the aggregation plan ==")
+    spark.sql("SELECT sum_to_triple(l_quantity, l_extendedprice, l_linenumber) FROM lineitem")
+      .explain("formatted")
+
+    spark.stop()
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import graft.ring.Triple
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = Graft.register(
+    SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate())
+}
+
+/** Spark-side goldens for the fused cofactor aggregate — same F1 fixture
+  * and expected values as RingSpec, exercised through SQL + DataFrame API
+  * including partial-aggregation merges across partitions. */
+class CofactorAggSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def fixture() = {
+    val df = Seq(
+      (1, 1.0, 2.0, 3.0, 4, 5, 6),
+      (1, 5.0, 6.0, 7.0, 8, 9, 10),
+      (2, 2.0, 1.0, 3.0, 4, 6, 8),
+      (2, 5.0, 7.0, 6.0, 8, 10, 12),
+      (2, 2.0, 1.0, 3.0, 4, 6, 8)
+    ).toDF("gb", "a", "b", "c", "d", "e", "f").repartition(3) // force merges
+    df.createOrReplaceTempView("test")
+    df
+  }
+
+  val golden33: Triple = {
+    val rows = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4, 5, 6)),
+      (Array(5.0, 6.0, 7.0), Array(8, 9, 10)),
+      (Array(2.0, 1.0, 3.0), Array(4, 6, 8)),
+      (Array(5.0, 7.0, 6.0), Array(8, 10, 12)),
+      (Array(2.0, 1.0, 3.0), Array(4, 6, 8)))
+    rows.map { case (n, c) => Triple.lift(n, c) }.reduce(Triple.add)
+  }
+
+  test("fused aggregate over whole table matches golden (test_sum.py:25)") {
+    fixture()
+    val row = spark.sql("SELECT sum_to_triple(a,b,c,d,e,f) AS t FROM test").select("t").head.getStruct(0)
+    assert(Graft.tripleFromRow(row) == golden33)
+  }
+
+  test("DataFrame API + GROUP BY + HAVING (test_sum.py:29-38)") {
+    val df = fixture()
+    val byGb = df.groupBy($"gb").agg(Graft.sumTriple($"a", $"b", $"c", $"d", $"e", $"f").as("t"))
+      .collect().map(r => r.getInt(0) -> Graft.tripleFromRow(r.getStruct(1))).toMap
+    assert(byGb(1).n == 2 && byGb(1).lin.toSeq == Seq(6.0, 8.0, 10.0))
+    assert(byGb(2).n == 3 && byGb(2).quad.toSeq == Seq(33.0, 39.0, 42.0, 51.0, 48.0, 54.0))
+    assert(Triple.add(byGb(1), byGb(2)) == golden33)
+    val having = spark.sql(
+      "SELECT sum_to_triple(a,b,c,d,e,f) AS t FROM test GROUP BY gb HAVING gb = 2").head.getStruct(0)
+    assert(Graft.tripleFromRow(having) == byGb(2))
+  }
+
+  test("fused == unfused: sum_triple(to_cofactor(...)) (test_sum.py:40-52)") {
+    fixture()
+    val fused = spark.sql("SELECT sum_to_triple(a,b,c,d,e,f) FROM test").head.getStruct(0)
+    val unfused = spark.sql("SELECT sum_triple(to_cofactor(a,b,c,d,e,f)) FROM test").head.getStruct(0)
+    assert(Graft.tripleFromRow(fused) == Graft.tripleFromRow(unfused))
+  }
+
+  test("factorized join: sum_triple(multiply_triple(A,B)) matches golden (test_mul.py:24-27)") {
+    fixture()
+    val row = spark.sql(
+      """SELECT multiply_triple(A, B) AS t FROM
+        |  (SELECT sum_to_triple(b,c,d,e) AS A FROM test WHERE gb = 1) JOIN
+        |  (SELECT sum_to_triple(a,c,d,f) AS B FROM test WHERE gb = 2) ON TRUE""".stripMargin)
+      .head.getStruct(0)
+    val m = Graft.tripleFromRow(row)
+    assert(m.n == 6L)
+    assert(m.lin.toSeq == Seq(24.0, 30.0, 18.0, 24.0))
+    assert(m.quad.toSeq == Seq(120.0, 144.0, 72.0, 96.0, 174.0, 90.0, 120.0, 66.0, 84.0, 108.0))
+    assert(m.linCat.toSeq == Seq(
+      Map(4 -> 3.0, 8 -> 3.0), Map(5 -> 3.0, 9 -> 3.0),
+      Map(4 -> 4.0, 8 -> 2.0), Map(8 -> 4.0, 12 -> 2.0)))
+  }
+
+  test("factorized-join identity on per-key aggregates == triple of materialized join") {
+    val df = fixture()
+    // per-key pre-aggregates multiplied and summed ...
+    val a = df.groupBy($"gb").agg(Graft.sumTriple($"b", $"c", $"d", $"e").as("A"))
+    val b = df.groupBy($"gb").agg(Graft.sumTriple($"a", $"c", $"d", $"f").as("B"))
+    val fact = a.join(b, "gb")
+      .select(Graft.sumTripleOf(Graft.multiplyTriple($"A", $"B")).as("t"))
+      .head.getStruct(0)
+    // ... equals the triple over the materialized self-join
+    val j = df.as("x").join(df.as("y"), "gb")
+      .select($"x.b", $"x.c", $"y.a", $"y.c".as("c2"), $"x.d", $"x.e", $"y.d".as("d2"), $"y.f")
+    val mat = j.agg(Graft.sumTriple($"b", $"c", $"a", $"c2", $"d", $"e", $"d2", $"f").as("t"))
+      .head.getStruct(0)
+    assert(Graft.tripleFromRow(fact) == Graft.tripleFromRow(mat))
+  }
+
+  test("NB aggregate: fused == unfused, diagonal quad (test_nb_sum.py)") {
+    fixture()
+    val fused = spark.sql("SELECT sum_to_nb_agg(a,b,c,d,e,f) FROM test").head.getStruct(0)
+    val unfused = spark.sql("SELECT sum_nb_agg(to_nb_agg(a,b,c,d,e,f)) FROM test").head.getStruct(0)
+    val t = Graft.tripleFromRow(fused)
+    assert(t == Graft.tripleFromRow(unfused))
+    assert(t.n == 5 && t.quad.toSeq == Seq(59.0, 91.0, 112.0))
+    assert(t.linCat.toSeq == Seq(
+      Map(4 -> 3.0, 8 -> 2.0),
+      Map(5 -> 1.0, 6 -> 2.0, 9 -> 1.0, 10 -> 1.0),
+      Map(6 -> 1.0, 8 -> 2.0, 10 -> 1.0, 12 -> 1.0)))
+  }
+
+  test("nulls are skipped; empty input yields zero triple") {
+    val df = Seq(
+      (Some(1.0), Some(2)), (None, Some(3)), (Some(4.0), None), (Some(2.0), Some(2))
+    ).toDF("x", "c")
+    df.createOrReplaceTempView("withnulls")
+    val t = Graft.tripleFromRow(
+      spark.sql("SELECT sum_to_triple(x, c) FROM withnulls").head.getStruct(0))
+    assert(t.n == 2 && t.lin.toSeq == Seq(3.0) && t.linCat.toSeq == Seq(Map(2 -> 2.0)))
+    val empty = Graft.tripleFromRow(
+      spark.sql("SELECT sum_to_triple(x, c) FROM withnulls WHERE x > 100").head.getStruct(0))
+    assert(empty.n == 0)
+  }
+}
