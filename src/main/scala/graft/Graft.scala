@@ -2,7 +2,7 @@ package graft
 
 import graft.agg.{CofactorAggregate, MultiplyTriple, SumTriple, ToCofactor}
 import graft.ring.Triple
-import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.call_function
 
 /**
@@ -46,6 +46,31 @@ object Graft {
   def toNbAgg(cols: Column*): Column = call_function("to_nb_agg", cols: _*)
   def sumTripleOf(c: Column): Column = call_function("sum_triple", c)
   def multiplyTriple(a: Column, b: Column): Column = call_function("multiply_triple", a, b)
+
+  /** Collect the cofactor triple of `df` over the given continuous and
+    * categorical columns (one distributed aggregation job; the triple —
+    * a few KB — is the only thing that reaches the driver). */
+  def cofactor(df: DataFrame, num: Seq[String], cat: Seq[String], nb: Boolean = false): Triple = {
+    register(df.sparkSession)
+    val cols = num.map(c => org.apache.spark.sql.functions.col(c).cast("double")) ++
+      cat.map(c => org.apache.spark.sql.functions.col(c).cast("int"))
+    val agg = if (nb) sumNbAgg(cols: _*) else sumTriple(cols: _*)
+    tripleFromRow(df.agg(agg.as("t")).head.getStruct(0))
+  }
+
+  /** Per-class cofactors: `GROUP BY label` aggregation collected as
+    * (label value, triple) pairs (the QDA/NB training input). */
+  def cofactorPerClass(df: DataFrame, num: Seq[String], cat: Seq[String],
+                       label: String, nb: Boolean = false): Seq[(Int, Triple)] = {
+    register(df.sparkSession)
+    val cols = num.map(c => org.apache.spark.sql.functions.col(c).cast("double")) ++
+      cat.map(c => org.apache.spark.sql.functions.col(c).cast("int"))
+    val agg = if (nb) sumNbAgg(cols: _*) else sumTriple(cols: _*)
+    df.groupBy(org.apache.spark.sql.functions.col(label).cast("int").as("__label"))
+      .agg(agg.as("t"))
+      .collect()
+      .map(r => r.getInt(0) -> tripleFromRow(r.getStruct(1))).toSeq
+  }
 
   /** Decode a collected triple struct Row into a [[Triple]]. */
   def tripleFromRow(r: Row): Triple = {

@@ -1,0 +1,95 @@
+package graft.ml
+
+import breeze.linalg.{DenseMatrix, DenseVector}
+import graft.ring.Triple
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Shared helpers for the discriminative models. */
+private[ml] object Featurize {
+  /** Build the dense feature vector `[nums, one-hot(cats)]`; unknown
+    * categories leave their block all-zero (lda.cpp:451-502). */
+  def apply(num: Array[Double], cat: Array[Int], numCols: Int, dict: CatDict): DenseVector[Double] = {
+    val x = DenseVector.zeros[Double](numCols + dict.dim)
+    var i = 0
+    while (i < numCols) { x(i) = num(i); i += 1 }
+    var k = 0
+    while (k < dict.cols.length) {
+      val p = dict.pos(k, cat(k))
+      if (p >= 0) x(numCols + p) = 1.0
+      k += 1
+    }
+    x
+  }
+}
+
+/**
+ * Linear discriminant analysis (lsqr-style solver) trained from one
+ * cofactor triple — no second pass over the data (reference `lda_train`,
+ * ML/lda.cpp:154-416).
+ *
+ * Pooled within-class covariance S = (M₂ − Σ_c N_c μ_c μ_cᵀ)/N with
+ * optional shrinkage (1−s)·S + s·(tr(S)/p)·I (lda.cpp:259-273);
+ * coef_c = S⁺ μ_c, intercept_c = −½ μ_cᵀ coef_c + log π_c
+ * (lda.cpp:283-320).
+ */
+object Lda {
+
+  final case class Model(
+      classes: Array[Int],
+      coef: Array[Array[Double]],      // per class, per feature
+      intercepts: Array[Double],
+      numCols: Int,
+      dict: CatDict) extends Serializable
+
+  /** @param label index of the label among the categorical columns */
+  def train(t: Triple, label: Int, shrinkage: Double = 0.0): Model = {
+    require(label >= 0 && label < t.catCols, s"label $label out of categorical range")
+    val dict = CatDict.fromTriples(Seq(t), excludeCat = label)
+    val mom = new Moments(t, dict)
+    val d = mom.dim
+    val n = t.n.toDouble
+    val (classes, counts, sums) = mom.classSums(label)
+    val mus = sums.zip(counts).map { case (s, c) => s / c }
+
+    val scatter = mom.m2.copy
+    for (((mu, c), _) <- mus.zip(counts).zipWithIndex)
+      scatter -= (mu * mu.t) * c
+    var s = scatter / n
+    if (shrinkage > 0.0) {
+      val muI = breeze.linalg.trace(s) / d
+      s = s * (1.0 - shrinkage) + DenseMatrix.eye[Double](d) * (shrinkage * muI)
+    }
+    val sInv = MlMath.pinvCut(s)
+    val coef = mus.map(mu => sInv * mu)
+    val intercepts = classes.indices.map { c =>
+      -0.5 * (mus(c) dot coef(c)) + math.log(counts(c) / n)
+    }.toArray
+    Model(classes, coef.map(_.toArray), intercepts, t.numCols, dict)
+  }
+
+  def predictValue(m: Model, num: Array[Double], cat: Array[Int]): Int = {
+    val x = Featurize(num, cat, m.numCols, m.dict)
+    var best = 0; var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < m.classes.length) {
+      val w = m.coef(c)
+      var s = m.intercepts(c)
+      var i = 0
+      while (i < w.length) { s += w(i) * x(i); i += 1 }
+      if (s > bestScore) { bestScore = s; best = c }
+      c += 1
+    }
+    m.classes(best)
+  }
+
+  /** Row-wise prediction UDF: arguments are the numeric feature columns
+    * then the categorical feature columns (label excluded), as in
+    * `lda_predict` (lda.cpp:421-590). Returns the predicted label value. */
+  def predict(m: Model, num: Seq[Column], cat: Seq[Column]): Column = {
+    require(cat.length == m.dict.cols.length)
+    val f = udf((ns: Seq[Double], cs: Seq[Int]) => predictValue(m, ns.toArray, cs.toArray))
+    f(org.apache.spark.sql.functions.array(num.map(_.cast("double")): _*),
+      org.apache.spark.sql.functions.array(cat.map(_.cast("int")): _*))
+  }
+}

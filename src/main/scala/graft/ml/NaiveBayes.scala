@@ -1,0 +1,79 @@
+package graft.ml
+
+import graft.ring.Triple
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/**
+ * Gaussian + categorical Naive Bayes trained from per-class NB
+ * aggregates (reference `nb_train`, ML/naive_bayes.cpp:10-143):
+ * prior = N_c/N; per continuous feature mean/variance (+1e-9 jitter,
+ * naive_bayes.cpp:111-117); per categorical feature conditional
+ * frequencies. Prediction is argmax of
+ * log π_c + Σ log N(x; μ, σ²) + Σ log p(cat|c); an unseen category
+ * zeroes the class probability (naive_bayes.cpp:236-237).
+ */
+object NaiveBayes {
+
+  final case class Model(
+      classes: Array[Int],
+      priors: Array[Double],
+      means: Array[Array[Double]],   // per class, per numeric feature
+      vars: Array[Array[Double]],
+      catFreq: Array[Array[Map[Int, Double]]] // per class, per cat col: category -> p(cat|class)
+  ) extends Serializable {
+    def numCols: Int = means.headOption.map(_.length).getOrElse(0)
+  }
+
+  private val JITTER = 1e-9
+
+  /** @param perClass (label value, NB aggregate over the rows of that class) */
+  def train(perClass: Seq[(Int, Triple)]): Model = {
+    val sorted = perClass.sortBy(_._1)
+    val nTotal = sorted.map(_._2.n).sum.toDouble
+    val means = sorted.map { case (_, t) => t.lin.map(_ / t.n) }.toArray
+    val vars = sorted.zipWithIndex.map { case ((_, t), ci) =>
+      t.quad.zipWithIndex.map { case (q, i) =>
+        math.max(0.0, q / t.n - means(ci)(i) * means(ci)(i)) + JITTER
+      }
+    }.toArray
+    val catFreq = sorted.map { case (_, t) =>
+      t.linCat.map(m => m.map { case (k, v) => k -> v / t.n })
+    }.toArray
+    Model(
+      sorted.map(_._1).toArray,
+      sorted.map(_._2.n / nTotal).toArray,
+      means, vars, catFreq)
+  }
+
+  def predictValue(m: Model, num: Array[Double], cat: Array[Int]): Int = {
+    var best = 0; var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < m.classes.length) {
+      var s = math.log(m.priors(c))
+      var i = 0
+      while (i < num.length) {
+        val v = m.vars(c)(i); val d = num(i) - m.means(c)(i)
+        s += -0.5 * math.log(2.0 * math.Pi * v) - d * d / (2.0 * v)
+        i += 1
+      }
+      var j = 0
+      while (j < cat.length) {
+        s += (m.catFreq(c)(j).get(cat(j)) match {
+          case Some(p) => math.log(p)
+          case None => Double.NegativeInfinity // unseen category ⇒ probability 0
+        })
+        j += 1
+      }
+      if (s > bestScore) { bestScore = s; best = c }
+      c += 1
+    }
+    m.classes(best)
+  }
+
+  def predict(m: Model, num: Seq[Column], cat: Seq[Column]): Column = {
+    val f = udf((ns: Seq[Double], cs: Seq[Int]) => predictValue(m, ns.toArray, cs.toArray))
+    f(org.apache.spark.sql.functions.array(num.map(_.cast("double")): _*),
+      org.apache.spark.sql.functions.array(cat.map(_.cast("int")): _*))
+  }
+}

@@ -65,6 +65,32 @@ object VerifyDrive {
     spark.sql("SELECT sum_to_triple(l_quantity, l_extendedprice, l_linenumber) FROM lineitem")
       .explain("formatted")
 
+    println("== [6] ML end-to-end: linreg l_extendedprice ~ l_quantity + l_linenumber ==")
+    import org.apache.spark.sql.functions._
+    val li = spark.table("lineitem")
+    val trip2 = graft.Graft.cofactor(li, Seq("l_extendedprice", "l_quantity"), Seq("l_linenumber"))
+    val lm = graft.ml.LinReg.train(trip2, label = 0)
+    println(s"intercept=${lm.intercept} qtyCoef=${lm.numCoef(0)} sigma2=${lm.sigma2}")
+    val scored = li.withColumn("pred",
+      graft.ml.LinReg.predict(lm, Seq(col("l_quantity")), Seq(col("l_linenumber"))))
+    val stats = scored.select(
+      sqrt(avg(pow(col("pred") - col("l_extendedprice"), 2))).as("rmse"),
+      stddev(col("l_extendedprice")).as("sd")).head
+    println(f"rmse=${stats.getDouble(0)}%.1f label-stddev=${stats.getDouble(1)}%.1f")
+    assert(stats.getDouble(0) < stats.getDouble(1), "regression no better than mean")
+    println("linreg OK (explains variance)")
+
+    println("== [7] ML: per-class NB on synthetic classes via groupBy aggregate ==")
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val cls = Seq.tabulate(600)(i => (rng.nextGaussian() + (i % 2) * 4.0, i % 2)).toDF("x", "lbl")
+    val nb = graft.ml.NaiveBayes.train(Graft.cofactorPerClass(cls, Seq("x"), Seq(), "lbl", nb = true))
+    val acc = cls.withColumn("p", graft.ml.NaiveBayes.predict(nb, Seq($"x"), Seq()))
+      .select(avg(when($"p" === $"lbl", 1.0).otherwise(0.0))).head.getDouble(0)
+    println(s"NB train accuracy = $acc")
+    assert(acc > 0.95)
+    println("NB OK")
+
     spark.stop()
   }
 }

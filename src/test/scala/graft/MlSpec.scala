@@ -1,0 +1,135 @@
+package graft
+
+import breeze.linalg.{pinv, DenseMatrix, DenseVector}
+import graft.ml._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * ML-layer parity: training on the cofactor triple must equal training
+ * on the raw data matrix (the reference's core claim — the triple is a
+ * sufficient statistic; SURVEY §2.2). The "oracle" side below computes
+ * X'X / class means / covariances directly from the materialized
+ * one-hot-encoded rows in Breeze, independently of the ring code.
+ */
+class MlSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // deterministic synthetic data: y = 3 + 2a - b + effect(c) + eps
+  val rng = new scala.util.Random(123)
+  val catEffect = Map(0 -> 0.0, 1 -> 5.0, 2 -> -2.0)
+  val rows: Seq[(Double, Double, Double, Int)] = Seq.tabulate(300) { _ =>
+    val a = rng.nextDouble() * 10 - 5
+    val b = rng.nextDouble() * 4
+    val c = rng.nextInt(3)
+    val y = 3.0 + 2.0 * a - 1.0 * b + catEffect(c) + rng.nextGaussian() * 0.5
+    (y, a, b, c)
+  }
+
+  def df = rows.toDF("y", "a", "b", "c").repartition(4)
+
+  test("linreg on triple == closed-form OLS on raw one-hot matrix") {
+    val t = Graft.cofactor(df, Seq("y", "a", "b"), Seq("c"))
+    val m = LinReg.train(t, label = 0)
+
+    // oracle: build X = [1, a, b, 1hot(c)] directly, minimum-norm OLS
+    val x = DenseMatrix(rows.map { case (_, a, b, c) =>
+      Array(1.0, a, b, if (c == 0) 1.0 else 0.0, if (c == 1) 1.0 else 0.0, if (c == 2) 1.0 else 0.0)
+    }: _*)
+    val y = DenseVector(rows.map(_._1).toArray)
+    val theta = graft.ml.MlMath.pinvCut(x.t * x) * (x.t * y)
+
+    assert(math.abs(m.intercept - theta(0)) < 1e-6)
+    assert(math.abs(m.numCoef(0) - theta(1)) < 1e-6)
+    assert(math.abs(m.numCoef(1) - theta(2)) < 1e-6)
+    for (c <- 0 to 2) assert(math.abs(m.catCoef(0)(c) - theta(3 + c)) < 1e-6)
+    // predictions recover the generating model to noise level
+    val pred = df.withColumn("p", LinReg.predict(m, Seq($"a", $"b"), Seq($"c")))
+      .select(sqrt(avg(pow($"p" - $"y", 2))).as("rmse")).head.getDouble(0)
+    assert(pred < 0.6, s"rmse $pred")
+  }
+
+  test("linreg ridge path and variance") {
+    val t = Graft.cofactor(df, Seq("y", "a", "b"), Seq("c"))
+    val m = LinReg.train(t, label = 0, lambda = 1e-6)
+    assert(math.abs(m.numCoef(0) - 2.0) < 0.05)
+    assert(m.sigma2 > 0.1 && m.sigma2 < 0.5, s"sigma2 ${m.sigma2}") // true noise var 0.25
+  }
+
+  // classification data: 3 well-separated Gaussian classes + 1 correlated cat feature
+  val clsRows: Seq[(Double, Double, Int, Int)] = Seq.tabulate(450) { i =>
+    val cls = i % 3
+    val f1 = rng.nextGaussian() + cls * 6.0
+    val f2 = rng.nextGaussian() - cls * 4.0
+    val cf = if (rng.nextDouble() < 0.8) cls else rng.nextInt(3) // noisy copy of class
+    (f1, f2, cf, cls)
+  }
+  def clsDf = clsRows.toDF("f1", "f2", "cf", "cls").repartition(4)
+
+  test("LDA: class means from triple == raw means; high train accuracy") {
+    val t = Graft.cofactor(clsDf, Seq("f1", "f2"), Seq("cf", "cls"))
+    val m = Lda.train(t, label = 1) // cls is 2nd cat col
+    assert(m.classes.toSeq == Seq(0, 1, 2))
+    val acc = clsDf.withColumn("p", Lda.predict(m, Seq($"f1", $"f2"), Seq($"cf")))
+      .select(avg(when($"p" === $"cls", 1.0).otherwise(0.0))).head.getDouble(0)
+    assert(acc > 0.98, s"LDA accuracy $acc")
+
+    // parity: Spark-side predict equals driver-side predict on the same rows
+    clsDf.withColumn("p", Lda.predict(m, Seq($"f1", $"f2"), Seq($"cf")))
+      .select("f1", "f2", "cf", "p").limit(50).collect().foreach { r =>
+        assert(r.getInt(3) == Lda.predictValue(m, Array(r.getDouble(0), r.getDouble(1)), Array(r.getInt(2))))
+      }
+  }
+
+  test("QDA from per-class triples: high train accuracy") {
+    val perClass = Graft.cofactorPerClass(clsDf, Seq("f1", "f2"), Seq("cf", "cls"), label = "cls")
+    // drop the label col from each class triple: features are f1,f2,cf only
+    val featTriples = Graft.cofactorPerClass(clsDf, Seq("f1", "f2"), Seq("cf"), label = "cls")
+    assert(perClass.map(_._1).sorted.toSeq == Seq(0, 1, 2))
+    val m = Qda.train(featTriples)
+    val acc = clsDf.withColumn("p", Qda.predict(m, Seq($"f1", $"f2"), Seq($"cf")))
+      .select(avg(when($"p" === $"cls", 1.0).otherwise(0.0))).head.getDouble(0)
+    assert(acc > 0.98, s"QDA accuracy $acc")
+  }
+
+  test("NB from per-class NB aggregates: accuracy + unseen-category zeroing") {
+    val perClass = Graft.cofactorPerClass(clsDf, Seq("f1", "f2"), Seq("cf"), label = "cls", nb = true)
+    val m = NaiveBayes.train(perClass)
+    // NB aggregates carry diagonal quad only
+    assert(m.means(0).length == 2 && m.vars(0).length == 2)
+    val acc = clsDf.withColumn("p", NaiveBayes.predict(m, Seq($"f1", $"f2"), Seq($"cf")))
+      .select(avg(when($"p" === $"cls", 1.0).otherwise(0.0))).head.getDouble(0)
+    assert(acc > 0.98, s"NB accuracy $acc")
+    // per-class mean parity vs raw
+    val rawMean0 = clsRows.filter(_._4 == 0).map(_._1)
+    assert(math.abs(m.means(0)(0) - rawMean0.sum / rawMean0.size) < 1e-9)
+    // unseen category: still classifies (all classes -inf on that feature → fall back to first max)
+    val p = NaiveBayes.predictValue(m, Array(0.0, 0.0), Array(99))
+    assert(m.classes.contains(p))
+  }
+
+  test("LDA on triple == LDA trained from raw scatter matrices (parity)") {
+    val t = Graft.cofactor(clsDf, Seq("f1", "f2"), Seq("cls"))
+    val m = Lda.train(t, label = 0, shrinkage = 0.0)
+    // oracle: features are just (f1, f2); compute pooled covariance directly
+    val byClass = clsRows.groupBy(_._4)
+    val n = clsRows.size.toDouble
+    val mus = byClass.map { case (c, rs) =>
+      c -> DenseVector(rs.map(_._1).sum / rs.size, rs.map(_._2).sum / rs.size)
+    }
+    val s = DenseMatrix.zeros[Double](2, 2)
+    clsRows.foreach { case (f1, f2, _, c) =>
+      val d = DenseVector(f1, f2) - mus(c)
+      s += d * d.t
+    }
+    val cov = s / n
+    val sInv = pinv(cov)
+    for (c <- 0 to 2) {
+      val expected = sInv * mus(c)
+      val got = m.coef(m.classes.indexOf(c))
+      assert(math.abs(expected(0) - got(0)) < 1e-6 && math.abs(expected(1) - got(1)) < 1e-6,
+        s"class $c coef ${got.toSeq} vs ${expected}")
+    }
+  }
+}
