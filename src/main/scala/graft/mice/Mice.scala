@@ -1,0 +1,147 @@
+package graft.mice
+
+import graft.Graft
+import graft.ml.{Lda, LinReg}
+import graft.ring.Triple
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * MICE — Multiple Imputation by Chained Equations — over DataFrames,
+ * re-expressing the reference's three variants
+ * (imputation/algorithms/imputation_base.cpp, imputation_low.cpp,
+ * imputation_high.cpp) Spark-first:
+ *
+ *  - `baseline`: per column per iteration, aggregate a cofactor triple
+ *    over the rows where that column is observed, train, impute
+ *    (imputation_base.cpp:6-146).
+ *  - `partitioned` (the low/high delta algebra): split rows into the
+ *    fully-observed stratum (which never changes — its triple is
+ *    computed ONCE, the "static cofactor" of imputation_high.cpp:20-35)
+ *    and the incomplete stratum; per column, the observed-rows triple is
+ *    `static + triple(incomplete) − delta(rows where col missing)` via
+ *    ring subtraction (imputation_low.cpp:85-110) — no filtered rescan
+ *    of the big stratum, ever.
+ *
+ * The reference's O(1) physical column swap (duckdb_imputation.patch)
+ * is unnecessary on immutable DataFrames: `withColumn` + one
+ * `localCheckpoint` per iteration bounds both lineage and job count.
+ */
+object Mice {
+
+  /**
+   * @param contCols    continuous feature columns (DoubleType after cast)
+   * @param catCols     categorical feature columns (IntegerType)
+   * @param imputeCont  subset of contCols with missing values to impute
+   * @param imputeCat   subset of catCols with missing values to impute
+   * @param iterations  MICE rounds (reference demo uses 5, main.cpp:74)
+   * @param stochastic  add N(0, σ̂²) noise to continuous imputations
+   *                    (`linreg_predict(add_noise=true)`, regression.cpp:493-504)
+   */
+  final case class Config(
+      contCols: Seq[String],
+      catCols: Seq[String],
+      imputeCont: Seq[String],
+      imputeCat: Seq[String],
+      iterations: Int = 5,
+      lambda: Double = 0.0,
+      shrinkage: Double = 0.0,
+      stochastic: Boolean = false,
+      seed: Long = 42L)
+
+  private def flag(c: String) = s"${c}__isnull"
+
+  /** Mean/mode initialization + observation flags
+    * (init_baseline, partition.cpp:671-719). */
+  private def prepare(df: DataFrame, cfg: Config): DataFrame = {
+    val imputed = cfg.imputeCont ++ cfg.imputeCat
+    val aggs = cfg.imputeCont.map(c => avg(col(c)).as(s"mean_$c")) ++
+      cfg.imputeCat.map(c => mode(col(c)).as(s"mode_$c"))
+    val init = if (aggs.nonEmpty) df.agg(aggs.head, aggs.tail: _*).head else null
+    var out = df
+    for (c <- cfg.contCols) out = out.withColumn(c, col(c).cast("double"))
+    for (c <- cfg.catCols) out = out.withColumn(c, col(c).cast("int"))
+    for (c <- imputed) out = out.withColumn(flag(c), col(c).isNull)
+    for (c <- cfg.imputeCont)
+      out = out.withColumn(c, coalesce(col(c), lit(init.getAs[Double](s"mean_$c"))))
+    for (c <- cfg.imputeCat)
+      out = out.withColumn(c, coalesce(col(c), lit(init.getAs[Int](s"mode_$c"))))
+    out
+  }
+
+  /** One train+impute step for one column, given the observed-rows triple. */
+  private def imputeColumn(cur: DataFrame, cfg: Config, c: String, observed: Triple,
+                           iter: Int): DataFrame = {
+    val isCont = cfg.imputeCont.contains(c)
+    val pred: Column =
+      if (isCont) {
+        val label = cfg.contCols.indexOf(c)
+        val model = LinReg.train(observed, label, cfg.lambda)
+        LinReg.predict(model,
+          cfg.contCols.filterNot(_ == c).map(col),
+          cfg.catCols.map(col),
+          addNoise = cfg.stochastic, seed = cfg.seed + iter * 131 + label)
+      } else {
+        val label = cfg.catCols.indexOf(c)
+        val model = Lda.train(observed, label, cfg.shrinkage)
+        Lda.predict(model,
+          cfg.contCols.map(col),
+          cfg.catCols.filterNot(_ == c).map(col))
+      }
+    cur.withColumn(c, when(col(flag(c)), pred).otherwise(col(c)))
+  }
+
+  /** Baseline MICE (imputation_base.cpp): full filtered rescan per column. */
+  def baseline(df: DataFrame, cfg: Config): DataFrame = {
+    var cur = prepare(df, cfg).localCheckpoint()
+    val order = cfg.imputeCat ++ cfg.imputeCont // categorical first (imputation_base.cpp:19,89)
+    for (iter <- 1 to cfg.iterations) {
+      for (c <- order) {
+        val observed = Graft.cofactor(cur.filter(!col(flag(c))), cfg.contCols, cfg.catCols)
+        cur = imputeColumn(cur, cfg, c, observed, iter)
+      }
+      cur = cur.localCheckpoint() // bound lineage + per-column job cost
+    }
+    cur.drop((cfg.imputeCont ++ cfg.imputeCat).map(flag): _*)
+  }
+
+  /**
+   * Partitioned MICE with delta-triple ring algebra (low/high variants):
+   * the fully-observed stratum is aggregated once and cached; per-column
+   * work touches only the incomplete stratum.
+   */
+  def partitioned(df: DataFrame, cfg: Config): DataFrame = {
+    val prepared = prepare(df, cfg)
+    val imputed = cfg.imputeCont ++ cfg.imputeCat
+    val anyNull = imputed.map(c => col(flag(c))).reduce(_ || _)
+
+    val complete = prepared.filter(!anyNull).localCheckpoint()
+    var incomplete = prepared.filter(anyNull).localCheckpoint()
+
+    // static cofactor over the never-changing stratum (imputation_high.cpp:20-35)
+    val staticTriple = Graft.cofactor(complete, cfg.contCols, cfg.catCols)
+
+    val order = cfg.imputeCat ++ cfg.imputeCont
+    for (iter <- 1 to cfg.iterations) {
+      // one scan of the (small) incomplete stratum per iteration
+      // (recomputing full each round also stops float drift from the
+      // incremental adds below accumulating across iterations)
+      val incTriple = Graft.cofactor(incomplete, cfg.contCols, cfg.catCols)
+      var full = Triple.add(staticTriple, incTriple)
+      for (c <- order) {
+        // delta = rows where c is missing (imputation_low.cpp:85-108);
+        // observed = full − delta by ring subtraction (:110)
+        val delta = Graft.cofactor(incomplete.filter(col(flag(c))), cfg.contCols, cfg.catCols)
+        val observed = Triple.subtract(full, delta)
+        incomplete = imputeColumn(incomplete, cfg, c, observed, iter)
+        // full := observed + recomputed delta over the freshly imputed
+        // rows (imputation_low.cpp:188-194) so later columns in this
+        // round train against up-to-date values
+        val newDelta = Graft.cofactor(incomplete.filter(col(flag(c))), cfg.contCols, cfg.catCols)
+        full = Triple.add(observed, newDelta)
+      }
+      incomplete = incomplete.localCheckpoint()
+    }
+    complete.unionByName(incomplete).drop(imputed.map(flag): _*)
+  }
+}

@@ -91,6 +91,23 @@ object VerifyDrive {
     assert(acc > 0.95)
     println("NB OK")
 
+    println("== [8] MICE end-to-end on lineitem with injected MCAR nulls ==")
+    val base = li.select($"l_quantity", $"l_extendedprice", $"l_discount", $"l_linenumber")
+      .withColumn("true_disc", $"l_discount")
+      .withColumn("miss", rand(7) < 0.15)
+      .withColumn("l_discount", when($"miss", lit(null)).otherwise($"l_discount"))
+    val mcfg = graft.mice.Mice.Config(
+      contCols = Seq("l_quantity", "l_extendedprice", "l_discount"),
+      catCols = Seq("l_linenumber"),
+      imputeCont = Seq("l_discount"), imputeCat = Seq(), iterations = 2)
+    val done = graft.mice.Mice.partitioned(base, mcfg)
+    val nNull = done.filter($"l_discount".isNull).count()
+    val mrmse = done.filter($"miss")
+      .select(sqrt(avg(pow($"l_discount" - $"true_disc", 2)))).head.getDouble(0)
+    println(s"nulls left=$nNull imputation rmse=$mrmse (l_discount sd ~ 0.03)")
+    assert(nNull == 0)
+    println("MICE OK")
+
     spark.stop()
   }
 }
