@@ -1,24 +1,77 @@
 package graft
+
+import graft.ml.LinReg
+import graft.sources.Tables
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Headline benchmark (driver-run per round): cofactor aggregation
+  * throughput is the primary engine metric (BASELINE.md), plus the
+  * factorized join, model train+impute scan, and a MICE round. Results
+  * are one JSON line; work is forced with the noop sink so timings
+  * include the full plan but no driver materialization. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    Graft.register(spark)
+
+    def li = Tables.load(spark, sfDir, "lineitem")
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // JVM/codegen warmup (not timed)
+    li.count()
+
+    val benches: Seq[(String, () => Unit)] = Seq(
+      "q01_pricing" -> (() => noop(SparkEntry.queries("q01_agg_pricing")(spark, sfDir))),
+      "cofactor_full" -> { () =>
+        noop(li.withColumn("shipyear", year(col("l_shipdate")))
+          .agg(Graft.sumTriple(
+            col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"),
+            col("l_linenumber"), col("shipyear")).as("t")))
+      },
+      "cofactor_grouped" -> { () =>
+        noop(li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(Graft.sumTriple(
+            col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"),
+            col("l_linenumber")).as("t")))
+      },
+      "factorized_join" -> (() => noop(SparkEntry.queries("q09_factorized_join")(spark, sfDir))),
+      "linreg_train_impute" -> { () =>
+        val t = Graft.cofactor(li, Seq("l_extendedprice", "l_quantity", "l_discount"), Seq("l_linenumber"))
+        val m = LinReg.train(t, label = 0)
+        noop(li.select(col("l_orderkey"),
+          LinReg.predict(m, Seq(col("l_quantity"), col("l_discount")), Seq(col("l_linenumber"))).as("pred")))
+      },
+      "mice_1round" -> { () =>
+        val base = li.select(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_linenumber"))
+          .withColumn("l_discount",
+            when(rand(7) < 0.15, lit(null)).otherwise(col("l_discount")))
+        val cfg = graft.mice.Mice.Config(
+          contCols = Seq("l_quantity", "l_extendedprice", "l_discount"),
+          catCols = Seq("l_linenumber"),
+          imputeCont = Seq("l_discount"), imputeCat = Seq(), iterations = 1)
+        noop(graft.mice.Mice.partitioned(base, cfg))
+      }
+    )
+
+    val results = benches.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn() } catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
