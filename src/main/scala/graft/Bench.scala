@@ -52,6 +52,9 @@ object Bench {
         noop(li.select(col("l_orderkey"),
           LinReg.predict(m, Seq(col("l_quantity"), col("l_discount")), Seq(col("l_linenumber"))).as("pred")))
       },
+      "text_stats" -> (() => noop(SparkEntry.queries("q10_token_stats")(spark, sfDir))),
+      "minhash_neardup" -> (() => noop(SparkEntry.queries("q14_minhash_neardup")(spark, sfDir))),
+      "knn_bruteforce" -> (() => noop(SparkEntry.queries("q16_knn_bruteforce")(spark, sfDir))),
       "mice_1round" -> { () =>
         val base = li.select(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_linenumber"))
           .withColumn("l_discount",

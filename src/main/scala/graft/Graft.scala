@@ -33,6 +33,7 @@ object Graft {
       reg.createOrReplaceTempFunction("sum_nb_agg", es => SumTriple(es.head), "scala_udf")
       reg.createOrReplaceTempFunction("multiply_triple", es => MultiplyTriple(es(0), es(1)), "scala_udf")
       reg.createOrReplaceTempFunction("multiply_nb_agg", es => MultiplyTriple(es(0), es(1)), "scala_udf")
+      reg.createOrReplaceTempFunction("simhash64", es => graft.functions.SimHash64(es.head), "scala_udf")
       registered += spark
     }
     spark

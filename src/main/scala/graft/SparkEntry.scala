@@ -116,6 +116,100 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 
+    // text analysis: token statistics (pure Column expressions)
+    "q10_token_stats" -> { (s, dir) =>
+      Tables.load(s, dir, "documents").select(
+          col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+          size(array_distinct(graft.functions.TextFunctions.tokens(col("text")))).cast("long").as("n_distinct"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // exact deduplication: keep smallest doc_id per (lang, source) key
+    "q11_dedup_exact" -> { (s, dir) =>
+      graft.operators.Dedup.exact(
+          Tables.load(s, dir, "documents"), Seq(col("lang"), col("source")), col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
+    // quality scoring (length saturation × lexical diversity × punct penalty)
+    "q12_quality_score" -> { (s, dir) =>
+      Tables.load(s, dir, "documents").select(
+          col("doc_id"),
+          graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // language-id heuristic (rows-only: stopword tables are library-defined)
+    "q13_langid_counts" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(graft.functions.TextFunctions.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang_pred")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("lang_pred"))
+    },
+
+    // MinHash+LSH near-dedup on documents ∪ perturbed copies (rows-only)
+    "q14_minhash_neardup" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mangled = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          // drop the last word ⇒ high-jaccard near-duplicate
+          regexp_replace(col("text"), "\\s+\\S+\\s*$", "").as("text"))
+      val all = docs.unionByName(mangled)
+      val kept = graft.operators.Dedup.dedupNear(all, "doc_id", "text", threshold = 0.8)
+      import s.implicits._
+      Seq((all.count(), kept.count())).toDF("n_input", "n_kept")
+    },
+
+    // SimHash fingerprints (rows-only: hash family is library-defined)
+    "q15_simhash" -> { (s, dir) =>
+      Graft.register(s)
+      Tables.load(s, dir, "documents").select(
+          col("doc_id"),
+          graft.functions.SimHash64.simhash64(
+            graft.functions.TextFunctions.tokens(lower(col("text")))).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // brute-force cosine top-k ANN (exact baseline)
+    "q16_knn_bruteforce" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      graft.operators.Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 20), emb,
+          "vec_id", "embedding", "vec_id", "embedding", k = 3)
+        .select(col("qId"), col("cId"), col("rank").cast("long").as("rank"),
+          round(col("cos"), 3).as("cos"))
+        .orderBy(col("qId"), col("rank"))
+    },
+
+    // embedding near-duplicate pairs above a cosine threshold (exact)
+    "q17_embedding_neardup" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 2000)
+      graft.operators.Similarity.embeddingNearDupPairs(
+          emb, "vec_id", "embedding", threshold = 0.35, dim = 64, nPlanes = 0)
+        .select(col("idA"), col("idB"), round(col("cos"), 3).as("cos"))
+        .orderBy(col("idA"), col("idB"))
+    },
+
+    // MICE imputation summary (rows-only: iterative, not SQL-expressible)
+    "q18_mice_impute" -> { (s, dir) =>
+      val base = li(s, dir)
+        .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_linenumber"))
+        .withColumn("miss", rand(7) < 0.15)
+        .withColumn("l_discount", when(col("miss"), lit(null)).otherwise(col("l_discount")))
+      val cfg = graft.mice.Mice.Config(
+        contCols = Seq("l_quantity", "l_extendedprice", "l_discount"),
+        catCols = Seq("l_linenumber"),
+        imputeCont = Seq("l_discount"), imputeCat = Seq(), iterations = 2)
+      val done = graft.mice.Mice.partitioned(base, cfg)
+      done.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("miss"), 1L).otherwise(0L)).as("n_imputed"),
+        sum(when(col("l_discount").isNull, 1L).otherwise(0L)).as("n_null_after"))
+    },
+
     // §2.1 #4 multiply_triple: factorized join aggregation == aggregate over the join
     "q09_factorized_join" -> { (s, dir) =>
       Graft.register(s)
@@ -183,6 +277,43 @@ object SparkEntry {
         |       round(sum(l_quantity), 2) AS sum_qty,
         |       round(avg(o_totalprice), 2) AS avg_total,
         |       round(avg(l_quantity * o_totalprice), 2) AS avg_qty_total
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+    "q10_token_stats" ->
+      """SELECT doc_id,
+        |       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |       len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_distinct,
+        |       length(text) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q11_dedup_exact" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |         row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q12_quality_score" ->
+      """SELECT doc_id,
+        |       round(least(1.0, length(text) / 500.0)
+        |             * (len(list_distinct(string_split_regex(trim(text), '\s+')))::DOUBLE
+        |                / len(string_split_regex(trim(text), '\s+')))
+        |             * greatest(0.0, 1.0 - (len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE
+        |                                    / length(text)) * 4.0),
+        |             4) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q16_knn_bruteforce" ->
+      """SELECT qId, cId, rank, cos FROM (
+        |  SELECT a.vec_id AS qId, b.vec_id AS cId,
+        |         row_number() OVER (PARTITION BY a.vec_id
+        |           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rank,
+        |         round(list_cosine_similarity(a.embedding, b.embedding)::DOUBLE, 3) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 20) t
+        |WHERE rank <= 3 ORDER BY qId, rank""".stripMargin,
+    "q17_embedding_neardup" ->
+      """SELECT a.vec_id AS idA, b.vec_id AS idB,
+        |       round(list_cosine_similarity(a.embedding, b.embedding)::DOUBLE, 3) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 2000 AND b.vec_id < 2000
+        |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+        |ORDER BY idA, idB""".stripMargin
   )
 }

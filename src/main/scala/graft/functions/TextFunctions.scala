@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis primitives for large-scale training-data pipelines, all
+ * as pure Column expressions (whole-stage-codegen friendly — no UDFs):
+ * tokenization, token counting, quality scoring, language ID, document
+ * fingerprinting.
+ */
+object TextFunctions {
+
+  /** Whitespace tokenization (empty input ⇒ empty array). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, typedLit(Seq.empty[String]))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy: alpha runs, digit runs, and single
+    * punctuation marks each count as one token. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  def distinctTokenRatio(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(size(array_distinct(t)).cast("double") / size(t))
+  }
+
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double") / length(text))
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(t))
+  }
+
+  private val stopwordsByLang: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for", "on", "with", "as"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "für", "auf", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que", "des", "du"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "para", "en", "que", "de"),
+    "it" -> Seq("il", "lo", "la", "e", "è", "un", "una", "per", "che", "di", "non", "con"))
+
+  /** Fraction of tokens that are (English, by default) stopwords —
+    * a standard quality signal. */
+  def stopwordRatio(text: Column, lang: String = "en"): Column = {
+    val sw = typedLit(stopwordsByLang(lang))
+    val t = tokens(lower(text))
+    when(size(t) === 0, lit(0.0))
+      .otherwise(size(filter(t, w => array_contains(sw, w))).cast("double") / size(t))
+  }
+
+  /**
+   * Heuristic document quality score in [0, 1]: length saturation ×
+   * lexical diversity, penalized for extreme punctuation density and
+   * degenerate token lengths. Deterministic and SQL-mirrorable.
+   */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(lit(1.0), length(text).cast("double") / 500.0)
+    val diversity = distinctTokenRatio(text)
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4.0)
+    round(lenScore * diversity * punctPenalty, 4)
+  }
+
+  /** Stopword-hit language ID over the supported languages; returns the
+    * language code with the most stopword matches ("und" when nothing
+    * matches). Pure Column: array_max over (score, lang) structs. */
+  def langId(text: Column): Column = {
+    val t = tokens(lower(text))
+    val scored = stopwordsByLang.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        size(filter(t, w => array_contains(typedLit(words), w))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Content fingerprint: 64-bit hash of the normalized text (lowered,
+    * punctuation stripped, whitespace collapsed). */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(trim(regexp_replace(lower(text), "[^a-z0-9\\s]", " ")), "\\s+", " "))
+
+  /** Order-insensitive fingerprint: hash of the sorted distinct token
+    * set (bag-of-words identity). */
+  def bagFingerprint(text: Column): Column =
+    xxhash64(concat_ws(" ", array_sort(array_distinct(tokens(lower(text))))))
+
+  /** Word n-gram shingles as an array of 64-bit hashes. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val t = tokens(lower(text))
+    when(size(t) < n, array(xxhash64(concat_ws(" ", t))))
+      .otherwise(transform(
+        sequence(lit(0), size(t) - n),
+        i => xxhash64(concat_ws(" ", slice(t, i + 1, lit(n))))))
+  }
+
+  /** Jaccard similarity of the two texts' n-gram shingle sets. */
+  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
+    val (sa, sb) = (array_distinct(shingles(a, n)), array_distinct(shingles(b, n)))
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val union = size(array_union(sa, sb)).cast("double")
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+}

@@ -1,0 +1,150 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-data pipeline operators: text analysis, dedup (exact /
+  * MinHash-LSH / SimHash), ANN similarity search, multimodal plumbing. */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"), // near-dup of 0
+    (2L, "der schnelle braune fuchs springt und ist nicht ein hund mit der katze"),
+    (3L, "completely different content about spark query engines and columnar scans"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (5L, "le chat est dans la maison et le chien est dans le jardin pour la nuit")
+  ).toDF("doc_id", "text")
+
+  test("text functions: tokens, counts, quality, fingerprints") {
+    val r = docs.select(
+      $"doc_id",
+      TextFunctions.tokenCount($"text").as("tc"),
+      TextFunctions.distinctTokenRatio($"text").as("dr"),
+      TextFunctions.qualityScore($"text").as("q"),
+      TextFunctions.fingerprint($"text").as("fp"),
+      TextFunctions.bagFingerprint($"text").as("bfp")
+    ).collect().map(r => r.getLong(0) -> r).toMap
+    assert(r(0).getInt(1) == 14)
+    assert(r(0).getDouble(2) < 1.0) // "the" repeats
+    assert(r(0).getDouble(3) > 0.0 && r(0).getDouble(3) <= 1.0)
+    assert(r(0).getLong(4) == r(4).getLong(4)) // exact dups share fingerprint
+    assert(r(0).getLong(4) != r(1).getLong(4))
+    // empty / degenerate input
+    val e = Seq((9L, ""), (10L, "   ")).toDF("doc_id", "text")
+      .select(TextFunctions.tokenCount($"text"), TextFunctions.qualityScore($"text")).collect()
+    assert(e.forall(r => r.getInt(0) == 0 && r.getDouble(1) == 0.0))
+  }
+
+  test("language id picks the language with most stopword hits") {
+    val r = docs.select($"doc_id", TextFunctions.langId($"text").as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(r(0) == "en" && r(2) == "de" && r(5) == "fr")
+    assert(Seq((99L, "zzz qqq xxx")).toDF("doc_id", "text")
+      .select(TextFunctions.langId($"text")).head.getString(0) == "und")
+  }
+
+  test("exact dedup keeps smallest id per content hash") {
+    val out = Dedup.exactText(docs, $"text", $"doc_id")
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(0L, 1L, 2L, 3L, 5L)) // 4 dropped (dup of 0)
+  }
+
+  test("minhash LSH finds near-duplicates; dedupNear removes them") {
+    val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 4L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 4L)), s"near dup not found: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unique doc never paired
+    val kept = Dedup.dedupNear(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(0L) && !kept.contains(4L))
+    assert(kept.contains(3L) && kept.contains(2L) && kept.contains(5L))
+  }
+
+  test("simhash: identical fingerprints for dups, banded pairs verified by hamming") {
+    Graft.register(spark)
+    val fps = docs.select($"doc_id",
+      graft.functions.SimHash64.simhash64(TextFunctions.tokens(lower($"text"))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(0) == fps(4))
+    assert(java.lang.Long.bitCount(fps(0) ^ fps(1)) < java.lang.Long.bitCount(fps(0) ^ fps(3)))
+    val pairs = Dedup.simhashPairs(docs, $"doc_id", $"text", maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 4L)))
+  }
+
+  val vecRng = new scala.util.Random(99)
+  val vecs: Seq[(Long, Seq[Float])] = Seq.tabulate(60) { i =>
+    val base = Array.fill(16)(vecRng.nextGaussian().toFloat)
+    i.toLong -> base.toSeq
+  } :+ (100L -> Seq.tabulate(16)(j => (0.001f * j))) // near-zero vector
+  def vecDf = vecs.toDF("vec_id", "embedding")
+
+  test("brute-force cosine top-k: exact, self-excluded, ranked") {
+    val q = vecDf.filter($"vec_id" < 5)
+    val res = Similarity.bruteForceTopK(q, vecDf, "vec_id", "embedding", "vec_id", "embedding", k = 3)
+      .collect()
+    assert(res.length == 15) // 5 queries × 3
+    assert(res.forall(r => r.getLong(0) != r.getLong(1)))
+    // oracle for query 0: compute cosines locally
+    val target = vecs.head._2.map(_.toDouble)
+    def cos(b: Seq[Float]): Double = {
+      val bd = b.map(_.toDouble)
+      val d = target.zip(bd).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(target.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    val expTop = vecs.tail.map { case (id, v) => id -> cos(v) }.sortBy(-_._2).take(3).map(_._1)
+    val gotTop = res.filter(_.getLong(0) == 0L).sortBy(_.getInt(3)).map(_.getLong(1)).toSeq
+    assert(gotTop == expTop, s"got $gotTop expected $expTop")
+  }
+
+  test("LSH top-k: results are a subset of brute-force candidates with correct cosines") {
+    val q = vecDf.filter($"vec_id" < 5)
+    val brute = Similarity.bruteForceTopK(q, vecDf, "vec_id", "embedding", "vec_id", "embedding", k = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshTopK(q, vecDf, "vec_id", "embedding", "vec_id", "embedding",
+      k = 3, dim = 16, nPlanes = 4).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(brute.contains(key) && math.abs(brute(key) - r.getDouble(2)) < 1e-9)
+    }
+  }
+
+  test("embedding near-dup pairs find planted duplicates") {
+    val planted = vecDf.unionByName(
+      vecs.take(3).map { case (id, v) => (id + 1000L, v.map(x => x * 1.001f)) }.toDF("vec_id", "embedding"))
+    val pairs = Similarity.embeddingNearDupPairs(planted, "vec_id", "embedding",
+      threshold = 0.999, dim = 16, nPlanes = 4).collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Seq((0L, 1000L), (1L, 1001L), (2L, 1002L)).count(found.contains) >= 2, s"found $found")
+  }
+
+  test("multimodal: stub feature extraction is deterministic with stable schema; frame sampling shapes") {
+    val media = Seq(
+      (1L, Array.tabulate(256)(_.toByte), "img"),
+      (2L, Array.tabulate(1024)(i => (i * 7).toByte), "vid"),
+      (3L, null.asInstanceOf[Array[Byte]], "img")
+    ).toDF("media_id", "content", "kind")
+    val feats = Multimodal.extractFeatures(media, "content", dim = 8)
+    assert(feats.schema("features").dataType.typeName == "array")
+    val rows = feats.select("media_id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rows(1).length == 8 && rows(2).length == 8)
+    assert(rows(3).forall(_ == 0.0f)) // null payload → zero features
+    val again = Multimodal.extractFeatures(media, "content", dim = 8)
+      .select("media_id", "features").collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rows == again) // deterministic
+    val frames = media.filter($"kind" === "vid")
+      .select(Multimodal.frameSample($"content", n = 4, frameSize = 64).as("f"))
+      .head.getSeq[Array[Byte]](0)
+    assert(frames.length == 4 && frames.forall(_.length == 64))
+    val resized = media.select(length(Multimodal.resizeStub($"content", 128))).collect()
+    assert(resized.filter(!_.isNullAt(0)).forall(_.getInt(0) == 128))
+  }
+}
