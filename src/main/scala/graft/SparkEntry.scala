@@ -210,6 +210,62 @@ object SparkEntry {
         sum(when(col("l_discount").isNull, 1L).otherwise(0L)).as("n_null_after"))
     },
 
+    // window functions: ranking + running aggregate per partition
+    "q19_window_running" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      li(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("run_qty", sum(col("l_quantity"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("rn") <= 3)
+        .select(col("l_suppkey"), col("rn").cast("long").as("rn"),
+          round(col("run_qty"), 2).as("run_qty"))
+        .orderBy(col("l_suppkey"), col("rn"))
+    },
+
+    // set operations: UNION ALL + DISTINCT
+    "q20_setops" -> { (s, dir) =>
+      Tables.load(s, dir, "customer").select(col("c_nationkey").cast("int").as("nk"))
+        .unionByName(Tables.load(s, dir, "supplier").select(col("s_nationkey").cast("int").as("nk")))
+        .distinct()
+        .orderBy(col("nk"))
+    },
+
+    // anti join: orders with no high-quantity lineitem
+    "q21_antijoin" -> { (s, dir) =>
+      val ords = Tables.load(s, dir, "orders")
+      val hi = li(s, dir).filter(col("l_quantity") > 45)
+      ords.join(hi, ords("o_orderkey") === hi("l_orderkey"), "left_anti")
+        .select(col("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+        .limit(100)
+    },
+
+    // top-k with deterministic tiebreak
+    "q22_topk_orders" -> { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // multi-join star aggregation (broadcast dims) — revenue per nation
+    "q23_star_join" -> { (s, dir) =>
+      val cust = Tables.load(s, dir, "customer")
+      val ords = Tables.load(s, dir, "orders")
+      val nation = Tables.load(s, dir, "nation")
+      li(s, dir)
+        .join(ords, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("cnt"),
+          round(avg(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("avg_rev"))
+        .orderBy(col("n_name"))
+    },
+
     // §2.1 #4 multiply_triple: factorized join aggregation == aggregate over the join
     "q09_factorized_join" -> { (s, dir) =>
       Graft.register(s)
@@ -314,6 +370,34 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE a.vec_id < 2000 AND b.vec_id < 2000
         |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.35
-        |ORDER BY idA, idB""".stripMargin
+        |ORDER BY idA, idB""".stripMargin,
+    "q19_window_running" ->
+      """SELECT l_suppkey, rn, run_qty FROM (
+        |  SELECT l_suppkey,
+        |         row_number() OVER w AS rn,
+        |         round(sum(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_qty
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)) t
+        |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin,
+    "q20_setops" ->
+      """SELECT DISTINCT nk FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  UNION ALL SELECT s_nationkey AS nk FROM supplier) t
+        |ORDER BY nk""".stripMargin,
+    "q21_antijoin" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+        |ORDER BY o_orderkey LIMIT 100""".stripMargin,
+    "q22_topk_orders" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q23_star_join" ->
+      """SELECT n_name, count(*) AS cnt,
+        |       round(avg(l_extendedprice * (1 - l_discount)), 2) AS avg_rev
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin
   )
 }

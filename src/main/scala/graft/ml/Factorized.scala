@@ -1,0 +1,58 @@
+package graft.ml
+
+import graft.Graft
+import graft.ring.Triple
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Factorized learning over joins (reference README.md:163-173, LMFAO /
+ * F-IVM style): the cofactor triple of `left ⋈ right` computed from
+ * per-join-key pre-aggregates combined with the ring product — |keys|
+ * triple multiplications instead of |join| row lifts. The join itself is
+ * between two *aggregated* relations (one row per key each side), so the
+ * wide raw join is never materialized or shuffled.
+ */
+object Factorized {
+
+  /**
+   * Cofactor of the equi-join without materializing it. Resulting column
+   * order: `[leftNum ++ rightNum, leftCat ++ rightCat]` (the ring
+   * product's block layout, mul.cpp:262-289).
+   */
+  def cofactorOverJoin(left: DataFrame, right: DataFrame, key: String,
+                       leftNum: Seq[String], leftCat: Seq[String],
+                       rightNum: Seq[String], rightCat: Seq[String]): Triple = {
+    val spark = left.sparkSession
+    Graft.register(spark)
+    def side(df: DataFrame, k: String, num: Seq[String], cat: Seq[String], alias: String) = {
+      val cols = num.map(c => col(c).cast("double")) ++ cat.map(c => col(c).cast("int"))
+      df.groupBy(col(k).as("__k")).agg(Graft.sumTriple(cols: _*).as(alias))
+    }
+    val a = side(left, key, leftNum, leftCat, "__A")
+    val b = side(right, key, rightNum, rightCat, "__B")
+    val row = a.join(b, "__k")
+      .select(Graft.sumTripleOf(Graft.multiplyTriple(col("__A"), col("__B"))).as("t"))
+      .head.getStruct(0)
+    Graft.tripleFromRow(row)
+  }
+
+  /** Train linear regression over the (never materialized) join. */
+  def linRegOverJoin(left: DataFrame, right: DataFrame, key: String,
+                     leftNum: Seq[String], leftCat: Seq[String],
+                     rightNum: Seq[String], rightCat: Seq[String],
+                     label: Int, lambda: Double = 0.0): LinReg.Model = {
+    val t = cofactorOverJoin(left, right, key, leftNum, leftCat, rightNum, rightCat)
+    LinReg.train(t, label, lambda)
+  }
+
+  /** Train LDA over the join; `label` indexes the combined categorical
+    * list `leftCat ++ rightCat`. */
+  def ldaOverJoin(left: DataFrame, right: DataFrame, key: String,
+                  leftNum: Seq[String], leftCat: Seq[String],
+                  rightNum: Seq[String], rightCat: Seq[String],
+                  label: Int, shrinkage: Double = 0.0): Lda.Model = {
+    val t = cofactorOverJoin(left, right, key, leftNum, leftCat, rightNum, rightCat)
+    Lda.train(t, label, shrinkage)
+  }
+}

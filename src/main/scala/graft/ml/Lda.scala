@@ -42,17 +42,32 @@ object Lda {
       numCols: Int,
       dict: CatDict) extends Serializable
 
-  /** @param label index of the label among the categorical columns */
-  def train(t: Triple, label: Int, shrinkage: Double = 0.0): Model = {
+  /** @param label index of the label among the categorical columns
+    * @param normalize standardize continuous features in moment space
+    *                  before the covariance solve (reference `normalize`
+    *                  flag; changes the shrinkage geometry) */
+  def train(t: Triple, label: Int, shrinkage: Double = 0.0, normalize: Boolean = false): Model = {
     require(label >= 0 && label < t.catCols, s"label $label out of categorical range")
     val dict = CatDict.fromTriples(Seq(t), excludeCat = label)
     val mom = new Moments(t, dict)
     val d = mom.dim
     val n = t.n.toDouble
-    val (classes, counts, sums) = mom.classSums(label)
-    val mus = sums.zip(counts).map { case (s, c) => s / c }
+    val (classes, counts, rawSums) = mom.classSums(label)
 
-    val scatter = mom.m2.copy
+    val std =
+      if (normalize) Some(new MlMath.Standardizer(mom.sums, mom.m2, n, i => i < t.numCols))
+      else None
+    val m2 = std.map(_.m2Std).getOrElse(mom.m2)
+    // class sums in standardized coordinates: Σ_c x' = (Σ_c x − N_c μ)/σ
+    val sums = std match {
+      case None => rawSums
+      case Some(s) => rawSums.zip(counts).map { case (cs, nc) =>
+        DenseVector.tabulate(d)(i => (cs(i) - nc * s.muS(i)) / s.sigma(i))
+      }
+    }
+    val mus = sums.zip(counts).map { case (cs, c) => cs / c }
+
+    val scatter = m2.copy
     for (((mu, c), _) <- mus.zip(counts).zipWithIndex)
       scatter -= (mu * mu.t) * c
     var s = scatter / n
@@ -61,10 +76,17 @@ object Lda {
       s = s * (1.0 - shrinkage) + DenseMatrix.eye[Double](d) * (shrinkage * muI)
     }
     val sInv = MlMath.pinvCut(s)
-    val coef = mus.map(mu => sInv * mu)
-    val intercepts = classes.indices.map { c =>
-      -0.5 * (mus(c) dot coef(c)) + math.log(counts(c) / n)
-    }.toArray
+    val coefStd = mus.map(mu => sInv * mu)
+    val interceptsStd = classes.indices.map { c =>
+      -0.5 * (mus(c) dot coefStd(c)) + math.log(counts(c) / n)
+    }
+    // fold standardized-space scores back to raw features
+    val (coef, intercepts) = std match {
+      case None => (coefStd, interceptsStd.toArray)
+      case Some(s) =>
+        val folded = coefStd.zip(interceptsStd).map { case (w, b) => s.foldback(w, b) }
+        (folded.map(_._1), folded.map(_._2).toArray)
+    }
     Model(classes, coef.map(_.toArray), intercepts, t.numCols, dict)
   }
 

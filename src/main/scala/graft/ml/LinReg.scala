@@ -30,19 +30,33 @@ object LinReg {
    * @param label    index of the label among the numeric columns
    * @param lambda   ridge strength (reference default 0)
    * @param computeVariance also estimate residual σ² (for stochastic imputation)
+   * @param normalize standardize continuous features in moment space
+   *                  before solving (reference `normalize` flag /
+   *                  standardize_sigma; changes the ridge optimum, is a
+   *                  no-op for the λ = 0 predictions)
    */
-  def train(t: Triple, label: Int, lambda: Double = 0.0, computeVariance: Boolean = true): Model = {
+  def train(t: Triple, label: Int, lambda: Double = 0.0, computeVariance: Boolean = true,
+            normalize: Boolean = false): Model = {
     require(label >= 0 && label < t.numCols, s"label $label out of numeric range")
     val dict = CatDict.fromTriples(Seq(t))
     val mom = new Moments(t, dict)
     val d = mom.dim
     val n = math.max(t.n, 1L).toDouble
 
+    val rawSums = mom.sums
+    val rawM2 = mom.m2
+    // standardize continuous features only, never the label (so σ² and
+    // the returned coefficients keep their raw scales after foldback)
+    val std =
+      if (normalize) Some(new MlMath.Standardizer(rawSums, rawM2, n,
+        i => i < t.numCols && i != label))
+      else None
+    val sums = std.map(_.sumsStd).getOrElse(rawSums)
+    val m2 = std.map(_.m2Std).getOrElse(rawM2)
+
     // augmented moment matrix with intercept at index 0
     val a = DenseMatrix.zeros[Double](d + 1, d + 1)
     a(0, 0) = t.n.toDouble
-    val sums = mom.sums
-    val m2 = mom.m2
     for (i <- 0 until d) { a(0, i + 1) = sums(i); a(i + 1, 0) = sums(i) }
     for (i <- 0 until d; j <- 0 until d) a(i + 1, j + 1) = m2(i, j)
 
@@ -62,6 +76,17 @@ object LinReg {
     val sigma2 =
       if (!computeVariance) 0.0
       else math.max(0.0, (yty - 2.0 * (theta dot xty) + (theta dot (xtx * theta))) / n)
+
+    // fold standardized-space coefficients back to raw features
+    std.foreach { s =>
+      var icpt = theta(0)
+      for (k <- 1 until feats.length) {
+        val momIdx = feats(k) - 1
+        icpt -= theta(k) * s.muS(momIdx) / s.sigma(momIdx)
+        theta(k) = theta(k) / s.sigma(momIdx)
+      }
+      theta(0) = icpt
+    }
 
     // unpack: feats = [intercept, nums(!=label), one-hots]
     val numCoef = new Array[Double](t.numCols - 1)

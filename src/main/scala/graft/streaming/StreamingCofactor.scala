@@ -1,0 +1,46 @@
+package graft.streaming
+
+import graft.Graft
+import graft.ring.Triple
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Streaming cofactor aggregation (no counterpart in the reference, which
+ * is batch-only — SURVEY §2.3 notes triples are trivially mergeable, so
+ * streaming maintenance is a natural extension of the ring):
+ *
+ *  - `windowed`: event-time windowed triples with a watermark — the
+ *    standard Structured Streaming group-by path; the custom aggregate's
+ *    serialized buffer lives in the state store between micro-batches.
+ *  - `Incremental`: a foreachBatch sink that maintains one global triple
+ *    on the driver by ring addition — O(triple) state, usable to retrain
+ *    models continuously while the stream runs (the F-IVM pattern).
+ */
+object StreamingCofactor {
+
+  /** Event-time windowed cofactor triples. `df` must be a streaming
+    * DataFrame with an event-time column. */
+  def windowed(df: DataFrame, tsCol: String, windowDuration: String, watermark: String,
+               num: Seq[String], cat: Seq[String]): DataFrame = {
+    Graft.register(df.sparkSession)
+    val cols = num.map(c => col(c).cast("double")) ++ cat.map(c => col(c).cast("int"))
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(Graft.sumTriple(cols: _*).as("triple"))
+  }
+
+  /** Driver-side incremental triple maintenance over micro-batches. */
+  final class Incremental(num: Seq[String], cat: Seq[String]) extends Serializable {
+    @volatile private var state: Triple = Triple.zero(num.length, cat.length)
+
+    def current: Triple = state
+
+    /** foreachBatch sink: aggregates the micro-batch (distributed) and
+      * folds the one resulting triple into the running state (driver). */
+    def sink(batch: DataFrame, batchId: Long): Unit = {
+      val t = Graft.cofactor(batch, num, cat)
+      if (t.n > 0) state = Triple.add(state, t)
+    }
+  }
+}

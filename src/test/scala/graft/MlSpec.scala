@@ -109,6 +109,48 @@ class MlSpec extends AnyFunSuite {
     assert(m.classes.contains(p))
   }
 
+  test("normalize: OLS predictions invariant at lambda=0; ridge optimum changes; LDA invariant") {
+    val t = Graft.cofactor(df, Seq("y", "a", "b"), Seq("c"))
+    val plain = LinReg.train(t, label = 0)
+    val normed = LinReg.train(t, label = 0, normalize = true)
+    // identified parameters (continuous coefs) match; the intercept/one-hot
+    // split is not identified under collinearity, so compare predictions
+    for (i <- plain.numCoef.indices)
+      assert(math.abs(plain.numCoef(i) - normed.numCoef(i)) < 1e-6)
+    rows.take(50).foreach { case (_, a, b, c) =>
+      val p1 = plain.intercept + plain.numCoef(0) * a + plain.numCoef(1) * b + plain.catCoef(0)(c)
+      val p2 = normed.intercept + normed.numCoef(0) * a + normed.numCoef(1) * b + normed.catCoef(0)(c)
+      assert(math.abs(p1 - p2) < 1e-6, s"$p1 vs $p2")
+    }
+    // with ridge, standardization changes the penalty geometry → different coefs
+    val r1 = LinReg.train(t, label = 0, lambda = 0.5)
+    val r2 = LinReg.train(t, label = 0, lambda = 0.5, normalize = true)
+    assert(math.abs(r1.numCoef(0) - r2.numCoef(0)) > 1e-9)
+    // LDA: shrinkage=0 scores are affine-invariant → same predictions
+    val tc = Graft.cofactor(clsDf, Seq("f1", "f2"), Seq("cls"))
+    val (m1, m2) = (Lda.train(tc, 0), Lda.train(tc, 0, normalize = true))
+    val sample = clsRows.take(100)
+    val p1 = sample.map { case (f1, f2, _, _) => Lda.predictValue(m1, Array(f1, f2), Array()) }
+    val p2 = sample.map { case (f1, f2, _, _) => Lda.predictValue(m2, Array(f1, f2), Array()) }
+    assert(p1 == p2)
+  }
+
+  test("factorized training over a join == training over the materialized join") {
+    // two relations sharing a key; the fact side has the label
+    val dim = Seq.tabulate(50)(k => (k, k * 0.5 + 1.0, k % 4)).toDF("k", "dprice", "dcat")
+    val fact = rows.zipWithIndex.map { case ((y, a, b, c), i) => (i % 50, y, a) }
+      .toDF("k", "y", "a")
+    val t = graft.ml.Factorized.cofactorOverJoin(
+      fact, dim, "k", Seq("y", "a"), Seq(), Seq("dprice"), Seq("dcat"))
+    val mat = fact.join(dim, "k")
+    val tMat = Graft.cofactor(mat, Seq("y", "a", "dprice"), Seq("dcat"))
+    assert(t.approxEquals(tMat, 1e-9), "factorized cofactor != materialized")
+    val mFact = LinReg.train(t, label = 0)
+    val mMat = LinReg.train(tMat, label = 0)
+    for (i <- mFact.numCoef.indices)
+      assert(math.abs(mFact.numCoef(i) - mMat.numCoef(i)) < 1e-8)
+  }
+
   test("LDA on triple == LDA trained from raw scatter matrices (parity)") {
     val t = Graft.cofactor(clsDf, Seq("f1", "f2"), Seq("cls"))
     val m = Lda.train(t, label = 0, shrinkage = 0.0)

@@ -1,0 +1,65 @@
+package graft
+
+import graft.streaming.StreamingCofactor
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming cofactor aggregation driven by the events parquet as a
+  * file stream (memory sink, synchronous processAllAvailable). */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // file streams need a directory; stage the events parquet into /tmp
+  val eventsPath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    dir
+  }
+  // ts is physically INT64 nanos; read raw and convert to micros timestamp
+  val schema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def prep(df: org.apache.spark.sql.DataFrame) = df
+    .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    .withColumn("etype", abs(hash(col("event_type"))) % 5)
+
+  test("windowed streaming cofactor == batch cofactor per window") {
+    val stream = prep(spark.readStream.schema(schema).parquet(eventsPath))
+    val agg = StreamingCofactor.windowed(stream, "ts", "1 day", "1 minute",
+      num = Seq("value"), cat = Seq("etype"))
+      .select(col("window.start").as("ws"), col("triple"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_triples").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("win_triples").collect()
+        .map(r => r.getTimestamp(0) -> Graft.tripleFromRow(r.getStruct(1))).toMap
+      assert(got.nonEmpty)
+      // batch oracle: same aggregation over the static read
+      val batch = prep(spark.read.schema(schema).parquet(eventsPath))
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(Graft.sumTriple(col("value").cast("double"), col("etype").cast("int")).as("t"))
+        .select(col("window.start").as("ws"), col("t"))
+        .collect().map(r => r.getTimestamp(0) -> Graft.tripleFromRow(r.getStruct(1))).toMap
+      assert(got.keySet == batch.keySet)
+      got.foreach { case (k, t) => assert(t.approxEquals(batch(k), 1e-9), s"window $k") }
+    } finally q.stop()
+  }
+
+  test("incremental foreachBatch triple equals batch cofactor; supports continuous retraining") {
+    val inc = new StreamingCofactor.Incremental(Seq("value"), Seq("etype"))
+    val stream = prep(spark.readStream.schema(schema).parquet(eventsPath))
+    val q = stream.writeStream.foreachBatch(inc.sink _).start()
+    try q.processAllAvailable() finally q.stop()
+    val batch = Graft.cofactor(
+      prep(spark.read.schema(schema).parquet(eventsPath)), Seq("value"), Seq("etype"))
+    assert(inc.current.approxEquals(batch, 1e-9))
+    assert(inc.current.n == spark.read.schema(schema).parquet(eventsPath).count())
+  }
+}
