@@ -21,10 +21,13 @@ final class CofactorBuffer(val numCols: Int, val catCols: Int, val nbMode: Boole
   var n: Long = 0L
   val lin = new Array[Double](numCols)
   val quad = new Array[Double](if (nbMode) numCols else numCols * (numCols + 1) / 2)
-  val catMaps: Array[mutable.HashMap[Int, Array[Double]]] =
-    Array.fill(catCols)(new mutable.HashMap[Int, Array[Double]])
-  val quadCat: Array[mutable.HashMap[Long, Double]] =
-    if (nbMode) Array.empty else Array.fill(catCols * (catCols + 1) / 2)(new mutable.HashMap[Long, Double])
+  // LongMap: unboxed keys on the per-row hot path. Values are slot
+  // arrays mutated in place ([count, Σx_0 … Σx_{n-1}]; length-1 for the
+  // co-occurrence maps), so a hit costs one hash probe and no boxing.
+  val catMaps: Array[mutable.LongMap[Array[Double]]] =
+    Array.fill(catCols)(new mutable.LongMap[Array[Double]])
+  val quadCat: Array[mutable.LongMap[Array[Double]]] =
+    if (nbMode) Array.empty else Array.fill(catCols * (catCols + 1) / 2)(new mutable.LongMap[Array[Double]])
   // scratch row (avoids per-row allocation in update)
   val rowNum = new Array[Double](numCols)
   val rowCat = new Array[Int](catCols)
@@ -43,14 +46,15 @@ final class CofactorBuffer(val numCols: Int, val catCols: Int, val nbMode: Boole
       var idx = 0
       i = 0
       while (i < numCols) {
+        val xi = rowNum(i)
         var j = i
-        while (j < numCols) { quad(idx) += rowNum(i) * rowNum(j); idx += 1; j += 1 }
+        while (j < numCols) { quad(idx) += xi * rowNum(j); idx += 1; j += 1 }
         i += 1
       }
     }
     var j = 0
     while (j < catCols) {
-      val slot = catMaps(j).getOrElseUpdate(rowCat(j), new Array[Double](catSlots))
+      val slot = catMaps(j).getOrElseUpdate(rowCat(j).toLong, new Array[Double](catSlots))
       slot(0) += 1.0
       if (!nbMode) {
         i = 0
@@ -65,7 +69,7 @@ final class CofactorBuffer(val numCols: Int, val catCols: Int, val nbMode: Boole
         while (k < catCols) {
           val pm = quadCat(Triple.pairIdx(j, k, catCols))
           val key = Triple.catKey(rowCat(j), rowCat(k))
-          pm.update(key, pm.getOrElse(key, 0.0) + 1.0)
+          pm.getOrElseUpdate(key, new Array[Double](1))(0) += 1.0
           k += 1
         }
         j += 1
@@ -92,7 +96,7 @@ final class CofactorBuffer(val numCols: Int, val catCols: Int, val nbMode: Boole
     j = 0
     while (j < quadCat.length) {
       val pm = quadCat(j)
-      o.quadCat(j).foreach { case (k, v) => pm.update(k, pm.getOrElse(k, 0.0) + v) }
+      o.quadCat(j).foreach { case (k, v) => pm.getOrElseUpdate(k, new Array[Double](1))(0) += v(0) }
       j += 1
     }
   }
@@ -107,13 +111,13 @@ final class CofactorBuffer(val numCols: Int, val catCols: Int, val nbMode: Boole
     var j = 0
     while (j < catCols) {
       t.linCat(j).foreach { case (k, v) =>
-        catMaps(j).getOrElseUpdate(k, new Array[Double](catSlots))(0) += v
+        catMaps(j).getOrElseUpdate(k.toLong, new Array[Double](catSlots))(0) += v
       }
       if (!nbMode) {
         i = 0
         while (i < numCols) {
           t.quadNumCat(i * catCols + j).foreach { case (k, v) =>
-            catMaps(j).getOrElseUpdate(k, new Array[Double](catSlots))(i + 1) += v
+            catMaps(j).getOrElseUpdate(k.toLong, new Array[Double](catSlots))(i + 1) += v
           }
           i += 1
         }
@@ -123,7 +127,7 @@ final class CofactorBuffer(val numCols: Int, val catCols: Int, val nbMode: Boole
     j = 0
     while (j < quadCat.length) {
       val pm = quadCat(j)
-      t.quadCat(j).foreach { case (k, v) => pm.update(k, pm.getOrElse(k, 0.0) + v) }
+      t.quadCat(j).foreach { case (k, v) => pm.getOrElseUpdate(k, new Array[Double](1))(0) += v }
       j += 1
     }
   }
@@ -132,14 +136,15 @@ final class CofactorBuffer(val numCols: Int, val catCols: Int, val nbMode: Boole
     n,
     lin.clone(),
     quad.clone(),
-    Array.tabulate(catCols)(j => catMaps(j).map { case (k, v) => k -> v(0) }.toMap),
+    Array.tabulate(catCols)(j => catMaps(j).map { case (k, v) => k.toInt -> v(0) }.toMap),
     if (nbMode) Array.empty
     else Array.tabulate(numCols * catCols) { idx =>
       // canonical form (matches ring.Triple): exact-zero sums are dropped
       val i = idx / catCols; val j = idx % catCols
-      catMaps(j).collect { case (k, v) if v(i + 1) != 0.0 => k -> v(i + 1) }.toMap
+      catMaps(j).toSeq.collect { case (k, v) if v(i + 1) != 0.0 => k.toInt -> v(i + 1) }.toMap
     },
-    if (nbMode) Array.empty else Array.tabulate(quadCat.length)(j => quadCat(j).toMap)
+    if (nbMode) Array.empty
+    else Array.tabulate(quadCat.length)(j => quadCat(j).map { case (k, v) => k -> v(0) }.toMap)
   )
 }
 
@@ -218,19 +223,67 @@ case class CofactorAggregate(
     case b: java.lang.Boolean => if (b) 1 else 0
   }
 
+  // Fast path: after binding, plain column inputs are BoundReferences —
+  // read primitives straight from the row instead of boxing via eval().
+  // ordinal >= 0 with a type code, or -1 → generic eval fallback.
+  private final val T_DOUBLE = 0; private final val T_FLOAT = 1
+  private final val T_INT = 2; private final val T_LONG = 3
+  private final val T_SHORT = 4; private final val T_BYTE = 5
+  private lazy val numFast: Array[Long] = numChildren.map(fastCode).toArray
+  private lazy val catFast: Array[Long] = catChildren.map(fastCode).toArray
+
+  private def fastCode(e: Expression): Long = e match {
+    case b: org.apache.spark.sql.catalyst.expressions.BoundReference =>
+      val t = b.dataType match {
+        case DoubleType => T_DOUBLE
+        case FloatType => T_FLOAT
+        case IntegerType => T_INT
+        case LongType => T_LONG
+        case ShortType => T_SHORT
+        case ByteType => T_BYTE
+        case _ => return -1L
+      }
+      (b.ordinal.toLong << 3) | t
+    case _ => -1L
+  }
+
+  @inline private def readFast(code: Long, input: InternalRow): Double = {
+    val ord = (code >>> 3).toInt
+    (code & 7L).toInt match {
+      case T_DOUBLE => input.getDouble(ord)
+      case T_FLOAT => input.getFloat(ord).toDouble
+      case T_INT => input.getInt(ord).toDouble
+      case T_LONG => input.getLong(ord).toDouble
+      case T_SHORT => input.getShort(ord).toDouble
+      case T_BYTE => input.getByte(ord).toDouble
+    }
+  }
+
   override def update(buffer: CofactorBuffer, input: InternalRow): CofactorBuffer = {
     var i = 0
     while (i < numChildren.length) {
-      val v = numChildren(i).eval(input)
-      if (v == null) return buffer
-      buffer.rowNum(i) = toDouble(v)
+      val code = numFast(i)
+      if (code >= 0) {
+        if (input.isNullAt((code >>> 3).toInt)) return buffer
+        buffer.rowNum(i) = readFast(code, input)
+      } else {
+        val v = numChildren(i).eval(input)
+        if (v == null) return buffer
+        buffer.rowNum(i) = toDouble(v)
+      }
       i += 1
     }
     var j = 0
     while (j < catChildren.length) {
-      val v = catChildren(j).eval(input)
-      if (v == null) return buffer
-      buffer.rowCat(j) = toInt(v)
+      val code = catFast(j)
+      if (code >= 0) {
+        if (input.isNullAt((code >>> 3).toInt)) return buffer
+        buffer.rowCat(j) = readFast(code, input).toInt
+      } else {
+        val v = catChildren(j).eval(input)
+        if (v == null) return buffer
+        buffer.rowCat(j) = toInt(v)
+      }
       j += 1
     }
     buffer.updateRow()

@@ -1,7 +1,7 @@
 package graft
 
 import graft.ring.Triple
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Row, SparkSession}
 import org.scalatest.funsuite.AnyFunSuite
 
 object SparkTestSession {
@@ -112,6 +112,30 @@ class CofactorAggSpec extends AnyFunSuite {
       Map(4 -> 3.0, 8 -> 2.0),
       Map(5 -> 1.0, 6 -> 2.0, 9 -> 1.0, 10 -> 1.0),
       Map(6 -> 1.0, 8 -> 2.0, 10 -> 1.0, 12 -> 1.0)))
+  }
+
+  test("wide shapes: 25 numeric x 25 categorical columns (beyond the reference's 20x20 cap)") {
+    val numCols = 25; val catCols = 25
+    val rng = new scala.util.Random(3)
+    val data = Seq.fill(200)(Row.fromSeq(
+      Seq.fill(numCols)(rng.nextInt(10).toDouble) ++ Seq.fill(catCols)(rng.nextInt(4))))
+    val schema = org.apache.spark.sql.types.StructType(
+      (0 until numCols).map(i => org.apache.spark.sql.types.StructField(s"n$i", org.apache.spark.sql.types.DoubleType)) ++
+        (0 until catCols).map(i => org.apache.spark.sql.types.StructField(s"c$i", org.apache.spark.sql.types.IntegerType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(data, 4), schema)
+    val cols = (0 until numCols).map(i => org.apache.spark.sql.functions.col(s"n$i")) ++
+      (0 until catCols).map(i => org.apache.spark.sql.functions.col(s"c$i"))
+    val t = Graft.tripleFromRow(df.agg(Graft.sumTriple(cols: _*).as("t")).head.getStruct(0))
+    assert(t.n == 200 && t.numCols == numCols && t.catCols == catCols)
+    assert(t.quad.length == numCols * (numCols + 1) / 2)
+    assert(t.quadNumCat.length == numCols * catCols)
+    assert(t.quadCat.length == catCols * (catCols + 1) / 2)
+    // spot-check against plain SQL sums
+    val chk = df.agg(
+      org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.col("n0")),
+      org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.col("n0") * org.apache.spark.sql.functions.col("n24"))).head
+    assert(math.abs(t.lin(0) - chk.getDouble(0)) < 1e-9)
+    assert(math.abs(t.quad(Triple.triIdx(0, 24, numCols)) - chk.getDouble(1)) < 1e-9)
   }
 
   test("nulls are skipped; empty input yields zero triple") {
