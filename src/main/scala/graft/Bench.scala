@@ -63,7 +63,11 @@ object Bench {
           contCols = Seq("l_quantity", "l_extendedprice", "l_discount"),
           catCols = Seq("l_linenumber"),
           imputeCont = Seq("l_discount"), imputeCat = Seq(), iterations = 1)
-        noop(graft.mice.Mice.partitioned(base, cfg))
+        val tm = new graft.mice.Mice.Timings
+        noop(graft.mice.Mice.partitioned(base, cfg, tm))
+        // phase decomposition comparable to the reference's timers (stderr,
+        // not part of the one-line JSON contract)
+        System.err.println(s"[bench] mice phases: $tm")
       }
     )
 

@@ -34,6 +34,9 @@ object Graft {
       reg.createOrReplaceTempFunction("multiply_triple", es => MultiplyTriple(es(0), es(1)), "scala_udf")
       reg.createOrReplaceTempFunction("multiply_nb_agg", es => MultiplyTriple(es(0), es(1)), "scala_udf")
       reg.createOrReplaceTempFunction("simhash64", es => graft.functions.SimHash64(es.head), "scala_udf")
+      reg.createOrReplaceTempFunction("minhash_signature", es =>
+        graft.functions.MinHashSignature(es(0),
+          es(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
       registered += spark
     }
     spark

@@ -157,7 +157,7 @@ object SparkEntry {
         .select((col("doc_id") + lit(10000000L)).as("doc_id"),
           // drop the last word ⇒ high-jaccard near-duplicate
           regexp_replace(col("text"), "\\s+\\S+\\s*$", "").as("text"))
-      val all = docs.unionByName(mangled)
+      val all = docs.unionByName(mangled).cache()
       val kept = graft.operators.Dedup.dedupNear(all, "doc_id", "text", threshold = 0.8)
       import s.implicits._
       Seq((all.count(), kept.count())).toDF("n_input", "n_kept")

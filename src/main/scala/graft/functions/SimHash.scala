@@ -50,6 +50,52 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   override def prettyName: String = "simhash64"
 }
 
+/**
+ * MinHash signature over an array of shingle hashes: for each of
+ * `numHashes` seeded hash functions, the minimum remixed hash across the
+ * shingles — one tight pass, no per-element array allocation (the pure
+ * Column formulation allocates a 64-wide accumulator per shingle and
+ * dominates dedup cost). Null/empty input yields the all-MaxValue
+ * signature (matches "no shingles").
+ */
+case class MinHashSignature(child: Expression, numHashes: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(LongType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature expects ARRAY<BIGINT> shingle hashes, got $dt")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var k = 0
+        while (k < numHashes) {
+          // splitmix64 remix of (shingle ^ golden-ratio seed k)
+          var x = h ^ (0x9e3779b97f4a7c15L * (k + 1))
+          x ^= x >>> 30; x *= 0xbf58476d1ce4e5b9L
+          x ^= x >>> 27; x *= 0x94d049bb133111ebL
+          x ^= x >>> 31
+          if (x < sig(k)) sig(k) = x
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_signature"
+}
+
 object SimHash64 {
   /** Deterministic 64-bit string hash (FNV-1a over UTF-8 bytes, mixed). */
   private[functions] def hash64(s: UTF8String): Long = {

@@ -51,6 +51,21 @@ object Mice {
 
   private def flag(c: String) = s"${c}__isnull"
 
+  /** Per-phase wall-clock accumulator mirroring the reference's timers
+    * (prepare / partition / cofactor / delta / train / impute-update;
+    * imputation_base.cpp:11-12, imputation_low.cpp:35-186) so BENCH
+    * numbers are phase-comparable. */
+  final class Timings {
+    val totals = scala.collection.mutable.LinkedHashMap[String, Double]()
+    private[mice] def time[T](phase: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      try f finally totals(phase) = totals.getOrElse(phase, 0.0) + (System.nanoTime() - t0) / 1e9
+    }
+    override def toString: String =
+      totals.map { case (k, v) => f"$k=$v%.3fs" }.mkString("{", ", ", "}")
+  }
+  private val noTimings = new Timings
+
   /** Mean/mode initialization + observation flags
     * (init_baseline, partition.cpp:671-719). */
   private def prepare(df: DataFrame, cfg: Config): DataFrame = {
@@ -71,9 +86,9 @@ object Mice {
 
   /** One train+impute step for one column, given the observed-rows triple. */
   private def imputeColumn(cur: DataFrame, cfg: Config, c: String, observed: Triple,
-                           iter: Int): DataFrame = {
+                           iter: Int, tm: Timings): DataFrame = {
     val isCont = cfg.imputeCont.contains(c)
-    val pred: Column =
+    val pred: Column = tm.time("train") {
       if (isCont) {
         val label = cfg.contCols.indexOf(c)
         val model = LinReg.train(observed, label, cfg.lambda)
@@ -88,19 +103,21 @@ object Mice {
           cfg.contCols.map(col),
           cfg.catCols.filterNot(_ == c).map(col))
       }
+    }
     cur.withColumn(c, when(col(flag(c)), pred).otherwise(col(c)))
   }
 
   /** Baseline MICE (imputation_base.cpp): full filtered rescan per column. */
-  def baseline(df: DataFrame, cfg: Config): DataFrame = {
-    var cur = prepare(df, cfg).localCheckpoint()
+  def baseline(df: DataFrame, cfg: Config, tm: Timings = noTimings): DataFrame = {
+    var cur = tm.time("prepare")(prepare(df, cfg).localCheckpoint())
     val order = cfg.imputeCat ++ cfg.imputeCont // categorical first (imputation_base.cpp:19,89)
     for (iter <- 1 to cfg.iterations) {
       for (c <- order) {
-        val observed = Graft.cofactor(cur.filter(!col(flag(c))), cfg.contCols, cfg.catCols)
-        cur = imputeColumn(cur, cfg, c, observed, iter)
+        val observed = tm.time("cofactor")(
+          Graft.cofactor(cur.filter(!col(flag(c))), cfg.contCols, cfg.catCols))
+        cur = imputeColumn(cur, cfg, c, observed, iter, tm)
       }
-      cur = cur.localCheckpoint() // bound lineage + per-column job cost
+      cur = tm.time("impute_update")(cur.localCheckpoint()) // bound lineage + per-column job cost
     }
     cur.drop((cfg.imputeCont ++ cfg.imputeCat).map(flag): _*)
   }
@@ -110,37 +127,43 @@ object Mice {
    * the fully-observed stratum is aggregated once and cached; per-column
    * work touches only the incomplete stratum.
    */
-  def partitioned(df: DataFrame, cfg: Config): DataFrame = {
+  def partitioned(df: DataFrame, cfg: Config, tm: Timings = noTimings): DataFrame = {
     val prepared = prepare(df, cfg)
     val imputed = cfg.imputeCont ++ cfg.imputeCat
     val anyNull = imputed.map(c => col(flag(c))).reduce(_ || _)
 
-    val complete = prepared.filter(!anyNull).localCheckpoint()
-    var incomplete = prepared.filter(anyNull).localCheckpoint()
+    val (complete, incomplete0) = tm.time("partition")(
+      (prepared.filter(!anyNull).localCheckpoint(),
+       prepared.filter(anyNull).localCheckpoint()))
+    var incomplete = incomplete0
 
     // static cofactor over the never-changing stratum (imputation_high.cpp:20-35)
-    val staticTriple = Graft.cofactor(complete, cfg.contCols, cfg.catCols)
+    val staticTriple = tm.time("cofactor_static")(
+      Graft.cofactor(complete, cfg.contCols, cfg.catCols))
 
     val order = cfg.imputeCat ++ cfg.imputeCont
     for (iter <- 1 to cfg.iterations) {
       // one scan of the (small) incomplete stratum per iteration
       // (recomputing full each round also stops float drift from the
       // incremental adds below accumulating across iterations)
-      val incTriple = Graft.cofactor(incomplete, cfg.contCols, cfg.catCols)
+      val incTriple = tm.time("cofactor_delta")(
+        Graft.cofactor(incomplete, cfg.contCols, cfg.catCols))
       var full = Triple.add(staticTriple, incTriple)
       for (c <- order) {
         // delta = rows where c is missing (imputation_low.cpp:85-108);
         // observed = full − delta by ring subtraction (:110)
-        val delta = Graft.cofactor(incomplete.filter(col(flag(c))), cfg.contCols, cfg.catCols)
+        val delta = tm.time("cofactor_delta")(
+          Graft.cofactor(incomplete.filter(col(flag(c))), cfg.contCols, cfg.catCols))
         val observed = Triple.subtract(full, delta)
-        incomplete = imputeColumn(incomplete, cfg, c, observed, iter)
+        incomplete = imputeColumn(incomplete, cfg, c, observed, iter, tm)
         // full := observed + recomputed delta over the freshly imputed
         // rows (imputation_low.cpp:188-194) so later columns in this
         // round train against up-to-date values
-        val newDelta = Graft.cofactor(incomplete.filter(col(flag(c))), cfg.contCols, cfg.catCols)
+        val newDelta = tm.time("cofactor_delta")(
+          Graft.cofactor(incomplete.filter(col(flag(c))), cfg.contCols, cfg.catCols))
         full = Triple.add(observed, newDelta)
       }
-      incomplete = incomplete.localCheckpoint()
+      incomplete = tm.time("impute_update")(incomplete.localCheckpoint())
     }
     complete.unionByName(incomplete).drop(imputed.map(flag): _*)
   }

