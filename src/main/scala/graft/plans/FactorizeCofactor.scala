@@ -1,0 +1,131 @@
+package graft.plans
+
+import graft.agg.{CofactorAggregate, MultiplyTriple, SumTriple}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/**
+ * Auto-factorization: rewrites a global cofactor aggregation over an
+ * inner equi-join into per-key pre-aggregates combined with the ring
+ * product (SURVEY §4 "factorized join aggregation" — the reference makes
+ * the user hand-write this plan, README.md:163-173; here Catalyst does
+ * it):
+ *
+ * {{{
+ * Aggregate [sum_to_triple(l…, r…)]          Aggregate [sum_triple(multiply_triple(A, B))]
+ *   Join Inner (lk = rk)            ==>        Join Inner (lk = rk)
+ *     L                                          Aggregate lk, [sum_to_triple(l…) A]  L
+ *     R                                          Aggregate rk, [sum_to_triple(r…) B]  R
+ * }}}
+ *
+ * The shuffled data drops from |join| wide rows to one triple per key
+ * per side. Fires only when the requested column order is
+ * block-compatible with the ring product's layout
+ * ([leftNums ++ rightNums, leftCats ++ rightCats], mul.cpp:262-289) and
+ * every aggregated column is a plain attribute of exactly one side.
+ */
+object FactorizeCofactorRule extends Rule[LogicalPlan] {
+
+  def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg @ Aggregate(Nil, Seq(alias @ Alias(
+          ae @ AggregateExpression(cof: CofactorAggregate, _, false, None, _), _)), child, _)
+        if !cof.nbMode =>
+      extractJoin(child) match {
+        case Some((join, leftKeys, rightKeys)) =>
+          rewrite(agg, alias, ae, cof, join, leftKeys, rightKeys).getOrElse(agg)
+        case None => agg
+      }
+  }
+
+  /** Accept the join directly or under a pure column-pruning Project. */
+  private def extractJoin(p: LogicalPlan): Option[(Join, Seq[Attribute], Seq[Attribute])] = {
+    val j = p match {
+      case j: Join => Some(j)
+      case Project(projList, j: Join) if projList.forall(_.isInstanceOf[Attribute]) => Some(j)
+      case _ => None
+    }
+    j.collect {
+      case join @ Join(_, _, Inner, Some(cond), _) =>
+        val eqs = splitConjuncts(cond).map {
+          case EqualTo(l: AttributeReference, r: AttributeReference) => Some((l, r))
+          case _ => None
+        }
+        if (eqs.exists(_.isEmpty)) None
+        else {
+          val pairs = eqs.flatten
+          val (lks, rks) = pairs.map { case (a, b) =>
+            if (join.left.outputSet.contains(a) && join.right.outputSet.contains(b)) Some((a, b))
+            else if (join.left.outputSet.contains(b) && join.right.outputSet.contains(a)) Some((b, a))
+            else None
+          }.flatten.unzip
+          if (lks.length == pairs.length) Some((join, lks, rks)) else None
+        }
+    }.flatten
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
+    case other => Seq(other)
+  }
+
+  private def rewrite(agg: Aggregate, alias: Alias, ae: AggregateExpression,
+                      cof: CofactorAggregate, join: Join,
+                      leftKeys: Seq[Attribute], rightKeys: Seq[Attribute]): Option[LogicalPlan] = {
+    // every aggregated column must be a plain attribute of exactly one side
+    val attrs = cof.children.map {
+      case a: AttributeReference => Some(a)
+      case _ => None
+    }
+    if (attrs.exists(_.isEmpty)) return None
+    val cols = attrs.flatten
+    def isNum(a: Attribute): Boolean = a.dataType match {
+      case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType => true
+      case _ => false
+    }
+    val fromLeft = cols.filter(join.left.outputSet.contains)
+    val fromRight = cols.filter(join.right.outputSet.contains)
+    if (fromLeft.length + fromRight.length != cols.length) return None
+
+    // block-compatibility: within nums and within cats, all left columns
+    // must precede all right columns (the ring product's output layout)
+    def blockOk(sel: Attribute => Boolean): Boolean = {
+      val seq = cols.filter(sel).map(join.left.outputSet.contains)
+      seq.dropWhile(identity).forall(!_)
+    }
+    if (!blockOk(isNum) || !blockOk(a => !isNum(a))) return None
+    // degenerate sides (no columns) still factorize: counts matter
+
+    def sideAgg(side: LogicalPlan, keys: Seq[Attribute], sideCols: Seq[Attribute], tag: String) = {
+      val cofSide = CofactorAggregate(sideCols, nbMode = false)
+      val a = Alias(AggregateExpression(cofSide, ae.mode, isDistinct = false, None,
+        NamedExpression.newExprId), tag)()
+      (Aggregate(keys, keys ++ Seq(a), side), a.toAttribute)
+    }
+    val (leftAgg, aAttr) = sideAgg(join.left, leftKeys, fromLeft, "__cof_A")
+    val (rightAgg, bAttr) = sideAgg(join.right, rightKeys, fromRight, "__cof_B")
+
+    val cond = leftKeys.zip(rightKeys).map { case (l, r) => EqualTo(l, r): Expression }
+      .reduce(And(_, _))
+    val newJoin = Join(leftAgg, rightAgg, Inner, Some(cond), JoinHint.NONE)
+
+    val product = MultiplyTriple(aAttr, bAttr)
+    val outer = AggregateExpression(SumTriple(product), ae.mode, isDistinct = false,
+      None, NamedExpression.newExprId)
+    // preserve the original output attribute (name + exprId) so parents resolve
+    val outAlias = Alias(outer, alias.name)(alias.exprId, alias.qualifier, alias.explicitMetadata)
+    Some(Aggregate(Nil, Seq(outAlias), newJoin))
+  }
+}
+
+/** `SparkSessionExtensions` installer:
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => FactorizeCofactorRule)
+  }
+}

@@ -108,6 +108,19 @@ object VerifyDrive {
     assert(nNull == 0)
     println("MICE OK")
 
+    println("== [9] auto-factorization optimizer rule on real tables ==")
+    spark.experimental.extraOptimizations = Seq(graft.plans.FactorizeCofactorRule)
+    val q = spark.table("lineitem").join(spark.table("orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(graft.Graft.sumTriple($"l_quantity", $"o_totalprice", $"l_linenumber").as("t"))
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("multiply_triple"), "rule did not fire on real tables")
+    val viaRule = graft.Graft.tripleFromRow(q.head.getStruct(0))
+    spark.experimental.extraOptimizations = Nil
+    val direct = graft.Graft.tripleFromRow(q.head.getStruct(0))
+    assert(viaRule.approxEquals(direct, 1e-9))
+    println(s"rule fired; N=${viaRule.n} matches direct aggregation OK")
+
     spark.stop()
   }
 }

@@ -1,0 +1,73 @@
+package graft
+
+import graft.plans.FactorizeCofactorRule
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The auto-factorization optimizer rule: cofactor-over-join rewritten
+  * to per-key pre-aggregates + ring product, with identical results. */
+class PlansSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def fixtures() = {
+    val l = Seq((1, 1.0, 2.0, 3), (1, 2.0, 1.0, 4), (2, 5.0, 0.0, 3), (3, 1.0, 1.0, 5))
+      .toDF("k", "lx", "ly", "lc")
+    val r = Seq((1, 10.0, 7), (2, 20.0, 8), (2, 30.0, 8), (4, 40.0, 9))
+      .toDF("k", "rx", "rc")
+    (l, r)
+  }
+
+  def withRule[T](f: => T): T = {
+    spark.experimental.extraOptimizations = Seq(FactorizeCofactorRule)
+    try f finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("rule fires on block-compatible cofactor over equi-join and preserves results") {
+    Graft.register(spark)
+    val (l, r) = fixtures()
+    def query = l.join(r, "k")
+      .agg(Graft.sumTriple($"lx", $"ly", $"rx", $"lc", $"rc").as("t"))
+    val plain = Graft.tripleFromRow(query.head.getStruct(0))
+    val (factPlan, fact) = withRule {
+      val q = query
+      (q.queryExecution.optimizedPlan.toString, Graft.tripleFromRow(q.head.getStruct(0)))
+    }
+    assert(factPlan.contains("multiply_triple"), s"rule did not fire:\n$factPlan")
+    assert(factPlan.contains("sum_triple"))
+    assert(fact == plain, "factorized result differs from direct aggregation")
+    assert(fact.n == 4) // k=1: 2x1, k=2: 1x2 → 4 join rows
+  }
+
+  test("rule does not fire when the column order interleaves sides") {
+    Graft.register(spark)
+    val (l, r) = fixtures()
+    val q = withRule {
+      val q = l.join(r, "k").agg(Graft.sumTriple($"rx", $"lx").as("t"))
+      assert(!q.queryExecution.optimizedPlan.toString.contains("multiply_triple"))
+      q
+    }
+    // still correct, just unfactorized
+    assert(Graft.tripleFromRow(q.head.getStruct(0)).n == 4)
+  }
+
+  test("rule handles one-sided column sets and grouped keys stay untouched") {
+    Graft.register(spark)
+    val (l, r) = fixtures()
+    // all columns from the left: right side contributes only multiplicity
+    val plain = Graft.tripleFromRow(
+      l.join(r, "k").agg(Graft.sumTriple($"lx", $"lc").as("t")).head.getStruct(0))
+    val fact = withRule {
+      val q = l.join(r, "k").agg(Graft.sumTriple($"lx", $"lc").as("t"))
+      assert(q.queryExecution.optimizedPlan.toString.contains("multiply_triple"))
+      Graft.tripleFromRow(q.head.getStruct(0))
+    }
+    assert(fact == plain)
+    // grouped aggregation (non-global) is left alone
+    withRule {
+      val g = l.join(r, "k").groupBy($"lc").agg(Graft.sumTriple($"lx", $"rx").as("t"))
+      assert(!g.queryExecution.optimizedPlan.toString.contains("multiply_triple"))
+      assert(g.count() > 0)
+    }
+  }
+}

@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Single-node context numbers: time DuckDB (the reference's host engine)
+running SQL equivalents of the headline bench queries on the same
+parquet, for BENCH_CONTEXT.md. Usage: bench_duckdb.py [sf_dir]"""
+import sys, time, json, duckdb
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+con = duckdb.connect()
+for t in ["lineitem", "orders", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+queries = {
+    "q01_pricing": """
+      SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2), round(avg(l_extendedprice),2),
+             round(avg(l_extendedprice*(1-l_discount)),2), count(*)
+      FROM lineitem GROUP BY 1,2 ORDER BY 1,2""",
+    # flat numeric part of the 4num cofactor: 4 sums + 10 pairwise products
+    "cofactor_numeric_flat": """
+      SELECT count(*), sum(l_quantity), sum(l_extendedprice), sum(l_discount), sum(l_tax),
+             sum(l_quantity*l_quantity), sum(l_quantity*l_extendedprice), sum(l_quantity*l_discount),
+             sum(l_quantity*l_tax), sum(l_extendedprice*l_extendedprice),
+             sum(l_extendedprice*l_discount), sum(l_extendedprice*l_tax),
+             sum(l_discount*l_discount), sum(l_discount*l_tax), sum(l_tax*l_tax)
+      FROM lineitem""",
+    # what the full triple additionally delivers: categorical blocks
+    # (expressed as the group-bys a SQL user would need)
+    "cofactor_full_equivalent": """
+      WITH t AS (SELECT l_quantity q, l_extendedprice e, l_discount d, l_tax x,
+                        l_linenumber c1, year(l_shipdate) c2 FROM lineitem)
+      SELECT
+        (SELECT count(*) FROM t),
+        (SELECT sum(q*e + q*d + e*d + q*x) FROM t),
+        (SELECT count(*) FROM (SELECT c1, count(*), sum(q), sum(e), sum(d), sum(x) FROM t GROUP BY c1)),
+        (SELECT count(*) FROM (SELECT c2, count(*), sum(q), sum(e), sum(d), sum(x) FROM t GROUP BY c2)),
+        (SELECT count(*) FROM (SELECT c1, c2, count(*) FROM t GROUP BY c1, c2))""",
+    "factorized_join": """
+      SELECT count(*), sum(l_quantity), avg(o_totalprice), avg(l_quantity*o_totalprice)
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
+    "knn_bruteforce": """
+      SELECT qId, cId, rank FROM (
+        SELECT a.vec_id qId, b.vec_id cId,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY list_cosine_similarity(a.embedding,b.embedding) DESC, b.vec_id) rank
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < 20) WHERE rank <= 3""",
+    "window_running": """
+      SELECT l_suppkey, rn, run_qty FROM (
+        SELECT l_suppkey, row_number() OVER w rn,
+               sum(l_quantity) OVER (w ROWS UNBOUNDED PRECEDING) run_qty
+        FROM lineitem WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber))
+      WHERE rn <= 3""",
+    "text_stats": """
+      SELECT doc_id, len(string_split_regex(trim(text), '\\s+')),
+             len(list_distinct(string_split_regex(trim(text), '\\s+'))), length(text)
+      FROM documents""",
+}
+
+out = {}
+for name, sql in queries.items():
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        con.execute(sql).fetchall()
+        times.append(time.time() - t0)
+    out[name] = round(sorted(times)[1], 3)
+print(json.dumps({"engine": "duckdb-" + duckdb.__version__, "sf": sf, "queries": out}))
