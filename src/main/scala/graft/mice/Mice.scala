@@ -37,6 +37,9 @@ object Mice {
    * @param iterations  MICE rounds (reference demo uses 5, main.cpp:74)
    * @param stochastic  add N(0, σ̂²) noise to continuous imputations
    *                    (`linreg_predict(add_noise=true)`, regression.cpp:493-504)
+   * @param catModel    model for categorical columns: "lda" (reference
+   *                    baseline, imputation_base.cpp:46) or "nb"
+   *                    (Gaussian+categorical Naive Bayes)
    */
   final case class Config(
       contCols: Seq[String],
@@ -47,7 +50,8 @@ object Mice {
       lambda: Double = 0.0,
       shrinkage: Double = 0.0,
       stochastic: Boolean = false,
-      seed: Long = 42L)
+      seed: Long = 42L,
+      catModel: String = "lda")
 
   private def flag(c: String) = s"${c}__isnull"
 
@@ -96,6 +100,18 @@ object Mice {
           cfg.contCols.filterNot(_ == c).map(col),
           cfg.catCols.map(col),
           addNoise = cfg.stochastic, seed = cfg.seed + iter * 131 + label)
+      } else if (cfg.catModel == "nb") {
+        // Naive Bayes needs per-class variances ⇒ per-class NB aggregates
+        // (GROUP BY label), which the single full triple cannot provide;
+        // one grouped scan of the observed rows replaces the delta algebra
+        // for this column (the reference's nb_train path, §2.2 #19)
+        val perClass = Graft.cofactorPerClass(
+          cur.filter(!col(flag(c))),
+          cfg.contCols, cfg.catCols.filterNot(_ == c), label = c, nb = true)
+        val model = graft.ml.NaiveBayes.train(perClass)
+        graft.ml.NaiveBayes.predict(model,
+          cfg.contCols.map(col),
+          cfg.catCols.filterNot(_ == c).map(col))
       } else {
         val label = cfg.catCols.indexOf(c)
         val model = Lda.train(observed, label, cfg.shrinkage)

@@ -14,4 +14,14 @@ object Tables {
 
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Persist a bucketed+sorted copy in the session catalog: subsequent
+    * equi-joins/aggregations on `key` between tables bucketed the same
+    * way are shuffle-free (co-located scan). The 100 TB pattern for fact
+    * tables joined repeatedly on the same key (e.g. MICE over a join or
+    * repeated factorized training). */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
 }

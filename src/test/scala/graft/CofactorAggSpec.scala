@@ -138,6 +138,43 @@ class CofactorAggSpec extends AnyFunSuite {
     assert(math.abs(t.quad(Triple.triIdx(0, 24, numCols)) - chk.getDouble(1)) < 1e-9)
   }
 
+  test("expression inputs: to_cofactor(a+b+c) and fused over derived columns (test_lift.py:58-63)") {
+    fixture()
+    val t = Graft.tripleFromRow(
+      spark.sql("SELECT sum_triple(to_cofactor(a+b+c)) FROM test").head.getStruct(0))
+    // rows: a+b+c = 6, 18, 6, 18, 6
+    assert(t.n == 5 && t.lin.toSeq == Seq(54.0))
+    assert(t.quad.toSeq == Seq(36.0 * 3 + 324.0 * 2))
+    val fused = Graft.tripleFromRow(
+      spark.sql("SELECT sum_to_triple(a+b+c, d+e) FROM test").head.getStruct(0))
+    assert(fused.n == 5 && fused.lin.toSeq == Seq(54.0))
+    assert(fused.linCat.toSeq == Seq(Map(9 -> 1.0, 17 -> 1.0, 10 -> 2.0, 18 -> 1.0)))
+  }
+
+  test("bucketed tables join without a shuffle (co-located cofactor join at scale)") {
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      graft.sources.Tables.writeBucketed(
+        spark.read.parquet(s"$dir/lineitem.parquet"), "li_bkt", "l_orderkey", 8)
+      graft.sources.Tables.writeBucketed(
+        spark.read.parquet(s"$dir/orders.parquet"), "ord_bkt", "o_orderkey", 8)
+      val j = spark.table("li_bkt").join(spark.table("ord_bkt"),
+        org.apache.spark.sql.functions.col("l_orderkey") === org.apache.spark.sql.functions.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(Graft.sumTriple(
+          org.apache.spark.sql.functions.col("l_quantity"),
+          org.apache.spark.sql.functions.col("o_totalprice")).as("t"))
+      val physical = j.queryExecution.executedPlan.toString
+      assert(!physical.contains("Exchange"), s"bucketed join still shuffles:\n$physical")
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+      spark.sql("DROP TABLE IF EXISTS li_bkt")
+      spark.sql("DROP TABLE IF EXISTS ord_bkt")
+    }
+  }
+
   test("nulls are skipped; empty input yields zero triple") {
     val df = Seq(
       (Some(1.0), Some(2)), (None, Some(3)), (Some(4.0), None), (Some(2.0), Some(2))

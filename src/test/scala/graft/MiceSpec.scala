@@ -73,6 +73,13 @@ class MiceSpec extends AnyFunSuite {
     assert(diff < 1e-6, s"max divergence $diff")
   }
 
+  test("catModel=nb imputes categoricals via per-class NB aggregates") {
+    val out = Mice.baseline(withNulls, cfg.copy(catModel = "nb")).cache()
+    assert(out.filter($"c".isNull).count() == 0)
+    val (_, acc) = quality(out)
+    assert(acc > 0.85, s"NB-imputation accuracy $acc")
+  }
+
   test("stochastic imputation adds calibrated noise") {
     val out = Mice.baseline(withNulls, cfg.copy(stochastic = true)).cache()
     assert(out.filter($"b".isNull).count() == 0)
