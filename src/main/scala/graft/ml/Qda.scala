@@ -29,19 +29,38 @@ object Qda {
 
   private val CUTOFF = 1e-9
 
-  /** @param perClass (label value, triple over the rows of that class) */
-  def train(perClass: Seq[(Int, Triple)]): Model = {
+  /** @param perClass (label value, triple over the rows of that class)
+    * @param normalize standardize continuous features using the global
+    *                  (all-class) moments before the per-class SVD; the
+    *                  quadratic form is folded back to raw features */
+  def train(perClass: Seq[(Int, Triple)], normalize: Boolean = false): Model = {
     val sorted = perClass.sortBy(_._1)
     val dict = CatDict.fromTriples(sorted.map(_._2), dropFirst = true)
     val nTotal = sorted.map(_._2.n).sum.toDouble
     val numCols = sorted.head._2.numCols
     val d = numCols + dict.dim
 
+    val std = if (!normalize) None else {
+      val all = sorted.map(_._2).reduce(Triple.add)
+      val momAll = new Moments(all, dict)
+      Some(new MlMath.Standardizer(momAll.sums, momAll.m2, nTotal, i => i < numCols))
+    }
+
     val out = sorted.map { case (_, t) =>
       val mom = new Moments(t, dict)
       val nc = t.n.toDouble
-      val mu = mom.sums / nc
-      val cov = mom.m2 / nc - mu * mu.t
+      val (muRaw, covRaw) = {
+        val m = mom.sums / nc
+        (m, mom.m2 / nc - m * m.t)
+      }
+      // standardized coordinates: x' = (x − μg)/σg (global shift/scale)
+      val (mu, cov) = std match {
+        case None => (muRaw, covRaw)
+        case Some(s) =>
+          val m = DenseVector.tabulate(d)(i => (muRaw(i) - s.muS(i)) / s.sigma(i))
+          val c = DenseMatrix.tabulate(d, d)((i, j) => covRaw(i, j) / (s.sigma(i) * s.sigma(j)))
+          (m, c)
+      }
       // SVD pseudo-inverse with absolute cutoff (qda.cpp:220-242)
       val s = svd(cov)
       val keep = s.S.toArray.map(v => v > CUTOFF)
@@ -51,7 +70,19 @@ object Qda {
       val logDet = s.S.toArray.filter(_ > CUTOFF).map(math.log).sum
       val lin = pinvCov * mu
       val const = -0.5 * (mu dot lin) - 0.5 * logDet + math.log(nc / nTotal)
-      (pinvCov * -0.5, lin, const)
+      val qStd = pinvCov * -0.5
+      std match {
+        case None => (qStd, lin, const)
+        case Some(sz) =>
+          // fold x' = D(x − μg) back: Q = DQ'D, l = Dl' − 2DQ'Dμg,
+          // c = c' + μg'(DQ'D)μg − l'·Dμg
+          val dInv = breeze.linalg.diag(DenseVector.tabulate(d)(i => 1.0 / sz.sigma(i)))
+          val muG = DenseVector.tabulate(d)(i => sz.muS(i))
+          val qRaw = dInv * qStd * dInv
+          val lRaw = dInv * lin - (qRaw * muG) * 2.0
+          val cRaw = const + (muG dot (qRaw * muG)) - (lin dot (dInv * muG))
+          (qRaw, lRaw, cRaw)
+      }
     }
     Model(
       sorted.map(_._1).toArray,

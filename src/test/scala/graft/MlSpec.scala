@@ -93,6 +93,15 @@ class MlSpec extends AnyFunSuite {
     assert(acc > 0.98, s"QDA accuracy $acc")
   }
 
+  test("QDA normalize: standardized training folds back to equivalent raw-space predictions") {
+    val featTriples = Graft.cofactorPerClass(clsDf, Seq("f1", "f2"), Seq(), label = "cls")
+    val (m1, m2) = (Qda.train(featTriples), Qda.train(featTriples, normalize = true))
+    clsRows.take(100).foreach { case (f1, f2, _, _) =>
+      assert(Qda.predictValue(m1, Array(f1, f2), Array()) ==
+        Qda.predictValue(m2, Array(f1, f2), Array()))
+    }
+  }
+
   test("NB from per-class NB aggregates: accuracy + unseen-category zeroing") {
     val perClass = Graft.cofactorPerClass(clsDf, Seq("f1", "f2"), Seq("cf"), label = "cls", nb = true)
     val m = NaiveBayes.train(perClass)
