@@ -133,6 +133,34 @@ case class SumTriple(
 }
 
 /**
+ * Column permutation of a triple struct (see [[Triple.permute]]):
+ * reorders the continuous/categorical blocks without touching the data.
+ * Used by the auto-factorization rule to restore the user's requested
+ * column order after a block-layout ring product.
+ */
+case class PermuteTriple(child: Expression, numPerm: Seq[Int], catPerm: Seq[Int])
+  extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = TripleCodec.fullType
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case s: StructType if s.length == 6 => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"permute_triple expects a full triple struct, got $dt")
+  }
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else TripleCodec.toCatalyst(
+      Triple.permute(TripleCodec.fromCatalyst(v.asInstanceOf[InternalRow], 6),
+        numPerm.toArray, catPerm.toArray),
+      nb = false)
+  }
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): PermuteTriple =
+    copy(child = newChildren.head)
+  override def prettyName: String = "permute_triple"
+}
+
+/**
  * Ring product of two triples (reference `multiply_triple` /
  * `multiply_nb_agg`, triple/mul.cpp:19-611, mul_nb.cpp:20-268): combines
  * per-group aggregates across a join — factorized learning. Used as

@@ -90,14 +90,19 @@ object FactorizeCofactorRule extends Rule[LogicalPlan] {
     val fromRight = cols.filter(join.right.outputSet.contains)
     if (fromLeft.length + fromRight.length != cols.length) return None
 
-    // block-compatibility: within nums and within cats, all left columns
-    // must precede all right columns (the ring product's output layout)
-    def blockOk(sel: Attribute => Boolean): Boolean = {
-      val seq = cols.filter(sel).map(join.left.outputSet.contains)
-      seq.dropWhile(identity).forall(!_)
+    // The ring product emits block layout [leftNums ++ rightNums,
+    // leftCats ++ rightCats]; a PermuteTriple restores the requested
+    // order when columns interleave sides. Identity permutations are
+    // elided.
+    def permFor(sel: Attribute => Boolean): Seq[Int] = {
+      val requested = cols.filter(sel)
+      val blockOrder = requested.filter(join.left.outputSet.contains) ++
+        requested.filterNot(join.left.outputSet.contains)
+      requested.map(a => blockOrder.indexWhere(_.exprId == a.exprId))
     }
-    if (!blockOk(isNum) || !blockOk(a => !isNum(a))) return None
-    // degenerate sides (no columns) still factorize: counts matter
+    val numPerm = permFor(isNum)
+    val catPerm = permFor(a => !isNum(a))
+    val identity = numPerm == numPerm.indices.toSeq && catPerm == catPerm.indices.toSeq
 
     def sideAgg(side: LogicalPlan, keys: Seq[Attribute], sideCols: Seq[Attribute], tag: String) = {
       val cofSide = CofactorAggregate(sideCols, nbMode = false)
@@ -113,10 +118,12 @@ object FactorizeCofactorRule extends Rule[LogicalPlan] {
     val newJoin = Join(leftAgg, rightAgg, Inner, Some(cond), JoinHint.NONE)
 
     val product = MultiplyTriple(aAttr, bAttr)
-    val outer = AggregateExpression(SumTriple(product), ae.mode, isDistinct = false,
+    val outer: Expression = AggregateExpression(SumTriple(product), ae.mode, isDistinct = false,
       None, NamedExpression.newExprId)
+    val shaped = if (identity) outer
+      else graft.agg.PermuteTriple(outer, numPerm, catPerm)
     // preserve the original output attribute (name + exprId) so parents resolve
-    val outAlias = Alias(outer, alias.name)(alias.exprId, alias.qualifier, alias.explicitMetadata)
+    val outAlias = Alias(shaped, alias.name)(alias.exprId, alias.qualifier, alias.explicitMetadata)
     Some(Aggregate(Nil, Seq(outAlias), newJoin))
   }
 }

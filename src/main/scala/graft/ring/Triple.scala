@@ -209,6 +209,52 @@ object Triple {
     Triple(a.n * b.n, lin, quad, linCat, quadNumCat, quadCat)
   }
 
+  /**
+   * Column permutation: the triple of the same rows with columns
+   * reordered. `numPerm(i)` / `catPerm(j)` give the source index of the
+   * i-th output continuous / j-th output categorical column. Lets
+   * factorized results (block layout [left ++ right]) be re-shaped to
+   * any requested column order.
+   */
+  def permute(t: Triple, numPerm: Array[Int], catPerm: Array[Int]): Triple = {
+    val n = t.numCols; val m = t.catCols
+    require(numPerm.sorted.sameElements(Array.range(0, n)), "numPerm must be a permutation")
+    require(catPerm.sorted.sameElements(Array.range(0, m)), "catPerm must be a permutation")
+    val quad = new Array[Double](t.quad.length)
+    var i = 0
+    while (i < n) {
+      var j = i
+      while (j < n) {
+        val (a, b) = (numPerm(i), numPerm(j))
+        quad(triIdx(i, j, n)) = t.quad(triIdx(math.min(a, b), math.max(a, b), n))
+        j += 1
+      }
+      i += 1
+    }
+    val quadCat = new Array[Map[Long, Double]](t.quadCat.length)
+    var j = 0
+    while (j < m) {
+      var k = j
+      while (k < m) {
+        val (a, b) = (catPerm(j), catPerm(k))
+        quadCat(pairIdx(j, k, m)) =
+          if (a <= b) t.quadCat(pairIdx(a, b, m))
+          else t.quadCat(pairIdx(b, a, m)).map { case (key, v) =>
+            catKey(catKey2(key), catKey1(key)) -> v // pair order flips ⇒ swap keys
+          }
+        k += 1
+      }
+      j += 1
+    }
+    Triple(
+      t.n,
+      numPerm.map(t.lin),
+      quad,
+      catPerm.map(t.linCat),
+      Array.tabulate(n * m)(idx => t.quadNumCat(numPerm(idx / m) * m + catPerm(idx % m))),
+      quadCat)
+  }
+
   /** NB-reduced variant helpers: diagonal-only quad, counts-only cat
     * (lift_to_nb_agg.cpp:101-161). An NB aggregate reuses Triple with
     * quad.length == numCols and empty quadNumCat/quadCat. */

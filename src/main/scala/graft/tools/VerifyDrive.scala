@@ -121,6 +121,22 @@ object VerifyDrive {
     assert(viaRule.approxEquals(direct, 1e-9))
     println(s"rule fired; N=${viaRule.n} matches direct aggregation OK")
 
+    println("== [10] auto-factorization with interleaved column order (permute_triple) ==")
+    def interleaved = spark.table("lineitem").join(spark.table("orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(graft.Graft.sumTriple($"o_totalprice", $"l_quantity", $"l_extendedprice",
+        $"o_custkey", $"l_linenumber").as("t"))
+    spark.experimental.extraOptimizations = Seq(graft.plans.FactorizeCofactorRule)
+    val q10 = interleaved
+    val plan10 = q10.queryExecution.optimizedPlan.toString
+    assert(plan10.contains("multiply_triple") && plan10.contains("permute_triple"),
+      s"interleaved rule did not fire with permute:\n$plan10")
+    val viaPerm = graft.Graft.tripleFromRow(q10.head.getStruct(0))
+    spark.experimental.extraOptimizations = Nil
+    val direct10 = graft.Graft.tripleFromRow(interleaved.head.getStruct(0))
+    assert(viaPerm.approxEquals(direct10, 1e-9), "permuted factorized != direct")
+    println(s"interleaved rule fired with permute_triple; N=${viaPerm.n} matches direct OK")
+
     spark.stop()
   }
 }

@@ -39,16 +39,19 @@ class PlansSpec extends AnyFunSuite {
     assert(fact.n == 4) // k=1: 2x1, k=2: 1x2 → 4 join rows
   }
 
-  test("rule does not fire when the column order interleaves sides") {
+  test("interleaved column order fires with a PermuteTriple wrapper and matches direct") {
     Graft.register(spark)
     val (l, r) = fixtures()
-    val q = withRule {
-      val q = l.join(r, "k").agg(Graft.sumTriple($"rx", $"lx").as("t"))
-      assert(!q.queryExecution.optimizedPlan.toString.contains("multiply_triple"))
-      q
+    def query = l.join(r, "k")
+      .agg(Graft.sumTriple($"rx", $"lx", $"ly", $"rc", $"lc").as("t"))
+    val plain = Graft.tripleFromRow(query.head.getStruct(0))
+    val fact = withRule {
+      val q = query
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("multiply_triple") && plan.contains("permute_triple"), plan)
+      Graft.tripleFromRow(q.head.getStruct(0))
     }
-    // still correct, just unfactorized
-    assert(Graft.tripleFromRow(q.head.getStruct(0)).n == 4)
+    assert(fact == plain, "permuted factorized result differs from direct aggregation")
   }
 
   test("rule handles one-sided column sets and grouped keys stay untouched") {

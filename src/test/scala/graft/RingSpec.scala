@@ -136,6 +136,19 @@ class RingSpec extends AnyFunSuite {
     }
   }
 
+  test("permute: triple of reordered columns == permuted triple") {
+    val rng = new scala.util.Random(17)
+    for (_ <- 1 to 40) {
+      val rs = randRows(rng, 3, 3)
+      val numPerm = rng.shuffle(List(0, 1, 2)).toArray
+      val catPerm = rng.shuffle(List(0, 1, 2)).toArray
+      val direct = tripleOf(rs.map { case (n, c) =>
+        (numPerm.map(n), catPerm.map(c))
+      })
+      assert(Triple.permute(tripleOf(rs), numPerm, catPerm) == direct)
+    }
+  }
+
   test("NB lift/multiply: diagonal-only quad, counts-only cat (lift_to_nb_agg.cpp)") {
     val t = rows.map(r => Triple.liftNb(r._2, r._3)).reduce(Triple.add)
     assert(t.n == 5 && t.lin.toSeq == Seq(15.0, 17.0, 22.0))
