@@ -34,9 +34,14 @@ object Graft {
       reg.createOrReplaceTempFunction("multiply_triple", es => MultiplyTriple(es(0), es(1)), "scala_udf")
       reg.createOrReplaceTempFunction("multiply_nb_agg", es => MultiplyTriple(es(0), es(1)), "scala_udf")
       reg.createOrReplaceTempFunction("simhash64", es => graft.functions.SimHash64(es.head), "scala_udf")
+      def intArg(es: Seq[org.apache.spark.sql.catalyst.expressions.Expression], i: Int): Int =
+        es(i).eval().asInstanceOf[Number].intValue()
+      reg.createOrReplaceTempFunction("shingle_hashes", es =>
+        graft.functions.ShingleHashes(es(0), intArg(es, 1)), "scala_udf")
       reg.createOrReplaceTempFunction("minhash_signature", es =>
-        graft.functions.MinHashSignature(es(0),
-          es(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+        graft.functions.MinHashSignature(es(0), intArg(es, 1), intArg(es, 2)), "scala_udf")
+      reg.createOrReplaceTempFunction("minhash_bands", es =>
+        graft.functions.MinHashSignature(es(0), intArg(es, 1), intArg(es, 2), intArg(es, 3)), "scala_udf")
       registered += spark
     }
     spark

@@ -51,49 +51,124 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
 }
 
 /**
- * MinHash signature over an array of shingle hashes: for each of
- * `numHashes` seeded hash functions, the minimum remixed hash across the
- * shingles — one tight pass, no per-element array allocation (the pure
- * Column formulation allocates a 64-wide accumulator per shingle and
- * dominates dedup cost). Null/empty input yields the all-MaxValue
- * signature (matches "no shingles").
+ * Word-shingle hashing shared by the text-similarity expressions: one
+ * pass over the token array, hashing each `shingleSize`-gram with FNV-1a
+ * over the tokens' UTF-8 bytes (0x20 separator) + a splitmix64 finalize.
+ * Fewer than `shingleSize` tokens yield a single whole-text shingle.
+ *
+ * A native expression rather than a `transform(sequence…)` Column tree
+ * on purpose: higher-order-function lambdas are interpreted and
+ * re-evaluate their free subtrees (the regex `split`!) once PER ELEMENT,
+ * which made the Column formulation quadratic per document.
  */
-case class MinHashSignature(child: Expression, numHashes: Int)
+private[functions] object Shingling {
+  @inline def foreachShingleHash(arr: ArrayData, shingleSize: Int)(f: Long => Unit): Unit = {
+    val nTok = arr.numElements()
+    val nSh = math.max(1, nTok - shingleSize + 1)
+    var s = 0
+    while (s < nSh) {
+      var h = 0xcbf29ce484222325L
+      val end = math.min(s + shingleSize, nTok)
+      var t = s
+      while (t < end) {
+        if (t > s) { h ^= 0x20L; h *= 0x100000001b3L }
+        if (!arr.isNullAt(t)) {
+          val bytes = arr.getUTF8String(t).getBytes
+          var i = 0
+          while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+        }
+        t += 1
+      }
+      h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
+      h ^= h >>> 27; h *= 0x94d049bb133111ebL
+      f(h ^ (h >>> 31))
+      s += 1
+    }
+  }
+
+  val tokensType: DataType = ArrayType(StringType)
+  def checkTokens(name: String, dt: DataType) = dt match {
+    case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$name expects ARRAY<STRING> tokens, got $other")
+  }
+}
+
+/** All word-shingle hashes of a token array (the exact-Jaccard input). */
+case class ShingleHashes(child: Expression, shingleSize: Int)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = Shingling.checkTokens(prettyName, child.dataType)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val out = new scala.collection.mutable.ArrayBuffer[Long](math.max(1, arr.numElements()))
+    Shingling.foreachShingleHash(arr, shingleSize)(out += _)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+  override def prettyName: String = "shingle_hashes"
+}
+
+/**
+ * Fused shingle → MinHash signature → (optionally) LSH band hashes, one
+ * tight pass over the token array. For each of `numHashes` seeded hash
+ * functions, the minimum splitmix64-remixed shingle hash; with
+ * `bands > 0` the output is instead the `bands` band hashes (FNV over
+ * each signature slice), which is all LSH bucketing needs — `bands`
+ * longs per row instead of `numHashes`.
+ */
+case class MinHashSignature(child: Expression, numHashes: Int,
+                            shingleSize: Int = 3, bands: Int = 0)
   extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def checkInputDataTypes() = child.dataType match {
-    case ArrayType(LongType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"minhash_signature expects ARRAY<BIGINT> shingle hashes, got $dt")
-  }
+  override def checkInputDataTypes() = Shingling.checkTokens(prettyName, child.dataType)
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val sig = Array.fill(numHashes)(Long.MaxValue)
-    var i = 0
-    while (i < arr.numElements()) {
-      if (!arr.isNullAt(i)) {
-        val h = arr.getLong(i)
-        var k = 0
-        while (k < numHashes) {
-          // splitmix64 remix of (shingle ^ golden-ratio seed k)
-          var x = h ^ (0x9e3779b97f4a7c15L * (k + 1))
-          x ^= x >>> 30; x *= 0xbf58476d1ce4e5b9L
-          x ^= x >>> 27; x *= 0x94d049bb133111ebL
-          x ^= x >>> 31
-          if (x < sig(k)) sig(k) = x
+    Shingling.foreachShingleHash(arr, shingleSize) { h =>
+      var k = 0
+      while (k < numHashes) {
+        // splitmix64 remix of (shingle ^ golden-ratio seed k)
+        var x = h ^ (0x9e3779b97f4a7c15L * (k + 1))
+        x ^= x >>> 30; x *= 0xbf58476d1ce4e5b9L
+        x ^= x >>> 27; x *= 0x94d049bb133111ebL
+        x ^= x >>> 31
+        if (x < sig(k)) sig(k) = x
+        k += 1
+      }
+    }
+    if (bands <= 0) new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+    else {
+      val r = numHashes / bands
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var h = 0xcbf29ce484222325L ^ b.toLong
+        var k = b * r
+        val end = if (b == bands - 1) numHashes else (b + 1) * r
+        while (k < end) {
+          var x = sig(k)
+          var i = 0
+          while (i < 8) { h ^= (x & 0xffL); h *= 0x100000001b3L; x >>>= 8; i += 1 }
           k += 1
         }
+        h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
+        h ^= h >>> 27; h *= 0x94d049bb133111ebL
+        out(b) = h ^ (h >>> 31)
+        b += 1
       }
-      i += 1
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
-  override def prettyName: String = "minhash_signature"
+  override def prettyName: String = if (bands > 0) "minhash_bands" else "minhash_signature"
 }
 
 object SimHash64 {

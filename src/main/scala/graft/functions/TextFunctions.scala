@@ -92,18 +92,21 @@ object TextFunctions {
   def bagFingerprint(text: Column): Column =
     xxhash64(concat_ws(" ", array_sort(array_distinct(tokens(lower(text))))))
 
-  /** Word n-gram shingles as an array of 64-bit hashes. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val t = tokens(lower(text))
-    when(size(t) < n, array(xxhash64(concat_ws(" ", t))))
-      .otherwise(transform(
-        sequence(lit(0), size(t) - n),
-        i => xxhash64(concat_ws(" ", slice(t, i + 1, lit(n))))))
+  /** Word n-gram shingles as an array of 64-bit hashes — native
+    * single-pass expression ([[ShingleHashes]]). The earlier
+    * `transform(sequence…)` Column tree re-evaluated the regex `split`
+    * once per shingle (interpreted HOF lambda), i.e. quadratic per doc. */
+  def shingles(text: Column, n: Int = 3): Column = shingleHashes(text, n)
+
+  /** Shingle hashes over the lowered, whitespace-tokenized text. */
+  def shingleHashes(text: Column, n: Int = 3): Column = {
+    graft.Graft.register(org.apache.spark.sql.SparkSession.active)
+    call_function("shingle_hashes", tokens(lower(text)), lit(n))
   }
 
-  /** Jaccard similarity of the two texts' n-gram shingle sets. */
+  /** Jaccard similarity of the two texts' n-gram shingle-hash sets. */
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
-    val (sa, sb) = (array_distinct(shingles(a, n)), array_distinct(shingles(b, n)))
+    val (sa, sb) = (array_distinct(shingleHashes(a, n)), array_distinct(shingleHashes(b, n)))
     val inter = size(array_intersect(sa, sb)).cast("double")
     val union = size(array_union(sa, sb)).cast("double")
     when(union === 0, lit(0.0)).otherwise(inter / union)

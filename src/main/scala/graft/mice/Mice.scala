@@ -88,9 +88,13 @@ object Mice {
     out
   }
 
-  /** One train+impute step for one column, given the observed-rows triple. */
-  private def imputeColumn(cur: DataFrame, cfg: Config, c: String, observed: Triple,
-                           iter: Int, tm: Timings): DataFrame = {
+  /** One train+impute step for one column, given the observed-rows triple.
+    * `trainDf` is the full set of candidate training rows (ALL strata; the
+    * NB branch filters it on the observation flag itself — the reference
+    * trains on every row where the column is observed,
+    * imputation_base.cpp:21-34); `cur` is the stratum being imputed. */
+  private def imputeColumn(cur: DataFrame, trainDf: DataFrame, cfg: Config, c: String,
+                           observed: Triple, iter: Int, tm: Timings): DataFrame = {
     val isCont = cfg.imputeCont.contains(c)
     val pred: Column = tm.time("train") {
       if (isCont) {
@@ -106,7 +110,7 @@ object Mice {
         // one grouped scan of the observed rows replaces the delta algebra
         // for this column (the reference's nb_train path, §2.2 #19)
         val perClass = Graft.cofactorPerClass(
-          cur.filter(!col(flag(c))),
+          trainDf.filter(!col(flag(c))),
           cfg.contCols, cfg.catCols.filterNot(_ == c), label = c, nb = true)
         val model = graft.ml.NaiveBayes.train(perClass)
         graft.ml.NaiveBayes.predict(model,
@@ -131,7 +135,7 @@ object Mice {
       for (c <- order) {
         val observed = tm.time("cofactor")(
           Graft.cofactor(cur.filter(!col(flag(c))), cfg.contCols, cfg.catCols))
-        cur = imputeColumn(cur, cfg, c, observed, iter, tm)
+        cur = imputeColumn(cur, cur, cfg, c, observed, iter, tm)
       }
       cur = tm.time("impute_update")(cur.localCheckpoint()) // bound lineage + per-column job cost
     }
@@ -171,7 +175,11 @@ object Mice {
         val delta = tm.time("cofactor_delta")(
           Graft.cofactor(incomplete.filter(col(flag(c))), cfg.contCols, cfg.catCols))
         val observed = Triple.subtract(full, delta)
-        incomplete = imputeColumn(incomplete, cfg, c, observed, iter, tm)
+        // NB trains on ALL observed rows (complete ∪ incomplete) — the
+        // complete stratum never changes, so the union costs one extra
+        // scan of it only on the NB per-class aggregation path
+        incomplete = imputeColumn(
+          incomplete, complete.unionByName(incomplete), cfg, c, observed, iter, tm)
         // full := observed + recomputed delta over the freshly imputed
         // rows (imputation_low.cpp:188-194) so later columns in this
         // round train against up-to-date values

@@ -33,42 +33,50 @@ object Dedup {
     exact(df, md5(text), tiebreaker)
 
   /** MinHash signature: `numHashes` independent min-hashes over word
-    * `shingleSize`-shingles, as an ARRAY<BIGINT> column. The signature
-    * itself is a native single-pass expression
-    * ([[graft.functions.MinHashSignature]]); only the shingle hashing is
-    * Column-composed. */
+    * `shingleSize`-shingles, as an ARRAY<BIGINT> column — a single-pass
+    * native expression ([[graft.functions.MinHashSignature]]) over the
+    * token array. */
   def minhashSignature(text: Column, numHashes: Int = 64, shingleSize: Int = 3): Column = {
     graft.Graft.register(org.apache.spark.sql.SparkSession.active)
     call_function("minhash_signature",
-      TextFunctions.shingles(text, shingleSize), lit(numHashes))
+      TextFunctions.tokens(lower(text)), lit(numHashes), lit(shingleSize))
+  }
+
+  /** LSH band hashes (ARRAY<BIGINT>, length `bands`) fused into the same
+    * single pass — the only per-row state LSH bucketing needs. */
+  def minhashBands(text: Column, numHashes: Int = 64, shingleSize: Int = 3,
+                   bands: Int = 16): Column = {
+    graft.Graft.register(org.apache.spark.sql.SparkSession.active)
+    call_function("minhash_bands",
+      TextFunctions.tokens(lower(text)), lit(numHashes), lit(shingleSize), lit(bands))
   }
 
   /**
-   * LSH candidate pairs: signatures split into `bands` bands; documents
-   * sharing any band hash become a candidate pair. Plans as
-   * explode(bands) → groupBy(bucket) → in-bucket pair generation, so
-   * cost is Σ bucket² rather than n². Buckets larger than
-   * `maxBucketSize` (degenerate content) are dropped with a log-visible
-   * count rather than exploding quadratically.
+   * LSH candidate pairs from a band-hash array column: documents sharing
+   * any band hash become a candidate pair. Plans as posexplode(bands) →
+   * groupBy(bucket) → in-bucket pair generation, so cost is Σ bucket²
+   * rather than n². Buckets larger than `maxBucketSize` (degenerate
+   * content) are dropped, with the dropped-bucket count logged — silent
+   * coverage truncation is never acceptable in a dedup operator.
    *
    * Returns (idA, idB) with idA < idB, distinct.
    */
-  def lshCandidatePairs(df: DataFrame, id: Column, sig: Column,
-                        bands: Int = 8, maxBucketSize: Int = 200): DataFrame = {
-    val n = df.select(sig).schema.head.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
-    require(n.elementType == org.apache.spark.sql.types.LongType, "signature must be ARRAY<BIGINT>")
-    // one row per (doc, band); band hash covers the band's signature
-    // slice in deterministic position order
-    val withBands = df.select(id.as("__id"), sig.as("__sig"))
-      .select(col("__id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          xxhash64(concat_ws(",",
-            transform(slice(col("__sig"), b * (size(col("__sig")) / bands) + 1,
-              size(col("__sig")) / bands), h => h.cast("string")))))).as(Seq("__band", "__bucket")))
-    val buckets = withBands.groupBy("__band", "__bucket")
+  def lshCandidatePairs(df: DataFrame, id: Column, bandHashes: Column,
+                        maxBucketSize: Int = 200): DataFrame = {
+    // persist the (small, post-shuffle) bucket table: the dropped-bucket
+    // count and the pair generation then share one signature pass
+    val buckets = df.select(id.as("__id"), posexplode(bandHashes).as(Seq("__band", "__bucket")))
+      .groupBy("__band", "__bucket")
       .agg(collect_list("__id").as("__ids"))
-      .filter(size(col("__ids")).between(2, maxBucketSize))
-    buckets.select(explode(pairCombinations(col("__ids"))).as("__p"))
+      .filter(size(col("__ids")) >= 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDropped = buckets.filter(size(col("__ids")) > maxBucketSize).count()
+    if (nDropped > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"lshCandidatePairs: dropped $nDropped degenerate buckets (> $maxBucketSize docs); " +
+          "near-duplicates inside them are NOT covered")
+    buckets.filter(size(col("__ids")) <= maxBucketSize)
+      .select(explode(pairCombinations(col("__ids"))).as("__p"))
       .select(col("__p")(0).as("idA"), col("__p")(1).as("idB"))
       .distinct()
   }
@@ -88,13 +96,20 @@ object Dedup {
   def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
                          threshold: Double = 0.8, numHashes: Int = 64,
                          bands: Int = 16, shingleSize: Int = 3): DataFrame = {
-    val sig = df.select(col(idCol), col(textCol))
-      .withColumn("__sig", minhashSignature(col(textCol), numHashes, shingleSize))
-    val cands = lshCandidatePairs(sig, col(idCol), col("__sig"), bands)
-    val a = df.select(col(idCol).as("idA"), col(textCol).as("__ta"))
-    val b = df.select(col(idCol).as("idB"), col(textCol).as("__tb"))
+    val withBands = df.select(col(idCol),
+      minhashBands(col(textCol), numHashes, shingleSize, bands).as("__bands"))
+    val cands = lshCandidatePairs(withBands, col(idCol), col("__bands"))
+    // verify on precomputed shingle-hash sets (one tokenize+hash pass per
+    // doc) instead of re-shingling raw text per candidate pair
+    val sh = array_distinct(TextFunctions.shingleHashes(col(textCol), shingleSize))
+    val a = df.select(col(idCol).as("idA"), sh.as("__sa"))
+    val b = df.select(col(idCol).as("idB"), sh.as("__sb"))
     cands.join(a, "idA").join(b, "idB")
-      .withColumn("jaccard", TextFunctions.ngramJaccard(col("__ta"), col("__tb"), shingleSize))
+      .withColumn("jaccard", {
+        val inter = size(array_intersect(col("__sa"), col("__sb"))).cast("double")
+        val uni = size(array_union(col("__sa"), col("__sb"))).cast("double")
+        when(uni === 0, lit(0.0)).otherwise(inter / uni)
+      })
       .filter(col("jaccard") >= threshold)
       .select(col("idA"), col("idB"), col("jaccard"))
   }

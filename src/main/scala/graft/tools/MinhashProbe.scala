@@ -17,9 +17,9 @@ object MinhashProbe {
       val t0 = System.nanoTime(); val r = f
       println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    val sig = docs.withColumn("__sig", Dedup.minhashSignature(col("text"))).cache()
+    val sig = docs.withColumn("__bands", Dedup.minhashBands(col("text"))).cache()
     t("signatures")(sig.count())
-    val cands = Dedup.lshCandidatePairs(sig, col("doc_id"), col("__sig")).cache()
+    val cands = Dedup.lshCandidatePairs(sig, col("doc_id"), col("__bands")).cache()
     println("candidates=" + t("lsh candidates")(cands.count()))
     val verified = t("verify+filter") {
       val a = docs.select(col("doc_id").as("idA"), col("text").as("__ta"))

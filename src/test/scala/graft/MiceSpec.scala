@@ -80,6 +80,21 @@ class MiceSpec extends AnyFunSuite {
     assert(acc > 0.85, s"NB-imputation accuracy $acc")
   }
 
+  test("partitioned catModel=nb trains on ALL observed rows and matches baseline") {
+    // regression: partitioned used to feed the NB per-class aggregation only
+    // the incomplete stratum, silently excluding the fully-observed rows the
+    // reference trains on (imputation_base.cpp:21-34)
+    val nbCfg = cfg.copy(catModel = "nb")
+    val part = Mice.partitioned(withNulls, nbCfg).cache()
+    assert(part.filter($"c".isNull).count() == 0)
+    val (_, accP) = quality(part)
+    val base = Mice.baseline(withNulls, nbCfg).select($"id", $"c".as("cBase"))
+    val agree = part.select($"id", $"c".as("cPart")).join(base, "id")
+      .select(avg(when($"cPart" === $"cBase", 1.0).otherwise(0.0))).head.getDouble(0)
+    assert(agree > 0.99, s"partitioned-vs-baseline NB agreement $agree")
+    assert(accP > 0.85, s"partitioned NB accuracy $accP")
+  }
+
   test("stochastic imputation adds calibrated noise") {
     val out = Mice.baseline(withNulls, cfg.copy(stochastic = true)).cache()
     assert(out.filter($"b".isNull).count() == 0)
