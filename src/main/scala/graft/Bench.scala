@@ -20,6 +20,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ObjectHashAggregate (the TypedImperativeAggregate exec) falls back
+      // to sort-based aggregation after 128 distinct keys by default —
+      // deadly for grouped cofactors over 100k+ keys (every subsequent row
+      // round-trips a serialized buffer through the external sorter).
+      // Cofactor buffers are small; keep them in the hash map.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Graft.register(spark)

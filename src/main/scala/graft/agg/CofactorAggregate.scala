@@ -296,11 +296,14 @@ case class CofactorAggregate(
 
   override def eval(buffer: CofactorBuffer): Any = TripleCodec.toCatalyst(buffer.toTriple, nbMode)
 
+  // Buffer-direct binary form: no Triple/immutable-Map intermediate —
+  // this runs once per key per partial-agg flush, so grouped cofactors
+  // over high-cardinality keys are dominated by it.
   override def serialize(buffer: CofactorBuffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeBoolean(buffer.nbMode)
-    TripleCodec.write(buffer.toTriple, out)
+    TripleCodec.writeBuffer(buffer, out)
     out.flush()
     bos.toByteArray
   }
@@ -308,7 +311,7 @@ case class CofactorAggregate(
   override def deserialize(bytes: Array[Byte]): CofactorBuffer = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val nb = in.readBoolean()
-    CofactorBuffer.fromTriple(TripleCodec.read(in), nb)
+    TripleCodec.readBuffer(in, nb)
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): CofactorAggregate =

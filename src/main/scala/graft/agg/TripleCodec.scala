@@ -114,6 +114,75 @@ object TripleCodec {
     t.linCat.foreach(wi); t.quadNumCat.foreach(wi); t.quadCat.foreach(wl)
   }
 
+  /** Buffer-direct binary form: serialize the mutable aggregation state
+    * as-is (LongMap slot arrays), skipping the per-flush `toTriple` /
+    * immutable-Map materialization — this runs once per key per
+    * partial-aggregate flush, so grouped cofactors over high-cardinality
+    * keys live on this path. Only ever read back by [[readBuffer]]. */
+  def writeBuffer(b: CofactorBuffer, out: java.io.DataOutputStream): Unit = {
+    out.writeLong(b.n)
+    out.writeInt(b.numCols); out.writeInt(b.catCols)
+    var i = 0
+    while (i < b.lin.length) { out.writeDouble(b.lin(i)); i += 1 }
+    i = 0
+    while (i < b.quad.length) { out.writeDouble(b.quad(i)); i += 1 }
+    val catSlots = if (b.nbMode) 1 else b.numCols + 1
+    var j = 0
+    while (j < b.catMaps.length) {
+      val m = b.catMaps(j)
+      out.writeInt(m.size)
+      m.foreach { case (k, v) =>
+        out.writeLong(k)
+        var s = 0
+        while (s < catSlots) { out.writeDouble(v(s)); s += 1 }
+      }
+      j += 1
+    }
+    j = 0
+    while (j < b.quadCat.length) {
+      val m = b.quadCat(j)
+      out.writeInt(m.size)
+      m.foreach { case (k, v) => out.writeLong(k); out.writeDouble(v(0)) }
+      j += 1
+    }
+  }
+
+  def readBuffer(in: java.io.DataInputStream, nbMode: Boolean): CofactorBuffer = {
+    val n = in.readLong()
+    val numCols = in.readInt(); val catCols = in.readInt()
+    val b = new CofactorBuffer(numCols, catCols, nbMode)
+    b.n = n
+    var i = 0
+    while (i < b.lin.length) { b.lin(i) = in.readDouble(); i += 1 }
+    i = 0
+    while (i < b.quad.length) { b.quad(i) = in.readDouble(); i += 1 }
+    val catSlots = if (nbMode) 1 else numCols + 1
+    var j = 0
+    while (j < catCols) {
+      val sz = in.readInt()
+      val m = b.catMaps(j)
+      var e = 0
+      while (e < sz) {
+        val k = in.readLong()
+        val v = new Array[Double](catSlots)
+        var s = 0
+        while (s < catSlots) { v(s) = in.readDouble(); s += 1 }
+        m.update(k, v)
+        e += 1
+      }
+      j += 1
+    }
+    j = 0
+    while (j < b.quadCat.length) {
+      val sz = in.readInt()
+      val m = b.quadCat(j)
+      var e = 0
+      while (e < sz) { m.update(in.readLong(), Array(in.readDouble())); e += 1 }
+      j += 1
+    }
+    b
+  }
+
   def read(in: java.io.DataInputStream): Triple = {
     val n = in.readLong()
     val nc = in.readInt(); val cc = in.readInt(); val ql = in.readInt()

@@ -72,9 +72,33 @@ object FactorizeCofactorRule extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
+  /**
+   * Cardinality gate: factorization wins when |keys| ≪ |rows| — each
+   * side's shuffle drops from wide rows to one triple per key. Over a
+   * near-unique key the rewrite is a pessimization (one map-heavy
+   * serialized buffer per ~1 row, more bytes and far more allocation
+   * than the join it avoids), and at 100× scale a grouped
+   * ObjectHashAggregate over a near-unique key is the bottleneck. When
+   * column-level stats know the key's distinct count, decline the
+   * rewrite above `spark.graft.factorize.maxKeyFraction` (default 0.25 ≈
+   * require ≥4 rows/key); without stats stay optimistic (the rewrite is
+   * semantics-preserving either way).
+   */
+  private def keysTooFine(side: LogicalPlan, keys: Seq[Attribute]): Boolean = {
+    val maxFraction =
+      conf.getConfString("spark.graft.factorize.maxKeyFraction", "0.25").toDouble
+    val st = side.stats
+    (for {
+      rows <- st.rowCount if rows > 0
+      distinct <- keys.flatMap(k => st.attributeStats.get(k).flatMap(_.distinctCount))
+        .reduceOption(_ max _)
+    } yield distinct.toDouble > rows.toDouble * maxFraction).getOrElse(false)
+  }
+
   private def rewrite(agg: Aggregate, alias: Alias, ae: AggregateExpression,
                       cof: CofactorAggregate, join: Join,
                       leftKeys: Seq[Attribute], rightKeys: Seq[Attribute]): Option[LogicalPlan] = {
+    if (keysTooFine(join.left, leftKeys) || keysTooFine(join.right, rightKeys)) return None
     // every aggregated column must be a plain attribute of exactly one side
     val attrs = cof.children.map {
       case a: AttributeReference => Some(a)

@@ -4,6 +4,21 @@ import graft.plans.FactorizeCofactorRule
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Test-only leaf carrying explicit row/column statistics, so the
+  * cardinality gate can be exercised without catalog ANALYZE machinery. */
+case class StatsRelation(
+    output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+    rows: Long,
+    ndv: Seq[(org.apache.spark.sql.catalyst.expressions.Attribute, Long)])
+  extends org.apache.spark.sql.catalyst.plans.logical.LeafNode {
+  import org.apache.spark.sql.catalyst.plans.logical.{ColumnStat, Statistics}
+  override def computeStats(): Statistics = Statistics(
+    sizeInBytes = BigInt(rows) * 16,
+    rowCount = Some(BigInt(rows)),
+    attributeStats = org.apache.spark.sql.catalyst.expressions.AttributeMap(
+      ndv.map { case (a, d) => a -> ColumnStat(distinctCount = Some(BigInt(d))) }))
+}
+
 /** The auto-factorization optimizer rule: cofactor-over-join rewritten
   * to per-key pre-aggregates + ring product, with identical results. */
 class PlansSpec extends AnyFunSuite {
@@ -72,5 +87,34 @@ class PlansSpec extends AnyFunSuite {
       assert(!g.queryExecution.optimizedPlan.toString.contains("multiply_triple"))
       assert(g.count() > 0)
     }
+  }
+
+  test("cardinality gate: rule declines a near-unique join key, fires on a coarse one") {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete}
+    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, JoinHint}
+    import org.apache.spark.sql.types.{DoubleType, IntegerType}
+
+    val lk = AttributeReference("k", IntegerType)()
+    val lx = AttributeReference("lx", DoubleType)()
+    val rk = AttributeReference("k2", IntegerType)()
+    val rx = AttributeReference("rx", DoubleType)()
+    def plan(leftNdv: Long) = {
+      val left = StatsRelation(Seq(lk, lx), rows = 100000, ndv = Seq(lk -> leftNdv))
+      val right = StatsRelation(Seq(rk, rx), rows = 1000, ndv = Seq(rk -> 100L))
+      val join = Join(left, right, Inner, Some(EqualTo(lk, rk)), JoinHint.NONE)
+      val cof = graft.agg.CofactorAggregate(Seq(lx, rx), nbMode = false)
+      Aggregate(Nil, Seq(Alias(
+        AggregateExpression(cof, Complete, isDistinct = false), "t")()), join)
+    }
+    // ~1.05 rows/key on the left: factorization would shuffle one map-heavy
+    // buffer per row — the rule must leave the plain fused aggregate alone
+    val fine = plan(leftNdv = 95000)
+    assert(FactorizeCofactorRule(fine) eq fine, "rule should decline a near-unique key")
+    // 100 rows/key: the rewrite is the win it was designed for
+    val coarse = FactorizeCofactorRule(plan(leftNdv = 1000))
+    assert(coarse.toString.contains("multiply_triple"),
+      s"rule should fire on a coarse key:\n$coarse")
   }
 }
