@@ -2,7 +2,7 @@ package graft
 
 import graft.ml.LinReg
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -193,21 +193,30 @@ object SparkEntry {
         .orderBy(col("idA"), col("idB"))
     },
 
-    // MICE imputation summary (rows-only: iterative, not SQL-expressible)
+    // MICE imputation, hash-checked: deterministic arithmetic mask (same
+    // expression evaluates identically in DuckDB), stochastic=false, one
+    // imputed column with no categorical features — the observed stratum
+    // never changes, so the trained model is exactly the closed-form
+    // regression the oracle can compute with regr_slope/regr_intercept.
+    // Exercises the full partitioned delta-triple path (static + delta −
+    // subtract) with a hard oracle on the resulting imputation RMSE.
     "q18_mice_impute" -> { (s, dir) =>
       val base = li(s, dir)
-        .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_linenumber"))
-        .withColumn("miss", rand(7) < 0.15)
-        .withColumn("l_discount", when(col("miss"), lit(null)).otherwise(col("l_discount")))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_discount").as("d_true"))
+        .withColumn("miss",
+          (col("l_orderkey") * lit(2654435761L) + col("l_linenumber") * lit(40503L)) % 1000 < 150)
+        .withColumn("l_discount", when(col("miss"), lit(null)).otherwise(col("d_true")))
       val cfg = graft.mice.Mice.Config(
-        contCols = Seq("l_quantity", "l_extendedprice", "l_discount"),
-        catCols = Seq("l_linenumber"),
-        imputeCont = Seq("l_discount"), imputeCat = Seq(), iterations = 2)
+        contCols = Seq("l_quantity", "l_discount"), catCols = Seq(),
+        imputeCont = Seq("l_discount"), imputeCat = Seq(),
+        iterations = 2, stochastic = false)
       val done = graft.mice.Mice.partitioned(base, cfg)
       done.agg(
         count(lit(1)).as("n_rows"),
-        sum(when(col("miss"), 1L).otherwise(0L)).as("n_imputed"),
-        sum(when(col("l_discount").isNull, 1L).otherwise(0L)).as("n_null_after"))
+        count(when(col("miss"), lit(1))).as("n_imputed"),
+        round(sqrt(avg(when(col("miss"),
+          pow(col("l_discount") - col("d_true"), 2)))), 4).as("rmse"))
     },
 
     // window functions: ranking + running aggregate per partition
@@ -280,8 +289,162 @@ object SparkEntry {
           round(col("t.lin")(0), 2).as("sum_qty"),
           round(col("t.lin")(1) / col("t.n"), 2).as("avg_total"),
           round(col("t.quad")(1) / col("t.n"), 2).as("avg_qty_total"))
+    },
+
+    // §2.1 #5/#7 fused NB aggregate — global moments + class count slices
+    "q24_nb_agg_moments" -> { (s, dir) =>
+      Graft.register(s)
+      li(s, dir)
+        .agg(Graft.sumNbAgg(col("l_quantity"), col("l_extendedprice"), col("l_linenumber")).as("t"))
+        .select(
+          col("t.n").as("n_rows"),
+          round(col("t.lin")(0), 2).as("sum_qty"),
+          round(col("t.lin")(1) / col("t.n"), 2).as("avg_price"),
+          round(col("t.quad")(0), 2).as("sum_qty_sq"),
+          round(col("t.quad")(1) / col("t.n"), 2).as("avg_price_sq"),
+          size(col("t.lin_cat")(0)).cast("long").as("n_classes"))
+    },
+
+    // fused NB aggregate with GROUP BY: lin_cat slice == per-group class counts
+    "q25_nb_agg_grouped" -> { (s, dir) =>
+      Graft.register(s)
+      li(s, dir).groupBy(col("l_returnflag"))
+        .agg(Graft.sumNbAgg(col("l_quantity"), col("l_linenumber")).as("t"))
+        .select(col("l_returnflag"),
+          explode(col("t.lin_cat")(0)).as(Seq("l_linenumber", "cnt")))
+        .select(col("l_returnflag"), col("l_linenumber"), col("cnt").cast("long").as("cnt"))
+        .orderBy(col("l_returnflag"), col("l_linenumber"))
+    },
+
+    // §2.1 #8 multiply_nb_agg: factorized NB join == NB aggregate over the join
+    "q26_nb_factorized" -> { (s, dir) =>
+      Graft.register(s)
+      val a = li(s, dir).groupBy(col("l_partkey").as("k"))
+        .agg(Graft.sumNbAgg(col("l_quantity")).as("A"))
+      val b = Tables.load(s, dir, "part").groupBy(col("p_partkey").as("k"))
+        .agg(Graft.sumNbAgg(col("p_retailprice")).as("B"))
+      a.join(b, "k")
+        .select(call_function("sum_nb_agg", call_function("multiply_nb_agg", col("A"), col("B"))).as("t"))
+        .select(
+          col("t.n").as("n_rows"),
+          round(col("t.lin")(0), 2).as("sum_qty"),
+          round(col("t.lin")(1) / col("t.n"), 2).as("avg_retail"),
+          round(col("t.quad")(0), 2).as("sum_qty_sq"),
+          round(col("t.quad")(1) / col("t.n"), 2).as("avg_retail_sq"))
+    },
+
+    // §2.2 #15 lda_train: per-class discriminant coefficients vs the
+    // closed-form pooled-covariance solve in SQL (2 continuous features ⇒
+    // the 2×2 inverse is SQL-expressible; discount scaled ×100 keeps the
+    // covariance well-conditioned so pinv == inverse to ~1e-12)
+    "q27_lda_train" -> { (s, dir) =>
+      val data = li(s, dir).withColumn("disc100", col("l_discount") * 100)
+      val t = Graft.cofactor(data, Seq("l_quantity", "disc100"), Seq("l_linenumber"))
+      val m = graft.ml.Lda.train(t, label = 0)
+      import s.implicits._
+      m.classes.indices.map(i =>
+          (m.classes(i), m.coef(i)(0), m.coef(i)(1), m.intercepts(i)))
+        .toDF("class", "coef_qty", "coef_disc", "icpt")
+        .select(col("class"),
+          round(col("coef_qty"), 5).as("coef_qty"),
+          round(col("coef_disc"), 5).as("coef_disc"),
+          round(col("icpt"), 5).as("icpt"))
+        .orderBy(col("class"))
+    },
+
+    // §2.2 #16 lda_predict: argmax over class scores on every distinct
+    // feature combination (lineitem has no unique row key in this data),
+    // against the same closed-form model scored in SQL. Features are
+    // class-shifted so the argmax margin is O(σ) — robust to last-ulp
+    // float divergence — and integer-coded for deterministic output.
+    "q28_lda_predict" -> { (s, dir) =>
+      val data = mlPredictData(s, dir)
+      val t = Graft.cofactor(data, Seq("x1", "x2"), Seq("l_linenumber"))
+      val m = graft.ml.Lda.train(t, label = 0)
+      mlPredictOut(data, graft.ml.Lda.predict(m, Seq(col("x1"), col("x2")), Seq()))
+    },
+
+    // §2.2 #17 qda_train: per-class quadratic form (−½Σ⁺), linear term,
+    // and constant (incl. log-pseudo-det + prior) vs closed-form SQL
+    "q29_qda_train" -> { (s, dir) =>
+      val data = li(s, dir).withColumn("disc100", col("l_discount") * 100)
+      val perClass = Graft.cofactorPerClass(
+        data, Seq("l_quantity", "disc100"), Seq(), label = "l_linenumber")
+      val m = graft.ml.Qda.train(perClass)
+      import s.implicits._
+      m.classes.indices.map(i =>
+          (m.classes(i), m.quad(i)(0), m.quad(i)(1), m.quad(i)(3),
+           m.linear(i)(0), m.linear(i)(1), m.consts(i)))
+        .toDF("class", "q11", "q12", "q22", "l1", "l2", "cst")
+        .select(col("class"),
+          round(col("q11"), 5).as("q11"), round(col("q12"), 5).as("q12"),
+          round(col("q22"), 5).as("q22"), round(col("l1"), 5).as("l1"),
+          round(col("l2"), 5).as("l2"), round(col("cst"), 5).as("cst"))
+        .orderBy(col("class"))
+    },
+
+    // §2.2 #18 qda_predict: argmax of the quadratic scores vs SQL
+    "q30_qda_predict" -> { (s, dir) =>
+      val data = mlPredictData(s, dir)
+      val perClass = Graft.cofactorPerClass(
+        data, Seq("x1", "x2"), Seq(), label = "l_linenumber")
+      val m = graft.ml.Qda.train(perClass)
+      mlPredictOut(data, graft.ml.Qda.predict(m, Seq(col("x1"), col("x2")), Seq()))
+    },
+
+    // §2.2 #19 nb_train (+ #5/#6 per-class NB aggregates): priors,
+    // per-class Gaussian moments (with the reference's 1e-9 jitter,
+    // naive_bayes.cpp:111-117) and a categorical conditional frequency
+    "q31_nb_train" -> { (s, dir) =>
+      val data = li(s, dir)
+        .withColumn("disc100", col("l_discount") * 100)
+        .withColumn("shipyear", year(col("l_shipdate")))
+      val perClass = Graft.cofactorPerClass(
+        data, Seq("l_quantity", "disc100"), Seq("shipyear"),
+        label = "l_linenumber", nb = true)
+      val m = graft.ml.NaiveBayes.train(perClass)
+      import s.implicits._
+      m.classes.indices.map(i =>
+          (m.classes(i), m.priors(i), m.means(i)(0), m.vars(i)(0),
+           m.means(i)(1), m.vars(i)(1), m.catFreq(i)(0).getOrElse(1995, 0.0)))
+        .toDF("class", "prior", "mean_qty", "var_qty", "mean_disc", "var_disc", "freq_1995")
+        .select(col("class"),
+          round(col("prior"), 6).as("prior"),
+          round(col("mean_qty"), 5).as("mean_qty"), round(col("var_qty"), 5).as("var_qty"),
+          round(col("mean_disc"), 5).as("mean_disc"), round(col("var_disc"), 5).as("var_disc"),
+          round(col("freq_1995"), 6).as("freq_1995"))
+        .orderBy(col("class"))
+    },
+
+    // §2.2 #20 nb_predict: Gaussian NB argmax vs SQL log-likelihood scoring
+    "q32_nb_predict" -> { (s, dir) =>
+      val data = mlPredictData(s, dir)
+      val perClass = Graft.cofactorPerClass(
+        data, Seq("x1", "x2"), Seq(), label = "l_linenumber", nb = true)
+      val m = graft.ml.NaiveBayes.train(perClass)
+      mlPredictOut(data, graft.ml.NaiveBayes.predict(m, Seq(col("x1"), col("x2")), Seq()))
     }
   )
+
+  /** Shared fixture for the predict-oracle queries: class-shifted features
+    * (margin O(σ) ⇒ argmax robust to float divergence) over lineitem. */
+  private def mlPredictData(s: SparkSession, dir: String): DataFrame =
+    li(s, dir).select(col("l_linenumber"),
+      (col("l_quantity") / 10 + col("l_linenumber") * 6).as("x1"),
+      (col("l_discount") * 20 + col("l_linenumber")).as("x2"))
+
+  /** Predictions per distinct feature combination, integer-coded: both
+    * engines group on bit-identical doubles (same arithmetic on the same
+    * inputs) and emit exact-integer codes, so output order and values are
+    * fully deterministic. */
+  private def mlPredictOut(data: DataFrame, pred: Column): DataFrame =
+    data.groupBy(col("l_linenumber"), col("x1"), col("x2"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("l_linenumber"),
+        round(col("x1") * 10).cast("long").as("ix1"),
+        round(col("x2") * 50).cast("long").as("ix2"),
+        col("cnt"), pred.as("pred"))
+      .orderBy(col("l_linenumber"), col("ix1"), col("ix2"))
 
   /** DuckDB-equivalent SQL per query (same aliases, same rounding). */
   def oracleSql: Map[String, String] = Map(
@@ -398,6 +561,165 @@ object SparkEntry {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY n_name ORDER BY n_name""".stripMargin
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q18_mice_impute" ->
+      """WITH d AS (
+        |  SELECT l_quantity AS q, l_discount AS d0,
+        |         ((l_orderkey*2654435761 + l_linenumber*40503) % 1000) < 150 AS miss
+        |  FROM lineitem),
+        |r AS (SELECT regr_slope(d0, q) AS s, regr_intercept(d0, q) AS i
+        |      FROM d WHERE NOT miss)
+        |SELECT count(*) AS n_rows,
+        |       count(CASE WHEN miss THEN 1 END) AS n_imputed,
+        |       round(sqrt(avg(CASE WHEN miss
+        |         THEN (r.s*q + r.i - d0)*(r.s*q + r.i - d0) END)), 4) AS rmse
+        |FROM d, r""".stripMargin,
+    "q24_nb_agg_moments" ->
+      """SELECT count(*) AS n_rows,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(avg(l_extendedprice), 2) AS avg_price,
+        |       round(sum(l_quantity*l_quantity), 2) AS sum_qty_sq,
+        |       round(avg(l_extendedprice*l_extendedprice), 2) AS avg_price_sq,
+        |       count(DISTINCT l_linenumber) AS n_classes
+        |FROM lineitem""".stripMargin,
+    "q25_nb_agg_grouped" ->
+      """SELECT l_returnflag, l_linenumber, count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linenumber
+        |ORDER BY l_returnflag, l_linenumber""".stripMargin,
+    "q26_nb_factorized" ->
+      """SELECT count(*) AS n_rows,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(avg(p_retailprice), 2) AS avg_retail,
+        |       round(sum(l_quantity*l_quantity), 2) AS sum_qty_sq,
+        |       round(avg(p_retailprice*p_retailprice), 2) AS avg_retail_sq
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+    "q27_lda_train" ->
+      """WITH cls AS (
+        |  SELECT l_linenumber AS class, count(*)::DOUBLE AS nc,
+        |         sum(l_quantity) AS s1, sum(l_discount*100) AS s2
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (
+        |  SELECT (SELECT count(*)::DOUBLE FROM lineitem) AS n,
+        |         (SELECT sum(l_quantity*l_quantity) FROM lineitem) AS q11,
+        |         (SELECT sum(l_quantity*(l_discount*100)) FROM lineitem) AS q12,
+        |         (SELECT sum((l_discount*100)*(l_discount*100)) FROM lineitem) AS q22,
+        |         sum(s1*s1/nc) AS w11, sum(s1*s2/nc) AS w12, sum(s2*s2/nc) AS w22
+        |  FROM cls),
+        |sm AS (SELECT n, (q11-w11)/n AS v11, (q12-w12)/n AS v12, (q22-w22)/n AS v22 FROM tot),
+        |inv AS (SELECT n, v22/(v11*v22-v12*v12) AS i11, -v12/(v11*v22-v12*v12) AS i12,
+        |               v11/(v11*v22-v12*v12) AS i22 FROM sm)
+        |SELECT cls.class,
+        |       round(i11*(s1/nc) + i12*(s2/nc), 5) AS coef_qty,
+        |       round(i12*(s1/nc) + i22*(s2/nc), 5) AS coef_disc,
+        |       round(-0.5*((s1/nc)*(i11*(s1/nc)+i12*(s2/nc))
+        |                   + (s2/nc)*(i12*(s1/nc)+i22*(s2/nc))) + ln(nc/n), 5) AS icpt
+        |FROM cls, inv ORDER BY class""".stripMargin,
+    "q28_lda_predict" ->
+      """WITH d AS (
+        |  SELECT l_linenumber,
+        |         l_quantity/10 + l_linenumber*6 AS x1,
+        |         l_discount*20 + l_linenumber AS x2
+        |  FROM lineitem),
+        |cls AS (SELECT l_linenumber AS cls, count(*)::DOUBLE AS nc,
+        |               sum(x1) AS s1, sum(x2) AS s2
+        |        FROM d GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*)::DOUBLE FROM d) AS n,
+        |               (SELECT sum(x1*x1) FROM d) AS q11,
+        |               (SELECT sum(x1*x2) FROM d) AS q12,
+        |               (SELECT sum(x2*x2) FROM d) AS q22,
+        |               sum(s1*s1/nc) AS w11, sum(s1*s2/nc) AS w12, sum(s2*s2/nc) AS w22
+        |        FROM cls),
+        |sm AS (SELECT n, (q11-w11)/n AS v11, (q12-w12)/n AS v12, (q22-w22)/n AS v22 FROM tot),
+        |inv AS (SELECT n, v22/(v11*v22-v12*v12) AS i11, -v12/(v11*v22-v12*v12) AS i12,
+        |               v11/(v11*v22-v12*v12) AS i22 FROM sm),
+        |coefs AS (SELECT cls, i11*(s1/nc)+i12*(s2/nc) AS w1, i12*(s1/nc)+i22*(s2/nc) AS w2,
+        |                 -0.5*((s1/nc)*(i11*(s1/nc)+i12*(s2/nc))
+        |                       + (s2/nc)*(i12*(s1/nc)+i22*(s2/nc))) + ln(nc/n) AS b
+        |          FROM cls, inv),
+        |g AS (SELECT l_linenumber, x1, x2, count(*) AS cnt FROM d GROUP BY 1, 2, 3),
+        |scored AS (SELECT g.l_linenumber, g.x1, g.x2, g.cnt, c.cls,
+        |                  row_number() OVER (PARTITION BY g.l_linenumber, g.x1, g.x2
+        |                    ORDER BY c.w1*g.x1 + c.w2*g.x2 + c.b DESC, c.cls) AS rn
+        |           FROM g, coefs c)
+        |SELECT l_linenumber, CAST(round(x1*10) AS BIGINT) AS ix1,
+        |       CAST(round(x2*50) AS BIGINT) AS ix2, cnt, cls AS pred
+        |FROM scored WHERE rn = 1
+        |ORDER BY l_linenumber, ix1, ix2""".stripMargin,
+    "q29_qda_train" ->
+      """WITH d AS (SELECT l_linenumber AS class, l_quantity AS x1, l_discount*100 AS x2
+        |           FROM lineitem),
+        |nt AS (SELECT count(*)::DOUBLE AS n FROM d),
+        |c AS (SELECT class, count(*)::DOUBLE AS nc, avg(x1) AS m1, avg(x2) AS m2,
+        |             sum(x1*x1)/count(*) - avg(x1)*avg(x1) AS v11,
+        |             sum(x1*x2)/count(*) - avg(x1)*avg(x2) AS v12,
+        |             sum(x2*x2)/count(*) - avg(x2)*avg(x2) AS v22
+        |      FROM d GROUP BY 1),
+        |i AS (SELECT class, nc, m1, m2, v11*v22 - v12*v12 AS det,
+        |             v22/(v11*v22-v12*v12) AS i11, -v12/(v11*v22-v12*v12) AS i12,
+        |             v11/(v11*v22-v12*v12) AS i22
+        |      FROM c)
+        |SELECT class,
+        |       round(-0.5*i11, 5) AS q11, round(-0.5*i12, 5) AS q12, round(-0.5*i22, 5) AS q22,
+        |       round(i11*m1 + i12*m2, 5) AS l1, round(i12*m1 + i22*m2, 5) AS l2,
+        |       round(-0.5*(m1*(i11*m1+i12*m2) + m2*(i12*m1+i22*m2)) - 0.5*ln(det)
+        |             + ln(nc/(SELECT n FROM nt)), 5) AS cst
+        |FROM i ORDER BY class""".stripMargin,
+    "q30_qda_predict" ->
+      """WITH d AS (SELECT l_linenumber,
+        |                  l_quantity/10 + l_linenumber*6 AS x1,
+        |                  l_discount*20 + l_linenumber AS x2 FROM lineitem),
+        |nt AS (SELECT count(*)::DOUBLE AS n FROM d),
+        |c AS (SELECT l_linenumber AS cls, count(*)::DOUBLE AS nc, avg(x1) AS m1, avg(x2) AS m2,
+        |             sum(x1*x1)/count(*) - avg(x1)*avg(x1) AS v11,
+        |             sum(x1*x2)/count(*) - avg(x1)*avg(x2) AS v12,
+        |             sum(x2*x2)/count(*) - avg(x2)*avg(x2) AS v22
+        |      FROM d GROUP BY 1),
+        |i AS (SELECT cls, nc, m1, m2, v11*v22-v12*v12 AS det,
+        |             v22/(v11*v22-v12*v12) AS i11, -v12/(v11*v22-v12*v12) AS i12,
+        |             v11/(v11*v22-v12*v12) AS i22 FROM c),
+        |g AS (SELECT l_linenumber, x1, x2, count(*) AS cnt FROM d GROUP BY 1, 2, 3),
+        |scored AS (SELECT g.l_linenumber, g.x1, g.x2, g.cnt, i.cls,
+        |  row_number() OVER (PARTITION BY g.l_linenumber, g.x1, g.x2 ORDER BY
+        |    -0.5*(i.i11*g.x1*g.x1 + 2*i.i12*g.x1*g.x2 + i.i22*g.x2*g.x2)
+        |    + (i.i11*i.m1 + i.i12*i.m2)*g.x1 + (i.i12*i.m1 + i.i22*i.m2)*g.x2
+        |    - 0.5*(i.m1*(i.i11*i.m1+i.i12*i.m2) + i.m2*(i.i12*i.m1+i.i22*i.m2))
+        |    - 0.5*ln(i.det) + ln(i.nc/(SELECT n FROM nt)) DESC, i.cls) AS rn
+        |  FROM g, i)
+        |SELECT l_linenumber, CAST(round(x1*10) AS BIGINT) AS ix1,
+        |       CAST(round(x2*50) AS BIGINT) AS ix2, cnt, cls AS pred
+        |FROM scored WHERE rn = 1
+        |ORDER BY l_linenumber, ix1, ix2""".stripMargin,
+    "q31_nb_train" ->
+      """WITH d AS (SELECT l_linenumber AS class, l_quantity AS x1, l_discount*100 AS x2,
+        |                  year(l_shipdate) AS sy FROM lineitem),
+        |nt AS (SELECT count(*)::DOUBLE AS n FROM d)
+        |SELECT class,
+        |       round(count(*)/(SELECT n FROM nt), 6) AS prior,
+        |       round(avg(x1), 5) AS mean_qty,
+        |       round(sum(x1*x1)/count(*) - avg(x1)*avg(x1) + 1e-9, 5) AS var_qty,
+        |       round(avg(x2), 5) AS mean_disc,
+        |       round(sum(x2*x2)/count(*) - avg(x2)*avg(x2) + 1e-9, 5) AS var_disc,
+        |       round((count(*) FILTER (WHERE sy = 1995))::DOUBLE / count(*), 6) AS freq_1995
+        |FROM d GROUP BY class ORDER BY class""".stripMargin,
+    "q32_nb_predict" ->
+      """WITH d AS (SELECT l_linenumber,
+        |                  l_quantity/10 + l_linenumber*6 AS x1,
+        |                  l_discount*20 + l_linenumber AS x2 FROM lineitem),
+        |nt AS (SELECT count(*)::DOUBLE AS n FROM d),
+        |c AS (SELECT l_linenumber AS cls, count(*)::DOUBLE AS nc,
+        |             avg(x1) AS m1, sum(x1*x1)/count(*) - avg(x1)*avg(x1) + 1e-9 AS v1,
+        |             avg(x2) AS m2, sum(x2*x2)/count(*) - avg(x2)*avg(x2) + 1e-9 AS v2
+        |      FROM d GROUP BY 1),
+        |g AS (SELECT l_linenumber, x1, x2, count(*) AS cnt FROM d GROUP BY 1, 2, 3),
+        |scored AS (SELECT g.l_linenumber, g.x1, g.x2, g.cnt, c.cls,
+        |  row_number() OVER (PARTITION BY g.l_linenumber, g.x1, g.x2 ORDER BY
+        |    ln(c.nc/(SELECT n FROM nt)) - 0.5*ln(2*pi()*c.v1)
+        |      - (g.x1-c.m1)*(g.x1-c.m1)/(2*c.v1)
+        |    - 0.5*ln(2*pi()*c.v2) - (g.x2-c.m2)*(g.x2-c.m2)/(2*c.v2) DESC, c.cls) AS rn
+        |  FROM g, c)
+        |SELECT l_linenumber, CAST(round(x1*10) AS BIGINT) AS ix1,
+        |       CAST(round(x2*50) AS BIGINT) AS ix2, cnt, cls AS pred
+        |FROM scored WHERE rn = 1
+        |ORDER BY l_linenumber, ix1, ix2""".stripMargin
   )
 }
