@@ -84,7 +84,10 @@ case class SumTriple(
 
   override def children: Seq[Expression] = Seq(child)
   override def dataType: DataType = TripleCodec.dataType(nbMode)
-  override def nullable: Boolean = false
+  // NULL on an empty/all-null group (DuckDB aggregate semantics) — a
+  // zero-arity placeholder triple would be shape-inconsistent with the
+  // child's column count.
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case s: StructType if s.length == 4 || s.length == 6 => TypeCheckResult.TypeCheckSuccess
     case dt => TypeCheckResult.TypeCheckFailure(s"sum_triple expects a triple struct, got $dt")
@@ -106,10 +109,8 @@ case class SumTriple(
     buffer
   }
 
-  override def eval(buffer: TripleHolder): Any = {
-    val t = if (buffer.t == null) Triple.zero(0, 0) else buffer.t
-    TripleCodec.toCatalyst(t, nbMode)
-  }
+  override def eval(buffer: TripleHolder): Any =
+    if (buffer.t == null) null else TripleCodec.toCatalyst(buffer.t, nbMode)
 
   override def serialize(buffer: TripleHolder): Array[Byte] = {
     val bos = new ByteArrayOutputStream()

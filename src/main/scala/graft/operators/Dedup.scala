@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -19,10 +18,14 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup on `keys`: one row per key (the one with the smallest
-    * `tiebreaker`). Single hash shuffle; no sort of the full data. */
+    * `tiebreaker`). A `min_by` hash aggregate with map-side partial
+    * combine — one shuffle of one row per key, no per-key sort (the
+    * window row_number formulation sorts every partition). */
   def exact(df: DataFrame, keys: Seq[Column], tiebreaker: Column): DataFrame = {
-    val w = Window.partitionBy(keys: _*).orderBy(tiebreaker)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val row = struct(df.columns.map(col): _*)
+    df.groupBy(keys: _*)
+      .agg(min_by(row, tiebreaker).as("__row"))
+      .select(col("__row.*"))
   }
 
   def exact(df: DataFrame, key: Column, tiebreaker: Column): DataFrame =
