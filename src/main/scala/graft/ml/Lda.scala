@@ -3,7 +3,6 @@ package graft.ml
 import breeze.linalg.{DenseMatrix, DenseVector}
 import graft.ring.Triple
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.udf
 
 /** Shared helpers for the discriminative models. */
 private[ml] object Featurize {
@@ -105,13 +104,42 @@ object Lda {
     m.classes(best)
   }
 
-  /** Row-wise prediction UDF: arguments are the numeric feature columns
-    * then the categorical feature columns (label excluded), as in
-    * `lda_predict` (lda.cpp:421-590). Returns the predicted label value. */
+  /** Row-wise prediction as a pure Column expression (whole-stage
+    * codegen; no UDF serialization): arguments are the numeric feature
+    * columns then the categorical feature columns (label excluded), as in
+    * `lda_predict` (lda.cpp:421-590). Model constants fold into literals;
+    * each one-hot block contributes via a map lookup on the category
+    * value (unknown category ⇒ 0, the all-zero block). Term order matches
+    * [[predictValue]] bit-for-bit, so ties break identically. */
   def predict(m: Model, num: Seq[Column], cat: Seq[Column]): Column = {
     require(cat.length == m.dict.cols.length)
-    val f = udf((ns: Seq[Double], cs: Seq[Int]) => predictValue(m, ns.toArray, cs.toArray))
-    f(org.apache.spark.sql.functions.array(num.map(_.cast("double")): _*),
-      org.apache.spark.sql.functions.array(cat.map(_.cast("int")): _*))
+    import org.apache.spark.sql.functions._
+    val scores = m.classes.indices.map { c =>
+      val base = num.zipWithIndex.foldLeft(lit(m.intercepts(c))) { case (acc, (x, i)) =>
+        acc + x.cast("double") * lit(m.coef(c)(i))
+      }
+      cat.zipWithIndex.foldLeft(base) { case (acc, (x, k)) =>
+        val entries = m.dict.cats(k).map(v => v -> m.coef(c)(m.numCols + m.dict.pos(k, v))).toMap
+        if (entries.isEmpty) acc
+        else acc + coalesce(element_at(typedLit(entries), x.cast("int")), lit(0.0))
+      }
+    }
+    MlPredict.argmaxClass(scores, m.classes)
+  }
+}
+
+/** Shared pure-Column argmax over per-class score expressions. */
+private[ml] object MlPredict {
+  import org.apache.spark.sql.functions._
+  /** `classes(argmax(scores))`, ties broken toward the FIRST class (the
+    * driver-side predictValue convention): array_max compares structs
+    * lexicographically, so (score, −index) picks the smallest index among
+    * equal scores. */
+  def argmaxClass(scores: Seq[Column], classes: Array[Int]): Column = {
+    val packed = array(scores.zipWithIndex.map { case (s, c) =>
+      struct(s.as("s"), lit(-c).as("ni"))
+    }: _*)
+    val bestIdx = -array_max(packed).getField("ni")
+    element_at(typedLit(classes.toSeq), bestIdx + 1)
   }
 }

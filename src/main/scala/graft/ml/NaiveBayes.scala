@@ -2,7 +2,6 @@ package graft.ml
 
 import graft.ring.Triple
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.udf
 
 /**
  * Gaussian + categorical Naive Bayes trained from per-class NB
@@ -71,9 +70,27 @@ object NaiveBayes {
     m.classes(best)
   }
 
+  /** Pure-Column prediction (whole-stage codegen, no UDF): per class the
+    * Gaussian log-densities fold their constants (−½ln 2πσ², 2σ²) into
+    * literals, categorical log-frequencies become map lookups (unseen
+    * category ⇒ −∞ via coalesce, matching [[predictValue]]), and the
+    * argmax ties break toward the first class exactly as the driver-side
+    * loop does. */
   def predict(m: Model, num: Seq[Column], cat: Seq[Column]): Column = {
-    val f = udf((ns: Seq[Double], cs: Seq[Int]) => predictValue(m, ns.toArray, cs.toArray))
-    f(org.apache.spark.sql.functions.array(num.map(_.cast("double")): _*),
-      org.apache.spark.sql.functions.array(cat.map(_.cast("int")): _*))
+    import org.apache.spark.sql.functions._
+    val scores = m.classes.indices.map { c =>
+      val base = num.zipWithIndex.foldLeft(lit(math.log(m.priors(c)))) { case (acc, (xc, i)) =>
+        val v = m.vars(c)(i)
+        val x = xc.cast("double")
+        val d = x - lit(m.means(c)(i))
+        acc + (lit(-0.5 * math.log(2.0 * math.Pi * v)) - d * d / lit(2.0 * v))
+      }
+      cat.zipWithIndex.foldLeft(base) { case (acc, (xc, j)) =>
+        val logFreq = m.catFreq(c)(j).map { case (k, p) => k -> math.log(p) }
+        acc + coalesce(element_at(typedLit(logFreq), xc.cast("int")),
+          lit(Double.NegativeInfinity))
+      }
+    }
+    MlPredict.argmaxClass(scores, m.classes)
   }
 }

@@ -118,6 +118,23 @@ class MlSpec extends AnyFunSuite {
     assert(m.classes.contains(p))
   }
 
+  test("pure-Column predict matches the driver loop on unseen categories too") {
+    val mL = Lda.train(Graft.cofactor(clsDf, Seq("f1", "f2"), Seq("cf", "cls")), label = 1)
+    val mN = NaiveBayes.train(
+      Graft.cofactorPerClass(clsDf, Seq("f1", "f2"), Seq("cf"), label = "cls", nb = true))
+    // category 99/42 never seen in training: LDA scores an all-zero block,
+    // NB zeroes every class (falls back to the first class) — the Column
+    // expressions must reproduce both behaviors exactly
+    val odd = Seq((1.2, -0.5, 99), (7.0, -3.0, 42), (0.3, 0.1, 0)).toDF("f1", "f2", "cf")
+    odd.withColumn("pl", Lda.predict(mL, Seq($"f1", $"f2"), Seq($"cf")))
+      .withColumn("pn", NaiveBayes.predict(mN, Seq($"f1", $"f2"), Seq($"cf")))
+      .collect().foreach { r =>
+        val (f1, f2, cf) = (r.getDouble(0), r.getDouble(1), r.getInt(2))
+        assert(r.getInt(3) == Lda.predictValue(mL, Array(f1, f2), Array(cf)))
+        assert(r.getInt(4) == NaiveBayes.predictValue(mN, Array(f1, f2), Array(cf)))
+      }
+  }
+
   test("gradient-descent trainer converges to the exact-solve optimum (reference solver parity)") {
     val t = Graft.cofactor(df, Seq("y", "a", "b"), Seq("c"))
     val exact = LinReg.train(t, label = 0, lambda = 1e-4)
