@@ -67,6 +67,30 @@ object Graft {
     tripleFromRow(df.agg(agg.as("t")).head.getStruct(0))
   }
 
+  /**
+   * Skew-resilient grouped cofactor: two-stage aggregation through a
+   * row salt. Stage 1 aggregates on (keys, salt) — a hot key's rows
+   * spread over `saltBuckets` reducers — stage 2 ring-adds the partial
+   * triples per key (`Triple.add` is associative/commutative, so the
+   * result is the plain grouped cofactor). Use when one group holds a
+   * large share of the data and AQE's skew handling can't help (it
+   * splits join partitions, not aggregation groups).
+   * Returns `keys ++ [t]` with `t` the triple struct.
+   */
+  def cofactorGroupedSalted(df: DataFrame, keys: Seq[String],
+                            num: Seq[String], cat: Seq[String],
+                            saltBuckets: Int = 32, nb: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions._
+    register(df.sparkSession)
+    val cols = num.map(c => col(c).cast("double")) ++ cat.map(c => col(c).cast("int"))
+    val stage1 = df
+      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg((if (nb) sumNbAgg(cols: _*) else sumTriple(cols: _*)).as("__t"))
+    stage1.groupBy(keys.map(col): _*)
+      .agg(call_function(if (nb) "sum_nb_agg" else "sum_triple", col("__t")).as("t"))
+  }
+
   /** Per-class cofactors: `GROUP BY label` aggregation collected as
     * (label value, triple) pairs (the QDA/NB training input). */
   def cofactorPerClass(df: DataFrame, num: Seq[String], cat: Seq[String],

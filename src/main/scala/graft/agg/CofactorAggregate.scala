@@ -34,6 +34,11 @@ final class CofactorBuffer(val numCols: Int, val catCols: Int, val nbMode: Boole
 
   private val catSlots = if (nbMode) 1 else numCols + 1
 
+  /** Guard against ID-like "categorical" columns: per-column distinct
+    * categories are buffer state on every executor, so an unbounded
+    * column is a silent OOM at scale. Checked on map growth. */
+  var maxCategories: Int = Int.MaxValue
+
   /** Accumulate one row from the scratch arrays (sum_no_lift.cpp:53-216). */
   def updateRow(): Unit = {
     n += 1
@@ -54,7 +59,13 @@ final class CofactorBuffer(val numCols: Int, val catCols: Int, val nbMode: Boole
     }
     var j = 0
     while (j < catCols) {
-      val slot = catMaps(j).getOrElseUpdate(rowCat(j).toLong, new Array[Double](catSlots))
+      val m = catMaps(j)
+      val before = m.size
+      val slot = m.getOrElseUpdate(rowCat(j).toLong, new Array[Double](catSlots))
+      if (m.size > before && m.size > maxCategories)
+        throw new IllegalStateException(
+          s"cofactor: categorical column #$j exceeded $maxCategories distinct values — " +
+          "this looks like an ID, not a category (raise spark.graft.cofactor.maxCategories to override)")
       slot(0) += 1.0
       if (!nbMode) {
         i = 0
@@ -91,6 +102,10 @@ final class CofactorBuffer(val numCols: Int, val catCols: Int, val nbMode: Boole
         var s = 0
         while (s < catSlots) { slot(s) += v(s); s += 1 }
       }
+      if (catMaps(j).size > maxCategories)
+        throw new IllegalStateException(
+          s"cofactor: categorical column #$j exceeded $maxCategories distinct values after merge " +
+          "(raise spark.graft.cofactor.maxCategories to override)")
       j += 1
     }
     j = 0
@@ -156,6 +171,15 @@ object CofactorBuffer {
   }
 }
 
+object CofactorAggregate {
+  /** Read the categorical-cardinality cap at plan time on the driver
+    * (session-settable; executors get the captured value). */
+  def confMaxCategories(): Int =
+    try org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.cofactor.maxCategories", "1048576").toInt
+    catch { case _: Throwable => 1048576 }
+}
+
 /**
  * Fused lift+sum cofactor aggregate — the Spark-native form of the
  * reference's generated `sum_to_triple_<x>_<y>` family
@@ -176,7 +200,8 @@ case class CofactorAggregate(
     children: Seq[Expression],
     nbMode: Boolean,
     mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
+    inputAggBufferOffset: Int = 0,
+    maxCategories: Int = CofactorAggregate.confMaxCategories())
   extends TypedImperativeAggregate[CofactorBuffer] {
 
   private lazy val isNum: Array[Boolean] = children.map(_.dataType match {
@@ -202,8 +227,11 @@ case class CofactorAggregate(
   override def dataType: DataType = TripleCodec.dataType(nbMode)
   override def nullable: Boolean = false
 
-  override def createAggregationBuffer(): CofactorBuffer =
-    new CofactorBuffer(numChildren.length, catChildren.length, nbMode)
+  override def createAggregationBuffer(): CofactorBuffer = {
+    val b = new CofactorBuffer(numChildren.length, catChildren.length, nbMode)
+    b.maxCategories = maxCategories
+    b
+  }
 
   private def toDouble(v: Any): Double = v match {
     case d: java.lang.Double => d

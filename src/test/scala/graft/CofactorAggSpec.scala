@@ -187,4 +187,37 @@ class CofactorAggSpec extends AnyFunSuite {
       spark.sql("SELECT sum_to_triple(x, c) FROM withnulls WHERE x > 100").head.getStruct(0))
     assert(empty.n == 0)
   }
+
+  test("salted two-stage grouped cofactor == plain grouped cofactor") {
+    val rng = new scala.util.Random(17)
+    // heavy skew: 80% of rows land on key 0
+    val rows = Seq.tabulate(2000) { i =>
+      (if (rng.nextDouble() < 0.8) 0 else rng.nextInt(5),
+        rng.nextInt(10).toDouble, rng.nextInt(4))
+    }
+    val df = rows.toDF("k", "x", "c").repartition(7)
+    val plain = df.groupBy($"k")
+      .agg(Graft.sumTriple($"x", $"c").as("t"))
+      .collect().map(r => r.getInt(0) -> Graft.tripleFromRow(r.getStruct(1))).toMap
+    val salted = Graft.cofactorGroupedSalted(df, Seq("k"), Seq("x"), Seq("c"), saltBuckets = 8)
+      .collect().map(r => r.getInt(0) -> Graft.tripleFromRow(r.getStruct(1))).toMap
+    assert(salted.keySet == plain.keySet)
+    salted.foreach { case (k, t) =>
+      assert(t.approxEquals(plain(k), 1e-9), s"key $k salted/plain mismatch")
+    }
+  }
+
+  test("categorical-cardinality guard rejects ID-like columns") {
+    spark.conf.set("spark.graft.cofactor.maxCategories", "16")
+    try {
+      val df = (0 until 1000).map(i => (i.toDouble, i)).toDF("x", "id")
+      val e = intercept[Exception] {
+        df.agg(Graft.sumTriple($"x", $"id")).head
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+      assert(msgs(e).exists(m => m != null && m.contains("distinct values")),
+        s"unexpected error: $e")
+    } finally spark.conf.unset("spark.graft.cofactor.maxCategories")
+  }
 }
