@@ -37,6 +37,35 @@ object Factorized {
     Graft.tripleFromRow(row)
   }
 
+  /**
+   * Cardinality-adaptive variant: factorization wins when each side has
+   * many rows per join key (the shuffle carries one triple per key
+   * instead of the wide join); over a near-unique key it loses — one
+   * buffer per ~1 row is more bytes and allocation than the join it
+   * avoids. When the optimizer can't know (no column stats), decide at
+   * runtime from one cheap `approx_count_distinct` probe per side and
+   * fall back to the plain fused aggregate over the join below
+   * `minRowsPerKey`. The probe is O(scan) with a constant-size sketch —
+   * at 100 TB it is noise next to either plan, and choosing wrong is not.
+   */
+  def cofactorOverJoinAdaptive(left: DataFrame, right: DataFrame, key: String,
+                               leftNum: Seq[String], leftCat: Seq[String],
+                               rightNum: Seq[String], rightCat: Seq[String],
+                               minRowsPerKey: Double = 4.0): Triple = {
+    def rowsPerKey(df: DataFrame): Double = {
+      val r = df.agg(count(lit(1)).as("n"), approx_count_distinct(col(key)).as("k")).head
+      r.getLong(0).toDouble / math.max(1L, r.getLong(1)).toDouble
+    }
+    if (rowsPerKey(left) >= minRowsPerKey && rowsPerKey(right) >= minRowsPerKey)
+      cofactorOverJoin(left, right, key, leftNum, leftCat, rightNum, rightCat)
+    else {
+      // plain fused aggregate over the join, shaped to the factorized
+      // block layout [leftNum ++ rightNum, leftCat ++ rightCat]
+      val joined = left.join(right, key)
+      Graft.cofactor(joined, leftNum ++ rightNum, leftCat ++ rightCat)
+    }
+  }
+
   /** Train linear regression over the (never materialized) join. */
   def linRegOverJoin(left: DataFrame, right: DataFrame, key: String,
                      leftNum: Seq[String], leftCat: Seq[String],

@@ -92,30 +92,51 @@ object Similarity {
   final case class IvfIndex(centroids: Array[(Int, Array[Double])], assigned: DataFrame)
 
   def ivfBuild(corpus: DataFrame, id: String, vec: String, nCentroids: Int,
-               seed: Long = 42L): IvfIndex = {
-    val spark = corpus.sparkSession
-    // deterministic centroid sample (no kmeans iterations — IVF-flat with
-    // sampled centroids is the standard first cut; swap in kmeans later
-    // without changing the plan shape)
-    val cents = corpus.select(col(id), col(vec))
+               seed: Long = 42L, kmeansIters: Int = 0): IvfIndex = {
+    // deterministic seeded sample initializes the centroids; optional
+    // Lloyd iterations refine them distributed-style: assign is a
+    // broadcast map pass, the new means are a (centroid, dimension)
+    // grouped average — map-side partial aggregation, only
+    // nCentroids × dim rows ever reach the driver
+    var cents = corpus.select(col(id), col(vec))
       .withColumn("__r", xxhash64(col(id)))
       .orderBy(col("__r")).limit(nCentroids)
       .collect().zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Float](1).map(_.toDouble).toArray }
+    for (_ <- 1 to kmeansIters) {
+      val centLit = typedLit(cents.map { case (i, v) => (i, v.toSeq) }.toSeq)
+      val means = corpus
+        .select(centroidOf(col(vec), centLit).as("__cent"),
+          posexplode(transform(col(vec), x => x.cast("double"))).as(Seq("__pos", "__x")))
+        .groupBy("__cent", "__pos").agg(avg(col("__x")).as("__m"))
+        .collect().groupBy(_.getInt(0))
+      cents = cents.map { case (i, old) =>
+        means.get(i) match {
+          case Some(rows) =>
+            val arr = old.clone()
+            rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+            i -> arr
+          case None => i -> old // empty cluster: keep the previous centroid
+        }
+      }
+    }
     val centLit = typedLit(cents.map { case (i, v) => (i, v.toSeq) }.toSeq)
     val assigned = corpus
       .withColumn("__cent", centroidOf(col(vec), centLit))
     IvfIndex(cents, assigned)
   }
 
-  /** Nearest-centroid id via one array_sort over (distance², centroid). */
+  /** Nearest-centroid id: argmin over the per-centroid squared distances
+    * (array_min + array_position — first match wins on exact ties; no
+    * struct-field extraction, whose lambda-internal aliases the analyzer
+    * drops in generator contexts). Centroid ids equal their position in
+    * the literal, which ivfBuild maintains. */
   private def centroidOf(vec: Column, centLit: Column): Column = {
     val vd = transform(vec, x => x.cast("double"))
-    element_at(array_sort(transform(centLit, c =>
-      struct(
-        aggregate(zip_with(vd, c.getField("_2"), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, v) => acc + v).as("d2"),
-        c.getField("_1").as("cid")))), 1).getField("cid")
+    val d2s = transform(centLit, c =>
+      aggregate(zip_with(vd, c.getField("_2"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, v) => acc + v))
+    (array_position(d2s, array_min(d2s)) - 1).cast("int")
   }
 
   /**

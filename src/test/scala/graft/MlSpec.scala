@@ -189,6 +189,16 @@ class MlSpec extends AnyFunSuite {
     val mMat = LinReg.train(tMat, label = 0)
     for (i <- mFact.numCoef.indices)
       assert(math.abs(mFact.numCoef(i) - mMat.numCoef(i)) < 1e-8)
+
+    // adaptive variant: both branches produce the same triple — here the
+    // fact side has ~8 rows/key (factorizes), but with a high threshold
+    // it must fall back to the fused-over-join plan and still agree
+    val tAdaptFact = graft.ml.Factorized.cofactorOverJoinAdaptive(
+      fact, dim, "k", Seq("y", "a"), Seq(), Seq("dprice"), Seq("dcat"), minRowsPerKey = 2.0)
+    val tAdaptPlain = graft.ml.Factorized.cofactorOverJoinAdaptive(
+      fact, dim, "k", Seq("y", "a"), Seq(), Seq("dprice"), Seq("dcat"), minRowsPerKey = 1e9)
+    assert(tAdaptFact.approxEquals(tMat, 1e-9))
+    assert(tAdaptPlain.approxEquals(tMat, 1e-9))
   }
 
   test("LDA on triple == LDA trained from raw scatter matrices (parity)") {

@@ -135,6 +135,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(partial.nonEmpty)
   }
 
+  test("IVF kmeans refinement: Lloyd iterations do not increase within-cluster SSE") {
+    // 3 tight clusters; sampled init may land two centroids in one cluster,
+    // Lloyd must pull them apart (or at least never make the fit worse)
+    val cRng = new scala.util.Random(5)
+    val clustered = Seq.tabulate(90) { i =>
+      val c = i % 3
+      i.toLong -> Seq.tabulate(8)(j => (c * 10.0 + cRng.nextGaussian()).toFloat)
+    }.toDF("vec_id", "embedding")
+    def sse(idx: Similarity.IvfIndex): Double = {
+      val centLit = typedLit(idx.centroids.map { case (i, v) => (i, v.toSeq) }.toSeq)
+      idx.assigned.select($"__cent",
+          posexplode(transform($"embedding", x => x.cast("double"))).as(Seq("p", "x")))
+        .join(Seq.tabulate(idx.centroids.length)(i =>
+            idx.centroids(i)._2.zipWithIndex.map { case (v, p) => (i, p, v) }).flatten
+          .toDF("__cent", "p", "c"), Seq("__cent", "p"))
+        .select(sum(pow($"x" - $"c", 2))).head.getDouble(0)
+    }
+    val init = Similarity.ivfBuild(clustered, "vec_id", "embedding", nCentroids = 3)
+    val refined = Similarity.ivfBuild(clustered, "vec_id", "embedding", nCentroids = 3,
+      kmeansIters = 4)
+    val (s0, s1) = (sse(init), sse(refined))
+    assert(s1 <= s0 * 1.0001, s"kmeans worsened SSE: $s0 -> $s1")
+    // with well-separated clusters Lloyd converges to the true means
+    val trueMeans = Seq(0.0, 10.0, 20.0)
+    val matched = refined.centroids.map(_._2.sum / 8).sorted
+    matched.zip(trueMeans).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1.5, s"centroid mean $got vs $want (${matched.toSeq})")
+    }
+  }
+
   test("embedding near-dup pairs find planted duplicates") {
     val planted = vecDf.unionByName(
       vecs.take(3).map { case (id, v) => (id + 1000L, v.map(x => x * 1.001f)) }.toDF("vec_id", "embedding"))
