@@ -127,6 +127,52 @@ object Dedup {
     df.join(drops, Seq(idCol), "left_anti")
   }
 
+  /**
+   * Connected components over a pair list by iterative min-label
+   * propagation: each round every node adopts the smallest label among
+   * itself and its neighbors (one join + one min-aggregate per round,
+   * lineage cut by localCheckpoint), until a fixpoint — O(component
+   * diameter) rounds, and near-dup clusters are shallow. Returns
+   * (id, component) with component = smallest member id.
+   */
+  def connectedComponents(pairs: DataFrame, idA: String = "idA", idB: String = "idB",
+                          maxIters: Int = 20): DataFrame = {
+    val a = col(idA); val b = col(idB)
+    val edges = pairs.select(a.as("src"), b.as("dst"))
+      .unionByName(pairs.select(b.as("src"), a.as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).localCheckpoint()
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIters) {
+      val viaNeighbor = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("component"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy("id").agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("component", "__old"), "id")
+        .filter(col("component") =!= col("__old")).limit(1).count() > 0
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /**
+   * Transitive near-dedup: verified pairs are clustered into connected
+   * components and only each component's smallest id survives — unlike
+   * [[dedupNear]], documents linked only THROUGH a shared near-duplicate
+   * (a~x, b~x but a≁b) collapse to one representative.
+   */
+  def dedupNearTransitive(df: DataFrame, idCol: String, textCol: String,
+                          threshold: Double = 0.8): DataFrame = {
+    val comps = connectedComponents(nearDuplicatePairs(df, idCol, textCol, threshold))
+    val drops = comps.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol)).distinct()
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-duplicate pairs: fingerprints banded into four 16-bit
     * chunks (two fingerprints within Hamming distance ≤ `maxDist` ≤ 3
     * must agree on at least one chunk), verified by bit_count(xor). */

@@ -66,6 +66,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept.contains(3L) && kept.contains(2L) && kept.contains(5L))
   }
 
+  test("connected components: hub-linked near-dups collapse transitively") {
+    // 1~5, 2~5 (hub 5), isolated pair 7~9, singleton edges only
+    val pairs = Seq((1L, 5L), (2L, 5L), (7L, 9L)).toDF("idA", "idB")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(1L) == 1L && comps(5L) == 1L && comps(2L) == 1L,
+      s"hub cluster not merged: $comps")
+    assert(comps(7L) == 7L && comps(9L) == 7L)
+    // a longer chain: 10-11, 11-12, 12-13 → all label 10
+    val chain = Seq((10L, 11L), (11L, 12L), (12L, 13L)).toDF("idA", "idB")
+    val c2 = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c2.values.toSet == Set(10L), s"chain not collapsed: $c2")
+  }
+
   test("simhash: identical fingerprints for dups, banded pairs verified by hamming") {
     Graft.register(spark)
     val fps = docs.select($"doc_id",
