@@ -52,6 +52,17 @@ object Bench {
             col("l_linenumber")).as("t")))
       },
       "factorized_join" -> (() => noop(SparkEntry.queries("q09_factorized_join")(spark, sfDir))),
+      // what the engine actually picks for this key profile: the
+      // cardinality probe sees ~4 rows/key and falls back to the plain
+      // fused aggregate over the join (q09 above is the explicit
+      // factorized identity — the adaptive path is the production call)
+      "factorized_adaptive" -> { () =>
+        graft.ml.Factorized.cofactorOverJoinAdaptive(
+          li.select(col("l_orderkey").as("k"), col("l_quantity")),
+          Tables.load(spark, sfDir, "orders").select(col("o_orderkey").as("k"), col("o_totalprice")),
+          "k", Seq("l_quantity"), Seq(), Seq("o_totalprice"), Seq())
+        ()
+      },
       "linreg_train_impute" -> { () =>
         val t = Graft.cofactor(li, Seq("l_extendedprice", "l_quantity", "l_discount"), Seq("l_linenumber"))
         val m = LinReg.train(t, label = 0)
