@@ -142,7 +142,8 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
-    // language-id heuristic (rows-only: stopword tables are library-defined)
+    // language-id heuristic — hash-checked: the oracle replicates the
+    // library's stopword tables and tie-break (max score, then max lang)
     "q13_langid_counts" -> { (s, dir) =>
       Tables.load(s, dir, "documents")
         .select(graft.functions.TextFunctions.langId(col("text")).as("lang_pred"))
@@ -562,6 +563,26 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q13_langid_counts" ->
+      """WITH langs(lang, words) AS (VALUES
+        |  ('de', ['der','die','das','und','ist','nicht','ein','eine','mit','für','auf','von']),
+        |  ('en', ['the','a','of','and','to','in','is','it','that','for','on','with','as']),
+        |  ('es', ['el','la','los','las','y','es','un','una','para','en','que','de']),
+        |  ('fr', ['le','la','les','et','est','un','une','pour','dans','que','des','du']),
+        |  ('it', ['il','lo','la','e','è','un','una','per','che','di','non','con'])),
+        |tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        |        FROM documents),
+        |scored AS (SELECT doc_id, lang,
+        |                  len(list_filter(ts, t -> list_contains(words, t))) AS score
+        |           FROM tok, langs),
+        |best AS (SELECT doc_id, lang, score,
+        |                row_number() OVER (PARTITION BY doc_id
+        |                  ORDER BY score DESC, lang DESC) AS rn
+        |         FROM scored)
+        |SELECT CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
+        |       count(*) AS cnt
+        |FROM best WHERE rn = 1
+        |GROUP BY 1 ORDER BY lang_pred""".stripMargin,
     "q18_mice_impute" ->
       """WITH d AS (
         |  SELECT l_quantity AS q, l_discount AS d0,
