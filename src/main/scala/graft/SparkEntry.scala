@@ -126,10 +126,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
-    // exact deduplication: keep smallest doc_id per (lang, source) key
+    // exact deduplication: keep smallest doc_id per (lang, source) key.
+    // Project BEFORE deduping: exact() keeps whole rows via
+    // min_by(struct(*)), which blocks column pruning — at scale the
+    // discarded text column would otherwise be read and shuffled.
     "q11_dedup_exact" -> { (s, dir) =>
       graft.operators.Dedup.exact(
-          Tables.load(s, dir, "documents"), Seq(col("lang"), col("source")), col("doc_id"))
+          Tables.load(s, dir, "documents").select(col("doc_id"), col("lang"), col("source")),
+          Seq(col("lang"), col("source")), col("doc_id"))
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
     },
