@@ -62,4 +62,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(inc.current.approxEquals(batch, 1e-9))
     assert(inc.current.n == spark.read.schema(schema).parquet(eventsPath).count())
   }
+
+  test("streaming curation: quality gate + language tag + watermark-bounded dedup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val goodText = "the quick brown fox jumps over the lazy dog and it is that good " * 8
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val curated = graft.streaming.StreamingCuration.curate(
+      input.toDF().toDF("ts", "doc_id", "text"), "ts", "10 minutes", "text",
+      minQuality = 0.1)
+    val q = curated.writeStream.outputMode("append")
+      .format("memory").queryName("curated").start()
+    try {
+      input.addData(
+        (ts(0), 1L, goodText),
+        (ts(1), 2L, goodText),             // exact duplicate content → dropped
+        (ts(2), 3L, "zzz"),                // too short → quality gate drops it
+        (ts(3), 4L, goodText + " unique tail extension of words"))
+      q.processAllAvailable()
+      // advance event time past the watermark so appends flush
+      input.addData((ts(40), 5L, "der die das und ist nicht ein eine mit text " * 10))
+      q.processAllAvailable()
+      val rows = spark.table("curated")
+        .select($"doc_id", $"lang", $"quality").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      val ids = rows.map(_._1).toSet
+      assert(ids.contains(1L) && !ids.contains(2L), s"dup not dropped: $ids")
+      assert(!ids.contains(3L), s"low-quality not dropped: $ids")
+      assert(ids.contains(4L))
+      assert(rows.find(_._1 == 1L).get._2 == "en")
+      rows.find(_._1 == 5L).foreach(r => assert(r._2 == "de"))
+      assert(rows.forall(_._3 >= 0.1))
+    } finally q.stop()
+  }
 }
