@@ -421,6 +421,25 @@ object SparkEntry {
         .orderBy(col("class"))
     },
 
+    // gap-based sessionization over the events stream (30-minute gap) —
+    // event time compared in integer epoch-micros on both sides (the
+    // parquet ts is nanos; DuckDB truncates to micros, Spark matches
+    // with integer division)
+    "q33_sessionize" -> { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val ev = s.read.schema(schema).parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("t_us"))
+      graft.operators.Sessionize.summary(
+          ev, col("user_id"), col("t_us"), col("event_id"), maxGap = 1800000000L)
+        .select(col("key").as("user_id"), col("n_sessions"),
+          col("n_events"), col("max_sess_events"))
+        .orderBy(col("user_id"))
+    },
+
     // §2.2 #20 nb_predict: Gaussian NB argmax vs SQL log-likelihood scoring
     "q32_nb_predict" -> { (s, dir) =>
       val data = mlPredictData(s, dir)
@@ -726,6 +745,20 @@ object SparkEntry {
         |       round(sum(x2*x2)/count(*) - avg(x2)*avg(x2) + 1e-9, 5) AS var_disc,
         |       round((count(*) FILTER (WHERE sy = 1995))::DOUBLE / count(*), 6) AS freq_1995
         |FROM d GROUP BY class ORDER BY class""".stripMargin,
+    "q33_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+        |m AS (SELECT user_id, event_id, t,
+        |        CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800000000
+        |             THEN 1 ELSE 0 END AS ns_flag
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |s AS (SELECT user_id,
+        |        sum(ns_flag) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS sess
+        |      FROM m),
+        |sessions AS (SELECT user_id, sess, count(*) AS cnt FROM s GROUP BY user_id, sess)
+        |SELECT user_id, count(*) AS n_sessions, sum(cnt)::BIGINT AS n_events,
+        |       max(cnt) AS max_sess_events
+        |FROM sessions GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q32_nb_predict" ->
       """WITH d AS (SELECT l_linenumber,
         |                  l_quantity/10 + l_linenumber*6 AS x1,

@@ -66,6 +66,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept.contains(3L) && kept.contains(2L) && kept.contains(5L))
   }
 
+  test("sessionize: gap splits sessions, summary counts events per session") {
+    // user 1: events at t=0,10,20 then 100 (gap 80 > 30) → 2 sessions
+    // user 2: single event → 1 session
+    val ev = Seq((1L, 1L, 0L), (1L, 2L, 10L), (1L, 3L, 20L), (1L, 4L, 100L), (2L, 5L, 7L))
+      .toDF("user", "eid", "t")
+    val assigned = graft.operators.Sessionize.assign(ev, $"user", $"t", $"eid", maxGap = 30L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(assigned((1L, 1L)) == 1L && assigned((1L, 3L)) == 1L && assigned((1L, 4L)) == 2L)
+    assert(assigned((2L, 5L)) == 1L)
+    val sums = graft.operators.Sessionize.summary(ev, $"user", $"t", $"eid", maxGap = 30L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(sums(1L) == ((2L, 4L, 3L)), s"user1 summary ${sums(1L)}")
+    assert(sums(2L) == ((1L, 1L, 1L)))
+  }
+
   test("connected components: hub-linked near-dups collapse transitively") {
     // 1~5, 2~5 (hub 5), isolated pair 7~9, singleton edges only
     val pairs = Seq((1L, 5L), (2L, 5L), (7L, 9L)).toDF("idA", "idB")
