@@ -10,12 +10,13 @@ import org.apache.spark.sql.types._
  * operators.
  *
  * The Spark-side machinery (schema, batched partition iteration,
- * deterministic output shape, partitioning) is real and tested; the
- * byte-level media decode is STUBBED with a deterministic
- * hash-derived transform, because media codecs are not available in
- * this environment. Swapping [[StubDecoder]] for a real codec (JNI
- * ffmpeg/libjpeg, or an Arrow-batched Python worker à la
- * `mapInPandas`) changes no plan shape.
+ * deterministic output shape, partitioning) is real and tested. IMAGE
+ * decode/resize/metadata are REAL (JDK ImageIO: PNG/JPEG/BMP/GIF — no
+ * external codecs required). Audio/video byte-level decode is STUBBED
+ * with a deterministic hash-derived transform because no such codec
+ * ships with the JDK; swapping [[StubDecoder]] for a real codec (JNI
+ * ffmpeg, or an Arrow-batched Python worker à la `mapInPandas`)
+ * changes no plan shape.
  */
 object Multimodal {
 
@@ -32,7 +33,8 @@ object Multimodal {
   }
 
   /** STUB decode: deterministic pseudo-features from a rolling hash of
-    * the payload — stands in for a real image/audio decoder. */
+    * the payload — stands in for a real AUDIO/VIDEO decoder (no such
+    * codecs ship with the JDK). Images have a real decoder below. */
   object StubDecoder extends Decoder {
     def features(bytes: Array[Byte], dim: Int): Array[Float] = {
       val out = new Array[Float](dim)
@@ -45,6 +47,91 @@ object Multimodal {
       }
       out
     }
+  }
+
+  /**
+   * REAL image decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF — no
+   * external codecs needed): the image is decoded, averaged into a
+   * ⌈√dim⌉² luminance grid, and the first `dim` cells become the feature
+   * vector (values centered to [−0.5, 0.5]). Undecodable payloads yield
+   * the zero vector, mirroring the null-payload convention.
+   */
+  object ImageDecoder extends Decoder {
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Throwable => null }
+      if (img == null) return new Array[Float](dim)
+      val g = math.ceil(math.sqrt(dim.toDouble)).toInt
+      val sums = new Array[Double](g * g)
+      val counts = new Array[Long](g * g)
+      val (w, h) = (img.getWidth, img.getHeight)
+      var y = 0
+      while (y < h) {
+        val gy = y * g / h
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299L + ((rgb >> 8) & 0xff) * 587L + (rgb & 0xff) * 114L) / 1000.0
+          val cell = gy * g + (x * g / w)
+          sums(cell) += lum
+          counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(dim)(i =>
+        if (i < g * g && counts(i) > 0) (sums(i) / counts(i) / 255.0 - 0.5).toFloat else 0.0f)
+    }
+
+    /** (format, width, height) of an image payload, or null fields when
+      * undecodable. */
+    def meta(bytes: Array[Byte]): (String, Int, Int) = {
+      val in = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) (null, -1, -1)
+        else {
+          val r = readers.next()
+          r.setInput(in)
+          val out = (r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0))
+          r.dispose()
+          out
+        }
+      } catch { case _: Throwable => (null, -1, -1) } finally in.close()
+    }
+
+    /** Decode → bilinear-scale to (w, h) → re-encode PNG. Returns null
+      * for undecodable payloads. */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Throwable => null }
+      if (img == null) return null
+      val scaled = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gfx = scaled.createGraphics()
+      gfx.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      gfx.drawImage(img, 0, 0, w, h, null)
+      gfx.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(scaled, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Batched real image resize over a BINARY column (mapPartitions, same
+    * no-shuffle shape as [[extractFeatures]]); undecodable rows get a
+    * null payload. */
+  def resizeImages(df: DataFrame, binCol: String, w: Int, h: Int,
+                   outputCol: String = "resized"): DataFrame = {
+    val schema = df.schema.add(outputCol, BinaryType)
+    val idx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        Row.fromSeq(r.toSeq :+ (if (bytes == null) null else ImageDecoder.resize(bytes, w, h)))
+      }
+    }(enc)
   }
 
   /**

@@ -66,6 +66,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept.contains(3L) && kept.contains(2L) && kept.contains(5L))
   }
 
+  test("multimodal images: real ImageIO decode, features distinguish content, resize round-trips") {
+    import graft.operators.Multimodal
+    def png(rgb: Int, w: Int = 32, h: Int = 24): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val white = png(0xffffff); val black = png(0x000000)
+    val df = Seq((1L, white), (2L, black), (3L, Array[Byte](1, 2, 3))).toDF("id", "img")
+    val feats = Multimodal.extractFeatures(df, "img", dim = 16, decoder = Multimodal.ImageDecoder)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(feats(1L).forall(f => math.abs(f - 0.5f) < 1e-3), s"white ${feats(1L)}")
+    assert(feats(2L).forall(f => math.abs(f + 0.5f) < 1e-3), s"black ${feats(2L)}")
+    assert(feats(3L).forall(_ == 0.0f), "undecodable must yield zero vector")
+    // metadata + resize
+    val (fmt, w0, h0) = Multimodal.ImageDecoder.meta(white)
+    assert(fmt == "png" && w0 == 32 && h0 == 24)
+    val resized = Multimodal.resizeImages(df, "img", 8, 8)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](2)).toMap
+    val (_, rw, rh) = Multimodal.ImageDecoder.meta(resized(1L))
+    assert(rw == 8 && rh == 8)
+    assert(resized(3L) == null)
+  }
+
   test("sessionize: gap splits sessions, summary counts events per session") {
     // user 1: events at t=0,10,20 then 100 (gap 80 > 30) → 2 sessions
     // user 2: single event → 1 session
