@@ -114,9 +114,31 @@ object Qda {
     m.classes(best)
   }
 
+  /** Row-wise prediction. With numeric-only features the quadratic
+    * scores fold into a pure Column expression (whole-stage codegen,
+    * d(d+1)/2 literal terms per class); one-hot categorical features
+    * keep the broadcast UDF — their cross terms would need pairwise
+    * map lookups with no codegen payoff. */
   def predict(m: Model, num: Seq[Column], cat: Seq[Column]): Column = {
-    val f = udf((ns: Seq[Double], cs: Seq[Int]) => predictValue(m, ns.toArray, cs.toArray))
-    f(org.apache.spark.sql.functions.array(num.map(_.cast("double")): _*),
-      org.apache.spark.sql.functions.array(cat.map(_.cast("int")): _*))
+    import org.apache.spark.sql.functions._
+    if (cat.isEmpty && m.dict.dim == 0) {
+      val d = m.numCols
+      val xs = num.map(_.cast("double"))
+      val scores = m.classes.indices.map { c =>
+        val q = m.quad(c); val l = m.linear(c)
+        var acc = lit(m.consts(c))
+        for (i <- 0 until d) acc = acc + lit(l(i)) * xs(i)
+        for (i <- 0 until d; j <- i until d) {
+          val coef = if (i == j) q(i * d + i) else q(i * d + j) + q(j * d + i)
+          acc = acc + lit(coef) * xs(i) * xs(j)
+        }
+        acc
+      }
+      MlPredict.argmaxClass(scores, m.classes)
+    } else {
+      val f = udf((ns: Seq[Double], cs: Seq[Int]) => predictValue(m, ns.toArray, cs.toArray))
+      f(org.apache.spark.sql.functions.array(num.map(_.cast("double")): _*),
+        org.apache.spark.sql.functions.array(cat.map(_.cast("int")): _*))
+    }
   }
 }
