@@ -138,11 +138,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
-    // quality scoring (length saturation × lexical diversity × punct penalty)
+    // quality scoring (length saturation × lexical diversity × punct
+    // penalty); gridded with floor(x·10⁴+0.5)/10⁴ — identical float ops
+    // in both engines, unlike round() on a .00005-boundary product
     "q12_quality_score" -> { (s, dir) =>
       Tables.load(s, dir, "documents").select(
           col("doc_id"),
-          graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+          (floor(graft.functions.TextFunctions.qualityScoreRaw(col("text")) * 10000 + 0.5) / 10000)
+            .as("quality"))
         .orderBy(col("doc_id"))
     },
 
@@ -535,12 +538,12 @@ object SparkEntry {
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q12_quality_score" ->
       """SELECT doc_id,
-        |       round(least(1.0, length(text) / 500.0)
+        |       floor(least(1.0, length(text) / 500.0)
         |             * (len(list_distinct(string_split_regex(trim(text), '\s+')))::DOUBLE
         |                / len(string_split_regex(trim(text), '\s+')))
         |             * greatest(0.0, 1.0 - (len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE
-        |                                    / length(text)) * 4.0),
-        |             4) AS quality
+        |                                    / length(text)) * 4.0)
+        |             * 10000 + 0.5) / 10000 AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q16_knn_bruteforce" ->
       """SELECT qId, cId, rank, cos FROM (

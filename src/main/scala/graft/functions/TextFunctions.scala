@@ -61,11 +61,19 @@ object TextFunctions {
    * lexical diversity, penalized for extreme punctuation density and
    * degenerate token lengths. Deterministic and SQL-mirrorable.
    */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    round(qualityScoreRaw(text), 4)
+
+  /** Unrounded quality score. Cross-engine comparisons should grid this
+    * with identical float arithmetic (floor(x·10⁴ + 0.5)/10⁴) rather
+    * than each engine's round(): a product landing exactly on a .00005
+    * boundary rounds differently between decimal-exact and
+    * float-multiply round implementations. */
+  def qualityScoreRaw(text: Column): Column = {
     val lenScore = least(lit(1.0), length(text).cast("double") / 500.0)
     val diversity = distinctTokenRatio(text)
     val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4.0)
-    round(lenScore * diversity * punctPenalty, 4)
+    lenScore * diversity * punctPenalty
   }
 
   /** Stopword-hit language ID over the supported languages; returns the
