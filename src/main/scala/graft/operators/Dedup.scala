@@ -99,14 +99,16 @@ object Dedup {
   def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
                          threshold: Double = 0.8, numHashes: Int = 64,
                          bands: Int = 16, shingleSize: Int = 3): DataFrame = {
-    val withBands = df.select(col(idCol),
-      minhashBands(col(textCol), numHashes, shingleSize, bands).as("__bands"))
-    val cands = lshCandidatePairs(withBands, col(idCol), col("__bands"))
-    // verify on precomputed shingle-hash sets (one tokenize+hash pass per
-    // doc) instead of re-shingling raw text per candidate pair
-    val sh = array_distinct(TextFunctions.shingleHashes(col(textCol), shingleSize))
-    val a = df.select(col(idCol).as("idA"), sh.as("__sa"))
-    val b = df.select(col(idCol).as("idB"), sh.as("__sb"))
+    // one pass over the corpus computes BOTH the band hashes and the
+    // shingle-hash sets; persisted so bucketing and verification never
+    // re-tokenize (at scale, reading the corpus once is the budget)
+    val prepared = df.select(col(idCol),
+        minhashBands(col(textCol), numHashes, shingleSize, bands).as("__bands"),
+        array_distinct(TextFunctions.shingleHashes(col(textCol), shingleSize)).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = lshCandidatePairs(prepared, col(idCol), col("__bands"))
+    val a = prepared.select(col(idCol).as("idA"), col("__sh").as("__sa"))
+    val b = prepared.select(col(idCol).as("idB"), col("__sh").as("__sb"))
     cands.join(a, "idA").join(b, "idB")
       .withColumn("jaccard", {
         val inter = size(array_intersect(col("__sa"), col("__sb"))).cast("double")
