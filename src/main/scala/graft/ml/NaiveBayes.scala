@@ -78,6 +78,9 @@ object NaiveBayes {
     * loop does. */
   def predict(m: Model, num: Seq[Column], cat: Seq[Column]): Column = {
     import org.apache.spark.sql.functions._
+    require(num.length == m.numCols, s"expected ${m.numCols} numeric features, got ${num.length}")
+    require(m.catFreq.headOption.forall(_.length == cat.length),
+      s"expected ${m.catFreq.headOption.map(_.length).getOrElse(0)} categorical features, got ${cat.length}")
     val scores = m.classes.indices.map { c =>
       val base = num.zipWithIndex.foldLeft(lit(math.log(m.priors(c)))) { case (acc, (xc, i)) =>
         val v = m.vars(c)(i)

@@ -121,6 +121,9 @@ object Qda {
     * map lookups with no codegen payoff. */
   def predict(m: Model, num: Seq[Column], cat: Seq[Column]): Column = {
     import org.apache.spark.sql.functions._
+    require(num.length == m.numCols, s"expected ${m.numCols} numeric features, got ${num.length}")
+    require(cat.length == m.dict.cols.length,
+      s"expected ${m.dict.cols.length} categorical features, got ${cat.length}")
     if (cat.isEmpty && m.dict.dim == 0) {
       val d = m.numCols
       val xs = num.map(_.cast("double"))

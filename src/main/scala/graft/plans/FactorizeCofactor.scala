@@ -146,8 +146,16 @@ object FactorizeCofactorRule extends Rule[LogicalPlan] {
       None, NamedExpression.newExprId)
     val shaped = if (identity) outer
       else graft.agg.PermuteTriple(outer, numPerm, catPerm)
+    // empty-input parity: the original fused aggregate yields the zero
+    // triple of its declared arity on an empty group, while sum_triple
+    // yields NULL — coalesce restores the original semantics
+    val (nNum, nCat) = (cols.count(isNum), cols.count(a => !isNum(a)))
+    val zero = Literal.create(
+      graft.agg.TripleCodec.toCatalyst(graft.ring.Triple.zero(nNum, nCat), nb = false),
+      graft.agg.TripleCodec.fullType)
+    val withZero = Coalesce(Seq(shaped, zero))
     // preserve the original output attribute (name + exprId) so parents resolve
-    val outAlias = Alias(shaped, alias.name)(alias.exprId, alias.qualifier, alias.explicitMetadata)
+    val outAlias = Alias(withZero, alias.name)(alias.exprId, alias.qualifier, alias.explicitMetadata)
     Some(Aggregate(Nil, Seq(outAlias), newJoin))
   }
 }

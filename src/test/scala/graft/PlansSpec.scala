@@ -89,6 +89,24 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("rewritten plan preserves empty-join semantics (zero triple, not NULL)") {
+    Graft.register(spark)
+    val (l, r) = fixtures()
+    // r keeps only key 4, which l never has → statically non-empty
+    // relations (the rule still fires), runtime-empty join result
+    def query = l.join(r.filter($"k" === 4), "k")
+      .agg(Graft.sumTriple($"lx", $"rx").as("t"))
+    val plain = query.head
+    val fact = withRule {
+      val q = query
+      assert(q.queryExecution.optimizedPlan.toString.contains("multiply_triple"))
+      q.head
+    }
+    assert(!plain.isNullAt(0) && !fact.isNullAt(0), "empty join must yield a zero triple")
+    assert(Graft.tripleFromRow(fact.getStruct(0)) == Graft.tripleFromRow(plain.getStruct(0)))
+    assert(Graft.tripleFromRow(fact.getStruct(0)).n == 0)
+  }
+
   test("cardinality gate: rule declines a near-unique join key, fires on a coarse one") {
     import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo}
     import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete}
