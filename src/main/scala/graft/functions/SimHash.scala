@@ -124,6 +124,11 @@ case class MinHashSignature(child: Expression, numHashes: Int,
                             shingleSize: Int = 3, bands: Int = 0)
   extends UnaryExpression with CodegenFallback {
 
+  require(numHashes > 0, s"numHashes must be positive, got $numHashes")
+  require(bands <= numHashes,
+    s"bands ($bands) must not exceed numHashes ($numHashes) — rows-per-band would be 0 " +
+    "and every band hash an empty slice")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes() = Shingling.checkTokens(prettyName, child.dataType)
 

@@ -33,8 +33,12 @@ object Factorized {
     val b = side(right, key, rightNum, rightCat, "__B")
     val row = a.join(b, "__k")
       .select(Graft.sumTripleOf(Graft.multiplyTriple(col("__A"), col("__B"))).as("t"))
-      .head.getStruct(0)
-    Graft.tripleFromRow(row)
+      .head
+    // empty join → sum_triple yields NULL; the cofactor of zero rows is
+    // the zero triple of the combined arity
+    if (row.isNullAt(0))
+      Triple.zero(leftNum.length + rightNum.length, leftCat.length + rightCat.length)
+    else Graft.tripleFromRow(row.getStruct(0))
   }
 
   /**

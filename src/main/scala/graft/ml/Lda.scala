@@ -112,7 +112,9 @@ object Lda {
     * value (unknown category ⇒ 0, the all-zero block). Term order matches
     * [[predictValue]] bit-for-bit, so ties break identically. */
   def predict(m: Model, num: Seq[Column], cat: Seq[Column]): Column = {
-    require(cat.length == m.dict.cols.length)
+    require(num.length == m.numCols, s"expected ${m.numCols} numeric features, got ${num.length}")
+    require(cat.length == m.dict.cols.length,
+      s"expected ${m.dict.cols.length} categorical features, got ${cat.length}")
     import org.apache.spark.sql.functions._
     val scores = m.classes.indices.map { c =>
       val base = num.zipWithIndex.foldLeft(lit(m.intercepts(c))) { case (acc, (x, i)) =>

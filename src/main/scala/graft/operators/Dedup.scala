@@ -18,13 +18,17 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup on `keys`: one row per key (the one with the smallest
-    * `tiebreaker`). A `min_by` hash aggregate with map-side partial
-    * combine — one shuffle of one row per key, no per-key sort (the
-    * window row_number formulation sorts every partition). */
+    * non-NULL `tiebreaker`; a group whose tiebreakers are ALL NULL keeps
+    * an arbitrary row rather than vanishing). A `min_by` hash aggregate
+    * with map-side partial combine — one shuffle of one row per key, no
+    * per-key sort (the window row_number formulation sorts every
+    * partition). */
   def exact(df: DataFrame, keys: Seq[Column], tiebreaker: Column): DataFrame = {
     val row = struct(df.columns.map(col): _*)
     df.groupBy(keys: _*)
-      .agg(min_by(row, tiebreaker).as("__row"))
+      // min_by skips NULL-ordered rows entirely → all-NULL group would
+      // collapse to a row of NULLs without the first() fallback
+      .agg(coalesce(min_by(row, tiebreaker), first(row)).as("__row"))
       .select(col("__row.*"))
   }
 
@@ -61,6 +65,13 @@ object Dedup {
    * rather than n². Buckets larger than `maxBucketSize` (degenerate
    * content) are dropped, with the dropped-bucket count logged — silent
    * coverage truncation is never acceptable in a dedup operator.
+   *
+   * NOTE: calling this MATERIALIZES the bucket table (one Spark job) —
+   * the dropped-bucket count requires an action, and the persisted
+   * buckets are then shared with pair generation. The persisted table
+   * is released by Spark's ContextCleaner once the returned plan is
+   * garbage-collected; long-lived drivers looping over many corpora
+   * should checkpoint/unpersist between calls.
    *
    * Returns (idA, idB) with idA < idB, distinct.
    */
@@ -158,6 +169,10 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (changed)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"connectedComponents: labels had NOT converged after $maxIters iterations — " +
+          "components with radius > maxIters carry inconsistent labels; raise maxIters")
     labels
   }
 

@@ -106,8 +106,11 @@ object FactorizeCofactorRule extends Rule[LogicalPlan] {
     }
     if (attrs.exists(_.isEmpty)) return None
     val cols = attrs.flatten
+    // MUST match CofactorAggregate's continuous/categorical dispatch —
+    // a disagreement here would permute blocks wrongly
     def isNum(a: Attribute): Boolean = a.dataType match {
       case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType => true
+      case _: org.apache.spark.sql.types.DecimalType => true
       case _ => false
     }
     val fromLeft = cols.filter(join.left.outputSet.contains)

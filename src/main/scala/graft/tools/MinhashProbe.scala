@@ -19,8 +19,13 @@ object MinhashProbe {
     }
     val sig = docs.withColumn("__bands", Dedup.minhashBands(col("text"))).cache()
     t("signatures")(sig.count())
-    val cands = Dedup.lshCandidatePairs(sig, col("doc_id"), col("__bands")).cache()
-    println("candidates=" + t("lsh candidates")(cands.count()))
+    // lshCandidatePairs materializes the bucket table at CALL time (the
+    // dropped-bucket check) — keep construction inside the timer
+    val cands = t("lsh candidates") {
+      val c = Dedup.lshCandidatePairs(sig, col("doc_id"), col("__bands")).cache()
+      c.count(); c
+    }
+    println("candidates=" + cands.count())
     val verified = t("verify+filter") {
       val a = docs.select(col("doc_id").as("idA"), col("text").as("__ta"))
       val b = docs.select(col("doc_id").as("idB"), col("text").as("__tb"))

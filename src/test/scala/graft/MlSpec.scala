@@ -199,6 +199,11 @@ class MlSpec extends AnyFunSuite {
       fact, dim, "k", Seq("y", "a"), Seq(), Seq("dprice"), Seq("dcat"), minRowsPerKey = 1e9)
     assert(tAdaptFact.approxEquals(tMat, 1e-9))
     assert(tAdaptPlain.approxEquals(tMat, 1e-9))
+
+    // disjoint keys → empty join must yield the zero triple, not NPE
+    val tEmpty = graft.ml.Factorized.cofactorOverJoin(
+      fact.filter($"k" < 0), dim, "k", Seq("y", "a"), Seq(), Seq("dprice"), Seq("dcat"))
+    assert(tEmpty.n == 0 && tEmpty.numCols == 3 && tEmpty.catCols == 1)
   }
 
   test("LDA on triple == LDA trained from raw scatter matrices (parity)") {

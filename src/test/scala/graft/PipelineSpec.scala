@@ -54,6 +54,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept == Seq(0L, 1L, 2L, 3L, 5L)) // 4 dropped (dup of 0)
   }
 
+  test("exact dedup: all-NULL tiebreaker group keeps a real row; NULLs lose to non-NULLs") {
+    val df = Seq((1, Some(10L), "a"), (1, None, "b"), (2, None, "c"), (2, None, "d"))
+      .toDF("k", "tb", "v")
+    val out = Dedup.exact(df, Seq($"k"), $"tb")
+      .collect().map(r => r.getInt(0) -> (Option(r.get(1)), r.getString(2))).toMap
+    assert(out(1)._1.contains(10L) && out(1)._2 == "a") // non-NULL tiebreaker wins
+    assert(out(2)._1.isEmpty && (out(2)._2 == "c" || out(2)._2 == "d"),
+      s"all-NULL group must keep a real row, got ${out(2)}")
+  }
+
   test("minhash LSH finds near-duplicates; dedupNear removes them") {
     val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
