@@ -424,6 +424,28 @@ object SparkEntry {
         .orderBy(col("class"))
     },
 
+    // semi join: orders with at least one high-quantity lineitem
+    "q34_semijoin" -> { (s, dir) =>
+      val ords = Tables.load(s, dir, "orders")
+      val hi = li(s, dir).filter(col("l_quantity") > 45)
+      ords.join(hi, ords("o_orderkey") === hi("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+        .limit(100)
+    },
+
+    // ROLLUP aggregation with explicit grouping-level markers (NULL
+    // subtotal rows replaced by sentinels so ordering is deterministic)
+    "q35_rollup" -> { (s, dir) =>
+      li(s, dir).rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("<all>")).as("rf"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("ls"),
+          col("cnt"), col("sum_qty"))
+        .orderBy(col("rf"), col("ls"))
+    },
+
     // gap-based sessionization over the events stream (30-minute gap) —
     // event time compared in integer epoch-micros on both sides (the
     // parquet ts is nanos; DuckDB truncates to micros, Spark matches
@@ -748,6 +770,17 @@ object SparkEntry {
         |       round(sum(x2*x2)/count(*) - avg(x2)*avg(x2) + 1e-9, 5) AS var_disc,
         |       round((count(*) FILTER (WHERE sy = 1995))::DOUBLE / count(*), 6) AS freq_1995
         |FROM d GROUP BY class ORDER BY class""".stripMargin,
+    "q34_semijoin" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |ORDER BY o_orderkey LIMIT 100""".stripMargin,
+    "q35_rollup" ->
+      """SELECT coalesce(l_returnflag, '<all>') AS rf,
+        |       coalesce(l_linestatus, '<all>') AS ls,
+        |       count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
     "q33_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
         |m AS (SELECT user_id, event_id, t,
