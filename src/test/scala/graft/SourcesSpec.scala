@@ -21,6 +21,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(t.linCat.toSeq == Seq(Map(3 -> 2.0, 4 -> 1.0)))
   }
 
+  test("partitioned parquet: a cofactor over a filtered scan prunes partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Seq.tabulate(300)(i => (i % 3 match { case 0 => "a"; case 1 => "b"; case _ => "c" },
+        i.toDouble, i % 5))
+      .toDF("part_key", "x", "c")
+      .write.mode("overwrite").partitionBy("part_key").parquet(dir)
+    val df = spark.read.parquet(dir).filter(col("part_key") === "b")
+    // the partition filter must reach the scan, not run as a post-filter
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("part_key"),
+      s"partition filter not pushed:\n$plan")
+    val t = Graft.cofactor(df, Seq("x"), Seq("c"))
+    assert(t.n == 100)
+    assert(t.lin(0) == (1 until 300 by 3).map(_.toDouble).sum)
+  }
+
   test("JSON source feeds the pipeline operators") {
     val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
     Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"), (3L, "unrelated text entirely"))
