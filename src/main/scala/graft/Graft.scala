@@ -42,6 +42,23 @@ object Graft {
         graft.functions.MinHashSignature(es(0), intArg(es, 1), intArg(es, 2)), "scala_udf")
       reg.createOrReplaceTempFunction("minhash_bands", es =>
         graft.functions.MinHashSignature(es(0), intArg(es, 1), intArg(es, 2), intArg(es, 3)), "scala_udf")
+      // reference SQL ML surface (duckdb_imputation_extension.cpp:184-248)
+      reg.createOrReplaceTempFunction("lda_train", es =>
+        agg.MlSqlFunctions.LdaTrain(es), "scala_udf")
+      reg.createOrReplaceTempFunction("linreg_train", es =>
+        agg.MlSqlFunctions.LinRegTrain(es), "scala_udf")
+      reg.createOrReplaceTempFunction("qda_train", es =>
+        agg.MlSqlFunctions.PerClassTrain(es, nb = false), "scala_udf")
+      reg.createOrReplaceTempFunction("nb_train", es =>
+        agg.MlSqlFunctions.PerClassTrain(es, nb = true), "scala_udf")
+      reg.createOrReplaceTempFunction("lda_predict", es =>
+        agg.MlSqlFunctions.MlPredictExpr(es, "lda", numFlags = 1), "scala_udf")
+      reg.createOrReplaceTempFunction("qda_predict", es =>
+        agg.MlSqlFunctions.MlPredictExpr(es, "qda", numFlags = 1), "scala_udf")
+      reg.createOrReplaceTempFunction("nb_predict", es =>
+        agg.MlSqlFunctions.MlPredictExpr(es, "nb", numFlags = 1), "scala_udf")
+      reg.createOrReplaceTempFunction("linreg_predict", es =>
+        agg.MlSqlFunctions.MlPredictExpr(es, "linreg", numFlags = 2), "scala_udf")
       registered += spark
     }
     spark
