@@ -110,6 +110,7 @@ object MlSqlFunctions {
       val lArr = ls.asInstanceOf[ArrayData]
       require(tArr.numElements() == lArr.numElements(),
         s"$prettyName: ${tArr.numElements()} triples vs ${lArr.numElements()} labels")
+      if (tArr.numElements() == 0) return null // no classes → no model
       val perClass = (0 until tArr.numElements()).map(i =>
         lArr.getInt(i) -> tripleOf(tArr.getStruct(i, numFields), numFields))
       if (nb) new GenericArrayData(ModelCodec.encode(NaiveBayes.train(perClass)))
