@@ -49,18 +49,27 @@ object MlSqlFunctions {
   private def tripleOf(v: Any, numFields: Int): Triple =
     TripleCodec.fromCatalyst(v.asInstanceOf[InternalRow], numFields)
 
+  private def checkArity(name: String, children: Seq[Expression], expected: Int,
+                         rest: => TypeCheckResult): TypeCheckResult =
+    if (children.length != expected)
+      TypeCheckResult.TypeCheckFailure(s"$name expects $expected arguments, got ${children.length}")
+    else rest
+
   /** `lda_train(triple, label INT, shrinkage, normalize BOOL)`. */
   case class LdaTrain(children: Seq[Expression]) extends Expression with CodegenFallback {
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
     override def nullable: Boolean = true
-    override def checkInputDataTypes(): TypeCheckResult = children.head.dataType match {
-      case s: StructType if s.length == 6 => TypeCheckResult.TypeCheckSuccess
-      case dt => TypeCheckResult.TypeCheckFailure(s"lda_train expects a full triple, got $dt")
-    }
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkArity(prettyName, children, 4, children.head.dataType match {
+        case s: StructType if s.length == 6 => TypeCheckResult.TypeCheckSuccess
+        case dt => TypeCheckResult.TypeCheckFailure(s"lda_train expects a full triple, got $dt")
+      })
     override def eval(input: InternalRow): Any = {
       val t = children.head.eval(input)
       if (t == null) return null
-      val m = Lda.train(tripleOf(t, 6), constInt(children(1)),
+      val triple = tripleOf(t, 6)
+      if (triple.n == 0) return null // no training rows → no model
+      val m = Lda.train(triple, constInt(children(1)),
         constDouble(children(2)), constBool(children(3)))
       new GenericArrayData(ModelCodec.encode(m))
     }
@@ -72,14 +81,17 @@ object MlSqlFunctions {
   case class LinRegTrain(children: Seq[Expression]) extends Expression with CodegenFallback {
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
     override def nullable: Boolean = true
-    override def checkInputDataTypes(): TypeCheckResult = children.head.dataType match {
-      case s: StructType if s.length == 6 => TypeCheckResult.TypeCheckSuccess
-      case dt => TypeCheckResult.TypeCheckFailure(s"linreg_train expects a full triple, got $dt")
-    }
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkArity(prettyName, children, 7, children.head.dataType match {
+        case s: StructType if s.length == 6 => TypeCheckResult.TypeCheckSuccess
+        case dt => TypeCheckResult.TypeCheckFailure(s"linreg_train expects a full triple, got $dt")
+      })
     override def eval(input: InternalRow): Any = {
       val t = children.head.eval(input)
       if (t == null) return null
-      val m = LinReg.train(tripleOf(t, 6), constInt(children(1)),
+      val triple = tripleOf(t, 6)
+      if (triple.n == 0) return null // no training rows → no model
+      val m = LinReg.train(triple, constInt(children(1)),
         lambda = constDouble(children(3)),
         computeVariance = constBool(children(5)),
         normalize = constBool(children(6)))
@@ -95,10 +107,31 @@ object MlSqlFunctions {
     extends Expression with CodegenFallback {
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
     override def nullable: Boolean = true
-    override def checkInputDataTypes(): TypeCheckResult = children.head.dataType match {
-      case ArrayType(s: StructType, _) if s.length == 6 || (nb && s.length == 4) =>
-        TypeCheckResult.TypeCheckSuccess
-      case dt => TypeCheckResult.TypeCheckFailure(s"$prettyName expects ARRAY of triples, got $dt")
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val arity = if (nb) 2 else 3
+      checkArity(prettyName, children, arity, (children.head.dataType, children(1).dataType) match {
+        case (ArrayType(s: StructType, _), ArrayType(lt, _))
+            if (s.length == 6 || (nb && s.length == 4)) &&
+              Seq(IntegerType, LongType, ShortType, ByteType).contains(lt) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (t, l) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (ARRAY<triple>, ARRAY<integer labels>), got ($t, $l)")
+      })
+    }
+    /** Project a full triple to the NB form: diagonal quad, counts-only
+      * categorical maps (what `NaiveBayes.train` consumes). */
+    private def toNbForm(t: Triple): Triple =
+      if (t.quad.length == t.numCols) t
+      else Triple(t.n, t.lin,
+        Array.tabulate(t.numCols)(i => t.quad(Triple.triIdx(i, i, t.numCols))),
+        t.linCat, Array.empty, Array.empty)
+    private lazy val labelType: DataType =
+      children(1).dataType.asInstanceOf[ArrayType].elementType
+    private def labelAt(a: ArrayData, i: Int): Int = labelType match {
+      case IntegerType => a.getInt(i)
+      case LongType => a.getLong(i).toInt
+      case ShortType => a.getShort(i).toInt
+      case ByteType => a.getByte(i).toInt
     }
     override def eval(input: InternalRow): Any = {
       val ts = children.head.eval(input)
@@ -111,13 +144,12 @@ object MlSqlFunctions {
       require(tArr.numElements() == lArr.numElements(),
         s"$prettyName: ${tArr.numElements()} triples vs ${lArr.numElements()} labels")
       if (tArr.numElements() == 0) return null // no classes → no model
-      val perClass = (0 until tArr.numElements()).map(i =>
-        lArr.getInt(i) -> tripleOf(tArr.getStruct(i, numFields), numFields))
-      if (nb) new GenericArrayData(ModelCodec.encode(NaiveBayes.train(perClass)))
-      else {
-        val normalize = if (children.length > 2) constBool(children(2)) else false
-        new GenericArrayData(ModelCodec.encode(Qda.train(perClass, normalize)))
+      val perClass = (0 until tArr.numElements()).map { i =>
+        val t = tripleOf(tArr.getStruct(i, numFields), numFields)
+        labelAt(lArr, i) -> (if (nb) toNbForm(t) else t)
       }
+      if (nb) new GenericArrayData(ModelCodec.encode(NaiveBayes.train(perClass)))
+      else new GenericArrayData(ModelCodec.encode(Qda.train(perClass, constBool(children(2)))))
     }
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): PerClassTrain =
       copy(children = c)
@@ -133,36 +165,58 @@ object MlSqlFunctions {
 
     override def dataType: DataType = if (kind == "linreg") DoubleType else IntegerType
     override def nullable: Boolean = true
-    override def checkInputDataTypes(): TypeCheckResult = children.head.dataType match {
-      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
-      case dt => TypeCheckResult.TypeCheckFailure(s"${prettyName} expects ARRAY<DOUBLE> params, got $dt")
-    }
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (children.length < 1 + numFlags + 1)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (params, $numFlags flag(s), features…), got ${children.length} arguments")
+      else children.head.dataType match {
+        case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+        case dt => TypeCheckResult.TypeCheckFailure(s"${prettyName} expects ARRAY<DOUBLE> params, got $dt")
+      }
 
-    private lazy val featureChildren = children.drop(1 + numFlags)
+    private lazy val featureChildren: Array[Expression] =
+      children.drop(1 + numFlags).toArray
     private lazy val isNum: Array[Boolean] = featureChildren.map(_.dataType match {
       case DoubleType | FloatType | _: DecimalType => true
       case _ => false
-    }).toArray
+    })
     private lazy val addNoise: Boolean =
       kind == "linreg" && constBool(children(1))
 
-    // decode once per identical params value (the common case: a literal
-    // or broadcast params array evaluates to the same instance per row)
-    @transient private var cachedKey: AnyRef = _
+    // decode once per distinct params CONTENT (identity alone never hits
+    // for column-valued params: unsafe rows hand out fresh array wrappers
+    // per access; a content compare is O(len) with no allocation, far
+    // cheaper than re-decoding)
+    @transient private var cachedParams: Array[Double] = _
     @transient private var cachedModel: AnyRef = _
-    private def model(paramsRaw: AnyRef): AnyRef = {
-      if (!(paramsRaw eq cachedKey)) {
-        val arr = paramsRaw.asInstanceOf[ArrayData].toDoubleArray()
+    private def sameAsCached(a: ArrayData): Boolean = {
+      if (cachedParams == null || a.numElements() != cachedParams.length) return false
+      var i = 0
+      while (i < cachedParams.length) {
+        if (a.getDouble(i) != cachedParams(i)) return false
+        i += 1
+      }
+      true
+    }
+    private def model(a: ArrayData): AnyRef = {
+      if (!sameAsCached(a)) {
+        val arr = a.toDoubleArray()
         cachedModel = kind match {
           case "lda" => ModelCodec.decodeLda(arr)
           case "qda" => ModelCodec.decodeQda(arr)
           case "nb" => ModelCodec.decodeNb(arr)
           case "linreg" => ModelCodec.decodeLinReg(arr)
         }
-        cachedKey = paramsRaw
+        cachedParams = arr
       }
       cachedModel
     }
+
+    private def checkFeatureCounts(gotNum: Int, gotCat: Int, wantNum: Int, wantCat: Int): Unit =
+      if (gotNum != wantNum || gotCat != wantCat)
+        throw new IllegalArgumentException(
+          s"$prettyName: model expects $wantNum numeric + $wantCat categorical features, " +
+          s"got $gotNum numeric + $gotCat categorical")
 
     override def eval(input: InternalRow): Any = {
       val p = children.head.eval(input)
@@ -182,11 +236,19 @@ object MlSqlFunctions {
         i += 1
       }
       val (ns, cs) = (num.result(), cat.result())
-      model(p.asInstanceOf[AnyRef]) match {
-        case m: Lda.Model => java.lang.Integer.valueOf(Lda.predictValue(m, ns, cs))
-        case m: Qda.Model => java.lang.Integer.valueOf(Qda.predictValue(m, ns, cs))
-        case m: NaiveBayes.Model => java.lang.Integer.valueOf(NaiveBayes.predictValue(m, ns, cs))
+      model(p.asInstanceOf[ArrayData]) match {
+        case m: Lda.Model =>
+          checkFeatureCounts(ns.length, cs.length, m.numCols, m.dict.cols.length)
+          java.lang.Integer.valueOf(Lda.predictValue(m, ns, cs))
+        case m: Qda.Model =>
+          checkFeatureCounts(ns.length, cs.length, m.numCols, m.dict.cols.length)
+          java.lang.Integer.valueOf(Qda.predictValue(m, ns, cs))
+        case m: NaiveBayes.Model =>
+          checkFeatureCounts(ns.length, cs.length, m.numCols,
+            m.catFreq.headOption.map(_.length).getOrElse(0))
+          java.lang.Integer.valueOf(NaiveBayes.predictValue(m, ns, cs))
         case m: LinReg.Model =>
+          checkFeatureCounts(ns.length, cs.length, m.numCoef.length, m.catCoef.length)
           var y = m.intercept
           var j = 0
           while (j < ns.length) { y += m.numCoef(j) * ns(j); j += 1 }

@@ -65,24 +65,18 @@ object ModelCodec {
     w.result()
   }
 
+  /** n (key, value) pairs in stream order; Array.fill evaluates its
+    * element expression left-to-right n times. */
+  private def readMap(r: R): Map[Int, Double] =
+    Array.fill(r.int())(r.int() -> r.d()).toMap
+
   def decodeLinReg(a: Array[Double]): LinReg.Model = {
     val r = new R(a)
     require(r.d() == KIND_LINREG, "params are not a linreg model")
     val icpt = r.d()
     val numCoef = r.arr(r.int())
-    val catCoef = Array.fill(r.int()) {
-      Map.tabulate(r.int())(_ => r.int() -> r.d())
-    }
+    val catCoef = Array.fill(r.int())(readMap(r))
     LinReg.Model(icpt, numCoef, catCoef, r.d())
-  }
-
-  private object Map {
-    def tabulate(n: Int)(f: Int => (Int, Double)): scala.collection.immutable.Map[Int, Double] = {
-      val b = scala.collection.immutable.Map.newBuilder[Int, Double]
-      var i = 0
-      while (i < n) { b += f(i); i += 1 }
-      b.result()
-    }
   }
 
   // ---- LDA ----
@@ -170,9 +164,7 @@ object ModelCodec {
     val priors = r.arr(k)
     val means = Array.fill(k)(r.arr(numCols))
     val vars = Array.fill(k)(r.arr(numCols))
-    val catFreq = Array.fill(k)(Array.fill(nCat) {
-      Map.tabulate(r.int())(_ => r.int() -> r.d())
-    })
+    val catFreq = Array.fill(k)(Array.fill(nCat)(readMap(r)))
     NaiveBayes.Model(classes, priors, means, vars, catFreq)
   }
 }

@@ -95,6 +95,44 @@ class MlSqlSpec extends AnyFunSuite {
     assert(nb.sorted.toSeq == wantN.sorted.toSeq)
   }
 
+  test("SQL surface robustness: full-triple nb_train, bigint labels, guards") {
+    df
+    // nb_train fed FULL triples (sum_to_triple) must project them to the
+    // diagonal NB form, and BIGINT labels must be read as such
+    val nb = spark.sql("""
+      SELECT cls, nb_predict(
+        (SELECT nb_train(collect_list(t), collect_list(lbl)) FROM
+          (SELECT CAST(cls AS BIGINT) AS lbl, sum_to_triple(f1, f2, cf) AS t
+           FROM mlsql GROUP BY cls)),
+        false, f1, f2, cf) AS pred
+      FROM mlsql""").collect().map(r => (r.getInt(0), r.getInt(1)))
+    val acc = nb.count(p => p._1 == p._2).toDouble / nb.length
+    assert(acc > 0.95, s"full-triple nb_train accuracy $acc")
+
+    // training on zero rows yields NULL params, not a garbage model
+    assert(spark.sql("""
+      SELECT lda_train(sum_to_triple(f1, f2, cf, cls), 1, 0.001D, false)
+      FROM mlsql WHERE f1 > 1e9""").head.isNullAt(0))
+
+    // feature-count mismatch fails fast with a clear message
+    val e = intercept[Exception] {
+      spark.sql("""
+        SELECT lda_predict(
+          (SELECT lda_train(sum_to_triple(f1, f2, cf, cls), 1, 0.001D, false) FROM mlsql),
+          false, f1, cf) AS pred
+        FROM mlsql""").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("features")), s"unexpected error: $e")
+
+    // wrong arity is an analysis-time error, not an executor crash
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT lda_train(sum_to_triple(f1, f2, cf, cls), 1) FROM mlsql").collect()
+    }
+    assert(msgs(e2).exists(m => m.contains("argument")), s"unexpected error: $e2")
+  }
+
   test("model codec round-trips every model type exactly") {
     val t = Graft.cofactor(df, Seq("f1", "f2"), Seq("cf", "cls"))
     val lda = graft.ml.Lda.train(t, label = 1, shrinkage = 0.01)

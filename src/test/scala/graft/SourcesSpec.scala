@@ -28,10 +28,12 @@ class SourcesSpec extends AnyFunSuite {
       .toDF("part_key", "x", "c")
       .write.mode("overwrite").partitionBy("part_key").parquet(dir)
     val df = spark.read.parquet(dir).filter(col("part_key") === "b")
-    // the partition filter must reach the scan, not run as a post-filter
+    // the partition filter must reach the scan, not run as a post-filter:
+    // assert part_key appears INSIDE the PartitionFilters bracket (the
+    // scan prints "PartitionFilters: []" even when nothing is pushed)
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("part_key"),
-      s"partition filter not pushed:\n$plan")
+    val pushed = "PartitionFilters: \\[[^\\]]*part_key".r.findFirstIn(plan).isDefined
+    assert(pushed, s"partition filter not pushed:\n$plan")
     val t = Graft.cofactor(df, Seq("x"), Seq("c"))
     assert(t.n == 100)
     assert(t.lin(0) == (1 until 300 by 3).map(_.toDouble).sum)
