@@ -70,6 +70,7 @@ object Bench {
           LinReg.predict(m, Seq(col("l_quantity"), col("l_discount")), Seq(col("l_linenumber"))).as("pred")))
       },
       "text_stats" -> (() => noop(SparkEntry.queries("q10_token_stats")(spark, sfDir))),
+      "sessionize" -> (() => noop(SparkEntry.queries("q33_sessionize")(spark, sfDir))),
       "minhash_neardup" -> (() => noop(SparkEntry.queries("q14_minhash_neardup")(spark, sfDir))),
       "knn_bruteforce" -> (() => noop(SparkEntry.queries("q16_knn_bruteforce")(spark, sfDir))),
       "mice_1round" -> { () =>
