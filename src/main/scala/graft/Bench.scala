@@ -89,14 +89,55 @@ object Bench {
       }
     )
 
-    val results = benches.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn() } catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Self-validating timing: a single pass is at the mercy of JIT, GC,
+    // and machine contention (round 2's committed result recorded 4-5×
+    // phantoms from a concurrent build). Median of >= `reps` passes per
+    // query; if the relative spread (max-min)/median still exceeds
+    // `tolerance` after `maxReps` passes, the query is flagged in the
+    // output rather than silently trusted.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val maxReps = math.max(reps, sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXREPS", "5").toInt)
+    val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt
+    val tolerance = sys.env.getOrElse("SPARK_GRAFT_BENCH_TOL", "0.20").toDouble
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    // A pass is "noisy" only when the spread is large both relatively
+    // AND absolutely — sub-second queries carry ~0.1 s scheduler jitter
+    // that a pure percentage guard would flag forever, while the real
+    // failure mode (round 2's 4-5× build-contention phantoms) trips both.
+    val absFloor = sys.env.getOrElse("SPARK_GRAFT_BENCH_ABS", "0.30").toDouble
+    def spread(xs: Seq[Double]): Double =
+      if (xs.max - xs.min < absFloor) 0.0
+      else (xs.max - xs.min) / math.max(median(xs), 1e-9)
+    val results = benches.map { case (name, fn) =>
+      var failed = false
+      def pass(): Double = {
+        val t0 = System.nanoTime()
+        try { fn() } catch { case e: Throwable => failed = true; System.err.println(s"[bench] $name: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      // the first pass pays per-query JIT/codegen; steady-state is what
+      // scales to a long-lived cluster, so warmup passes are discarded
+      val warm = (1 to warmups).map(_ => pass())
+      var times = Vector.empty[Double]
+      while (times.size < maxReps && (times.size < reps || (spread(times) > tolerance && !failed))) {
+        times :+= pass()
+      }
+      val noisy = spread(times) > tolerance
+      if (noisy)
+        System.err.println(f"[bench] $name: UNSTABLE after ${times.size} passes — " +
+          f"spread ${spread(times) * 100}%.0f%% over $times (machine under load?)")
+      else
+        System.err.println(f"[bench] $name: ${median(times)}%.3f s median of ${times.size} " +
+          f"(warmup ${warm.map(t => f"$t%.2f").mkString(",")})")
+      (name, median(times), noisy)
+    }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val flagged = results.collect { case (k, _, true) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median","unstable":$flagged}"""
     println(json)
     // belt-and-braces: sbt's logger can prefix stdout lines ("[info] ..."),
     // which broke round-1 parsing — also drop the line in a results file

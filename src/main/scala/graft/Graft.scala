@@ -20,10 +20,14 @@ import org.apache.spark.sql.functions.call_function
  */
 object Graft {
 
-  @volatile private var registered: Set[SparkSession] = Set.empty
+  // Weak keys: a long-lived driver cycling SparkSessions must not have
+  // its dead sessions pinned by the registration cache.
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   def register(spark: SparkSession): SparkSession = {
-    if (!registered.contains(spark)) synchronized {
+    if (!registered.containsKey(spark)) synchronized {
       val reg = spark.sessionState.functionRegistry
       reg.createOrReplaceTempFunction("sum_to_triple", es => CofactorAggregate(es, nbMode = false), "scala_udf")
       reg.createOrReplaceTempFunction("sum_to_nb_agg", es => CofactorAggregate(es, nbMode = true), "scala_udf")
@@ -42,6 +46,13 @@ object Graft {
         graft.functions.MinHashSignature(es(0), intArg(es, 1), intArg(es, 2)), "scala_udf")
       reg.createOrReplaceTempFunction("minhash_bands", es =>
         graft.functions.MinHashSignature(es(0), intArg(es, 1), intArg(es, 2), intArg(es, 3)), "scala_udf")
+      // native embedding math (codegen'd single-loop expressions)
+      reg.createOrReplaceTempFunction("dot_product", es =>
+        graft.functions.DotProduct(es(0), es(1)), "scala_udf")
+      reg.createOrReplaceTempFunction("vector_norm", es =>
+        graft.functions.VectorNorm(es.head), "scala_udf")
+      reg.createOrReplaceTempFunction("cosine_similarity", es =>
+        graft.functions.CosineSimilarity(es(0), es(1)), "scala_udf")
       // reference SQL ML surface (duckdb_imputation_extension.cpp:184-248)
       reg.createOrReplaceTempFunction("lda_train", es =>
         agg.MlSqlFunctions.LdaTrain(es), "scala_udf")
@@ -59,7 +70,7 @@ object Graft {
         agg.MlSqlFunctions.MlPredictExpr(es, "nb", numFlags = 1), "scala_udf")
       reg.createOrReplaceTempFunction("linreg_predict", es =>
         agg.MlSqlFunctions.MlPredictExpr(es, "linreg", numFlags = 2), "scala_udf")
-      registered += spark
+      registered.put(spark, java.lang.Boolean.TRUE)
     }
     spark
   }

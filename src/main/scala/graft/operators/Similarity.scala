@@ -16,16 +16,22 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  // Native codegen'd expressions ([[graft.functions.DotProduct]] etc.),
+  // not aggregate(zip_with(...)): HOF lambdas are interpreted and the
+  // pair-scoring loops here evaluate them |q|·|corpus| times.
+  private def reg(): Unit = graft.Graft.register(org.apache.spark.sql.SparkSession.active)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def dot(a: Column, b: Column): Column = { reg(); call_function("dot_product", a, b) }
 
-  def cosine(a: Column, b: Column): Column = {
-    val ad = transform(a, x => x.cast("double"))
-    val bd = transform(b, x => x.cast("double"))
-    dot(ad, bd) / (norm(ad) * norm(bd))
-  }
+  def norm(a: Column): Column = { reg(); call_function("vector_norm", a) }
+
+  def cosine(a: Column, b: Column): Column = { reg(); call_function("cosine_similarity", a, b) }
+
+  /** Pairwise cosine from a precomputed norm per side: the per-pair work
+    * is a single fused dot. Bit-identical to [[cosine]] (same element
+    * order, same `dot/(√·√)` association). */
+  private def cosFromNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
 
   /**
    * Exact top-k by cosine: for each row of `queries`, the k most similar
@@ -37,10 +43,12 @@ object Similarity {
                      qId: String, qVec: String, cId: String, cVec: String,
                      k: Int, excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(col(qId).as("qId"), col(qVec).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
     val c = corpus.select(col(cId).as("cId"), col(cVec).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
     val joined = c.crossJoin(broadcast(q))
     val scored = (if (excludeSelf) joined.filter(col("qId") =!= col("cId")) else joined)
-      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("cos", cosFromNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
     val w = Window.partitionBy(col("qId")).orderBy(col("cos").desc, col("cId"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -57,7 +65,7 @@ object Similarity {
   def lshBucket(vec: Column, dim: Int, nPlanes: Int = 8, seed: Long = 42L): Column = {
     val ps = planes(dim, nPlanes, seed)
     ps.zipWithIndex.map { case (p, i) =>
-      when(dot(transform(vec, x => x.cast("double")), typedLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(dot(vec, typedLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 
@@ -72,11 +80,13 @@ object Similarity {
               k: Int, dim: Int, nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
     val q = queries.select(col(qId).as("qId"), col(qVec).as("__qv"))
       .withColumn("__bucket", lshBucket(col("__qv"), dim, nPlanes, seed))
+      .withColumn("__qn", norm(col("__qv")))
     val c = corpus.select(col(cId).as("cId"), col(cVec).as("__cv"))
       .withColumn("__bucket", lshBucket(col("__cv"), dim, nPlanes, seed))
+      .withColumn("__cn", norm(col("__cv")))
     val scored = c.join(q, "__bucket")
       .filter(col("qId") =!= col("cId"))
-      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("cos", cosFromNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
     val w = Window.partitionBy(col("qId")).orderBy(col("cos").desc, col("cId"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -155,10 +165,12 @@ object Similarity {
             (a, b) => (a - b) * (a - b)), lit(0.0), (acc, v) => acc + v).as("d2"),
           c.getField("_1").as("cid")))), s => s.getField("cid")), 1, nProbe))
       .select(col("qId"), col("__qv"), explode(col("__probes")).as("__cent"))
+      .withColumn("__qn", norm(col("__qv")))
     val c = index.assigned.select(col(cId).as("cId"), col(cVec).as("__cv"), col("__cent"))
+      .withColumn("__cn", norm(col("__cv")))
     val scored = c.join(broadcast(q), "__cent")
       .filter(col("qId") =!= col("cId"))
-      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("cos", cosFromNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
     val w = Window.partitionBy(col("qId")).orderBy(col("cos").desc, col("cId"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -170,7 +182,9 @@ object Similarity {
   def embeddingNearDupPairs(df: DataFrame, id: String, vec: String, threshold: Double,
                             dim: Int, nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
     val base = df.select(col(id).as("idA"), col(vec).as("__va"))
+      .withColumn("__na", norm(col("__va")))
     val other = df.select(col(id).as("idB"), col(vec).as("__vb"))
+      .withColumn("__nb", norm(col("__vb")))
     val pairs =
       if (nPlanes <= 0) base.crossJoin(other)
       else {
@@ -179,7 +193,7 @@ object Similarity {
         a.join(b, "__bucket")
       }
     pairs.filter(col("idA") < col("idB"))
-      .withColumn("cos", cosine(col("__va"), col("__vb")))
+      .withColumn("cos", cosFromNorms(col("__va"), col("__vb"), col("__na"), col("__nb")))
       .filter(col("cos") >= threshold)
       .select(col("idA"), col("idB"), col("cos"))
   }

@@ -137,6 +137,38 @@ object VerifyDrive {
     assert(viaPerm.approxEquals(direct10, 1e-9), "permuted factorized != direct")
     println(s"interleaved rule fired with permute_triple; N=${viaPerm.n} matches direct OK")
 
+    println("== [11] native vector math vs SQL-computed cosine on real embeddings ==")
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").createOrReplaceTempView("embeddings")
+    val cosChk = spark.sql(
+      """SELECT a.vec_id qa, b.vec_id qb,
+        |       cosine_similarity(a.embedding, b.embedding) AS native,
+        |       dot_product(a.embedding, b.embedding)
+        |         / (vector_norm(a.embedding) * vector_norm(b.embedding)) AS prenorm,
+        |       aggregate(zip_with(a.embedding, b.embedding,
+        |                          (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |                 0.0D, (acc, v) -> acc + v)
+        |         / (sqrt(aggregate(transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |                           0.0D, (acc, v) -> acc + v))
+        |            * sqrt(aggregate(transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |                             0.0D, (acc, v) -> acc + v))) AS hof
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |LIMIT 500""".stripMargin).collect()
+    assert(cosChk.nonEmpty, "no embedding pairs")
+    cosChk.foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getDouble(4)) < 1e-12, s"native!=hof: $r")
+      assert(math.abs(r.getDouble(3) - r.getDouble(4)) < 1e-12, s"prenorm!=hof: $r")
+    }
+    println(s"native cosine == HOF cosine on ${cosChk.length} real pairs OK")
+
+    println("== [12] knn through the operator on real embeddings ==")
+    val emb = spark.table("embeddings")
+    val knn = graft.operators.Similarity.bruteForceTopK(
+      emb.filter($"vec_id" < 5), emb, "vec_id", "embedding", "vec_id", "embedding", k = 3)
+    val knnRows = knn.collect()
+    assert(knnRows.length == 15, s"expected 5 queries x 3, got ${knnRows.length}")
+    assert(knnRows.forall(r => r.getDouble(2) <= 1.000001 && r.getDouble(2) >= -1.000001))
+    println(s"knn top-3 for 5 queries OK (cos in [-1,1])")
+
     spark.stop()
   }
 }

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native vector math ([[graft.functions.DotProduct]] / VectorNorm /
+  * CosineSimilarity): parity with the unfused HOF formulation, null and
+  * length-mismatch semantics, float/double inputs, SQL surface. */
+class VectorMathSpec extends AnyFunSuite {
+  lazy val spark = { val s = SparkTestSession.spark; Graft.register(s); s }
+  import spark.implicits._
+
+  private def hofCosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+  }
+
+  test("dot/norm/cosine match the HOF formulation bit-for-bit on float vectors") {
+    val rng = new scala.util.Random(7)
+    val df = (0 until 200).map { i =>
+      (i.toLong, Array.fill(64)(rng.nextGaussian().toFloat))
+    }.toDF("id", "v")
+    val pairs = df.as("a").crossJoin(df.as("b"))
+      .filter($"a.id" < $"b.id").limit(5000)
+      .select(
+        call_function("cosine_similarity", $"a.v", $"b.v").as("native"),
+        (call_function("dot_product", $"a.v", $"b.v") /
+          (call_function("vector_norm", $"a.v") * call_function("vector_norm", $"b.v"))).as("prenorm"),
+        hofCosine($"a.v", $"b.v").as("hof"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), "fused vs HOF")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), "prenorm vs HOF")
+    }
+  }
+
+  test("double vectors, interpreted eval path agrees with codegen") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, -5.0, 6.0))).toDF("a", "b")
+    val r = df.select(
+      call_function("dot_product", $"a", $"b"),
+      call_function("vector_norm", $"a"),
+      call_function("cosine_similarity", $"a", $"b")).head
+    assert(r.getDouble(0) == 1.0 * 4 + 2 * -5 + 3 * 6)
+    assert(r.getDouble(1) == math.sqrt(14.0))
+    val expected = 12.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(r.getDouble(2) - expected) < 1e-15)
+    // interpreted path (eval through a literal row, no codegen)
+    import graft.functions.{CosineSimilarity, DotProduct, VectorNorm}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val la = Literal.create(Array(1.0, 2.0, 3.0),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+    val lb = Literal.create(Array(4.0, -5.0, 6.0),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+    assert(DotProduct(la, lb).eval() == 12.0)
+    assert(VectorNorm(la).eval() == math.sqrt(14.0))
+    assert(math.abs(CosineSimilarity(la, lb).eval().asInstanceOf[Double] - expected) < 1e-15)
+  }
+
+  test("null array, null element, and length mismatch yield NULL (zip_with parity)") {
+    val df = Seq(
+      (0L, Array(1.0f, 2.0f), Array(1.0f, 2.0f)),       // clean
+      (1L, null.asInstanceOf[Array[Float]], Array(1.0f)) // null side
+    ).toDF("id", "a", "b")
+    val clean = df.filter($"id" === 0)
+      .select(call_function("dot_product", $"a", $"b")).head
+    assert(!clean.isNullAt(0))
+    val nul = df.filter($"id" === 1)
+      .select(call_function("dot_product", $"a", $"b")).head
+    assert(nul.isNullAt(0))
+    // length mismatch
+    val mm = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
+      .select(call_function("dot_product", $"a", $"b"),
+        call_function("cosine_similarity", $"a", $"b")).head
+    assert(mm.isNullAt(0) && mm.isNullAt(1))
+    // null element
+    val ne = spark.sql("SELECT dot_product(array(1.0D, NULL), array(1.0D, 2.0D)) d, " +
+      "vector_norm(array(CAST(NULL AS DOUBLE))) n").head
+    assert(ne.isNullAt(0) && ne.isNullAt(1))
+  }
+
+  test("type check rejects non-vector arguments at analysis time") {
+    val err = intercept[Exception] {
+      spark.sql("SELECT dot_product(array('a','b'), array('c','d'))").collect()
+    }
+    assert(err.getMessage.contains("ARRAY<FLOAT>") || err.getMessage.toLowerCase.contains("datatype"))
+  }
+}
