@@ -88,13 +88,34 @@ object Mice {
     out
   }
 
-  /** One train+impute step for one column, given the observed-rows triple.
-    * `trainDf` is the full set of candidate training rows (ALL strata; the
-    * NB branch filters it on the observation flag itself — the reference
-    * trains on every row where the column is observed,
-    * imputation_base.cpp:21-34); `cur` is the stratum being imputed. */
-  private def imputeColumn(cur: DataFrame, trainDf: DataFrame, cfg: Config, c: String,
-                           observed: Triple, iter: Int, tm: Timings): DataFrame = {
+  /** True when imputing `c` trains Naive Bayes (which needs per-class
+    * aggregates rather than the single full triple). */
+  private def usesNb(cfg: Config, c: String): Boolean =
+    !cfg.imputeCont.contains(c) && cfg.catModel == "nb"
+
+  /** Per-class ring addition: classes present on only one side pass
+    * through unchanged (a class can live entirely in one stratum). */
+  private def mergePerClass(a: Seq[(Int, Triple)], b: Seq[(Int, Triple)]): Seq[(Int, Triple)] = {
+    val am = a.toMap; val bm = b.toMap
+    (am.keySet ++ bm.keySet).toSeq.sorted.map { k =>
+      (am.get(k), bm.get(k)) match {
+        case (Some(x), Some(y)) => k -> Triple.add(x, y)
+        case (Some(x), None)    => k -> x
+        case (None, Some(y))    => k -> y
+        case _                  => throw new IllegalStateException("unreachable")
+      }
+    }
+  }
+
+  /** One train+impute step for one column. `observed` is the cofactor
+    * triple over the rows where `c` is observed (the LinReg/LDA training
+    * input); `nbPerClass` carries the per-class NB aggregates over those
+    * same rows when `c` trains Naive Bayes (the reference trains on every
+    * row where the column is observed, imputation_base.cpp:21-34).
+    * `cur` is the stratum being imputed. */
+  private def imputeColumn(cur: DataFrame, cfg: Config, c: String, observed: => Triple,
+                           nbPerClass: Option[Seq[(Int, Triple)]],
+                           iter: Int, tm: Timings): DataFrame = {
     val isCont = cfg.imputeCont.contains(c)
     val pred: Column = tm.time("train") {
       if (isCont) {
@@ -105,14 +126,8 @@ object Mice {
           cfg.catCols.map(col),
           addNoise = cfg.stochastic, seed = cfg.seed + iter * 131 + label)
       } else if (cfg.catModel == "nb") {
-        // Naive Bayes needs per-class variances ⇒ per-class NB aggregates
-        // (GROUP BY label), which the single full triple cannot provide;
-        // one grouped scan of the observed rows replaces the delta algebra
-        // for this column (the reference's nb_train path, §2.2 #19)
-        val perClass = Graft.cofactorPerClass(
-          trainDf.filter(!col(flag(c))),
-          cfg.contCols, cfg.catCols.filterNot(_ == c), label = c, nb = true)
-        val model = graft.ml.NaiveBayes.train(perClass)
+        val model = graft.ml.NaiveBayes.train(nbPerClass.getOrElse(
+          sys.error(s"NB impute step for $c was given no per-class aggregates")))
         graft.ml.NaiveBayes.predict(model,
           cfg.contCols.map(col),
           cfg.catCols.filterNot(_ == c).map(col))
@@ -133,9 +148,15 @@ object Mice {
     val order = cfg.imputeCat ++ cfg.imputeCont // categorical first (imputation_base.cpp:19,89)
     for (iter <- 1 to cfg.iterations) {
       for (c <- order) {
-        val observed = tm.time("cofactor")(
+        // NB columns never read the full triple — skip that scan for them
+        lazy val observed = tm.time("cofactor")(
           Graft.cofactor(cur.filter(!col(flag(c))), cfg.contCols, cfg.catCols))
-        cur = imputeColumn(cur, cur, cfg, c, observed, iter, tm)
+        val nbPc =
+          if (usesNb(cfg, c)) Some(tm.time("cofactor")(Graft.cofactorPerClass(
+            cur.filter(!col(flag(c))), cfg.contCols, cfg.catCols.filterNot(_ == c),
+            label = c, nb = true)))
+          else None
+        cur = imputeColumn(cur, cfg, c, observed, nbPc, iter, tm)
       }
       cur = tm.time("impute_update")(cur.localCheckpoint()) // bound lineage + per-column job cost
     }
@@ -160,6 +181,12 @@ object Mice {
     // static cofactor over the never-changing stratum (imputation_high.cpp:20-35)
     val staticTriple = tm.time("cofactor_static")(
       Graft.cofactor(complete, cfg.contCols, cfg.catCols))
+    // NB needs per-class aggregates; the complete stratum's never change
+    // either (every complete row has the label observed), so each NB
+    // column's static per-class aggregates are computed exactly once and
+    // reused every iteration — the same static+delta treatment the full
+    // triple gets, restoring the delta algebra for the NB path
+    val nbStatic = scala.collection.mutable.Map[String, Seq[(Int, Triple)]]()
 
     val order = cfg.imputeCat ++ cfg.imputeCont
     for (iter <- 1 to cfg.iterations) {
@@ -175,11 +202,20 @@ object Mice {
         val delta = tm.time("cofactor_delta")(
           Graft.cofactor(incomplete.filter(col(flag(c))), cfg.contCols, cfg.catCols))
         val observed = Triple.subtract(full, delta)
-        // NB trains on ALL observed rows (complete ∪ incomplete) — the
-        // complete stratum never changes, so the union costs one extra
-        // scan of it only on the NB per-class aggregation path
-        incomplete = imputeColumn(
-          incomplete, complete.unionByName(incomplete), cfg, c, observed, iter, tm)
+        // NB trains on ALL observed rows (complete ∪ incomplete-observed):
+        // static per-class aggregates over `complete` (computed once, see
+        // nbStatic) ring-added to a scan of only the incomplete stratum
+        val nbPc =
+          if (usesNb(cfg, c)) {
+            val static = nbStatic.getOrElseUpdate(c, tm.time("cofactor_static")(
+              Graft.cofactorPerClass(complete, cfg.contCols,
+                cfg.catCols.filterNot(_ == c), label = c, nb = true)))
+            val inc = tm.time("cofactor_delta")(Graft.cofactorPerClass(
+              incomplete.filter(!col(flag(c))), cfg.contCols,
+              cfg.catCols.filterNot(_ == c), label = c, nb = true))
+            Some(mergePerClass(static, inc))
+          } else None
+        incomplete = imputeColumn(incomplete, cfg, c, observed, nbPc, iter, tm)
         // full := observed + recomputed delta over the freshly imputed
         // rows (imputation_low.cpp:188-194) so later columns in this
         // round train against up-to-date values

@@ -108,6 +108,30 @@ object VerifyDrive {
     assert(nNull == 0)
     println("MICE OK")
 
+    println("== [8b] NB-MICE partitioned: static per-class aggregates, no complete rescan ==")
+    val nbBase = li.select($"l_quantity", $"l_extendedprice", $"l_linenumber", $"l_returnflag")
+      .withColumn("cat", when($"l_returnflag" === "A", 0)
+        .when($"l_returnflag" === "N", 1).otherwise(2))
+      .drop("l_returnflag")
+      .withColumn("true_cat", $"cat")
+      .withColumn("missc", rand(11) < 0.1)
+      .withColumn("cat", when($"missc", lit(null)).otherwise($"cat"))
+    val nbCfg = graft.mice.Mice.Config(
+      contCols = Seq("l_quantity", "l_extendedprice"), catCols = Seq("cat", "l_linenumber"),
+      imputeCont = Seq(), imputeCat = Seq("cat"), iterations = 3, catModel = "nb")
+    val nbTm = new graft.mice.Mice.Timings
+    val nbDone = graft.mice.Mice.partitioned(nbBase, nbCfg, nbTm)
+    val nbNull = nbDone.filter($"cat".isNull).count()
+    println(s"nb-mice phases: $nbTm nulls left=$nbNull")
+    assert(nbNull == 0)
+    // static per-class aggregation runs once per NB column, not once per
+    // column-step: with 3 iterations its wall-clock must stay well below
+    // the per-iteration delta phase total
+    val tStatic = nbTm.totals.getOrElse("cofactor_static", 0.0)
+    val tDelta = nbTm.totals.getOrElse("cofactor_delta", 0.0)
+    assert(tDelta > 0, "delta phase never ran")
+    println(f"static=${tStatic}%.3fs (once) delta=${tDelta}%.3fs (${nbCfg.iterations} iters) OK")
+
     println("== [9] auto-factorization optimizer rule on real tables ==")
     spark.experimental.extraOptimizations = Seq(graft.plans.FactorizeCofactorRule)
     val q = spark.table("lineitem").join(spark.table("orders"),
