@@ -158,27 +158,69 @@ object SparkEntry {
         .orderBy(col("lang_pred"))
     },
 
-    // MinHash+LSH near-dedup on documents ∪ perturbed copies (rows-only)
+    // MinHash+LSH near-dedup RECALL against exact all-pairs ground truth:
+    // the corpus is documents ∪ perturbed copies (last word dropped ⇒
+    // high-Jaccard near-duplicate); n_true counts pairs with exact
+    // shingle-set Jaccard ≥ 0.8 by brute force (TEST HARNESS ONLY — the
+    // operator itself never goes all-pairs), n_found the LSH-surfaced
+    // verified pairs. At 64 hashes / 32 bands (r = 2) a true pair at
+    // J ≥ 0.8 escapes every band with probability (1−0.8²)³² ≈ 7·10⁻¹⁵,
+    // so recall is deterministically 1 and the oracle asserts it —
+    // n_true is INDEPENDENTLY recomputed by DuckDB over shingle strings
+    // (the library intersects 64-bit shingle hashes; equal modulo
+    // vanishing collision probability).
     "q14_minhash_neardup" -> { (s, dir) =>
+      import s.implicits._
       val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
       val mangled = docs.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + lit(10000000L)).as("doc_id"),
-          // drop the last word ⇒ high-jaccard near-duplicate
           regexp_replace(col("text"), "\\s+\\S+\\s*$", "").as("text"))
       val all = docs.unionByName(mangled).cache()
-      val kept = graft.operators.Dedup.dedupNear(all, "doc_id", "text", threshold = 0.8)
-      import s.implicits._
-      Seq((all.count(), kept.count())).toDF("n_input", "n_kept")
+      val sh = all.select(col("doc_id"),
+          array_distinct(graft.functions.TextFunctions.shingleHashes(col("text"), 3)).as("__sh"))
+        .cache()
+      val a = sh.select(col("doc_id").as("ida"), col("__sh").as("__sa"))
+      val b = sh.select(col("doc_id").as("idb"), col("__sh").as("__sb"))
+      val inter = size(array_intersect(col("__sa"), col("__sb"))).cast("double")
+      val uni = size(array_union(col("__sa"), col("__sb"))).cast("double")
+      val jac = when(uni === lit(0.0), lit(0.0)).otherwise(inter / uni)
+      val nTrue = a.join(b, col("ida") < col("idb")).filter(jac >= 0.8).count()
+      val nFound = graft.operators.Dedup.nearDuplicatePairs(
+        all, "doc_id", "text", threshold = 0.8, numHashes = 64, bands = 32).count()
+      val recall = if (nTrue == 0) 10000L else math.floor(nFound.toDouble / nTrue * 10000).toLong
+      Seq((all.count(), nTrue, nFound, recall))
+        .toDF("n_input", "n_true", "n_found", "recall_x1e4")
     },
 
-    // SimHash fingerprints (rows-only: hash family is library-defined)
+    // SimHash near-dedup recall: banded candidate generation (4 disjoint
+    // 16-bit chunks) vs brute-force Hamming ≤ 3 — by pigeonhole two
+    // fingerprints within distance 3 MUST agree on a chunk, so
+    // n_banded == n_bruteforce exactly. The hash family is
+    // library-defined, so the pair counts are frozen GOLDEN values at
+    // sf0.01 (the reference's discipline, test/python/test_sum.py:22-52);
+    // n_input / n_planted are independently recomputed by the oracle.
     "q15_simhash" -> { (s, dir) =>
+      import s.implicits._
       Graft.register(s)
-      Tables.load(s, dir, "documents").select(
-          col("doc_id"),
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mangled = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          regexp_replace(col("text"), "\\s+\\S+\\s*$", "").as("text"))
+      val all = docs.unionByName(mangled).cache()
+      val fp = all.select(col("doc_id"),
           graft.functions.SimHash64.simhash64(
-            graft.functions.TextFunctions.tokens(lower(col("text")))).as("fp"))
-        .orderBy(col("doc_id"))
+            graft.functions.TextFunctions.tokens(lower(col("text")))).as("__fp"))
+        .cache()
+      val a = fp.select(col("doc_id").as("ida"), col("__fp").as("__fa"))
+      val b = fp.select(col("doc_id").as("idb"), col("__fp").as("__fb"))
+      val nBrute = a.join(b, col("ida") < col("idb"))
+        .filter(bit_count(col("__fa").bitwiseXOR(col("__fb"))) <= 3).count()
+      val banded = graft.operators.Dedup.simhashPairs(
+        all, col("doc_id"), col("text"), maxDist = 3).cache()
+      val nBanded = banded.count()
+      val nPlantedFound = banded.filter(col("idB") === col("idA") + lit(10000000L)).count()
+      Seq((all.count(), mangled.count(), nBrute, nBanded, nPlantedFound))
+        .toDF("n_input", "n_planted", "n_bruteforce", "n_banded", "n_planted_found")
     },
 
     // brute-force cosine top-k ANN (exact baseline)
@@ -497,6 +539,49 @@ object SparkEntry {
 
   /** DuckDB-equivalent SQL per query (same aliases, same rounding). */
   def oracleSql: Map[String, String] = Map(
+    // exact all-pairs shingle-Jaccard ground truth over the SAME corpus
+    // construction (docs ∪ last-word-dropped copies): the oracle builds
+    // shingle STRING sets — whole-text shingle when fewer than 3 tokens,
+    // mirroring graft.functions.Shingling — and asserts LSH recall 1
+    // (found == true), which holds deterministically at r = 2 bands.
+    // The Jaccard test is the identical float expression (i/u >= 0.8
+    // after DOUBLE division, never i >= 0.8*u) to dodge boundary drift.
+    "q14_minhash_neardup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id,
+        |         regexp_replace(text, '\s+\S+\s*$', '') AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |        FROM all_docs),
+        |sh AS (SELECT doc_id,
+        |              list_distinct(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+        |                ELSE list_transform(generate_series(1, len(t) - 2),
+        |                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |              END) AS s
+        |       FROM tok),
+        |truth AS (
+        |  SELECT count(*) AS n_true FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND (CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+        |         ELSE len(list_intersect(a.s, b.s))::DOUBLE
+        |              / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE END) >= 0.8)
+        |SELECT (SELECT count(*) FROM all_docs) AS n_input,
+        |       n_true, n_true AS n_found, 10000::BIGINT AS recall_x1e4
+        |FROM truth""".stripMargin,
+    // n_input/n_planted computed; the three pair counts are frozen golden
+    // values of the library-defined hash family at sf0.01 (reference
+    // discipline test/python/test_sum.py:22-52). n_banded ==
+    // n_bruteforce additionally holds by pigeonhole (Hamming ≤ 3 over
+    // four disjoint 16-bit chunks forces one equal chunk).
+    "q15_simhash" ->
+      """SELECT (SELECT count(*) FROM documents)
+        |         + (SELECT count(*) FROM documents WHERE doc_id % 10 = 0) AS n_input,
+        |       (SELECT count(*) FROM documents WHERE doc_id % 10 = 0) AS n_planted,
+        |       75::BIGINT AS n_bruteforce,
+        |       75::BIGINT AS n_banded,
+        |       38::BIGINT AS n_planted_found""".stripMargin,
     "q01_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,
