@@ -514,8 +514,66 @@ object SparkEntry {
         data, Seq("x1", "x2"), Seq(), label = "l_linenumber", nb = true)
       val m = graft.ml.NaiveBayes.train(perClass)
       mlPredictOut(data, graft.ml.NaiveBayes.predict(m, Seq(col("x1"), col("x2")), Seq()))
+    },
+
+    // §2.2 #16 lda_predict through the ONE-HOT DICTIONARY path: a binary
+    // categorical feature joins the numeric one, so prediction scores a
+    // map lookup per category (Lda.predict's typedLit dictionary). The
+    // full one-hot block (LDA keeps every category) makes the pooled
+    // scatter singular along (0,1,1); pinvCut resolves it, and since LDA
+    // argmax is affine-invariant the oracle trains the EQUIVALENT
+    // closed-form 2×2 model on [x1, 1{c=1}] — identical predictions.
+    "q36_lda_predict_cat" -> { (s, dir) =>
+      val data = mlCatPredictData(s, dir)
+      val t = Graft.cofactor(data, Seq("x1"), Seq("l_linenumber", "c"))
+      val m = graft.ml.Lda.train(t, label = 0)
+      mlCatPredictOut(data, graft.ml.Lda.predict(m, Seq(col("x1")), Seq(col("c"))))
+    },
+
+    // §2.2 #18 qda_predict with a categorical feature: exercises the
+    // drop-first one-hot dictionary (category 0 dropped ⇒ features
+    // [x1, 1{c=1}], per-class 2×2 covariance nonsingular) and the UDF
+    // scoring path QDA keeps for one-hot cross terms.
+    "q37_qda_predict_cat" -> { (s, dir) =>
+      val data = mlCatPredictData(s, dir)
+      val perClass = Graft.cofactorPerClass(
+        data, Seq("x1"), Seq("c"), label = "l_linenumber")
+      val m = graft.ml.Qda.train(perClass)
+      mlCatPredictOut(data, graft.ml.Qda.predict(m, Seq(col("x1")), Seq(col("c"))))
+    },
+
+    // §2.2 #20 nb_predict with a categorical feature: the per-class
+    // conditional-frequency lookup (unseen ⇒ −∞) gets a hard signal —
+    // the oracle recomputes p(c|class) from a GROUP BY and scores
+    // ln(prior) + Gaussian(x1) + ln(freq) identically.
+    "q38_nb_predict_cat" -> { (s, dir) =>
+      val data = mlCatPredictData(s, dir)
+      val perClass = Graft.cofactorPerClass(
+        data, Seq("x1"), Seq("c"), label = "l_linenumber", nb = true)
+      val m = graft.ml.NaiveBayes.train(perClass)
+      mlCatPredictOut(data, graft.ml.NaiveBayes.predict(m, Seq(col("x1")), Seq(col("c"))))
     }
   )
+
+  /** Fixture for the categorical-predict oracles: the class-shifted
+    * numeric feature of [[mlPredictData]] plus a binary categorical
+    * `c = (l_orderkey % 3 + l_linenumber) % 2` — exact integer
+    * arithmetic both engines compute identically, class-informative,
+    * and with both levels present inside every class (so per-class
+    * covariances stay nonsingular for QDA). */
+  private def mlCatPredictData(s: SparkSession, dir: String): DataFrame =
+    li(s, dir).select(col("l_linenumber"),
+      (col("l_quantity") / 10 + col("l_linenumber") * 6).as("x1"),
+      ((col("l_orderkey") % 3 + col("l_linenumber")) % 2).cast("int").as("c"))
+
+  private def mlCatPredictOut(data: DataFrame, pred: Column): DataFrame =
+    data.groupBy(col("l_linenumber"), col("x1"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("l_linenumber"),
+        round(col("x1") * 10).cast("long").as("ix1"),
+        col("c").cast("long").as("c"),
+        col("cnt"), pred.as("pred"))
+      .orderBy(col("l_linenumber"), col("ix1"), col("c"))
 
   /** Shared fixture for the predict-oracle queries: class-shifted features
     * (margin O(σ) ⇒ argmax robust to float divergence) over lineitem. */
@@ -899,6 +957,98 @@ object SparkEntry {
         |SELECT l_linenumber, CAST(round(x1*10) AS BIGINT) AS ix1,
         |       CAST(round(x2*50) AS BIGINT) AS ix2, cnt, cls AS pred
         |FROM scored WHERE rn = 1
-        |ORDER BY l_linenumber, ix1, ix2""".stripMargin
+        |ORDER BY l_linenumber, ix1, ix2""".stripMargin,
+    // closed-form LDA on [x1, 1{c=1}] — affine-equivalent to the
+    // library's full-one-hot + pinv model, so predictions coincide
+    "q36_lda_predict_cat" ->
+      """WITH d AS (
+        |  SELECT l_linenumber,
+        |         l_quantity/10 + l_linenumber*6 AS x1,
+        |         (l_orderkey % 3 + l_linenumber) % 2 AS c,
+        |         CASE WHEN (l_orderkey % 3 + l_linenumber) % 2 = 1
+        |              THEN 1.0 ELSE 0.0 END AS h
+        |  FROM lineitem),
+        |cls AS (SELECT l_linenumber AS cls, count(*)::DOUBLE AS nc,
+        |               sum(x1) AS s1, sum(h) AS s2
+        |        FROM d GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*)::DOUBLE FROM d) AS n,
+        |               (SELECT sum(x1*x1) FROM d) AS q11,
+        |               (SELECT sum(x1*h) FROM d) AS q12,
+        |               (SELECT sum(h*h) FROM d) AS q22,
+        |               sum(s1*s1/nc) AS w11, sum(s1*s2/nc) AS w12, sum(s2*s2/nc) AS w22
+        |        FROM cls),
+        |sm AS (SELECT n, (q11-w11)/n AS v11, (q12-w12)/n AS v12, (q22-w22)/n AS v22 FROM tot),
+        |inv AS (SELECT n, v22/(v11*v22-v12*v12) AS i11, -v12/(v11*v22-v12*v12) AS i12,
+        |               v11/(v11*v22-v12*v12) AS i22 FROM sm),
+        |coefs AS (SELECT cls, i11*(s1/nc)+i12*(s2/nc) AS w1, i12*(s1/nc)+i22*(s2/nc) AS w2,
+        |                 -0.5*((s1/nc)*(i11*(s1/nc)+i12*(s2/nc))
+        |                       + (s2/nc)*(i12*(s1/nc)+i22*(s2/nc))) + ln(nc/n) AS b
+        |          FROM cls, inv),
+        |g AS (SELECT l_linenumber, x1, c, h, count(*) AS cnt FROM d GROUP BY 1, 2, 3, 4),
+        |scored AS (SELECT g.l_linenumber, g.x1, g.c, g.cnt, co.cls,
+        |                  row_number() OVER (PARTITION BY g.l_linenumber, g.x1, g.c
+        |                    ORDER BY co.w1*g.x1 + co.w2*g.h + co.b DESC, co.cls) AS rn
+        |           FROM g, coefs co)
+        |SELECT l_linenumber, CAST(round(x1*10) AS BIGINT) AS ix1,
+        |       c::BIGINT AS c, cnt, cls AS pred
+        |FROM scored WHERE rn = 1
+        |ORDER BY l_linenumber, ix1, c""".stripMargin,
+    // per-class 2×2 QDA on [x1, 1{c=1}] — the library's drop-first
+    // one-hot yields exactly these features
+    "q37_qda_predict_cat" ->
+      """WITH d AS (
+        |  SELECT l_linenumber,
+        |         l_quantity/10 + l_linenumber*6 AS x1,
+        |         (l_orderkey % 3 + l_linenumber) % 2 AS c,
+        |         CASE WHEN (l_orderkey % 3 + l_linenumber) % 2 = 1
+        |              THEN 1.0 ELSE 0.0 END AS h
+        |  FROM lineitem),
+        |nt AS (SELECT count(*)::DOUBLE AS n FROM d),
+        |c AS (SELECT l_linenumber AS cls, count(*)::DOUBLE AS nc, avg(x1) AS m1, avg(h) AS m2,
+        |             sum(x1*x1)/count(*) - avg(x1)*avg(x1) AS v11,
+        |             sum(x1*h)/count(*) - avg(x1)*avg(h) AS v12,
+        |             sum(h*h)/count(*) - avg(h)*avg(h) AS v22
+        |      FROM d GROUP BY 1),
+        |i AS (SELECT cls, nc, m1, m2, v11*v22-v12*v12 AS det,
+        |             v22/(v11*v22-v12*v12) AS i11, -v12/(v11*v22-v12*v12) AS i12,
+        |             v11/(v11*v22-v12*v12) AS i22 FROM c),
+        |g AS (SELECT l_linenumber, x1, c, h, count(*) AS cnt FROM d GROUP BY 1, 2, 3, 4),
+        |scored AS (SELECT g.l_linenumber, g.x1, g.c, g.cnt, i.cls,
+        |  row_number() OVER (PARTITION BY g.l_linenumber, g.x1, g.c ORDER BY
+        |    -0.5*(i.i11*g.x1*g.x1 + 2*i.i12*g.x1*g.h + i.i22*g.h*g.h)
+        |    + (i.i11*i.m1 + i.i12*i.m2)*g.x1 + (i.i12*i.m1 + i.i22*i.m2)*g.h
+        |    - 0.5*(i.m1*(i.i11*i.m1+i.i12*i.m2) + i.m2*(i.i12*i.m1+i.i22*i.m2))
+        |    - 0.5*ln(i.det) + ln(i.nc/(SELECT n FROM nt)) DESC, i.cls) AS rn
+        |  FROM g, i)
+        |SELECT l_linenumber, CAST(round(x1*10) AS BIGINT) AS ix1,
+        |       c::BIGINT AS c, cnt, cls AS pred
+        |FROM scored WHERE rn = 1
+        |ORDER BY l_linenumber, ix1, c""".stripMargin,
+    // Gaussian NB on x1 + conditional-frequency lookup on c
+    "q38_nb_predict_cat" ->
+      """WITH d AS (
+        |  SELECT l_linenumber,
+        |         l_quantity/10 + l_linenumber*6 AS x1,
+        |         (l_orderkey % 3 + l_linenumber) % 2 AS c
+        |  FROM lineitem),
+        |nt AS (SELECT count(*)::DOUBLE AS n FROM d),
+        |cl AS (SELECT l_linenumber AS cls, count(*)::DOUBLE AS nc,
+        |              avg(x1) AS m1, sum(x1*x1)/count(*) - avg(x1)*avg(x1) + 1e-9 AS v1
+        |       FROM d GROUP BY 1),
+        |fr AS (SELECT l_linenumber AS cls, c, count(*)::DOUBLE AS cnt_c
+        |       FROM d GROUP BY 1, 2),
+        |g AS (SELECT l_linenumber, x1, c, count(*) AS cnt FROM d GROUP BY 1, 2, 3),
+        |scored AS (SELECT g.l_linenumber, g.x1, g.c, g.cnt, cl.cls,
+        |  row_number() OVER (PARTITION BY g.l_linenumber, g.x1, g.c ORDER BY
+        |    ln(cl.nc/(SELECT n FROM nt)) - 0.5*ln(2*pi()*cl.v1)
+        |      - (g.x1-cl.m1)*(g.x1-cl.m1)/(2*cl.v1)
+        |      + ln(fr.cnt_c/cl.nc) DESC, cl.cls) AS rn
+        |  FROM g
+        |  JOIN cl ON true
+        |  JOIN fr ON fr.cls = cl.cls AND fr.c = g.c)
+        |SELECT l_linenumber, CAST(round(x1*10) AS BIGINT) AS ix1,
+        |       c::BIGINT AS c, cnt, cls AS pred
+        |FROM scored WHERE rn = 1
+        |ORDER BY l_linenumber, ix1, c""".stripMargin
   )
 }
