@@ -552,6 +552,61 @@ object SparkEntry {
         data, Seq("x1"), Seq("c"), label = "l_linenumber", nb = true)
       val m = graft.ml.NaiveBayes.train(perClass)
       mlCatPredictOut(data, graft.ml.NaiveBayes.predict(m, Seq(col("x1")), Seq(col("c"))))
+    },
+
+    // the reference's PURE-SQL ML workflow (imputation_base.cpp:46-133):
+    // train and predict entirely through the registered SQL functions —
+    // lda_train over a scalar-subquery triple, lda_predict splicing the
+    // opaque params handle — same model/data as q28, same oracle.
+    "q39_lda_sql_surface" -> { (s, dir) =>
+      Graft.register(s)
+      mlPredictData(s, dir).createOrReplaceTempView("mlq39")
+      s.sql("""
+        SELECT l_linenumber,
+               CAST(round(x1*10) AS BIGINT) AS ix1,
+               CAST(round(x2*50) AS BIGINT) AS ix2,
+               cnt,
+               lda_predict(
+                 (SELECT lda_train(sum_to_triple(x1, x2, l_linenumber), 0, 0D, false)
+                  FROM mlq39),
+                 false, x1, x2) AS pred
+        FROM (SELECT l_linenumber, x1, x2, count(*) AS cnt
+              FROM mlq39 GROUP BY 1, 2, 3)
+        ORDER BY l_linenumber, ix1, ix2""")
+    },
+
+    // §2.1 #1/#2 UNFUSED lift: per-row to_cofactor followed by the
+    // sum_triple aggregate — must equal the fused q02 slices exactly
+    // (the reference golden fused≡unfused discipline, test_sum.py:40-52)
+    "q40_unfused_lift" -> { (s, dir) =>
+      Graft.register(s)
+      li(s, dir)
+        .select(Graft.toCofactor(
+          col("l_quantity"), col("l_extendedprice"), col("l_linenumber")).as("c"))
+        .agg(Graft.sumTripleOf(col("c")).as("t"))
+        .select(
+          col("t.n").as("n_rows"),
+          round(col("t.lin")(0), 2).as("sum_qty"),
+          round(col("t.lin")(1) / col("t.n"), 2).as("avg_price"),
+          round(col("t.quad")(0) / col("t.n"), 2).as("avg_qty_qty"),
+          round(col("t.quad")(1) / col("t.n"), 2).as("avg_qty_price"),
+          round(col("t.quad")(2) / col("t.n"), 2).as("avg_price_price"))
+    },
+
+    // §2.1 #5/#6 unfused NB lift: to_nb_agg + sum_nb_agg ≡ fused q24
+    "q41_unfused_nb_lift" -> { (s, dir) =>
+      Graft.register(s)
+      li(s, dir)
+        .select(Graft.toNbAgg(
+          col("l_quantity"), col("l_extendedprice"), col("l_linenumber")).as("c"))
+        .agg(call_function("sum_nb_agg", col("c")).as("t"))
+        .select(
+          col("t.n").as("n_rows"),
+          round(col("t.lin")(0), 2).as("sum_qty"),
+          round(col("t.lin")(1) / col("t.n"), 2).as("avg_price"),
+          round(col("t.quad")(0), 2).as("sum_qty_sq"),
+          round(col("t.quad")(1) / col("t.n"), 2).as("avg_price_sq"),
+          size(col("t.lin_cat")(0)).cast("long").as("n_classes"))
     }
   )
 
@@ -595,8 +650,16 @@ object SparkEntry {
         col("cnt"), pred.as("pred"))
       .orderBy(col("l_linenumber"), col("ix1"), col("ix2"))
 
-  /** DuckDB-equivalent SQL per query (same aliases, same rounding). */
-  def oracleSql: Map[String, String] = Map(
+  /** DuckDB-equivalent SQL per query (same aliases, same rounding).
+    * q39/q40/q41 deliberately REUSE the q28/q02/q24 oracles: the SQL
+    * surface and the unfused lifts must reproduce the fused/Scala
+    * results bit-for-bit, so the same oracle is the correct check. */
+  def oracleSql: Map[String, String] = baseOracleSql ++ Map(
+    "q39_lda_sql_surface" -> baseOracleSql("q28_lda_predict"),
+    "q40_unfused_lift" -> baseOracleSql("q02_cofactor_flat"),
+    "q41_unfused_nb_lift" -> baseOracleSql("q24_nb_agg_moments"))
+
+  private val baseOracleSql: Map[String, String] = Map(
     // exact all-pairs shingle-Jaccard ground truth over the SAME corpus
     // construction (docs ∪ last-word-dropped copies): the oracle builds
     // shingle STRING sets — whole-text shingle when fewer than 3 tokens,
