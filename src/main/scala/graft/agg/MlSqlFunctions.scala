@@ -32,6 +32,13 @@ import org.apache.spark.sql.types._
  * step/max_iters apply to the reference's gradient solver; graft trains
  * with the exact closed-form solve (proven equivalent in MlSpec's
  * GD-parity test), so they are accepted and ignored.
+ *
+ * Documented divergence — `linreg_predict(…, add_noise=true, …)` draws
+ * its N(0, σ̂²) noise from an UNSEEDED ThreadLocalRandom, matching the
+ * reference's OS-seeded `regression.cpp:493-504`; the Scala API's
+ * `LinReg.predict(addNoise = true, seed = …)` is deterministic via
+ * `randn(seed)`. Callers needing reproducible SQL imputation should use
+ * the Scala API (or add_noise=false).
  */
 object MlSqlFunctions {
 
@@ -145,9 +152,15 @@ object MlSqlFunctions {
         s"$prettyName: ${tArr.numElements()} triples vs ${lArr.numElements()} labels")
       if (tArr.numElements() == 0) return null // no classes → no model
       val perClass = (0 until tArr.numElements()).map { i =>
+        // a NULL slot (e.g. a null sum_triple spliced via array(...)) or a
+        // NULL label would otherwise NPE / silently train class 0
+        require(!tArr.isNullAt(i), s"$prettyName: triples[$i] is NULL")
+        require(!lArr.isNullAt(i), s"$prettyName: labels[$i] is NULL")
         val t = tripleOf(tArr.getStruct(i, numFields), numFields)
         labelAt(lArr, i) -> (if (nb) toNbForm(t) else t)
       }
+      require(perClass.map(_._1).distinct.length == perClass.length,
+        s"$prettyName: duplicate class labels ${perClass.map(_._1).mkString("[", ",", "]")}")
       if (nb) new GenericArrayData(ModelCodec.encode(NaiveBayes.train(perClass)))
       else new GenericArrayData(ModelCodec.encode(Qda.train(perClass, constBool(children(2)))))
     }
@@ -170,7 +183,15 @@ object MlSqlFunctions {
         TypeCheckResult.TypeCheckFailure(
           s"$prettyName expects (params, $numFlags flag(s), features…), got ${children.length} arguments")
       else children.head.dataType match {
-        case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+        case ArrayType(DoubleType, _) =>
+          // every feature must be numeric at ANALYSIS time — a STRING or
+          // BOOLEAN column would otherwise crash eval with a
+          // ClassCastException instead of a clear analysis error
+          children.drop(1 + numFlags).map(_.dataType).zipWithIndex.collectFirst {
+            case (dt, i) if !dt.isInstanceOf[NumericType] =>
+              TypeCheckResult.TypeCheckFailure(
+                s"$prettyName: feature ${i + 1} must be numeric, got $dt")
+          }.getOrElse(TypeCheckResult.TypeCheckSuccess)
         case dt => TypeCheckResult.TypeCheckFailure(s"${prettyName} expects ARRAY<DOUBLE> params, got $dt")
       }
 
@@ -186,30 +207,31 @@ object MlSqlFunctions {
     // decode once per distinct params CONTENT (identity alone never hits
     // for column-valued params: unsafe rows hand out fresh array wrappers
     // per access; a content compare is O(len) with no allocation, far
-    // cheaper than re-decoding)
-    @transient private var cachedParams: Array[Double] = _
-    @transient private var cachedModel: AnyRef = _
-    private def sameAsCached(a: ArrayData): Boolean = {
-      if (cachedParams == null || a.numElements() != cachedParams.length) return false
+    // cheaper than re-decoding). (params, model) live in ONE volatile
+    // immutable pair so a racing reader can never pair fresh params with
+    // a stale model if an expression instance is shared across threads.
+    @transient @volatile private var cached: (Array[Double], AnyRef) = _
+    private def sameAs(params: Array[Double], a: ArrayData): Boolean = {
+      if (a.numElements() != params.length) return false
       var i = 0
-      while (i < cachedParams.length) {
-        if (a.getDouble(i) != cachedParams(i)) return false
+      while (i < params.length) {
+        if (a.getDouble(i) != params(i)) return false
         i += 1
       }
       true
     }
     private def model(a: ArrayData): AnyRef = {
-      if (!sameAsCached(a)) {
-        val arr = a.toDoubleArray()
-        cachedModel = kind match {
-          case "lda" => ModelCodec.decodeLda(arr)
-          case "qda" => ModelCodec.decodeQda(arr)
-          case "nb" => ModelCodec.decodeNb(arr)
-          case "linreg" => ModelCodec.decodeLinReg(arr)
-        }
-        cachedParams = arr
+      val c = cached
+      if (c != null && sameAs(c._1, a)) return c._2
+      val arr = a.toDoubleArray()
+      val m: AnyRef = kind match {
+        case "lda" => ModelCodec.decodeLda(arr)
+        case "qda" => ModelCodec.decodeQda(arr)
+        case "nb" => ModelCodec.decodeNb(arr)
+        case "linreg" => ModelCodec.decodeLinReg(arr)
       }
-      cachedModel
+      cached = (arr, m)
+      m
     }
 
     private def checkFeatureCounts(gotNum: Int, gotCat: Int, wantNum: Int, wantCat: Int): Unit =

@@ -76,7 +76,14 @@ object Dedup {
    * Returns (idA, idB) with idA < idB, distinct.
    */
   def lshCandidatePairs(df: DataFrame, id: Column, bandHashes: Column,
-                        maxBucketSize: Int = 200): DataFrame = {
+                        maxBucketSize: Int = 200): DataFrame =
+    lshCandidatePairsReleasable(df, id, bandHashes, maxBucketSize)._1
+
+  /** [[lshCandidatePairs]] plus a release() that unpersists the bucket
+    * table — call it once the pairs have been consumed. (The no-handle
+    * overload leaves release to Spark's ContextCleaner GC.) */
+  def lshCandidatePairsReleasable(df: DataFrame, id: Column, bandHashes: Column,
+                                  maxBucketSize: Int = 200): (DataFrame, () => Unit) = {
     // persist the (small, post-shuffle) bucket table: the dropped-bucket
     // count and the pair generation then share one signature pass
     val buckets = df.select(id.as("__id"), posexplode(bandHashes).as(Seq("__band", "__bucket")))
@@ -89,10 +96,11 @@ object Dedup {
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn(s"lshCandidatePairs: dropped $nDropped degenerate buckets (> $maxBucketSize docs); " +
           "near-duplicates inside them are NOT covered")
-    buckets.filter(size(col("__ids")) <= maxBucketSize)
+    val pairs = buckets.filter(size(col("__ids")) <= maxBucketSize)
       .select(explode(pairCombinations(col("__ids"))).as("__p"))
       .select(col("__p")(0).as("idA"), col("__p")(1).as("idB"))
       .distinct()
+    (pairs, () => { buckets.unpersist(); () })
   }
 
   /** All unordered pairs from an array (a < b by array order after sort). */
@@ -109,7 +117,16 @@ object Dedup {
    */
   def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
                          threshold: Double = 0.8, numHashes: Int = 64,
-                         bands: Int = 16, shingleSize: Int = 3): DataFrame = {
+                         bands: Int = 16, shingleSize: Int = 3): DataFrame =
+    nearDuplicatePairsReleasable(df, idCol, textCol, threshold, numHashes, bands, shingleSize)._1
+
+  /** [[nearDuplicatePairs]] plus a release() that unpersists the shared
+    * signature pass and the bucket table — long-lived drivers looping
+    * over corpora call it after consuming the pairs instead of waiting
+    * for ContextCleaner GC to free executor storage. */
+  def nearDuplicatePairsReleasable(df: DataFrame, idCol: String, textCol: String,
+                                   threshold: Double = 0.8, numHashes: Int = 64,
+                                   bands: Int = 16, shingleSize: Int = 3): (DataFrame, () => Unit) = {
     // one pass over the corpus computes BOTH the band hashes and the
     // shingle-hash sets; persisted so bucketing and verification never
     // re-tokenize (at scale, reading the corpus once is the budget)
@@ -117,10 +134,10 @@ object Dedup {
         minhashBands(col(textCol), numHashes, shingleSize, bands).as("__bands"),
         array_distinct(TextFunctions.shingleHashes(col(textCol), shingleSize)).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = lshCandidatePairs(prepared, col(idCol), col("__bands"))
+    val (cands, releaseBuckets) = lshCandidatePairsReleasable(prepared, col(idCol), col("__bands"))
     val a = prepared.select(col(idCol).as("idA"), col("__sh").as("__sa"))
     val b = prepared.select(col(idCol).as("idB"), col("__sh").as("__sb"))
-    cands.join(a, "idA").join(b, "idB")
+    val pairs = cands.join(a, "idA").join(b, "idB")
       .withColumn("jaccard", {
         val inter = size(array_intersect(col("__sa"), col("__sb"))).cast("double")
         val uni = size(array_union(col("__sa"), col("__sb"))).cast("double")
@@ -128,15 +145,19 @@ object Dedup {
       })
       .filter(col("jaccard") >= threshold)
       .select(col("idA"), col("idB"), col("jaccard"))
+    (pairs, () => { releaseBuckets(); prepared.unpersist(); () })
   }
 
   /** Near-dedup: drop every row that appears as the larger id of a
     * verified near-duplicate pair (keeps the canonical smallest id per
-    * directly-connected duplicate set). */
+    * directly-connected duplicate set). The (small, ids-only) drop list
+    * is localCheckpoint'ed eagerly so the signature/bucket caches can be
+    * released immediately instead of pinning executor storage until GC. */
   def dedupNear(df: DataFrame, idCol: String, textCol: String,
                 threshold: Double = 0.8): DataFrame = {
-    val drops = nearDuplicatePairs(df, idCol, textCol, threshold)
-      .select(col("idB").as(idCol)).distinct()
+    val (pairs, release) = nearDuplicatePairsReleasable(df, idCol, textCol, threshold)
+    val drops = pairs.select(col("idB").as(idCol)).distinct().localCheckpoint()
+    release()
     df.join(drops, Seq(idCol), "left_anti")
   }
 
@@ -184,7 +205,11 @@ object Dedup {
    */
   def dedupNearTransitive(df: DataFrame, idCol: String, textCol: String,
                           threshold: Double = 0.8): DataFrame = {
-    val comps = connectedComponents(nearDuplicatePairs(df, idCol, textCol, threshold))
+    val (pairs, release) = nearDuplicatePairsReleasable(df, idCol, textCol, threshold)
+    // connectedComponents localCheckpoints its labels, so the pair
+    // caches are releasable as soon as it returns
+    val comps = connectedComponents(pairs)
+    release()
     val drops = comps.filter(col("id") =!= col("component"))
       .select(col("id").as(idCol)).distinct()
     df.join(drops, Seq(idCol), "left_anti")
