@@ -452,18 +452,7 @@ object SparkEntry {
       val perClass = Graft.cofactorPerClass(
         data, Seq("l_quantity", "disc100"), Seq("shipyear"),
         label = "l_linenumber", nb = true)
-      val m = graft.ml.NaiveBayes.train(perClass)
-      import s.implicits._
-      m.classes.indices.map(i =>
-          (m.classes(i), m.priors(i), m.means(i)(0), m.vars(i)(0),
-           m.means(i)(1), m.vars(i)(1), m.catFreq(i)(0).getOrElse(1995, 0.0)))
-        .toDF("class", "prior", "mean_qty", "var_qty", "mean_disc", "var_disc", "freq_1995")
-        .select(col("class"),
-          round(col("prior"), 6).as("prior"),
-          round(col("mean_qty"), 5).as("mean_qty"), round(col("var_qty"), 5).as("var_qty"),
-          round(col("mean_disc"), 5).as("mean_disc"), round(col("var_disc"), 5).as("var_disc"),
-          round(col("freq_1995"), 6).as("freq_1995"))
-        .orderBy(col("class"))
+      nbTrainOut(s, graft.ml.NaiveBayes.train(perClass))
     },
 
     // semi join: orders with at least one high-quantity lineitem
@@ -593,6 +582,45 @@ object SparkEntry {
           round(col("t.quad")(2) / col("t.n"), 2).as("avg_price_price"))
     },
 
+    // §2.1 #11 driver-side NB ring ADD: per-class NB aggregates of two
+    // disjoint halves merged with Triple.add must train the same model
+    // as one aggregation of the whole — checked against the q31 oracle.
+    "q42_nb_ring_add" -> { (s, dir) =>
+      val data = li(s, dir)
+        .withColumn("disc100", col("l_discount") * 100)
+        .withColumn("shipyear", year(col("l_shipdate")))
+      def half(even: Boolean) = Graft.cofactorPerClass(
+        data.filter((col("l_orderkey") % 2 === 0) === even),
+        Seq("l_quantity", "disc100"), Seq("shipyear"),
+        label = "l_linenumber", nb = true)
+      val (a, b) = (half(true), half(false))
+      val bm = b.toMap
+      val merged =
+        (a.map { case (k, t) => k -> bm.get(k).map(graft.ring.Triple.add(t, _)).getOrElse(t) } ++
+          b.filterNot(p => a.exists(_._1 == p._1))).sortBy(_._1)
+      nbTrainOut(s, graft.ml.NaiveBayes.train(merged))
+    },
+
+    // §2.1 #10/#11 driver-side NB ring SUBTRACT: whole − odd half must
+    // equal the even half (delta-maintenance algebra on NB aggregates),
+    // checked against the q31 oracle filtered to the even half.
+    "q43_nb_ring_subtract" -> { (s, dir) =>
+      val data = li(s, dir)
+        .withColumn("disc100", col("l_discount") * 100)
+        .withColumn("shipyear", year(col("l_shipdate")))
+      val whole = Graft.cofactorPerClass(
+        data, Seq("l_quantity", "disc100"), Seq("shipyear"),
+        label = "l_linenumber", nb = true)
+      val odd = Graft.cofactorPerClass(
+        data.filter(col("l_orderkey") % 2 =!= 0),
+        Seq("l_quantity", "disc100"), Seq("shipyear"),
+        label = "l_linenumber", nb = true).toMap
+      val even = whole.map { case (k, t) =>
+        k -> odd.get(k).map(graft.ring.Triple.subtract(t, _)).getOrElse(t)
+      }.filter(_._2.n > 0).sortBy(_._1)
+      nbTrainOut(s, graft.ml.NaiveBayes.train(even))
+    },
+
     // §2.1 #5/#6 unfused NB lift: to_nb_agg + sum_nb_agg ≡ fused q24
     "q41_unfused_nb_lift" -> { (s, dir) =>
       Graft.register(s)
@@ -609,6 +637,21 @@ object SparkEntry {
           size(col("t.lin_cat")(0)).cast("long").as("n_classes"))
     }
   )
+
+  /** q31/q42/q43 output shape: per-class NB model parameters, rounded. */
+  private def nbTrainOut(s: SparkSession, m: graft.ml.NaiveBayes.Model): DataFrame = {
+    import s.implicits._
+    m.classes.indices.map(i =>
+        (m.classes(i), m.priors(i), m.means(i)(0), m.vars(i)(0),
+         m.means(i)(1), m.vars(i)(1), m.catFreq(i)(0).getOrElse(1995, 0.0)))
+      .toDF("class", "prior", "mean_qty", "var_qty", "mean_disc", "var_disc", "freq_1995")
+      .select(col("class"),
+        round(col("prior"), 6).as("prior"),
+        round(col("mean_qty"), 5).as("mean_qty"), round(col("var_qty"), 5).as("var_qty"),
+        round(col("mean_disc"), 5).as("mean_disc"), round(col("var_disc"), 5).as("var_disc"),
+        round(col("freq_1995"), 6).as("freq_1995"))
+      .orderBy(col("class"))
+  }
 
   /** Fixture for the categorical-predict oracles: the class-shifted
     * numeric feature of [[mlPredictData]] plus a binary categorical
@@ -657,7 +700,12 @@ object SparkEntry {
   def oracleSql: Map[String, String] = baseOracleSql ++ Map(
     "q39_lda_sql_surface" -> baseOracleSql("q28_lda_predict"),
     "q40_unfused_lift" -> baseOracleSql("q02_cofactor_flat"),
-    "q41_unfused_nb_lift" -> baseOracleSql("q24_nb_agg_moments"))
+    "q41_unfused_nb_lift" -> baseOracleSql("q24_nb_agg_moments"),
+    // ring add over disjoint halves ≡ the whole (q31's oracle verbatim)
+    "q42_nb_ring_add" -> baseOracleSql("q31_nb_train"),
+    // ring subtract: whole − odd half ≡ direct aggregation of the even half
+    "q43_nb_ring_subtract" -> baseOracleSql("q31_nb_train").replace(
+      "FROM lineitem),", "FROM lineitem WHERE l_orderkey % 2 = 0),"))
 
   private val baseOracleSql: Map[String, String] = Map(
     // exact all-pairs shingle-Jaccard ground truth over the SAME corpus
