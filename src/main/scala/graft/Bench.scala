@@ -71,7 +71,16 @@ object Bench {
       },
       "text_stats" -> (() => noop(SparkEntry.queries("q10_token_stats")(spark, sfDir))),
       "sessionize" -> (() => noop(SparkEntry.queries("q33_sessionize")(spark, sfDir))),
-      "minhash_neardup" -> (() => noop(SparkEntry.queries("q14_minhash_neardup")(spark, sfDir))),
+      // the OPERATOR, not the q14 correctness harness (whose all-pairs
+      // ground-truth brute force is test-only and quadratic by design)
+      "minhash_neardup" -> { () =>
+        val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+        val mangled = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+            regexp_replace(col("text"), "\\s+\\S+\\s*$", "").as("text"))
+        noop(graft.operators.Dedup.dedupNear(
+          docs.unionByName(mangled), "doc_id", "text", threshold = 0.8))
+      },
       "knn_bruteforce" -> (() => noop(SparkEntry.queries("q16_knn_bruteforce")(spark, sfDir))),
       "mice_1round" -> { () =>
         val base = li.select(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_linenumber"))
@@ -97,7 +106,10 @@ object Bench {
     // output rather than silently trusted.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val maxReps = math.max(reps, sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXREPS", "5").toInt)
-    val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt
+    // 2 warmups: the first pays JIT/codegen, the second absorbs
+    // ContextCleaner churn from the first (mice's localCheckpoints made
+    // the first TIMED pass a 4-5× outlier with a single warmup)
+    val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "2").toInt
     val tolerance = sys.env.getOrElse("SPARK_GRAFT_BENCH_TOL", "0.20").toDouble
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted

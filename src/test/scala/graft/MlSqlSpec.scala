@@ -131,6 +131,30 @@ class MlSqlSpec extends AnyFunSuite {
       spark.sql("SELECT lda_train(sum_to_triple(f1, f2, cf, cls), 1) FROM mlsql").collect()
     }
     assert(msgs(e2).exists(m => m.contains("argument")), s"unexpected error: $e2")
+
+    // a STRING feature is rejected at ANALYSIS time, not a runtime CCE
+    val e3 = intercept[Exception] {
+      spark.sql("""
+        SELECT lda_predict(
+          (SELECT lda_train(sum_to_triple(f1, f2, cf, cls), 1, 0.001D, false) FROM mlsql),
+          false, f1, CAST(f2 AS STRING)) AS pred
+        FROM mlsql""").collect()
+    }
+    assert(msgs(e3).exists(m => m.contains("numeric")), s"unexpected error: $e3")
+
+    // a NULL triple slot and duplicate labels fail loudly in per-class train
+    val e4 = intercept[Exception] {
+      spark.sql("""
+        SELECT nb_train(array(IF(1 = 0, t, NULL)), array(0)) AS p FROM
+          (SELECT sum_to_nb_agg(f1, f2, cf) AS t FROM mlsql)""").collect()
+    }
+    assert(msgs(e4).exists(m => m.contains("NULL")), s"unexpected error: $e4")
+    val e5 = intercept[Exception] {
+      spark.sql("""
+        SELECT nb_train(array(t, t), array(0, 0)) AS p FROM
+          (SELECT sum_to_nb_agg(f1, f2, cf) AS t FROM mlsql)""").collect()
+    }
+    assert(msgs(e5).exists(m => m.contains("duplicate")), s"unexpected error: $e5")
   }
 
   test("model codec round-trips every model type exactly") {

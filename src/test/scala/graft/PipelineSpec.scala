@@ -117,6 +117,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(sums(2L) == ((1L, 1L, 1L)))
   }
 
+  test("sessionize: colliding input column names are dodged via parameters") {
+    // input already has 'session' and 'key' columns
+    val ev = Seq((1L, 1L, 0L, "x", 9L), (1L, 2L, 100L, "y", 9L))
+      .toDF("user", "eid", "t", "session", "key")
+    val assigned = graft.operators.Sessionize.assign(
+      ev, $"user", $"t", $"eid", maxGap = 30L, sessionCol = "sess_no")
+    assert(assigned.columns.count(_ == "session") == 1) // input column intact
+    assert(assigned.select($"session").distinct().collect().map(_.getString(0)).toSet == Set("x", "y"))
+    val sums = graft.operators.Sessionize.summary(
+        ev, $"user", $"t", $"eid", maxGap = 30L, keyCol = "user_key")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sums(1L) == 2L, s"expected 2 sessions, got $sums")
+  }
+
+  test("dedup release handles unpersist the signature/bucket caches") {
+    val docs = (0 until 40).map(i => (i.toLong, s"some shared text body number ${i % 5} tail"))
+      .toDF("doc_id", "text")
+    def persistedIds = spark.sparkContext.getPersistentRDDs.keySet
+    val before = persistedIds
+    val (pairs, release) = Dedup.nearDuplicatePairsReleasable(docs, "doc_id", "text", 0.8)
+    assert(pairs.count() > 0) // materialize through the caches
+    assert((persistedIds -- before).nonEmpty,
+      "expected the signature pass and bucket table to be persisted")
+    release()
+    assert((persistedIds -- before).isEmpty,
+      "release() must unpersist everything the operator cached")
+    // dedupNear releases its caches eagerly on its own; only the (small,
+    // ids-only) localCheckpoint'ed drop list may remain
+    val before2 = persistedIds
+    val kept = Dedup.dedupNear(docs, "doc_id", "text", 0.8)
+    assert(kept.count() > 0)
+    assert((persistedIds -- before2).size <= 1,
+      "dedupNear must not leave the signature/bucket caches behind")
+  }
+
   test("connected components: hub-linked near-dups collapse transitively") {
     // 1~5, 2~5 (hub 5), isolated pair 7~9, singleton edges only
     val pairs = Seq((1L, 5L), (2L, 5L), (7L, 9L)).toDF("idA", "idB")
