@@ -543,6 +543,32 @@ object SparkEntry {
       mlCatPredictOut(data, graft.ml.NaiveBayes.predict(m, Seq(col("x1")), Seq(col("c"))))
     },
 
+    // as-of join (beyond the reference; a native operator in DuckDB/kdb
+    // that Spark lacks): every click matched to the latest view of the
+    // same user at-or-before it — one shuffle + per-partition sort, no
+    // range cross join. Checked against DuckDB's native ASOF JOIN.
+    "q44_asof_join" -> { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val ev = s.read.schema(schema).parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("t_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("t_us"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_eid"), col("user_id"), col("t_us").as("vt"))
+      graft.operators.AsofJoin.asofBackward(
+          clicks, views, col("user_id"), col("user_id"),
+          col("t_us"), col("vt"), rightOrder = col("v_eid"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("asof.v_eid"), lit(-1L)).as("view_eid"),
+          coalesce(col("t_us") - col("asof.vt"), lit(-1L)).as("dt_us"))
+        .orderBy(col("event_id"))
+    },
+
     // the reference's PURE-SQL ML workflow (imputation_base.cpp:46-133):
     // train and predict entirely through the registered SQL functions —
     // lda_train over a scalar-subquery triple, lda_predict splicing the
@@ -1135,6 +1161,17 @@ object SparkEntry {
         |       c::BIGINT AS c, cnt, cls AS pred
         |FROM scored WHERE rn = 1
         |ORDER BY l_linenumber, ix1, c""".stripMargin,
+    // DuckDB's native ASOF JOIN is the independent ground truth for the
+    // union+window formulation (same µs-truncated integer timestamps)
+    "q44_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t FROM events),
+        |c AS (SELECT event_id, user_id, t FROM e WHERE event_type = 'click'),
+        |v AS (SELECT event_id AS v_eid, user_id, t AS vt FROM e WHERE event_type = 'view')
+        |SELECT c.event_id, c.user_id,
+        |       coalesce(v.v_eid, -1) AS view_eid,
+        |       coalesce(c.t - v.vt, -1) AS dt_us
+        |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.vt <= c.t
+        |ORDER BY c.event_id""".stripMargin,
     // Gaussian NB on x1 + conditional-frequency lookup on c
     "q38_nb_predict_cat" ->
       """WITH d AS (

@@ -152,6 +152,29 @@ class PipelineSpec extends AnyFunSuite {
       "dedupNear must not leave the signature/bucket caches behind")
   }
 
+  test("asof join: backward inclusive match, ties, tolerance, no-match NULL") {
+    val left = Seq((1L, 10L, 100L), (1L, 25L, 101L), (2L, 5L, 102L), (3L, 50L, 103L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, 10L, 201L), (1L, 10L, 202L), (1L, 20L, 203L), (2L, 9L, 204L))
+      .toDF("k", "t", "rid")
+    val out = graft.operators.AsofJoin.asofBackward(
+        left, right, left("k"), right("k"), left("t"), right("t"),
+        rightOrder = right("rid"))
+      .select($"lid", $"asof.rid")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out(100L) == 202L, s"equal-ts inclusive, larger rightOrder wins: $out") // t=10 ties: rid 202
+    assert(out(101L) == 203L) // latest view at t=20
+    assert(out(102L) == -1L)  // right row is at t=9 > 5 → nothing precedes
+    assert(out(103L) == -1L)  // key 3 has no right rows at all
+    // tolerance: the t=25 left row only matches within 3 ticks of t=20
+    val tol = graft.operators.AsofJoin.asofBackward(
+        left, right, left("k"), right("k"), left("t"), right("t"),
+        rightOrder = right("rid"), tolerance = Some(3L))
+      .select($"lid", $"asof.rid")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(tol(101L) == -1L && tol(100L) == 202L, s"tolerance gating: $tol")
+  }
+
   test("connected components: hub-linked near-dups collapse transitively") {
     // 1~5, 2~5 (hub 5), isolated pair 7~9, singleton edges only
     val pairs = Seq((1L, 5L), (2L, 5L), (7L, 9L)).toDF("idA", "idB")
