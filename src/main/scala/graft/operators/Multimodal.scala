@@ -11,12 +11,13 @@ import org.apache.spark.sql.types._
  *
  * The Spark-side machinery (schema, batched partition iteration,
  * deterministic output shape, partitioning) is real and tested. IMAGE
- * decode/resize/metadata are REAL (JDK ImageIO: PNG/JPEG/BMP/GIF — no
- * external codecs required). Audio/video byte-level decode is STUBBED
- * with a deterministic hash-derived transform because no such codec
- * ships with the JDK; swapping [[StubDecoder]] for a real codec (JNI
- * ffmpeg, or an Arrow-batched Python worker à la `mapInPandas`)
- * changes no plan shape.
+ * decode/resize/metadata are REAL (JDK ImageIO: PNG/JPEG/BMP/GIF) and
+ * AUDIO decode/metadata are REAL (JDK javax.sound.sampled: WAV/AIFF/AU
+ * PCM) — no external codecs required for either. VIDEO byte-level
+ * decode is STUBBED with a deterministic hash-derived transform because
+ * no video codec ships with the JDK; swapping [[StubDecoder]] for a
+ * real one (JNI ffmpeg, or an Arrow-batched Python worker à la
+ * `mapInPandas`) changes no plan shape.
  */
 object Multimodal {
 
@@ -33,8 +34,8 @@ object Multimodal {
   }
 
   /** STUB decode: deterministic pseudo-features from a rolling hash of
-    * the payload — stands in for a real AUDIO/VIDEO decoder (no such
-    * codecs ship with the JDK). Images have a real decoder below. */
+    * the payload — stands in for a real VIDEO decoder (no video codec
+    * ships with the JDK). Images and audio have real decoders below. */
   object StubDecoder extends Decoder {
     def features(bytes: Array[Byte], dim: Int): Array[Float] = {
       val out = new Array[Float](dim)
@@ -115,6 +116,72 @@ object Multimodal {
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(scaled, "png", bos)
       bos.toByteArray
+    }
+  }
+
+  /**
+   * REAL audio decode via the JDK's javax.sound.sampled (WAV/AIFF/AU;
+   * any PCM layout the JDK converts to signed 16-bit): frames are
+   * mixed to mono and bucketed into `dim` equal time windows, each
+   * contributing its RMS energy (so the vector is a coarse loudness
+   * envelope — silence ⇒ 0, louder ⇒ larger). Undecodable payloads
+   * yield the zero vector, mirroring the null-payload convention.
+   */
+  object AudioDecoder extends Decoder {
+    private def pcmStream(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val f = in.getFormat
+      val target = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        f.getSampleRate, 16, f.getChannels, f.getChannels * 2, f.getSampleRate, false)
+      javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+    }
+
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val pcm = try pcmStream(bytes) catch { case _: Throwable => null }
+      if (pcm == null) return new Array[Float](dim)
+      try {
+        val channels = pcm.getFormat.getChannels
+        val data = pcm.readAllBytes()
+        val nFrames = data.length / (2 * channels)
+        if (nFrames == 0) return new Array[Float](dim)
+        val sumSq = new Array[Double](dim)
+        val counts = new Array[Long](dim)
+        var fIdx = 0
+        while (fIdx < nFrames) {
+          var mono = 0.0
+          var c = 0
+          while (c < channels) {
+            val off = (fIdx * channels + c) * 2
+            val s = ((data(off) & 0xff) | (data(off + 1) << 8)).toShort
+            mono += s / 32768.0
+            c += 1
+          }
+          mono /= channels
+          val bucket = (fIdx.toLong * dim / nFrames).toInt
+          sumSq(bucket) += mono * mono
+          counts(bucket) += 1
+          fIdx += 1
+        }
+        Array.tabulate(dim)(i =>
+          if (counts(i) > 0) math.sqrt(sumSq(i) / counts(i)).toFloat else 0.0f)
+      } catch { case _: Throwable => new Array[Float](dim) } finally pcm.close()
+    }
+
+    /** (format, sampleRate Hz, channels, duration_ms) of an audio
+      * payload, or (null, -1, -1, -1) when undecodable. */
+    def meta(bytes: Array[Byte]): (String, Int, Int, Long) = {
+      try {
+        val ff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(bytes))
+        val f = ff.getFormat
+        val durMs =
+          if (ff.getFrameLength > 0 && f.getFrameRate > 0)
+            (ff.getFrameLength * 1000L / f.getFrameRate).toLong
+          else -1L
+        (ff.getType.toString.toLowerCase, f.getSampleRate.toInt, f.getChannels, durMs)
+      } catch { case _: Throwable => (null, -1, -1, -1L) }
     }
   }
 

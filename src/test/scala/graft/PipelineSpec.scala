@@ -117,6 +117,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(sums(2L) == ((1L, 1L, 1L)))
   }
 
+  test("multimodal audio: real javax.sound WAV decode, RMS envelope, metadata") {
+    import graft.operators.Multimodal
+    // 16-bit mono PCM WAV: `seconds` of a sine at `hz` scaled by `amp`
+    def wav(hz: Double, amp: Double, seconds: Double = 0.5, rate: Float = 8000f): Array[Byte] = {
+      val n = (rate * seconds).toInt
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val s = (math.sin(2 * math.Pi * hz * i / rate) * amp * 32767).toInt.toShort
+        pcm(i * 2) = (s & 0xff).toByte
+        pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val loud = wav(440, 0.8); val quiet = wav(440, 0.1); val silent = wav(440, 0.0)
+    val df = Seq((1L, loud), (2L, quiet), (3L, silent), (4L, Array[Byte](9, 9, 9)))
+      .toDF("id", "audio")
+    val feats = Multimodal.extractFeatures(df, "audio", dim = 8, decoder = Multimodal.AudioDecoder)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    // RMS of a sine = amp/√2 in every bucket
+    assert(feats(1L).forall(f => math.abs(f - 0.8 / math.sqrt(2)) < 0.02), s"loud ${feats(1L)}")
+    assert(feats(2L).forall(f => math.abs(f - 0.1 / math.sqrt(2)) < 0.02), s"quiet ${feats(2L)}")
+    assert(feats(3L).forall(f => math.abs(f) < 1e-3), s"silent ${feats(3L)}")
+    assert(feats(4L).forall(_ == 0.0f), "undecodable must yield zero vector")
+    val (fmt, rate, chans, durMs) = Multimodal.AudioDecoder.meta(loud)
+    assert(fmt == "wave" && rate == 8000 && chans == 1, s"meta ($fmt,$rate,$chans)")
+    assert(math.abs(durMs - 500L) <= 1L, s"duration $durMs")
+  }
+
   test("sessionize: colliding input column names are dodged via parameters") {
     // input already has 'session' and 'key' columns
     val ev = Seq((1L, 1L, 0L, "x", 9L), (1L, 2L, 100L, "y", 9L))
