@@ -3,7 +3,6 @@ package graft.ml
 import breeze.linalg.{svd, DenseMatrix, DenseVector}
 import graft.ring.Triple
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.udf
 
 /**
  * Quadratic discriminant analysis trained from per-class cofactor
@@ -114,34 +113,62 @@ object Qda {
     m.classes(best)
   }
 
-  /** Row-wise prediction. With numeric-only features the quadratic
-    * scores fold into a pure Column expression (whole-stage codegen,
-    * d(d+1)/2 literal terms per class); one-hot categorical features
-    * keep the broadcast UDF — their cross terms would need pairwise
-    * map lookups with no codegen payoff. */
+  /** Row-wise prediction as a pure Column expression (whole-stage
+    * codegen; no UDF serialization). The quadratic form folds into
+    * literal terms per class; a one-hot block has exactly one active
+    * cell per categorical value, so its contributions are MAP LOOKUPS
+    * on the category: diagonal + linear collapse to one lookup per cat
+    * column, numeric×one-hot cross terms to one lookup per (numeric,
+    * cat) pair, and cat×cat cross terms to a nested two-level lookup.
+    * An unknown category is the all-zero block ⇒ every lookup
+    * coalesces to 0, matching [[predictValue]]'s Featurize. */
   def predict(m: Model, num: Seq[Column], cat: Seq[Column]): Column = {
     import org.apache.spark.sql.functions._
     require(num.length == m.numCols, s"expected ${m.numCols} numeric features, got ${num.length}")
     require(cat.length == m.dict.cols.length,
       s"expected ${m.dict.cols.length} categorical features, got ${cat.length}")
-    if (cat.isEmpty && m.dict.dim == 0) {
-      val d = m.numCols
-      val xs = num.map(_.cast("double"))
-      val scores = m.classes.indices.map { c =>
-        val q = m.quad(c); val l = m.linear(c)
-        var acc = lit(m.consts(c))
-        for (i <- 0 until d) acc = acc + lit(l(i)) * xs(i)
-        for (i <- 0 until d; j <- i until d) {
-          val coef = if (i == j) q(i * d + i) else q(i * d + j) + q(j * d + i)
-          acc = acc + lit(coef) * xs(i) * xs(j)
-        }
-        acc
+    val n = m.numCols
+    val d = n + m.dict.dim
+    val xs = num.map(_.cast("double"))
+    val cs = cat.map(_.cast("int"))
+    val scores = m.classes.indices.map { c =>
+      val q = m.quad(c); val l = m.linear(c)
+      var acc = lit(m.consts(c))
+      for (i <- 0 until n) acc = acc + lit(l(i)) * xs(i)
+      for (i <- 0 until n; j <- i until n) {
+        val coef = if (i == j) q(i * d + i) else q(i * d + j) + q(j * d + i)
+        acc = acc + lit(coef) * xs(i) * xs(j)
       }
-      MlPredict.argmaxClass(scores, m.classes)
-    } else {
-      val f = udf((ns: Seq[Double], cs: Seq[Int]) => predictValue(m, ns.toArray, cs.toArray))
-      f(org.apache.spark.sql.functions.array(num.map(_.cast("double")): _*),
-        org.apache.spark.sql.functions.array(cat.map(_.cast("int")): _*))
+      for (k <- cs.indices; if m.dict.cats(k).nonEmpty) {
+        // one-hot diagonal (h² = h) + linear term, one lookup
+        val diag = m.dict.cats(k).map { v =>
+          val p = n + m.dict.pos(k, v)
+          v -> (q(p * d + p) + l(p))
+        }.toMap
+        acc = acc + coalesce(element_at(typedLit(diag), cs(k)), lit(0.0))
+        // numeric × one-hot cross terms
+        for (i <- 0 until n) {
+          val cross = m.dict.cats(k).map { v =>
+            val p = n + m.dict.pos(k, v)
+            v -> (q(i * d + p) + q(p * d + i))
+          }.toMap
+          acc = acc + xs(i) * coalesce(element_at(typedLit(cross), cs(k)), lit(0.0))
+        }
+        // one-hot × one-hot cross terms between different cat columns
+        for (k2 <- k + 1 until cs.length; if m.dict.cats(k2).nonEmpty) {
+          val nested = m.dict.cats(k).map { v =>
+            val p = n + m.dict.pos(k, v)
+            v -> m.dict.cats(k2).map { w =>
+              val p2 = n + m.dict.pos(k2, w)
+              w -> (q(p * d + p2) + q(p2 * d + p))
+            }.toMap
+          }.toMap
+          acc = acc + coalesce(
+            element_at(element_at(typedLit(nested), cs(k)), cs(k2)), lit(0.0))
+        }
+      }
+      acc
     }
+    MlPredict.argmaxClass(scores, m.classes)
   }
 }

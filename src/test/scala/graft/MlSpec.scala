@@ -133,6 +133,20 @@ class MlSpec extends AnyFunSuite {
         assert(r.getInt(3) == Lda.predictValue(mL, Array(f1, f2), Array(cf)))
         assert(r.getInt(4) == NaiveBayes.predictValue(mN, Array(f1, f2), Array(cf)))
       }
+
+    // QDA with TWO categorical features: the pure-Column scoring expands
+    // diagonal, numeric×one-hot, AND nested cat×cat cross lookups — all
+    // must reproduce the driver loop, unseen categories included
+    val two = clsDf.withColumn("cg", (($"cf" + $"cls") % 2).cast("int"))
+    val mQ = Qda.train(Graft.cofactorPerClass(two, Seq("f1", "f2"), Seq("cf", "cg"), label = "cls"))
+    val probe = Seq((1.2, -0.5, 99, 0), (7.0, -3.0, 1, 1), (0.3, 0.1, 0, 7), (-2.0, 4.0, 2, 0))
+      .toDF("f1", "f2", "cf", "cg")
+    probe.withColumn("pq", Qda.predict(mQ, Seq($"f1", $"f2"), Seq($"cf", $"cg")))
+      .collect().foreach { r =>
+        val (f1, f2, cf, cg) = (r.getDouble(0), r.getDouble(1), r.getInt(2), r.getInt(3))
+        assert(r.getInt(4) == Qda.predictValue(mQ, Array(f1, f2), Array(cf, cg)),
+          s"QDA column/loop mismatch at ($f1,$f2,$cf,$cg)")
+      }
   }
 
   test("gradient-descent trainer converges to the exact-solve optimum (reference solver parity)") {
