@@ -193,6 +193,29 @@ object VerifyDrive {
     assert(knnRows.forall(r => r.getDouble(2) <= 1.000001 && r.getDouble(2) >= -1.000001))
     println(s"knn top-3 for 5 queries OK (cos in [-1,1])")
 
+    println("== [13] asof join: plan shape (ONE shuffle, no range cross join) ==")
+    val evSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType)))
+    val evA = spark.read.schema(evSchema).parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"event_id", $"user_id", $"event_type", $"ts".as("t"))
+    val clicks = evA.filter($"event_type" === "click").select($"event_id", $"user_id", $"t")
+    val views = evA.filter($"event_type" === "view")
+      .select($"event_id".as("v_eid"), $"user_id", $"t".as("vt"))
+    val asof = graft.operators.AsofJoin.asofBackward(
+      clicks, views, $"user_id", $"user_id", $"t", $"vt", rightOrder = $"v_eid")
+    val phys = asof.queryExecution.executedPlan.toString
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(phys).length
+    assert(nExchanges == 1, s"asof join must shuffle exactly once, found $nExchanges:\n$phys")
+    assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoopJoin"),
+      "asof join must never plan a cross/nested-loop join")
+    val nAsof = asof.count()
+    val nClicks = clicks.count()
+    assert(nAsof == nClicks, s"asof preserves left cardinality: $nAsof vs $nClicks")
+    println(s"asof OK: 1 hash exchange, no cross join, $nAsof clicks matched")
+
     spark.stop()
   }
 }
