@@ -137,19 +137,24 @@ object Bench {
       while (times.size < maxReps && (times.size < reps || (spread(times) > tolerance && !failed))) {
         times :+= pass()
       }
-      val noisy = spread(times) > tolerance
-      if (noisy)
+      val noisy = !failed && spread(times) > tolerance
+      if (failed)
+        System.err.println(s"[bench] $name: FAILED — a pass threw; result marked broken, not timed")
+      else if (noisy)
         System.err.println(f"[bench] $name: UNSTABLE after ${times.size} passes — " +
           f"spread ${spread(times) * 100}%.0f%% over $times (machine under load?)")
       else
         System.err.println(f"[bench] $name: ${median(times)}%.3f s median of ${times.size} " +
           f"(warmup ${warm.map(t => f"$t%.2f").mkString(",")})")
-      (name, median(times), noisy)
+      // a failed query must be impossible to mistake for a fast one: its
+      // value is -1 and it is excluded from the total
+      (name, if (failed) -1.0 else median(times), noisy, failed)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val flagged = results.collect { case (k, _, true) => "\"" + k + "\"" }.mkString("[", ",", "]")
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median","unstable":$flagged}"""
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _, false) => v }.sum
+    val flagged = results.collect { case (k, _, true, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val broken = results.collect { case (k, _, _, true) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median","unstable":$flagged,"failed":$broken}"""
     println(json)
     // belt-and-braces: sbt's logger can prefix stdout lines ("[info] ..."),
     // which broke round-1 parsing — also drop the line in a results file

@@ -185,10 +185,15 @@ object SparkEntry {
       val uni = size(array_union(col("__sa"), col("__sb"))).cast("double")
       val jac = when(uni === lit(0.0), lit(0.0)).otherwise(inter / uni)
       val nTrue = a.join(b, col("ida") < col("idb")).filter(jac >= 0.8).count()
-      val nFound = graft.operators.Dedup.nearDuplicatePairs(
-        all, "doc_id", "text", threshold = 0.8, numHashes = 64, bands = 32).count()
+      val (pairs, release) = graft.operators.Dedup.nearDuplicatePairsReleasable(
+        all, "doc_id", "text", threshold = 0.8, numHashes = 64, bands = 32)
+      val nFound = pairs.count()
+      val nInput = all.count()
+      // every output is a collected count — nothing downstream needs the
+      // caches, so release them before the remaining ~40 queries run
+      release(); sh.unpersist(); all.unpersist()
       val recall = if (nTrue == 0) 10000L else math.floor(nFound.toDouble / nTrue * 10000).toLong
-      Seq((all.count(), nTrue, nFound, recall))
+      Seq((nInput, nTrue, nFound, recall))
         .toDF("n_input", "n_true", "n_found", "recall_x1e4")
     },
 
@@ -219,7 +224,9 @@ object SparkEntry {
         all, col("doc_id"), col("text"), maxDist = 3).cache()
       val nBanded = banded.count()
       val nPlantedFound = banded.filter(col("idB") === col("idA") + lit(10000000L)).count()
-      Seq((all.count(), mangled.count(), nBrute, nBanded, nPlantedFound))
+      val (nInput, nPlanted) = (all.count(), mangled.count())
+      banded.unpersist(); fp.unpersist(); all.unpersist() // counts collected; free the caches
+      Seq((nInput, nPlanted, nBrute, nBanded, nPlantedFound))
         .toDF("n_input", "n_planted", "n_bruteforce", "n_banded", "n_planted_found")
     },
 
@@ -521,8 +528,8 @@ object SparkEntry {
 
     // §2.2 #18 qda_predict with a categorical feature: exercises the
     // drop-first one-hot dictionary (category 0 dropped ⇒ features
-    // [x1, 1{c=1}], per-class 2×2 covariance nonsingular) and the UDF
-    // scoring path QDA keeps for one-hot cross terms.
+    // [x1, 1{c=1}], per-class 2×2 covariance nonsingular) through the
+    // pure-Column scoring's categorical map lookups.
     "q37_qda_predict_cat" -> { (s, dir) =>
       val data = mlCatPredictData(s, dir)
       val perClass = Graft.cofactorPerClass(
@@ -558,8 +565,12 @@ object SparkEntry {
           expr("ts div 1000").as("t_us"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("t_us"))
+      // one view per (user, µs): DuckDB's ASOF JOIN picks an ARBITRARY
+      // row among ties at the winning timestamp, so ties are removed
+      // identically on both sides to keep the oracle deterministic
       val views = ev.filter(col("event_type") === "view")
-        .select(col("event_id").as("v_eid"), col("user_id"), col("t_us").as("vt"))
+        .groupBy(col("user_id"), col("t_us").as("vt"))
+        .agg(max(col("event_id")).as("v_eid"))
       graft.operators.AsofJoin.asofBackward(
           clicks, views, col("user_id"), col("user_id"),
           col("t_us"), col("vt"), rightOrder = col("v_eid"))
@@ -619,11 +630,7 @@ object SparkEntry {
         data.filter((col("l_orderkey") % 2 === 0) === even),
         Seq("l_quantity", "disc100"), Seq("shipyear"),
         label = "l_linenumber", nb = true)
-      val (a, b) = (half(true), half(false))
-      val bm = b.toMap
-      val merged =
-        (a.map { case (k, t) => k -> bm.get(k).map(graft.ring.Triple.add(t, _)).getOrElse(t) } ++
-          b.filterNot(p => a.exists(_._1 == p._1))).sortBy(_._1)
+      val merged = graft.ring.Triple.addPerClass(half(true), half(false))
       nbTrainOut(s, graft.ml.NaiveBayes.train(merged))
     },
 
@@ -1166,7 +1173,8 @@ object SparkEntry {
     "q44_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t FROM events),
         |c AS (SELECT event_id, user_id, t FROM e WHERE event_type = 'click'),
-        |v AS (SELECT event_id AS v_eid, user_id, t AS vt FROM e WHERE event_type = 'view')
+        |v AS (SELECT user_id, t AS vt, max(event_id) AS v_eid
+        |      FROM e WHERE event_type = 'view' GROUP BY 1, 2)
         |SELECT c.event_id, c.user_id,
         |       coalesce(v.v_eid, -1) AS view_eid,
         |       coalesce(c.t - v.vt, -1) AS dt_us

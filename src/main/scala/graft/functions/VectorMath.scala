@@ -26,27 +26,41 @@ import org.apache.spark.sql.types._
  * element, or mismatched lengths (zip_with pads with NULLs) yield NULL.
  */
 private[graft] object VectorMath {
+  // every fixed-width numeric element type the old zip_with/cast
+  // formulation accepted (quantized int vectors included); Decimal is
+  // excluded — no primitive accessor, and no real embedding uses it
   def isVec(dt: DataType): Boolean = dt match {
-    case ArrayType(FloatType | DoubleType, _) => true
+    case ArrayType(ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType, _) => true
     case _ => false
   }
 
   def checkVecs(name: String, dts: DataType*): TypeCheckResult =
     dts.find(!isVec(_)) match {
       case Some(bad) => TypeCheckResult.TypeCheckFailure(
-        s"$name expects ARRAY<FLOAT> or ARRAY<DOUBLE> arguments, got $bad")
+        s"$name expects an ARRAY of a fixed-width numeric type, got $bad")
       case None => TypeCheckResult.TypeCheckSuccess
     }
 
-  @inline def get(arr: ArrayData, i: Int, isFloat: Boolean): Double =
-    if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+  def elem(dt: DataType): DataType = dt.asInstanceOf[ArrayType].elementType
 
-  def isFloatVec(dt: DataType): Boolean =
-    dt.asInstanceOf[ArrayType].elementType == FloatType
+  @inline def get(arr: ArrayData, i: Int, et: DataType): Double = et match {
+    case FloatType => arr.getFloat(i).toDouble
+    case DoubleType => arr.getDouble(i)
+    case IntegerType => arr.getInt(i).toDouble
+    case LongType => arr.getLong(i).toDouble
+    case ShortType => arr.getShort(i).toDouble
+    case ByteType => arr.getByte(i).toDouble
+  }
 
   /** Java accessor snippet for one element, already widened to double. */
-  def getterCode(arr: String, i: String, dt: DataType): String =
-    if (isFloatVec(dt)) s"((double) $arr.getFloat($i))" else s"$arr.getDouble($i)"
+  def getterCode(arr: String, i: String, dt: DataType): String = elem(dt) match {
+    case FloatType => s"((double) $arr.getFloat($i))"
+    case DoubleType => s"$arr.getDouble($i)"
+    case IntegerType => s"((double) $arr.getInt($i))"
+    case LongType => s"((double) $arr.getLong($i))"
+    case ShortType => s"((double) $arr.getShort($i))"
+    case ByteType => s"((double) $arr.getByte($i))"
+  }
 }
 
 /** `dot_product(a, b)` — Σ aᵢ·bᵢ in double precision. */
@@ -56,8 +70,8 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def checkInputDataTypes(): TypeCheckResult =
     VectorMath.checkVecs(prettyName, left.dataType, right.dataType)
 
-  private lazy val lFloat = VectorMath.isFloatVec(left.dataType)
-  private lazy val rFloat = VectorMath.isFloatVec(right.dataType)
+  private lazy val lElem = VectorMath.elem(left.dataType)
+  private lazy val rElem = VectorMath.elem(right.dataType)
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -68,7 +82,7 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      s += VectorMath.get(a, i, lFloat) * VectorMath.get(b, i, rFloat)
+      s += VectorMath.get(a, i, lElem) * VectorMath.get(b, i, rElem)
       i += 1
     }
     java.lang.Double.valueOf(s)
@@ -106,7 +120,7 @@ case class VectorNorm(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     VectorMath.checkVecs(prettyName, child.dataType)
 
-  private lazy val isFloat = VectorMath.isFloatVec(child.dataType)
+  private lazy val elemT = VectorMath.elem(child.dataType)
 
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
@@ -115,7 +129,7 @@ case class VectorNorm(child: Expression) extends UnaryExpression {
     var i = 0
     while (i < n) {
       if (a.isNullAt(i)) return null
-      val x = VectorMath.get(a, i, isFloat)
+      val x = VectorMath.get(a, i, elemT)
       s += x * x
       i += 1
     }
@@ -156,8 +170,8 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
   override def checkInputDataTypes(): TypeCheckResult =
     VectorMath.checkVecs(prettyName, left.dataType, right.dataType)
 
-  private lazy val lFloat = VectorMath.isFloatVec(left.dataType)
-  private lazy val rFloat = VectorMath.isFloatVec(right.dataType)
+  private lazy val lElem = VectorMath.elem(left.dataType)
+  private lazy val rElem = VectorMath.elem(right.dataType)
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -170,8 +184,8 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = VectorMath.get(a, i, lFloat)
-      val y = VectorMath.get(b, i, rFloat)
+      val x = VectorMath.get(a, i, lElem)
+      val y = VectorMath.get(b, i, rElem)
       sab += x * y; saa += x * x; sbb += y * y
       i += 1
     }

@@ -93,20 +93,6 @@ object Mice {
   private def usesNb(cfg: Config, c: String): Boolean =
     !cfg.imputeCont.contains(c) && cfg.catModel == "nb"
 
-  /** Per-class ring addition: classes present on only one side pass
-    * through unchanged (a class can live entirely in one stratum). */
-  private def mergePerClass(a: Seq[(Int, Triple)], b: Seq[(Int, Triple)]): Seq[(Int, Triple)] = {
-    val am = a.toMap; val bm = b.toMap
-    (am.keySet ++ bm.keySet).toSeq.sorted.map { k =>
-      (am.get(k), bm.get(k)) match {
-        case (Some(x), Some(y)) => k -> Triple.add(x, y)
-        case (Some(x), None)    => k -> x
-        case (None, Some(y))    => k -> y
-        case _                  => throw new IllegalStateException("unreachable")
-      }
-    }
-  }
-
   /** One train+impute step for one column. `observed` is the cofactor
     * triple over the rows where `c` is observed (the LinReg/LDA training
     * input); `nbPerClass` carries the per-class NB aggregates over those
@@ -213,7 +199,7 @@ object Mice {
             val inc = tm.time("cofactor_delta")(Graft.cofactorPerClass(
               incomplete.filter(!col(flag(c))), cfg.contCols,
               cfg.catCols.filterNot(_ == c), label = c, nb = true))
-            Some(mergePerClass(static, inc))
+            Some(Triple.addPerClass(static, inc))
           } else None
         incomplete = imputeColumn(incomplete, cfg, c, observed, nbPc, iter, tm)
         // full := observed + recomputed delta over the freshly imputed

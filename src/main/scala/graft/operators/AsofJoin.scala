@@ -42,7 +42,11 @@ object AsofJoin {
       lit(0L).as("__ord"),
       struct(left.columns.map(col): _*).as("__l"),
       lit(null).cast(rType).as("__r"))
-    val r = right.select(
+    // SQL join-equality semantics: NULL never equals NULL. Window
+    // partitioning WOULD group all NULL keys together, so NULL-key right
+    // rows must not enter the match stream; NULL-key left rows stay (and
+    // get a NULL match — left-join behavior).
+    val r = right.where(rightKey.isNotNull).select(
       rightKey.as("__k"), rightTs.cast("long").as("__t"), lit(0).as("__side"),
       rightOrder.cast("long").as("__ord"),
       lit(null).cast(lType).as("__l"),

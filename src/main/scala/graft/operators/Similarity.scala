@@ -19,7 +19,12 @@ object Similarity {
   // Native codegen'd expressions ([[graft.functions.DotProduct]] etc.),
   // not aggregate(zip_with(...)): HOF lambdas are interpreted and the
   // pair-scoring loops here evaluate them |q|·|corpus| times.
+  // The bare Column helpers can only see the thread's active session;
+  // every DataFrame-taking operator below additionally registers on the
+  // session that OWNS its input (a multi-session driver may build
+  // columns for session A while B is active).
   private def reg(): Unit = graft.Graft.register(org.apache.spark.sql.SparkSession.active)
+  private def reg(df: DataFrame): Unit = graft.Graft.register(df.sparkSession)
 
   def dot(a: Column, b: Column): Column = { reg(); call_function("dot_product", a, b) }
 
@@ -42,6 +47,7 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      qId: String, qVec: String, cId: String, cVec: String,
                      k: Int, excludeSelf: Boolean = true): DataFrame = {
+    reg(queries)
     val q = queries.select(col(qId).as("qId"), col(qVec).as("__qv"))
       .withColumn("__qn", norm(col("__qv")))
     val c = corpus.select(col(cId).as("cId"), col(cVec).as("__cv"))
@@ -78,6 +84,7 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               qId: String, qVec: String, cId: String, cVec: String,
               k: Int, dim: Int, nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    reg(queries)
     val q = queries.select(col(qId).as("qId"), col(qVec).as("__qv"))
       .withColumn("__bucket", lshBucket(col("__qv"), dim, nPlanes, seed))
       .withColumn("__qn", norm(col("__qv")))
@@ -103,6 +110,7 @@ object Similarity {
 
   def ivfBuild(corpus: DataFrame, id: String, vec: String, nCentroids: Int,
                seed: Long = 42L, kmeansIters: Int = 0): IvfIndex = {
+    reg(corpus)
     // deterministic seeded sample initializes the centroids; optional
     // Lloyd iterations refine them distributed-style: assign is a
     // broadcast map pass, the new means are a (centroid, dimension)
@@ -156,6 +164,7 @@ object Similarity {
    */
   def ivfTopK(index: IvfIndex, queries: DataFrame, qId: String, qVec: String,
               cId: String, cVec: String, k: Int, nProbe: Int = 2): DataFrame = {
+    reg(queries)
     val centLit = typedLit(index.centroids.map { case (i, v) => (i, v.toSeq) }.toSeq)
     // per query: the nProbe nearest centroid ids
     val q = queries.select(col(qId).as("qId"), col(qVec).as("__qv"))
@@ -181,6 +190,7 @@ object Similarity {
     * candidates (exact variant: pass nPlanes = 0 for a full self-join). */
   def embeddingNearDupPairs(df: DataFrame, id: String, vec: String, threshold: Double,
                             dim: Int, nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    reg(df)
     val base = df.select(col(id).as("idA"), col(vec).as("__va"))
       .withColumn("__na", norm(col("__va")))
     val other = df.select(col(id).as("idB"), col(vec).as("__vb"))

@@ -139,6 +139,21 @@ object Triple {
     * integer-valued data. */
   def subtract(a: Triple, b: Triple): Triple = combine(a, b, -1.0)
 
+  /** Per-class ring addition of two (label, triple) sets: matching labels
+    * are [[add]]ed, labels present on only one side pass through (a class
+    * can live entirely in one stratum). Sorted by label. */
+  def addPerClass(a: Seq[(Int, Triple)], b: Seq[(Int, Triple)]): Seq[(Int, Triple)] = {
+    val am = a.toMap; val bm = b.toMap
+    (am.keySet ++ bm.keySet).toSeq.sorted.map { k =>
+      (am.get(k), bm.get(k)) match {
+        case (Some(x), Some(y)) => k -> add(x, y)
+        case (Some(x), None)    => k -> x
+        case (None, Some(y))    => k -> y
+        case _                  => throw new IllegalStateException("unreachable")
+      }
+    }
+  }
+
   /**
    * Ring product: the triple of the cross product of the two row sets
    * (mul.cpp:19-611; block layout verified against the reference golden

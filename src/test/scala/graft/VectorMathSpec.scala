@@ -62,6 +62,18 @@ class VectorMathSpec extends AnyFunSuite {
     assert(math.abs(CosineSimilarity(la, lb).eval().asInstanceOf[Double] - expected) < 1e-15)
   }
 
+  test("integer vectors (quantized embeddings) are accepted and widened to double") {
+    val df = Seq((Array(1, 2, 3), Array(4L, -5L, 6L), Array(1.0f, 0.0f, 0.0f)))
+      .toDF("ai", "al", "af")
+    val r = df.select(
+      call_function("dot_product", $"ai", $"al"),
+      call_function("vector_norm", $"ai"),
+      call_function("cosine_similarity", $"ai", $"af")).head
+    assert(r.getDouble(0) == 12.0, "int·long dot")
+    assert(r.getDouble(1) == math.sqrt(14.0), "int norm")
+    assert(math.abs(r.getDouble(2) - 1.0 / math.sqrt(14.0)) < 1e-15, "int vs float cosine")
+  }
+
   test("null array, null element, and length mismatch yield NULL (zip_with parity)") {
     val df = Seq(
       (0L, Array(1.0f, 2.0f), Array(1.0f, 2.0f)),       // clean
