@@ -550,6 +550,38 @@ object SparkEntry {
       mlCatPredictOut(data, graft.ml.NaiveBayes.predict(m, Seq(col("x1")), Seq(col("c"))))
     },
 
+    // ANN SCALE paths (IVF with kmeans refinement; hyperplane LSH):
+    // recall@3 against the exact brute force, as one hash-checked row.
+    // n_true is independently recomputed by DuckDB (its own brute-force
+    // top-3 count); the hit counts are deterministic (seeded centroids /
+    // hyperplanes) golden values at sf0.01 — the same frozen-outcome
+    // discipline as q15. Approximate-by-design, so recall < 1 is
+    // expected and PINNED, not hidden.
+    "q45_ann_recall" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 50)
+      val bf = graft.operators.Similarity.bruteForceTopK(
+          queries, emb, "vec_id", "embedding", "vec_id", "embedding", k = 3)
+        .select(col("qId"), col("cId")).cache()
+      val nTrue = bf.count()
+      val idx = graft.operators.Similarity.ivfBuild(
+        emb, "vec_id", "embedding", nCentroids = 16, kmeansIters = 2)
+      val ivf = graft.operators.Similarity.ivfTopK(
+          idx, queries, "vec_id", "embedding", "vec_id", "embedding", k = 3, nProbe = 4)
+        .select(col("qId").as("q2"), col("cId").as("c2"))
+      val ivfHit = bf.join(ivf, bf("qId") === ivf("q2") && bf("cId") === ivf("c2")).count()
+      val lsh = graft.operators.Similarity.lshTopK(
+          queries, emb, "vec_id", "embedding", "vec_id", "embedding",
+          k = 3, dim = 64, nPlanes = 4)
+        .select(col("qId").as("q3"), col("cId").as("c3"))
+      val lshHit = bf.join(lsh, bf("qId") === lsh("q3") && bf("cId") === lsh("c3")).count()
+      bf.unpersist()
+      def rec(h: Long) = if (nTrue == 0) 0L else math.floor(h.toDouble / nTrue * 10000).toLong
+      Seq((nTrue, ivfHit, rec(ivfHit), lshHit, rec(lshHit)))
+        .toDF("n_true", "ivf_hit", "ivf_recall_x1e4", "lsh_hit", "lsh_recall_x1e4")
+    },
+
     // as-of join (beyond the reference; a native operator in DuckDB/kdb
     // that Spark lacks): every click matched to the latest view of the
     // same user at-or-before it — one shuffle + per-partition sort, no
@@ -1168,6 +1200,22 @@ object SparkEntry {
         |       c::BIGINT AS c, cnt, cls AS pred
         |FROM scored WHERE rn = 1
         |ORDER BY l_linenumber, ix1, c""".stripMargin,
+    // n_true recomputed by DuckDB's own brute-force top-3; hit counts
+    // are frozen outcomes of the seeded centroids/hyperplanes (golden
+    // discipline, see q15). The synthetic embeddings are near-uniform —
+    // the worst case for space partitioning — so recall is expectedly
+    // far below 1 and PINNED rather than hidden: IVF at nProbe/nCentroids
+    // = 25% of the corpus recovers 56% of true neighbors.
+    "q45_ann_recall" ->
+      """WITH bf AS (
+        |  SELECT a.vec_id AS qId, b.vec_id AS cId,
+        |         row_number() OVER (PARTITION BY a.vec_id
+        |           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rank
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 50)
+        |SELECT (SELECT count(*) FROM bf WHERE rank <= 3) AS n_true,
+        |       84::BIGINT AS ivf_hit, 5600::BIGINT AS ivf_recall_x1e4,
+        |       20::BIGINT AS lsh_hit, 1333::BIGINT AS lsh_recall_x1e4""".stripMargin,
     // DuckDB's native ASOF JOIN is the independent ground truth for the
     // union+window formulation (same µs-truncated integer timestamps)
     "q44_asof_join" ->
