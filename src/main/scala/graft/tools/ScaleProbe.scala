@@ -58,6 +58,54 @@ object ScaleProbe {
       }
       corpus.unpersist()
     }
+
+    // --- knn brute force: corpus 2k → 32k vectors (64d), 20 queries ---
+    // cost is queries × corpus × dim; with the query side broadcast the
+    // corpus streams once, so wall-clock should grow ~linearly in corpus
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).cache()
+    val nEmb = emb.count()
+    val knnQ = emb.filter(col("vec_id") < 20)
+    for (k <- Seq(1, 4, 16)) {
+      val corpus = (0 until k).map(i =>
+        emb.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("embedding"))
+      ).reduce(_ unionByName _).cache()
+      corpus.count()
+      time(s"knn bruteforce x$k (${nEmb * k} vectors)") {
+        graft.operators.Similarity.bruteForceTopK(
+          knnQ, corpus, "vec_id", "embedding", "vec_id", "embedding", k = 3).count()
+      }
+      corpus.unpersist()
+    }
+
+    // --- asof join: 150k → 2.4M events ---
+    // one shuffle + per-partition sort: wall-clock should track the sort
+    val evSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType)))
+    val ev = spark.read.schema(evSchema).parquet("/root/testdata/sf0.1/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts")).cache()
+    val nEv = ev.count()
+    for (k <- Seq(1, 4, 16)) {
+      val rep = (0 until k).map(i =>
+        ev.select((col("event_id") + lit(i * 10000000L)).as("event_id"),
+          (col("user_id") + lit(i * 1000L)).as("user_id"), // distinct key space per replica
+          col("event_type"), (col("ts") + lit(i)).as("ts"))
+      ).reduce(_ unionByName _).cache()
+      rep.count()
+      val clicks = rep.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = rep.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_eid"), col("user_id"), col("ts").as("vt"))
+      time(s"asof join x$k (${nEv * k} events)") {
+        graft.operators.AsofJoin.asofBackward(
+          clicks, views, col("user_id"), col("user_id"),
+          col("ts"), col("vt"), rightOrder = col("v_eid")).count()
+      }
+      rep.unpersist()
+    }
     spark.stop()
   }
 }
