@@ -131,10 +131,16 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       // the first pass pays per-query JIT/codegen; steady-state is what
-      // scales to a long-lived cluster, so warmup passes are discarded
+      // scales to a long-lived cluster, so warmup passes are discarded —
+      // including a transient warmup failure, which must not condemn a
+      // query whose timed passes all succeed
       val warm = (1 to warmups).map(_ => pass())
+      failed = false
       var times = Vector.empty[Double]
-      while (times.size < maxReps && (times.size < reps || (spread(times) > tolerance && !failed))) {
+      // short-circuit on a timed-pass failure: re-running a broken query
+      // pays full execution up to the throw for no information
+      while (!failed && times.size < maxReps
+             && (times.size < reps || spread(times) > tolerance)) {
         times :+= pass()
       }
       val noisy = !failed && spread(times) > tolerance

@@ -565,8 +565,14 @@ object SparkEntry {
           queries, emb, "vec_id", "embedding", "vec_id", "embedding", k = 3)
         .select(col("qId"), col("cId")).cache()
       val nTrue = bf.count()
+      // kmeansIters = 0 ON PURPOSE: Lloyd refinement averages through a
+      // distributed avg whose float summation order varies with the
+      // partition count, so refined centroids (and the pinned hit count)
+      // would be machine-dependent; the seeded-sample centroids are
+      // bit-deterministic everywhere. Refinement quality is covered by
+      // PipelineSpec's SSE-monotonicity test instead.
       val idx = graft.operators.Similarity.ivfBuild(
-        emb, "vec_id", "embedding", nCentroids = 16, kmeansIters = 2)
+        emb, "vec_id", "embedding", nCentroids = 16, kmeansIters = 0)
       val ivf = graft.operators.Similarity.ivfTopK(
           idx, queries, "vec_id", "embedding", "vec_id", "embedding", k = 3, nProbe = 4)
         .select(col("qId").as("q2"), col("cId").as("c2"))
@@ -1205,7 +1211,8 @@ object SparkEntry {
     // discipline, see q15). The synthetic embeddings are near-uniform —
     // the worst case for space partitioning — so recall is expectedly
     // far below 1 and PINNED rather than hidden: IVF at nProbe/nCentroids
-    // = 25% of the corpus recovers 56% of true neighbors.
+    // = 25% of the corpus recovers 41% of true neighbors (unrefined seeded
+    // centroids — see the kmeansIters note in the query).
     "q45_ann_recall" ->
       """WITH bf AS (
         |  SELECT a.vec_id AS qId, b.vec_id AS cId,
@@ -1214,7 +1221,7 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
         |  WHERE a.vec_id < 50)
         |SELECT (SELECT count(*) FROM bf WHERE rank <= 3) AS n_true,
-        |       84::BIGINT AS ivf_hit, 5600::BIGINT AS ivf_recall_x1e4,
+        |       61::BIGINT AS ivf_hit, 4066::BIGINT AS ivf_recall_x1e4,
         |       20::BIGINT AS lsh_hit, 1333::BIGINT AS lsh_recall_x1e4""".stripMargin,
     // DuckDB's native ASOF JOIN is the independent ground truth for the
     // union+window formulation (same µs-truncated integer timestamps)

@@ -42,11 +42,13 @@ object AsofJoin {
       lit(0L).as("__ord"),
       struct(left.columns.map(col): _*).as("__l"),
       lit(null).cast(rType).as("__r"))
-    // SQL join-equality semantics: NULL never equals NULL. Window
-    // partitioning WOULD group all NULL keys together, so NULL-key right
+    // SQL join-equality semantics: NULL never equals NULL, and a NULL
+    // right timestamp can never satisfy rightTs <= leftTs. Window
+    // partitioning WOULD group all NULL keys together (and a NULL __t
+    // sorts first, i.e. "before everything"), so NULL-key/NULL-ts right
     // rows must not enter the match stream; NULL-key left rows stay (and
     // get a NULL match — left-join behavior).
-    val r = right.where(rightKey.isNotNull).select(
+    val r = right.where(rightKey.isNotNull && rightTs.isNotNull).select(
       rightKey.as("__k"), rightTs.cast("long").as("__t"), lit(0).as("__side"),
       rightOrder.cast("long").as("__ord"),
       lit(null).cast(lType).as("__l"),

@@ -78,7 +78,7 @@ object ScaleProbe {
       corpus.unpersist()
     }
 
-    // --- asof join: 150k → 2.4M events ---
+    // --- asof join: 100k → 1.6M events ---
     // one shuffle + per-partition sort: wall-clock should track the sort
     val evSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
@@ -91,7 +91,10 @@ object ScaleProbe {
     for (k <- Seq(1, 4, 16)) {
       val rep = (0 until k).map(i =>
         ev.select((col("event_id") + lit(i * 10000000L)).as("event_id"),
-          (col("user_id") + lit(i * 1000L)).as("user_id"), // distinct key space per replica
+          // offset must exceed the key range (user_id spans 0..1499) so
+          // replicas occupy DISTINCT key spaces — group sizes stay
+          // constant and the probe measures corpus growth, not skew
+          (col("user_id") + lit(i * 10000L)).as("user_id"),
           col("event_type"), (col("ts") + lit(i)).as("ts"))
       ).reduce(_ unionByName _).cache()
       rep.count()

@@ -207,10 +207,18 @@ class PipelineSpec extends AnyFunSuite {
       .select($"lid", $"asof.rid")
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
     assert(tol(101L) == -1L && tol(100L) == 202L, s"tolerance gating: $tol")
-    // SQL join semantics: NULL keys never match each other
-    val lNull = Seq((Option.empty[Long], 10L, 300L), (Some(9L), 10L, 301L))
+    // SQL join semantics: NULL keys never match each other, and a NULL
+    // right timestamp can never satisfy vt <= t (it would otherwise sort
+    // "before everything" in the window and match spuriously)
+    val lNull = Seq(
+        (Option.empty[Long], 10L, 300L),
+        (Some(9L), 10L, 301L),
+        (Some(9L), 1L, 302L)) // earlier than every valid right row
       .toDF("k", "t", "lid")
-    val rNull = Seq((Option.empty[Long], 5L, 400L), (Some(9L), 5L, 401L))
+    val rNull = Seq(
+        (Option.empty[Long], Some(5L), 400L),
+        (Some(9L), Some(5L), 401L),
+        (Some(9L), Option.empty[Long], 402L)) // NULL ts: must never match
       .toDF("k", "t", "rid")
     val nulls = graft.operators.AsofJoin.asofBackward(
         lNull, rNull, lNull("k"), rNull("k"), lNull("t"), rNull("t"))
@@ -218,6 +226,7 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
     assert(nulls(300L) == -1L, s"NULL-key left row must not match NULL-key right: $nulls")
     assert(nulls(301L) == 401L, s"non-NULL keys still match: $nulls")
+    assert(nulls(302L) == -1L, s"NULL-ts right row must never be a match: $nulls")
   }
 
   test("connected components: hub-linked near-dups collapse transitively") {
