@@ -550,6 +550,37 @@ object SparkEntry {
       mlCatPredictOut(data, graft.ml.NaiveBayes.predict(m, Seq(col("x1")), Seq(col("c"))))
     },
 
+    // range (interval) join (beyond the reference): clicks within the 5
+    // minutes preceding each error event, per user — bucketized
+    // equi-join + exact range filter (one shuffle per side), NEVER the
+    // BroadcastNestedLoopJoin Spark would plan for a raw inequality
+    // join. DuckDB's native range join is the independent ground truth.
+    "q46_range_join" -> { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val ev = s.read.schema(schema).parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("t_us"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("t_us"),
+          (col("t_us") - lit(300000000L)).as("lo"), col("t_us").as("hi"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_eid"), col("user_id"), col("t_us").as("ct"))
+      val pairs = graft.operators.RangeJoin.pointInInterval(
+        clicks, errors, pointTs = col("ct"), lo = col("lo"), hi = col("hi"),
+        bucketWidth = 300000000L,
+        pointKey = col("user_id"), intervalKey = col("user_id"))
+      val counts = pairs.groupBy(col("interval.event_id").as("event_id"))
+        .agg(count(lit(1)).as("n_clicks"))
+      errors.select(col("event_id"))
+        .join(counts, Seq("event_id"), "left")
+        .select(col("event_id"), coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+        .orderBy(col("event_id"))
+    },
+
     // ANN SCALE paths (IVF with kmeans refinement; hyperplane LSH):
     // recall@3 against the exact brute force, as one hash-checked row.
     // n_true is independently recomputed by DuckDB (its own brute-force
@@ -1206,6 +1237,16 @@ object SparkEntry {
         |       c::BIGINT AS c, cnt, cls AS pred
         |FROM scored WHERE rn = 1
         |ORDER BY l_linenumber, ix1, c""".stripMargin,
+    // DuckDB evaluates the inequality join natively — independent ground
+    // truth for the bucketized formulation
+    "q46_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t FROM events),
+        |err AS (SELECT event_id, user_id, t FROM e WHERE event_type = 'error'),
+        |c AS (SELECT user_id, t FROM e WHERE event_type = 'click')
+        |SELECT err.event_id, count(c.t) AS n_clicks
+        |FROM err LEFT JOIN c
+        |  ON c.user_id = err.user_id AND c.t BETWEEN err.t - 300000000 AND err.t
+        |GROUP BY err.event_id ORDER BY err.event_id""".stripMargin,
     // n_true recomputed by DuckDB's own brute-force top-3; hit counts
     // are frozen outcomes of the seeded centroids/hyperplanes (golden
     // discipline, see q15). The synthetic embeddings are near-uniform —

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Bucketized range (interval) join: match point rows to interval rows
+ * with `lo ≤ point ≤ hi` (optionally also equal on a key). Spark plans a
+ * raw inequality join as BroadcastNestedLoopJoin — per-pair evaluation
+ * over |points|·|intervals| — which is exactly what a 100 TB engine
+ * cannot do. Here both sides hash-shuffle on a BUCKET of width
+ * `bucketWidth`: each point lands in one bucket, each interval is
+ * exploded into the ⌈span/width⌉+1 buckets it overlaps, the join is a
+ * plain equi-join on (key, bucket), and the exact range predicate
+ * filters the candidates. Cost is one shuffle per side and candidates
+ * only within overlapping buckets — never a nested loop.
+ *
+ * Pick `bucketWidth` near the typical interval span: much smaller
+ * multiplies the interval-side explosion; much larger admits more
+ * false candidates per bucket.
+ */
+object RangeJoin {
+
+  /**
+   * @param pointTs   numeric point value (e.g. epoch micros)
+   * @param lo/hi     numeric interval bounds, inclusive, on `intervals`
+   * @param pointKey/intervalKey  optional equality key (NULL never
+   *                  matches, SQL semantics)
+   * @param pointCol/intervalCol  output struct column names
+   * Returns one row per matching (point, interval) pair.
+   */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      pointTs: Column, lo: Column, hi: Column,
+                      bucketWidth: Long,
+                      pointKey: Column = lit(0L), intervalKey: Column = lit(0L),
+                      pointCol: String = "point", intervalCol: String = "interval"): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    // exact floor-division bucketing: `/` on longs is DOUBLE division in
+    // Spark; (c − pmod(c, w)) is an exact multiple of w, so the division
+    // is exact (and pmod gives floor semantics for negatives)
+    def bucketOf(c: Column): Column =
+      ((c - pmod(c, lit(bucketWidth))) / lit(bucketWidth)).cast("long")
+    val p = points.where(pointKey.isNotNull && pointTs.isNotNull).select(
+      pointKey.as("__k"),
+      pointTs.cast("long").as("__t"),
+      bucketOf(pointTs.cast("long")).as("__b"),
+      struct(points.columns.map(col): _*).as("__p"))
+    // an interval overlaps every bucket from ⌊lo/W⌋ to ⌊hi/W⌋; sequence()
+    // materializes that (bounded) bucket list and explode shuffles one
+    // copy per bucket — empty intervals (hi < lo) vanish here
+    val i = intervals.where(intervalKey.isNotNull && lo.isNotNull && hi.isNotNull).select(
+      intervalKey.as("__k"),
+      lo.cast("long").as("__lo"),
+      hi.cast("long").as("__hi"),
+      struct(intervals.columns.map(col): _*).as("__i"))
+      .where(col("__lo") <= col("__hi"))
+      .select(col("__k"), col("__lo"), col("__hi"), col("__i"),
+        explode(sequence(bucketOf(col("__lo")), bucketOf(col("__hi")))).as("__b"))
+    p.join(i, Seq("__k", "__b"))
+      .where(col("__t") >= col("__lo") && col("__t") <= col("__hi"))
+      .select(col("__p").as(pointCol), col("__i").as(intervalCol))
+  }
+}

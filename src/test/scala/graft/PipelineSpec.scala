@@ -229,6 +229,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(nulls(302L) == -1L, s"NULL-ts right row must never be a match: $nulls")
   }
 
+  test("range join: bucketized point-in-interval matches, no nested loop") {
+    val points = Seq((1L, 5L, 100L), (1L, 25L, 101L), (1L, 31L, 102L), (2L, 5L, 103L),
+        (1L, 30L, 104L))
+      .toDF("k", "t", "pid")
+    val intervals = Seq((1L, 0L, 10L, 200L), (1L, 20L, 30L, 201L), (3L, 0L, 99L, 202L),
+        (1L, 50L, 40L, 203L)) // empty interval (hi < lo): matches nothing
+      .toDF("k", "lo", "hi", "iid")
+    val out = graft.operators.RangeJoin.pointInInterval(
+      points, intervals, points("t"), intervals("lo"), intervals("hi"),
+      bucketWidth = 7L, pointKey = points("k"), intervalKey = intervals("k"))
+    val pairs = out.select($"point.pid", $"interval.iid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((100L, 200L), (101L, 201L), (104L, 201L)),
+      s"got $pairs") // boundaries inclusive (t=30 in [20,30]); key 2/3 never meet
+    // duplicates must not arise from an interval spanning many buckets
+    assert(out.count() == 3)
+    val phys = out.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin") && !phys.contains("CartesianProduct"),
+      s"range join must stay an equi-join:\n$phys")
+  }
+
   test("connected components: hub-linked near-dups collapse transitively") {
     // 1~5, 2~5 (hub 5), isolated pair 7~9, singleton edges only
     val pairs = Seq((1L, 5L), (2L, 5L), (7L, 9L)).toDF("idA", "idB")
