@@ -96,4 +96,43 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.forall(_._3 >= 0.1))
     } finally q.stop()
   }
+
+  test("streaming sessionize (flatMapGroupsWithState) == batch sessionize on closed sessions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    def ts(sec: Int) = new java.sql.Timestamp(1760000000000L + sec * 1000L)
+    val closed = graft.streaming.StreamingSessionize.sessionize(
+      input.toDF().toDF("ts", "user"), "user", "ts", gapMs = 30000L, watermark = "10 seconds")
+    val q = closed.writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    try {
+      // user 1: events at 0,10,20 then 100 (gap 80s > 30s) → 2 sessions
+      // user 2: single event at 7
+      input.addData((ts(0), 1L), (ts(10), 1L), (ts(20), 1L), (ts(100), 1L), (ts(7), 2L))
+      q.processAllAvailable()
+      // fencepost far in the future: watermark passes every lastTs+gap,
+      // timing out and emitting ALL earlier sessions
+      input.addData((ts(100000), 999L))
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .filter($"key" =!= 999L)
+        .select($"key", $"startMs", $"endMs", $"events").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val base = 1760000000000L
+      assert(got == Set(
+        (1L, base, base + 20000L, 3L),          // events 0,10,20
+        (1L, base + 100000L, base + 100000L, 1L), // the 100s singleton
+        (2L, base + 7000L, base + 7000L, 1L)),
+        s"got $got")
+      // batch parity: same session count per key via the batch operator
+      val batchDf = Seq((1L, 0L, 1L), (1L, 10L, 2L), (1L, 20L, 3L), (1L, 100L, 4L), (2L, 7L, 5L))
+        .toDF("user", "t", "eid")
+      val batch = graft.operators.Sessionize.summary(
+          batchDf, $"user", $"t", $"eid", maxGap = 30L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val streamCounts = got.groupBy(_._1).map { case (k, ss) => k -> ss.size.toLong }
+      assert(streamCounts == batch, s"stream $streamCounts vs batch $batch")
+    } finally q.stop()
+  }
 }
