@@ -564,9 +564,12 @@ object SparkEntry {
       val ev = s.read.schema(schema).parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("user_id"), col("event_type"),
           expr("ts div 1000").as("t_us"))
+      // cached: used by the range join AND the zero-count left join —
+      // without it events.parquet is scanned a third time
       val errors = ev.filter(col("event_type") === "error")
         .select(col("event_id"), col("user_id"), col("t_us"),
           (col("t_us") - lit(300000000L)).as("lo"), col("t_us").as("hi"))
+        .cache()
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id").as("c_eid"), col("user_id"), col("t_us").as("ct"))
       val pairs = graft.operators.RangeJoin.pointInInterval(

@@ -33,29 +33,49 @@ object RangeJoin {
                       pointTs: Column, lo: Column, hi: Column,
                       bucketWidth: Long,
                       pointKey: Column = lit(0L), intervalKey: Column = lit(0L),
-                      pointCol: String = "point", intervalCol: String = "interval"): DataFrame = {
+                      pointCol: String = "point", intervalCol: String = "interval",
+                      maxBucketsPerInterval: Long = 100000L): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     // exact floor-division bucketing: `/` on longs is DOUBLE division in
     // Spark; (c − pmod(c, w)) is an exact multiple of w, so the division
-    // is exact (and pmod gives floor semantics for negatives)
-    def bucketOf(c: Column): Column =
-      ((c - pmod(c, lit(bucketWidth))) / lit(bucketWidth)).cast("long")
+    // is exact (and pmod gives floor semantics for negatives). Buckets
+    // are computed on the LONG-truncated value — truncation is monotone,
+    // so a point inside [lo, hi] always lands inside the interval's
+    // bucket range; the EXACT predicate below runs on the original
+    // (possibly fractional) values, so no false matches either.
+    def bucketOf(c: Column): Column = {
+      val l = c.cast("long")
+      ((l - pmod(l, lit(bucketWidth))) / lit(bucketWidth)).cast("long")
+    }
     val p = points.where(pointKey.isNotNull && pointTs.isNotNull).select(
       pointKey.as("__k"),
-      pointTs.cast("long").as("__t"),
-      bucketOf(pointTs.cast("long")).as("__b"),
+      pointTs.as("__t"),
+      bucketOf(pointTs).as("__b"),
       struct(points.columns.map(col): _*).as("__p"))
     // an interval overlaps every bucket from ⌊lo/W⌋ to ⌊hi/W⌋; sequence()
     // materializes that (bounded) bucket list and explode shuffles one
-    // copy per bucket — empty intervals (hi < lo) vanish here
+    // copy per bucket — empty intervals (hi < lo) vanish here. A single
+    // degenerate open-ended interval (hi = a far-future sentinel) would
+    // ask sequence() for billions of elements and kill the job with an
+    // opaque error — fail fast with a diagnosable one instead.
+    // the guard is fused into sequence()'s upper bound so it provably
+    // evaluates BEFORE the huge bucket list could materialize
+    val nb = bucketOf(col("__hi")) - bucketOf(col("__lo")) + 1
+    val guardedHi = when(nb > maxBucketsPerInterval,
+      raise_error(concat(
+        lit(s"pointInInterval: an interval spans more than $maxBucketsPerInterval buckets " +
+          s"of width $bucketWidth (found "), nb,
+        lit(" buckets) — widen bucketWidth, cap the interval, or raise maxBucketsPerInterval")))
+        .cast("long"))
+      .otherwise(bucketOf(col("__hi")))
     val i = intervals.where(intervalKey.isNotNull && lo.isNotNull && hi.isNotNull).select(
       intervalKey.as("__k"),
-      lo.cast("long").as("__lo"),
-      hi.cast("long").as("__hi"),
+      lo.as("__lo"),
+      hi.as("__hi"),
       struct(intervals.columns.map(col): _*).as("__i"))
       .where(col("__lo") <= col("__hi"))
       .select(col("__k"), col("__lo"), col("__hi"), col("__i"),
-        explode(sequence(bucketOf(col("__lo")), bucketOf(col("__hi")))).as("__b"))
+        explode(sequence(bucketOf(col("__lo")), guardedHi)).as("__b"))
     p.join(i, Seq("__k", "__b"))
       .where(col("__t") >= col("__lo") && col("__t") <= col("__hi"))
       .select(col("__p").as(pointCol), col("__i").as(intervalCol))

@@ -16,7 +16,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  *
  * Late events (arriving after their session timed out) start a new
  * session rather than mutating an emitted one — standard
- * at-watermark-granularity streaming semantics.
+ * at-watermark-granularity streaming semantics. An out-of-order event
+ * within `gap` of the OPEN session's start extends it backward
+ * (start is lowered, exactly like batch); one more than a gap BEFORE
+ * the open session is emitted as its own closed session immediately
+ * (one open session per key is maintained, so a deeply-late island
+ * cannot stay open waiting for even-later neighbors).
  */
 object StreamingSessionize {
 
@@ -27,7 +32,11 @@ object StreamingSessionize {
   /**
    * @param events  streaming Dataset of (key, event-time millis); the
    *                caller must have applied `withWatermark` on the
-   *                event-time column feeding `tsMs`
+   *                event-time column feeding `tsMs` AND kept that
+   *                watermarked column in the Dataset (otherwise Spark
+   *                cannot pre-filter late rows; the timeout clamp below
+   *                keeps the query alive, but deeply-late events then
+   *                reach the merge logic) — [[sessionize]] does both
    * @param gapMs   a gap larger than this closes the session
    */
   def sessions(events: Dataset[Event], gapMs: Long): Dataset[ClosedSession] = {
@@ -51,8 +60,18 @@ object StreamingSessionize {
             val closed = Seq.newBuilder[ClosedSession]
             for (e <- sorted) {
               open = open match {
-                case Some(s) if e.tsMs - s.lastMs <= gapMs =>
-                  Some(OpenSession(s.startMs, math.max(s.lastMs, e.tsMs), s.events + 1))
+                // within gap of the open window on EITHER side (an
+                // out-of-order event may precede the open start) —
+                // merge, extending backward or forward as needed
+                case Some(s) if e.tsMs >= s.startMs - gapMs && e.tsMs <= s.lastMs + gapMs =>
+                  Some(OpenSession(math.min(s.startMs, e.tsMs),
+                    math.max(s.lastMs, e.tsMs), s.events + 1))
+                // more than a gap BEFORE the open session: its own
+                // (already gap-closed) session — emit immediately
+                case Some(s) if e.tsMs < s.startMs - gapMs =>
+                  closed += ClosedSession(key, e.tsMs, e.tsMs, 1)
+                  open
+                // more than a gap after: the open session is over
                 case Some(s) =>
                   closed += ClosedSession(key, s.startMs, s.lastMs, s.events)
                   Some(OpenSession(e.tsMs, e.tsMs, 1))
@@ -62,8 +81,11 @@ object StreamingSessionize {
             }
             open.foreach { s =>
               state.update(s)
-              // fire once the watermark proves no more events can extend it
-              state.setTimeoutTimestamp(s.lastMs + gapMs)
+              // fire once the watermark proves no more events can extend
+              // it; never below the current watermark (a late event can
+              // put lastMs + gap in the past, which Spark rejects)
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1, s.lastMs + gapMs))
             }
             closed.result().iterator
           }
@@ -78,7 +100,9 @@ object StreamingSessionize {
     sessions(
       df.withWatermark(tsCol, watermark)
         .select(col(keyCol).cast("long").as("key"),
-          (unix_micros(col(tsCol)) / lit(1000L)).cast("long").as("tsMs"),
+          // integer `div` (floor), matching the engine-wide µs→ms
+          // convention — `/` would double-divide and truncate toward 0
+          expr(s"unix_micros(`$tsCol`) div 1000").as("tsMs"),
           col(tsCol)) // event-time column must survive for the watermark
         .as[Event],
       gapMs)

@@ -248,6 +248,26 @@ class PipelineSpec extends AnyFunSuite {
     val phys = out.queryExecution.executedPlan.toString
     assert(!phys.contains("BroadcastNestedLoopJoin") && !phys.contains("CartesianProduct"),
       s"range join must stay an equi-join:\n$phys")
+    // fractional bounds: the exact predicate runs on ORIGINAL values —
+    // t=10.9 must NOT match [10.2, 10.4] despite sharing long-cast 10
+    val fp = Seq((1L, 10.9, 500L), (1L, 10.3, 501L)).toDF("k", "t", "pid")
+    val fi = Seq((1L, 10.2, 10.4, 600L)).toDF("k", "lo", "hi", "iid")
+    val fout = graft.operators.RangeJoin.pointInInterval(
+        fp, fi, fp("t"), fi("lo"), fi("hi"), bucketWidth = 7L,
+        pointKey = fp("k"), intervalKey = fi("k"))
+      .select($"point.pid").collect().map(_.getLong(0)).toSet
+    assert(fout == Set(501L), s"fractional filter: $fout")
+    // an open-ended interval fails fast with a diagnosable error, not an
+    // opaque sequence()/OOM blowup
+    val open = Seq((1L, 0L, Long.MaxValue / 2, 700L)).toDF("k", "lo", "hi", "iid")
+    val e = intercept[Exception] {
+      graft.operators.RangeJoin.pointInInterval(
+        points, open, points("t"), open("lo"), open("hi"), bucketWidth = 7L,
+        pointKey = points("k"), intervalKey = open("k")).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("buckets")), s"unexpected error: $e")
   }
 
   test("connected components: hub-linked near-dups collapse transitively") {

@@ -135,4 +135,34 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamCounts == batch, s"stream $streamCounts vs batch $batch")
     } finally q.stop()
   }
+
+  test("streaming sessionize: out-of-order events extend backward; deep-late become singletons") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    def ts(sec: Int) = new java.sql.Timestamp(1760000000000L + sec * 1000L)
+    val closed = graft.streaming.StreamingSessionize.sessionize(
+      input.toDF().toDF("ts", "user"),
+      "user", "ts", gapMs = 30000L, watermark = "10 minutes") // long delay: late rows admitted
+    val q = closed.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_ooo").start()
+    try {
+      input.addData((ts(100), 1L))
+      q.processAllAvailable()
+      // within-gap BEFORE the open start → merges, start lowered to 80
+      // more than a gap before (ts 10) → closed singleton immediately
+      input.addData((ts(80), 1L), (ts(10), 1L))
+      q.processAllAvailable()
+      input.addData((ts(100000), 999L)) // fencepost closes the rest
+      q.processAllAvailable()
+      val got = spark.table("sessions_ooo").filter($"key" === 1L)
+        .select($"startMs", $"endMs", $"events").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val base = 1760000000000L
+      assert(got == Set(
+        (base + 10000L, base + 10000L, 1L),   // deep-late singleton
+        (base + 80000L, base + 100000L, 2L)), // backward-extended session
+        s"got $got")
+    } finally q.stop()
+  }
 }
