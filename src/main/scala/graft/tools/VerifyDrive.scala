@@ -216,6 +216,22 @@ object VerifyDrive {
     assert(nAsof == nClicks, s"asof preserves left cardinality: $nAsof vs $nClicks")
     println(s"asof OK: 1 hash exchange, no cross join, $nAsof clicks matched")
 
+    println("== [14] parquet scan hygiene: column pruning + filter pushdown ==")
+    // a 2-column projection of documents must read ONLY those columns
+    val docScan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", graft.functions.TextFunctions.tokenCount($"text").as("n"))
+      .queryExecution.executedPlan.toString
+    assert(docScan.contains("ReadSchema") &&
+      !docScan.replaceAll("(?s).*ReadSchema", "").contains("lang"),
+      s"text-stats scan must prune to doc_id+text:\n$docScan")
+    // a filter on a scanned column must reach the parquet reader
+    val filtScan = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .filter($"l_quantity" > 45).select($"l_orderkey")
+      .queryExecution.executedPlan.toString
+    assert(filtScan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45"),
+      s"predicate must push to the scan:\n$filtScan")
+    println("scan hygiene OK: pruned ReadSchema, pushed filters")
+
     spark.stop()
   }
 }
