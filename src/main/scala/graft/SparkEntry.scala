@@ -550,6 +550,24 @@ object SparkEntry {
       mlCatPredictOut(data, graft.ml.NaiveBayes.predict(m, Seq(col("x1")), Seq(col("c"))))
     },
 
+    // int8 embedding quantization (the 100 TB memory lever): cosine on
+    // the quantized arrays — scale cancels — compared pairwise. The
+    // quantized integers and their dot/norm sums stay below 2^24, so
+    // both engines compute them EXACTLY whatever their accumulator
+    // width; the oracle replicates the floor(x·s + 0.5) grid verbatim.
+    "q47_quantized_cosine" -> { (s, dir) =>
+      Graft.register(s)
+      val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 100)
+        .select(col("vec_id"),
+          graft.operators.Quantize.quantizeInt8(col("embedding")).as("qz"))
+      val a = emb.select(col("vec_id").as("idA"), col("qz.q").as("qa"))
+      val b = emb.select(col("vec_id").as("idB"), col("qz.q").as("qb"))
+      a.join(b, col("idA") < col("idB"))
+        .select(col("idA"), col("idB"),
+          round(call_function("cosine_similarity", col("qa"), col("qb")), 3).as("qcos"))
+        .orderBy(col("idA"), col("idB"))
+    },
+
     // range (interval) join (beyond the reference): clicks within the 5
     // minutes preceding each error event, per user — bucketized
     // equi-join + exact range filter (one shuffle per side), NEVER the
@@ -1240,6 +1258,21 @@ object SparkEntry {
         |       c::BIGINT AS c, cnt, cls AS pred
         |FROM scored WHERE rn = 1
         |ORDER BY l_linenumber, ix1, c""".stripMargin,
+    // quantization grid replicated verbatim; the quantized values are
+    // exact small integers, so list_cosine_similarity agrees to far
+    // beyond the 3-decimal grid
+    "q47_quantized_cosine" ->
+      """WITH qz AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x ->
+        |           floor(x::DOUBLE * (CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END) + 0.5)) AS q
+        |  FROM (SELECT vec_id, embedding,
+        |               list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
+        |        FROM embeddings WHERE vec_id < 100))
+        |SELECT a.vec_id AS idA, b.vec_id AS idB,
+        |       round(list_cosine_similarity(a.q, b.q)::DOUBLE, 3) AS qcos
+        |FROM qz a JOIN qz b ON a.vec_id < b.vec_id
+        |ORDER BY idA, idB""".stripMargin,
     // DuckDB evaluates the inequality join natively — independent ground
     // truth for the bucketized formulation
     "q46_range_join" ->

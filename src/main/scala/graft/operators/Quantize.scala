@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Symmetric per-vector int8 quantization for embedding columns: at
+ * 100 TB an `ARRAY<FLOAT>` embedding column is often the single largest
+ * surface, and int8 cuts it 4× while cosine similarity survives almost
+ * unchanged — the per-vector scale cancels in cos(q(a), q(b)), so
+ * quantized arrays feed [[graft.functions.CosineSimilarity]] directly
+ * (the native vector math accepts every fixed-width numeric array).
+ *
+ * Quantization grid: `q_i = floor(x_i · 127/max|x| + 0.5)` — the same
+ * explicit floor-rounding used everywhere the DuckDB oracle must
+ * reproduce float arithmetic exactly (round() half-even vs half-up
+ * varies by engine; floor(x+0.5) does not). A zero vector quantizes to
+ * all zeros with scale 0.
+ */
+object Quantize {
+
+  /** `struct(q: ARRAY<TINYINT>, scale: DOUBLE)`; dequantize with
+    * `x_i ≈ q_i / scale`. */
+  def quantizeInt8(vec: Column): Column = {
+    val mx = array_max(transform(vec, x => abs(x.cast("double"))))
+    val scale = when(mx > 0, lit(127.0) / mx).otherwise(lit(0.0))
+    struct(
+      transform(vec, x => floor(x.cast("double") * scale + 0.5).cast("tinyint")).as("q"),
+      scale.as("scale"))
+  }
+
+  /** Approximate original values back from a quantized struct. */
+  def dequantize(quantized: Column): Column =
+    when(quantized.getField("scale") > 0,
+      transform(quantized.getField("q"), q => q.cast("double") / quantized.getField("scale")))
+      .otherwise(transform(quantized.getField("q"), q => lit(0.0)))
+}

@@ -151,6 +151,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(durMs - 500L) <= 1L, s"duration $durMs")
   }
 
+  test("int8 quantization: round-trip error bounded, cosine preserved, zero vector safe") {
+    import graft.operators.Quantize
+    Graft.register(spark)
+    val rng = new scala.util.Random(3)
+    val vecs = Seq.tabulate(50)(i =>
+        (i.toLong, Array.fill(16)((rng.nextGaussian() * (i + 1)).toFloat).toSeq)) :+
+      (99L, Seq.fill(16)(0.0f)) // zero vector: scale 0, all-zero q
+    val df = vecs.toDF("id", "v").withColumn("qz", Quantize.quantizeInt8($"v"))
+    val rows = df.select($"id", $"v", $"qz.q", $"qz.scale",
+        Quantize.dequantize($"qz").as("dq")).collect()
+    rows.foreach { r =>
+      val (v, dq, scale) = (r.getSeq[Float](1), r.getSeq[Double](4), r.getDouble(3))
+      if (r.getLong(0) == 99L) {
+        assert(scale == 0.0 && r.getSeq[Byte](2).forall(_ == 0) && dq.forall(_ == 0.0))
+      } else {
+        assert(r.getSeq[Byte](2).forall(q => q >= -127 && q <= 127))
+        // |x − q/scale| ≤ 0.5/scale (half a quantization step)
+        v.zip(dq).foreach { case (x, d) =>
+          assert(math.abs(x - d) <= 0.5 / scale + 1e-12, s"err ${math.abs(x - d)}") }
+      }
+    }
+    // cosine on quantized arrays tracks the float cosine closely
+    val pair = df.filter($"id" < 2).select($"v", $"qz.q").collect()
+    val (v0, q0) = (pair(0).getSeq[Float](0), pair(0).getSeq[Byte](1))
+    val (v1, q1) = (pair(1).getSeq[Float](0), pair(1).getSeq[Byte](1))
+    def cosD(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map(p => p._1 * p._2).sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    val exact = cosD(v0.map(_.toDouble), v1.map(_.toDouble))
+    val quant = cosD(q0.map(_.toDouble), q1.map(_.toDouble))
+    assert(math.abs(exact - quant) < 0.02, s"cosine drift $exact vs $quant")
+  }
+
   test("sessionize: colliding input column names are dodged via parameters") {
     // input already has 'session' and 'key' columns
     val ev = Seq((1L, 1L, 0L, "x", 9L), (1L, 2L, 100L, "y", 9L))
