@@ -82,6 +82,16 @@ object Bench {
           docs.unionByName(mangled), "doc_id", "text", threshold = 0.8))
       },
       "knn_bruteforce" -> (() => noop(SparkEntry.queries("q16_knn_bruteforce")(spark, sfDir))),
+      // the same brute-force kernel over the int8-quantized corpus (4×
+      // smaller vectors: 64 B vs 256 B per embedding) — the 100 TB
+      // memory/bandwidth lever, timed end-to-end including quantization
+      "knn_int8" -> { () =>
+        val emb = Tables.load(spark, sfDir, "embeddings")
+          .select(col("vec_id"),
+            graft.operators.Quantize.quantizeInt8(col("embedding")).getField("q").as("q8"))
+        noop(graft.operators.Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 20), emb, "vec_id", "q8", "vec_id", "q8", k = 3))
+      },
       "mice_1round" -> { () =>
         val base = li.select(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_linenumber"))
           .withColumn("l_discount",

@@ -53,6 +53,8 @@ object Graft {
         graft.functions.VectorNorm(es.head), "scala_udf")
       reg.createOrReplaceTempFunction("cosine_similarity", es =>
         graft.functions.CosineSimilarity(es(0), es(1)), "scala_udf")
+      reg.createOrReplaceTempFunction("quantize_int8", es =>
+        graft.functions.QuantizeInt8(es.head), "scala_udf")
       // reference SQL ML surface (duckdb_imputation_extension.cpp:184-248)
       reg.createOrReplaceTempFunction("lda_train", es =>
         agg.MlSqlFunctions.LdaTrain(es), "scala_udf")

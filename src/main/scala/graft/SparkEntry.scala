@@ -550,22 +550,75 @@ object SparkEntry {
       mlCatPredictOut(data, graft.ml.NaiveBayes.predict(m, Seq(col("x1")), Seq(col("c"))))
     },
 
-    // int8 embedding quantization (the 100 TB memory lever): cosine on
-    // the quantized arrays — scale cancels — compared pairwise. The
-    // quantized integers and their dot/norm sums stay below 2^24, so
-    // both engines compute them EXACTLY whatever their accumulator
-    // width; the oracle replicates the floor(x·s + 0.5) grid verbatim.
+    // int8 embedding quantization (the 100 TB memory lever): the pairwise
+    // dot and per-side squared norms over the quantized arrays, emitted
+    // as EXACT INTEGERS. The quantized values are int8 and dim = 64, so
+    // every sum stays far below 2^53 — bit-identical in any engine's
+    // accumulator — where the round-3 rounded-cosine column failed on
+    // the sign bit of zero (DuckDB round() → -0.0, Spark's BigDecimal
+    // round → +0.0, numerically equal, hash-different). The oracle
+    // replicates the floor(x·s + 0.5) grid verbatim. Norms are computed
+    // once per side before the pair join (the cosine-from-norms
+    // discipline of Similarity), not per pair.
     "q47_quantized_cosine" -> { (s, dir) =>
       Graft.register(s)
-      val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 100)
+      val qz = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 100)
         .select(col("vec_id"),
-          graft.operators.Quantize.quantizeInt8(col("embedding")).as("qz"))
-      val a = emb.select(col("vec_id").as("idA"), col("qz.q").as("qa"))
-      val b = emb.select(col("vec_id").as("idB"), col("qz.q").as("qb"))
+          graft.operators.Quantize.quantizeInt8(col("embedding")).getField("q").as("q"))
+        .withColumn("n2", call_function("dot_product", col("q"), col("q")).cast("bigint"))
+      val a = qz.select(col("vec_id").as("idA"), col("q").as("qa"), col("n2").as("na2"))
+      val b = qz.select(col("vec_id").as("idB"), col("q").as("qb"), col("n2").as("nb2"))
       a.join(b, col("idA") < col("idB"))
         .select(col("idA"), col("idB"),
-          round(call_function("cosine_similarity", col("qa"), col("qb")), 3).as("qcos"))
+          call_function("dot_product", col("qa"), col("qb")).cast("bigint").as("dot"),
+          col("na2"), col("nb2"))
         .orderBy(col("idA"), col("idB"))
+    },
+
+    // int8 quantization wired into the ANN search path END-TO-END (the
+    // reason the operator exists): the corpus is quantized once — 4× the
+    // vectors per cache line / shuffle byte — and the SAME bruteForceTopK
+    // kernel searches the int8 arrays (the native vector math accepts any
+    // fixed-width numeric array). Recall@3 against the float brute force
+    // is the outcome: n_true is independently recomputed by DuckDB, the
+    // hit count is a deterministic frozen outcome (integer arrays →
+    // bit-exact cosines, ties broken by cId; q15/q45 golden discipline).
+    "q48_quantized_knn" -> { (s, dir) =>
+      import s.implicits._
+      Graft.register(s)
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 50)
+      val bf = graft.operators.Similarity.bruteForceTopK(
+          queries, emb, "vec_id", "embedding", "vec_id", "embedding", k = 3)
+        .select(col("qId"), col("cId")).cache()
+      val nTrue = bf.count()
+      val qemb = emb.select(col("vec_id"),
+        graft.operators.Quantize.quantizeInt8(col("embedding")).getField("q").as("q8"))
+      val q8 = graft.operators.Similarity.bruteForceTopK(
+          qemb.filter(col("vec_id") < 50), qemb, "vec_id", "q8", "vec_id", "q8", k = 3)
+        .select(col("qId").as("q2"), col("cId").as("c2"))
+      val hit = bf.join(q8, bf("qId") === q8("q2") && bf("cId") === q8("c2")).count()
+      bf.unpersist()
+      def rec(h: Long) = if (nTrue == 0) 0L else math.floor(h.toDouble / nTrue * 10000).toLong
+      Seq((nTrue, hit, rec(hit))).toDF("n_true", "int8_hit", "int8_recall_x1e4")
+    },
+
+    // dequantize error bound, corpus-wide: |x − q/s| ≤ 0.5/s for every
+    // element of every vector ⟺ |x·s − q| ≤ 0.5 in grid units (scale-
+    // free, so zero vectors need no special case: q=0, x·s=0). Both
+    // engines replicate the identical double arithmetic; the 1e-9 slack
+    // keeps the boolean stable even against a last-ulp divergence.
+    "q49_dequantize_bound" -> { (s, dir) =>
+      Graft.register(s)
+      val qz = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          graft.operators.Quantize.quantizeInt8(col("embedding")).as("qz"))
+      qz.select(
+          array_max(zip_with(col("embedding"), col("qz.q"),
+            (x, q) => abs(x.cast("double") * col("qz.scale") - q.cast("double"))))
+            .as("gridErr"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("gridErr") > 0.5 + 1e-9, 1L).otherwise(0L)).as("n_violations"))
     },
 
     // range (interval) join (beyond the reference): clicks within the 5
@@ -617,18 +670,22 @@ object SparkEntry {
           queries, emb, "vec_id", "embedding", "vec_id", "embedding", k = 3)
         .select(col("qId"), col("cId")).cache()
       val nTrue = bf.count()
-      // kmeansIters = 0 ON PURPOSE: Lloyd refinement averages through a
-      // distributed avg whose float summation order varies with the
-      // partition count, so refined centroids (and the pinned hit count)
-      // would be machine-dependent; the seeded-sample centroids are
-      // bit-deterministic everywhere. Refinement quality is covered by
-      // PipelineSpec's SSE-monotonicity test instead.
-      val idx = graft.operators.Similarity.ivfBuild(
-        emb, "vec_id", "embedding", nCentroids = 16, kmeansIters = 0)
-      val ivf = graft.operators.Similarity.ivfTopK(
-          idx, queries, "vec_id", "embedding", "vec_id", "embedding", k = 3, nProbe = 4)
-        .select(col("qId").as("q2"), col("cId").as("c2"))
-      val ivfHit = bf.join(ivf, bf("qId") === ivf("q2") && bf("cId") === ivf("c2")).count()
+      // unrefined (kmeansIters = 0, seeded-sample centroids) AND refined
+      // (3 Lloyd iterations) recall side by side: refinement is
+      // bit-deterministic since round 4 — ivfBuild's per-dimension means
+      // accumulate in fixed-point integers, which sum exactly in any
+      // partitioning/fetch order — so BOTH hit counts pin as goldens,
+      // and the quality the defaults leave on the table is visible.
+      def ivfHitAt(iters: Int): Long = {
+        val idx = graft.operators.Similarity.ivfBuild(
+          emb, "vec_id", "embedding", nCentroids = 16, kmeansIters = iters)
+        val ivf = graft.operators.Similarity.ivfTopK(
+            idx, queries, "vec_id", "embedding", "vec_id", "embedding", k = 3, nProbe = 4)
+          .select(col("qId").as("q2"), col("cId").as("c2"))
+        bf.join(ivf, bf("qId") === ivf("q2") && bf("cId") === ivf("c2")).count()
+      }
+      val ivfHit = ivfHitAt(0)
+      val ivfRefHit = ivfHitAt(3)
       val lsh = graft.operators.Similarity.lshTopK(
           queries, emb, "vec_id", "embedding", "vec_id", "embedding",
           k = 3, dim = 64, nPlanes = 4)
@@ -636,8 +693,9 @@ object SparkEntry {
       val lshHit = bf.join(lsh, bf("qId") === lsh("q3") && bf("cId") === lsh("c3")).count()
       bf.unpersist()
       def rec(h: Long) = if (nTrue == 0) 0L else math.floor(h.toDouble / nTrue * 10000).toLong
-      Seq((nTrue, ivfHit, rec(ivfHit), lshHit, rec(lshHit)))
-        .toDF("n_true", "ivf_hit", "ivf_recall_x1e4", "lsh_hit", "lsh_recall_x1e4")
+      Seq((nTrue, ivfHit, rec(ivfHit), ivfRefHit, rec(ivfRefHit), lshHit, rec(lshHit)))
+        .toDF("n_true", "ivf_hit", "ivf_recall_x1e4",
+          "ivf_ref_hit", "ivf_ref_recall_x1e4", "lsh_hit", "lsh_recall_x1e4")
     },
 
     // as-of join (beyond the reference; a native operator in DuckDB/kdb
@@ -1259,20 +1317,55 @@ object SparkEntry {
         |FROM scored WHERE rn = 1
         |ORDER BY l_linenumber, ix1, c""".stripMargin,
     // quantization grid replicated verbatim; the quantized values are
-    // exact small integers, so list_cosine_similarity agrees to far
-    // beyond the 3-decimal grid
+    // exact small integers (|q| ≤ 127, dim 64), so the dot/norm sums are
+    // exact in ANY accumulator and hash bit-identically — no rounding,
+    // no -0.0 vs +0.0 representational divergence
     "q47_quantized_cosine" ->
       """WITH qz AS (
-        |  SELECT vec_id,
-        |         list_transform(embedding, x ->
-        |           floor(x::DOUBLE * (CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END) + 0.5)) AS q
-        |  FROM (SELECT vec_id, embedding,
-        |               list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
-        |        FROM embeddings WHERE vec_id < 100))
+        |  SELECT vec_id, q, CAST(list_inner_product(q, q) AS BIGINT) AS n2
+        |  FROM (
+        |    SELECT vec_id,
+        |           list_transform(embedding, x ->
+        |             floor(x::DOUBLE * (CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END) + 0.5)) AS q
+        |    FROM (SELECT vec_id, embedding,
+        |                 list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
+        |          FROM embeddings WHERE vec_id < 100)))
         |SELECT a.vec_id AS idA, b.vec_id AS idB,
-        |       round(list_cosine_similarity(a.q, b.q)::DOUBLE, 3) AS qcos
+        |       CAST(list_inner_product(a.q, b.q) AS BIGINT) AS dot,
+        |       a.n2 AS na2, b.n2 AS nb2
         |FROM qz a JOIN qz b ON a.vec_id < b.vec_id
         |ORDER BY idA, idB""".stripMargin,
+    // n_true recomputed by DuckDB's own brute force; int8_hit is the
+    // frozen outcome of the deterministic quantized search (integer
+    // arrays → bit-exact cosines; golden discipline, see q15/q45).
+    // Near-total recall is the point: the 4× memory cut costs almost
+    // nothing in ranking quality.
+    "q48_quantized_knn" ->
+      """WITH bf AS (
+        |  SELECT a.vec_id AS qId, b.vec_id AS cId,
+        |         row_number() OVER (PARTITION BY a.vec_id
+        |           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rank
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 50)
+        |SELECT (SELECT count(*) FROM bf WHERE rank <= 3) AS n_true,
+        |       148::BIGINT AS int8_hit, 9866::BIGINT AS int8_recall_x1e4""".stripMargin,
+    // the identical grid arithmetic, bound checked in grid units; the
+    // HUGEINT sum is cast back to BIGINT (column-hash discipline)
+    "q49_dequantize_bound" ->
+      """WITH qz AS (
+        |  SELECT vec_id, embedding,
+        |         CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS s
+        |  FROM (SELECT vec_id, embedding,
+        |               list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
+        |        FROM embeddings)),
+        |e AS (
+        |  SELECT vec_id,
+        |         list_max(list_transform(embedding, x ->
+        |           abs(x::DOUBLE * s - floor(x::DOUBLE * s + 0.5)))) AS gridErr
+        |  FROM qz)
+        |SELECT count(*) AS n_vectors,
+        |       CAST(sum(CASE WHEN gridErr > 0.5 + 1e-9 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |FROM e""".stripMargin,
     // DuckDB evaluates the inequality join natively — independent ground
     // truth for the bucketized formulation
     "q46_range_join" ->
@@ -1285,11 +1378,12 @@ object SparkEntry {
         |GROUP BY err.event_id ORDER BY err.event_id""".stripMargin,
     // n_true recomputed by DuckDB's own brute-force top-3; hit counts
     // are frozen outcomes of the seeded centroids/hyperplanes (golden
-    // discipline, see q15). The synthetic embeddings are near-uniform —
-    // the worst case for space partitioning — so recall is expectedly
-    // far below 1 and PINNED rather than hidden: IVF at nProbe/nCentroids
-    // = 25% of the corpus recovers 41% of true neighbors (unrefined seeded
-    // centroids — see the kmeansIters note in the query).
+    // discipline, see q15; refined centroids are bit-deterministic via
+    // ivfBuild's fixed-point mean sums). The synthetic embeddings are
+    // near-uniform — the worst case for space partitioning — so recall
+    // is expectedly far below 1 and PINNED rather than hidden: IVF at
+    // nProbe/nCentroids = 25% of the corpus recovers 41% of true
+    // neighbors unrefined, 57% after 3 Lloyd iterations.
     "q45_ann_recall" ->
       """WITH bf AS (
         |  SELECT a.vec_id AS qId, b.vec_id AS cId,
@@ -1299,6 +1393,7 @@ object SparkEntry {
         |  WHERE a.vec_id < 50)
         |SELECT (SELECT count(*) FROM bf WHERE rank <= 3) AS n_true,
         |       61::BIGINT AS ivf_hit, 4066::BIGINT AS ivf_recall_x1e4,
+        |       86::BIGINT AS ivf_ref_hit, 5733::BIGINT AS ivf_ref_recall_x1e4,
         |       20::BIGINT AS lsh_hit, 1333::BIGINT AS lsh_recall_x1e4""".stripMargin,
     // DuckDB's native ASOF JOIN is the independent ground truth for the
     // union+window formulation (same µs-truncated integer timestamps)

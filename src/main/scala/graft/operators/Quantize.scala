@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /**
@@ -16,20 +17,28 @@ import org.apache.spark.sql.functions._
  * reproduce float arithmetic exactly (round() half-even vs half-up
  * varies by engine; floor(x+0.5) does not). A zero vector quantizes to
  * all zeros with scale 0.
+ *
+ * The quantizer itself is the native codegen'd
+ * [[graft.functions.QuantizeInt8]] expression — O(d) per vector, inside
+ * whole-stage codegen, no HOF lambdas on this hot path.
  */
 object Quantize {
+
+  // bare Column helper: registers on the thread's active session (the
+  // same pattern as Similarity's dot/norm/cosine helpers)
+  private def reg(): Unit = graft.Graft.register(SparkSession.active)
 
   /** `struct(q: ARRAY<TINYINT>, scale: DOUBLE)`; dequantize with
     * `x_i ≈ q_i / scale`. */
   def quantizeInt8(vec: Column): Column = {
-    val mx = array_max(transform(vec, x => abs(x.cast("double"))))
-    val scale = when(mx > 0, lit(127.0) / mx).otherwise(lit(0.0))
-    struct(
-      transform(vec, x => floor(x.cast("double") * scale + 0.5).cast("tinyint")).as("q"),
-      scale.as("scale"))
+    reg()
+    call_function("quantize_int8", vec)
   }
 
-  /** Approximate original values back from a quantized struct. */
+  /** Approximate original values back from a quantized struct.
+    * (Interpreted HOF by design: dequantize is a diagnostic/round-trip
+    * surface, not a scoring hot path — similarity kernels consume the
+    * int8 arrays directly.) */
   def dequantize(quantized: Column): Column =
     when(quantized.getField("scale") > 0,
       transform(quantized.getField("q"), q => q.cast("double") / quantized.getField("scale")))

@@ -96,6 +96,38 @@ class VectorMathSpec extends AnyFunSuite {
     assert(ne.isNullAt(0) && ne.isNullAt(1))
   }
 
+  test("quantize_int8: native expression — grid, zero vector, nulls, interpreted≡codegen") {
+    // df path runs through whole-stage codegen; the Literal path through
+    // interpreted eval — both must agree on the exact grid
+    val df = Seq(
+      (0L, Array(0.5f, -1.0f, 0.25f)),
+      (1L, Array(0.0f, 0.0f, 0.0f))).toDF("id", "v")
+    val rows = df.select($"id", graft.operators.Quantize.quantizeInt8($"v").as("qz"))
+      .select($"id", $"qz.q", $"qz.scale").collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Byte](1), r.getDouble(2))).toMap
+    assert(rows(0L)._1 == Seq[Byte](64, -127, 32), s"grid ${rows(0L)._1}") // floor(±x·127+0.5)
+    assert(rows(0L)._2 == 127.0)
+    assert(rows(1L)._1 == Seq[Byte](0, 0, 0) && rows(1L)._2 == 0.0, "zero vector")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val interp = graft.functions.QuantizeInt8(
+        Literal.create(Array(0.5f, -1.0f, 0.25f), ArrayType(FloatType)))
+      .eval().asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert(interp.getArray(0).toByteArray.toSeq == Seq[Byte](64, -127, 32))
+    assert(interp.getDouble(1) == 127.0)
+    // NULL array / NULL element → NULL (VectorMath semantics)
+    val ne = spark.sql("SELECT quantize_int8(CAST(NULL AS ARRAY<DOUBLE>)) a, " +
+      "quantize_int8(array(1.0D, CAST(NULL AS DOUBLE))) b").head
+    assert(ne.isNullAt(0) && ne.isNullAt(1))
+    // plan-shape guard: the old HOF formulation inlined
+    // array_max(transform(...)) into a per-element lambda — O(d²)
+    // interpreted work; the native expression must appear instead
+    val plan = df.select(graft.operators.Quantize.quantizeInt8($"v"))
+      .queryExecution.analyzed.toString
+    assert(plan.contains("quantize_int8"), plan)
+    assert(!plan.contains("array_max") && !plan.contains("transform"), plan)
+  }
+
   test("type check rejects non-vector arguments at analysis time") {
     val err = intercept[Exception] {
       spark.sql("SELECT dot_product(array('a','b'), array('c','d'))").collect()
