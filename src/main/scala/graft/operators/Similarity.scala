@@ -114,8 +114,17 @@ object Similarity {
     // deterministic seeded sample initializes the centroids; optional
     // Lloyd iterations refine them distributed-style: assign is a
     // broadcast map pass, the new means are a (centroid, dimension)
-    // grouped average — map-side partial aggregation, only
-    // nCentroids × dim rows ever reach the driver
+    // grouped sum — map-side partial aggregation, only
+    // nCentroids × dim rows ever reach the driver.
+    // The per-dimension sums are FIXED-POINT (x · 2^24 truncated to
+    // long): integer addition is exact and order-independent, so the
+    // refined centroids are bit-deterministic under ANY partitioning /
+    // shuffle-fetch order — a float `avg` would make them (and every
+    // pinned recall golden downstream) machine-dependent. The ≤2⁻²⁴
+    // truncation per element is far below any clustering signal. Scale
+    // bound: |x|·2²⁴·rowsPerCentroid must stay < 2⁶³ — at |x| ≤ 100
+    // that is ~5×10¹² rows per centroid, far beyond any real shard.
+    val FP = 1L << 24
     var cents = corpus.select(col(id), col(vec))
       .withColumn("__r", xxhash64(col(id)))
       .orderBy(col("__r")).limit(nCentroids)
@@ -125,14 +134,16 @@ object Similarity {
       val centLit = typedLit(cents.map { case (i, v) => (i, v.toSeq) }.toSeq)
       val means = corpus
         .select(centroidOf(col(vec), centLit).as("__cent"),
-          posexplode(transform(col(vec), x => x.cast("double"))).as(Seq("__pos", "__x")))
-        .groupBy("__cent", "__pos").agg(avg(col("__x")).as("__m"))
+          posexplode(transform(col(vec), x => (x.cast("double") * FP).cast("long")))
+            .as(Seq("__pos", "__x")))
+        .groupBy("__cent", "__pos")
+        .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
         .collect().groupBy(_.getInt(0))
       cents = cents.map { case (i, old) =>
         means.get(i) match {
           case Some(rows) =>
             val arr = old.clone()
-            rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+            rows.foreach(r => arr(r.getInt(1)) = r.getLong(2).toDouble / FP / r.getLong(3))
             i -> arr
           case None => i -> old // empty cluster: keep the previous centroid
         }
