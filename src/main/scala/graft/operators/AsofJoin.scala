@@ -18,6 +18,18 @@ import org.apache.spark.sql.types.StructType
  * |L|·|R| per key) and never a per-row subquery. At 100 TB this is the
  * same shape as any partitioned window aggregate: raw rows shuffle once,
  * each partition streams in timestamp order.
+ *
+ * Skew caveat (inherent to the shape, shared with every partitioned
+ * window operator): all rows of ONE key land in one partition, so a
+ * pathologically hot key — more rows than a healthy partition holds —
+ * serializes into a single task's sort and, past executor memory,
+ * spills. Degradation is graceful (the sort spills, it doesn't fail;
+ * ScaleProbe's skewed-key case measures it), but a key whose row count
+ * exceeds a partition's budget needs a salted two-pass variant (bucket
+ * by ts-range within the hot key, as-of join per bucket, then patch
+ * bucket boundaries with the previous bucket's last right row) — not
+ * built in, because below that extreme AQE + spilling handle it and the
+ * patch pass would cost every caller a second shuffle.
  */
 object AsofJoin {
 

@@ -109,6 +109,30 @@ object ScaleProbe {
       }
       rep.unpersist()
     }
+
+    // --- asof join under deliberate key skew: ALL events on one key ---
+    // the documented hot-key caveat (AsofJoin scaladoc): one key
+    // serializes into a single task's sort. The probe shows graceful
+    // degradation — wall-clock tracks the single-partition sort, no
+    // failure — against the same row counts spread over ~1500 keys above.
+    for (k <- Seq(4, 16)) {
+      val rep = (0 until k).map(i =>
+        ev.select((col("event_id") + lit(i * 10000000L)).as("event_id"),
+          lit(0L).as("user_id"), // every row the SAME key
+          col("event_type"), (col("ts") * lit(16L) + lit(i)).as("ts"))
+      ).reduce(_ unionByName _).cache()
+      rep.count()
+      val clicks = rep.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = rep.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_eid"), col("user_id"), col("ts").as("vt"))
+      time(s"asof join HOT KEY x$k (${nEv * k} events, 1 key)") {
+        graft.operators.AsofJoin.asofBackward(
+          clicks, views, col("user_id"), col("user_id"),
+          col("ts"), col("vt"), rightOrder = col("v_eid")).count()
+      }
+      rep.unpersist()
+    }
     spark.stop()
   }
 }
