@@ -13,11 +13,13 @@ import org.apache.spark.sql.types._
  * deterministic output shape, partitioning) is real and tested. IMAGE
  * decode/resize/metadata are REAL (JDK ImageIO: PNG/JPEG/BMP/GIF) and
  * AUDIO decode/metadata are REAL (JDK javax.sound.sampled: WAV/AIFF/AU
- * PCM) — no external codecs required for either. VIDEO byte-level
- * decode is STUBBED with a deterministic hash-derived transform because
- * no video codec ships with the JDK; swapping [[StubDecoder]] for a
- * real one (JNI ffmpeg, or an Arrow-batched Python worker à la
- * `mapInPandas`) changes no plan shape.
+ * PCM) — no external codecs required for either. VIDEO container
+ * METADATA (format/dimensions/duration) is REAL via [[VideoMeta]]'s
+ * pure-JVM MP4/AVI chunk walk; only video frame DECODE is STUBBED with
+ * a deterministic hash-derived transform, because no video codec ships
+ * with the JDK — swapping [[StubDecoder]] for a real one (JNI ffmpeg,
+ * or an Arrow-batched Python worker à la `mapInPandas`) changes no
+ * plan shape.
  */
 object Multimodal {
 
@@ -181,6 +183,126 @@ object Multimodal {
             (ff.getFrameLength * 1000L / f.getFrameRate).toLong
           else -1L
         (ff.getType.toString.toLowerCase, f.getSampleRate.toInt, f.getChannels, durMs)
+      } catch { case _: Throwable => (null, -1, -1, -1L) }
+    }
+  }
+
+  /**
+   * REAL video CONTAINER metadata via a pure-JVM chunk walk — metadata
+   * needs no codec, only the public container layouts:
+   *
+   *  - MP4 / ISO-BMFF (ISO/IEC 14496-12): big-endian `[size][type]`
+   *    boxes; `ftyp` major brand, `moov/mvhd` timescale+duration,
+   *    `moov/trak/tkhd` 16.16-fixed width/height (max over tracks —
+   *    audio tracks carry 0×0).
+   *  - AVI / RIFF: little-endian `[fourcc][size]` chunks; `hdrl/avih`
+   *    main header (µs per frame, total frames, width, height).
+   *
+   * Frame DECODE stays stubbed (no video codec ships with the JDK), but
+   * format/dimensions/duration come from real parsing, so the
+   * [[mediaMetaType]] columns are honest for video payloads too.
+   * Returns (null, -1, -1, -1) for anything unrecognized or truncated.
+   */
+  object VideoMeta {
+    private def be32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) | ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def be64(b: Array[Byte], o: Int): Long =
+      (be32(b, o) << 32) | be32(b, o + 4)
+    private def le32(b: Array[Byte], o: Int): Long =
+      ((b(o + 3) & 0xffL) << 24) | ((b(o + 2) & 0xffL) << 16) | ((b(o + 1) & 0xffL) << 8) | (b(o) & 0xffL)
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Walk sibling ISO-BMFF boxes in [from, to); invoke f(type, payloadFrom, payloadTo). */
+    private def walkBoxes(b: Array[Byte], from: Int, to: Int)(f: (String, Int, Int) => Unit): Unit = {
+      var o = from
+      while (o + 8 <= to) {
+        val size32 = be32(b, o)
+        val typ = fourcc(b, o + 4)
+        val (size, hdr) =
+          if (size32 == 1 && o + 16 <= to) (be64(b, o + 8), 16)
+          else if (size32 == 0) ((to - o).toLong, 8) // box runs to end of enclosing
+          else (size32, 8)
+        if (size < hdr || size > Int.MaxValue || o + size > to) return // corrupt/truncated: stop
+        f(typ, o + hdr, o + size.toInt)
+        o += size.toInt
+      }
+    }
+
+    private def parseMp4(b: Array[Byte]): (String, Int, Int, Long) = {
+      var brand: String = "mp4"
+      var durMs = -1L
+      var w = -1
+      var h = -1
+      walkBoxes(b, 0, b.length) {
+        case ("ftyp", from, to) if to - from >= 4 =>
+          brand = fourcc(b, from).trim.toLowerCase
+        case ("moov", mFrom, mTo) =>
+          walkBoxes(b, mFrom, mTo) {
+            case ("mvhd", from, to) =>
+              val v = b(from) & 0xff
+              // v0: ver/flags(4) creation(4) modification(4) timescale(4) duration(4)
+              // v1: ver/flags(4) creation(8) modification(8) timescale(4) duration(8)
+              if (v == 1 && to - from >= 32) {
+                val ts = be32(b, from + 20)
+                if (ts > 0) durMs = be64(b, from + 24) * 1000L / ts
+              } else if (v == 0 && to - from >= 20) {
+                val ts = be32(b, from + 12)
+                if (ts > 0) durMs = be32(b, from + 16) * 1000L / ts
+              }
+            case ("trak", tFrom, tTo) =>
+              walkBoxes(b, tFrom, tTo) {
+                case ("tkhd", from, to) =>
+                  val v = b(from) & 0xff
+                  // width/height are the LAST two 16.16 fields of the box
+                  // (full v0 payload is 84 bytes, v1 is 96)
+                  if (to - from >= (if (v == 1) 96 else 84)) {
+                    val tw = (be32(b, to - 8) >> 16).toInt
+                    val th = (be32(b, to - 4) >> 16).toInt
+                    if (tw > 0 && th > 0) { w = math.max(w, tw); h = math.max(h, th) }
+                  }
+                case _ =>
+              }
+            case _ =>
+          }
+        case _ =>
+      }
+      (brand, w, h, durMs)
+    }
+
+    private def parseAvi(b: Array[Byte]): (String, Int, Int, Long) = {
+      // RIFF chunks: [fourcc][le32 size][payload]; LIST payload = [listType][children]
+      var result = ("avi", -1, -1, -1L)
+      def walk(from: Int, to: Int): Unit = {
+        var o = from
+        while (o + 8 <= to) {
+          val id = fourcc(b, o)
+          val size = le32(b, o + 4).toInt
+          val pFrom = o + 8
+          val pTo = math.min(pFrom + size, to)
+          if (pTo < pFrom) return
+          if (id == "LIST" && pTo - pFrom >= 4) walk(pFrom + 4, pTo)
+          else if (id == "avih" && size >= 40) {
+            val usPerFrame = le32(b, pFrom)
+            val totalFrames = le32(b, pFrom + 16)
+            val w = le32(b, pFrom + 32).toInt
+            val h = le32(b, pFrom + 36).toInt
+            result = ("avi", w, h, usPerFrame * totalFrames / 1000L)
+          }
+          o = pFrom + size + (size & 1) // RIFF chunks are word-aligned
+        }
+      }
+      walk(12, b.length)
+      result
+    }
+
+    /** (format, width, height, duration_ms), or (null, -1, -1, -1). */
+    def meta(bytes: Array[Byte]): (String, Int, Int, Long) = {
+      if (bytes == null || bytes.length < 12) return (null, -1, -1, -1L)
+      try {
+        if (fourcc(bytes, 4) == "ftyp") parseMp4(bytes)
+        else if (fourcc(bytes, 0) == "RIFF" && fourcc(bytes, 8) == "AVI ") parseAvi(bytes)
+        else (null, -1, -1, -1L)
       } catch { case _: Throwable => (null, -1, -1, -1L) }
     }
   }

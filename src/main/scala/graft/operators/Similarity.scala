@@ -109,7 +109,11 @@ object Similarity {
   final case class IvfIndex(centroids: Array[(Int, Array[Double])], assigned: DataFrame)
 
   def ivfBuild(corpus: DataFrame, id: String, vec: String, nCentroids: Int,
-               seed: Long = 42L, kmeansIters: Int = 0): IvfIndex = {
+               seed: Long = 42L, kmeansIters: Int = 2): IvfIndex = {
+    // default 2 Lloyd iterations: q45 pins the refinement buying recall
+    // (41% → 57% at 3 iters on near-uniform data), and since the means
+    // are fixed-point-deterministic there is no reproducibility cost —
+    // a caller on defaults should get the refined quality
     reg(corpus)
     // deterministic seeded sample initializes the centroids; optional
     // Lloyd iterations refine them distributed-style: assign is a

@@ -119,7 +119,8 @@ object ScaleProbe {
       val rep = (0 until k).map(i =>
         ev.select((col("event_id") + lit(i * 10000000L)).as("event_id"),
           lit(0L).as("user_id"), // every row the SAME key
-          col("event_type"), (col("ts") * lit(16L) + lit(i)).as("ts"))
+          // ts is ns-scale (~1.7e18): offset, never multiply (long overflow)
+          col("event_type"), (col("ts") + lit(i)).as("ts"))
       ).reduce(_ unionByName _).cache()
       rep.count()
       val clicks = rep.filter(col("event_type") === "click")

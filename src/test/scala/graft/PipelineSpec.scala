@@ -404,7 +404,8 @@ class PipelineSpec extends AnyFunSuite {
           .toDF("__cent", "p", "c"), Seq("__cent", "p"))
         .select(sum(pow($"x" - $"c", 2))).head.getDouble(0)
     }
-    val init = Similarity.ivfBuild(clustered, "vec_id", "embedding", nCentroids = 3)
+    val init = Similarity.ivfBuild(clustered, "vec_id", "embedding", nCentroids = 3,
+      kmeansIters = 0)
     val refined = Similarity.ivfBuild(clustered, "vec_id", "embedding", nCentroids = 3,
       kmeansIters = 4)
     val (s0, s1) = (sse(init), sse(refined))
@@ -447,5 +448,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames.length == 4 && frames.forall(_.length == 64))
     val resized = media.select(length(Multimodal.resizeStub($"content", 128))).collect()
     assert(resized.filter(!_.isNullAt(0)).forall(_.getInt(0) == 128))
+  }
+
+  test("multimodal video: real MP4/AVI container metadata from a pure-JVM chunk walk") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // --- minimal ISO-BMFF: ftyp + moov{mvhd v0, trak{tkhd v0}} ---
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ new Array[Byte](8))
+    val mvhd = { // v0 payload, 100 bytes: timescale 1000 @ +12, duration 5000 @ +16
+      val p = ByteBuffer.allocate(100)
+      p.position(12); p.putInt(1000); p.putInt(5000)
+      box("mvhd", p.array())
+    }
+    def tkhd(w: Int, h: Int) = { // v0 payload, 84 bytes: 16.16 w/h are the last 8
+      val p = ByteBuffer.allocate(84)
+      p.position(76); p.putInt(w << 16); p.putInt(h << 16)
+      box("tkhd", p.array())
+    }
+    val audioTrak = box("trak", tkhd(0, 0))      // sound track: 0×0
+    val videoTrak = box("trak", tkhd(640, 360))
+    val mp4 = ftyp ++ box("moov", mvhd ++ audioTrak ++ videoTrak)
+    assert(Multimodal.VideoMeta.meta(mp4) == ("isom", 640, 360, 5000L), "mp4")
+
+    // --- minimal RIFF/AVI: LIST hdrl { avih } ---
+    val avih = { // 56-byte main header: µs/frame, total frames @+16, w/h @+32/+36
+      val p = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      p.putInt(0, 33333); p.putInt(16, 300); p.putInt(32, 320); p.putInt(36, 240)
+      val c = ByteBuffer.allocate(64).order(ByteOrder.LITTLE_ENDIAN)
+      c.put("avih".getBytes("US-ASCII")).putInt(56).put(p.array())
+      c.array()
+    }
+    val hdrl = {
+      val c = ByteBuffer.allocate(12 + avih.length).order(ByteOrder.LITTLE_ENDIAN)
+      c.put("LIST".getBytes("US-ASCII")).putInt(4 + avih.length)
+        .put("hdrl".getBytes("US-ASCII")).put(avih)
+      c.array()
+    }
+    val avi = {
+      val c = ByteBuffer.allocate(12 + hdrl.length).order(ByteOrder.LITTLE_ENDIAN)
+      c.put("RIFF".getBytes("US-ASCII")).putInt(4 + hdrl.length)
+        .put("AVI ".getBytes("US-ASCII")).put(hdrl)
+      c.array()
+    }
+    assert(Multimodal.VideoMeta.meta(avi) == ("avi", 320, 240, 9999L), "avi")
+
+    // unrecognized / truncated / null payloads degrade to null metadata
+    assert(Multimodal.VideoMeta.meta("not a video at all".getBytes) == (null, -1, -1, -1L))
+    assert(Multimodal.VideoMeta.meta(mp4.take(10)) == (null, -1, -1, -1L))
+    assert(Multimodal.VideoMeta.meta(null) == (null, -1, -1, -1L))
+    // corrupt size field must not throw or loop
+    val corrupt = mp4.clone(); corrupt(0) = 0x7f.toByte
+    Multimodal.VideoMeta.meta(corrupt)
   }
 }
