@@ -132,6 +132,14 @@ object ScaleProbe {
           clicks, views, col("user_id"), col("user_id"),
           col("ts"), col("vt"), rightOrder = col("v_eid")).count()
       }
+      // the salted two-pass variant spreads the hot key over ts-range
+      // buckets (~64 buckets at this width) and patches boundaries
+      time(s"asof join HOT KEY SALTED x$k (${nEv * k} events, 1 key)") {
+        graft.operators.AsofJoin.asofBackwardSalted(
+          clicks, views, col("user_id"), col("user_id"),
+          col("ts"), col("vt"), bucketWidth = 86400L * 1000000000L / 4,
+          rightOrder = col("v_eid")).count()
+      }
       rep.unpersist()
     }
     spark.stop()

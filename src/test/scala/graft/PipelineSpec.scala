@@ -262,6 +262,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(nulls(302L) == -1L, s"NULL-ts right row must never be a match: $nulls")
   }
 
+  test("asof join salted: identical to unsalted for every bucket width, incl. tolerance") {
+    // random hot-key data: 3 keys, one holding 80% of rows, ties included
+    val rng = new scala.util.Random(11)
+    def key() = if (rng.nextDouble() < 0.8) 7L else rng.nextInt(2).toLong
+    val left = Seq.tabulate(400)(i => (key(), rng.nextInt(120).toLong, 1000L + i))
+      .toDF("k", "t", "lid")
+    val right = Seq.tabulate(300)(i => (key(), rng.nextInt(120).toLong, 2000L + i))
+      .toDF("k", "t", "rid")
+    def run(width: Option[Long], tol: Option[Long]): Map[Long, Long] = {
+      val out = width match {
+        case Some(w) => graft.operators.AsofJoin.asofBackwardSalted(
+          left, right, left("k"), right("k"), left("t"), right("t"),
+          bucketWidth = w, rightOrder = right("rid"), tolerance = tol)
+        case None => graft.operators.AsofJoin.asofBackward(
+          left, right, left("k"), right("k"), left("t"), right("t"),
+          rightOrder = right("rid"), tolerance = tol)
+      }
+      out.select($"lid", $"asof.rid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    }
+    for (tol <- Seq(None, Some(5L))) {
+      val expected = run(None, tol)
+      // widths spanning: sub-tick, a few rows per bucket, most rows in
+      // one bucket, everything in one bucket (degenerate = unsalted)
+      for (w <- Seq(1L, 7L, 50L, 1000L)) {
+        assert(run(Some(w), tol) == expected, s"salted(width=$w, tol=$tol) diverged")
+      }
+    }
+    // boundary carry: left row in a bucket with NO right rows must still
+    // match the previous bucket's last right row
+    val l2 = Seq((1L, 105L, 1L)).toDF("k", "t", "lid")
+    val r2 = Seq((1L, 9L, 10L), (1L, 8L, 11L)).toDF("k", "t", "rid")
+    val carried = graft.operators.AsofJoin.asofBackwardSalted(
+        l2, r2, l2("k"), r2("k"), l2("t"), r2("t"),
+        bucketWidth = 10L, rightOrder = r2("rid"))
+      .select($"asof.rid").head.getLong(0)
+    assert(carried == 10L, s"carry must surface bucket-0's last right row, got $carried")
+  }
+
   test("range join: bucketized point-in-interval matches, no nested loop") {
     val points = Seq((1L, 5L, 100L), (1L, 25L, 101L), (1L, 31L, 102L), (2L, 5L, 103L),
         (1L, 30L, 104L))
