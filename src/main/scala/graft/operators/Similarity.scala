@@ -133,7 +133,10 @@ object Similarity {
       .withColumn("__r", xxhash64(col(id)))
       .orderBy(col("__r")).limit(nCentroids)
       .collect().zipWithIndex
-      .map { case (r, i) => i -> r.getSeq[Float](1).map(_.toDouble).toArray }
+      // any fixed-width numeric element type (float embeddings, int8-
+      // quantized corpora, …) — same acceptance as the scoring kernels
+      .map { case (r, i) =>
+        i -> r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toArray }
     for (_ <- 1 to kmeansIters) {
       val centLit = typedLit(cents.map { case (i, v) => (i, v.toSeq) }.toSeq)
       val means = corpus

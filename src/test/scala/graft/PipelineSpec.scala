@@ -426,6 +426,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(partial.nonEmpty)
   }
 
+  test("IVF over an int8-quantized corpus: the full 100 TB configuration end-to-end") {
+    // quantize the corpus once (4× smaller vectors), build the IVF index
+    // and search it — every stage (centroid sampling, Lloyd fixed-point
+    // means, assignment, probing, scoring) must accept ARRAY<TINYINT>
+    import graft.operators.Quantize
+    Graft.register(spark)
+    val q8 = vecDf.select($"vec_id",
+      Quantize.quantizeInt8($"embedding").getField("q").as("embedding"))
+    val idx = Similarity.ivfBuild(q8, "vec_id", "embedding", nCentroids = 4)
+    assert(idx.assigned.groupBy("__cent").count().collect().map(_.getLong(1)).sum == vecs.length)
+    val q = q8.filter($"vec_id" < 5)
+    // nProbe == nCentroids → exhaustive → must equal quantized brute force
+    val ivf = Similarity.ivfTopK(idx, q, "vec_id", "embedding", "vec_id", "embedding",
+        k = 3, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val bf = Similarity.bruteForceTopK(q, q8, "vec_id", "embedding", "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(ivf == bf, s"exhaustive quantized IVF != quantized brute force")
+  }
+
   test("IVF kmeans refinement: Lloyd iterations do not increase within-cluster SSE") {
     // 3 tight clusters; sampled init may land two centroids in one cluster,
     // Lloyd must pull them apart (or at least never make the fit worse)
