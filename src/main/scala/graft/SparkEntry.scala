@@ -17,6 +17,12 @@ object SparkEntry {
 
   private def li(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "lineitem")
 
+  // recall golden scaling shared by q45/q48: floor(hit/nTrue · 1e4) —
+  // load-bearing for oracle parity (the DuckDB side hardcodes the
+  // outputs), so it must be a SINGLE definition
+  private def recallX1e4(hit: Long, nTrue: Long): Long =
+    if (nTrue == 0) 0L else math.floor(hit.toDouble / nTrue * 10000).toLong
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q02_cofactor_flat")(spark, "/root/testdata/sf0.001")
@@ -599,8 +605,8 @@ object SparkEntry {
         .select(col("qId").as("q2"), col("cId").as("c2"))
       val hit = bf.join(q8, bf("qId") === q8("q2") && bf("cId") === q8("c2")).count()
       bf.unpersist()
-      def rec(h: Long) = if (nTrue == 0) 0L else math.floor(h.toDouble / nTrue * 10000).toLong
-      Seq((nTrue, hit, rec(hit))).toDF("n_true", "int8_hit", "int8_recall_x1e4")
+      Seq((nTrue, hit, recallX1e4(hit, nTrue)))
+        .toDF("n_true", "int8_hit", "int8_recall_x1e4")
     },
 
     // dequantize error bound, corpus-wide: |x − q/s| ≤ 0.5/s for every
@@ -692,7 +698,7 @@ object SparkEntry {
         .select(col("qId").as("q3"), col("cId").as("c3"))
       val lshHit = bf.join(lsh, bf("qId") === lsh("q3") && bf("cId") === lsh("c3")).count()
       bf.unpersist()
-      def rec(h: Long) = if (nTrue == 0) 0L else math.floor(h.toDouble / nTrue * 10000).toLong
+      def rec(h: Long) = recallX1e4(h, nTrue)
       Seq((nTrue, ivfHit, rec(ivfHit), ivfRefHit, rec(ivfRefHit), lshHit, rec(lshHit)))
         .toDF("n_true", "ivf_hit", "ivf_recall_x1e4",
           "ivf_ref_hit", "ivf_ref_recall_x1e4", "lsh_hit", "lsh_recall_x1e4")
@@ -1326,7 +1332,7 @@ object SparkEntry {
         |  FROM (
         |    SELECT vec_id,
         |           list_transform(embedding, x ->
-        |             floor(x::DOUBLE * (CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END) + 0.5)) AS q
+        |             floor(x::DOUBLE * (CASE WHEN mx > 1e-300 THEN 127.0 / mx ELSE 0.0 END) + 0.5)) AS q
         |    FROM (SELECT vec_id, embedding,
         |                 list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
         |          FROM embeddings WHERE vec_id < 100)))
@@ -1354,7 +1360,7 @@ object SparkEntry {
     "q49_dequantize_bound" ->
       """WITH qz AS (
         |  SELECT vec_id, embedding,
-        |         CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS s
+        |         CASE WHEN mx > 1e-300 THEN 127.0 / mx ELSE 0.0 END AS s
         |  FROM (SELECT vec_id, embedding,
         |               list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
         |        FROM embeddings)),

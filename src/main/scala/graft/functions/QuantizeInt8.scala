@@ -28,6 +28,11 @@ import org.apache.spark.sql.types._
  * NULL element through as a NULL q slot; no caller relied on it, and
  * all-or-nothing is what the downstream similarity kernels require —
  * they return NULL on any NULL element anyway.)
+ *
+ * A vector whose max |x| is below 1e-300 quantizes as a zero vector
+ * (scale 0): 127/mx would overflow to +Infinity there, and floor(x·∞)
+ * cast to byte is garbage — such vectors are numerically zero at any
+ * useful precision. The oracle SQL mirrors the same threshold.
  */
 case class QuantizeInt8(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
@@ -50,7 +55,7 @@ case class QuantizeInt8(child: Expression) extends UnaryExpression {
       if (x > mx) mx = x
       i += 1
     }
-    val scale = if (mx > 0) 127.0 / mx else 0.0
+    val scale = if (mx > 1e-300) 127.0 / mx else 0.0
     val q = new Array[Byte](n)
     i = 0
     while (i < n) {
@@ -79,7 +84,7 @@ case class QuantizeInt8(child: Expression) extends UnaryExpression {
          |  if ($x > $mx) $mx = $x;
          |}
          |if (!${ev.isNull}) {
-         |  final double $scale = $mx > 0 ? 127.0 / $mx : 0.0;
+         |  final double $scale = $mx > 1e-300 ? 127.0 / $mx : 0.0;
          |  final byte[] $q = new byte[$n];
          |  for (int $i = 0; $i < $n; $i++) {
          |    $q[$i] = (byte) java.lang.Math.floor(${VectorMath.getterCode(a, i, child.dataType)} * $scale + 0.5);

@@ -92,10 +92,8 @@ object AsofJoin {
                        bucketWidth: Option[Long]): DataFrame = {
     val lType = StructType(left.schema.fields)
     val rType = StructType(right.schema.fields)
-    // floor division (negative-timestamp safe: pmod is non-negative, so
-    // __t - pmod is an exact multiple of the width)
     def bucketOf(t: Column): Column = bucketWidth match {
-      case Some(w) => ((t - pmod(t, lit(w))) / lit(w)).cast("long")
+      case Some(w) => TimeBuckets.floorBucket(t, w) // exact at ns-scale epochs
       case None => lit(0L) // unsalted: everything in one bucket per key
     }
     val l = left.select(
@@ -120,9 +118,12 @@ object AsofJoin {
       case None => l.unionByName(r)
       case Some(_) =>
         // last right row per (key, bucket): (__t, __ord) is a total order
-        // among a key's right rows, so max() over the struct picks it
+        // among a key's right rows; max_by keeps __r out of the ORDERING
+        // expression (a right schema with map columns must stay legal
+        // here, exactly as in the unsalted path)
         val rSum = r.groupBy(col("__k"), col("__b"))
-          .agg(max(struct(col("__t"), col("__ord"), col("__r"))).as("__last"))
+          .agg(max_by(struct(col("__t"), col("__ord"), col("__r")),
+            struct(col("__t"), col("__ord"))).as("__last"))
         // for each bucket containing left rows, the last right row of any
         // STRICTLY earlier bucket: order (bucket, marker-before-summary)
         // so a marker's running last sees only earlier buckets' summaries

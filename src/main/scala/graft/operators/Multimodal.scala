@@ -287,7 +287,13 @@ object Multimodal {
             val totalFrames = le32(b, pFrom + 16)
             val w = le32(b, pFrom + 32).toInt
             val h = le32(b, pFrom + 36).toInt
-            result = ("avi", w, h, usPerFrame * totalFrames / 1000L)
+            // both fields are untrusted u32 (≤ ~4.3e9 each): their
+            // product can exceed Long — degrade to the -1 sentinel
+            // rather than emit a wrapped negative duration
+            val durMs =
+              if (usPerFrame > 0 && totalFrames > Long.MaxValue / usPerFrame) -1L
+              else usPerFrame * totalFrames / 1000L
+            result = ("avi", w, h, durMs)
           }
           o = pFrom + size + (size & 1) // RIFF chunks are word-aligned
         }

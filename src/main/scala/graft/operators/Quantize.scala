@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
  * Quantization grid: `q_i = floor(x_i · 127/max|x| + 0.5)` — the same
  * explicit floor-rounding used everywhere the DuckDB oracle must
  * reproduce float arithmetic exactly (round() half-even vs half-up
- * varies by engine; floor(x+0.5) does not). A zero vector quantizes to
- * all zeros with scale 0.
+ * varies by engine; floor(x+0.5) does not). A zero vector — or one
+ * whose max |x| is below 1e-300, where 127/mx would overflow to
+ * +Infinity — quantizes to all zeros with scale 0.
  *
  * The quantizer itself is the native codegen'd
  * [[graft.functions.QuantizeInt8]] expression — O(d) per vector, inside

@@ -36,17 +36,15 @@ object RangeJoin {
                       pointCol: String = "point", intervalCol: String = "interval",
                       maxBucketsPerInterval: Long = 100000L): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
-    // exact floor-division bucketing: `/` on longs is DOUBLE division in
-    // Spark; (c − pmod(c, w)) is an exact multiple of w, so the division
-    // is exact (and pmod gives floor semantics for negatives). Buckets
-    // are computed on the LONG-truncated value — truncation is monotone,
-    // so a point inside [lo, hi] always lands inside the interval's
-    // bucket range; the EXACT predicate below runs on the original
-    // (possibly fractional) values, so no false matches either.
-    def bucketOf(c: Column): Column = {
-      val l = c.cast("long")
-      ((l - pmod(l, lit(bucketWidth))) / lit(bucketWidth)).cast("long")
-    }
+    // exact floor-division bucketing (TimeBuckets: integral div, exact
+    // even for ns-scale epochs above 2^53 where double division would
+    // land a point one bucket off its enclosing interval — a silent
+    // false negative). Buckets are computed on the LONG-truncated value —
+    // truncation is monotone, so a point inside [lo, hi] always lands
+    // inside the interval's bucket range; the EXACT predicate below runs
+    // on the original (possibly fractional) values, so no false matches
+    // either.
+    def bucketOf(c: Column): Column = TimeBuckets.floorBucket(c, bucketWidth)
     val p = points.where(pointKey.isNotNull && pointTs.isNotNull).select(
       pointKey.as("__k"),
       pointTs.as("__t"),

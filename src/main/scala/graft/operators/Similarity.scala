@@ -143,6 +143,10 @@ object Similarity {
         .select(centroidOf(col(vec), centLit).as("__cent"),
           posexplode(transform(col(vec), x => (x.cast("double") * FP).cast("long")))
             .as(Seq("__pos", "__x")))
+        // a NULL vector / NULL element yields a NULL centroid (the same
+        // null-in → null-out as the scoring kernels): skip it here, or
+        // the driver decode below NPEs on the null group key
+        .where(col("__cent").isNotNull)
         .groupBy("__cent", "__pos")
         .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
         .collect().groupBy(_.getInt(0))

@@ -299,6 +299,24 @@ class PipelineSpec extends AnyFunSuite {
         bucketWidth = 10L, rightOrder = r2("rid"))
       .select($"asof.rid").head.getLong(0)
     assert(carried == 10L, s"carry must surface bucket-0's last right row, got $carried")
+    // unorderable (map) right columns must stay legal, as in the
+    // unsalted path — the bucket summary orders by (ts, ord) only
+    val rMap = r2.withColumn("props", map(lit("a"), $"rid"))
+    val viaMap = graft.operators.AsofJoin.asofBackwardSalted(
+        l2, rMap, l2("k"), rMap("k"), l2("t"), rMap("t"),
+        bucketWidth = 10L, rightOrder = rMap("rid"))
+      .select($"asof.props")
+    assert(viaMap.head.getMap[String, Long](0)("a") == 10L)
+    // ns-scale epochs: exact integral bucketing (double division would
+    // land rows one bucket off above 2^53)
+    val big = 1704067211172425938L
+    val lNs = Seq((1L, big + 1000L, 1L)).toDF("k", "t", "lid")
+    val rNs = Seq((1L, big, 10L), (1L, big + 2000L, 11L)).toDF("k", "t", "rid")
+    val nsOut = graft.operators.AsofJoin.asofBackwardSalted(
+        lNs, rNs, lNs("k"), rNs("k"), lNs("t"), rNs("t"),
+        bucketWidth = 128L, rightOrder = rNs("rid"))
+      .select($"asof.rid").head.getLong(0)
+    assert(nsOut == 10L, s"ns-scale bucketing must stay exact, got $nsOut")
   }
 
   test("range join: bucketized point-in-interval matches, no nested loop") {

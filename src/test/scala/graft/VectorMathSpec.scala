@@ -119,6 +119,10 @@ class VectorMathSpec extends AnyFunSuite {
     val ne = spark.sql("SELECT quantize_int8(CAST(NULL AS ARRAY<DOUBLE>)) a, " +
       "quantize_int8(array(1.0D, CAST(NULL AS DOUBLE))) b").head
     assert(ne.isNullAt(0) && ne.isNullAt(1))
+    // subnormal-magnitude vector: 127/mx would overflow to +Infinity and
+    // floor(x·∞) cast to byte is garbage — must quantize as a zero vector
+    val sub = spark.sql("SELECT quantize_int8(array(1e-310D, -1e-310D)) q").head.getStruct(0)
+    assert(sub.getSeq[Byte](0).forall(_ == 0) && sub.getDouble(1) == 0.0, s"subnormal $sub")
     // plan-shape guard: the old HOF formulation inlined
     // array_max(transform(...)) into a per-element lambda — O(d²)
     // interpreted work; the native expression must appear instead
