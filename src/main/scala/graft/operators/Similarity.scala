@@ -101,6 +101,41 @@ object Similarity {
   }
 
   /**
+   * Multi-table LSH top-k: candidates are unioned across `seeds`
+   * independent hyperplane sets (the standard recall lever — a true
+   * neighbor is missed only if EVERY table splits the pair, so miss
+   * probability decays geometrically in the table count). Each side is
+   * bucketed once per seed (corpus cost × #seeds, the classic LSH
+   * space/recall trade); duplicate candidates are deduplicated after
+   * scoring, where the cosine is bit-identical across tables, so the
+   * per-pair score is never window-ranked twice.
+   */
+  def lshTopKSeeds(queries: DataFrame, corpus: DataFrame,
+                   qId: String, qVec: String, cId: String, cVec: String,
+                   k: Int, dim: Int, nPlanes: Int = 8,
+                   seeds: Seq[Long] = Seq(42L, 43L, 44L)): DataFrame = {
+    require(seeds.nonEmpty, "lshTopKSeeds needs at least one seed")
+    reg(queries)
+    def tables(vec: Column): Column = array(seeds.zipWithIndex.map { case (s, i) =>
+      struct(lit(i).as("s"), lshBucket(vec, dim, nPlanes, s).as("b")) }: _*)
+    val q = queries.select(col(qId).as("qId"), col(qVec).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+      .select(col("qId"), col("__qv"), col("__qn"), explode(tables(col("__qv"))).as("__sb"))
+    val c = corpus.select(col(cId).as("cId"), col(cVec).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
+      .select(col("cId"), col("__cv"), col("__cn"), explode(tables(col("__cv"))).as("__sb"))
+    val scored = c.join(q, "__sb")
+      .filter(col("qId") =!= col("cId"))
+      .withColumn("cos", cosFromNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
+      .select(col("qId"), col("cId"), col("cos"))
+      .distinct() // multiplicity ≤ #seeds; cos is bit-identical across tables
+    val w = Window.partitionBy(col("qId")).orderBy(col("cos").desc, col("cId"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qId"), col("cId"), col("cos"), col("rank"))
+  }
+
+  /**
    * IVF (inverted-file) index: centroids picked deterministically from a
    * seeded sample of the corpus, every vector assigned to its nearest
    * centroid (one broadcast pass — the 100 TB corpus is scanned once and

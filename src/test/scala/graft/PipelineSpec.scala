@@ -444,6 +444,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(partial.nonEmpty)
   }
 
+  test("multi-table LSH: candidate superset of every single table, exact cosines, no dup ranks") {
+    val q = vecDf.filter($"vec_id" < 5)
+    val seeds = Seq(42L, 43L, 44L)
+    val multi = Similarity.lshTopKSeeds(q, vecDf, "vec_id", "embedding", "vec_id", "embedding",
+        k = 60, dim = 16, nPlanes = 4, seeds = seeds)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every single table's survivors appear with the identical cosine
+    // (bit-exact: same kernel), and the union is at least as large
+    for (s <- seeds) {
+      val single = Similarity.lshTopK(q, vecDf, "vec_id", "embedding", "vec_id", "embedding",
+          k = 60, dim = 16, nPlanes = 4, seed = s)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      single.foreach { case (pair, cos) =>
+        assert(multi.contains(pair) && multi(pair) == cos, s"seed $s pair $pair missing/diverged")
+      }
+      assert(multi.size >= single.size)
+    }
+    // dedup across tables: one rank sequence per query, no repeated pair
+    val ranks = Similarity.lshTopKSeeds(q, vecDf, "vec_id", "embedding", "vec_id", "embedding",
+        k = 60, dim = 16, nPlanes = 4, seeds = seeds)
+      .groupBy($"qId", $"cId").count().filter($"count" > 1).count()
+    assert(ranks == 0, "a candidate found by several tables must be ranked once")
+  }
+
   test("IVF over an int8-quantized corpus: the full 100 TB configuration end-to-end") {
     // quantize the corpus once (4× smaller vectors), build the IVF index
     // and search it — every stage (centroid sampling, Lloyd fixed-point
