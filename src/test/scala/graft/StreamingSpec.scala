@@ -136,6 +136,79 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming asof join == batch asof join; right arriving AFTER its left still wins") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(1760000000000L + sec * 1000L)
+    val lefts = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val rights = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val out = graft.streaming.StreamingAsofJoin.asof(
+      lefts.toDF().toDF("ts", "k", "lid"), "k", "ts", "lid",
+      rights.toDF().toDF("ts", "k", "rid"), "k", "ts", "rid",
+      watermark = "20 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("asof_stream").start()
+    try {
+      // left at 30 arrives BEFORE the right at 25 that must win it —
+      // event-time, not arrival-order, decides; right ties at 10 break
+      // toward the larger rid (batch rightOrder = id)
+      lefts.addData((ts(30), 1L, 100L), (ts(12), 1L, 101L), (ts(5), 2L, 102L))
+      rights.addData((ts(10), 1L, 200L), (ts(10), 1L, 201L))
+      q.processAllAvailable()
+      rights.addData((ts(25), 1L, 202L)) // late-arriving but ts 25 < 30
+      q.processAllAvailable()
+      // fencepost: watermark sails past every pending left
+      lefts.addData((ts(100000), 999L, 999L))
+      rights.addData((ts(100000), 999L, 998L))
+      q.processAllAvailable()
+      val got = spark.table("asof_stream").filter($"key" =!= 999L)
+        .select($"leftId", $"rightId").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(100L -> 202L, 101L -> 201L, 102L -> -1L), s"got $got")
+      // batch parity on the identical tuples (rightOrder = rid)
+      val bl = Seq((1L, 30L, 100L), (1L, 12L, 101L), (2L, 5L, 102L)).toDF("k", "t", "lid")
+      val br = Seq((1L, 10L, 200L), (1L, 10L, 201L), (1L, 25L, 202L)).toDF("k", "t", "rid")
+      val batch = graft.operators.AsofJoin.asofBackward(
+          bl, br, bl("k"), br("k"), bl("t"), br("t"), rightOrder = br("rid"))
+        .select($"lid", coalesce($"asof.rid", lit(-1L))).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == batch, s"stream $got vs batch $batch")
+    } finally q.stop()
+  }
+
+  test("streaming asof join: right state compacts to one row per key below the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(1760000000000L + sec * 1000L)
+    val lefts = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val rights = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val out = graft.streaming.StreamingAsofJoin.asof(
+      lefts.toDF().toDF("ts", "k", "lid"), "k", "ts", "lid",
+      rights.toDF().toDF("ts", "k", "rid"), "k", "ts", "rid",
+      watermark = "5 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("asof_compact").start()
+    try {
+      // a burst of rights, all far below the next watermark: the state
+      // must collapse to the single latest one, which still wins for a
+      // left event arriving much later
+      rights.addData((ts(1), 1L, 300L), (ts(2), 1L, 301L), (ts(3), 1L, 302L))
+      q.processAllAvailable()
+      rights.addData((ts(500), 2L, 888L)) // advances the watermark far past ts(3)
+      q.processAllAvailable()
+      lefts.addData((ts(600), 1L, 700L))
+      // fencepost BOTH sources: the global watermark is the min across
+      // the two withWatermark operators
+      lefts.addData((ts(100000), 999L, 999L))
+      rights.addData((ts(100000), 999L, 998L))
+      q.processAllAvailable()
+      val got = spark.table("asof_compact").filter($"key" === 1L)
+        .select($"leftId", $"rightId", $"rightTsMs").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSeq == Seq(700L -> 302L), s"compacted latest right must win: ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming sessionize: out-of-order events extend backward; deep-late become singletons") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
