@@ -38,6 +38,17 @@ object Similarity {
   private def cosFromNorms(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b) / (na * nb)
 
+  /** The shared ranking tail of every top-k search path: per-query
+    * window rank over (cos desc, cId) — ONE definition, so a tie-break
+    * change can never drift between the exact and approximate paths.
+    * Expects (qId, cId, cos). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qId")).orderBy(col("cos").desc, col("cId"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qId"), col("cId"), col("cos"), col("rank"))
+  }
+
   /**
    * Exact top-k by cosine: for each row of `queries`, the k most similar
    * rows of `corpus`. The query side is broadcast (callers pass the
@@ -55,10 +66,7 @@ object Similarity {
     val joined = c.crossJoin(broadcast(q))
     val scored = (if (excludeSelf) joined.filter(col("qId") =!= col("cId")) else joined)
       .withColumn("cos", cosFromNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
-    val w = Window.partitionBy(col("qId")).orderBy(col("cos").desc, col("cId"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qId"), col("cId"), col("cos"), col("rank"))
+    rankTopK(scored, k)
   }
 
   /** Deterministic random hyperplanes (seeded), as a literal matrix. */
@@ -83,22 +91,8 @@ object Similarity {
    */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               qId: String, qVec: String, cId: String, cVec: String,
-              k: Int, dim: Int, nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
-    reg(queries)
-    val q = queries.select(col(qId).as("qId"), col(qVec).as("__qv"))
-      .withColumn("__bucket", lshBucket(col("__qv"), dim, nPlanes, seed))
-      .withColumn("__qn", norm(col("__qv")))
-    val c = corpus.select(col(cId).as("cId"), col(cVec).as("__cv"))
-      .withColumn("__bucket", lshBucket(col("__cv"), dim, nPlanes, seed))
-      .withColumn("__cn", norm(col("__cv")))
-    val scored = c.join(q, "__bucket")
-      .filter(col("qId") =!= col("cId"))
-      .withColumn("cos", cosFromNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
-    val w = Window.partitionBy(col("qId")).orderBy(col("cos").desc, col("cId"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qId"), col("cId"), col("cos"), col("rank"))
-  }
+              k: Int, dim: Int, nPlanes: Int = 8, seed: Long = 42L): DataFrame =
+    lshTopKSeeds(queries, corpus, qId, qVec, cId, cVec, k, dim, nPlanes, Seq(seed))
 
   /**
    * Multi-table LSH top-k: candidates are unioned across `seeds`
@@ -129,10 +123,7 @@ object Similarity {
       .withColumn("cos", cosFromNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
       .select(col("qId"), col("cId"), col("cos"))
       .distinct() // multiplicity ≤ #seeds; cos is bit-identical across tables
-    val w = Window.partitionBy(col("qId")).orderBy(col("cos").desc, col("cId"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qId"), col("cId"), col("cos"), col("rank"))
+    rankTopK(scored, k)
   }
 
   /**
@@ -237,10 +228,7 @@ object Similarity {
     val scored = c.join(broadcast(q), "__cent")
       .filter(col("qId") =!= col("cId"))
       .withColumn("cos", cosFromNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
-    val w = Window.partitionBy(col("qId")).orderBy(col("cos").desc, col("cId"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qId"), col("cId"), col("cos"), col("rank"))
+    rankTopK(scored, k)
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold among LSH-bucket

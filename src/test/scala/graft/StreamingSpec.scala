@@ -162,7 +162,7 @@ class StreamingSpec extends AnyFunSuite {
       rights.addData((ts(100000), 999L, 998L))
       q.processAllAvailable()
       val got = spark.table("asof_stream").filter($"key" =!= 999L)
-        .select($"leftId", $"rightId").collect()
+        .select($"leftId", coalesce($"rightId", lit(-1L))).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == Map(100L -> 202L, 101L -> 201L, 102L -> -1L), s"got $got")
       // batch parity on the identical tuples (rightOrder = rid)
@@ -176,7 +176,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming asof join: right state compacts to one row per key below the watermark") {
+  test("streaming asof join: compacted right state (max survivor) still wins for later lefts") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     def ts(sec: Int) = new java.sql.Timestamp(1760000000000L + sec * 1000L)
@@ -185,27 +185,37 @@ class StreamingSpec extends AnyFunSuite {
     val out = graft.streaming.StreamingAsofJoin.asof(
       lefts.toDF().toDF("ts", "k", "lid"), "k", "ts", "lid",
       rights.toDF().toDF("ts", "k", "rid"), "k", "ts", "rid",
-      watermark = "5 seconds")
+      watermark = "100 seconds")
     val q = out.writeStream.outputMode("append")
       .format("memory").queryName("asof_compact").start()
     try {
-      // a burst of rights, all far below the next watermark: the state
-      // must collapse to the single latest one, which still wins for a
-      // left event arriving much later
+      // burst of key-1 rights, then the watermark advances past them
       rights.addData((ts(1), 1L, 300L), (ts(2), 1L, 301L), (ts(3), 1L, 302L))
       q.processAllAvailable()
-      rights.addData((ts(500), 2L, 888L)) // advances the watermark far past ts(3)
+      // BOTH sources must advance (global watermark = min of the two
+      // watermark operators) for the burst to become "old"
+      rights.addData((ts(500), 2L, 888L))
+      lefts.addData((ts(500), 3L, 777L))
+      q.processAllAvailable() // watermark → 400 s
+      // this batch INVOKES key 1 (right at 450 + left at 420), so the
+      // burst compacts NOW — before the left's flush. The left at 420
+      // must then match the compacted survivor (3 s, rid 302): if
+      // compaction dropped the burst the match would be None; if it kept
+      // the wrong row (min) it would be 300; the in-flight 450 is later
+      // than the left and must not win
+      rights.addData((ts(450), 1L, 310L))
+      lefts.addData((ts(420), 1L, 700L))
       q.processAllAvailable()
-      lefts.addData((ts(600), 1L, 700L))
       // fencepost BOTH sources: the global watermark is the min across
       // the two withWatermark operators
       lefts.addData((ts(100000), 999L, 999L))
       rights.addData((ts(100000), 999L, 998L))
       q.processAllAvailable()
       val got = spark.table("asof_compact").filter($"key" === 1L)
-        .select($"leftId", $"rightId", $"rightTsMs").collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-      assert(got.toSeq == Seq(700L -> 302L), s"compacted latest right must win: ${got.toSeq}")
+        .select($"leftId", $"rightId", $"rightTsUs").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq == Seq((700L, 302L, 1760000003000000L)),
+        s"compacted latest right must win: ${got.toSeq}")
     } finally q.stop()
   }
 
