@@ -43,6 +43,22 @@ queries = {
                  ORDER BY list_cosine_similarity(a.embedding,b.embedding) DESC, b.vec_id) rank
         FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
         WHERE a.vec_id < 20) WHERE rank <= 3""",
+    # int8-quantized knn (graft's knn_int8 counterpart: same grid, search
+    # over the quantized lists, quantization cost included)
+    "knn_int8": """
+      WITH qz AS (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                 floor(x::DOUBLE * (CASE WHEN mx > 1e-300 THEN 127.0/mx ELSE 0.0 END) + 0.5)) q
+        FROM (SELECT vec_id, embedding,
+                     list_max(list_transform(embedding, x -> abs(x::DOUBLE))) mx
+              FROM embeddings))
+      SELECT qId, cId, rank FROM (
+        SELECT a.vec_id qId, b.vec_id cId,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY list_cosine_similarity(a.q,b.q) DESC, b.vec_id) rank
+        FROM qz a JOIN qz b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < 20) WHERE rank <= 3""",
     "window_running": """
       SELECT l_suppkey, rn, run_qty FROM (
         SELECT l_suppkey, row_number() OVER w rn,
