@@ -230,7 +230,9 @@ object Multimodal {
     }
 
     private def parseMp4(b: Array[Byte]): (String, Int, Int, Long) = {
-      var brand: String = "mp4"
+      // stays null unless an actual ftyp/moov box is found — a payload
+      // that merely SNIFFED as ISO-BMFF must not report a format
+      var brand: String = null
       var durMs = -1L
       var w = -1
       var h = -1
@@ -238,6 +240,7 @@ object Multimodal {
         case ("ftyp", from, to) if to - from >= 4 =>
           brand = fourcc(b, from).trim.toLowerCase
         case ("moov", mFrom, mTo) =>
+          if (brand == null) brand = "mp4" // moov without ftyp: still ISO-BMFF
           walkBoxes(b, mFrom, mTo) {
             case ("mvhd", from, to) =>
               val v = b(from) & 0xff
@@ -245,7 +248,11 @@ object Multimodal {
               // v1: ver/flags(4) creation(8) modification(8) timescale(4) duration(8)
               if (v == 1 && to - from >= 32) {
                 val ts = be32(b, from + 20)
-                if (ts > 0) durMs = be64(b, from + 24) * 1000L / ts
+                val dur = be64(b, from + 24)
+                // untrusted u64: negative (>= 2^63) or *1000-overflowing
+                // values degrade to the -1 sentinel like the AVI path
+                if (ts > 0 && dur >= 0 && dur <= Long.MaxValue / 1000L)
+                  durMs = dur * 1000L / ts
               } else if (v == 0 && to - from >= 20) {
                 val ts = be32(b, from + 12)
                 if (ts > 0) durMs = be32(b, from + 16) * 1000L / ts
@@ -285,15 +292,19 @@ object Multimodal {
           else if (id == "avih" && size >= 40) {
             val usPerFrame = le32(b, pFrom)
             val totalFrames = le32(b, pFrom + 16)
-            val w = le32(b, pFrom + 32).toInt
-            val h = le32(b, pFrom + 36).toInt
-            // both fields are untrusted u32 (≤ ~4.3e9 each): their
-            // product can exceed Long — degrade to the -1 sentinel
-            // rather than emit a wrapped negative duration
+            // untrusted u32 fields, validated like the MP4 path:
+            // frame period 0 means "rate lives in the stream headers"
+            // (unknown → -1, not a zero-length video); the product can
+            // exceed Long; dimensions ≥ 2^31 would wrap toInt
+            def dim(off: Int): Int = {
+              val v = le32(b, pFrom + off)
+              if (v > 0 && v <= Int.MaxValue) v.toInt else -1
+            }
             val durMs =
-              if (usPerFrame > 0 && totalFrames > Long.MaxValue / usPerFrame) -1L
+              if (usPerFrame <= 0 || totalFrames <= 0 ||
+                  totalFrames > Long.MaxValue / usPerFrame) -1L
               else usPerFrame * totalFrames / 1000L
-            result = ("avi", w, h, durMs)
+            result = ("avi", dim(32), dim(36), durMs)
           }
           o = pFrom + size + (size & 1) // RIFF chunks are word-aligned
         }
@@ -306,7 +317,11 @@ object Multimodal {
     def meta(bytes: Array[Byte]): (String, Int, Int, Long) = {
       if (bytes == null || bytes.length < 12) return (null, -1, -1, -1L)
       try {
-        if (fourcc(bytes, 4) == "ftyp") parseMp4(bytes)
+        // ISO-BMFF only says ftyp "should be placed as early as
+        // possible" — real muxers prepend wide/free/skip — so sniff on
+        // any leading well-known box type, not ftyp-first
+        val mp4Lead = Set("ftyp", "wide", "free", "skip", "moov", "mdat", "pdin")
+        if (mp4Lead.contains(fourcc(bytes, 4))) parseMp4(bytes)
         else if (fourcc(bytes, 0) == "RIFF" && fourcc(bytes, 8) == "AVI ") parseAvi(bytes)
         else (null, -1, -1, -1L)
       } catch { case _: Throwable => (null, -1, -1, -1L) }

@@ -122,8 +122,10 @@ object Similarity {
       .filter(col("qId") =!= col("cId"))
       .withColumn("cos", cosFromNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
       .select(col("qId"), col("cId"), col("cos"))
-      .distinct() // multiplicity ≤ #seeds; cos is bit-identical across tables
-    rankTopK(scored, k)
+    // multiplicity ≤ #seeds and the cos is bit-identical across tables —
+    // but with ONE table each pair already appears once, and the
+    // delegating single-seed lshTopK must not pay a dedup shuffle
+    rankTopK(if (seeds.size > 1) scored.distinct() else scored, k)
   }
 
   /**

@@ -115,11 +115,14 @@ object StreamingAsofJoin {
     def prep(df: DataFrame, k: String, t: String, id: String, side: Int) = df
       .withColumnRenamed(t, "__evt") // same name both sides BEFORE the
       .withWatermark("__evt", watermark) // watermark, so the union keeps it
-      .where(col(k).isNotNull && col("__evt").isNotNull && col(id).isNotNull)
-      .select(col(k).cast("long").as("key"),
+      // try_cast, then filter the casts' NULLs: a malformed value must
+      // be DROPPED — under ANSI a plain cast would abort the query, and
+      // an unfiltered NULL would kill the non-nullable Ev encoder
+      .select(col(k).try_cast("long").as("key"),
         expr("unix_micros(`__evt`)").as("tsUs"),
-        lit(side).as("side"), col(id).cast("long").as("id"),
+        lit(side).as("side"), col(id).try_cast("long").as("id"),
         col("__evt")) // event-time column must survive for the watermark
+      .where(col("key").isNotNull && col("tsUs").isNotNull && col("id").isNotNull)
     matches(prep(left, leftKey, leftTs, leftId, 1)
       .unionByName(prep(right, rightKey, rightTs, rightId, 0)).as[Ev])
   }

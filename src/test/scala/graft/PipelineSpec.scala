@@ -597,6 +597,15 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(Multimodal.VideoMeta.meta(avi) == ("avi", 320, 240, 9999L), "avi")
 
+    // ISO-BMFF with a leading `wide` box (ftyp not first — spec-legal,
+    // common from MOV muxers) must still parse
+    val wideLed = box("wide", Array.emptyByteArray) ++ mp4
+    assert(Multimodal.VideoMeta.meta(wideLed) == ("isom", 640, 360, 5000L), "wide-led mp4")
+    // a payload that merely sniffs as ISO-BMFF (bytes 4-8 spell a known
+    // box) but contains no ftyp/moov must NOT claim a format
+    val sniffOnly = "????free then garbage garbage".getBytes("US-ASCII")
+    assert(Multimodal.VideoMeta.meta(sniffOnly)._1 == null, "sniff-only must stay null")
+
     // unrecognized / truncated / null payloads degrade to null metadata
     assert(Multimodal.VideoMeta.meta("not a video at all".getBytes) == (null, -1, -1, -1L))
     assert(Multimodal.VideoMeta.meta(mp4.take(10)) == (null, -1, -1, -1L))

@@ -219,6 +219,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming asof join: rows whose key CASTS to NULL are dropped, not query-fatal") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(1760000000000L + sec * 1000L)
+    // string keys: "u-12" casts to NULL long — must be filtered, not
+    // reach the non-nullable encoder and kill the always-on query
+    val lefts = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val rights = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val out = graft.streaming.StreamingAsofJoin.asof(
+      lefts.toDF().toDF("ts", "k", "lid"), "k", "ts", "lid",
+      rights.toDF().toDF("ts", "k", "rid"), "k", "ts", "rid",
+      watermark = "10 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("asof_badkey").start()
+    try {
+      lefts.addData((ts(5), "1", 100L), (ts(6), "u-12", 101L))
+      rights.addData((ts(1), "1", 200L), (ts(2), "not-a-key", 201L))
+      lefts.addData((ts(100000), "999", 999L))
+      rights.addData((ts(100000), "999", 998L))
+      q.processAllAvailable() // would throw on encoder NULL before the fix
+      val got = spark.table("asof_badkey").filter($"key" === 1L)
+        .select($"leftId", $"rightId").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+      assert(got == Seq(100L -> 200L), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming sessionize: out-of-order events extend backward; deep-late become singletons") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
