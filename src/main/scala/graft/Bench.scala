@@ -71,6 +71,10 @@ object Bench {
       },
       "text_stats" -> (() => noop(SparkEntry.queries("q10_token_stats")(spark, sfDir))),
       "sessionize" -> (() => noop(SparkEntry.queries("q33_sessionize")(spark, sfDir))),
+      // the round-3 join operators, against DuckDB's native ASOF JOIN /
+      // inequality join in bench_duckdb.py
+      "asof_join" -> (() => noop(SparkEntry.queries("q44_asof_join")(spark, sfDir))),
+      "range_join" -> (() => noop(SparkEntry.queries("q46_range_join")(spark, sfDir))),
       // the OPERATOR, not the q14 correctness harness (whose all-pairs
       // ground-truth brute force is test-only and quadratic by design)
       "minhash_neardup" -> { () =>

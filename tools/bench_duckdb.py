@@ -6,7 +6,7 @@ import sys, time, json, duckdb
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 con = duckdb.connect()
-for t in ["lineitem", "orders", "documents", "embeddings"]:
+for t in ["lineitem", "orders", "documents", "embeddings", "events"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
 queries = {
@@ -69,6 +69,22 @@ queries = {
       SELECT doc_id, len(string_split_regex(trim(text), '\\s+')),
              len(list_distinct(string_split_regex(trim(text), '\\s+'))), length(text)
       FROM documents""",
+    # DuckDB's NATIVE asof / inequality joins (graft: q44 / q46)
+    "asof_join": """
+      WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t FROM events),
+      c AS (SELECT event_id, user_id, t FROM e WHERE event_type = 'click'),
+      v AS (SELECT user_id, t AS vt, max(event_id) AS v_eid
+            FROM e WHERE event_type = 'view' GROUP BY 1, 2)
+      SELECT c.event_id, coalesce(v.v_eid, -1), coalesce(c.t - v.vt, -1)
+      FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.vt <= c.t""",
+    "range_join": """
+      WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t FROM events),
+      err AS (SELECT event_id, user_id, t FROM e WHERE event_type = 'error'),
+      c AS (SELECT user_id, t FROM e WHERE event_type = 'click')
+      SELECT err.event_id, count(c.t)
+      FROM err LEFT JOIN c
+        ON c.user_id = err.user_id AND c.t BETWEEN err.t - 300000000 AND err.t
+      GROUP BY err.event_id""",
 }
 
 out = {}
