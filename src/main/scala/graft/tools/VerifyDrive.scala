@@ -232,6 +232,21 @@ object VerifyDrive {
       s"predicate must push to the scan:\n$filtScan")
     println("scan hygiene OK: pruned ReadSchema, pushed filters")
 
+    println("== [15] quantize_int8 plan shape: native expression, no HOF lambda tree ==")
+    // the O(d^2) failure mode this guards: a scale expression containing
+    // array_max(transform(...)) inlined into a per-element transform
+    // lambda re-evaluates the max for EVERY element, interpreted
+    val emb15 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", graft.operators.Quantize.quantizeInt8($"embedding").as("qz"))
+    val qPlan = emb15.queryExecution.analyzed.toString
+    assert(qPlan.contains("quantize_int8") && !qPlan.contains("array_max")
+        && !qPlan.contains("transform"),
+      s"quantize must be the native expression, not the HOF tree:\n$qPlan")
+    // and it must round-trip on real embeddings inside codegen
+    val qRow = emb15.select($"qz.q", $"qz.scale").head
+    assert(qRow.getSeq[Byte](0).nonEmpty && qRow.getDouble(1) > 0)
+    println("quantize plan OK: native codegen expression, real-data round-trip")
+
     spark.stop()
   }
 }
