@@ -216,6 +216,11 @@ class StreamingSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       assert(got.toSeq == Seq((700L, 302L, 1760000003000000L)),
         s"compacted latest right must win: ${got.toSeq}")
+      // measured state bound, not just narrative: after everything
+      // flushed, the store holds at most one compacted right per key
+      // (4 keys seen) — the 3-row burst must NOT survive as 3 rows
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 4, s"state must be <=1 row/key after compaction, got $stateRows")
     } finally q.stop()
   }
 
