@@ -613,5 +613,32 @@ class PipelineSpec extends AnyFunSuite {
     // corrupt size field must not throw or loop
     val corrupt = mp4.clone(); corrupt(0) = 0x7f.toByte
     Multimodal.VideoMeta.meta(corrupt)
+
+    // fuzz: an untrusted-bytes parser must never throw or hang — random
+    // payloads and random single-byte mutations of VALID files (the
+    // nastier case: mostly-consistent structure with one lying field)
+    val fRng = new scala.util.Random(17)
+    for (_ <- 0 until 300) {
+      val junk = Array.fill(fRng.nextInt(256))(fRng.nextInt().toByte)
+      Multimodal.VideoMeta.meta(junk) // must return, not throw
+      val base = if (fRng.nextBoolean()) mp4 else avi
+      val mut = base.clone()
+      mut(fRng.nextInt(mut.length)) = fRng.nextInt().toByte
+      Multimodal.VideoMeta.meta(mut)
+    }
+  }
+
+  test("TimeBuckets.floorBucket: floor semantics for negatives, exact at ns-epoch magnitude") {
+    import graft.operators.TimeBuckets
+    val df = Seq(-21L, -20L, -1L, 0L, 19L, 20L,
+        1704067211172425938L, 1704067211172425937L)
+      .toDF("t").withColumn("b", TimeBuckets.floorBucket($"t", 20L))
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(-21L) == -2L && got(-20L) == -1L && got(-1L) == -1L, s"negatives: $got")
+    assert(got(0L) == 0L && got(19L) == 0L && got(20L) == 1L, s"positives: $got")
+    // above 2^53 double division can land one bucket off; integral div
+    // must place adjacent ns timestamps on the true boundary
+    assert(got(1704067211172425938L) == 1704067211172425938L / 20L)
+    assert(got(1704067211172425937L) == 1704067211172425937L / 20L)
   }
 }
