@@ -27,7 +27,13 @@ import org.apache.spark.sql.types._
  * array or a NULL element yields NULL. (The old HOF form instead let a
  * NULL element through as a NULL q slot; no caller relied on it, and
  * all-or-nothing is what the downstream similarity kernels require —
- * they return NULL on any NULL element anyway.)
+ * they return NULL on any NULL element anyway.) A non-finite element
+ * (NaN/±Infinity) also yields NULL under the same all-or-nothing rule:
+ * NaN would otherwise be silently excluded from the max (`NaN > mx` is
+ * false) and quantize to 0, and an infinite element would collapse every
+ * other coordinate's scale to 0 — both silent corruptions of the vector,
+ * where NULL is an honest "this embedding is broken" signal the
+ * downstream kernels already propagate.
  *
  * A vector whose max |x| is below 1e-300 quantizes as a zero vector
  * (scale 0): 127/mx would overflow to +Infinity there, and floor(x·∞)
@@ -52,6 +58,7 @@ case class QuantizeInt8(child: Expression) extends UnaryExpression {
     while (i < n) {
       if (a.isNullAt(i)) return null
       val x = math.abs(VectorMath.get(a, i, elemT))
+      if (x.isNaN || x.isInfinite) return null
       if (x > mx) mx = x
       i += 1
     }
@@ -81,6 +88,7 @@ case class QuantizeInt8(child: Expression) extends UnaryExpression {
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  final double $x = java.lang.Math.abs(${VectorMath.getterCode(a, i, child.dataType)});
+         |  if (java.lang.Double.isNaN($x) || java.lang.Double.isInfinite($x)) { ${ev.isNull} = true; break; }
          |  if ($x > $mx) $mx = $x;
          |}
          |if (!${ev.isNull}) {

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import scala.util.control.NonFatal
 
 /**
  * Multimodal column plumbing: image/audio/video as opaque BINARY columns
@@ -62,7 +63,7 @@ object Multimodal {
   object ImageDecoder extends Decoder {
     def features(bytes: Array[Byte], dim: Int): Array[Float] = {
       val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: Throwable => null }
+        catch { case NonFatal(_) => null }
       if (img == null) return new Array[Float](dim)
       val g = math.ceil(math.sqrt(dim.toDouble)).toInt
       val sums = new Array[Double](g * g)
@@ -100,14 +101,14 @@ object Multimodal {
           r.dispose()
           out
         }
-      } catch { case _: Throwable => (null, -1, -1) } finally in.close()
+      } catch { case NonFatal(_) => (null, -1, -1) } finally in.close()
     }
 
     /** Decode → bilinear-scale to (w, h) → re-encode PNG. Returns null
       * for undecodable payloads. */
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
       val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: Throwable => null }
+        catch { case NonFatal(_) => null }
       if (img == null) return null
       val scaled = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
       val gfx = scaled.createGraphics()
@@ -141,7 +142,7 @@ object Multimodal {
     }
 
     def features(bytes: Array[Byte], dim: Int): Array[Float] = {
-      val pcm = try pcmStream(bytes) catch { case _: Throwable => null }
+      val pcm = try pcmStream(bytes) catch { case NonFatal(_) => null }
       if (pcm == null) return new Array[Float](dim)
       try {
         val channels = pcm.getFormat.getChannels
@@ -168,7 +169,7 @@ object Multimodal {
         }
         Array.tabulate(dim)(i =>
           if (counts(i) > 0) math.sqrt(sumSq(i) / counts(i)).toFloat else 0.0f)
-      } catch { case _: Throwable => new Array[Float](dim) } finally pcm.close()
+      } catch { case NonFatal(_) => new Array[Float](dim) } finally pcm.close()
     }
 
     /** (format, sampleRate Hz, channels, duration_ms) of an audio
@@ -183,7 +184,7 @@ object Multimodal {
             (ff.getFrameLength * 1000L / f.getFrameRate).toLong
           else -1L
         (ff.getType.toString.toLowerCase, f.getSampleRate.toInt, f.getChannels, durMs)
-      } catch { case _: Throwable => (null, -1, -1, -1L) }
+      } catch { case NonFatal(_) => (null, -1, -1, -1L) }
     }
   }
 
@@ -324,7 +325,7 @@ object Multimodal {
         if (mp4Lead.contains(fourcc(bytes, 4))) parseMp4(bytes)
         else if (fourcc(bytes, 0) == "RIFF" && fourcc(bytes, 8) == "AVI ") parseAvi(bytes)
         else (null, -1, -1, -1L)
-      } catch { case _: Throwable => (null, -1, -1, -1L) }
+      } catch { case NonFatal(_) => (null, -1, -1, -1L) }
     }
   }
 

@@ -119,6 +119,18 @@ class VectorMathSpec extends AnyFunSuite {
     val ne = spark.sql("SELECT quantize_int8(CAST(NULL AS ARRAY<DOUBLE>)) a, " +
       "quantize_int8(array(1.0D, CAST(NULL AS DOUBLE))) b").head
     assert(ne.isNullAt(0) && ne.isNullAt(1))
+    // non-finite element → NULL (all-or-nothing, like a NULL element):
+    // NaN would silently drop out of the max and quantize to 0; an
+    // infinite element would zero every other coordinate's scale
+    val nf = spark.sql(
+      "SELECT quantize_int8(array(1.0D, CAST('NaN' AS DOUBLE))) a, " +
+      "quantize_int8(array(1.0D, CAST('Infinity' AS DOUBLE))) b, " +
+      "quantize_int8(array(CAST('-Infinity' AS DOUBLE), 1.0D)) c").head
+    assert(nf.isNullAt(0) && nf.isNullAt(1) && nf.isNullAt(2))
+    import org.apache.spark.sql.catalyst.expressions.{Literal => Lit2}
+    import org.apache.spark.sql.types.{ArrayType => AT2, DoubleType => DT2}
+    assert(graft.functions.QuantizeInt8(
+      Lit2.create(Array(1.0, Double.NaN), AT2(DT2))).eval() == null)
     // subnormal-magnitude vector: 127/mx would overflow to +Infinity and
     // floor(x·∞) cast to byte is garbage — must quantize as a zero vector
     val sub = spark.sql("SELECT quantize_int8(array(1e-310D, -1e-310D)) q").head.getStruct(0)
