@@ -61,9 +61,37 @@ object Multimodal {
    * the zero vector, mirroring the null-payload convention.
    */
   object ImageDecoder extends Decoder {
+    /** Images whose DECLARED header dimensions exceed this pixel count
+      * are rejected before any full decode: a decompression bomb packs
+      * huge dimensions into a tiny compressed payload, and
+      * `ImageIO.read` allocates the whole raster up front — the
+      * resulting OutOfMemoryError is not NonFatal and would kill the
+      * executor on hostile bytes. 64 MP ≈ 256 MB of ARGB raster. */
+    val MaxPixels: Long = 64L * 1024 * 1024
+
+    /** Decode with the dimension guard: reads width/height from the
+      * format header via ImageReader (cheap — no raster decode), then
+      * decodes only when the declared size is bounded. Returns null for
+      * undecodable, unrecognized, or oversized payloads. */
+    private def boundedDecode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val in = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) null
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(in)
+            val w = r.getWidth(0).toLong
+            val h = r.getHeight(0).toLong
+            if (w <= 0 || h <= 0 || w * h > MaxPixels) null else r.read(0)
+          } finally r.dispose()
+        }
+      } catch { case NonFatal(_) => null } finally in.close()
+    }
+
     def features(bytes: Array[Byte], dim: Int): Array[Float] = {
-      val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case NonFatal(_) => null }
+      val img = boundedDecode(bytes)
       if (img == null) return new Array[Float](dim)
       val g = math.ceil(math.sqrt(dim.toDouble)).toInt
       val sums = new Array[Double](g * g)
@@ -107,8 +135,7 @@ object Multimodal {
     /** Decode → bilinear-scale to (w, h) → re-encode PNG. Returns null
       * for undecodable payloads. */
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-      val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case NonFatal(_) => null }
+      val img = boundedDecode(bytes)
       if (img == null) return null
       val scaled = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
       val gfx = scaled.createGraphics()
@@ -281,7 +308,12 @@ object Multimodal {
     private def parseAvi(b: Array[Byte]): (String, Int, Int, Long) = {
       // RIFF chunks: [fourcc][le32 size][payload]; LIST payload = [listType][children]
       var result = ("avi", -1, -1, -1L)
-      def walk(from: Int, to: Int): Unit = {
+      // depth-bounded: LIST nesting is attacker-controlled (~12 bytes per
+      // level buys a stack frame), so unbounded recursion would let a
+      // ~150 KB payload raise StackOverflowError — which is NOT NonFatal
+      // and would escape meta()'s catch. Real AVI files nest 2-3 deep.
+      val maxDepth = 32
+      def walk(from: Int, to: Int, depth: Int): Unit = {
         var o = from
         while (o + 8 <= to) {
           val id = fourcc(b, o)
@@ -289,7 +321,7 @@ object Multimodal {
           val pFrom = o + 8
           val pTo = math.min(pFrom + size, to)
           if (pTo < pFrom) return
-          if (id == "LIST" && pTo - pFrom >= 4) walk(pFrom + 4, pTo)
+          if (id == "LIST" && pTo - pFrom >= 4 && depth < maxDepth) walk(pFrom + 4, pTo, depth + 1)
           else if (id == "avih" && size >= 40) {
             val usPerFrame = le32(b, pFrom)
             val totalFrames = le32(b, pFrom + 16)
@@ -310,7 +342,7 @@ object Multimodal {
           o = pFrom + size + (size & 1) // RIFF chunks are word-aligned
         }
       }
-      walk(12, b.length)
+      walk(12, b.length, 0)
       result
     }
 

@@ -102,6 +102,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(resized(3L) == null)
   }
 
+  test("multimodal images: decompression bomb (huge declared dims) is rejected before decode") {
+    import graft.operators.Multimodal
+    // a real tiny PNG whose IHDR is patched to DECLARE 60000×60000
+    // (3.6 G pixels): ImageIO.read would allocate the full raster and
+    // OOM the executor; the header guard must reject it without decoding
+    val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val bomb = bos.toByteArray
+    // IHDR payload starts at offset 16: width be32 @16, height be32 @20
+    val b = java.nio.ByteBuffer.wrap(bomb)
+    b.putInt(16, 60000); b.putInt(20, 60000)
+    assert(Multimodal.ImageDecoder.features(bomb, 16).forall(_ == 0.0f),
+      "bomb must yield the undecodable zero vector")
+    assert(Multimodal.ImageDecoder.resize(bomb, 8, 8) == null,
+      "bomb must yield the undecodable null payload")
+    // and a normal image still passes the guard (regression check)
+    val ok = { val o = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", o); o.toByteArray }
+    assert(Multimodal.ImageDecoder.resize(ok, 8, 8) != null)
+  }
+
   test("sessionize: gap splits sessions, summary counts events per session") {
     // user 1: events at t=0,10,20 then 100 (gap 80 > 30) → 2 sessions
     // user 2: single event → 1 session
@@ -626,6 +648,26 @@ class PipelineSpec extends AnyFunSuite {
       mut(fRng.nextInt(mut.length)) = fRng.nextInt().toByte
       Multimodal.VideoMeta.meta(mut)
     }
+
+    // deeply-nested LIST chunks: each level costs the attacker 12 bytes
+    // but (without a depth bound) one stack frame — a ~600 KB payload
+    // would raise StackOverflowError, which escapes a NonFatal catch.
+    // chunkBytes(k levels below) = 12·(k+1) + inner; size field = bytes − 8
+    def nestedAvi(depth: Int, inner: Array[Byte]): Array[Byte] = {
+      val total = 12 + 12 * depth + inner.length
+      val c = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+      c.put("RIFF".getBytes("US-ASCII")).putInt(total - 8).put("AVI ".getBytes("US-ASCII"))
+      for (k <- (0 until depth).reverse)
+        c.put("LIST".getBytes("US-ASCII")).putInt(12 * k + 4 + inner.length)
+          .put("nest".getBytes("US-ASCII"))
+      c.put(inner).array()
+    }
+    // depth 50 000 must return (not SOE); past the bound it reports no avih
+    assert(Multimodal.VideoMeta.meta(nestedAvi(50000, avih)) == ("avi", -1, -1, -1L),
+      "deep nesting must neither crash nor descend past the bound")
+    // modest nesting (≤ bound) still finds the header
+    assert(Multimodal.VideoMeta.meta(nestedAvi(10, avih)) == ("avi", 320, 240, 9999L),
+      "legitimate nesting within the bound must still parse")
   }
 
   test("TimeBuckets.floorBucket: floor semantics for negatives, exact at ns-epoch magnitude") {
