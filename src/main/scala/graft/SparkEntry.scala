@@ -831,6 +831,24 @@ object SparkEntry {
           round(col("t.quad")(0), 2).as("sum_qty_sq"),
           round(col("t.quad")(1) / col("t.n"), 2).as("avg_price_sq"),
           size(col("t.lin_cat")(0)).cast("long").as("n_classes"))
+    },
+
+    // transitive near-dedup CONNECTED COMPONENTS (the clustering step
+    // after pair generation — q14 already oracles the real MinHash pair
+    // generator): min-label propagation over an edge set chosen to be
+    // (a) SQL-expressible so DuckDB can independently recompute it with
+    // a recursive CTE, and (b) genuinely multi-hop — consecutive doc_ids
+    // sharing a language chain into components of diameter up to ~7 at
+    // sf0.01, so the fixpoint loop is actually exercised, not a
+    // single-round clique collapse.
+    "q50_neardup_components" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val pairs = d.select(col("doc_id").as("idA"), col("lang").as("__la"))
+        .join(d.select(col("doc_id").as("idB"), col("lang").as("__lb")),
+          col("idB") === col("idA") + 1 && col("__la") === col("__lb"))
+        .select(col("idA"), col("idB"))
+      graft.operators.Dedup.connectedComponents(pairs, maxIters = 64)
+        .orderBy(col("id"))
     }
   )
 
@@ -1449,6 +1467,24 @@ object SparkEntry {
         |SELECT l_linenumber, CAST(round(x1*10) AS BIGINT) AS ix1,
         |       c::BIGINT AS c, cnt, cls AS pred
         |FROM scored WHERE rn = 1
-        |ORDER BY l_linenumber, ix1, c""".stripMargin
+        |ORDER BY l_linenumber, ix1, c""".stripMargin,
+
+    // connected components by recursive reachability: comp(id) =
+    // min(id) over everything reachable from id — exactly the fixpoint
+    // the Spark side's min-label propagation converges to. The UNION
+    // (not UNION ALL) dedups (id, comp) states, so the CTE terminates.
+    "q50_neardup_components" ->
+      """WITH RECURSIVE
+        |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb
+        |      FROM documents a JOIN documents b
+        |        ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang),
+        |edges AS (SELECT ida AS src, idb AS dst FROM p
+        |          UNION SELECT idb, ida FROM p),
+        |reach(id, comp) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
+        |SELECT id, min(comp) AS component FROM reach GROUP BY id
+        |ORDER BY id""".stripMargin
   )
 }
