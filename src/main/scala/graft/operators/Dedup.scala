@@ -66,12 +66,11 @@ object Dedup {
    * content) are dropped, with the dropped-bucket count logged — silent
    * coverage truncation is never acceptable in a dedup operator.
    *
-   * NOTE: calling this MATERIALIZES the bucket table (one Spark job) —
-   * the dropped-bucket count requires an action, and the persisted
-   * buckets are then shared with pair generation. The persisted table
-   * is released by Spark's ContextCleaner once the returned plan is
-   * garbage-collected; long-lived drivers looping over many corpora
-   * should checkpoint/unpersist between calls.
+   * The plan is fully LAZY: the dropped-bucket count rides the consuming
+   * action as an `observe()` metric (surfaced by a per-session
+   * QueryExecutionListener), so there is no eager pass over the bucket
+   * table just for accounting — at corpus scale that pass was an entire
+   * extra shuffle of the signature table.
    *
    * Returns (idA, idB) with idA < idB, distinct.
    */
@@ -79,28 +78,63 @@ object Dedup {
                         maxBucketSize: Int = 200): DataFrame =
     lshCandidatePairsReleasable(df, id, bandHashes, maxBucketSize)._1
 
-  /** [[lshCandidatePairs]] plus a release() that unpersists the bucket
-    * table — call it once the pairs have been consumed. (The no-handle
-    * overload leaves release to Spark's ContextCleaner GC.) */
+  /** Metric-name prefix for the observed dropped-bucket counts; the
+    * per-session listener warns on any metric carrying it. */
+  private[graft] val DroppedMetricPrefix = "graft_lsh_dropped_"
+  private val metricSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  // Weak keys, same discipline as Graft.register's function cache: dead
+  // sessions must not be pinned by the listener-installed marker.
+  private val warnerInstalled =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+
+  /** Warns whenever a completed action reports a dropped-bucket metric:
+    * the no-extra-job replacement for the old eager count. */
+  private object DroppedBucketWarner
+      extends org.apache.spark.sql.util.QueryExecutionListener {
+    private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    override def onSuccess(funcName: String,
+                           qe: org.apache.spark.sql.execution.QueryExecution,
+                           durationNs: Long): Unit =
+      qe.observedMetrics.foreach { case (name, row) =>
+        // count() is never NULL; the cap column is non-NULL whenever
+        // dropped > 0 (at least one bucket row was aggregated)
+        if (name.startsWith(DroppedMetricPrefix) && row.getLong(0) > 0)
+          log.warn(s"lshCandidatePairs: dropped ${row.getLong(0)} degenerate buckets " +
+            s"(> ${row.getInt(1)} docs); near-duplicates inside them are NOT covered")
+      }
+    override def onFailure(funcName: String,
+                           qe: org.apache.spark.sql.execution.QueryExecution,
+                           exception: Exception): Unit = ()
+  }
+
+  private def installWarner(spark: org.apache.spark.sql.SparkSession): Unit =
+    warnerInstalled.synchronized {
+      if (!warnerInstalled.containsKey(spark)) {
+        spark.listenerManager.register(DroppedBucketWarner)
+        warnerInstalled.put(spark, java.lang.Boolean.TRUE)
+      }
+    }
+
+  /** [[lshCandidatePairs]] plus a release() handle (kept for API
+    * stability — since the bucket table is no longer persisted there is
+    * nothing to free here; the outer operators' handles still release
+    * their shared signature pass). */
   def lshCandidatePairsReleasable(df: DataFrame, id: Column, bandHashes: Column,
                                   maxBucketSize: Int = 200): (DataFrame, () => Unit) = {
-    // persist the (small, post-shuffle) bucket table: the dropped-bucket
-    // count and the pair generation then share one signature pass
+    installWarner(org.apache.spark.sql.SparkSession.active)
     val buckets = df.select(id.as("__id"), posexplode(bandHashes).as(Seq("__band", "__bucket")))
       .groupBy("__band", "__bucket")
       .agg(collect_list("__id").as("__ids"))
       .filter(size(col("__ids")) >= 2)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nDropped = buckets.filter(size(col("__ids")) > maxBucketSize).count()
-    if (nDropped > 0)
-      org.slf4j.LoggerFactory.getLogger(getClass)
-        .warn(s"lshCandidatePairs: dropped $nDropped degenerate buckets (> $maxBucketSize docs); " +
-          "near-duplicates inside them are NOT covered")
+      .observe(DroppedMetricPrefix + metricSeq.incrementAndGet(),
+        count(when(size(col("__ids")) > maxBucketSize, true)).as("dropped"),
+        max(lit(maxBucketSize)).as("cap"))
     val pairs = buckets.filter(size(col("__ids")) <= maxBucketSize)
       .select(explode(pairCombinations(col("__ids"))).as("__p"))
       .select(col("__p")(0).as("idA"), col("__p")(1).as("idB"))
       .distinct()
-    (pairs, () => { buckets.unpersist(); () })
+    (pairs, () => ())
   }
 
   /** All unordered pairs from an array (a < b by array order after sort). */

@@ -220,6 +220,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(sums(1L) == 2L, s"expected 2 sessions, got $sums")
   }
 
+  test("lsh degenerate buckets: dropped from pair generation, count observed on the consuming job") {
+    // 250 identical docs — every band collides into 16 buckets of 250
+    // (> cap 200), all dropped — plus one genuine near-dup pair that
+    // must still surface from its own small buckets
+    val degenerate = (0 until 250).map(i =>
+      (i.toLong, "identical degenerate body text repeated for every single row of this block"))
+    val near = Seq(
+      (1000L, "a genuinely unique document about spark bucketed joins and shuffle-free scans"),
+      (1001L, "a genuinely unique document about spark bucketed joins and shuffle-free"))
+    val corpus = (degenerate ++ near).toDF("doc_id", "text")
+      .withColumn("__bands", Dedup.minhashBands(col("text")))
+    // capture the observed dropped-bucket metric via our own listener
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, org.apache.spark.sql.Row)]()
+    val capture = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             d: Long): Unit =
+        qe.observedMetrics.foreach { case (n, r) => seen.add((n, r)) }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(capture)
+    try {
+      val (pairs, release) = Dedup.lshCandidatePairsReleasable(corpus, col("doc_id"), col("__bands"))
+      // the plan must be fully lazy (no eagerly persisted bucket table)
+      // with the accounting riding the plan itself as a metrics node
+      val plan = pairs.queryExecution.optimizedPlan.toString
+      assert(plan.contains("CollectMetrics"), s"dropped count must be an observed metric:\n$plan")
+      assert(!plan.contains("InMemoryRelation"), "bucket table must not be eagerly persisted")
+      val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      release()
+      assert(got == Set((1000L, 1001L)),
+        s"oversized buckets must contribute no pairs, small ones must survive: $got")
+      // QueryExecutionListener delivery is async — poll briefly
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      def dropped = {
+        import scala.jdk.CollectionConverters._
+        seen.asScala.find(_._1.startsWith(Dedup.DroppedMetricPrefix))
+      }
+      while (dropped.isEmpty && System.nanoTime() < deadline) Thread.sleep(20)
+      val row = dropped.getOrElse(fail("no dropped-bucket metric observed"))._2
+      assert(row.getLong(0) == 16L, s"expected 16 dropped band-buckets, got $row")
+      assert(row.getInt(1) == 200, s"cap must ride along for the log line: $row")
+    } finally spark.listenerManager.unregister(capture)
+  }
+
   test("dedup release handles unpersist the signature/bucket caches") {
     val docs = (0 until 40).map(i => (i.toLong, s"some shared text body number ${i % 5} tail"))
       .toDF("doc_id", "text")
