@@ -176,6 +176,86 @@ case class MinHashSignature(child: Expression, numHashes: Int,
   override def prettyName: String = if (bands > 0) "minhash_bands" else "minhash_signature"
 }
 
+/**
+ * Fused LSH-preparation pass: band hashes AND the distinct shingle-hash
+ * set from ONE walk over the token array, as a struct. The near-dedup
+ * operator needs both per document (bands for bucketing, shingle sets
+ * for exact-Jaccard verification); computing them as two expressions
+ * re-tokenizes and re-shingles every row — CodegenFallback evals are
+ * opaque to subexpression elimination — so at corpus scale the dominant
+ * per-row cost ran twice. The shingle set is sorted-deduped (its only
+ * consumers are order-insensitive set intersect/union sizes).
+ */
+case class MinHashPrepare(child: Expression, numHashes: Int,
+                          shingleSize: Int, bands: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(numHashes > 0, s"numHashes must be positive, got $numHashes")
+  require(bands > 0 && bands <= numHashes,
+    s"bands ($bands) must be in [1, numHashes=$numHashes]")
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("bands", ArrayType(LongType, containsNull = false), nullable = false),
+    org.apache.spark.sql.types.StructField("sh", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def checkInputDataTypes() = Shingling.checkTokens(prettyName, child.dataType)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val sh = new scala.collection.mutable.ArrayBuffer[Long](math.max(1, arr.numElements()))
+    Shingling.foreachShingleHash(arr, shingleSize) { h =>
+      sh += h
+      var k = 0
+      while (k < numHashes) {
+        // splitmix64 remix of (shingle ^ golden-ratio seed k) — MUST
+        // stay bit-identical to MinHashSignature's per-seed remix
+        var x = h ^ (0x9e3779b97f4a7c15L * (k + 1))
+        x ^= x >>> 30; x *= 0xbf58476d1ce4e5b9L
+        x ^= x >>> 27; x *= 0x94d049bb133111ebL
+        x ^= x >>> 31
+        if (x < sig(k)) sig(k) = x
+        k += 1
+      }
+    }
+    // band fold, identical to MinHashSignature's bands > 0 branch
+    val r = numHashes / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0xcbf29ce484222325L ^ b.toLong
+      var k = b * r
+      val end = if (b == bands - 1) numHashes else (b + 1) * r
+      while (k < end) {
+        var x = sig(k)
+        var i = 0
+        while (i < 8) { h ^= (x & 0xffL); h *= 0x100000001b3L; x >>>= 8; i += 1 }
+        k += 1
+      }
+      h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
+      h ^= h >>> 27; h *= 0x94d049bb133111ebL
+      out(b) = h ^ (h >>> 31)
+      b += 1
+    }
+    // sorted dedup of the shingle hashes (≡ array_distinct up to order)
+    val sorted = sh.toArray
+    java.util.Arrays.sort(sorted)
+    var n = 0
+    var i = 0
+    while (i < sorted.length) {
+      if (n == 0 || sorted(i) != sorted(n - 1)) { sorted(n) = sorted(i); n += 1 }
+      i += 1
+    }
+    val distinct = if (n == sorted.length) sorted else java.util.Arrays.copyOf(sorted, n)
+    org.apache.spark.sql.catalyst.InternalRow(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(distinct))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashPrepare =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_prepare"
+}
+
 object SimHash64 {
   /** Deterministic 64-bit string hash (FNV-1a over UTF-8 bytes, mixed). */
   private[functions] def hash64(s: UTF8String): Long = {

@@ -58,6 +58,17 @@ object Dedup {
       TextFunctions.tokens(lower(text)), lit(numHashes), lit(shingleSize), lit(bands))
   }
 
+  /** Both LSH artifacts — band hashes AND the distinct shingle-hash set —
+    * from ONE tokenize+shingle walk, as STRUCT<bands, sh>. Near-dedup
+    * needs both per document; computing them as two expressions runs the
+    * dominant per-row cost twice ([[graft.functions.MinHashPrepare]]). */
+  def minhashPrepare(text: Column, numHashes: Int = 64, shingleSize: Int = 3,
+                     bands: Int = 16): Column = {
+    graft.Graft.register(org.apache.spark.sql.SparkSession.active)
+    call_function("minhash_prepare",
+      TextFunctions.tokens(lower(text)), lit(numHashes), lit(shingleSize), lit(bands))
+  }
+
   /**
    * LSH candidate pairs from a band-hash array column: documents sharing
    * any band hash become a candidate pair. Plans as posexplode(bands) →
@@ -161,13 +172,18 @@ object Dedup {
   def nearDuplicatePairsReleasable(df: DataFrame, idCol: String, textCol: String,
                                    threshold: Double = 0.8, numHashes: Int = 64,
                                    bands: Int = 16, shingleSize: Int = 3): (DataFrame, () => Unit) = {
-    // one pass over the corpus computes BOTH the band hashes and the
-    // shingle-hash sets; persisted so bucketing and verification never
-    // re-tokenize (at scale, reading the corpus once is the budget)
-    val prepared = df.select(col(idCol),
-        minhashBands(col(textCol), numHashes, shingleSize, bands).as("__bands"),
-        array_distinct(TextFunctions.shingleHashes(col(textCol), shingleSize)).as("__sh"))
+    // ONE fused pass over the corpus computes BOTH the band hashes and
+    // the shingle-hash sets (a single tokenize+shingle walk per row —
+    // at scale, reading and shingling the corpus once is the budget).
+    // The struct is persisted BEFORE field extraction so projection
+    // collapse can never duplicate the expression: downstream selects
+    // read struct fields out of the cached rows.
+    val prep0 = df.select(col(idCol),
+        minhashPrepare(col(textCol), numHashes, shingleSize, bands).as("__p"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prepared = prep0.select(col(idCol),
+      col("__p").getField("bands").as("__bands"),
+      col("__p").getField("sh").as("__sh"))
     val (cands, releaseBuckets) = lshCandidatePairsReleasable(prepared, col(idCol), col("__bands"))
     val a = prepared.select(col(idCol).as("idA"), col("__sh").as("__sa"))
     val b = prepared.select(col(idCol).as("idB"), col("__sh").as("__sb"))
@@ -179,7 +195,7 @@ object Dedup {
       })
       .filter(col("jaccard") >= threshold)
       .select(col("idA"), col("idB"), col("jaccard"))
-    (pairs, () => { releaseBuckets(); prepared.unpersist(); () })
+    (pairs, () => { releaseBuckets(); prep0.unpersist(); () })
   }
 
   /** Near-dedup: drop every row that appears as the larger id of a

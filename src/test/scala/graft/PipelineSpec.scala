@@ -220,6 +220,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(sums(1L) == 2L, s"expected 2 sessions, got $sums")
   }
 
+  test("minhash_prepare: fused bands + shingle set bit-match the two-expression path") {
+    val corpus = docs.unionByName(Seq(
+      (10L, "tiny"), // fewer tokens than the shingle size → zero shingles
+      (11L, "  "),   // whitespace-only → empty token array
+      (12L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val rows = corpus.select(
+        $"doc_id",
+        Dedup.minhashPrepare($"text").as("p"),
+        Dedup.minhashBands($"text").as("bands"),
+        array_sort(array_distinct(TextFunctions.shingleHashes($"text"))).as("sh"))
+      .collect()
+    assert(rows.length == 9)
+    rows.foreach { r =>
+      if (r.isNullAt(1)) { // null text propagates null through both paths
+        assert(r.isNullAt(2) && r.isNullAt(3), s"null mismatch: $r")
+      } else {
+        val p = r.getStruct(1)
+        assert(p.getSeq[Long](0) == r.getSeq[Long](2), s"bands differ for id ${r.getLong(0)}")
+        assert(p.getSeq[Long](1) == r.getSeq[Long](3), s"shingle set differs for id ${r.getLong(0)}")
+      }
+    }
+  }
+
   test("lsh degenerate buckets: dropped from pair generation, count observed on the consuming job") {
     // 250 identical docs — every band collides into 16 buckets of 250
     // (> cap 200), all dropped — plus one genuine near-dup pair that
