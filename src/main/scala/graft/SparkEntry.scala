@@ -849,6 +849,27 @@ object SparkEntry {
         .select(col("idA"), col("idB"))
       graft.operators.Dedup.connectedComponents(pairs, maxIters = 64)
         .orderBy(col("id"))
+    },
+
+    // benchmark decontamination: docs sharing any 5-gram shingle with the
+    // "benchmark" (doc_id % 37 == 0 slice) are dropped. The oracle
+    // recomputes shingles as n-gram STRINGS (DuckDB has no FNV mirror),
+    // so agreement here also certifies the hash path collision-free on
+    // this corpus.
+    "q51_decontaminate" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 37 === 0)
+      graft.operators.Decontaminate.clean(docs, bench, "doc_id", "text", n = 5)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+
+    // sequence packing: per-language token streams chunked at a 512-token
+    // budget; the straddling doc goes to the earlier pack.
+    "q52_pack_sequences" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("tc"))
+      graft.operators.Pack.assign(d, col("lang"), col("doc_id"), col("tc"), budget = 512L)
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -1485,6 +1506,31 @@ object SparkEntry {
         |  UNION
         |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
         |SELECT id, min(comp) AS component FROM reach GROUP BY id
-        |ORDER BY id""".stripMargin
+        |ORDER BY id""".stripMargin,
+    // shingles as n-gram strings; docs shorter than n contribute their
+    // whole token sequence as one shingle (mirrors Shingling's max(1, ...))
+    "q51_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 4, 1) + 1),
+        |    i -> array_to_string(toks[i:least(i + 4, len(toks))], ' ')))) AS g
+        |  FROM tok),
+        |bad AS (
+        |  SELECT DISTINCT c.doc_id
+        |  FROM sh c JOIN (SELECT DISTINCT g FROM sh WHERE doc_id % 37 = 0) b USING (g))
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
+    "q52_pack_sequences" ->
+      """SELECT doc_id, lang, tc,
+        |       (sum(tc) OVER (PARTITION BY lang ORDER BY doc_id
+        |                      ROWS UNBOUNDED PRECEDING) - tc) // 512 AS pack
+        |FROM (SELECT doc_id, lang,
+        |             len(string_split_regex(trim(text), '\s+')) AS tc
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -220,6 +220,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(sums(1L) == 2L, s"expected 2 sessions, got $sums")
   }
 
+  test("decontaminate: docs sharing n-grams with the benchmark are dropped, others kept") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),        // clean
+      (1L, "the capital of france is paris said the exam question"), // contains bench 5-gram
+      (2L, "totally unrelated text about spark shuffle partitions"), // clean
+      (3L, "prefix words then the capital of france is paris suffix"), // contains bench 5-gram
+      (4L, "short doc"),                                             // < n tokens, clean
+      (5L, "exam q")                                                 // < n tokens, == bench short doc
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "question one the capital of france is paris answer below"),
+      (101L, "exam q")).toDF("doc_id", "text")
+    val kept = graft.operators.Decontaminate.clean(corpus, bench, "doc_id", "text", n = 5)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L, 4L), s"kept $kept")
+    // minOverlap above the actual hit count keeps everything
+    val lax = graft.operators.Decontaminate.clean(corpus, bench, "doc_id", "text",
+      n = 5, minOverlap = 50)
+    assert(lax.count() == 6)
+    // the benchmark side must be broadcast (the 100 TB plan shape)
+    val ids = graft.operators.Decontaminate.contaminatedIds(corpus, bench, "doc_id", "text", 5)
+    val plan = ids.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"bench shingles must broadcast:\n$plan")
+  }
+
+  test("pack: boundary straddle goes to the earlier pack; strata pack independently") {
+    val d = Seq(
+      // stratum a: tokens 4,3,2,5 with budget 6 → cumBefore 0,4,7,9 → packs 0,0,1,1
+      ("a", 1L, 4L), ("a", 2L, 3L), ("a", 3L, 2L), ("a", 4L, 5L),
+      // stratum b: an over-budget doc owns its pack region: 9,1 → cumBefore 0,9 → packs 0,1
+      ("b", 1L, 9L), ("b", 2L, 1L)
+    ).toDF("lang", "doc_id", "tc")
+    val got = graft.operators.Pack.assign(d, $"lang", $"doc_id", $"tc", budget = 6L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got == Map(("a", 1L) -> 0L, ("a", 2L) -> 0L, ("a", 3L) -> 1L, ("a", 4L) -> 1L,
+      ("b", 1L) -> 0L, ("b", 2L) -> 1L), s"got $got")
+    val sums = graft.operators.Pack.summary(d, $"lang", $"doc_id", $"tc", 6L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(sums(("a", 0L)) == (2L, 7L) && sums(("a", 1L)) == (2L, 7L))
+    // every pack's pre-straddle stream offset stays under the budget:
+    // total - last doc < budget always holds for non-final packs by construction
+    assert(sums(("b", 0L)) == (1L, 9L) && sums(("b", 1L)) == (1L, 1L))
+  }
+
   test("minhash_prepare: fused bands + shingle set bit-match the two-expression path") {
     val corpus = docs.unionByName(Seq(
       (10L, "tiny"), // fewer tokens than the shingle size → zero shingles
