@@ -870,6 +870,28 @@ object SparkEntry {
         graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("tc"))
       graft.operators.Pack.assign(d, col("lang"), col("doc_id"), col("tc"), budget = 512L)
         .orderBy(col("doc_id"))
+    },
+
+    // PII redaction: deterministic synthetic PII (email + phone + IPv4
+    // derived from doc_id, identical construction in the oracle) appended
+    // to every doc, then scrubbed — so every row exercises all three
+    // patterns and the Java-regex vs RE2 semantics are proven equivalent.
+    "q53_pii_redaction" -> { (s, dir) =>
+      val id = col("doc_id").cast("string")
+      val raw = concat(col("text"),
+        lit(" contact user"), id, lit("@example.com or +1 (555) 010-"), id,
+        lit(" at 10.0."), (col("doc_id") % 256).cast("string"), lit(".7 now"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), graft.functions.TextFunctions.redactPii(raw).as("clean"))
+        .orderBy(col("doc_id"))
+    },
+
+    // within-document repetition: top-bigram fraction (native single-pass
+    // expression) vs the oracle's explicit unnest + count + max/sum.
+    "q54_repetition_score" -> { (s, dir) =>
+      Tables.load(s, dir, "documents").select(col("doc_id"),
+          round(graft.functions.TextFunctions.repetitionScore(col("text")), 6).as("rep"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -1531,6 +1553,28 @@ object SparkEntry {
         |FROM (SELECT doc_id, lang,
         |             len(string_split_regex(trim(text), '\s+')) AS tc
         |      FROM documents)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q53_pii_redaction" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |         || '@example.com or +1 (555) 010-' || CAST(doc_id AS VARCHAR)
+        |         || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 now',
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d[\d\s()-]{7,}\d', '<PHONE>', 'g') AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q54_repetition_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(toks) - 1, 1) + 1),
+        |    i -> array_to_string(toks[i:least(i + 1, len(toks))], ' '))) AS g
+        |  FROM tok),
+        |c AS (SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY doc_id, g)
+        |SELECT doc_id, round(max(cnt)::DOUBLE / sum(cnt), 6) AS rep
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -254,6 +254,42 @@ case class MinHashPrepare(child: Expression, numHashes: Int,
   override protected def withNewChildInternal(newChild: Expression): MinHashPrepare =
     copy(child = newChild)
   override def prettyName: String = "minhash_prepare"
+}
+
+/**
+ * Top n-gram fraction: count of the most frequent token n-gram divided
+ * by the total n-gram count — the Gopher-style within-document
+ * repetition signal (boilerplate/loop detector). One pass per row with
+ * a per-row hash map; the declarative alternative (explode + two
+ * groupBys) would shuffle the whole exploded corpus for a per-document
+ * score. Documents shorter than `n` tokens count their whole token
+ * sequence as the single n-gram (score 1.0), matching [[Shingling]].
+ */
+case class RepetitionScore(child: Expression, shingleSize: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(shingleSize > 0, s"shingleSize must be positive, got $shingleSize")
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() = Shingling.checkTokens(prettyName, child.dataType)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val counts = new scala.collection.mutable.LongMap[Int](64)
+    var total = 0
+    var best = 0
+    Shingling.foreachShingleHash(arr, shingleSize) { h =>
+      val c = counts.getOrElse(h, 0) + 1
+      counts.update(h, c)
+      if (c > best) best = c
+      total += 1
+    }
+    if (total == 0) 0.0 else best.toDouble / total
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionScore =
+    copy(child = newChild)
+  override def prettyName: String = "repetition_score"
 }
 
 object SimHash64 {

@@ -112,6 +112,34 @@ object TextFunctions {
     call_function("shingle_hashes", tokens(lower(text)), lit(n))
   }
 
+  /** PII patterns shared with the DuckDB oracle — kept to syntax that
+    * Java regex and RE2 interpret identically (no lookarounds, no
+    * backrefs). Order matters: emails first (their local parts contain
+    * digits), then IPs (dotted quads would otherwise part-match the
+    * phone pattern), then phones (dot excluded from the body charset so
+    * leftovers of dotted quads never re-match). */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+?\\d[\\d\\s()-]{7,}\\d"
+
+  /** Redact emails, IPv4 addresses, and phone-shaped digit runs with
+    * typed placeholders — a pure-Column scrub (three codegen'd
+    * regexp_replace passes, no UDF), the standard pre-training PII
+    * hygiene step. */
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, EmailRe, "<EMAIL>")
+    val i = regexp_replace(e, Ipv4Re, "<IP>")
+    regexp_replace(i, PhoneRe, "<PHONE>")
+  }
+
+  /** Top n-gram fraction (most frequent token n-gram / total n-grams) —
+    * the within-document repetition signal; single-pass native
+    * expression ([[RepetitionScore]]), no shuffle. */
+  def repetitionScore(text: Column, n: Int = 2): Column = {
+    graft.Graft.register(org.apache.spark.sql.SparkSession.active)
+    call_function("repetition_score", tokens(lower(text)), lit(n))
+  }
+
   /** Jaccard similarity of the two texts' n-gram shingle-hash sets. */
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
     val (sa, sb) = (array_distinct(shingleHashes(a, n)), array_distinct(shingleHashes(b, n)))

@@ -220,6 +220,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(sums(1L) == 2L, s"expected 2 sessions, got $sums")
   }
 
+  test("pii redaction: emails, IPv4, phones scrubbed; dotted quads never half-match as phones") {
+    val rows = Seq(
+      (1L, "reach me at jane.doe+spam@sub.example.co.uk thanks"),
+      (2L, "server 192.168.101.254 and cell +1 (555) 010-0042 ok"),
+      (3L, "nothing sensitive here at all"),
+      (4L, "ip 10.0.0.7 then digits 12345 end")) // short digit run survives
+      .toDF("doc_id", "text")
+    val got = rows.select($"doc_id", TextFunctions.redactPii($"text").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "reach me at <EMAIL> thanks", got(1L))
+    assert(got(2L) == "server <IP> and cell <PHONE> ok", got(2L))
+    assert(got(3L) == "nothing sensitive here at all")
+    assert(got(4L) == "ip <IP> then digits 12345 end", got(4L))
+  }
+
+  test("repetition score: top-bigram fraction, single-pass native expression") {
+    val rows = Seq(
+      (1L, "buy now buy now buy now buy now"),   // 7 bigrams: "buy now"x4, "now buy"x3 → 4/7
+      (2L, "all tokens here are fully distinct"), // 5 distinct bigrams → 1/5
+      (3L, "single"),                             // < n tokens → whole doc, score 1
+      (4L, "x x x x x"))                          // all bigrams identical → 1
+      .toDF("doc_id", "text")
+    val got = rows.select($"doc_id", TextFunctions.repetitionScore($"text").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - 4.0 / 7) < 1e-12, got(1L).toString)
+    assert(math.abs(got(2L) - 0.2) < 1e-12, got(2L).toString)
+    assert(got(3L) == 1.0 && got(4L) == 1.0)
+  }
+
   test("decontaminate: docs sharing n-grams with the benchmark are dropped, others kept") {
     val corpus = Seq(
       (0L, "alpha beta gamma delta epsilon zeta eta theta"),        // clean
