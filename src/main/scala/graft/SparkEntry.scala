@@ -1548,8 +1548,8 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "q52_pack_sequences" ->
       """SELECT doc_id, lang, tc,
-        |       (sum(tc) OVER (PARTITION BY lang ORDER BY doc_id
-        |                      ROWS UNBOUNDED PRECEDING) - tc) // 512 AS pack
+        |       CAST((sum(tc) OVER (PARTITION BY lang ORDER BY doc_id
+        |                      ROWS UNBOUNDED PRECEDING) - tc) // 512 AS BIGINT) AS pack
         |FROM (SELECT doc_id, lang,
         |             len(string_split_regex(trim(text), '\s+')) AS tc
         |      FROM documents)

@@ -133,7 +133,7 @@ object Dedup {
     * their shared signature pass). */
   def lshCandidatePairsReleasable(df: DataFrame, id: Column, bandHashes: Column,
                                   maxBucketSize: Int = 200): (DataFrame, () => Unit) = {
-    installWarner(org.apache.spark.sql.SparkSession.active)
+    installWarner(df.sparkSession)
     val buckets = df.select(id.as("__id"), posexplode(bandHashes).as(Seq("__band", "__bucket")))
       .groupBy("__band", "__bucket")
       .agg(collect_list("__id").as("__ids"))

@@ -75,6 +75,7 @@ object Multimodal {
       * undecodable, unrecognized, or oversized payloads. */
     private def boundedDecode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
       val in = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+      if (in == null) return null // no ImageInputStream SPI registered
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(in)
         if (!readers.hasNext) null
@@ -119,6 +120,7 @@ object Multimodal {
       * undecodable. */
     def meta(bytes: Array[Byte]): (String, Int, Int) = {
       val in = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+      if (in == null) return (null, -1, -1) // no ImageInputStream SPI registered
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(in)
         if (!readers.hasNext) (null, -1, -1)
