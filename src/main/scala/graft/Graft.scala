@@ -59,6 +59,13 @@ object Graft {
         graft.functions.CosineSimilarity(es(0), es(1)), "scala_udf")
       reg.createOrReplaceTempFunction("quantize_int8", es =>
         graft.functions.QuantizeInt8(es.head), "scala_udf")
+      // product-quantization kernels (corpus encode / query LUT / O(m) pair score)
+      reg.createOrReplaceTempFunction("pq_encode", es =>
+        graft.functions.PqEncode(es(0), es(1), intArg(es, 2), intArg(es, 3)), "scala_udf")
+      reg.createOrReplaceTempFunction("pq_lut", es =>
+        graft.functions.PqLut(es(0), es(1), intArg(es, 2), intArg(es, 3)), "scala_udf")
+      reg.createOrReplaceTempFunction("pq_adc_dot", es =>
+        graft.functions.PqAdcDot(es(0), es(1)), "scala_udf")
       // reference SQL ML surface (duckdb_imputation_extension.cpp:184-248)
       reg.createOrReplaceTempFunction("lda_train", es =>
         agg.MlSqlFunctions.LdaTrain(es), "scala_udf")

@@ -1,0 +1,280 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * Product-quantization (PQ) kernels — the classic IVFADC building blocks
+ * (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+ * Search", TPAMI 2011 — public method): a d-dim vector is split into `m`
+ * subvectors of `d/m` dims, each encoded as the id of its nearest
+ * codeword among `ksub` per-subspace centroids. The corpus then stores
+ * `m` BYTES per vector instead of `d` floats (32× at d=64, m=8 vs
+ * float32) and pair scoring against a query costs `m` table lookups
+ * instead of a d-element dot product — the memory/bandwidth lever that
+ * makes billion-vector ANN feasible at 100 TB.
+ *
+ * Three native codegen'd expressions (the hot-path discipline of
+ * [[VectorMath]] — no interpreted HOF lambdas, no boxing):
+ *
+ *  - `pq_encode(vec, cb, m, ksub)` — corpus pass, O(ksub·d) per vector
+ *  - `pq_lut(vec, cb, m, ksub)` — query-side lookup table of
+ *    sub-dot-products, O(ksub·d) per QUERY (amortized over the corpus)
+ *  - `pq_adc_dot(lut, codes)` — per-PAIR asymmetric-distance score,
+ *    O(m): Σⱼ lut[j·ksub + codes[j]]
+ *
+ * The codebook `cb` is a flat ARRAY<DOUBLE> literal of length
+ * m·ksub·dsub laid out codeword-major: cb[(j·ksub + k)·dsub + t] is
+ * element t of codeword k of subspace j. Codebooks are tiny (m·ksub·dsub
+ * doubles — KBs) so they ship as literals inside the plan, never a join.
+ *
+ * Null semantics mirror [[VectorMath]]: NULL array / NULL element /
+ * a vector length not divisible into the codebook's geometry → NULL.
+ * `ksub ≤ 128` so a code always fits a signed byte.
+ */
+private[graft] object PqMath {
+  def checkGeom(name: String, m: Int, ksub: Int): TypeCheckResult =
+    if (m <= 0 || ksub <= 0 || ksub > 128)
+      TypeCheckResult.TypeCheckFailure(s"$name needs m > 0 and 0 < ksub <= 128, got m=$m ksub=$ksub")
+    else TypeCheckResult.TypeCheckSuccess
+}
+
+/** `pq_encode(vec, cb, m, ksub)` → ARRAY<TINYINT> of length m: per
+  * subspace, the id of the nearest (squared-L2) codeword. Ties go to the
+  * LOWEST codeword id (strict `<` on the running best) — load-bearing
+  * for bit-deterministic codes. */
+case class PqEncode(left: Expression, right: Expression, m: Int, ksub: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val g = PqMath.checkGeom(prettyName, m, ksub)
+    if (g.isFailure) g else VectorMath.checkVecs(prettyName, left.dataType, right.dataType)
+  }
+
+  private lazy val vElem = VectorMath.elem(left.dataType)
+  private lazy val cElem = VectorMath.elem(right.dataType)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val v = l.asInstanceOf[ArrayData]
+    val cb = r.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    if (n % m != 0 || cb.numElements() != m * ksub * (n / m)) return null
+    val dsub = n / m
+    val out = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var k = 0
+      while (k < ksub) {
+        var d2 = 0.0
+        var t = 0
+        while (t < dsub) {
+          if (v.isNullAt(j * dsub + t)) return null
+          val x = VectorMath.get(v, j * dsub + t, vElem) -
+            VectorMath.get(cb, (j * ksub + k) * dsub + t, cElem)
+          d2 += x * x
+          t += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = k }
+        k += 1
+      }
+      out(j) = best.toByte
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cb) => {
+      val n = ctx.freshName("n"); val dsub = ctx.freshName("dsub")
+      val j = ctx.freshName("j"); val k = ctx.freshName("k"); val t = ctx.freshName("t")
+      val d2 = ctx.freshName("d2"); val x = ctx.freshName("x")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val out = ctx.freshName("out")
+      val arrCls = classOf[UnsafeArrayData].getName
+      s"""
+         |final int $n = $v.numElements();
+         |if ($n % $m != 0 || $cb.numElements() != $m * $ksub * ($n / $m)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $dsub = $n / $m;
+         |  final byte[] $out = new byte[$m];
+         |  outer:
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    int $best = 0; double $bestD = Double.POSITIVE_INFINITY;
+         |    for (int $k = 0; $k < $ksub; $k++) {
+         |      double $d2 = 0.0;
+         |      for (int $t = 0; $t < $dsub; $t++) {
+         |        if ($v.isNullAt($j * $dsub + $t)) { ${ev.isNull} = true; break outer; }
+         |        final double $x = ${VectorMath.getterCode(v, s"$j * $dsub + $t", left.dataType)} -
+         |          ${VectorMath.getterCode(cb, s"($j * $ksub + $k) * $dsub + $t", right.dataType)};
+         |        $d2 += $x * $x;
+         |      }
+         |      if ($d2 < $bestD) { $bestD = $d2; $best = $k; }
+         |    }
+         |    $out[$j] = (byte) $best;
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $arrCls.fromPrimitiveArray($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqEncode =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "pq_encode"
+}
+
+/** `pq_lut(vec, cb, m, ksub)` → ARRAY<DOUBLE> of length m·ksub:
+  * lut[j·ksub + k] = ⟨vec subvector j, codeword k of subspace j⟩. One
+  * per query row; every corpus pair then scores in O(m) via
+  * [[PqAdcDot]]. */
+case class PqLut(left: Expression, right: Expression, m: Int, ksub: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val g = PqMath.checkGeom(prettyName, m, ksub)
+    if (g.isFailure) g else VectorMath.checkVecs(prettyName, left.dataType, right.dataType)
+  }
+
+  private lazy val vElem = VectorMath.elem(left.dataType)
+  private lazy val cElem = VectorMath.elem(right.dataType)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val v = l.asInstanceOf[ArrayData]
+    val cb = r.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    if (n % m != 0 || cb.numElements() != m * ksub * (n / m)) return null
+    val dsub = n / m
+    val out = new Array[Double](m * ksub)
+    var j = 0
+    while (j < m) {
+      var k = 0
+      while (k < ksub) {
+        var s = 0.0
+        var t = 0
+        while (t < dsub) {
+          if (v.isNullAt(j * dsub + t)) return null
+          s += VectorMath.get(v, j * dsub + t, vElem) *
+            VectorMath.get(cb, (j * ksub + k) * dsub + t, cElem)
+          t += 1
+        }
+        out(j * ksub + k) = s
+        k += 1
+      }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cb) => {
+      val n = ctx.freshName("n"); val dsub = ctx.freshName("dsub")
+      val j = ctx.freshName("j"); val k = ctx.freshName("k"); val t = ctx.freshName("t")
+      val s = ctx.freshName("s"); val out = ctx.freshName("out")
+      val arrCls = classOf[UnsafeArrayData].getName
+      s"""
+         |final int $n = $v.numElements();
+         |if ($n % $m != 0 || $cb.numElements() != $m * $ksub * ($n / $m)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $dsub = $n / $m;
+         |  final double[] $out = new double[$m * $ksub];
+         |  outer:
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    for (int $k = 0; $k < $ksub; $k++) {
+         |      double $s = 0.0;
+         |      for (int $t = 0; $t < $dsub; $t++) {
+         |        if ($v.isNullAt($j * $dsub + $t)) { ${ev.isNull} = true; break outer; }
+         |        $s += ${VectorMath.getterCode(v, s"$j * $dsub + $t", left.dataType)} *
+         |          ${VectorMath.getterCode(cb, s"($j * $ksub + $k) * $dsub + $t", right.dataType)};
+         |      }
+         |      $out[$j * $ksub + $k] = $s;
+         |    }
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $arrCls.fromPrimitiveArray($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqLut =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "pq_lut"
+}
+
+/** `pq_adc_dot(lut, codes)` — the per-pair hot path: Σⱼ lut[j·ksub +
+  * codes[j]] with ksub = lut.length / codes.length. Codes are either
+  * ARRAY<TINYINT> (what `pq_encode` emits) or BINARY (the most compact
+  * parquet storage of an m-byte code — no per-element rep/def levels).
+  * Codes outside [0, ksub) or a lut length not divisible by the code
+  * count → NULL. */
+case class PqAdcDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  private def codesIsBinary: Boolean = right.dataType == BinaryType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (!VectorMath.isVec(left.dataType) ||
+        VectorMath.elem(left.dataType) != DoubleType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName expects lut: ARRAY<DOUBLE>, got ${left.dataType}")
+    else if (!codesIsBinary &&
+             right.dataType != ArrayType(ByteType, containsNull = false) &&
+             right.dataType != ArrayType(ByteType, containsNull = true))
+      TypeCheckResult.TypeCheckFailure(s"$prettyName expects codes: ARRAY<TINYINT> or BINARY, got ${right.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val lut = l.asInstanceOf[ArrayData]
+    val (m, codeAt): (Int, Int => Int) =
+      if (codesIsBinary) { val b = r.asInstanceOf[Array[Byte]]; (b.length, i => b(i).toInt) }
+      else {
+        val a = r.asInstanceOf[ArrayData]
+        (a.numElements(), { i: Int => if (a.isNullAt(i)) Int.MinValue else a.getByte(i).toInt })
+      }
+    if (m == 0 || lut.numElements() % m != 0) return null
+    val ksub = lut.numElements() / m
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      val k = codeAt(j)
+      if (k < 0 || k >= ksub) return null
+      s += lut.getDouble(j * ksub + k)
+      j += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lut, codes) => {
+      val m = ctx.freshName("m"); val ksub = ctx.freshName("ksub")
+      val j = ctx.freshName("j"); val k = ctx.freshName("k"); val s = ctx.freshName("s")
+      val (lenCode, nullCheck, getCode) =
+        if (codesIsBinary) (s"$codes.length", "false", (i: String) => s"(int) $codes[$i]")
+        else (s"$codes.numElements()", s"$codes.isNullAt($j)", (i: String) => s"(int) $codes.getByte($i)")
+      s"""
+         |final int $m = $lenCode;
+         |if ($m == 0 || $lut.numElements() % $m != 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $ksub = $lut.numElements() / $m;
+         |  double $s = 0.0;
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    if ($nullCheck) { ${ev.isNull} = true; break; }
+         |    final int $k = ${getCode(j)};
+         |    if ($k < 0 || $k >= $ksub) { ${ev.isNull} = true; break; }
+         |    $s += $lut.getDouble($j * $ksub + $k);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqAdcDot =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "pq_adc_dot"
+}

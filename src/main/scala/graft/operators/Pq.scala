@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Product-quantization ANN (Jégou/Douze/Schmid, TPAMI 2011 — public
+ * method): the corpus stores `m` bytes per vector (codeword ids) instead
+ * of `dim` floats, and each (query, corpus) pair scores in O(m) table
+ * lookups via a per-query LUT — the memory AND compute lever for
+ * billion-vector search. Where int8 quantization ([[Quantize]]) buys 4×,
+ * PQ at d=64/m=8 buys 32× on the corpus bytes and 8× on the per-pair
+ * work.
+ *
+ * Scale shape (the 100 TB story):
+ *  - `train` touches the corpus `iters + 1` times but collects only
+ *    m·ksub·dsub fixed-point cell sums (KBs) per iteration — the same
+ *    bounded-driver discipline as [[Similarity.ivfBuild]]'s Lloyd loop.
+ *  - `encode` is one map pass (native codegen'd [[graft.functions.PqEncode]]);
+ *    the encoded corpus is what a user persists and re-searches.
+ *  - `topK` broadcasts the (small) query side with one O(ksub·d) LUT per
+ *    query; the corpus streams once and never re-touches float vectors.
+ *
+ * Determinism: codebooks train on a seeded `xxhash64` sample and refine
+ * with FIXED-POINT per-cell means (x·2²⁴ truncated to long — exact
+ * integer sums in any partitioning/fetch order, the ivfBuild
+ * discipline), ties in `pq_encode` go to the lowest codeword id, and the
+ * ADC sum runs in subspace order — so encoded codes, scores, and recall
+ * goldens are bit-reproducible at any parallelism.
+ */
+object Pq {
+
+  /** Trained codebooks: `flat((j·ksub + k)·dsub + t)` = element t of
+    * codeword k of subspace j. Tiny (m·ksub·dsub doubles) — ships as a
+    * plan literal, never a join. */
+  final case class PqCodebook(m: Int, ksub: Int, dsub: Int, flat: Array[Double]) {
+    def dim: Int = m * dsub
+    /** Per-codeword squared norms in LUT layout: nlut[j·ksub + k] =
+      * ‖codeword‖² — `pq_adc_dot(nlut, codes)` is then the squared norm
+      * of the reconstruction, computed once per CORPUS row. */
+    def normLut: Array[Double] = {
+      val out = new Array[Double](m * ksub)
+      var j = 0
+      while (j < m) {
+        var k = 0
+        while (k < ksub) {
+          var s = 0.0
+          var t = 0
+          while (t < dsub) { val x = flat((j * ksub + k) * dsub + t); s += x * x; t += 1 }
+          out(j * ksub + k) = s
+          k += 1
+        }
+        j += 1
+      }
+      out
+    }
+    /** Reconstruction of a code array (driver-side; tests/debug). */
+    def decode(codes: Array[Byte]): Array[Double] = {
+      val out = new Array[Double](dim)
+      var j = 0
+      while (j < m) {
+        System.arraycopy(flat, (j * ksub + codes(j)) * dsub, out, j * dsub, dsub)
+        j += 1
+      }
+      out
+    }
+  }
+
+  private def reg(df: DataFrame): Unit = graft.Graft.register(df.sparkSession)
+  private val FP = 1L << 24 // fixed-point grid shared with ivfBuild
+
+  /** Column helper: ARRAY<TINYINT> of m codeword ids for `vec`. */
+  def encode(vec: Column, cb: PqCodebook): Column =
+    call_function("pq_encode", vec, typedLit(cb.flat.toSeq), lit(cb.m), lit(cb.ksub))
+
+  /** Column helper: the per-query ADC lookup table (ARRAY<DOUBLE>, m·ksub). */
+  def lut(vec: Column, cb: PqCodebook): Column =
+    call_function("pq_lut", vec, typedLit(cb.flat.toSeq), lit(cb.m), lit(cb.ksub))
+
+  /** Column helper: Σⱼ lut[j·ksub + codes[j]] (the O(m) pair score). */
+  def adcDot(lutCol: Column, codes: Column): Column =
+    call_function("pq_adc_dot", lutCol, codes)
+
+  /**
+   * Train per-subspace codebooks: seeded-sample init (ksub corpus
+   * vectors, cycled if the corpus is smaller), then `iters` Lloyd
+   * rounds. Each round is ONE distributed pass — encode with the current
+   * codebooks, explode (subspace, codeword, position) cells, sum
+   * fixed-point coordinates map-side — and only m·ksub·dsub cell rows
+   * reach the driver. Empty cells keep their previous codeword.
+   */
+  def train(corpus: DataFrame, id: String, vec: String, dim: Int,
+            m: Int = 8, ksub: Int = 16, iters: Int = 2): PqCodebook = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    require(ksub > 0 && ksub <= 128, s"ksub=$ksub must be in (0, 128]")
+    reg(corpus)
+    val dsub = dim / m
+    val sample = corpus.select(col(vec).as("__v"), xxhash64(col(id)).as("__r"))
+      .where(col("__v").isNotNull && size(col("__v")) === dim)
+      .orderBy(col("__r")).limit(ksub)
+      .collect()
+      .map(_.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue()).toArray)
+    require(sample.nonEmpty, "PQ training needs at least one valid vector")
+    var flat = new Array[Double](m * ksub * dsub)
+    for (k <- 0 until ksub; j <- 0 until m; t <- 0 until dsub)
+      flat((j * ksub + k) * dsub + t) = sample(k % sample.length)(j * dsub + t)
+    for (_ <- 1 to iters) {
+      val cbLit = typedLit(flat.toSeq)
+      val cells = corpus
+        .select(call_function("pq_encode", col(vec), cbLit, lit(m), lit(ksub)).as("__codes"),
+          posexplode(transform(col(vec), x => (x.cast("double") * FP).cast("long")))
+            .as(Seq("__pos", "__x")))
+        .where(col("__codes").isNotNull && col("__x").isNotNull)
+        .withColumn("__j", (col("__pos") / lit(dsub)).cast("int"))
+        .groupBy(col("__j"),
+          element_at(col("__codes"), col("__j") + 1).cast("int").as("__k"),
+          col("__pos"))
+        .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
+        .collect()
+      val next = flat.clone()
+      cells.foreach { r =>
+        val j = r.getInt(0); val k = r.getInt(1); val pos = r.getInt(2)
+        next((j * ksub + k) * dsub + (pos - j * dsub)) =
+          r.getLong(3).toDouble / FP / r.getLong(4)
+      }
+      flat = next
+    }
+    PqCodebook(m, ksub, dsub, flat)
+  }
+
+  /** Encode a corpus for storage/search: (id, codes) — m bytes/vector. */
+  def encodeCorpus(corpus: DataFrame, id: String, vec: String, cb: PqCodebook): DataFrame = {
+    reg(corpus)
+    corpus.select(col(id), encode(col(vec), cb).as("codes"))
+  }
+
+  /**
+   * ADC top-k by approximate cosine: queries (float vectors, broadcast)
+   * against an encoded corpus. Per pair: ONE `pq_adc_dot` over the
+   * query's LUT; the corpus-side reconstruction norm comes from the
+   * codebook's norm-LUT, computed once per corpus row before the join.
+   * Returns (qId, cId, cos, rank) — the [[Similarity]] tie-break.
+   */
+  def topK(queries: DataFrame, corpus: DataFrame,
+           qId: String, qVec: String, cId: String, cVec: String,
+           k: Int, cb: PqCodebook, excludeSelf: Boolean = true): DataFrame = {
+    reg(queries)
+    val nlutLit = typedLit(cb.normLut.toSeq)
+    val q = queries.select(col(qId).as("qId"),
+      lut(col(qVec), cb).as("__lut"),
+      call_function("vector_norm", col(qVec)).as("__qn"))
+    val c = corpus.select(col(cId).as("cId"), encode(col(cVec), cb).as("__codes"))
+      .withColumn("__cn", sqrt(adcDot(nlutLit, col("__codes"))))
+    val joined = c.crossJoin(broadcast(q))
+    val scored = (if (excludeSelf) joined.filter(col("qId") =!= col("cId")) else joined)
+      .withColumn("cos", adcDot(col("__lut"), col("__codes")) / (col("__qn") * col("__cn")))
+    Similarity.rankTopK(scored, k)
+  }
+
+  /** Top-k over an ALREADY-ENCODED corpus (codes column) — the
+    * persist-once / search-many path a user runs at scale. */
+  def topKEncoded(queries: DataFrame, corpusCodes: DataFrame,
+                  qId: String, qVec: String, cId: String, codes: String,
+                  k: Int, cb: PqCodebook, excludeSelf: Boolean = true): DataFrame = {
+    reg(queries)
+    val nlutLit = typedLit(cb.normLut.toSeq)
+    val q = queries.select(col(qId).as("qId"),
+      lut(col(qVec), cb).as("__lut"),
+      call_function("vector_norm", col(qVec)).as("__qn"))
+    val c = corpusCodes.select(col(cId).as("cId"), col(codes).as("__codes"))
+      .withColumn("__cn", sqrt(adcDot(nlutLit, col("__codes"))))
+    val joined = c.crossJoin(broadcast(q))
+    val scored = (if (excludeSelf) joined.filter(col("qId") =!= col("cId")) else joined)
+      .withColumn("cos", adcDot(col("__lut"), col("__codes")) / (col("__qn") * col("__cn")))
+    Similarity.rankTopK(scored, k)
+  }
+}

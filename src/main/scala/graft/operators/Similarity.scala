@@ -42,7 +42,7 @@ object Similarity {
     * window rank over (cos desc, cId) — ONE definition, so a tie-break
     * change can never drift between the exact and approximate paths.
     * Expects (qId, cId, cos). */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qId")).orderBy(col("cos").desc, col("cId"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

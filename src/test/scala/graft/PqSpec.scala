@@ -1,0 +1,152 @@
+package graft
+
+import graft.operators.Pq
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product quantization ([[graft.operators.Pq]] + the native
+  * pq_encode/pq_lut/pq_adc_dot kernels): encode correctness against a
+  * hand argmin, ADC ≡ dot-of-reconstruction, null/geometry semantics,
+  * interpreted ≡ codegen, training determinism, and recall sanity on
+  * clustered data. */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = { val s = SparkTestSession.spark; Graft.register(s); s }
+  import spark.implicits._
+
+  private def mkVecs(n: Int, dim: Int, seed: Int): Seq[(Long, Array[Float])] = {
+    val rng = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong, Array.fill(dim)(rng.nextGaussian().toFloat)))
+  }
+
+  test("pq_encode matches a driver-side argmin on a hand-built codebook") {
+    // m=2, ksub=2, dsub=2: codebook laid out (j·ksub+k)·dsub+t
+    val cb = Array(0.0, 0.0, 10.0, 10.0, /* subspace 1 */ -5.0, 0.0, 5.0, 0.0)
+    val df = Seq(
+      (1L, Array(9.0f, 9.0f, 4.0f, 0.0f)),   // → codes [1, 1]
+      (2L, Array(1.0f, -1.0f, -4.0f, 1.0f))  // → codes [0, 0]
+    ).toDF("id", "v")
+    val got = df.select($"id",
+      call_function("pq_encode", $"v", typedLit(cb.toSeq), lit(2), lit(2)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    assert(got(1L) == Seq(1.toByte, 1.toByte))
+    assert(got(2L) == Seq(0.toByte, 0.toByte))
+  }
+
+  test("adc(lut, codes) equals dot(query, reconstruction) exactly") {
+    val corpus = mkVecs(80, 16, seed = 11).toDF("id", "v")
+    val cb = Pq.train(corpus, "id", "v", dim = 16, m = 4, ksub = 8, iters = 2)
+    val codes = Pq.encodeCorpus(corpus, "id", "v", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1).toArray).toMap
+    val queries = mkVecs(5, 16, seed = 12)
+    val lutRows = queries.toDF("id", "v")
+      .select($"id", Pq.lut($"v", cb).as("lut")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    for ((qid, qv) <- queries; (cid, code) <- codes) {
+      val recon = cb.decode(code)
+      val direct = qv.indices.map(i => qv(i).toDouble * recon(i)).sum
+      // ADC sums dsub-sized sub-dots in subspace order; association
+      // differs from the flat left-to-right sum, so exact to 1e-12 only
+      val viaLut = {
+        val lut = lutRows(qid)
+        code.indices.map(j => lut(j * cb.ksub + code(j))).sum
+      }
+      assert(math.abs(direct - viaLut) < 1e-12, s"q=$qid c=$cid")
+    }
+  }
+
+  test("geometry/null semantics: bad length, null element, bad code -> NULL") {
+    val cb = typedLit((0 until 16).map(_.toDouble))   // m=2, ksub=2, dsub=4 over dim 8
+    val df = Seq(
+      (1L, Some(Array.tabulate(8)(_.toFloat))),       // valid
+      (2L, Some(Array.tabulate(6)(_.toFloat))),       // 6 % 2 == 0 but cb length mismatch
+      (3L, None)                                      // null vector
+    ).toDF("id", "v")
+    val got = df.select($"id",
+      call_function("pq_encode", $"v", cb, lit(2), lit(2)).as("c")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Byte](1))).toMap
+    assert(got(1L) != null && got(1L).size == 2)
+    assert(got(2L) == null)
+    assert(got(3L) == null)
+    // adc: code out of range → NULL (BINARY codes — the compact storage form)
+    val bad = Seq((Array(1.0, 2.0, 3.0, 4.0), Array(5.toByte))).toDF("lut", "codes")
+    assert(bad.select(call_function("pq_adc_dot", $"lut", $"codes")).head.isNullAt(0))
+    val ok = Seq((Array(1.0, 2.0, 3.0, 4.0), Array(1.toByte, 0.toByte))).toDF("lut", "codes")
+    assert(ok.select(call_function("pq_adc_dot", $"lut", $"codes")).head.getDouble(0) == 2.0 + 3.0)
+    // same scores via ARRAY<TINYINT> codes (what pq_encode emits)
+    val okArr = Seq((Array(1.0, 2.0, 3.0, 4.0), Seq(1.toByte, 0.toByte))).toDF("lut", "codes")
+    assert(okArr.select(call_function("pq_adc_dot", $"lut", $"codes")).head.getDouble(0) == 2.0 + 3.0)
+  }
+
+  test("interpreted eval agrees with codegen") {
+    import graft.functions.{PqAdcDot, PqEncode, PqLut}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    def arr(xs: Array[Double]) = Literal.create(xs, ArrayType(DoubleType))
+    val cb = arr(Array(0.0, 0.0, 10.0, 10.0, -5.0, 0.0, 5.0, 0.0))
+    val v = arr(Array(9.0, 9.0, 4.0, 0.0))
+    val codes = PqEncode(v, cb, 2, 2).eval()
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(codes.toByteArray().toSeq == Seq(1.toByte, 1.toByte))
+    val lut = PqLut(v, cb, 2, 2).eval()
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    // lut[j*ksub+k] = sub-dot: [0, 180, -20, 20]
+    assert(lut.toDoubleArray().toSeq == Seq(0.0, 180.0, -20.0, 20.0))
+    val cl = Literal.create(Array(1.toByte, 0.toByte), BinaryType)
+    assert(PqAdcDot(Literal.create(lut.toDoubleArray(), ArrayType(DoubleType)), cl)
+      .eval() == 180.0 + -20.0)
+    val clArr = Literal.create(Seq(1.toByte, 0.toByte), ArrayType(ByteType, containsNull = false))
+    assert(PqAdcDot(Literal.create(lut.toDoubleArray(), ArrayType(DoubleType)), clArr)
+      .eval() == 180.0 + -20.0)
+  }
+
+  test("training is deterministic and refinement does not worsen distortion") {
+    val corpus = mkVecs(200, 16, seed = 21).toDF("id", "v").cache()
+    val cb1 = Pq.train(corpus, "id", "v", dim = 16, m = 4, ksub = 8, iters = 2)
+    val cb2 = Pq.train(corpus.repartition(7), "id", "v", dim = 16, m = 4, ksub = 8, iters = 2)
+    assert(cb1.flat.toSeq == cb2.flat.toSeq, "codebooks must not depend on partitioning")
+    // distortion = mean squared reconstruction error, must not increase
+    // with refinement (k-means monotonicity, up to the fixed-point grid)
+    def distortion(cb: Pq.PqCodebook): Double = {
+      val codes = Pq.encodeCorpus(corpus, "id", "v", cb).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Byte](1).toArray).toMap
+      val vecs = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      vecs.map { case (id, v) =>
+        val rec = cb.decode(codes(id))
+        v.indices.map(i => { val d = v(i) - rec(i); d * d }).sum
+      }.sum / vecs.size
+    }
+    val d0 = distortion(Pq.train(corpus, "id", "v", dim = 16, m = 4, ksub = 8, iters = 0))
+    val d2 = distortion(cb1)
+    assert(d2 <= d0 + 1e-9, s"refined distortion $d2 should not exceed unrefined $d0")
+    corpus.unpersist()
+  }
+
+  test("topK recall on clustered data; encoded-corpus path identical") {
+    // 8 well-separated cluster centers, 25 points each: PQ must place
+    // same-cluster points together, so top-k recall vs brute force is high
+    val rng = new scala.util.Random(31)
+    val centers = Array.fill(8)(Array.fill(16)(rng.nextGaussian() * 10))
+    val data = (0 until 200).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + rng.nextGaussian() * 0.3).toFloat))
+    }
+    val df = data.toDF("id", "v").cache()
+    val cb = Pq.train(df, "id", "v", dim = 16, m = 4, ksub = 16, iters = 2)
+    val queries = df.filter($"id" < 20)
+    val pq = Pq.topK(queries, df, "id", "v", "id", "v", k = 5, cb)
+      .select($"qId", $"cId").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // same-cluster points share (near-)identical codes, so WITHIN-cluster
+    // order collapses to ties — inherent to PQ. The semantic property is
+    // cluster-level: every retrieved neighbor comes from the query's
+    // cluster (cluster id = id % 8 by construction).
+    val sameCluster = pq.count { case (q, c) => q % 8 == c % 8 }
+    assert(sameCluster.toDouble / pq.size >= 0.95,
+      s"cluster precision ${sameCluster.toDouble / pq.size}")
+    // persist-once path: encode then search the codes — identical output
+    val codesDf = Pq.encodeCorpus(df, "id", "v", cb)
+    val pq2 = Pq.topKEncoded(queries, codesDf, "id", "v", "id", "codes", k = 5, cb)
+      .select($"qId", $"cId").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq2 == pq, "topKEncoded must equal topK on the same codebook")
+    df.unpersist()
+  }
+}
