@@ -31,8 +31,13 @@ import org.apache.spark.sql.types._
  * element t of codeword k of subspace j. Codebooks are tiny (m·ksub·dsub
  * doubles — KBs) so they ship as literals inside the plan, never a join.
  *
- * Null semantics mirror [[VectorMath]]: NULL array / NULL element /
- * a vector length not divisible into the codebook's geometry → NULL.
+ * Null semantics mirror [[VectorMath]]: NULL array / NULL element —
+ * on EITHER side, vector/codebook/lut — or a vector length not
+ * divisible into the codebook's geometry → NULL. The element-level
+ * checks on the codebook/lut side are emitted only when the incoming
+ * array type admits nulls (`containsNull`); the production path (a
+ * `typedLit` codebook, a `pq_lut`-produced lut — both
+ * `containsNull = false`) pays nothing for them.
  * `ksub ≤ 128` so a code always fits a signed byte.
  */
 private[graft] object PqMath {
@@ -57,6 +62,7 @@ case class PqEncode(left: Expression, right: Expression, m: Int, ksub: Int)
 
   private lazy val vElem = VectorMath.elem(left.dataType)
   private lazy val cElem = VectorMath.elem(right.dataType)
+  private lazy val cbMayHaveNulls = right.dataType.asInstanceOf[ArrayType].containsNull
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val v = l.asInstanceOf[ArrayData]
@@ -75,6 +81,7 @@ case class PqEncode(left: Expression, right: Expression, m: Int, ksub: Int)
         var t = 0
         while (t < dsub) {
           if (v.isNullAt(j * dsub + t)) return null
+          if (cbMayHaveNulls && cb.isNullAt((j * ksub + k) * dsub + t)) return null
           val x = VectorMath.get(v, j * dsub + t, vElem) -
             VectorMath.get(cb, (j * ksub + k) * dsub + t, cElem)
           d2 += x * x
@@ -95,8 +102,11 @@ case class PqEncode(left: Expression, right: Expression, m: Int, ksub: Int)
       val j = ctx.freshName("j"); val k = ctx.freshName("k"); val t = ctx.freshName("t")
       val d2 = ctx.freshName("d2"); val x = ctx.freshName("x")
       val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
-      val out = ctx.freshName("out")
+      val out = ctx.freshName("out"); val outer = ctx.freshName("outer")
       val arrCls = classOf[UnsafeArrayData].getName
+      val cbNullCheck = if (cbMayHaveNulls)
+        s"if ($cb.isNullAt(($j * $ksub + $k) * $dsub + $t)) { ${ev.isNull} = true; break $outer; }"
+      else ""
       s"""
          |final int $n = $v.numElements();
          |if ($n % $m != 0 || $cb.numElements() != $m * $ksub * ($n / $m)) {
@@ -104,13 +114,14 @@ case class PqEncode(left: Expression, right: Expression, m: Int, ksub: Int)
          |} else {
          |  final int $dsub = $n / $m;
          |  final byte[] $out = new byte[$m];
-         |  outer:
+         |  $outer:
          |  for (int $j = 0; $j < $m; $j++) {
          |    int $best = 0; double $bestD = Double.POSITIVE_INFINITY;
          |    for (int $k = 0; $k < $ksub; $k++) {
          |      double $d2 = 0.0;
          |      for (int $t = 0; $t < $dsub; $t++) {
-         |        if ($v.isNullAt($j * $dsub + $t)) { ${ev.isNull} = true; break outer; }
+         |        if ($v.isNullAt($j * $dsub + $t)) { ${ev.isNull} = true; break $outer; }
+         |        $cbNullCheck
          |        final double $x = ${VectorMath.getterCode(v, s"$j * $dsub + $t", left.dataType)} -
          |          ${VectorMath.getterCode(cb, s"($j * $ksub + $k) * $dsub + $t", right.dataType)};
          |        $d2 += $x * $x;
@@ -144,6 +155,7 @@ case class PqLut(left: Expression, right: Expression, m: Int, ksub: Int)
 
   private lazy val vElem = VectorMath.elem(left.dataType)
   private lazy val cElem = VectorMath.elem(right.dataType)
+  private lazy val cbMayHaveNulls = right.dataType.asInstanceOf[ArrayType].containsNull
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val v = l.asInstanceOf[ArrayData]
@@ -160,6 +172,7 @@ case class PqLut(left: Expression, right: Expression, m: Int, ksub: Int)
         var t = 0
         while (t < dsub) {
           if (v.isNullAt(j * dsub + t)) return null
+          if (cbMayHaveNulls && cb.isNullAt((j * ksub + k) * dsub + t)) return null
           s += VectorMath.get(v, j * dsub + t, vElem) *
             VectorMath.get(cb, (j * ksub + k) * dsub + t, cElem)
           t += 1
@@ -177,7 +190,11 @@ case class PqLut(left: Expression, right: Expression, m: Int, ksub: Int)
       val n = ctx.freshName("n"); val dsub = ctx.freshName("dsub")
       val j = ctx.freshName("j"); val k = ctx.freshName("k"); val t = ctx.freshName("t")
       val s = ctx.freshName("s"); val out = ctx.freshName("out")
+      val outer = ctx.freshName("outer")
       val arrCls = classOf[UnsafeArrayData].getName
+      val cbNullCheck = if (cbMayHaveNulls)
+        s"if ($cb.isNullAt(($j * $ksub + $k) * $dsub + $t)) { ${ev.isNull} = true; break $outer; }"
+      else ""
       s"""
          |final int $n = $v.numElements();
          |if ($n % $m != 0 || $cb.numElements() != $m * $ksub * ($n / $m)) {
@@ -185,12 +202,13 @@ case class PqLut(left: Expression, right: Expression, m: Int, ksub: Int)
          |} else {
          |  final int $dsub = $n / $m;
          |  final double[] $out = new double[$m * $ksub];
-         |  outer:
+         |  $outer:
          |  for (int $j = 0; $j < $m; $j++) {
          |    for (int $k = 0; $k < $ksub; $k++) {
          |      double $s = 0.0;
          |      for (int $t = 0; $t < $dsub; $t++) {
-         |        if ($v.isNullAt($j * $dsub + $t)) { ${ev.isNull} = true; break outer; }
+         |        if ($v.isNullAt($j * $dsub + $t)) { ${ev.isNull} = true; break $outer; }
+         |        $cbNullCheck
          |        $s += ${VectorMath.getterCode(v, s"$j * $dsub + $t", left.dataType)} *
          |          ${VectorMath.getterCode(cb, s"($j * $ksub + $k) * $dsub + $t", right.dataType)};
          |      }
@@ -228,6 +246,8 @@ case class PqAdcDot(left: Expression, right: Expression) extends BinaryExpressio
     else TypeCheckResult.TypeCheckSuccess
   }
 
+  private lazy val lutMayHaveNulls = left.dataType.asInstanceOf[ArrayType].containsNull
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val lut = l.asInstanceOf[ArrayData]
     val (m, codeAt): (Int, Int => Int) =
@@ -243,6 +263,7 @@ case class PqAdcDot(left: Expression, right: Expression) extends BinaryExpressio
     while (j < m) {
       val k = codeAt(j)
       if (k < 0 || k >= ksub) return null
+      if (lutMayHaveNulls && lut.isNullAt(j * ksub + k)) return null
       s += lut.getDouble(j * ksub + k)
       j += 1
     }
@@ -256,6 +277,9 @@ case class PqAdcDot(left: Expression, right: Expression) extends BinaryExpressio
       val (lenCode, nullCheck, getCode) =
         if (codesIsBinary) (s"$codes.length", "false", (i: String) => s"(int) $codes[$i]")
         else (s"$codes.numElements()", s"$codes.isNullAt($j)", (i: String) => s"(int) $codes.getByte($i)")
+      val lutNullCheck = if (lutMayHaveNulls)
+        s"if ($lut.isNullAt($j * $ksub + $k)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |final int $m = $lenCode;
          |if ($m == 0 || $lut.numElements() % $m != 0) {
@@ -267,6 +291,7 @@ case class PqAdcDot(left: Expression, right: Expression) extends BinaryExpressio
          |    if ($nullCheck) { ${ev.isNull} = true; break; }
          |    final int $k = ${getCode(j)};
          |    if ($k < 0 || $k >= $ksub) { ${ev.isNull} = true; break; }
+         |    $lutNullCheck
          |    $s += $lut.getDouble($j * $ksub + $k);
          |  }
          |  if (!${ev.isNull}) ${ev.value} = $s;

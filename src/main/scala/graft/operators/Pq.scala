@@ -81,6 +81,22 @@ object Pq {
   def adcDot(lutCol: Column, codes: Column): Column =
     call_function("pq_adc_dot", lutCol, codes)
 
+  /** Rows whose vector is complete and finite: a NULL/NaN/±Inf element
+    * would poison a sampled codeword or truncate silently in the
+    * fixed-point cell sums (NaN casts to 0, not an error). */
+  private def finiteVec(vec: Column, dim: Int): Column =
+    vec.isNotNull && size(vec) === dim &&
+      !exists(vec, x => x.isNull || isnan(x.cast("double")) ||
+        abs(x.cast("double")) === lit(Double.PositiveInfinity))
+
+  /** Guarded approximate cosine: NULL (sorts last under the `cos desc`
+    * rank) when either norm is 0 — a 0/0 would be NaN, which Spark
+    * orders ABOVE every real double and would rank degenerate rows
+    * first. */
+  private def adcCos(lutCol: Column, codes: Column, qn: Column, cn: Column): Column =
+    when(qn * cn =!= 0.0, adcDot(lutCol, codes) / (qn * cn))
+      .otherwise(lit(null).cast("double"))
+
   /**
    * Train per-subspace codebooks: seeded-sample init (ksub corpus
    * vectors, cycled if the corpus is smaller), then `iters` Lloyd
@@ -88,6 +104,13 @@ object Pq {
    * codebooks, explode (subspace, codeword, position) cells, sum
    * fixed-point coordinates map-side — and only m·ksub·dsub cell rows
    * reach the driver. Empty cells keep their previous codeword.
+   *
+   * Rows with a NULL/NaN/±Inf element are excluded from sampling AND
+   * from the cell sums (they still encode fine afterwards — pq_encode
+   * null-propagates). Fixed-point envelope (the ivfBuild bound): the
+   * per-cell long sum needs |x|·2²⁴·rowsPerCell < 2⁶³ — at |x| ≤ 100
+   * that is ~5×10¹² rows per (subspace, codeword) cell, far beyond any
+   * real shard; beyond it, pre-scale the vectors.
    */
   def train(corpus: DataFrame, id: String, vec: String, dim: Int,
             m: Int = 8, ksub: Int = 16, iters: Int = 2): PqCodebook = {
@@ -95,9 +118,11 @@ object Pq {
     require(ksub > 0 && ksub <= 128, s"ksub=$ksub must be in (0, 128]")
     reg(corpus)
     val dsub = dim / m
-    val sample = corpus.select(col(vec).as("__v"), xxhash64(col(id)).as("__r"))
-      .where(col("__v").isNotNull && size(col("__v")) === dim)
-      .orderBy(col("__r")).limit(ksub)
+    val sample = corpus.select(col(vec).as("__v"), col(id).as("__id"), xxhash64(col(id)).as("__r"))
+      .where(finiteVec(col("__v"), dim))
+      // secondary key: a hash tie between two ids must not leave the
+      // sampled set order to the shuffle
+      .orderBy(col("__r"), col("__id")).limit(ksub)
       .collect()
       .map(_.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue()).toArray)
     require(sample.nonEmpty, "PQ training needs at least one valid vector")
@@ -107,6 +132,7 @@ object Pq {
     for (_ <- 1 to iters) {
       val cbLit = typedLit(flat.toSeq)
       val cells = corpus
+        .where(finiteVec(col(vec), dim))
         .select(call_function("pq_encode", col(vec), cbLit, lit(m), lit(ksub)).as("__codes"),
           posexplode(transform(col(vec), x => (x.cast("double") * FP).cast("long")))
             .as(Seq("__pos", "__x")))
@@ -145,16 +171,8 @@ object Pq {
            qId: String, qVec: String, cId: String, cVec: String,
            k: Int, cb: PqCodebook, excludeSelf: Boolean = true): DataFrame = {
     reg(queries)
-    val nlutLit = typedLit(cb.normLut.toSeq)
-    val q = queries.select(col(qId).as("qId"),
-      lut(col(qVec), cb).as("__lut"),
-      call_function("vector_norm", col(qVec)).as("__qn"))
-    val c = corpus.select(col(cId).as("cId"), encode(col(cVec), cb).as("__codes"))
-      .withColumn("__cn", sqrt(adcDot(nlutLit, col("__codes"))))
-    val joined = c.crossJoin(broadcast(q))
-    val scored = (if (excludeSelf) joined.filter(col("qId") =!= col("cId")) else joined)
-      .withColumn("cos", adcDot(col("__lut"), col("__codes")) / (col("__qn") * col("__cn")))
-    Similarity.rankTopK(scored, k)
+    topKEncoded(queries, encodeCorpus(corpus, cId, cVec, cb),
+      qId, qVec, cId, "codes", k, cb, excludeSelf)
   }
 
   /** Top-k over an ALREADY-ENCODED corpus (codes column) — the
@@ -171,7 +189,59 @@ object Pq {
       .withColumn("__cn", sqrt(adcDot(nlutLit, col("__codes"))))
     val joined = c.crossJoin(broadcast(q))
     val scored = (if (excludeSelf) joined.filter(col("qId") =!= col("cId")) else joined)
-      .withColumn("cos", adcDot(col("__lut"), col("__codes")) / (col("__qn") * col("__cn")))
+      .withColumn("cos", adcCos(col("__lut"), col("__codes"), col("__qn"), col("__cn")))
+    Similarity.rankTopK(scored, k)
+  }
+
+  /**
+   * IVFADC corpus preparation: assign every vector to its IVF cell AND
+   * PQ-encode it, in the SAME single corpus pass — (cId, cent, codes),
+   * the m-bytes-plus-a-cell-id form a user persists once and searches
+   * many times. Composes [[Similarity.ivfBuild]]'s coarse quantizer with
+   * the PQ codes (flat PQ per cell).
+   */
+  def ivfPqEncode(index: Similarity.IvfIndex, cId: String, cVec: String,
+                  cb: PqCodebook): DataFrame = {
+    reg(index.assigned)
+    index.assigned.select(col(cId).as("cId"), col("__cent").as("cent"),
+      encode(col(cVec), cb).as("codes"))
+  }
+
+  /**
+   * IVFADC top-k — the billion-vector shape the PQ kernels exist for
+   * (Jégou TPAMI 2011 §IV): the IVF coarse stage prunes the corpus to
+   * the query's `nProbe` nearest cells, and ADC scores ONLY those
+   * candidates in O(m) table lookups each. Candidate cost is
+   * |q| · (nProbe/nCentroids) · |corpus| pairs × O(m) per pair — vs
+   * O(d) per pair for IVF-flat at the same probe budget, and the corpus
+   * shuffles m-byte codes, not d-float vectors. The probe stage is
+   * [[Similarity.probeAssign]], bit-identical to IVF-flat's.
+   */
+  def ivfPqTopK(index: Similarity.IvfIndex, queries: DataFrame,
+                qId: String, qVec: String, cId: String, cVec: String,
+                k: Int, cb: PqCodebook, nProbe: Int = 2,
+                excludeSelf: Boolean = true): DataFrame =
+    ivfPqTopKEncoded(index, ivfPqEncode(index, cId, cVec, cb), queries,
+      qId, qVec, k, cb, nProbe, excludeSelf)
+
+  /** IVFADC top-k over a corpus already prepared by [[ivfPqEncode]]
+    * (columns cId, cent, codes) — the search-many path: no re-encode,
+    * no float vectors touched on the corpus side at all. */
+  def ivfPqTopKEncoded(index: Similarity.IvfIndex, corpusCodes: DataFrame,
+                       queries: DataFrame, qId: String, qVec: String,
+                       k: Int, cb: PqCodebook, nProbe: Int = 2,
+                       excludeSelf: Boolean = true): DataFrame = {
+    reg(queries)
+    val nlutLit = typedLit(cb.normLut.toSeq)
+    val q = Similarity.probeAssign(queries, qId, qVec, index, nProbe)
+      .withColumn("__lut", lut(col("__qv"), cb))
+      .withColumn("__qn", call_function("vector_norm", col("__qv")))
+      .select(col("qId"), col("__cent"), col("__lut"), col("__qn"))
+    val c = corpusCodes.select(col("cId"), col("cent").as("__cent"), col("codes").as("__codes"))
+      .withColumn("__cn", sqrt(adcDot(nlutLit, col("__codes"))))
+    val joined = c.join(broadcast(q), "__cent")
+    val scored = (if (excludeSelf) joined.filter(col("qId") =!= col("cId")) else joined)
+      .withColumn("cos", adcCos(col("__lut"), col("__codes"), col("__qn"), col("__cn")))
     Similarity.rankTopK(scored, k)
   }
 }

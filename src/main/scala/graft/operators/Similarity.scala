@@ -207,6 +207,22 @@ object Similarity {
     (array_position(d2s, array_min(d2s)) - 1).cast("int")
   }
 
+  /** The probe stage shared by IVF-flat and IVFADC search: each query row
+    * exploded into its `nProbe` nearest centroid ids — (qId, __qv,
+    * __cent). ONE definition so the coarse stage can never drift between
+    * the float and PQ fine-scoring paths. */
+  private[operators] def probeAssign(queries: DataFrame, qId: String, qVec: String,
+                                     index: IvfIndex, nProbe: Int): DataFrame = {
+    val centLit = typedLit(index.centroids.map { case (i, v) => (i, v.toSeq) }.toSeq)
+    queries.select(col(qId).as("qId"), col(qVec).as("__qv"))
+      .withColumn("__probes", slice(transform(array_sort(transform(centLit, c =>
+        struct(
+          aggregate(zip_with(transform(col("__qv"), x => x.cast("double")), c.getField("_2"),
+            (a, b) => (a - b) * (a - b)), lit(0.0), (acc, v) => acc + v).as("d2"),
+          c.getField("_1").as("cid")))), s => s.getField("cid")), 1, nProbe))
+      .select(col("qId"), col("__qv"), explode(col("__probes")).as("__cent"))
+  }
+
   /**
    * ANN top-k through the IVF index: queries probe only the `nProbe`
    * nearest centroids' postings lists — candidate cost is
@@ -215,15 +231,7 @@ object Similarity {
   def ivfTopK(index: IvfIndex, queries: DataFrame, qId: String, qVec: String,
               cId: String, cVec: String, k: Int, nProbe: Int = 2): DataFrame = {
     reg(queries)
-    val centLit = typedLit(index.centroids.map { case (i, v) => (i, v.toSeq) }.toSeq)
-    // per query: the nProbe nearest centroid ids
-    val q = queries.select(col(qId).as("qId"), col(qVec).as("__qv"))
-      .withColumn("__probes", slice(transform(array_sort(transform(centLit, c =>
-        struct(
-          aggregate(zip_with(transform(col("__qv"), x => x.cast("double")), c.getField("_2"),
-            (a, b) => (a - b) * (a - b)), lit(0.0), (acc, v) => acc + v).as("d2"),
-          c.getField("_1").as("cid")))), s => s.getField("cid")), 1, nProbe))
-      .select(col("qId"), col("__qv"), explode(col("__probes")).as("__cent"))
+    val q = probeAssign(queries, qId, qVec, index, nProbe)
       .withColumn("__qn", norm(col("__qv")))
     val c = index.assigned.select(col(cId).as("cId"), col(cVec).as("__cv"), col("__cent"))
       .withColumn("__cn", norm(col("__cv")))

