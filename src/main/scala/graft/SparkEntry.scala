@@ -892,8 +892,69 @@ object SparkEntry {
       Tables.load(s, dir, "documents").select(col("doc_id"),
           round(graft.functions.TextFunctions.repetitionScore(col("text")), 6).as("rep"))
         .orderBy(col("doc_id"))
+    },
+
+    // PQ encode against the shared closed-form integer codebook
+    // ([[synthCb]]): vectors are int8-quantized first (the q47 grid,
+    // which DuckDB replicates verbatim), so every squared distance is an
+    // exact integer and the per-subspace argmin — ties to the lowest
+    // codeword id on both engines — is engine-independent. One row per
+    // (vector, subspace): a full independent recompute of the
+    // pq_encode kernel, not a frozen golden.
+    "q55_pq_encode" -> { (s, dir) =>
+      Graft.register(s)
+      val cb = synthCb
+      Tables.load(s, dir, "embeddings").filter(col("vec_id") < 100)
+        .select(col("vec_id"),
+          graft.operators.Quantize.quantizeInt8(col("embedding")).getField("q").as("q8"))
+        .select(col("vec_id"),
+          posexplode(graft.operators.Pq.encode(col("q8"), cb)).as(Seq("j", "code")))
+        .select(col("vec_id"), col("j").cast("long").as("j"), col("code").cast("long").as("code"))
+        .orderBy(col("vec_id"), col("j"))
+    },
+
+    // ADC top-k in the exact-integer domain: int8 vectors × the integer
+    // codebook make every LUT entry and every ADC sum an exact integer
+    // (≤ 8·8·127·8 ≪ 2^53), so the scores hash bit-identically and the
+    // ranking (adc desc, cId) is fully deterministic. DuckDB recomputes
+    // the codes independently (the q55 argmin) and scores each pair as
+    // dot(query, reconstruction) — mathematically ADC's Σⱼ lut[codeⱼ],
+    // the identity PqSpec pins — so kernel AND ranking are both checked
+    // end-to-end with no frozen outcomes.
+    "q56_pq_adc_topk" -> { (s, dir) =>
+      Graft.register(s)
+      val cb = synthCb
+      val qz = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          graft.operators.Quantize.quantizeInt8(col("embedding")).getField("q").as("q8"))
+      val queries = qz.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qId"), graft.operators.Pq.lut(col("q8"), cb).as("__lut"))
+      val corpus = qz.select(col("vec_id").as("cId"),
+        graft.operators.Pq.encode(col("q8"), cb).as("__codes"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qId")).orderBy(col("adc").desc, col("cId"))
+      corpus.crossJoin(broadcast(queries))
+        .filter(col("qId") =!= col("cId"))
+        .withColumn("adc", graft.operators.Pq.adcDot(col("__lut"), col("__codes")).cast("bigint"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("qId"), col("cId"), col("adc"), col("rank"))
+        .orderBy(col("qId"), col("rank"))
     }
   )
+
+  /** Closed-form integer codebook shared by q55/q56 (m=8, ksub=16,
+    * dsub=8 over dim 64): cb[(j·16+k)·8+t] = ((k·5 + t·3 + j·2) mod 17) − 8.
+    * 5 is invertible mod 17, so all 16 codewords are distinct within
+    * every subspace. The DuckDB oracles regenerate it from the same
+    * formula — the codebook is never shipped between the engines. */
+  private def synthCb: graft.operators.Pq.PqCodebook = {
+    val (m, ksub, dsub) = (8, 16, 8)
+    val flat = new Array[Double](m * ksub * dsub)
+    for (j <- 0 until m; k <- 0 until ksub; t <- 0 until dsub)
+      flat((j * ksub + k) * dsub + t) = ((k * 5 + t * 3 + j * 2) % 17) - 8
+    graft.operators.Pq.PqCodebook(m, ksub, dsub, flat)
+  }
 
   /** q31/q42/q43 output shape: per-class NB model parameters, rounded. */
   private def nbTrainOut(s: SparkSession, m: graft.ml.NaiveBayes.Model): DataFrame = {
@@ -1575,6 +1636,68 @@ object SparkEntry {
         |  FROM tok),
         |c AS (SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY doc_id, g)
         |SELECT doc_id, round(max(cnt)::DOUBLE / sum(cnt), 6) AS rep
-        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // independent recompute of the pq_encode argmin: the q47 int8 grid,
+    // the closed-form codebook ((k*5 + t*3 + j*2) % 17 - 8), and a
+    // row_number argmin with the same lowest-id tie-break as the kernel.
+    // All distances are exact integers — no float divergence possible.
+    "q55_pq_encode" ->
+      """WITH qz AS (
+        |  SELECT vec_id, list_transform(embedding, x ->
+        |    floor(x::DOUBLE * (CASE WHEN mx > 1e-300 THEN 127.0 / mx ELSE 0.0 END) + 0.5)) AS q
+        |  FROM (SELECT vec_id, embedding,
+        |               list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
+        |        FROM embeddings WHERE vec_id < 100)),
+        |d AS (
+        |  SELECT vec_id, j, k,
+        |         list_sum(list_transform(range(0, 8), t ->
+        |           (q[j*8 + t + 1] - (((k*5 + t*3 + j*2) % 17) - 8))
+        |           * (q[j*8 + t + 1] - (((k*5 + t*3 + j*2) % 17) - 8)))) AS d2
+        |  FROM qz, range(0, 8) js(j), range(0, 16) ks(k))
+        |SELECT vec_id, j, k AS code FROM (
+        |  SELECT vec_id, j, k,
+        |         row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, k) AS rn
+        |  FROM d)
+        |WHERE rn = 1 ORDER BY vec_id, j""".stripMargin,
+    // ADC ≡ dot(query, reconstruction) in exact integers: codes are
+    // recomputed as in q55, the reconstruction is reassembled from the
+    // codebook formula, and the pair score + (adc DESC, cId) ranking is
+    // recomputed natively — checking encode, LUT, ADC, and the top-k
+    // window in one query with zero frozen values.
+    "q56_pq_adc_topk" ->
+      """WITH qz AS (
+        |  SELECT vec_id, list_transform(embedding, x ->
+        |    floor(x::DOUBLE * (CASE WHEN mx > 1e-300 THEN 127.0 / mx ELSE 0.0 END) + 0.5)) AS q
+        |  FROM (SELECT vec_id, embedding,
+        |               list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
+        |        FROM embeddings)),
+        |d AS (
+        |  SELECT vec_id, j, k,
+        |         list_sum(list_transform(range(0, 8), t ->
+        |           (q[j*8 + t + 1] - (((k*5 + t*3 + j*2) % 17) - 8))
+        |           * (q[j*8 + t + 1] - (((k*5 + t*3 + j*2) % 17) - 8)))) AS d2
+        |  FROM qz, range(0, 8) js(j), range(0, 16) ks(k)),
+        |codes AS (
+        |  SELECT vec_id, j, k AS code FROM (
+        |    SELECT vec_id, j, k,
+        |           row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, k) AS rn
+        |    FROM d)
+        |  WHERE rn = 1),
+        |rec AS (
+        |  SELECT vec_id, flatten(list(sub ORDER BY j)) AS recon
+        |  FROM (SELECT vec_id, j, list_transform(range(0, 8), t ->
+        |          CAST(((code*5 + t*3 + j*2) % 17) - 8 AS DOUBLE)) AS sub
+        |        FROM codes)
+        |  GROUP BY vec_id),
+        |pairs AS (
+        |  SELECT q.vec_id AS qId, c.vec_id AS cId,
+        |         CAST(list_inner_product(q.q, c.recon) AS BIGINT) AS adc
+        |  FROM (SELECT vec_id, q FROM qz WHERE vec_id < 20) q
+        |  JOIN rec c ON c.vec_id <> q.vec_id)
+        |SELECT qId, cId, adc, rank FROM (
+        |  SELECT qId, cId, adc,
+        |         row_number() OVER (PARTITION BY qId ORDER BY adc DESC, cId) AS rank
+        |  FROM pairs)
+        |WHERE rank <= 3 ORDER BY qId, rank""".stripMargin
   )
 }
