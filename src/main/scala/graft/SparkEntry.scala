@@ -940,6 +940,53 @@ object SparkEntry {
         .filter(col("rank") <= 3)
         .select(col("qId"), col("cId"), col("adc"), col("rank"))
         .orderBy(col("qId"), col("rank"))
+    },
+
+    // IVFADC (IVF coarse pruning + PQ/ADC fine scoring — the
+    // billion-vector composition the PQ kernels exist for) recall@3 vs
+    // exact brute force, q45 golden discipline: n_true independently
+    // recomputed by DuckDB, hit counts frozen outcomes of the seeded,
+    // fixed-point-deterministic training (partition-independence probed
+    // at local[32]/32 and local[5]/7 before freezing). The near-uniform
+    // synthetic embeddings are PQ's worst case, so geometry matters and
+    // is pinned honestly: at m=16/ksub=128 (14 code bytes vs 256 float
+    // bytes, 18×) IVFADC at nProbe=8 recovers 84/150 — matching q45's
+    // IVF-flat refined 86/150 at nProbe=4 while doing O(m)=16 lookups
+    // per pair instead of O(d)=64 multiplies on a corpus it never
+    // re-reads floats from; at m=32 (9×) it recovers 108/150, strictly
+    // beating every float path in q45 at equal-or-less per-pair work.
+    // pqfull is the exhaustive-ADC ceiling (coarse-stage loss = full−p8).
+    "q57_ivfadc_recall" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 50)
+      val bf = graft.operators.Similarity.bruteForceTopK(
+          queries, emb, "vec_id", "embedding", "vec_id", "embedding", k = 3)
+        .select(col("qId"), col("cId")).cache()
+      val nTrue = bf.count()
+      val idx = graft.operators.Similarity.ivfBuild(
+        emb, "vec_id", "embedding", nCentroids = 16, kmeansIters = 3)
+      val cb16 = graft.operators.Pq.train(emb, "vec_id", "embedding", dim = 64, m = 16, ksub = 128, iters = 2)
+      val cb32 = graft.operators.Pq.train(emb, "vec_id", "embedding", dim = 64, m = 32, ksub = 128, iters = 2)
+      def hits(df: DataFrame): Long = {
+        val d = df.select(col("qId").as("q2"), col("cId").as("c2"))
+        bf.join(d, bf("qId") === d("q2") && bf("cId") === d("c2")).count()
+      }
+      val adc4 = hits(graft.operators.Pq.ivfPqTopK(idx, queries,
+        "vec_id", "embedding", "vec_id", "embedding", k = 3, cb16, nProbe = 4))
+      val adc8 = hits(graft.operators.Pq.ivfPqTopK(idx, queries,
+        "vec_id", "embedding", "vec_id", "embedding", k = 3, cb16, nProbe = 8))
+      val wide8 = hits(graft.operators.Pq.ivfPqTopK(idx, queries,
+        "vec_id", "embedding", "vec_id", "embedding", k = 3, cb32, nProbe = 8))
+      val full = hits(graft.operators.Pq.topK(queries, emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 3, cb16))
+      bf.unpersist()
+      def rec(h: Long) = recallX1e4(h, nTrue)
+      Seq((nTrue, adc4, rec(adc4), adc8, rec(adc8), wide8, rec(wide8), full, rec(full)))
+        .toDF("n_true", "ivfadc4_hit", "ivfadc4_recall_x1e4",
+          "ivfadc8_hit", "ivfadc8_recall_x1e4",
+          "ivfadc_wide_hit", "ivfadc_wide_recall_x1e4",
+          "pqfull_hit", "pqfull_recall_x1e4")
     }
   )
 
@@ -1698,6 +1745,25 @@ object SparkEntry {
         |  SELECT qId, cId, adc,
         |         row_number() OVER (PARTITION BY qId ORDER BY adc DESC, cId) AS rank
         |  FROM pairs)
-        |WHERE rank <= 3 ORDER BY qId, rank""".stripMargin
+        |WHERE rank <= 3 ORDER BY qId, rank""".stripMargin,
+    // n_true recomputed by DuckDB's own brute force (q45 pattern); the
+    // hit counts are frozen outcomes of bit-deterministic training
+    // (fixed-point Lloyd sums, seeded samples — probed at two
+    // parallelism settings). Compare q45: IVF-flat refined = 86/150 at
+    // nProbe=4; IVFADC m=16 ksub=128 (18× smaller corpus bytes) = 84 at
+    // nProbe=8 with O(m) per-pair work; m=32 (9×) = 108, beating every
+    // float path pinned in q45.
+    "q57_ivfadc_recall" ->
+      """WITH bf AS (
+        |  SELECT a.vec_id AS qId, b.vec_id AS cId,
+        |         row_number() OVER (PARTITION BY a.vec_id
+        |           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rank
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 50)
+        |SELECT (SELECT count(*) FROM bf WHERE rank <= 3) AS n_true,
+        |       69::BIGINT AS ivfadc4_hit, 4600::BIGINT AS ivfadc4_recall_x1e4,
+        |       84::BIGINT AS ivfadc8_hit, 5600::BIGINT AS ivfadc8_recall_x1e4,
+        |       108::BIGINT AS ivfadc_wide_hit, 7200::BIGINT AS ivfadc_wide_recall_x1e4,
+        |       87::BIGINT AS pqfull_hit, 5800::BIGINT AS pqfull_recall_x1e4""".stripMargin
   )
 }
