@@ -37,6 +37,26 @@ object Bench {
     // JVM/codegen warmup (not timed)
     li.count()
 
+    // PQ setup (untimed): codebook, IVF index, and the ENCODED corpus
+    // are build-once artifacts amortized over every subsequent search —
+    // at scale they live in parquet, not in a per-query recompute. The
+    // timed entries are the recurring paths: the one-off encode pass
+    // (pq_encode) and the search-many paths over the persisted codes
+    // (pq_topk / ivfadc_topk). Geometry m=16/ksub=128 is q57's pinned
+    // operating point (18× corpus-byte compression at IVF-flat-level
+    // recall).
+    val embB = Tables.load(spark, sfDir, "embeddings")
+    val pqCb = graft.operators.Pq.train(embB, "vec_id", "embedding",
+      dim = 64, m = 16, ksub = 128, iters = 2)
+    val pqIdx = graft.operators.Similarity.ivfBuild(embB, "vec_id", "embedding",
+      nCentroids = 16, kmeansIters = 2)
+    val pqCodes = graft.operators.Pq.encodeCorpus(embB, "vec_id", "embedding", pqCb)
+      .cache()
+    pqCodes.count()
+    val ivfadcCodes = graft.operators.Pq.ivfPqEncode(pqIdx, "vec_id", "embedding", pqCb)
+      .cache()
+    ivfadcCodes.count()
+
     val benches: Seq[(String, () => Unit)] = Seq(
       "q01_pricing" -> (() => noop(SparkEntry.queries("q01_agg_pricing")(spark, sfDir))),
       "cofactor_full" -> { () =>
@@ -95,6 +115,26 @@ object Bench {
             graft.operators.Quantize.quantizeInt8(col("embedding")).getField("q").as("q8"))
         noop(graft.operators.Similarity.bruteForceTopK(
           emb.filter(col("vec_id") < 20), emb, "vec_id", "q8", "vec_id", "q8", k = 3))
+      },
+      // PQ family, against knn_bruteforce/knn_int8 above (same 20
+      // queries, same corpus): pq_encode is the one-off corpus pass
+      // whose output is 18× smaller than the float vectors; pq_topk
+      // searches the persisted codes in O(m)=16 lookups per pair
+      // instead of O(d)=64 multiplies; ivfadc_topk additionally prunes
+      // candidates to nProbe/16 of the corpus — the full
+      // billion-vector composition, search side only (the encode /
+      // assignment passes are the build-once artifacts above)
+      "pq_encode" -> (() =>
+        noop(graft.operators.Pq.encodeCorpus(embB, "vec_id", "embedding", pqCb))),
+      "pq_topk" -> { () =>
+        noop(graft.operators.Pq.topKEncoded(
+          embB.filter(col("vec_id") < 20), pqCodes,
+          "vec_id", "embedding", "vec_id", "codes", k = 3, pqCb))
+      },
+      "ivfadc_topk" -> { () =>
+        noop(graft.operators.Pq.ivfPqTopKEncoded(
+          pqIdx, ivfadcCodes, embB.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 3, pqCb, nProbe = 4))
       },
       "mice_1round" -> { () =>
         val base = li.select(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_linenumber"))
@@ -172,13 +212,42 @@ object Bench {
     }
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, false) => v }.sum
-    val flagged = results.collect { case (k, _, true, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    // Cross-run drift vs the COMMITTED result: per-run spread can be
+    // tight while the whole run sits off the clean-day band (round 7:
+    // three untouched queries drifted +29-39% under background load,
+    // unstable=[] didn't catch it). A query >20% AND >0.08 s away from
+    // its committed median is flagged; slower-than-committed drift also
+    // marks the query unstable so the artifact can't silently record a
+    // loaded-machine run as the new normal. New queries have no
+    // reference and never flag.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_RESULT.json")
+    val driftRef = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", out)
+    val driftAbs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DRIFT_ABS", "0.08").toDouble
+    val drifted: Seq[(String, Double)] = (try {
+      val txt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(driftRef)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      results.collect { case (k, v, _, false) =>
+        val re = ("\"" + java.util.regex.Pattern.quote(k) + "\":(-?[0-9.]+)").r
+        re.findFirstMatchIn(txt).map(_.group(1).toDouble) match {
+          case Some(old) if old > 0 && math.abs(v - old) > driftAbs
+              && math.abs(v - old) / old > tolerance => Some(k -> ((v - old) / old))
+          case _ => None
+        }
+      }.flatten
+    } catch { case _: Throwable => Seq.empty })
+    drifted.foreach { case (k, pct) =>
+      System.err.println(f"[bench] $k: DRIFT ${pct * 100}%+.0f%% vs committed $driftRef")
+    }
+    val slowDrift = drifted.collect { case (k, pct) if pct > 0 => k }.toSet
+    val flagged = (results.collect { case (k, _, true, _) => k } ++ slowDrift)
+      .distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val driftJson = drifted.map { case (k, pct) => "\"" + k + f"""\":"${pct * 100}%+.0f%%"""" }
+      .mkString("{", ",", "}")
     val broken = results.collect { case (k, _, _, true) => "\"" + k + "\"" }.mkString("[", ",", "]")
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median","unstable":$flagged,"failed":$broken}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median","unstable":$flagged,"failed":$broken,"drift":$driftJson}"""
     println(json)
     // belt-and-braces: sbt's logger can prefix stdout lines ("[info] ..."),
     // which broke round-1 parsing — also drop the line in a results file
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_RESULT.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

@@ -133,8 +133,15 @@ object Pq {
       val cbLit = typedLit(flat.toSeq)
       val cells = corpus
         .where(finiteVec(col(vec), dim))
-        .select(call_function("pq_encode", col(vec), cbLit, lit(m), lit(ksub)).as("__codes"),
-          posexplode(transform(col(vec), x => (x.cast("double") * FP).cast("long")))
+        // encode in its OWN projection below the generate: a sibling
+        // expression beside a generator lands in the Project ABOVE the
+        // Generate and re-evaluates once per EXPLODED ELEMENT — dim× the
+        // O(ksub·d) encode cost (the round-8 ScaleProbe regression);
+        // split selects pin it below, computed once per row
+        .select(col(vec).as("__v"),
+          call_function("pq_encode", col(vec), cbLit, lit(m), lit(ksub)).as("__codes"))
+        .select(col("__codes"),
+          posexplode(transform(col("__v"), x => (x.cast("double") * FP).cast("long")))
             .as(Seq("__pos", "__x")))
         .where(col("__codes").isNotNull && col("__x").isNotNull)
         .withColumn("__j", (col("__pos") / lit(dsub)).cast("int"))

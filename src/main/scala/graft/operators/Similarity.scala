@@ -166,10 +166,15 @@ object Similarity {
       .map { case (r, i) =>
         i -> r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toArray }
     for (_ <- 1 to kmeansIters) {
-      val centLit = typedLit(cents.map { case (i, v) => (i, v.toSeq) }.toSeq)
       val means = corpus
-        .select(centroidOf(col(vec), centLit).as("__cent"),
-          posexplode(transform(col(vec), x => (x.cast("double") * FP).cast("long")))
+        // assignment in its OWN projection below the generate: a sibling
+        // expression beside a generator lands in the Project ABOVE the
+        // Generate and re-evaluates once per EXPLODED ELEMENT (dim× the
+        // assignment cost — the round-8 ScaleProbe regression); split
+        // selects pin it below, computed once per row
+        .select(col(vec).as("__v"), centroidOf(col(vec), cents).as("__cent"))
+        .select(col("__cent"),
+          posexplode(transform(col("__v"), x => (x.cast("double") * FP).cast("long")))
             .as(Seq("__pos", "__x")))
         // a NULL vector / NULL element yields a NULL centroid (the same
         // null-in → null-out as the scoring kernels): skip it here, or
@@ -188,24 +193,35 @@ object Similarity {
         }
       }
     }
-    val centLit = typedLit(cents.map { case (i, v) => (i, v.toSeq) }.toSeq)
     val assigned = corpus
-      .withColumn("__cent", centroidOf(col(vec), centLit))
+      .withColumn("__cent", centroidOf(col(vec), cents))
     IvfIndex(cents, assigned)
   }
 
-  /** Nearest-centroid id: argmin over the per-centroid squared distances
-    * (array_min + array_position — first match wins on exact ties; no
-    * struct-field extraction, whose lambda-internal aliases the analyzer
-    * drops in generator contexts). Centroid ids equal their position in
-    * the literal, which ivfBuild maintains. */
-  private def centroidOf(vec: Column, centLit: Column): Column = {
-    val vd = transform(vec, x => x.cast("double"))
-    val d2s = transform(centLit, c =>
-      aggregate(zip_with(vd, c.getField("_2"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, v) => acc + v))
-    (array_position(d2s, array_min(d2s)) - 1).cast("int")
-  }
+  /** Nearest-centroid id. ≤128 centroids (every real IVF shard): the
+    * argmin-of-L2² IS `pq_encode` with m=1, ksub=nCentroids — same
+    * element order, same left-to-right sum association, same strict-<
+    * lowest-id tie-break, same null-in→null-out — so the coarse
+    * assignment pass runs the same native codegen'd kernel as PQ
+    * instead of an interpreted HOF tree per corpus row (the dominant
+    * cost of the corpus assignment pass before round 8). Beyond 128
+    * (pq_encode's signed-byte code bound): the equivalent HOF
+    * formulation (array_min + array_position — first match wins on
+    * exact ties). Centroid ids equal their position in the literal,
+    * which ivfBuild maintains. */
+  private def centroidOf(vec: Column, cents: Array[(Int, Array[Double])]): Column =
+    if (cents.length <= 128) {
+      val flat = cents.sortBy(_._1).flatMap(_._2).toSeq
+      element_at(call_function("pq_encode",
+        vec, typedLit(flat), lit(1), lit(cents.length)), 1).cast("int")
+    } else {
+      val centLit = typedLit(cents.map { case (i, v) => (i, v.toSeq) }.toSeq)
+      val vd = transform(vec, x => x.cast("double"))
+      val d2s = transform(centLit, c =>
+        aggregate(zip_with(vd, c.getField("_2"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, v) => acc + v))
+      (array_position(d2s, array_min(d2s)) - 1).cast("int")
+    }
 
   /** The probe stage shared by IVF-flat and IVFADC search: each query row
     * exploded into its `nProbe` nearest centroid ids — (qId, __qv,

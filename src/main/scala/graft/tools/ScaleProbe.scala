@@ -78,6 +78,36 @@ object ScaleProbe {
       corpus.unpersist()
     }
 
+    // --- PQ: train / encode / IVFADC search, corpus 2k → 32k vectors ---
+    // train is the dominant term (iters+1 full-corpus encode passes;
+    // the cell shuffle is m·ksub·dsub fixed-point rows — KBs — per
+    // iteration regardless of corpus size), so its wall-clock should
+    // grow ~linearly while encode tracks a single corpus map pass and
+    // the IVFADC search stays bounded by nProbe/nCentroids of the
+    // corpus. q57 geometry (m=16, ksub=128).
+    for (k <- Seq(1, 4, 16)) {
+      val corpus = (0 until k).map(i =>
+        emb.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("embedding"))
+      ).reduce(_ unionByName _).cache()
+      corpus.count()
+      var cb: graft.operators.Pq.PqCodebook = null
+      time(s"pq train m=16 ksub=128 iters=2 x$k (${nEmb * k} vectors)") {
+        cb = graft.operators.Pq.train(corpus, "vec_id", "embedding",
+          dim = 64, m = 16, ksub = 128, iters = 2)
+        nEmb * k
+      }
+      time(s"pq encode x$k (${nEmb * k} vectors)") {
+        graft.operators.Pq.encodeCorpus(corpus, "vec_id", "embedding", cb).count()
+      }
+      val idx = graft.operators.Similarity.ivfBuild(corpus, "vec_id", "embedding",
+        nCentroids = 16, kmeansIters = 0)
+      time(s"ivfadc topk nProbe=4 x$k (${nEmb * k} vectors)") {
+        graft.operators.Pq.ivfPqTopK(idx, knnQ, "vec_id", "embedding",
+          "vec_id", "embedding", k = 3, cb, nProbe = 4).count()
+      }
+      corpus.unpersist()
+    }
+
     // --- asof join: 100k → 1.6M events ---
     // one shuffle + per-partition sort: wall-clock should track the sort
     val evSchema = org.apache.spark.sql.types.StructType(Seq(

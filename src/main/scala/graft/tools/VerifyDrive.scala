@@ -247,6 +247,37 @@ object VerifyDrive {
     assert(qRow.getSeq[Byte](0).nonEmpty && qRow.getDouble(1) > 0)
     println("quantize plan OK: native codegen expression, real-data round-trip")
 
+    println("== [16] PQ plan shape: native codegen'd kernels, no HOF fallback in scoring ==")
+    locally {
+      val embP = spark.table("embeddings")
+      val pqCb = graft.operators.Pq.train(embP, "vec_id", "embedding",
+        dim = 64, m = 8, ksub = 16, iters = 1)
+      val pqTop = graft.operators.Pq.topK(embP.filter($"vec_id" < 3), embP,
+        "vec_id", "embedding", "vec_id", "embedding", k = 3, pqCb)
+      val pqPlan = pqTop.queryExecution.analyzed.toString
+      assert(pqPlan.contains("pq_encode") && pqPlan.contains("pq_lut")
+          && pqPlan.contains("pq_adc_dot"),
+        s"PQ scoring must run the native kernels:\n$pqPlan")
+      // the O(|q|·|corpus|) scoring path must never fall back to
+      // interpreted HOF lambdas (aggregate/zip_with/transform)
+      assert(!pqPlan.contains("aggregate(") && !pqPlan.contains("zip_with")
+          && !pqPlan.contains("lambdafunction"),
+        s"PQ scoring path must not contain HOF lambdas:\n$pqPlan")
+      val nPq = pqTop.count()
+      assert(nPq == 9, s"3 queries x top-3 expected, got $nPq")
+      // IVFADC end-to-end through the composed operator (probe stage MAY
+      // use HOFs — it runs once per query row over nCentroids, not per pair)
+      val idxP = graft.operators.Similarity.ivfBuild(embP, "vec_id", "embedding",
+        nCentroids = 8, kmeansIters = 1)
+      val ivfadc = graft.operators.Pq.ivfPqTopK(idxP, embP.filter($"vec_id" < 3),
+        "vec_id", "embedding", "vec_id", "embedding", k = 3, pqCb, nProbe = 2)
+      val ivfadcPlan = ivfadc.queryExecution.analyzed.toString
+      assert(ivfadcPlan.contains("pq_adc_dot"), "IVFADC must score via pq_adc_dot")
+      assert(ivfadc.count() == 9)
+      println(s"PQ plan OK: native kernels in both scoring paths, $nPq + 9 rows")
+    }
+
+
     spark.stop()
   }
 }

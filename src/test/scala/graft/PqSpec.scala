@@ -202,6 +202,28 @@ class PqSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("codes survive a parquet round-trip (ARRAY<TINYINT> and BINARY) and search identically") {
+    val corpus = mkVecs(60, 16, seed = 71).toDF("id", "v")
+    val cb = Pq.train(corpus, "id", "v", dim = 16, m = 4, ksub = 8, iters = 1)
+    val codes = Pq.encodeCorpus(corpus, "id", "v", cb)
+    val dir = java.nio.file.Files.createTempDirectory("pqcodes").toString
+    codes.write.mode("overwrite").parquet(dir + "/arr")
+    // BINARY is the most compact parquet storage of an m-byte code (no
+    // per-element rep/def levels) — PqAdcDot accepts it natively
+    val toBin = udf((xs: Seq[Byte]) => xs.toArray)
+    codes.select($"id", toBin($"codes").as("codes")).write.mode("overwrite").parquet(dir + "/bin")
+    val queries = mkVecs(5, 16, seed = 72).toDF("id", "v")
+    def run(c: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      Pq.topKEncoded(queries, c, "id", "v", "id", "codes", k = 3, cb)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val expected = run(codes)
+    assert(expected.size == 15)
+    // parquet-read ARRAY<TINYINT> arrives with containsNull=true — the
+    // guarded element path, searched identically
+    assert(run(spark.read.parquet(dir + "/arr")) == expected)
+    assert(run(spark.read.parquet(dir + "/bin")) == expected)
+  }
+
   test("ivfPqTopK (IVFADC): coarse pruning + ADC, encoded path identical") {
     import graft.operators.Similarity
     // the clustered-data setup of the topK test: IVF cells align with
