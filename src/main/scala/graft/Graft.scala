@@ -59,6 +59,8 @@ object Graft {
         graft.functions.CosineSimilarity(es(0), es(1)), "scala_udf")
       reg.createOrReplaceTempFunction("quantize_int8", es =>
         graft.functions.QuantizeInt8(es.head), "scala_udf")
+      reg.createOrReplaceTempFunction("vector_sub", es =>
+        graft.functions.VectorSub(es(0), es(1)), "scala_udf")
       // product-quantization kernels (corpus encode / query LUT / O(m) pair score)
       reg.createOrReplaceTempFunction("pq_encode", es =>
         graft.functions.PqEncode(es(0), es(1), intArg(es, 2), intArg(es, 3)), "scala_udf")

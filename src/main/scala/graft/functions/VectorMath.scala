@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -221,4 +221,60 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSimilarity =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "cosine_similarity"
+}
+
+/** `vector_sub(a, b)` — element-wise a − b, widened to ARRAY<DOUBLE>.
+  * The residual computation of IVFADC (x − μ_cell) runs once per CORPUS
+  * row in both training and encoding, so it must be native codegen'd
+  * like the other kernels — an interpreted `zip_with` lambda there
+  * would re-box every element of every vector. Null semantics mirror
+  * [[DotProduct]]: NULL array, NULL element, or length mismatch → NULL. */
+case class VectorSub(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorMath.checkVecs(prettyName, left.dataType, right.dataType)
+
+  private lazy val lElem = VectorMath.elem(left.dataType)
+  private lazy val rElem = VectorMath.elem(right.dataType)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      out(i) = VectorMath.get(a, i, lElem) - VectorMath.get(b, i, rElem)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      val arrCls = classOf[UnsafeArrayData].getName
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final double[] $out = new double[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $out[$i] = ${VectorMath.getterCode(a, i, left.dataType)} - ${VectorMath.getterCode(b, i, right.dataType)};
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $arrCls.fromPrimitiveArray($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VectorSub =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "vector_sub"
 }

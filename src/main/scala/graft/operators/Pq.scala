@@ -251,4 +251,103 @@ object Pq {
       .withColumn("cos", adcCos(col("__lut"), col("__codes"), col("__qn"), col("__cn")))
     Similarity.rankTopK(scored, k)
   }
+
+  // ------------------------------------------------------------------
+  // Residual IVFADC (Jégou TPAMI 2011 §IV-A, the paper's actual IVFADC):
+  // each vector is PQ-encoded as its RESIDUAL x − μ_cell. Residuals are
+  // tight around the cell centroid, so the same bit budget captures far
+  // more within-cell signal than flat PQ — the lever that makes small m
+  // (8 bytes/vector) usable. Scoring reassembles exactly:
+  //   dot(q, x̂)  = dot(q, μ) + Σⱼ lut_q[codeⱼ]
+  //   ‖x̂‖²      = ‖μ‖² + 2·Σⱼ lut_μ[codeⱼ] + ‖r̂‖²
+  // with lut_μ (the centroid's LUT against the residual codebook), ‖μ‖²
+  // and μ itself precomputed per CELL on the driver — nCentroids rows,
+  // broadcast — so the per-pair cost stays O(m) and the per-corpus-row
+  // cost two ADC lookups + one small hash join.
+  // ------------------------------------------------------------------
+
+  /** IVF-assigned corpus with the per-row residual x − μ_cell appended
+    * as `__res` (native [[graft.functions.VectorSub]] — one corpus
+    * pass, no interpreted lambdas). */
+  def ivfResiduals(index: Similarity.IvfIndex, vec: String): DataFrame = {
+    reg(index.assigned)
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    val cents = index.centroids.map { case (i, v) => (i, v.toSeq) }.toSeq
+      .toDF("__cent", "__mu")
+    index.assigned.join(broadcast(cents), "__cent")
+      .withColumn("__res", call_function("vector_sub", col(vec), col("__mu")))
+      .drop("__mu")
+  }
+
+  /** Train a codebook on IVF residuals (the residual-IVFADC build). */
+  def trainResidual(index: Similarity.IvfIndex, id: String, vec: String, dim: Int,
+                    m: Int = 8, ksub: Int = 16, iters: Int = 2): PqCodebook =
+    train(ivfResiduals(index, vec), id, "__res", dim, m, ksub, iters)
+
+  /** Residual-IVFADC corpus preparation: (cId, cent, codes) where codes
+    * encode x − μ_cell — same persist-once form as [[ivfPqEncode]]. */
+  def ivfPqEncodeResidual(index: Similarity.IvfIndex, cId: String, cVec: String,
+                          cb: PqCodebook): DataFrame =
+    ivfResiduals(index, cVec).select(col(cId).as("cId"), col("__cent").as("cent"),
+      encode(col("__res"), cb).as("codes"))
+
+  /** Per-cell auxiliary table (driver-computed, nCentroids rows,
+    * broadcast): centroid, its squared norm, and its LUT against the
+    * residual codebook — everything scoring needs beyond the codes. */
+  private def cellAux(index: Similarity.IvfIndex, cb: PqCodebook): Seq[(Int, Seq[Double], Double, Seq[Double])] =
+    index.centroids.toSeq.map { case (cid, mu) =>
+      var muN2 = 0.0
+      var i = 0
+      while (i < mu.length) { muN2 += mu(i) * mu(i); i += 1 }
+      val lutMu = new Array[Double](cb.m * cb.ksub)
+      for (j <- 0 until cb.m; k <- 0 until cb.ksub) {
+        var s = 0.0
+        var t = 0
+        while (t < cb.dsub) {
+          s += mu(j * cb.dsub + t) * cb.flat((j * cb.ksub + k) * cb.dsub + t)
+          t += 1
+        }
+        lutMu(j * cb.ksub + k) = s
+      }
+      (cid, mu.toSeq, muN2, lutMu.toSeq)
+    }
+
+  /** Residual-IVFADC top-k (convenience: encodes the corpus inline). */
+  def ivfPqTopKResidual(index: Similarity.IvfIndex, queries: DataFrame,
+                        qId: String, qVec: String, cId: String, cVec: String,
+                        k: Int, cb: PqCodebook, nProbe: Int = 2,
+                        excludeSelf: Boolean = true): DataFrame =
+    ivfPqTopKResidualEncoded(index, ivfPqEncodeResidual(index, cId, cVec, cb),
+      queries, qId, qVec, k, cb, nProbe, excludeSelf)
+
+  /** Residual-IVFADC top-k over a corpus prepared by
+    * [[ivfPqEncodeResidual]] — the search-many path. */
+  def ivfPqTopKResidualEncoded(index: Similarity.IvfIndex, corpusCodes: DataFrame,
+                               queries: DataFrame, qId: String, qVec: String,
+                               k: Int, cb: PqCodebook, nProbe: Int = 2,
+                               excludeSelf: Boolean = true): DataFrame = {
+    reg(queries)
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val aux = cellAux(index, cb).toDF("__cent", "__mu", "__muN2", "__lutMu")
+    val nlutLit = typedLit(cb.normLut.toSeq)
+    val q = Similarity.probeAssign(queries, qId, qVec, index, nProbe)
+      .join(broadcast(aux.select(col("__cent"), col("__mu"))), "__cent")
+      .withColumn("__lut", lut(col("__qv"), cb))
+      .withColumn("__qn", call_function("vector_norm", col("__qv")))
+      .withColumn("__qmu", call_function("dot_product", col("__qv"), col("__mu")))
+      .select(col("qId"), col("__cent"), col("__lut"), col("__qn"), col("__qmu"))
+    val c = corpusCodes.select(col("cId"), col("cent").as("__cent"), col("codes").as("__codes"))
+      .join(broadcast(aux.select(col("__cent"), col("__muN2"), col("__lutMu"))), "__cent")
+      .withColumn("__cn", sqrt(col("__muN2")
+        + lit(2.0) * adcDot(col("__lutMu"), col("__codes"))
+        + adcDot(nlutLit, col("__codes"))))
+    val joined = c.join(broadcast(q), "__cent")
+    val scored = (if (excludeSelf) joined.filter(col("qId") =!= col("cId")) else joined)
+      .withColumn("cos", when(col("__qn") * col("__cn") =!= 0.0,
+        (col("__qmu") + adcDot(col("__lut"), col("__codes"))) / (col("__qn") * col("__cn")))
+        .otherwise(lit(null).cast("double")))
+    Similarity.rankTopK(scored, k)
+  }
 }

@@ -224,6 +224,64 @@ class PqSpec extends AnyFunSuite {
     assert(run(spark.read.parquet(dir + "/bin")) == expected)
   }
 
+  test("residual IVFADC scores == cosine of (centroid + decoded residual), exactly") {
+    import graft.operators.Similarity
+    val corpus = mkVecs(50, 16, seed = 81).toDF("id", "v").cache()
+    val idx = Similarity.ivfBuild(corpus, "id", "v", nCentroids = 4, kmeansIters = 1)
+    val cb = Pq.trainResidual(idx, "id", "v", dim = 16, m = 4, ksub = 8, iters = 1)
+    val queries = mkVecs(5, 16, seed = 82)
+    val got = Pq.ivfPqTopKResidual(idx, queries.toDF("id", "v"), "id", "v", "id", "v",
+        k = 50, cb, nProbe = 4, excludeSelf = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 5 * 50, "nProbe = all cells: every pair scored")
+    // driver-side ground truth: reconstruction = centroid + decoded residual
+    val prepared = Pq.ivfPqEncodeResidual(idx, "id", "v", cb).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Byte](2).toArray)).toMap
+    val cents = idx.centroids.toMap
+    val vecs = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    for ((qid, qv) <- queries; (cid, (cent, codes)) <- prepared) {
+      val res = cb.decode(codes)
+      val recon = cents(cent).zip(res).map { case (a, b) => a + b }
+      val dot = qv.indices.map(i => qv(i).toDouble * recon(i)).sum
+      val qn = math.sqrt(qv.map(x => x.toDouble * x).sum)
+      val cn = math.sqrt(recon.map(x => x * x).sum)
+      assert(math.abs(got((qid, cid)) - dot / (qn * cn)) < 1e-9, s"q=$qid c=$cid")
+    }
+    corpus.unpersist()
+  }
+
+  test("residual encoding beats flat PQ recall at the same bit budget") {
+    import graft.operators.Similarity
+    // clustered data where flat PQ collapses within-cluster order to
+    // ties (the topK-test caveat): residuals are offsets AROUND the
+    // cell centroid, so the same m=4/ksub=8 codes capture within-cell
+    // structure that flat codes cannot
+    val rng = new scala.util.Random(91)
+    val centers = Array.fill(8)(Array.fill(16)(rng.nextGaussian() * 10))
+    val data = (0 until 200).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + rng.nextGaussian()).toFloat))
+    }
+    val df = data.toDF("id", "v").cache()
+    val queries = df.filter($"id" < 20)
+    val bf = Similarity.bruteForceTopK(queries, df, "id", "v", "id", "v", k = 5)
+      .select($"qId", $"cId").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idx = Similarity.ivfBuild(df, "id", "v", nCentroids = 8, kmeansIters = 2)
+    def recallOf(top: org.apache.spark.sql.DataFrame): Double = {
+      val s = top.select($"qId", $"cId").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (bf intersect s).size.toDouble / bf.size
+    }
+    val flatCb = Pq.train(df, "id", "v", dim = 16, m = 4, ksub = 8, iters = 2)
+    val flat = recallOf(Pq.ivfPqTopK(idx, queries, "id", "v", "id", "v",
+      k = 5, flatCb, nProbe = 8))
+    val resCb = Pq.trainResidual(idx, "id", "v", dim = 16, m = 4, ksub = 8, iters = 2)
+    val residual = recallOf(Pq.ivfPqTopKResidual(idx, queries, "id", "v", "id", "v",
+      k = 5, resCb, nProbe = 8))
+    assert(residual > flat + 0.1,
+      s"residual recall $residual should clearly beat flat $flat at the same geometry")
+    df.unpersist()
+  }
+
   test("ivfPqTopK (IVFADC): coarse pruning + ADC, encoded path identical") {
     import graft.operators.Similarity
     // the clustered-data setup of the topK test: IVF cells align with

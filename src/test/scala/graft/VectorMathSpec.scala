@@ -144,6 +144,29 @@ class VectorMathSpec extends AnyFunSuite {
     assert(!plan.contains("array_max") && !plan.contains("transform"), plan)
   }
 
+  test("vector_sub: values, widening, nulls, interpreted == codegen") {
+    val df = Seq(
+      (1L, Some(Array(1.0f, 2.0f, 3.0f)), Some(Array(0.5, 1.0, -1.0))),
+      (2L, Some(Array(1.0f, 2.0f, 3.0f)), Some(Array(0.5, 1.0))),       // length mismatch
+      (3L, None, Some(Array(1.0, 2.0, 3.0)))                            // null array
+    ).toDF("id", "a", "b")
+    val got = df.select($"id", call_function("vector_sub", $"a", $"b").as("d")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Double](1))).toMap
+    assert(got(1L) == Seq(0.5, 1.0, 4.0))
+    assert(got(2L) == null && got(3L) == null)
+    // interpreted path agrees with codegen
+    import graft.functions.VectorSub
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    val a = Literal.create(Array(1.0, 2.0), ArrayType(DoubleType))
+    val b = Literal.create(Array(0.25, -0.25), ArrayType(DoubleType))
+    val out = VectorSub(a, b).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(out.toDoubleArray().toSeq == Seq(0.75, 2.25))
+    // null ELEMENT propagates
+    val withNull = Literal.create(Seq[java.lang.Double](1.0, null), ArrayType(DoubleType, containsNull = true))
+    assert(VectorSub(withNull, a).eval() == null)
+  }
+
   test("type check rejects non-vector arguments at analysis time") {
     val err = intercept[Exception] {
       spark.sql("SELECT dot_product(array('a','b'), array('c','d'))").collect()
