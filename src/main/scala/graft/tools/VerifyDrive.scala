@@ -273,6 +273,13 @@ object VerifyDrive {
         "vec_id", "embedding", "vec_id", "embedding", k = 3, pqCb, nProbe = 2)
       val ivfadcPlan = ivfadc.queryExecution.analyzed.toString
       assert(ivfadcPlan.contains("pq_adc_dot"), "IVFADC must score via pq_adc_dot")
+      // physical shape: the probe join must broadcast the (tiny) query
+      // side and hash-join on the cell id — never a cartesian product
+      val ivfadcPhys = ivfadc.queryExecution.executedPlan.toString
+      assert(ivfadcPhys.contains("BroadcastHashJoin"),
+        s"IVFADC probe join must be a broadcast hash join:\n$ivfadcPhys")
+      assert(!ivfadcPhys.contains("CartesianProduct"),
+        "IVFADC must never plan a cartesian product")
       assert(ivfadc.count() == 9)
       println(s"PQ plan OK: native kernels in both scoring paths, $nPq + 9 rows")
     }

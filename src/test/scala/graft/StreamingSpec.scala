@@ -63,6 +63,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(inc.current.n == spark.read.schema(schema).parquet(eventsPath).count())
   }
 
+  test("PQ encode is streaming-safe: stream-encoded codes == batch codes") {
+    // the ingest shape: embeddings arrive as a stream and are encoded
+    // statelessly with a pre-trained codebook — the codes sink is what
+    // a 100 TB pipeline persists, so stream and batch encodes must be
+    // bit-identical
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    Graft.register(spark)
+    val data = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(8)(t => ((i * 3 + t) % 7).toFloat - 2.5f)))
+    val cb = graft.operators.Pq.train(data.toDF("id", "v"), "id", "v",
+      dim = 8, m = 2, ksub = 4, iters = 1)
+    val input = MemoryStream[(Long, Array[Float])]
+    val codes = graft.operators.Pq.encodeCorpus(
+      input.toDF.toDF("id", "v"), "id", "v", cb)
+    val q = codes.writeStream.format("memory").queryName("pq_stream").start()
+    input.addData(data: _*)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("pq_stream").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    val batch = graft.operators.Pq.encodeCorpus(data.toDF("id", "v"), "id", "v", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    assert(streamed.size == 40 && streamed == batch)
+  }
+
   test("streaming curation: quality gate + language tag + watermark-bounded dedup") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
