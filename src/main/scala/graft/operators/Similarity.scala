@@ -226,16 +226,43 @@ object Similarity {
   /** The probe stage shared by IVF-flat and IVFADC search: each query row
     * exploded into its `nProbe` nearest centroid ids — (qId, __qv,
     * __cent). ONE definition so the coarse stage can never drift between
-    * the float and PQ fine-scoring paths. */
+    * the float and PQ fine-scoring paths.
+    *
+    * The O(nCentroids·dim) inner work per query row is NATIVE: `pq_lut`
+    * with m=1 yields dot(q, μₖ) for every centroid in one codegen'd
+    * pass, and the probe ranking uses the equivalent key
+    * ‖μₖ‖² − 2·dot(q, μₖ) (the per-row ‖q‖² constant cannot change the
+    * ordering). Only an O(nCentroids) zip/sort/slice remains as HOFs —
+    * load-bearing when the query side IS a corpus (ANN self-join
+    * dedup), where the old per-row interpreted distance loop was an
+    * interpreted corpus pass. */
   private[operators] def probeAssign(queries: DataFrame, qId: String, qVec: String,
                                      index: IvfIndex, nProbe: Int): DataFrame = {
-    val centLit = typedLit(index.centroids.map { case (i, v) => (i, v.toSeq) }.toSeq)
-    queries.select(col(qId).as("qId"), col(qVec).as("__qv"))
-      .withColumn("__probes", slice(transform(array_sort(transform(centLit, c =>
-        struct(
-          aggregate(zip_with(transform(col("__qv"), x => x.cast("double")), c.getField("_2"),
-            (a, b) => (a - b) * (a - b)), lit(0.0), (acc, v) => acc + v).as("d2"),
-          c.getField("_1").as("cid")))), s => s.getField("cid")), 1, nProbe))
+    reg(queries)
+    val base = queries.select(col(qId).as("qId"), col(qVec).as("__qv"))
+    val probes =
+      if (index.centroids.length <= 128) {
+        val byId = index.centroids.sortBy(_._1)
+        val flat = typedLit(byId.flatMap(_._2).toSeq)
+        val muN2 = typedLit(byId.map { case (i, v) =>
+          var s = 0.0; var t = 0
+          while (t < v.length) { s += v(t) * v(t); t += 1 }
+          (i, s)
+        }.toSeq)
+        val lutc = call_function("pq_lut", col("__qv"), flat, lit(1), lit(index.centroids.length))
+        slice(transform(array_sort(zip_with(muN2, lutc,
+          (c, l) => struct((c.getField("_2") - l * 2).as("key"), c.getField("_1").as("cid")))),
+          s => s.getField("cid")), 1, nProbe)
+      } else {
+        // beyond pq_lut's 128-codeword bound: the HOF formulation
+        val centLit = typedLit(index.centroids.map { case (i, v) => (i, v.toSeq) }.toSeq)
+        slice(transform(array_sort(transform(centLit, c =>
+          struct(
+            aggregate(zip_with(transform(col("__qv"), x => x.cast("double")), c.getField("_2"),
+              (a, b) => (a - b) * (a - b)), lit(0.0), (acc, v) => acc + v).as("d2"),
+            c.getField("_1").as("cid")))), s => s.getField("cid")), 1, nProbe)
+      }
+    base.withColumn("__probes", probes)
       .select(col("qId"), col("__qv"), explode(col("__probes")).as("__cent"))
   }
 
