@@ -68,6 +68,8 @@ object Graft {
         graft.functions.PqLut(es(0), es(1), intArg(es, 2), intArg(es, 3)), "scala_udf")
       reg.createOrReplaceTempFunction("pq_adc_dot", es =>
         graft.functions.PqAdcDot(es(0), es(1)), "scala_udf")
+      reg.createOrReplaceTempFunction("pq_sdc_dot", es =>
+        graft.functions.PqSdcDot(es(0), es(1), es(2)), "scala_udf")
       // reference SQL ML surface (duckdb_imputation_extension.cpp:184-248)
       reg.createOrReplaceTempFunction("lda_train", es =>
         agg.MlSqlFunctions.LdaTrain(es), "scala_udf")

@@ -1029,6 +1029,31 @@ object SparkEntry {
         .toDF("n_true", "res8p4_hit", "res8p4_recall_x1e4",
           "res8p8_hit", "res8p8_recall_x1e4",
           "res16p8_hit", "res16p8_recall_x1e4")
+    },
+
+    // SDC (symmetric distance) pair scoring over codes alone — the
+    // q55/q56 exact-integer discipline: int8 vectors × the closed-form
+    // integer codebook make every codeword-dot-table entry and every
+    // SDC sum an exact integer. DuckDB recomputes the codes (q55
+    // argmin), reassembles both reconstructions, and scores each pair
+    // as their inner product — mathematically identical to the
+    // kernel's Σⱼ table[(j·ksub+aⱼ)·ksub+bⱼ] (the identity PqSpec
+    // pins) — so the encoded-pair scoring path is fully
+    // independently checked with zero frozen values.
+    "q59_pq_sdc_pairs" -> { (s, dir) =>
+      Graft.register(s)
+      val cb = synthCb
+      val tableLit = typedLit(cb.sdcTable.toSeq)
+      val qz = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 40)
+        .select(col("vec_id"),
+          graft.operators.Quantize.quantizeInt8(col("embedding")).getField("q").as("q8"))
+        .select(col("vec_id"), graft.operators.Pq.encode(col("q8"), cb).as("codes"))
+      val a = qz.select(col("vec_id").as("idA"), col("codes").as("ca"))
+      val b = qz.select(col("vec_id").as("idB"), col("codes").as("cb"))
+      a.join(b, col("idA") < col("idB"))
+        .select(col("idA"), col("idB"),
+          graft.operators.Pq.sdcDot(tableLit, col("ca"), col("cb")).cast("bigint").as("sdc"))
+        .orderBy(col("idA"), col("idB"))
     }
   )
 
@@ -1823,6 +1848,38 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM bf WHERE rank <= 3) AS n_true,
         |       27::BIGINT AS res8p4_hit, 1800::BIGINT AS res8p4_recall_x1e4,
         |       29::BIGINT AS res8p8_hit, 1933::BIGINT AS res8p8_recall_x1e4,
-        |       84::BIGINT AS res16p8_hit, 5600::BIGINT AS res16p8_recall_x1e4""".stripMargin
+        |       84::BIGINT AS res16p8_hit, 5600::BIGINT AS res16p8_recall_x1e4""".stripMargin,
+    // SDC ≡ dot(reconstruction, reconstruction) in exact integers: the
+    // q55 argmin recompute feeding a pairwise inner product — no
+    // frozen values
+    "q59_pq_sdc_pairs" ->
+      """WITH qz AS (
+        |  SELECT vec_id, list_transform(embedding, x ->
+        |    floor(x::DOUBLE * (CASE WHEN mx > 1e-300 THEN 127.0 / mx ELSE 0.0 END) + 0.5)) AS q
+        |  FROM (SELECT vec_id, embedding,
+        |               list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
+        |        FROM embeddings WHERE vec_id < 40)),
+        |d AS (
+        |  SELECT vec_id, j, k,
+        |         list_sum(list_transform(range(0, 8), t ->
+        |           (q[j*8 + t + 1] - (((k*5 + t*3 + j*2) % 17) - 8))
+        |           * (q[j*8 + t + 1] - (((k*5 + t*3 + j*2) % 17) - 8)))) AS d2
+        |  FROM qz, range(0, 8) js(j), range(0, 16) ks(k)),
+        |codes AS (
+        |  SELECT vec_id, j, k AS code FROM (
+        |    SELECT vec_id, j, k,
+        |           row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, k) AS rn
+        |    FROM d)
+        |  WHERE rn = 1),
+        |rec AS (
+        |  SELECT vec_id, flatten(list(sub ORDER BY j)) AS recon
+        |  FROM (SELECT vec_id, j, list_transform(range(0, 8), t ->
+        |          CAST(((code*5 + t*3 + j*2) % 17) - 8 AS DOUBLE)) AS sub
+        |        FROM codes)
+        |  GROUP BY vec_id)
+        |SELECT a.vec_id AS idA, b.vec_id AS idB,
+        |       CAST(list_inner_product(a.recon, b.recon) AS BIGINT) AS sdc
+        |FROM rec a JOIN rec b ON a.vec_id < b.vec_id
+        |ORDER BY idA, idB""".stripMargin
   )
 }

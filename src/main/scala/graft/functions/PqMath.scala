@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -302,4 +302,108 @@ case class PqAdcDot(left: Expression, right: Expression) extends BinaryExpressio
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqAdcDot =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "pq_adc_dot"
+}
+
+/** `pq_sdc_dot(table, codesA, codesB)` — symmetric distance computation
+  * (Jégou TPAMI 2011 §III): the pair score between TWO ENCODED vectors,
+  * Σⱼ table[(j·ksub + aⱼ)·ksub + bⱼ], where table is the m·ksub²
+  * codeword-dot table ((j·ksub+ka)·ksub+kb ↦ ⟨cwⱼₖₐ, cwⱼₖᵦ⟩,
+  * [[graft.operators.Pq.PqCodebook.sdcTable]]). Equals
+  * dot(reconstruction(A), reconstruction(B)) exactly, in O(m) lookups —
+  * pair scoring that never touches float vectors, the shape of
+  * encoded-corpus near-dup detection. Codes are ARRAY<TINYINT> or
+  * BINARY on either side independently; geometry mismatch, codes out of
+  * [0, ksub), or (when the array type admits them) NULL elements → NULL. */
+case class PqSdcDot(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  private def isCodes(dt: DataType): Boolean =
+    dt == BinaryType || dt == ArrayType(ByteType, containsNull = false) ||
+      dt == ArrayType(ByteType, containsNull = true)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!VectorMath.isVec(first.dataType) ||
+        VectorMath.elem(first.dataType) != DoubleType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName expects table: ARRAY<DOUBLE>, got ${first.dataType}")
+    else if (!isCodes(second.dataType) || !isCodes(third.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects codes: ARRAY<TINYINT> or BINARY, got ${second.dataType}, ${third.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  private lazy val tableMayHaveNulls = first.dataType.asInstanceOf[ArrayType].containsNull
+
+  private def codeAt(v: Any, dt: DataType): (Int, Int => Int) = dt match {
+    case BinaryType =>
+      val b = v.asInstanceOf[Array[Byte]]; (b.length, i => b(i).toInt)
+    case _ =>
+      val a = v.asInstanceOf[ArrayData]
+      (a.numElements(), { i: Int => if (a.isNullAt(i)) Int.MinValue else a.getByte(i).toInt })
+  }
+
+  override def nullSafeEval(t: Any, l: Any, r: Any): Any = {
+    val table = t.asInstanceOf[ArrayData]
+    val (m, aAt) = codeAt(l, second.dataType)
+    val (mb, bAt) = codeAt(r, third.dataType)
+    if (m == 0 || m != mb || table.numElements() % m != 0) return null
+    val k2 = table.numElements() / m
+    val ksub = math.sqrt(k2.toDouble).toInt
+    if (ksub * ksub != k2) return null
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      val ka = aAt(j); val kb = bAt(j)
+      if (ka < 0 || ka >= ksub || kb < 0 || kb >= ksub) return null
+      val idx = (j * ksub + ka) * ksub + kb
+      if (tableMayHaveNulls && table.isNullAt(idx)) return null
+      s += table.getDouble(idx)
+      j += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (table, ca, cb2) => {
+      val m = ctx.freshName("m"); val mb = ctx.freshName("mb")
+      val k2 = ctx.freshName("k2"); val ksub = ctx.freshName("ksub")
+      val j = ctx.freshName("j"); val ka = ctx.freshName("ka"); val kb = ctx.freshName("kb")
+      val idx = ctx.freshName("idx"); val s = ctx.freshName("s")
+      def lenOf(v: String, dt: DataType) =
+        if (dt == BinaryType) s"$v.length" else s"$v.numElements()"
+      def nullAt(v: String, dt: DataType, i: String) =
+        if (dt == BinaryType) "false" else s"$v.isNullAt($i)"
+      def getAt(v: String, dt: DataType, i: String) =
+        if (dt == BinaryType) s"(int) $v[$i]" else s"(int) $v.getByte($i)"
+      val tableNullCheck = if (tableMayHaveNulls)
+        s"if ($table.isNullAt($idx)) { ${ev.isNull} = true; break; }"
+      else ""
+      s"""
+         |final int $m = ${lenOf(ca, second.dataType)};
+         |final int $mb = ${lenOf(cb2, third.dataType)};
+         |if ($m == 0 || $m != $mb || $table.numElements() % $m != 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $k2 = $table.numElements() / $m;
+         |  final int $ksub = (int) java.lang.Math.sqrt((double) $k2);
+         |  if ($ksub * $ksub != $k2) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    double $s = 0.0;
+         |    for (int $j = 0; $j < $m; $j++) {
+         |      if (${nullAt(ca, second.dataType, j)} || ${nullAt(cb2, third.dataType, j)}) { ${ev.isNull} = true; break; }
+         |      final int $ka = ${getAt(ca, second.dataType, j)};
+         |      final int $kb = ${getAt(cb2, third.dataType, j)};
+         |      if ($ka < 0 || $ka >= $ksub || $kb < 0 || $kb >= $ksub) { ${ev.isNull} = true; break; }
+         |      final int $idx = ($j * $ksub + $ka) * $ksub + $kb;
+         |      $tableNullCheck
+         |      $s += $table.getDouble($idx);
+         |    }
+         |    if (!${ev.isNull}) ${ev.value} = $s;
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression, newSecond: Expression, newThird: Expression): PqSdcDot =
+    copy(first = newFirst, second = newSecond, third = newThird)
+  override def prettyName: String = "pq_sdc_dot"
 }

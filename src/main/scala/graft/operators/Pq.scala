@@ -54,6 +54,34 @@ object Pq {
       }
       out
     }
+    /** Codeword-dot table for SDC pair scoring, laid out
+      * ((j·ksub + ka)·ksub + kb) ↦ ⟨cwⱼₖₐ, cwⱼₖᵦ⟩ — m·ksub² doubles
+      * (KBs at any sane geometry), so `pq_sdc_dot(table, a, b)` scores a
+      * pair of ENCODED vectors in O(m) lookups: exactly
+      * dot(decode(a), decode(b)), float vectors never touched. */
+    def sdcTable: Array[Double] = {
+      val out = new Array[Double](m * ksub * ksub)
+      var j = 0
+      while (j < m) {
+        var ka = 0
+        while (ka < ksub) {
+          var kb = 0
+          while (kb < ksub) {
+            var s = 0.0
+            var t = 0
+            while (t < dsub) {
+              s += flat((j * ksub + ka) * dsub + t) * flat((j * ksub + kb) * dsub + t)
+              t += 1
+            }
+            out((j * ksub + ka) * ksub + kb) = s
+            kb += 1
+          }
+          ka += 1
+        }
+        j += 1
+      }
+      out
+    }
     /** Reconstruction of a code array (driver-side; tests/debug). */
     def decode(codes: Array[Byte]): Array[Double] = {
       val out = new Array[Double](dim)
@@ -312,6 +340,44 @@ object Pq {
       }
       (cid, mu.toSeq, muN2, lutMu.toSeq)
     }
+
+  /** Column helper: SDC pair score between two code columns — exactly
+    * dot(reconstruction(a), reconstruction(b)), O(m) lookups. */
+  def sdcDot(tableLit: Column, a: Column, b: Column): Column =
+    call_function("pq_sdc_dot", tableLit, a, b)
+
+  /**
+   * Embedding near-duplicate pairs over an ENCODED corpus (SDC): pairs
+   * within the same IVF cell whose approximate cosine — SDC dot over
+   * reconstruction norms — reaches `threshold`. The 100 TB dedup shape:
+   * candidate generation is cell-bucketed (Σ cell² pairs, never n²) and
+   * pair scoring reads m-byte codes only; the float embeddings are
+   * needed ONCE, at [[ivfPqEncode]] time. Same recall caveat as every
+   * bucketed near-dup path here ([[Similarity.embeddingNearDupPairs]],
+   * LSH): a pair split across cells is not a candidate — raise recall
+   * with more Lloyd iterations or fewer, larger cells.
+   * `corpusCodes` is [[ivfPqEncode]] output (cId, cent, codes); returns
+   * (idA, idB, cos).
+   */
+  def sdcNearDupPairsEncoded(corpusCodes: DataFrame, cb: PqCodebook,
+                             threshold: Double): DataFrame = {
+    reg(corpusCodes)
+    val tableLit = typedLit(cb.sdcTable.toSeq)
+    val nlutLit = typedLit(cb.normLut.toSeq)
+    val a = corpusCodes.select(col("cId").as("idA"), col("cent").as("__cent"),
+        col("codes").as("__ca"))
+      .withColumn("__na", sqrt(adcDot(nlutLit, col("__ca"))))
+    val b = corpusCodes.select(col("cId").as("idB"), col("cent").as("__cent"),
+        col("codes").as("__cb"))
+      .withColumn("__nb", sqrt(adcDot(nlutLit, col("__cb"))))
+    a.join(b, "__cent")
+      .filter(col("idA") < col("idB"))
+      .withColumn("cos", when(col("__na") * col("__nb") =!= 0.0,
+        sdcDot(tableLit, col("__ca"), col("__cb")) / (col("__na") * col("__nb")))
+        .otherwise(lit(null).cast("double")))
+      .filter(col("cos") >= threshold)
+      .select(col("idA"), col("idB"), col("cos"))
+  }
 
   /** Residual-IVFADC top-k (convenience: encodes the corpus inline). */
   def ivfPqTopKResidual(index: Similarity.IvfIndex, queries: DataFrame,

@@ -224,6 +224,60 @@ class PqSpec extends AnyFunSuite {
     assert(run(spark.read.parquet(dir + "/bin")) == expected)
   }
 
+  test("pq_sdc_dot == dot(decode(a), decode(b)) exactly; geometry/range -> NULL") {
+    val corpus = mkVecs(40, 16, seed = 101).toDF("id", "v")
+    val cb = Pq.train(corpus, "id", "v", dim = 16, m = 4, ksub = 8, iters = 1)
+    val codes = Pq.encodeCorpus(corpus, "id", "v", cb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1).toArray).toMap
+    val tableLit = typedLit(cb.sdcTable.toSeq)
+    val df = Seq((1L, codes(1L), codes(2L)), (2L, codes(3L), codes(7L)))
+      .toDF("pair", "a", "b")
+    val got = df.select($"pair", Pq.sdcDot(tableLit, $"a", $"b").as("s")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def direct(a: Array[Byte], b: Array[Byte]): Double = {
+      val (ra, rb) = (cb.decode(a), cb.decode(b))
+      // SDC sums per-subspace sub-dots; same association as the table build
+      a.indices.map(j => (0 until cb.dsub).map(t =>
+        ra(j * cb.dsub + t) * rb(j * cb.dsub + t)).sum).sum
+    }
+    assert(math.abs(got(1L) - direct(codes(1L), codes(2L))) < 1e-12)
+    assert(math.abs(got(2L) - direct(codes(3L), codes(7L))) < 1e-12)
+    // out-of-range code and length mismatch -> NULL (both code layouts)
+    val bad = Seq((Array(9.toByte, 0.toByte), Array(0.toByte, 0.toByte))).toDF("a", "b")
+    assert(bad.select(Pq.sdcDot(typedLit(Seq.fill(8)(1.0)), $"a", $"b")).head.isNullAt(0))
+    val mismatch = Seq((Array(0.toByte), Array(0.toByte, 0.toByte))).toDF("a", "b")
+    assert(mismatch.select(Pq.sdcDot(typedLit(Seq.fill(8)(1.0)), $"a", $"b")).head.isNullAt(0))
+    // BINARY codes accepted: same score as ARRAY<TINYINT>
+    import graft.functions.PqSdcDot
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    val tab = Literal.create(cb.sdcTable, ArrayType(DoubleType))
+    val asBin = PqSdcDot(tab,
+      Literal.create(codes(1L), BinaryType), Literal.create(codes(2L), BinaryType)).eval()
+    assert(math.abs(asBin.asInstanceOf[Double] - got(1L)) < 1e-12)
+  }
+
+  test("sdcNearDupPairsEncoded finds planted near-duplicates over codes alone") {
+    import graft.operators.Similarity
+    val rng = new scala.util.Random(111)
+    val base = (0 until 120).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+    // plant near-dups: ids 1000+i are tiny perturbations of ids i < 10
+    val dups = (0 until 10).map(i =>
+      ((1000 + i).toLong, base(i)._2.map(x => x + rng.nextGaussian().toFloat * 0.01f)))
+    val df = (base ++ dups).toDF("id", "v").cache()
+    val idx = Similarity.ivfBuild(df, "id", "v", nCentroids = 4, kmeansIters = 2)
+    val cb = Pq.train(df, "id", "v", dim = 16, m = 4, ksub = 16, iters = 2)
+    val pairs = Pq.sdcNearDupPairsEncoded(Pq.ivfPqEncode(idx, "id", "v", cb), cb, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a perturbed twin encodes to (near-)identical codes in the same
+    // cell, so every planted pair must surface
+    val found = (0 until 10).count(i => pairs.contains((i.toLong, (1000 + i).toLong)))
+    assert(found >= 9, s"only $found of 10 planted near-dup pairs found: $pairs")
+    // and random pairs must not flood in: planted pairs dominate
+    assert(pairs.size <= 30, s"too many spurious pairs: ${pairs.size}")
+    df.unpersist()
+  }
+
   test("residual IVFADC scores == cosine of (centroid + decoded residual), exactly") {
     import graft.operators.Similarity
     val corpus = mkVecs(50, 16, seed = 81).toDF("id", "v").cache()
