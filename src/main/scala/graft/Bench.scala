@@ -136,6 +136,12 @@ object Bench {
           pqIdx, ivfadcCodes, embB.filter(col("vec_id") < 20),
           "vec_id", "embedding", k = 3, pqCb, nProbe = 4))
       },
+      // encoded-corpus near-dup: every within-cell pair SDC-scored over
+      // m-byte codes — the dedup-throughput shape (candidate scoring
+      // dominates; on this near-uniform corpus the ≥0.9 filter keeps
+      // almost nothing, so the timing is pure pair-scoring cost)
+      "sdc_neardup" -> (() =>
+        noop(graft.operators.Pq.sdcNearDupPairsEncoded(ivfadcCodes, pqCb, 0.9))),
       "mice_1round" -> { () =>
         val base = li.select(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_linenumber"))
           .withColumn("l_discount",

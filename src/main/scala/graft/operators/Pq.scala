@@ -362,7 +362,14 @@ object Pq {
   def sdcNearDupPairsEncoded(corpusCodes: DataFrame, cb: PqCodebook,
                              threshold: Double): DataFrame = {
     reg(corpusCodes)
-    val tableLit = typedLit(cb.sdcTable.toSeq)
+    val spark = corpusCodes.sparkSession
+    import spark.implicits._
+    // the m·ksub² table rides as a 1-row broadcast JOIN, not a plan
+    // literal: at ksub=128 it is ~262k doubles, and a literal that size
+    // makes every Catalyst transform re-hash it — plan time dwarfed the
+    // actual scoring (2.5 s vs 0.3 s at sf0.1). As an attribute read
+    // straight from the broadcast row it costs nothing.
+    val tableDf = Seq(Tuple1(cb.sdcTable.toSeq)).toDF("__sdc")
     val nlutLit = typedLit(cb.normLut.toSeq)
     val a = corpusCodes.select(col("cId").as("idA"), col("cent").as("__cent"),
         col("codes").as("__ca"))
@@ -372,8 +379,9 @@ object Pq {
       .withColumn("__nb", sqrt(adcDot(nlutLit, col("__cb"))))
     a.join(b, "__cent")
       .filter(col("idA") < col("idB"))
+      .crossJoin(broadcast(tableDf))
       .withColumn("cos", when(col("__na") * col("__nb") =!= 0.0,
-        sdcDot(tableLit, col("__ca"), col("__cb")) / (col("__na") * col("__nb")))
+        sdcDot(col("__sdc"), col("__ca"), col("__cb")) / (col("__na") * col("__nb")))
         .otherwise(lit(null).cast("double")))
       .filter(col("cos") >= threshold)
       .select(col("idA"), col("idB"), col("cos"))
