@@ -42,20 +42,34 @@ object Bench {
     // at scale they live in parquet, not in a per-query recompute. The
     // timed entries are the recurring paths: the one-off encode pass
     // (pq_encode) and the search-many paths over the persisted codes
-    // (pq_topk / ivfadc_topk). Geometry m=16/ksub=128 is q57's pinned
-    // operating point (18× corpus-byte compression at IVF-flat-level
-    // recall).
-    val embB = Tables.load(spark, sfDir, "embeddings")
-    val pqCb = graft.operators.Pq.train(embB, "vec_id", "embedding",
-      dim = 64, m = 16, ksub = 128, iters = 2)
-    val pqIdx = graft.operators.Similarity.ivfBuild(embB, "vec_id", "embedding",
-      nCentroids = 16, kmeansIters = 2)
-    val pqCodes = graft.operators.Pq.encodeCorpus(embB, "vec_id", "embedding", pqCb)
-      .cache()
-    pqCodes.count()
-    val ivfadcCodes = graft.operators.Pq.ivfPqEncode(pqIdx, "vec_id", "embedding", pqCb)
-      .cache()
-    ivfadcCodes.count()
+    // (pq_topk / ivfadc_topk / sdc_neardup). Geometry m=16/ksub=128 is
+    // q57's pinned operating point (18× corpus-byte compression at
+    // IVF-flat-level recall). A setup failure must condemn ONLY the PQ
+    // entries (the per-query failure contract below), not abort the
+    // whole bench before any JSON is written.
+    case class PqSetup(embB: org.apache.spark.sql.DataFrame,
+                       cb: graft.operators.Pq.PqCodebook,
+                       idx: graft.operators.Similarity.IvfIndex,
+                       codes: org.apache.spark.sql.DataFrame,
+                       ivfadcCodes: org.apache.spark.sql.DataFrame)
+    val pqSetup: Either[Throwable, PqSetup] = try {
+      val embB = Tables.load(spark, sfDir, "embeddings")
+      val cb = graft.operators.Pq.train(embB, "vec_id", "embedding",
+        dim = 64, m = 16, ksub = 128, iters = 2)
+      val idx = graft.operators.Similarity.ivfBuild(embB, "vec_id", "embedding",
+        nCentroids = 16, kmeansIters = 2)
+      val codes = graft.operators.Pq.encodeCorpus(embB, "vec_id", "embedding", cb).cache()
+      codes.count()
+      val ivfadcCodes = graft.operators.Pq.ivfPqEncode(idx, "vec_id", "embedding", cb).cache()
+      ivfadcCodes.count()
+      Right(PqSetup(embB, cb, idx, codes, ivfadcCodes))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] PQ setup failed — PQ entries will report failed: $e")
+        Left(e)
+    }
+    def withPq(f: PqSetup => Unit): () => Unit =
+      () => pqSetup.fold(e => throw e, f)
 
     val benches: Seq[(String, () => Unit)] = Seq(
       "q01_pricing" -> (() => noop(SparkEntry.queries("q01_agg_pricing")(spark, sfDir))),
@@ -124,24 +138,22 @@ object Bench {
       // candidates to nProbe/16 of the corpus — the full
       // billion-vector composition, search side only (the encode /
       // assignment passes are the build-once artifacts above)
-      "pq_encode" -> (() =>
-        noop(graft.operators.Pq.encodeCorpus(embB, "vec_id", "embedding", pqCb))),
-      "pq_topk" -> { () =>
+      "pq_encode" -> withPq(p =>
+        noop(graft.operators.Pq.encodeCorpus(p.embB, "vec_id", "embedding", p.cb))),
+      "pq_topk" -> withPq(p =>
         noop(graft.operators.Pq.topKEncoded(
-          embB.filter(col("vec_id") < 20), pqCodes,
-          "vec_id", "embedding", "vec_id", "codes", k = 3, pqCb))
-      },
-      "ivfadc_topk" -> { () =>
+          p.embB.filter(col("vec_id") < 20), p.codes,
+          "vec_id", "embedding", "vec_id", "codes", k = 3, p.cb))),
+      "ivfadc_topk" -> withPq(p =>
         noop(graft.operators.Pq.ivfPqTopKEncoded(
-          pqIdx, ivfadcCodes, embB.filter(col("vec_id") < 20),
-          "vec_id", "embedding", k = 3, pqCb, nProbe = 4))
-      },
+          p.idx, p.ivfadcCodes, p.embB.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 3, p.cb, nProbe = 4))),
       // encoded-corpus near-dup: every within-cell pair SDC-scored over
       // m-byte codes — the dedup-throughput shape (candidate scoring
       // dominates; on this near-uniform corpus the ≥0.9 filter keeps
       // almost nothing, so the timing is pure pair-scoring cost)
-      "sdc_neardup" -> (() =>
-        noop(graft.operators.Pq.sdcNearDupPairsEncoded(ivfadcCodes, pqCb, 0.9))),
+      "sdc_neardup" -> withPq(p =>
+        noop(graft.operators.Pq.sdcNearDupPairsEncoded(p.ivfadcCodes, p.cb, 0.9))),
       "mice_1round" -> { () =>
         val base = li.select(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_linenumber"))
           .withColumn("l_discount",

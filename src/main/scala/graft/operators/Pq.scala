@@ -118,12 +118,19 @@ object Pq {
         abs(x.cast("double")) === lit(Double.PositiveInfinity))
 
   /** Guarded approximate cosine: NULL (sorts last under the `cos desc`
-    * rank) when either norm is 0 — a 0/0 would be NaN, which Spark
-    * orders ABOVE every real double and would rank degenerate rows
-    * first. */
-  private def adcCos(lutCol: Column, codes: Column, qn: Column, cn: Column): Column =
-    when(qn * cn =!= 0.0, adcDot(lutCol, codes) / (qn * cn))
+    * rank) when the denominator is 0 OR NaN — a 0/0 or x/NaN would be
+    * NaN, which Spark orders ABOVE every real double and would rank
+    * degenerate rows first (NaN denominators arise from NaN query
+    * vectors; `=!= 0.0` alone does not catch them because Spark
+    * evaluates NaN comparisons as ordered-largest). */
+  private def guardedCos(num: Column, qn: Column, cn: Column): Column = {
+    val denom = qn * cn
+    when(!isnan(denom) && denom =!= 0.0, num / denom)
       .otherwise(lit(null).cast("double"))
+  }
+
+  private def adcCos(lutCol: Column, codes: Column, qn: Column, cn: Column): Column =
+    guardedCos(adcDot(lutCol, codes), qn, cn)
 
   /**
    * Train per-subspace codebooks: seeded-sample init (ksub corpus
@@ -377,12 +384,14 @@ object Pq {
     val b = corpusCodes.select(col("cId").as("idB"), col("cent").as("__cent"),
         col("codes").as("__cb"))
       .withColumn("__nb", sqrt(adcDot(nlutLit, col("__cb"))))
+    // per-row norm work is duplicated across the two join sides (no
+    // shared subplan without a cache); negligible — pair scoring at
+    // Σ cell² pairs dominates the 2n per-row adcDots
     a.join(b, "__cent")
       .filter(col("idA") < col("idB"))
       .crossJoin(broadcast(tableDf))
-      .withColumn("cos", when(col("__na") * col("__nb") =!= 0.0,
-        sdcDot(col("__sdc"), col("__ca"), col("__cb")) / (col("__na") * col("__nb")))
-        .otherwise(lit(null).cast("double")))
+      .withColumn("cos", guardedCos(
+        sdcDot(col("__sdc"), col("__ca"), col("__cb")), col("__na"), col("__nb")))
       .filter(col("cos") >= threshold)
       .select(col("idA"), col("idB"), col("cos"))
   }
@@ -414,14 +423,17 @@ object Pq {
       .select(col("qId"), col("__cent"), col("__lut"), col("__qn"), col("__qmu"))
     val c = corpusCodes.select(col("cId"), col("cent").as("__cent"), col("codes").as("__codes"))
       .join(broadcast(aux.select(col("__cent"), col("__muN2"), col("__lutMu"))), "__cent")
-      .withColumn("__cn", sqrt(col("__muN2")
+      // ‖x̂‖² reassembled from three cancelling terms can round to a
+      // tiny NEGATIVE for near-zero reconstructions — sqrt would give
+      // NaN, which ranks FIRST; clamp at 0 so the degenerate row gets
+      // cn = 0 → NULL cos → sorts last, like every other path
+      .withColumn("__cn", sqrt(greatest(lit(0.0), col("__muN2")
         + lit(2.0) * adcDot(col("__lutMu"), col("__codes"))
-        + adcDot(nlutLit, col("__codes"))))
+        + adcDot(nlutLit, col("__codes")))))
     val joined = c.join(broadcast(q), "__cent")
     val scored = (if (excludeSelf) joined.filter(col("qId") =!= col("cId")) else joined)
-      .withColumn("cos", when(col("__qn") * col("__cn") =!= 0.0,
-        (col("__qmu") + adcDot(col("__lut"), col("__codes"))) / (col("__qn") * col("__cn")))
-        .otherwise(lit(null).cast("double")))
+      .withColumn("cos", guardedCos(
+        col("__qmu") + adcDot(col("__lut"), col("__codes")), col("__qn"), col("__cn")))
     Similarity.rankTopK(scored, k)
   }
 }

@@ -157,7 +157,16 @@ object Similarity {
     // bound: |x|·2²⁴·rowsPerCentroid must stay < 2⁶³ — at |x| ≤ 100
     // that is ~5×10¹² rows per centroid, far beyond any real shard.
     val FP = 1L << 24
+    // rows with a NULL/NaN/±Inf element are excluded from sampling AND
+    // the Lloyd sums (the Pq.train discipline): a NULL vector would NPE
+    // the sample decode, a NaN element casts to 0 in the fixed-point
+    // transform and an Inf to Long.MaxValue — silently poisoning a
+    // centroid that residual IVFADC then bakes into every score
+    def clean(c: Column): Column =
+      c.isNotNull && !exists(c, x => x.isNull || isnan(x.cast("double")) ||
+        abs(x.cast("double")) === lit(Double.PositiveInfinity))
     var cents = corpus.select(col(id), col(vec))
+      .where(clean(col(vec)))
       .withColumn("__r", xxhash64(col(id)))
       .orderBy(col("__r")).limit(nCentroids)
       .collect().zipWithIndex
@@ -167,6 +176,7 @@ object Similarity {
         i -> r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toArray }
     for (_ <- 1 to kmeansIters) {
       val means = corpus
+        .where(clean(col(vec)))
         // assignment in its OWN projection below the generate: a sibling
         // expression beside a generator lands in the Project ABOVE the
         // Generate and re-evaluates once per EXPLODED ELEMENT (dim× the
@@ -239,7 +249,15 @@ object Similarity {
   private[operators] def probeAssign(queries: DataFrame, qId: String, qVec: String,
                                      index: IvfIndex, nProbe: Int): DataFrame = {
     reg(queries)
+    val dim = index.centroids.headOption.map(_._2.length).getOrElse(0)
+    // degenerate queries (NULL vector, NULL element, wrong dimension)
+    // are DROPPED — explicitly, so both branches below agree: the
+    // native path's NULL lut would drop them via explode(NULL) while
+    // the HOF path would emit probes with a NULL d2, and the two must
+    // not differ by centroid count
     val base = queries.select(col(qId).as("qId"), col(qVec).as("__qv"))
+      .where(col("__qv").isNotNull && size(col("__qv")) === dim &&
+        !exists(col("__qv"), x => x.isNull))
     val probes =
       if (index.centroids.length <= 128) {
         val byId = index.centroids.sortBy(_._1)

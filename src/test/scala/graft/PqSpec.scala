@@ -138,6 +138,15 @@ class PqSpec extends AnyFunSuite {
       "degenerate row sorts last with NULL cos")
   }
 
+  test("NaN query vector yields NULL cos everywhere, never NaN (which would rank first)") {
+    val corpus = mkVecs(20, 8, seed = 121).toDF("id", "v")
+    val cb = Pq.train(corpus, "id", "v", dim = 8, m = 2, ksub = 4, iters = 1)
+    val nanQ = Seq((500L, Array.tabulate(8)(i => if (i == 2) Float.NaN else 1.0f)))
+      .toDF("id", "v")
+    val got = Pq.topK(nanQ, corpus, "id", "v", "id", "v", k = 3, cb).collect()
+    assert(got.forall(r => r.isNullAt(2)), s"NaN query must produce NULL cos: ${got.toSeq}")
+  }
+
   test("train ignores rows with NULL/NaN/Inf elements instead of poisoning the codebook") {
     val clean = mkVecs(100, 16, seed = 51)
     val poisoned = clean ++ Seq(
