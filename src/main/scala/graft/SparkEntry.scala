@@ -1054,6 +1054,28 @@ object SparkEntry {
         .select(col("idA"), col("idB"),
           graft.operators.Pq.sdcDot(tableLit, col("ca"), col("cb")).cast("bigint").as("sdc"))
         .orderBy(col("idA"), col("idB"))
+    },
+
+    // Semantic dedup over codes alone (SemDeDup shape): SDC pairs ≥
+    // threshold → transitive component collapse → min-id survivors.
+    // Exact-integer SDC and norms (the q55/q59 synthetic-codebook
+    // discipline) with the division replicated in the same IEEE order
+    // on both engines; threshold 0.55 probed: nearest pair cos sits
+    // 3.8e-4 away (no boundary risk) and the largest component has 7
+    // members (min-label propagation converges far under maxIters).
+    // DuckDB independently recomputes codes, reconstructions, pairs,
+    // and components (recursive CTE, the q50 pattern) — the whole
+    // pipeline checked end-to-end with zero frozen values.
+    "q60_semantic_dedup" -> { (s, dir) =>
+      Graft.register(s)
+      val cb = synthCb
+      val codes = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 300)
+        .select(col("vec_id").as("cId"), lit(0).as("cent"),
+          graft.operators.Pq.encode(
+            graft.operators.Quantize.quantizeInt8(col("embedding")).getField("q"), cb).as("codes"))
+      graft.operators.Pq.semanticDedupEncoded(codes, cb, 0.55)
+        .select(col("cId").as("vec_id"))
+        .orderBy(col("vec_id"))
     }
   )
 
@@ -1880,6 +1902,49 @@ object SparkEntry {
         |SELECT a.vec_id AS idA, b.vec_id AS idB,
         |       CAST(list_inner_product(a.recon, b.recon) AS BIGINT) AS sdc
         |FROM rec a JOIN rec b ON a.vec_id < b.vec_id
-        |ORDER BY idA, idB""".stripMargin
+        |ORDER BY idA, idB""".stripMargin,
+    // full pipeline recompute: q55 argmin codes → reconstructions →
+    // SDC cosine (identical IEEE sequence: int dot / (sqrt·sqrt)) →
+    // recursive-CTE components (q50 pattern) → min-id survivors
+    "q60_semantic_dedup" ->
+      """WITH RECURSIVE qz AS (
+        |  SELECT vec_id, list_transform(embedding, x ->
+        |    floor(x::DOUBLE * (CASE WHEN mx > 1e-300 THEN 127.0 / mx ELSE 0.0 END) + 0.5)) AS q
+        |  FROM (SELECT vec_id, embedding,
+        |               list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
+        |        FROM embeddings WHERE vec_id < 300)),
+        |d AS (
+        |  SELECT vec_id, j, k,
+        |         list_sum(list_transform(range(0, 8), t ->
+        |           (q[j*8 + t + 1] - (((k*5 + t*3 + j*2) % 17) - 8))
+        |           * (q[j*8 + t + 1] - (((k*5 + t*3 + j*2) % 17) - 8)))) AS d2
+        |  FROM qz, range(0, 8) js(j), range(0, 16) ks(k)),
+        |codes AS (
+        |  SELECT vec_id, j, k AS code FROM (
+        |    SELECT vec_id, j, k,
+        |           row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, k) AS rn
+        |    FROM d)
+        |  WHERE rn = 1),
+        |rec AS (
+        |  SELECT vec_id, flatten(list(sub ORDER BY j)) AS recon
+        |  FROM (SELECT vec_id, j, list_transform(range(0, 8), t ->
+        |          CAST(((code*5 + t*3 + j*2) % 17) - 8 AS DOUBLE)) AS sub
+        |        FROM codes)
+        |  GROUP BY vec_id),
+        |n2 AS (SELECT vec_id, recon, list_inner_product(recon, recon) AS na2 FROM rec),
+        |p AS (SELECT a.vec_id AS ida, b.vec_id AS idb
+        |      FROM n2 a JOIN n2 b ON a.vec_id < b.vec_id
+        |      WHERE list_inner_product(a.recon, b.recon)
+        |            / (sqrt(a.na2) * sqrt(b.na2)) >= 0.55),
+        |edges AS (SELECT ida AS src, idb AS dst FROM p
+        |          UNION SELECT idb, ida FROM p),
+        |reach(id, comp) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+        |c AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+        |SELECT vec_id FROM qz
+        |WHERE vec_id NOT IN (SELECT id FROM c WHERE id <> comp)
+        |ORDER BY vec_id""".stripMargin
   )
 }

@@ -396,6 +396,26 @@ object Pq {
       .select(col("idA"), col("idB"), col("cos"))
   }
 
+  /**
+   * Semantic deduplication over an ENCODED corpus (the SemDeDup shape,
+   * Abbas et al. 2023 — public method — composed from library pieces):
+   * SDC near-duplicate pairs within IVF cells → transitive
+   * connected-component collapse → keep one survivor (the min id) per
+   * component. The whole pipeline reads m-byte codes; float embeddings
+   * are touched exactly once, at [[ivfPqEncode]] time — at 100 TB the
+   * dedup pass runs over a corpus 18–32× smaller than the raw
+   * embedding column. Returns the SURVIVORS (cId) — every input id
+   * minus non-representative members of each near-dup component.
+   */
+  def semanticDedupEncoded(corpusCodes: DataFrame, cb: PqCodebook,
+                           threshold: Double): DataFrame = {
+    val pairs = sdcNearDupPairsEncoded(corpusCodes, cb, threshold)
+    val comps = Dedup.connectedComponents(pairs)
+    val drops = comps.filter(col("id") =!= col("component"))
+      .select(col("id").as("cId")).distinct()
+    corpusCodes.select(col("cId")).join(drops, Seq("cId"), "left_anti")
+  }
+
   /** Residual-IVFADC top-k (convenience: encodes the corpus inline). */
   def ivfPqTopKResidual(index: Similarity.IvfIndex, queries: DataFrame,
                         qId: String, qVec: String, cId: String, cVec: String,

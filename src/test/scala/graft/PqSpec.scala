@@ -287,6 +287,46 @@ class PqSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("semanticDedupEncoded: one survivor (min id) per transitive near-dup component") {
+    import graft.operators.Similarity
+    val rng = new scala.util.Random(131)
+    val base = (0 until 100).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+    // twins of ids < 8, and twins-of-twins: a CHAIN a~b~c that only a
+    // transitive collapse reduces to one survivor
+    val twins = (0 until 8).map(i =>
+      ((1000 + i).toLong, base(i)._2.map(x => x + rng.nextGaussian().toFloat * 0.005f)))
+    val chain = (0 until 8).map(i =>
+      ((2000 + i).toLong, twins(i)._2.map(x => x + rng.nextGaussian().toFloat * 0.005f)))
+    val df = (base ++ twins ++ chain).toDF("id", "v").cache()
+    val idx = Similarity.ivfBuild(df, "id", "v", nCentroids = 4, kmeansIters = 2)
+    val cb = Pq.train(df, "id", "v", dim = 16, m = 4, ksub = 16, iters = 2)
+    val encoded = Pq.ivfPqEncode(idx, "id", "v", cb).cache()
+    val cellOf = encoded.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val survivors = Pq.semanticDedupEncoded(encoded, cb, 0.95)
+      .collect().map(_.getLong(0)).toSet
+    // the min id of every component always survives, and no base row is
+    // falsely dropped (random 16-d pairs don't reach cos 0.95 after PQ
+    // reconstruction except by rare collision)
+    (0 until 8).foreach(i => assert(survivors.contains(i.toLong), s"min id $i must survive"))
+    assert((0 until 100).count(i => survivors.contains(i.toLong)) >= 99)
+    // the WITHIN-CELL contract: a planted dup may survive ONLY by the
+    // documented cell-boundary escape — it shares no IVF cell with any
+    // member of its chain (the scaladoc's recall caveat)
+    val escaped = (0 until 8).flatMap { i =>
+      val group = Seq(i.toLong, (1000 + i).toLong, (2000 + i).toLong)
+      group.tail.filter(survivors.contains).map(d => (d, group))
+    }
+    escaped.foreach { case (d, group) =>
+      val others = group.filterNot(_ == d)
+      assert(!others.exists(o => cellOf(o) == cellOf(d)),
+        s"dup $d survived while sharing cell ${cellOf(d)} with ${others.map(cellOf)}")
+    }
+    // escapes are the exception, not the rule
+    assert(escaped.size <= 4, s"too many boundary escapes: $escaped")
+    encoded.unpersist()
+    df.unpersist()
+  }
+
   test("residual IVFADC scores == cosine of (centroid + decoded residual), exactly") {
     import graft.operators.Similarity
     val corpus = mkVecs(50, 16, seed = 81).toDF("id", "v").cache()
