@@ -1076,6 +1076,28 @@ object SparkEntry {
       graft.operators.Pq.semanticDedupEncoded(codes, cb, 0.55)
         .select(col("cId").as("vec_id"))
         .orderBy(col("vec_id"))
+    },
+
+    // k-NN graph over codes (the clustering backbone): single cell so
+    // DuckDB's all-pairs recompute covers every candidate; ranked by
+    // the SDC cosine (bit-identical division on both engines), emitted
+    // as exact integers only — sdc numerator and rank, never the
+    // double.
+    "q61_knn_graph" -> { (s, dir) =>
+      Graft.register(s)
+      val cb = synthCb
+      val codes = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 60)
+        .select(col("vec_id").as("cId"), lit(0).as("cent"),
+          graft.operators.Pq.encode(
+            graft.operators.Quantize.quantizeInt8(col("embedding")).getField("q"), cb).as("codes"))
+      val graph = graft.operators.Pq.knnGraphEncoded(codes, cb, k = 3)
+      val withCodes = graph.join(codes.select(col("cId").as("qId"), col("codes").as("__qc")), "qId")
+        .join(codes.select(col("cId"), col("codes").as("__cc")), "cId")
+      val tableLit = typedLit(cb.sdcTable.toSeq)
+      withCodes.select(col("qId"), col("cId"),
+          graft.operators.Pq.sdcDot(tableLit, col("__qc"), col("__cc")).cast("bigint").as("sdc"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("qId"), col("rank"))
     }
   )
 
@@ -1945,6 +1967,44 @@ object SparkEntry {
         |c AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
         |SELECT vec_id FROM qz
         |WHERE vec_id NOT IN (SELECT id FROM c WHERE id <> comp)
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+    // all-pairs SDC cosine ranking recomputed natively; only exact
+    // integers emitted (sdc, rank); ranking doubles are bit-identical
+    // (same IEEE division sequence on both engines)
+    "q61_knn_graph" ->
+      """WITH qz AS (
+        |  SELECT vec_id, list_transform(embedding, x ->
+        |    floor(x::DOUBLE * (CASE WHEN mx > 1e-300 THEN 127.0 / mx ELSE 0.0 END) + 0.5)) AS q
+        |  FROM (SELECT vec_id, embedding,
+        |               list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
+        |        FROM embeddings WHERE vec_id < 60)),
+        |d AS (
+        |  SELECT vec_id, j, k,
+        |         list_sum(list_transform(range(0, 8), t ->
+        |           (q[j*8 + t + 1] - (((k*5 + t*3 + j*2) % 17) - 8))
+        |           * (q[j*8 + t + 1] - (((k*5 + t*3 + j*2) % 17) - 8)))) AS d2
+        |  FROM qz, range(0, 8) js(j), range(0, 16) ks(k)),
+        |codes AS (
+        |  SELECT vec_id, j, k AS code FROM (
+        |    SELECT vec_id, j, k,
+        |           row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, k) AS rn
+        |    FROM d)
+        |  WHERE rn = 1),
+        |rec AS (
+        |  SELECT vec_id, flatten(list(sub ORDER BY j)) AS recon
+        |  FROM (SELECT vec_id, j, list_transform(range(0, 8), t ->
+        |          CAST(((code*5 + t*3 + j*2) % 17) - 8 AS DOUBLE)) AS sub
+        |        FROM codes)
+        |  GROUP BY vec_id),
+        |n2 AS (SELECT vec_id, recon, list_inner_product(recon, recon) AS na2 FROM rec),
+        |scored AS (
+        |  SELECT a.vec_id AS qId, b.vec_id AS cId,
+        |         CAST(list_inner_product(a.recon, b.recon) AS BIGINT) AS sdc,
+        |         row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |           list_inner_product(a.recon, b.recon)
+        |             / (sqrt(a.na2) * sqrt(b.na2)) DESC, b.vec_id) AS rank
+        |  FROM n2 a JOIN n2 b ON a.vec_id <> b.vec_id)
+        |SELECT qId, cId, sdc, rank FROM scored
+        |WHERE rank <= 3 ORDER BY qId, rank""".stripMargin
   )
 }

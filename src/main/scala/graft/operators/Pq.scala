@@ -397,6 +397,36 @@ object Pq {
   }
 
   /**
+   * k-NN graph over an ENCODED corpus: for every vector, its k nearest
+   * same-cell neighbors by SDC cosine — the candidate-generation
+   * backbone of clustering / SemDeDup-style pipelines, reading m-byte
+   * codes only. Candidate cost is Σ cell² pairs (never n²); neighbors
+   * in other cells are not candidates (the standard bucketed-recall
+   * trade — more Lloyd iterations or fewer cells raise recall).
+   * `corpusCodes` is [[ivfPqEncode]] output; returns (qId, cId, cos,
+   * rank) with rank ≤ k per qId.
+   */
+  def knnGraphEncoded(corpusCodes: DataFrame, cb: PqCodebook, k: Int): DataFrame = {
+    reg(corpusCodes)
+    val spark = corpusCodes.sparkSession
+    import spark.implicits._
+    val tableDf = Seq(Tuple1(cb.sdcTable.toSeq)).toDF("__sdc")
+    val nlutLit = typedLit(cb.normLut.toSeq)
+    val a = corpusCodes.select(col("cId").as("qId"), col("cent").as("__cent"),
+        col("codes").as("__ca"))
+      .withColumn("__na", sqrt(adcDot(nlutLit, col("__ca"))))
+    val b = corpusCodes.select(col("cId"), col("cent").as("__cent"),
+        col("codes").as("__cb"))
+      .withColumn("__nb", sqrt(adcDot(nlutLit, col("__cb"))))
+    val scored = a.join(b, "__cent")
+      .filter(col("qId") =!= col("cId"))
+      .crossJoin(broadcast(tableDf))
+      .withColumn("cos", guardedCos(
+        sdcDot(col("__sdc"), col("__ca"), col("__cb")), col("__na"), col("__nb")))
+    Similarity.rankTopK(scored, k)
+  }
+
+  /**
    * Semantic deduplication over an ENCODED corpus (the SemDeDup shape,
    * Abbas et al. 2023 — public method — composed from library pieces):
    * SDC near-duplicate pairs within IVF cells → transitive

@@ -287,6 +287,33 @@ class PqSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("knnGraphEncoded matches a driver-side recompute over reconstructions") {
+    import graft.operators.Similarity
+    val corpus = mkVecs(60, 16, seed = 141).toDF("id", "v").cache()
+    val idx = Similarity.ivfBuild(corpus, "id", "v", nCentroids = 3, kmeansIters = 1)
+    val cb = Pq.train(corpus, "id", "v", dim = 16, m = 4, ksub = 8, iters = 1)
+    val encoded = Pq.ivfPqEncode(idx, "id", "v", cb).cache()
+    val got = Pq.knnGraphEncoded(encoded, cb, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    // driver ground truth: same-cell pairs ranked by cosine of the
+    // reconstructions (same division, ties by cId)
+    val rows = encoded.collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Byte](2).toArray))
+    def cos(a: Array[Byte], b: Array[Byte]): Double = {
+      val (ra, rb) = (cb.decode(a), cb.decode(b))
+      val dot = ra.indices.map(i => ra(i) * rb(i)).sum
+      dot / (math.sqrt(ra.map(x => x * x).sum) * math.sqrt(rb.map(x => x * x).sum))
+    }
+    for ((qid, cell, qc) <- rows) {
+      val expected = rows.filter(r => r._2 == cell && r._1 != qid)
+        .map { case (cid, _, cc) => (cid, cos(qc, cc)) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(3).map(_._1)
+      expected.zipWithIndex.foreach { case (cid, i) =>
+        assert(got((qid, i + 1)) == cid, s"q=$qid rank=${i + 1}")
+      }
+    }
+    encoded.unpersist(); corpus.unpersist()
+  }
+
   test("semanticDedupEncoded: one survivor (min id) per transitive near-dup component") {
     import graft.operators.Similarity
     val rng = new scala.util.Random(131)
