@@ -108,6 +108,34 @@ object ScaleProbe {
       corpus.unpersist()
     }
 
+    // --- SDC dedup over codes: corpus 2k → 32k vectors ---
+    // pair cost is Σ cell² — with cells tracking corpus/nCentroids the
+    // candidate count grows ~n²/nCentroids, so the lever at scale is
+    // nCentroids ∝ n (constant cell size keeps the per-cell quadratic
+    // bounded); the probe scales cells with the corpus (capped at the
+    // 128-centroid native-assignment bound) so wall-clock tracks the
+    // PAIR count, not n²
+    for (k <- Seq(1, 4, 16)) {
+      val corpus = (0 until k).map(i =>
+        emb.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("embedding"))
+      ).reduce(_ unionByName _).cache()
+      corpus.count()
+      val idx = graft.operators.Similarity.ivfBuild(corpus, "vec_id", "embedding",
+        nCentroids = math.min(128, 16 * k), kmeansIters = 0)
+      val cb = graft.operators.Pq.train(corpus, "vec_id", "embedding",
+        dim = 64, m = 16, ksub = 128, iters = 1)
+      val encoded = graft.operators.Pq.ivfPqEncode(idx, "vec_id", "embedding", cb).cache()
+      encoded.count()
+      time(s"sdc neardup x$k (${nEmb * k} vectors, ${math.min(128, 16 * k)} cells)") {
+        graft.operators.Pq.sdcNearDupPairsEncoded(encoded, cb, 0.9).count()
+      }
+      time(s"knn graph x$k (${nEmb * k} vectors, ${math.min(128, 16 * k)} cells)") {
+        graft.operators.Pq.knnGraphEncoded(encoded, cb, k = 3).count()
+      }
+      encoded.unpersist()
+      corpus.unpersist()
+    }
+
     // --- asof join: 100k → 1.6M events ---
     // one shuffle + per-partition sort: wall-clock should track the sort
     val evSchema = org.apache.spark.sql.types.StructType(Seq(
