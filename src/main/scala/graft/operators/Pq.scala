@@ -367,33 +367,41 @@ object Pq {
    * (idA, idB, cos).
    */
   def sdcNearDupPairsEncoded(corpusCodes: DataFrame, cb: PqCodebook,
-                             threshold: Double): DataFrame = {
+                             threshold: Double): DataFrame =
+    sdcScoredPairs(corpusCodes, cb, "idA", col("idA") < col("cId"))
+      .filter(col("cos") >= threshold)
+      .select(col("idA"), col("cId").as("idB"), col("cos"))
+
+  /** Shared SDC scaffold for the encoded-corpus pair operators: every
+    * same-cell pair of `corpusCodes` ([[ivfPqEncode]] output), scored
+    * by SDC cosine as (leftId, cId, cos, …). The m·ksub² table rides as
+    * a 1-row broadcast JOIN, not a plan literal: at ksub=128 it is
+    * ~262k doubles, and a literal that size makes every Catalyst
+    * transform re-hash it — plan time dwarfed the actual scoring
+    * (2.5 s vs 0.3 s at sf0.1). As an attribute read straight from the
+    * broadcast row it costs nothing. Per-row norm work is duplicated
+    * across the two join sides (no shared subplan without a cache);
+    * negligible — pair scoring at Σ cell² pairs dominates the 2n
+    * per-row adcDots. */
+  private def sdcScoredPairs(corpusCodes: DataFrame, cb: PqCodebook,
+                             leftId: String,
+                             pairFilter: Column): DataFrame = {
     reg(corpusCodes)
     val spark = corpusCodes.sparkSession
     import spark.implicits._
-    // the m·ksub² table rides as a 1-row broadcast JOIN, not a plan
-    // literal: at ksub=128 it is ~262k doubles, and a literal that size
-    // makes every Catalyst transform re-hash it — plan time dwarfed the
-    // actual scoring (2.5 s vs 0.3 s at sf0.1). As an attribute read
-    // straight from the broadcast row it costs nothing.
     val tableDf = Seq(Tuple1(cb.sdcTable.toSeq)).toDF("__sdc")
     val nlutLit = typedLit(cb.normLut.toSeq)
-    val a = corpusCodes.select(col("cId").as("idA"), col("cent").as("__cent"),
+    val a = corpusCodes.select(col("cId").as(leftId), col("cent").as("__cent"),
         col("codes").as("__ca"))
       .withColumn("__na", sqrt(adcDot(nlutLit, col("__ca"))))
-    val b = corpusCodes.select(col("cId").as("idB"), col("cent").as("__cent"),
+    val b = corpusCodes.select(col("cId").as("cId"), col("cent").as("__cent"),
         col("codes").as("__cb"))
       .withColumn("__nb", sqrt(adcDot(nlutLit, col("__cb"))))
-    // per-row norm work is duplicated across the two join sides (no
-    // shared subplan without a cache); negligible — pair scoring at
-    // Σ cell² pairs dominates the 2n per-row adcDots
     a.join(b, "__cent")
-      .filter(col("idA") < col("idB"))
+      .filter(pairFilter)
       .crossJoin(broadcast(tableDf))
       .withColumn("cos", guardedCos(
         sdcDot(col("__sdc"), col("__ca"), col("__cb")), col("__na"), col("__nb")))
-      .filter(col("cos") >= threshold)
-      .select(col("idA"), col("idB"), col("cos"))
   }
 
   /**
@@ -406,25 +414,9 @@ object Pq {
    * `corpusCodes` is [[ivfPqEncode]] output; returns (qId, cId, cos,
    * rank) with rank ≤ k per qId.
    */
-  def knnGraphEncoded(corpusCodes: DataFrame, cb: PqCodebook, k: Int): DataFrame = {
-    reg(corpusCodes)
-    val spark = corpusCodes.sparkSession
-    import spark.implicits._
-    val tableDf = Seq(Tuple1(cb.sdcTable.toSeq)).toDF("__sdc")
-    val nlutLit = typedLit(cb.normLut.toSeq)
-    val a = corpusCodes.select(col("cId").as("qId"), col("cent").as("__cent"),
-        col("codes").as("__ca"))
-      .withColumn("__na", sqrt(adcDot(nlutLit, col("__ca"))))
-    val b = corpusCodes.select(col("cId"), col("cent").as("__cent"),
-        col("codes").as("__cb"))
-      .withColumn("__nb", sqrt(adcDot(nlutLit, col("__cb"))))
-    val scored = a.join(b, "__cent")
-      .filter(col("qId") =!= col("cId"))
-      .crossJoin(broadcast(tableDf))
-      .withColumn("cos", guardedCos(
-        sdcDot(col("__sdc"), col("__ca"), col("__cb")), col("__na"), col("__nb")))
-    Similarity.rankTopK(scored, k)
-  }
+  def knnGraphEncoded(corpusCodes: DataFrame, cb: PqCodebook, k: Int): DataFrame =
+    Similarity.rankTopK(
+      sdcScoredPairs(corpusCodes, cb, "qId", col("qId") =!= col("cId")), k)
 
   /**
    * Semantic deduplication over an ENCODED corpus (the SemDeDup shape,
@@ -434,8 +426,10 @@ object Pq {
    * component. The whole pipeline reads m-byte codes; float embeddings
    * are touched exactly once, at [[ivfPqEncode]] time — at 100 TB the
    * dedup pass runs over a corpus 18–32× smaller than the raw
-   * embedding column. Returns the SURVIVORS (cId) — every input id
-   * minus non-representative members of each near-dup component.
+   * embedding column. Returns the SURVIVING input rows — (cId, cent,
+   * codes), so the deduped corpus chains straight into
+   * [[knnGraphEncoded]]/[[ivfPqTopKEncoded]] without re-joining the
+   * original (the Dedup.dedupNear convention).
    */
   def semanticDedupEncoded(corpusCodes: DataFrame, cb: PqCodebook,
                            threshold: Double): DataFrame = {
@@ -443,7 +437,7 @@ object Pq {
     val comps = Dedup.connectedComponents(pairs)
     val drops = comps.filter(col("id") =!= col("component"))
       .select(col("id").as("cId")).distinct()
-    corpusCodes.select(col("cId")).join(drops, Seq("cId"), "left_anti")
+    corpusCodes.join(drops, Seq("cId"), "left_anti")
   }
 
   /** Residual-IVFADC top-k (convenience: encodes the corpus inline). */

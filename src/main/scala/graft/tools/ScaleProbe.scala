@@ -120,16 +120,17 @@ object ScaleProbe {
         emb.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("embedding"))
       ).reduce(_ unionByName _).cache()
       corpus.count()
+      val nCells = math.min(128, 16 * k)
       val idx = graft.operators.Similarity.ivfBuild(corpus, "vec_id", "embedding",
-        nCentroids = math.min(128, 16 * k), kmeansIters = 0)
+        nCentroids = nCells, kmeansIters = 0)
       val cb = graft.operators.Pq.train(corpus, "vec_id", "embedding",
         dim = 64, m = 16, ksub = 128, iters = 1)
       val encoded = graft.operators.Pq.ivfPqEncode(idx, "vec_id", "embedding", cb).cache()
       encoded.count()
-      time(s"sdc neardup x$k (${nEmb * k} vectors, ${math.min(128, 16 * k)} cells)") {
+      time(s"sdc neardup x$k (${nEmb * k} vectors, $nCells cells)") {
         graft.operators.Pq.sdcNearDupPairsEncoded(encoded, cb, 0.9).count()
       }
-      time(s"knn graph x$k (${nEmb * k} vectors, ${math.min(128, 16 * k)} cells)") {
+      time(s"knn graph x$k (${nEmb * k} vectors, $nCells cells)") {
         graft.operators.Pq.knnGraphEncoded(encoded, cb, k = 3).count()
       }
       encoded.unpersist()

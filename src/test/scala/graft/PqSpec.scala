@@ -299,9 +299,14 @@ class PqSpec extends AnyFunSuite {
     // reconstructions (same division, ties by cId)
     val rows = encoded.collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Byte](2).toArray))
     def cos(a: Array[Byte], b: Array[Byte]): Double = {
+      // same per-subspace association as the kernel (sdcTable/normLut
+      // partial sums): a flat left-to-right sum differs by ~1 ulp and
+      // could flip an exact-rank assertion on a near-tie
       val (ra, rb) = (cb.decode(a), cb.decode(b))
-      val dot = ra.indices.map(i => ra(i) * rb(i)).sum
-      dot / (math.sqrt(ra.map(x => x * x).sum) * math.sqrt(rb.map(x => x * x).sum))
+      def subSums(x: Array[Double], y: Array[Double]): Double =
+        (0 until cb.m).map(j => (0 until cb.dsub).map(t =>
+          x(j * cb.dsub + t) * y(j * cb.dsub + t)).sum).sum
+      subSums(ra, rb) / (math.sqrt(subSums(ra, ra)) * math.sqrt(subSums(rb, rb)))
     }
     for ((qid, cell, qc) <- rows) {
       val expected = rows.filter(r => r._2 == cell && r._1 != qid)
