@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions.call_function
  *  - `to_cofactor(cols…)` / `to_nb_agg(cols…)` per-row lift
  *  - `sum_triple(triple)` / `sum_nb_agg(nbagg)` aggregate over lifted rows
  *  - `multiply_triple(a, b)` / `multiply_nb_agg(a, b)` ring product
+ *
+ * Text/similarity kernels (all native codegen'd expressions):
+ * `simhash64`, `shingle_hashes`, `minhash_signature` / `minhash_bands` /
+ * `minhash_prepare`, `repetition_score`; vector math `dot_product`,
+ * `vector_norm`, `cosine_similarity`, `vector_sub`, `quantize_int8`;
+ * product quantization `pq_encode`, `pq_lut`, `pq_adc_dot`,
+ * `pq_sdc_dot`; and the reference's SQL ML surface (`lda_train`,
+ * `linreg_train`, `qda_train`, `nb_train` + the matching `*_predict`s).
  */
 object Graft {
 
