@@ -16,11 +16,13 @@ import scala.util.control.NonFatal
  * AUDIO decode/metadata are REAL (JDK javax.sound.sampled: WAV/AIFF/AU
  * PCM) — no external codecs required for either. VIDEO container
  * METADATA (format/dimensions/duration) is REAL via [[VideoMeta]]'s
- * pure-JVM MP4/AVI chunk walk; only video frame DECODE is STUBBED with
- * a deterministic hash-derived transform, because no video codec ships
- * with the JDK — swapping [[StubDecoder]] for a real one (JNI ffmpeg,
- * or an Arrow-batched Python worker à la `mapInPandas`) changes no
- * plan shape.
+ * pure-JVM MP4/AVI chunk walk, and video frame DECODE is REAL for
+ * MJPEG-in-AVI ([[VideoMeta.mjpegFrames]] + [[MjpegVideoDecoder]] —
+ * each movi chunk is a complete JPEG the JDK decodes); only OTHER
+ * video codecs (H.264 etc., which no bare JVM can decode) remain
+ * STUBBED with [[StubDecoder]]'s deterministic hash-derived transform —
+ * swapping it for a real one (JNI ffmpeg, or an Arrow-batched Python
+ * worker à la `mapInPandas`) changes no plan shape.
  */
 object Multimodal {
 
@@ -348,6 +350,52 @@ object Multimodal {
       result
     }
 
+    /**
+     * REAL video frame extraction for MJPEG-in-AVI — the one video
+     * codec a bare JVM can decode, because every `##dc`/`##db` movi
+     * chunk is a complete JPEG image (ImageIO's jpeg reader). Returns
+     * up to `maxFrames` raw JPEG payloads, evenly strided across the
+     * chunk sequence so a long clip samples its whole duration; any
+     * other codec yields Nil (no JDK decoder exists — that surface
+     * remains the documented stub). Corrupt/truncated containers
+     * degrade to Nil, never throw.
+     */
+    def mjpegFrames(b: Array[Byte], maxFrames: Int): Seq[Array[Byte]] = {
+      if (b == null || b.length < 12 || maxFrames <= 0 ||
+          fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ") return Nil
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      val maxDepth = 32
+      def walk(from: Int, to: Int, depth: Int, inMovi: Boolean): Unit = {
+        var o = from
+        while (o + 8 <= to) {
+          val id = fourcc(b, o)
+          val size = le32(b, o + 4)
+          if (size < 0 || size > Int.MaxValue) return
+          val pFrom = o + 8
+          val pTo = math.min(pFrom + size, to.toLong).toInt
+          if (pTo < pFrom) return
+          if (id == "LIST" && pTo - pFrom >= 4 && depth < maxDepth)
+            walk(pFrom + 4, pTo, depth + 1, inMovi || fourcc(b, pFrom) == "movi")
+          else if (inMovi && id.length == 4 && id(0).isDigit && id(1).isDigit &&
+                   (id.endsWith("dc") || id.endsWith("db")) &&
+                   pTo - pFrom >= 2 &&
+                   (b(pFrom) & 0xff) == 0xff && (b(pFrom + 1) & 0xff) == 0xd8)
+            frames += ((pFrom, pTo - pFrom))
+          o = pFrom + size.toInt + (size.toInt & 1) // RIFF chunks are word-aligned
+        }
+      }
+      try walk(12, b.length, 0, inMovi = false) catch { case NonFatal(_) => return Nil }
+      if (frames.isEmpty) Nil
+      else {
+        val n = math.min(maxFrames, frames.length)
+        (0 until n).map { i =>
+          val idx = if (n == 1) 0 else (i.toLong * (frames.length - 1) / (n - 1)).toInt
+          val (f, len) = frames(idx)
+          java.util.Arrays.copyOfRange(b, f, f + len)
+        }
+      }
+    }
+
     /** (format, width, height, duration_ms), or (null, -1, -1, -1). */
     def meta(bytes: Array[Byte]): (String, Int, Int, Long) = {
       if (bytes == null || bytes.length < 12) return (null, -1, -1, -1L)
@@ -361,6 +409,50 @@ object Multimodal {
         else (null, -1, -1, -1L)
       } catch { case NonFatal(_) => (null, -1, -1, -1L) }
     }
+  }
+
+  /**
+   * REAL video decode for MJPEG-in-AVI payloads: up to `framesPerClip`
+   * frames are extracted ([[VideoMeta.mjpegFrames]]), each decoded by
+   * the real [[ImageDecoder]], and the per-frame feature vectors are
+   * AVERAGED — the standard clip-level pooling. Non-MJPEG payloads (no
+   * JDK codec) yield the zero vector, mirroring ImageDecoder's
+   * undecodable convention; [[StubDecoder]] remains the documented
+   * stand-in for pipelines that need nonzero placeholders there.
+   */
+  class MjpegVideoDecoder(framesPerClip: Int = 4) extends Decoder {
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val frames = VideoMeta.mjpegFrames(bytes, framesPerClip)
+      if (frames.isEmpty) return new Array[Float](dim)
+      val acc = new Array[Float](dim)
+      frames.foreach { f =>
+        val v = ImageDecoder.features(f, dim)
+        var i = 0
+        while (i < dim) { acc(i) += v(i); i += 1 }
+      }
+      var i = 0
+      while (i < dim) { acc(i) /= frames.length; i += 1 }
+      acc
+    }
+  }
+  object MjpegVideoDecoder extends MjpegVideoDecoder(4)
+
+  /** Batched REAL frame extraction over a BINARY column of MJPEG-AVI
+    * clips (mapPartitions, the [[extractFeatures]] no-shuffle shape):
+    * appends `outputCol ARRAY<BINARY>` of decodable JPEG frame
+    * payloads — empty array for other codecs, null for null payloads. */
+  def sampleRealFrames(df: DataFrame, binCol: String, n: Int,
+                       outputCol: String = "frames"): DataFrame = {
+    val schema = df.schema.add(outputCol, ArrayType(BinaryType, containsNull = false))
+    val idx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        Row.fromSeq(r.toSeq :+
+          (if (bytes == null) null else VideoMeta.mjpegFrames(bytes, n)))
+      }
+    }(enc)
   }
 
   /** Batched real image resize over a BINARY column (mapPartitions, same

@@ -773,6 +773,66 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.VideoMeta.meta("not a video at all".getBytes) == (null, -1, -1, -1L))
     assert(Multimodal.VideoMeta.meta(mp4.take(10)) == (null, -1, -1, -1L))
     assert(Multimodal.VideoMeta.meta(null) == (null, -1, -1, -1L))
+
+    // --- REAL frame decode: MJPEG-in-AVI (movi chunks are JPEGs) ---
+    def jpegOf(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val c = ByteBuffer.allocate(8 + payload.length + (payload.length & 1))
+        .order(ByteOrder.LITTLE_ENDIAN)
+      c.put(id.getBytes("US-ASCII")).putInt(payload.length).put(payload)
+      c.array() // trailing pad byte for odd sizes is already zeroed
+    }
+    def list(typ: String, children: Array[Byte]): Array[Byte] = {
+      val c = ByteBuffer.allocate(12 + children.length).order(ByteOrder.LITTLE_ENDIAN)
+      c.put("LIST".getBytes("US-ASCII")).putInt(4 + children.length)
+        .put(typ.getBytes("US-ASCII")).put(children)
+      c.array()
+    }
+    val jpegs = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff, 0x000000).map(jpegOf)
+    val movi = list("movi", jpegs.map(chunk("00dc", _)).reduce(_ ++ _))
+    val mjpeg = {
+      val body = hdrl ++ movi
+      val c = ByteBuffer.allocate(12 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+      c.put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+        .put("AVI ".getBytes("US-ASCII")).put(body)
+      c.array()
+    }
+    // metadata still parses; frames come back as decodable JPEGs with
+    // an even stride (5 frames, ask 3 → chunks 0, 2, 4)
+    assert(Multimodal.VideoMeta.meta(mjpeg) == ("avi", 320, 240, 9999L), "mjpeg avi meta")
+    val frames = Multimodal.VideoMeta.mjpegFrames(mjpeg, 3)
+    assert(frames.length == 3, s"got ${frames.length} frames")
+    assert(frames.map(f => Multimodal.ImageDecoder.meta(f)) ==
+      Seq(("jpeg", 8, 8), ("jpeg", 8, 8), ("jpeg", 8, 8)))
+    // stride hits first and last: red-ish first frame, black-ish last
+    val lumas = frames.map(f => Multimodal.ImageDecoder.features(f, 1)(0))
+    assert(lumas.head > lumas.last, s"stride should span red..black: $lumas")
+    // clip-level decoder: mean of per-frame REAL features, nonzero
+    val clipFeats = Multimodal.MjpegVideoDecoder.features(mjpeg, 4)
+    assert(clipFeats.exists(_ != 0.0f), "real decode must produce nonzero features")
+    // non-MJPEG AVI (no movi JPEGs) and hostile payloads yield Nil/zeros
+    assert(Multimodal.VideoMeta.mjpegFrames(avi, 3).isEmpty)
+    assert(Multimodal.VideoMeta.mjpegFrames(mp4, 3).isEmpty)
+    assert(Multimodal.VideoMeta.mjpegFrames(mjpeg.take(40), 3).isEmpty)
+    assert(Multimodal.VideoMeta.mjpegFrames(null, 3).isEmpty)
+    assert(Multimodal.MjpegVideoDecoder.features(mp4, 4).forall(_ == 0.0f))
+    // DataFrame path: batched no-shuffle frame extraction
+    locally {
+      val sq = spark
+      import sq.implicits._
+      val df = Seq((1L, mjpeg), (2L, mp4), (3L, null.asInstanceOf[Array[Byte]]))
+        .toDF("id", "clip")
+      val got = Multimodal.sampleRealFrames(df, "clip", n = 2)
+        .select($"id", size($"frames").as("n")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+      assert(got == Map(1L -> 2, 2L -> 0, 3L -> -1), s"got $got") // null clip → null frames
+    }
     // corrupt size field must not throw or loop
     val corrupt = mp4.clone(); corrupt(0) = 0x7f.toByte
     Multimodal.VideoMeta.meta(corrupt)
