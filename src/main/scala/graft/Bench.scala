@@ -195,39 +195,92 @@ object Bench {
     def spread(xs: Seq[Double]): Double =
       if (xs.max - xs.min < absFloor) 0.0
       else (xs.max - xs.min) / math.max(median(xs), 1e-9)
-    val results = benches.map { case (name, fn) =>
-      var failed = false
-      def pass(): Double = {
-        val t0 = System.nanoTime()
-        try { fn() } catch { case e: Throwable => failed = true; System.err.println(s"[bench] $name: $e") }
-        (System.nanoTime() - t0) / 1e9
+    def timeSuite(suite: Seq[(String, () => Unit)]): Seq[(String, Double, Boolean, Boolean)] =
+      suite.map { case (name, fn) =>
+        var failed = false
+        def pass(): Double = {
+          val t0 = System.nanoTime()
+          try { fn() } catch { case e: Throwable => failed = true; System.err.println(s"[bench] $name: $e") }
+          (System.nanoTime() - t0) / 1e9
+        }
+        // the first pass pays per-query JIT/codegen; steady-state is what
+        // scales to a long-lived cluster, so warmup passes are discarded —
+        // including a transient warmup failure, which must not condemn a
+        // query whose timed passes all succeed
+        val warm = (1 to warmups).map(_ => pass())
+        failed = false
+        var times = Vector.empty[Double]
+        // short-circuit on a timed-pass failure: re-running a broken query
+        // pays full execution up to the throw for no information
+        while (!failed && times.size < maxReps
+               && (times.size < reps || spread(times) > tolerance)) {
+          times :+= pass()
+        }
+        val noisy = !failed && spread(times) > tolerance
+        if (failed)
+          System.err.println(s"[bench] $name: FAILED — a pass threw; result marked broken, not timed")
+        else if (noisy)
+          System.err.println(f"[bench] $name: UNSTABLE after ${times.size} passes — " +
+            f"spread ${spread(times) * 100}%.0f%% over $times (machine under load?)")
+        else
+          System.err.println(f"[bench] $name: ${median(times)}%.3f s median of ${times.size} " +
+            f"(warmup ${warm.map(t => f"$t%.2f").mkString(",")})")
+        // a failed query must be impossible to mistake for a fast one: its
+        // value is -1 and it is excluded from the total
+        (name, if (failed) -1.0 else median(times), noisy, failed)
       }
-      // the first pass pays per-query JIT/codegen; steady-state is what
-      // scales to a long-lived cluster, so warmup passes are discarded —
-      // including a transient warmup failure, which must not condemn a
-      // query whose timed passes all succeed
-      val warm = (1 to warmups).map(_ => pass())
-      failed = false
-      var times = Vector.empty[Double]
-      // short-circuit on a timed-pass failure: re-running a broken query
-      // pays full execution up to the throw for no information
-      while (!failed && times.size < maxReps
-             && (times.size < reps || spread(times) > tolerance)) {
-        times :+= pass()
+    val results = timeSuite(benches)
+
+    // sf1 tier (~10× the default bench data: 6M-row lineitem, 50k docs,
+    // 32k vectors — tools/gen_sf1.py): the DuckDB-comparable headline
+    // families at a scale factor where per-action scheduling overhead
+    // (~0.3 s) stops dominating and THROUGHPUT decides the number — the
+    // scale the 2×-of-baseline target is actually about. Runs only when
+    // the generated data exists; names are sf1_-prefixed so the
+    // cross-run drift regex can never confuse tiers.
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/testdata-sf1")
+    val sf1Results: Seq[(String, Double, Boolean, Boolean)] =
+      if (!new java.io.File(sf1Dir + "/lineitem.parquet").exists()) Seq.empty
+      else {
+        def li1 = Tables.load(spark, sf1Dir, "lineitem")
+        li1.count() // warm the 10× scan before any timed pass
+        timeSuite(Seq(
+          "sf1_q01_pricing" -> (() => noop(SparkEntry.queries("q01_agg_pricing")(spark, sf1Dir))),
+          "sf1_cofactor_full" -> { () =>
+            noop(li1.withColumn("shipyear", year(col("l_shipdate")))
+              .agg(Graft.sumTriple(
+                col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"),
+                col("l_linenumber"), col("shipyear")).as("t")))
+          },
+          "sf1_factorized_adaptive" -> { () =>
+            graft.ml.Factorized.cofactorOverJoinAdaptive(
+              li1.select(col("l_orderkey").as("k"), col("l_quantity")),
+              Tables.load(spark, sf1Dir, "orders").select(col("o_orderkey").as("k"), col("o_totalprice")),
+              "k", Seq("l_quantity"), Seq(), Seq("o_totalprice"), Seq())
+            ()
+          },
+          "sf1_window_running" -> (() => noop(SparkEntry.queries("q19_window_running")(spark, sf1Dir))),
+          "sf1_text_stats" -> (() => noop(SparkEntry.queries("q10_token_stats")(spark, sf1Dir))),
+          "sf1_asof_join" -> (() => noop(SparkEntry.queries("q44_asof_join")(spark, sf1Dir))),
+          "sf1_range_join" -> (() => noop(SparkEntry.queries("q46_range_join")(spark, sf1Dir))),
+          "sf1_minhash_neardup" -> { () =>
+            val docs = Tables.load(spark, sf1Dir, "documents").select(col("doc_id"), col("text"))
+            val mangled = docs.filter(col("doc_id") % 10 === 0)
+              .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+                regexp_replace(col("text"), "\\s+\\S+\\s*$", "").as("text"))
+            noop(graft.operators.Dedup.dedupNear(
+              docs.unionByName(mangled), "doc_id", "text", threshold = 0.8))
+          },
+          "sf1_knn_bruteforce" -> (() => noop(SparkEntry.queries("q16_knn_bruteforce")(spark, sf1Dir))),
+          "sf1_knn_int8" -> { () =>
+            val emb = Tables.load(spark, sf1Dir, "embeddings")
+              .select(col("vec_id"),
+                graft.operators.Quantize.quantizeInt8(col("embedding")).getField("q").as("q8"))
+            noop(graft.operators.Similarity.bruteForceTopK(
+              emb.filter(col("vec_id") < 20), emb, "vec_id", "q8", "vec_id", "q8", k = 3))
+          }
+        ))
       }
-      val noisy = !failed && spread(times) > tolerance
-      if (failed)
-        System.err.println(s"[bench] $name: FAILED — a pass threw; result marked broken, not timed")
-      else if (noisy)
-        System.err.println(f"[bench] $name: UNSTABLE after ${times.size} passes — " +
-          f"spread ${spread(times) * 100}%.0f%% over $times (machine under load?)")
-      else
-        System.err.println(f"[bench] $name: ${median(times)}%.3f s median of ${times.size} " +
-          f"(warmup ${warm.map(t => f"$t%.2f").mkString(",")})")
-      // a failed query must be impossible to mistake for a fast one: its
-      // value is -1 and it is excluded from the total
-      (name, if (failed) -1.0 else median(times), noisy, failed)
-    }
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, false) => v }.sum
     // Cross-run drift vs the COMMITTED result: per-run spread can be
@@ -240,8 +293,11 @@ object Bench {
     // reference and never flag.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_RESULT.json")
     val driftRef = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", out)
-    val driftAbs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DRIFT_ABS", "0.08").toDouble
     val drifted: Seq[(String, Double)] = (try {
+      // driftAbs parse sits INSIDE the try: the stated contract is that a
+      // setup/drift failure must not abort the bench before the artifact
+      // is written, and a malformed env value is exactly such a failure
+      val driftAbs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DRIFT_ABS", "0.08").toDouble
       val txt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(driftRef)),
         java.nio.charset.StandardCharsets.UTF_8)
       results.collect { case (k, v, _, false) =>
@@ -262,7 +318,14 @@ object Bench {
     val driftJson = drifted.map { case (k, pct) => "\"" + k + f"""\":"${pct * 100}%+.0f%%"""" }
       .mkString("{", ",", "}")
     val broken = results.collect { case (k, _, _, true) => "\"" + k + "\"" }.mkString("[", ",", "]")
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median","unstable":$flagged,"failed":$broken,"drift":$driftJson}"""
+    val sf1Json = if (sf1Results.isEmpty) "" else {
+      val q1 = sf1Results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      val t1 = sf1Results.collect { case (_, v, _, false) => v }.sum
+      val u1 = sf1Results.collect { case (k, _, true, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
+      val b1 = sf1Results.collect { case (k, _, _, true) => "\"" + k + "\"" }.mkString("[", ",", "]")
+      f""","sf1":{"dir":"$sf1Dir","total":$t1%.3f,"queries":$q1,"unstable":$u1,"failed":$b1}"""
+    }
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median","unstable":$flagged,"failed":$broken,"drift":$driftJson$sf1Json}"""
     println(json)
     // belt-and-braces: sbt's logger can prefix stdout lines ("[info] ..."),
     // which broke round-1 parsing — also drop the line in a results file

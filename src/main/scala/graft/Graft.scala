@@ -72,12 +72,20 @@ object Graft {
       // product-quantization kernels (corpus encode / query LUT / O(m) pair score)
       reg.createOrReplaceTempFunction("pq_encode", es =>
         graft.functions.PqEncode(es(0), es(1), intArg(es, 2), intArg(es, 3)), "scala_udf")
+      // SMALLINT-code variant: ksub <= 32768 — the coarse quantizer past
+      // 128 cells (fine PQ codes stay bytes)
+      reg.createOrReplaceTempFunction("pq_encode_s", es =>
+        graft.functions.PqEncode(es(0), es(1), intArg(es, 2), intArg(es, 3), wide = true), "scala_udf")
       reg.createOrReplaceTempFunction("pq_lut", es =>
         graft.functions.PqLut(es(0), es(1), intArg(es, 2), intArg(es, 3)), "scala_udf")
       reg.createOrReplaceTempFunction("pq_adc_dot", es =>
         graft.functions.PqAdcDot(es(0), es(1)), "scala_udf")
+      // 5-arg form pins m/ksub (the production form — wrong geometry ->
+      // NULL, never silently wrong scores); 3-arg infers ksub = sqrt
       reg.createOrReplaceTempFunction("pq_sdc_dot", es =>
-        graft.functions.PqSdcDot(es(0), es(1), es(2)), "scala_udf")
+        if (es.length >= 5)
+          graft.functions.PqSdcDot(es(0), es(1), es(2), intArg(es, 3), intArg(es, 4))
+        else graft.functions.PqSdcDot(es(0), es(1), es(2)), "scala_udf")
       // reference SQL ML surface (duckdb_imputation_extension.cpp:184-248)
       reg.createOrReplaceTempFunction("lda_train", es =>
         agg.MlSqlFunctions.LdaTrain(es), "scala_udf")

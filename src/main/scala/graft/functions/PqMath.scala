@@ -26,37 +26,59 @@ import org.apache.spark.sql.types._
  *  - `pq_adc_dot(lut, codes)` — per-PAIR asymmetric-distance score,
  *    O(m): Σⱼ lut[j·ksub + codes[j]]
  *
- * The codebook `cb` is a flat ARRAY<DOUBLE> literal of length
- * m·ksub·dsub laid out codeword-major: cb[(j·ksub + k)·dsub + t] is
- * element t of codeword k of subspace j. Codebooks are tiny (m·ksub·dsub
- * doubles — KBs) so they ship as literals inside the plan, never a join.
+ * The codebook `cb` is a flat ARRAY<DOUBLE> of length m·ksub·dsub laid
+ * out codeword-major: cb[(j·ksub + k)·dsub + t] is element t of codeword
+ * k of subspace j. The expressions take it as a plain child expression —
+ * a `typedLit` works for exploratory SQL, but the operator layer ships
+ * it as 1-ROW BROADCAST DATA ([[graft.operators.Pq]]): a multi-KB
+ * literal is re-hashed by every Catalyst transform, duplicated into
+ * pushed-down scan filters and both sides of self-joins, and serialized
+ * into every task binary; an attribute read from a broadcast row costs
+ * none of that.
  *
  * Null semantics mirror [[VectorMath]]: NULL array / NULL element —
  * on EITHER side, vector/codebook/lut — or a vector length not
- * divisible into the codebook's geometry → NULL. The element-level
- * checks on the codebook/lut side are emitted only when the incoming
- * array type admits nulls (`containsNull`); the production path (a
- * `typedLit` codebook, a `pq_lut`-produced lut — both
- * `containsNull = false`) pays nothing for them.
- * `ksub ≤ 128` so a code always fits a signed byte.
+ * divisible into the codebook's geometry → NULL. `pq_encode`/`pq_lut`
+ * additionally treat a NaN/±Inf VECTOR element as NULL: a NaN distance
+ * makes every `d2 < best` comparison false, so without the guard such
+ * rows would silently encode to all-zero codes and surface as ordinary
+ * search/near-dup candidates instead of propagating NULL. The check is
+ * one O(d) pass per row, hoisted OUT of the O(ksub·d) codeword loop
+ * (where the element null check used to sit — the guard is net cheaper,
+ * not dearer). The element-level checks on the codebook/lut side are
+ * emitted only when the incoming array type admits nulls
+ * (`containsNull`); the production path (a broadcast-data codebook, a
+ * `pq_lut`-produced lut — both `containsNull = false`) pays nothing for
+ * them.
+ * `ksub ≤ 128` for byte codes (`pq_encode`); the SMALLINT variant
+ * `pq_encode_s` lifts the coarse-quantizer bound to `ksub ≤ 32768`.
  */
 private[graft] object PqMath {
-  def checkGeom(name: String, m: Int, ksub: Int): TypeCheckResult =
-    if (m <= 0 || ksub <= 0 || ksub > 128)
-      TypeCheckResult.TypeCheckFailure(s"$name needs m > 0 and 0 < ksub <= 128, got m=$m ksub=$ksub")
+  def checkGeom(name: String, m: Int, ksub: Int, maxKsub: Int = 128): TypeCheckResult =
+    if (m <= 0 || ksub <= 0 || ksub > maxKsub)
+      TypeCheckResult.TypeCheckFailure(s"$name needs m > 0 and 0 < ksub <= $maxKsub, got m=$m ksub=$ksub")
     else TypeCheckResult.TypeCheckSuccess
 }
 
 /** `pq_encode(vec, cb, m, ksub)` → ARRAY<TINYINT> of length m: per
   * subspace, the id of the nearest (squared-L2) codeword. Ties go to the
   * LOWEST codeword id (strict `<` on the running best) — load-bearing
-  * for bit-deterministic codes. */
-case class PqEncode(left: Expression, right: Expression, m: Int, ksub: Int)
+  * for bit-deterministic codes.
+  *
+  * `wide = true` is the SQL function `pq_encode_s`: identical argmin,
+  * ARRAY<SMALLINT> output, ksub ≤ 32768 — the coarse-quantizer variant
+  * ([[graft.operators.Similarity]] cell assignment with m = 1), where
+  * real corpora need cells ∝ corpus size and 128 byte-codes is a scale
+  * cap. Fine-grained PQ codes stay bytes: at m·2 bytes/vector the wide
+  * form would double the encoded corpus for recall ADC can't use. */
+case class PqEncode(left: Expression, right: Expression, m: Int, ksub: Int,
+                    wide: Boolean = false)
     extends BinaryExpression {
-  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def dataType: DataType =
+    ArrayType(if (wide) ShortType else ByteType, containsNull = false)
   override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = {
-    val g = PqMath.checkGeom(prettyName, m, ksub)
+    val g = PqMath.checkGeom(prettyName, m, ksub, if (wide) 32768 else 128)
     if (g.isFailure) g else VectorMath.checkVecs(prettyName, left.dataType, right.dataType)
   }
 
@@ -69,8 +91,16 @@ case class PqEncode(left: Expression, right: Expression, m: Int, ksub: Int)
     val cb = r.asInstanceOf[ArrayData]
     val n = v.numElements()
     if (n % m != 0 || cb.numElements() != m * ksub * (n / m)) return null
+    var i = 0
+    while (i < n) { // one O(d) pass: NULL or non-finite element -> NULL
+      if (v.isNullAt(i)) return null
+      val xv = VectorMath.get(v, i, vElem)
+      if (java.lang.Double.isNaN(xv) || java.lang.Double.isInfinite(xv)) return null
+      i += 1
+    }
     val dsub = n / m
-    val out = new Array[Byte](m)
+    val outB = if (wide) null else new Array[Byte](m)
+    val outS = if (wide) new Array[Short](m) else null
     var j = 0
     while (j < m) {
       var best = 0
@@ -80,7 +110,6 @@ case class PqEncode(left: Expression, right: Expression, m: Int, ksub: Int)
         var d2 = 0.0
         var t = 0
         while (t < dsub) {
-          if (v.isNullAt(j * dsub + t)) return null
           if (cbMayHaveNulls && cb.isNullAt((j * ksub + k) * dsub + t)) return null
           val x = VectorMath.get(v, j * dsub + t, vElem) -
             VectorMath.get(cb, (j * ksub + k) * dsub + t, cElem)
@@ -90,10 +119,11 @@ case class PqEncode(left: Expression, right: Expression, m: Int, ksub: Int)
         if (d2 < bestD) { bestD = d2; best = k }
         k += 1
       }
-      out(j) = best.toByte
+      if (wide) outS(j) = best.toShort else outB(j) = best.toByte
       j += 1
     }
-    UnsafeArrayData.fromPrimitiveArray(out)
+    if (wide) UnsafeArrayData.fromPrimitiveArray(outS)
+    else UnsafeArrayData.fromPrimitiveArray(outB)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -107,20 +137,27 @@ case class PqEncode(left: Expression, right: Expression, m: Int, ksub: Int)
       val cbNullCheck = if (cbMayHaveNulls)
         s"if ($cb.isNullAt(($j * $ksub + $k) * $dsub + $t)) { ${ev.isNull} = true; break $outer; }"
       else ""
+      val (elemTy, castTy) = if (wide) ("short", "(short)") else ("byte", "(byte)")
+      val i0 = ctx.freshName("i0"); val xv = ctx.freshName("xv")
       s"""
          |final int $n = $v.numElements();
          |if ($n % $m != 0 || $cb.numElements() != $m * $ksub * ($n / $m)) {
          |  ${ev.isNull} = true;
          |} else {
+         |  for (int $i0 = 0; $i0 < $n; $i0++) {
+         |    if ($v.isNullAt($i0)) { ${ev.isNull} = true; break; }
+         |    final double $xv = ${VectorMath.getterCode(v, i0, left.dataType)};
+         |    if (Double.isNaN($xv) || Double.isInfinite($xv)) { ${ev.isNull} = true; break; }
+         |  }
          |  final int $dsub = $n / $m;
-         |  final byte[] $out = new byte[$m];
+         |  final $elemTy[] $out = new $elemTy[$m];
+         |  if (!${ev.isNull}) {
          |  $outer:
          |  for (int $j = 0; $j < $m; $j++) {
          |    int $best = 0; double $bestD = Double.POSITIVE_INFINITY;
          |    for (int $k = 0; $k < $ksub; $k++) {
          |      double $d2 = 0.0;
          |      for (int $t = 0; $t < $dsub; $t++) {
-         |        if ($v.isNullAt($j * $dsub + $t)) { ${ev.isNull} = true; break $outer; }
          |        $cbNullCheck
          |        final double $x = ${VectorMath.getterCode(v, s"$j * $dsub + $t", left.dataType)} -
          |          ${VectorMath.getterCode(cb, s"($j * $ksub + $k) * $dsub + $t", right.dataType)};
@@ -128,7 +165,8 @@ case class PqEncode(left: Expression, right: Expression, m: Int, ksub: Int)
          |      }
          |      if ($d2 < $bestD) { $bestD = $d2; $best = $k; }
          |    }
-         |    $out[$j] = (byte) $best;
+         |    $out[$j] = $castTy $best;
+         |  }
          |  }
          |  if (!${ev.isNull}) ${ev.value} = $arrCls.fromPrimitiveArray($out);
          |}
@@ -137,19 +175,22 @@ case class PqEncode(left: Expression, right: Expression, m: Int, ksub: Int)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqEncode =
     copy(left = newLeft, right = newRight)
-  override def prettyName: String = "pq_encode"
+  override def prettyName: String = if (wide) "pq_encode_s" else "pq_encode"
 }
 
 /** `pq_lut(vec, cb, m, ksub)` → ARRAY<DOUBLE> of length m·ksub:
   * lut[j·ksub + k] = ⟨vec subvector j, codeword k of subspace j⟩. One
   * per query row; every corpus pair then scores in O(m) via
-  * [[PqAdcDot]]. */
+  * [[PqAdcDot]]. No code-width constraint on this side, so ksub goes to
+  * 32768 — the coarse-probe path (m = 1, ksub = nCentroids) needs it
+  * past 128 cells; at 32k cells the per-query LUT is 256 KB, amortized
+  * over the whole probed corpus. */
 case class PqLut(left: Expression, right: Expression, m: Int, ksub: Int)
     extends BinaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = {
-    val g = PqMath.checkGeom(prettyName, m, ksub)
+    val g = PqMath.checkGeom(prettyName, m, ksub, maxKsub = 32768)
     if (g.isFailure) g else VectorMath.checkVecs(prettyName, left.dataType, right.dataType)
   }
 
@@ -162,6 +203,13 @@ case class PqLut(left: Expression, right: Expression, m: Int, ksub: Int)
     val cb = r.asInstanceOf[ArrayData]
     val n = v.numElements()
     if (n % m != 0 || cb.numElements() != m * ksub * (n / m)) return null
+    var i = 0
+    while (i < n) { // one O(d) pass: NULL or non-finite element -> NULL
+      if (v.isNullAt(i)) return null
+      val xv = VectorMath.get(v, i, vElem)
+      if (java.lang.Double.isNaN(xv) || java.lang.Double.isInfinite(xv)) return null
+      i += 1
+    }
     val dsub = n / m
     val out = new Array[Double](m * ksub)
     var j = 0
@@ -171,7 +219,6 @@ case class PqLut(left: Expression, right: Expression, m: Int, ksub: Int)
         var s = 0.0
         var t = 0
         while (t < dsub) {
-          if (v.isNullAt(j * dsub + t)) return null
           if (cbMayHaveNulls && cb.isNullAt((j * ksub + k) * dsub + t)) return null
           s += VectorMath.get(v, j * dsub + t, vElem) *
             VectorMath.get(cb, (j * ksub + k) * dsub + t, cElem)
@@ -195,25 +242,32 @@ case class PqLut(left: Expression, right: Expression, m: Int, ksub: Int)
       val cbNullCheck = if (cbMayHaveNulls)
         s"if ($cb.isNullAt(($j * $ksub + $k) * $dsub + $t)) { ${ev.isNull} = true; break $outer; }"
       else ""
+      val i0 = ctx.freshName("i0"); val xv = ctx.freshName("xv")
       s"""
          |final int $n = $v.numElements();
          |if ($n % $m != 0 || $cb.numElements() != $m * $ksub * ($n / $m)) {
          |  ${ev.isNull} = true;
          |} else {
+         |  for (int $i0 = 0; $i0 < $n; $i0++) {
+         |    if ($v.isNullAt($i0)) { ${ev.isNull} = true; break; }
+         |    final double $xv = ${VectorMath.getterCode(v, i0, left.dataType)};
+         |    if (Double.isNaN($xv) || Double.isInfinite($xv)) { ${ev.isNull} = true; break; }
+         |  }
          |  final int $dsub = $n / $m;
          |  final double[] $out = new double[$m * $ksub];
+         |  if (!${ev.isNull}) {
          |  $outer:
          |  for (int $j = 0; $j < $m; $j++) {
          |    for (int $k = 0; $k < $ksub; $k++) {
          |      double $s = 0.0;
          |      for (int $t = 0; $t < $dsub; $t++) {
-         |        if ($v.isNullAt($j * $dsub + $t)) { ${ev.isNull} = true; break $outer; }
          |        $cbNullCheck
          |        $s += ${VectorMath.getterCode(v, s"$j * $dsub + $t", left.dataType)} *
          |          ${VectorMath.getterCode(cb, s"($j * $ksub + $k) * $dsub + $t", right.dataType)};
          |      }
          |      $out[$j * $ksub + $k] = $s;
          |    }
+         |  }
          |  }
          |  if (!${ev.isNull}) ${ev.value} = $arrCls.fromPrimitiveArray($out);
          |}
@@ -313,8 +367,16 @@ case class PqAdcDot(left: Expression, right: Expression) extends BinaryExpressio
   * pair scoring that never touches float vectors, the shape of
   * encoded-corpus near-dup detection. Codes are ARRAY<TINYINT> or
   * BINARY on either side independently; geometry mismatch, codes out of
-  * [0, ksub), or (when the array type admits them) NULL elements → NULL. */
-case class PqSdcDot(first: Expression, second: Expression, third: Expression)
+  * [0, ksub), or (when the array type admits them) NULL elements → NULL.
+  *
+  * Geometry: `pq_sdc_dot(table, a, b, m, ksub)` pins m/ksub explicitly —
+  * the operator layer always has the codebook in hand, and an explicit
+  * ksub turns a wrong-geometry table into NULL instead of silently wrong
+  * scores. The 3-arg form infers ksub = √(table.len/m) for exploratory
+  * SQL; it accepts any table whose length happens to make that a perfect
+  * square, so pinned geometry is the production form. */
+case class PqSdcDot(first: Expression, second: Expression, third: Expression,
+                    geomM: Int = -1, geomKsub: Int = -1)
     extends TernaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -328,6 +390,7 @@ case class PqSdcDot(first: Expression, second: Expression, third: Expression)
     else if (!isCodes(second.dataType) || !isCodes(third.dataType))
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName expects codes: ARRAY<TINYINT> or BINARY, got ${second.dataType}, ${third.dataType}")
+    else if (geomKsub != -1 || geomM != -1) PqMath.checkGeom(prettyName, geomM, geomKsub)
     else TypeCheckResult.TypeCheckSuccess
 
   private lazy val tableMayHaveNulls = first.dataType.asInstanceOf[ArrayType].containsNull
@@ -345,8 +408,12 @@ case class PqSdcDot(first: Expression, second: Expression, third: Expression)
     val (m, aAt) = codeAt(l, second.dataType)
     val (mb, bAt) = codeAt(r, third.dataType)
     if (m == 0 || m != mb || table.numElements() % m != 0) return null
+    if (geomKsub > 0 &&
+        (m != geomM || table.numElements() != geomM * geomKsub * geomKsub)) return null
     val k2 = table.numElements() / m
-    val ksub = math.sqrt(k2.toDouble).toInt
+    val ksub =
+      if (geomKsub > 0) geomKsub
+      else math.sqrt(k2.toDouble).toInt
     if (ksub * ksub != k2) return null
     var s = 0.0
     var j = 0
@@ -376,14 +443,19 @@ case class PqSdcDot(first: Expression, second: Expression, third: Expression)
       val tableNullCheck = if (tableMayHaveNulls)
         s"if ($table.isNullAt($idx)) { ${ev.isNull} = true; break; }"
       else ""
+      val geomCheck = if (geomKsub > 0)
+        s" || $m != $geomM || $table.numElements() != ${geomM * geomKsub * geomKsub}"
+      else ""
+      val ksubExpr = if (geomKsub > 0) s"$geomKsub"
+      else s"(int) java.lang.Math.sqrt((double) $k2)"
       s"""
          |final int $m = ${lenOf(ca, second.dataType)};
          |final int $mb = ${lenOf(cb2, third.dataType)};
-         |if ($m == 0 || $m != $mb || $table.numElements() % $m != 0) {
+         |if ($m == 0 || $m != $mb || $table.numElements() % $m != 0$geomCheck) {
          |  ${ev.isNull} = true;
          |} else {
          |  final int $k2 = $table.numElements() / $m;
-         |  final int $ksub = (int) java.lang.Math.sqrt((double) $k2);
+         |  final int $ksub = $ksubExpr;
          |  if ($ksub * $ksub != $k2) {
          |    ${ev.isNull} = true;
          |  } else {

@@ -31,8 +31,12 @@ import org.apache.spark.sql.functions._
 object Pq {
 
   /** Trained codebooks: `flat((j·ksub + k)·dsub + t)` = element t of
-    * codeword k of subspace j. Tiny (m·ksub·dsub doubles) — ships as a
-    * plan literal, never a join. */
+    * codeword k of subspace j. Tiny (m·ksub·dsub doubles) — inside
+    * operators it ships as 1-row broadcast DATA ([[withArr]]), never a
+    * plan literal: a multi-KB literal is re-hashed by every Catalyst
+    * transform, gets duplicated into pushed-down scan `DataFilters` and
+    * both sides of self-joins, and serializes into every task binary
+    * (the round-8 2 MB `TaskSetManager` warning). */
   final case class PqCodebook(m: Int, ksub: Int, dsub: Int, flat: Array[Double]) {
     def dim: Int = m * dsub
     /** Per-codeword squared norms in LUT layout: nlut[j·ksub + k] =
@@ -97,13 +101,36 @@ object Pq {
   private def reg(df: DataFrame): Unit = graft.Graft.register(df.sparkSession)
   private val FP = 1L << 24 // fixed-point grid shared with ivfBuild
 
-  /** Column helper: ARRAY<TINYINT> of m codeword ids for `vec`. */
+  /** Attach a driver-side array as a named column via a ONE-ROW
+    * broadcast join — the codebook/norm-LUT transport of every operator
+    * here (and [[Similarity]]'s coarse centroids). As a `typedLit` the
+    * same array would be re-hashed by every Catalyst transform, pushed
+    * into parquet `DataFilters`, duplicated across self-join sides, and
+    * serialized into each task binary; as an attribute read from a
+    * broadcast row it costs none of that. The join is a 1-row
+    * BroadcastNestedLoopJoin — the [[sdcScoredPairs]] SDC-table
+    * precedent. */
+  private[operators] def withArr(df: DataFrame, name: String, arr: Array[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.crossJoin(broadcast(Seq(Tuple1(arr.toSeq)).toDF(name)))
+  }
+
+  /** Column helper: ARRAY<TINYINT> of m codeword ids for `vec`. (The
+    * codebook rides as a plan literal — fine for exploratory columns;
+    * the operators ship it as broadcast data instead, see [[withArr]].) */
   def encode(vec: Column, cb: PqCodebook): Column =
     call_function("pq_encode", vec, typedLit(cb.flat.toSeq), lit(cb.m), lit(cb.ksub))
 
   /** Column helper: the per-query ADC lookup table (ARRAY<DOUBLE>, m·ksub). */
   def lut(vec: Column, cb: PqCodebook): Column =
     call_function("pq_lut", vec, typedLit(cb.flat.toSeq), lit(cb.m), lit(cb.ksub))
+
+  private def encodeWith(vec: Column, cbCol: Column, cb: PqCodebook): Column =
+    call_function("pq_encode", vec, cbCol, lit(cb.m), lit(cb.ksub))
+
+  private def lutWith(vec: Column, cbCol: Column, cb: PqCodebook): Column =
+    call_function("pq_lut", vec, cbCol, lit(cb.m), lit(cb.ksub))
 
   /** Column helper: Σⱼ lut[j·ksub + codes[j]] (the O(m) pair score). */
   def adcDot(lutCol: Column, codes: Column): Column =
@@ -165,16 +192,14 @@ object Pq {
     for (k <- 0 until ksub; j <- 0 until m; t <- 0 until dsub)
       flat((j * ksub + k) * dsub + t) = sample(k % sample.length)(j * dsub + t)
     for (_ <- 1 to iters) {
-      val cbLit = typedLit(flat.toSeq)
-      val cells = corpus
-        .where(finiteVec(col(vec), dim))
+      val cells = withArr(corpus.where(finiteVec(col(vec), dim)), "__cbf", flat)
         // encode in its OWN projection below the generate: a sibling
         // expression beside a generator lands in the Project ABOVE the
         // Generate and re-evaluates once per EXPLODED ELEMENT — dim× the
         // O(ksub·d) encode cost (the round-8 ScaleProbe regression);
         // split selects pin it below, computed once per row
         .select(col(vec).as("__v"),
-          call_function("pq_encode", col(vec), cbLit, lit(m), lit(ksub)).as("__codes"))
+          call_function("pq_encode", col(vec), col("__cbf"), lit(m), lit(ksub)).as("__codes"))
         .select(col("__codes"),
           posexplode(transform(col("__v"), x => (x.cast("double") * FP).cast("long")))
             .as(Seq("__pos", "__x")))
@@ -199,7 +224,8 @@ object Pq {
   /** Encode a corpus for storage/search: (id, codes) — m bytes/vector. */
   def encodeCorpus(corpus: DataFrame, id: String, vec: String, cb: PqCodebook): DataFrame = {
     reg(corpus)
-    corpus.select(col(id), encode(col(vec), cb).as("codes"))
+    withArr(corpus, "__cbf", cb.flat)
+      .select(col(id), encodeWith(col(vec), col("__cbf"), cb).as("codes"))
   }
 
   /**
@@ -223,12 +249,13 @@ object Pq {
                   qId: String, qVec: String, cId: String, codes: String,
                   k: Int, cb: PqCodebook, excludeSelf: Boolean = true): DataFrame = {
     reg(queries)
-    val nlutLit = typedLit(cb.normLut.toSeq)
-    val q = queries.select(col(qId).as("qId"),
-      lut(col(qVec), cb).as("__lut"),
+    val q = withArr(queries, "__cbf", cb.flat).select(col(qId).as("qId"),
+      lutWith(col(qVec), col("__cbf"), cb).as("__lut"),
       call_function("vector_norm", col(qVec)).as("__qn"))
-    val c = corpusCodes.select(col(cId).as("cId"), col(codes).as("__codes"))
-      .withColumn("__cn", sqrt(adcDot(nlutLit, col("__codes"))))
+    val c = withArr(corpusCodes.select(col(cId).as("cId"), col(codes).as("__codes")),
+        "__nlut", cb.normLut)
+      .select(col("cId"), col("__codes"),
+        sqrt(adcDot(col("__nlut"), col("__codes"))).as("__cn"))
     val joined = c.crossJoin(broadcast(q))
     val scored = (if (excludeSelf) joined.filter(col("qId") =!= col("cId")) else joined)
       .withColumn("cos", adcCos(col("__lut"), col("__codes"), col("__qn"), col("__cn")))
@@ -245,8 +272,9 @@ object Pq {
   def ivfPqEncode(index: Similarity.IvfIndex, cId: String, cVec: String,
                   cb: PqCodebook): DataFrame = {
     reg(index.assigned)
-    index.assigned.select(col(cId).as("cId"), col("__cent").as("cent"),
-      encode(col(cVec), cb).as("codes"))
+    withArr(index.assigned, "__cbf", cb.flat)
+      .select(col(cId).as("cId"), col("__cent").as("cent"),
+        encodeWith(col(cVec), col("__cbf"), cb).as("codes"))
   }
 
   /**
@@ -274,13 +302,15 @@ object Pq {
                        k: Int, cb: PqCodebook, nProbe: Int = 2,
                        excludeSelf: Boolean = true): DataFrame = {
     reg(queries)
-    val nlutLit = typedLit(cb.normLut.toSeq)
-    val q = Similarity.probeAssign(queries, qId, qVec, index, nProbe)
-      .withColumn("__lut", lut(col("__qv"), cb))
+    val q = withArr(Similarity.probeAssign(queries, qId, qVec, index, nProbe),
+        "__cbf", cb.flat)
+      .withColumn("__lut", lutWith(col("__qv"), col("__cbf"), cb))
       .withColumn("__qn", call_function("vector_norm", col("__qv")))
       .select(col("qId"), col("__cent"), col("__lut"), col("__qn"))
-    val c = corpusCodes.select(col("cId"), col("cent").as("__cent"), col("codes").as("__codes"))
-      .withColumn("__cn", sqrt(adcDot(nlutLit, col("__codes"))))
+    val c = withArr(corpusCodes.select(col("cId"), col("cent").as("__cent"),
+        col("codes").as("__codes")), "__nlut", cb.normLut)
+      .select(col("cId"), col("__cent"), col("__codes"),
+        sqrt(adcDot(col("__nlut"), col("__codes"))).as("__cn"))
     val joined = c.join(broadcast(q), "__cent")
     val scored = (if (excludeSelf) joined.filter(col("qId") =!= col("cId")) else joined)
       .withColumn("cos", adcCos(col("__lut"), col("__codes"), col("__qn"), col("__cn")))
@@ -324,8 +354,9 @@ object Pq {
     * encode x − μ_cell — same persist-once form as [[ivfPqEncode]]. */
   def ivfPqEncodeResidual(index: Similarity.IvfIndex, cId: String, cVec: String,
                           cb: PqCodebook): DataFrame =
-    ivfResiduals(index, cVec).select(col(cId).as("cId"), col("__cent").as("cent"),
-      encode(col("__res"), cb).as("codes"))
+    withArr(ivfResiduals(index, cVec), "__cbf", cb.flat)
+      .select(col(cId).as("cId"), col("__cent").as("cent"),
+        encodeWith(col("__res"), col("__cbf"), cb).as("codes"))
 
   /** Per-cell auxiliary table (driver-computed, nCentroids rows,
     * broadcast): centroid, its squared norm, and its LUT against the
@@ -349,9 +380,18 @@ object Pq {
     }
 
   /** Column helper: SDC pair score between two code columns — exactly
-    * dot(reconstruction(a), reconstruction(b)), O(m) lookups. */
+    * dot(reconstruction(a), reconstruction(b)), O(m) lookups. The 3-arg
+    * form infers ksub = √(table.len/m) — it cannot distinguish a
+    * wrong-geometry table whose length happens to make that a perfect
+    * square; prefer the codebook overload, which pins m/ksub. */
   def sdcDot(tableLit: Column, a: Column, b: Column): Column =
     call_function("pq_sdc_dot", tableLit, a, b)
+
+  /** SDC pair score with the geometry pinned from the codebook — a table
+    * that doesn't match m·ksub² yields NULL, never silently wrong
+    * scores. */
+  def sdcDot(table: Column, a: Column, b: Column, cb: PqCodebook): Column =
+    call_function("pq_sdc_dot", table, a, b, lit(cb.m), lit(cb.ksub))
 
   /**
    * Embedding near-duplicate pairs over an ENCODED corpus (SDC): pairs
@@ -390,18 +430,19 @@ object Pq {
     val spark = corpusCodes.sparkSession
     import spark.implicits._
     val tableDf = Seq(Tuple1(cb.sdcTable.toSeq)).toDF("__sdc")
-    val nlutLit = typedLit(cb.normLut.toSeq)
-    val a = corpusCodes.select(col("cId").as(leftId), col("cent").as("__cent"),
-        col("codes").as("__ca"))
-      .withColumn("__na", sqrt(adcDot(nlutLit, col("__ca"))))
-    val b = corpusCodes.select(col("cId").as("cId"), col("cent").as("__cent"),
-        col("codes").as("__cb"))
-      .withColumn("__nb", sqrt(adcDot(nlutLit, col("__cb"))))
+    val a = withArr(corpusCodes.select(col("cId").as(leftId),
+        col("cent").as("__cent"), col("codes").as("__ca")), "__nla", cb.normLut)
+      .select(col(leftId), col("__cent"), col("__ca"),
+        sqrt(adcDot(col("__nla"), col("__ca"))).as("__na"))
+    val b = withArr(corpusCodes.select(col("cId").as("cId"),
+        col("cent").as("__cent"), col("codes").as("__cb")), "__nlb", cb.normLut)
+      .select(col("cId"), col("__cent"), col("__cb"),
+        sqrt(adcDot(col("__nlb"), col("__cb"))).as("__nb"))
     a.join(b, "__cent")
       .filter(pairFilter)
       .crossJoin(broadcast(tableDf))
       .withColumn("cos", guardedCos(
-        sdcDot(col("__sdc"), col("__ca"), col("__cb")), col("__na"), col("__nb")))
+        sdcDot(col("__sdc"), col("__ca"), col("__cb"), cb), col("__na"), col("__nb")))
   }
 
   /**
@@ -458,14 +499,15 @@ object Pq {
     val spark = queries.sparkSession
     import spark.implicits._
     val aux = cellAux(index, cb).toDF("__cent", "__mu", "__muN2", "__lutMu")
-    val nlutLit = typedLit(cb.normLut.toSeq)
-    val q = Similarity.probeAssign(queries, qId, qVec, index, nProbe)
+    val q = withArr(Similarity.probeAssign(queries, qId, qVec, index, nProbe),
+        "__cbf", cb.flat)
       .join(broadcast(aux.select(col("__cent"), col("__mu"))), "__cent")
-      .withColumn("__lut", lut(col("__qv"), cb))
+      .withColumn("__lut", lutWith(col("__qv"), col("__cbf"), cb))
       .withColumn("__qn", call_function("vector_norm", col("__qv")))
       .withColumn("__qmu", call_function("dot_product", col("__qv"), col("__mu")))
       .select(col("qId"), col("__cent"), col("__lut"), col("__qn"), col("__qmu"))
-    val c = corpusCodes.select(col("cId"), col("cent").as("__cent"), col("codes").as("__codes"))
+    val c = withArr(corpusCodes.select(col("cId"), col("cent").as("__cent"),
+        col("codes").as("__codes")), "__nlut", cb.normLut)
       .join(broadcast(aux.select(col("__cent"), col("__muN2"), col("__lutMu"))), "__cent")
       // ‖x̂‖² reassembled from three cancelling terms can round to a
       // tiny NEGATIVE for near-zero reconstructions — sqrt would give
@@ -473,7 +515,8 @@ object Pq {
       // cn = 0 → NULL cos → sorts last, like every other path
       .withColumn("__cn", sqrt(greatest(lit(0.0), col("__muN2")
         + lit(2.0) * adcDot(col("__lutMu"), col("__codes"))
-        + adcDot(nlutLit, col("__codes")))))
+        + adcDot(col("__nlut"), col("__codes")))))
+      .drop("__nlut")
     val joined = c.join(broadcast(q), "__cent")
     val scored = (if (excludeSelf) joined.filter(col("qId") =!= col("cId")) else joined)
       .withColumn("cos", guardedCos(

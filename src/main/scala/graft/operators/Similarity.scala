@@ -175,14 +175,14 @@ object Similarity {
       .map { case (r, i) =>
         i -> r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toArray }
     for (_ <- 1 to kmeansIters) {
-      val means = corpus
-        .where(clean(col(vec)))
-        // assignment in its OWN projection below the generate: a sibling
-        // expression beside a generator lands in the Project ABOVE the
-        // Generate and re-evaluates once per EXPLODED ELEMENT (dim× the
-        // assignment cost — the round-8 ScaleProbe regression); split
-        // selects pin it below, computed once per row
-        .select(col(vec).as("__v"), centroidOf(col(vec), cents).as("__cent"))
+      val means = assignCentroid(
+          corpus.where(clean(col(vec))).select(col(vec).as("__v")), "__v", cents)
+        // assignment in its OWN projection below the generate (inside
+        // assignCentroid): a sibling expression beside a generator lands
+        // in the Project ABOVE the Generate and re-evaluates once per
+        // EXPLODED ELEMENT (dim× the assignment cost — the round-8
+        // ScaleProbe regression); split selects pin it below, computed
+        // once per row
         .select(col("__cent"),
           posexplode(transform(col("__v"), x => (x.cast("double") * FP).cast("long")))
             .as(Seq("__pos", "__x")))
@@ -203,34 +203,42 @@ object Similarity {
         }
       }
     }
-    val assigned = corpus
-      .withColumn("__cent", centroidOf(col(vec), cents))
+    val assigned = assignCentroid(corpus, vec, cents)
     IvfIndex(cents, assigned)
   }
 
-  /** Nearest-centroid id. ≤128 centroids (every real IVF shard): the
-    * argmin-of-L2² IS `pq_encode` with m=1, ksub=nCentroids — same
-    * element order, same left-to-right sum association, same strict-<
-    * lowest-id tie-break, same null-in→null-out — so the coarse
-    * assignment pass runs the same native codegen'd kernel as PQ
-    * instead of an interpreted HOF tree per corpus row (the dominant
-    * cost of the corpus assignment pass before round 8). Beyond 128
-    * (pq_encode's signed-byte code bound): the equivalent HOF
-    * formulation (array_min + array_position — first match wins on
-    * exact ties). Centroid ids equal their position in the literal,
-    * which ivfBuild maintains. */
-  private def centroidOf(vec: Column, cents: Array[(Int, Array[Double])]): Column =
-    if (cents.length <= 128) {
-      val flat = cents.sortBy(_._1).flatMap(_._2).toSeq
-      element_at(call_function("pq_encode",
-        vec, typedLit(flat), lit(1), lit(cents.length)), 1).cast("int")
+  /** Append `__cent` = nearest-centroid id (argmin of L2²). Up to 32768
+    * centroids the argmin IS the native `pq_encode` kernel with m=1,
+    * ksub=nCentroids — same element order, same left-to-right sum
+    * association, same strict-< lowest-id tie-break, same
+    * null-in→null-out — byte codes (`pq_encode`) to 128 cells,
+    * SMALLINT codes (`pq_encode_s`) beyond (real corpora need cells ∝
+    * corpus for the Σ cell² encoded-dedup family, so 128 was a scale
+    * cap, not a constant). The centroid matrix ships as 1-ROW BROADCAST
+    * DATA ([[Pq.withArr]]), not a plan literal — a literal gets
+    * duplicated into pushed-down scan filters and both sides of the
+    * downstream self-joins and serialized into every task binary (the
+    * round-8 2 MB task warning). Past 32768: the interpreted HOF argmin
+    * (array_min + array_position — first match wins on exact ties).
+    * Centroid ids equal their position in the flat matrix, which
+    * ivfBuild maintains. */
+  private def assignCentroid(df: DataFrame, vec: String,
+                             cents: Array[(Int, Array[Double])]): DataFrame =
+    if (cents.length <= 32768) {
+      val fn = if (cents.length <= 128) "pq_encode" else "pq_encode_s"
+      val flat = cents.sortBy(_._1).flatMap(_._2)
+      Pq.withArr(df, "__ccb", flat)
+        .withColumn("__cent", element_at(call_function(fn,
+          col(vec), col("__ccb"), lit(1), lit(cents.length)), 1).cast("int"))
+        .drop("__ccb")
     } else {
       val centLit = typedLit(cents.map { case (i, v) => (i, v.toSeq) }.toSeq)
-      val vd = transform(vec, x => x.cast("double"))
+      val vd = transform(col(vec), x => x.cast("double"))
       val d2s = transform(centLit, c =>
         aggregate(zip_with(vd, c.getField("_2"), (a, b) => (a - b) * (a - b)),
           lit(0.0), (acc, v) => acc + v))
-      (array_position(d2s, array_min(d2s)) - 1).cast("int")
+      df.withColumn("__cent",
+        (array_position(d2s, array_min(d2s)) - 1).cast("int"))
     }
 
   /** The probe stage shared by IVF-flat and IVFADC search: each query row
@@ -249,6 +257,8 @@ object Similarity {
   private[operators] def probeAssign(queries: DataFrame, qId: String, qVec: String,
                                      index: IvfIndex, nProbe: Int): DataFrame = {
     reg(queries)
+    val spark = queries.sparkSession
+    import spark.implicits._
     val dim = index.centroids.headOption.map(_._2.length).getOrElse(0)
     // degenerate queries (NULL vector, NULL element, wrong dimension)
     // are DROPPED — explicitly, so both branches below agree: the
@@ -258,36 +268,47 @@ object Similarity {
     val base = queries.select(col(qId).as("qId"), col(qVec).as("__qv"))
       .where(col("__qv").isNotNull && size(col("__qv")) === dim &&
         !exists(col("__qv"), x => x.isNull))
-    val probes =
-      if (index.centroids.length <= 128) {
+    val probed =
+      if (index.centroids.length <= 32768) {
+        // native kernel to pq_lut's SMALLINT bound; the centroid matrix
+        // and per-centroid norms ride as 1-row broadcast DATA, not plan
+        // literals (the Pq.withArr discipline — at 1024 cells × 64 dims
+        // a literal is 64k doubles in every task binary)
         val byId = index.centroids.sortBy(_._1)
-        val flat = typedLit(byId.flatMap(_._2).toSeq)
-        val muN2 = typedLit(byId.map { case (i, v) =>
+        val aux = Seq((byId.flatMap(_._2).toSeq, byId.map { case (i, v) =>
           var s = 0.0; var t = 0
           while (t < v.length) { s += v(t) * v(t); t += 1 }
           (i, s)
-        }.toSeq)
-        val lutc = call_function("pq_lut", col("__qv"), flat, lit(1), lit(index.centroids.length))
-        slice(transform(array_sort(zip_with(muN2, lutc,
+        }.toSeq)).toDF("__pflat", "__pmun2")
+        val lutc = call_function("pq_lut", col("__qv"), col("__pflat"),
+          lit(1), lit(index.centroids.length))
+        val probes = slice(transform(array_sort(zip_with(col("__pmun2"), lutc,
           (c, l) => struct((c.getField("_2") - l * 2).as("key"), c.getField("_1").as("cid")))),
           s => s.getField("cid")), 1, nProbe)
+        base.crossJoin(broadcast(aux)).withColumn("__probes", probes)
       } else {
-        // beyond pq_lut's 128-codeword bound: the HOF formulation
+        // beyond pq_lut's 32768-codeword bound: the HOF formulation
         val centLit = typedLit(index.centroids.map { case (i, v) => (i, v.toSeq) }.toSeq)
-        slice(transform(array_sort(transform(centLit, c =>
+        val probes = slice(transform(array_sort(transform(centLit, c =>
           struct(
             aggregate(zip_with(transform(col("__qv"), x => x.cast("double")), c.getField("_2"),
               (a, b) => (a - b) * (a - b)), lit(0.0), (acc, v) => acc + v).as("d2"),
             c.getField("_1").as("cid")))), s => s.getField("cid")), 1, nProbe)
+        base.withColumn("__probes", probes)
       }
-    base.withColumn("__probes", probes)
-      .select(col("qId"), col("__qv"), explode(col("__probes")).as("__cent"))
+    probed.select(col("qId"), col("__qv"), explode(col("__probes")).as("__cent"))
   }
 
   /**
    * ANN top-k through the IVF index: queries probe only the `nProbe`
    * nearest centroids' postings lists — candidate cost is
    * |q| · (nProbe/nCentroids) · |corpus| instead of |q| · |corpus|.
+   *
+   * Degenerate query rows (NULL vector, NULL element, wrong dimension)
+   * are DROPPED by the probe stage, not emitted with a NULL cos — the
+   * result can have fewer distinct qIds than `queries` has rows. (Same
+   * for every IVF-probed path: [[Pq.ivfPqTopK]] and the residual
+   * variants.)
    */
   def ivfTopK(index: IvfIndex, queries: DataFrame, qId: String, qVec: String,
               cId: String, cVec: String, k: Int, nProbe: Int = 2): DataFrame = {

@@ -16,7 +16,10 @@ object GoldenProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (q <- Seq("q45_ann_recall", "q48_quantized_knn")) {
+    val qs = if (args.length > 2) args.drop(2).toSeq
+      else Seq("q45_ann_recall", "q48_quantized_knn",
+        "q57_ivfadc_recall", "q58_residual_ivfadc_recall")
+    for (q <- qs) {
       val rows = graft.SparkEntry.queries(q)(spark, dir).collect()
       println(s"[golden local[$n]] $q: ${rows.mkString("; ")}")
     }

@@ -112,15 +112,16 @@ object ScaleProbe {
     // pair cost is Σ cell² — with cells tracking corpus/nCentroids the
     // candidate count grows ~n²/nCentroids, so the lever at scale is
     // nCentroids ∝ n (constant cell size keeps the per-cell quadratic
-    // bounded); the probe scales cells with the corpus (capped at the
-    // 128-centroid native-assignment bound) so wall-clock tracks the
-    // PAIR count, not n²
+    // bounded). Cells scale with the corpus up to 1024 here — past the
+    // old 128-centroid byte-code cap, on the native SMALLINT assignment
+    // kernel (pq_encode_s; the round-9 lift) — so wall-clock tracks the
+    // PAIR count, not n², with ~constant rows/cell at every step
     for (k <- Seq(1, 4, 16)) {
       val corpus = (0 until k).map(i =>
         emb.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("embedding"))
       ).reduce(_ unionByName _).cache()
       corpus.count()
-      val nCells = math.min(128, 16 * k)
+      val nCells = 64 * k
       val idx = graft.operators.Similarity.ivfBuild(corpus, "vec_id", "embedding",
         nCentroids = nCells, kmeansIters = 0)
       val cb = graft.operators.Pq.train(corpus, "vec_id", "embedding",
