@@ -1098,6 +1098,37 @@ object SparkEntry {
           graft.operators.Pq.sdcDot(tableLit, col("__qc"), col("__cc")).cast("bigint").as("sdc"),
           col("rank").cast("long").as("rank"))
         .orderBy(col("qId"), col("rank"))
+    },
+
+    // Flight-style multi-table MICE (the reference paper's workload
+    // shape, factorized_imputation_flight.h:6-8): impute the fact-side
+    // l_discount from l_quantity (fact) AND o_totalprice (dimension) —
+    // the training cofactor is computed FACTORIZED over
+    // lineitem ⋈ orders (per-key triples + ring product, the join never
+    // materialized); only the missing stratum is joined wide for
+    // prediction. q18 discipline: deterministic arithmetic mask,
+    // non-stochastic, so the trained model is exactly the closed-form
+    // 2-regressor least squares the oracle solves by Cramer's rule.
+    "q62_flight_mice_join" -> { (s, dir) =>
+      Graft.register(s)
+      val fact = li(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("l_quantity"),
+          col("l_discount").cast("double").as("d_true"))
+        .withColumn("miss",
+          (col("l_orderkey") * lit(2654435761L) + col("l_linenumber") * lit(40503L)) % 1000 < 150)
+        .withColumn("l_discount", when(col("miss"), lit(null)).otherwise(col("d_true")))
+      val dim = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+      val done = graft.mice.MiceJoin.imputeContOverJoin(
+        fact, dim, key = "l_orderkey", target = "l_discount",
+        factNum = Seq("l_quantity"), dimNum = Seq("o_totalprice"))
+      done.agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("miss"), lit(1))).as("n_imputed"),
+        round(sqrt(avg(when(col("miss"),
+          pow(col("l_discount") - col("d_true"), 2)))), 4).as("rmse"))
     }
   )
 
@@ -2005,6 +2036,35 @@ object SparkEntry {
         |             / (sqrt(a.na2) * sqrt(b.na2)) DESC, b.vec_id) AS rank
         |  FROM n2 a JOIN n2 b ON a.vec_id <> b.vec_id)
         |SELECT qId, cId, sdc, rank FROM scored
-        |WHERE rank <= 3 ORDER BY qId, rank""".stripMargin
+        |WHERE rank <= 3 ORDER BY qId, rank""".stripMargin,
+    // 2-regressor least squares over the join, solved closed-form by
+    // Cramer's rule on the 3x3 normal equations — the independent
+    // ground truth for the factorized-join trained model (q18's
+    // regr_slope discipline, one regressor up)
+    "q62_flight_mice_join" ->
+      """WITH d AS (
+        |  SELECT l_quantity::DOUBLE AS x1, o_totalprice::DOUBLE AS x2,
+        |         l_discount::DOUBLE AS y,
+        |         ((l_orderkey*2654435761 + l_linenumber*40503) % 1000) < 150 AS miss
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |m AS (
+        |  SELECT count(*)::DOUBLE AS n, sum(x1) AS sx1, sum(x2) AS sx2, sum(y) AS sy,
+        |         sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
+        |         sum(x1*y) AS s1y, sum(x2*y) AS s2y
+        |  FROM d WHERE NOT miss),
+        |b AS (
+        |  SELECT
+        |    (sy*(s11*s22 - s12*s12) - sx1*(s1y*s22 - s12*s2y) + sx2*(s1y*s12 - s11*s2y))
+        |      / (n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2) + sx2*(sx1*s12 - s11*sx2)) AS b0,
+        |    (n*(s1y*s22 - s12*s2y) - sy*(sx1*s22 - s12*sx2) + sx2*(sx1*s2y - s1y*sx2))
+        |      / (n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2) + sx2*(sx1*s12 - s11*sx2)) AS b1,
+        |    (n*(s11*s2y - s1y*s12) - sx1*(sx1*s2y - s1y*sx2) + sy*(sx1*s12 - s11*sx2))
+        |      / (n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2) + sx2*(sx1*s12 - s11*sx2)) AS b2
+        |  FROM m)
+        |SELECT count(*) AS n_rows,
+        |       count(CASE WHEN miss THEN 1 END) AS n_imputed,
+        |       round(sqrt(avg(CASE WHEN miss THEN
+        |         (b.b0 + b.b1*x1 + b.b2*x2 - y)*(b.b0 + b.b1*x1 + b.b2*x2 - y) END)), 4) AS rmse
+        |FROM d, b""".stripMargin
   )
 }

@@ -1,0 +1,83 @@
+package graft.mice
+
+import graft.Graft
+import graft.ml.{Factorized, LinReg}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * MICE over a multi-table join — the reference paper's Flight-style
+ * workload (factorized_imputation_flight.h:6-8: impute a fact-table
+ * column using features that live in a DIMENSION table), composed from
+ * the library's own pieces:
+ *
+ *  - training: [[Factorized.cofactorOverJoinAdaptive]] — the cofactor
+ *    triple of `fact ⋈ dim` from per-key pre-aggregates and the ring
+ *    product when keys repeat (README.md:163-173's factorized-learning
+ *    pattern, at MICE's service), falling back to the fused aggregate
+ *    over the join when the key is near-unique and factorization would
+ *    shuffle more triples than rows;
+ *  - partitioning: the [[Mice.partitioned]] delta discipline — the
+ *    observed stratum is aggregated once; only the (small) missing
+ *    stratum is ever joined wide, because prediction needs per-row
+ *    dimension features and the missing stratum is where predictions go.
+ *
+ * At 100 TB this is the shape that matters: the model sees the whole
+ * join through KB-sized triples, and the row-level join touches
+ * |missing| rows, not |fact|.
+ */
+object MiceJoin {
+
+  /**
+   * One factorized MICE round for a single continuous fact-side column:
+   * train `target ~ factNum ++ dimNum` on the rows where `target` is
+   * observed (cofactor computed factorized over the join), then impute
+   * the missing stratum through a row-level join restricted to it.
+   *
+   * `dim` must carry the join key under the same name `key` as `fact`
+   * (rename before calling) and be projected to (key, dimNum…). A
+   * missing-stratum row with no dim match (or a NULL feature) falls back
+   * to the observed-target mean — the imputation never leaves NULLs.
+   * With a single imputed column the observed stratum never changes, so
+   * one round IS the fixed point of non-stochastic MICE; chain calls for
+   * multi-column chained equations.
+   *
+   * Returns `fact`'s columns with `target` imputed (no dim columns).
+   */
+  def imputeContOverJoin(fact: DataFrame, dim: DataFrame, key: String,
+                         target: String, factNum: Seq[String], dimNum: Seq[String],
+                         lambda: Double = 0.0, stochastic: Boolean = false,
+                         seed: Long = 42L,
+                         tm: Mice.Timings = new Mice.Timings): DataFrame = {
+    val spark = fact.sparkSession
+    Graft.register(spark)
+    val outCols = fact.columns.toSeq
+    val (observed, missing) = tm.time("partition")(
+      (fact.filter(col(target).isNotNull).localCheckpoint(),
+       fact.filter(col(target).isNull).localCheckpoint()))
+    // the factorized static cofactor: [target, factNum…, dimNum…] —
+    // per-key triples + ring product, the join never materialized
+    val triple = tm.time("cofactor_static")(Factorized.cofactorOverJoinAdaptive(
+      observed, dim, key, target +: factNum, Seq(), dimNum, Seq()))
+    // normalize: dimension features often live on wild scales (an order
+    // total is ~10⁴× a discount), and the raw moment matrix's condition
+    // number then exceeds the pinv's relative singular-value cut — the
+    // truncated directions silently zero the intercept. Standardizing in
+    // moment space costs nothing (the triple is already collected) and
+    // the coefficients fold back to raw scale.
+    val model = tm.time("train")(LinReg.train(triple, label = 0, lambda,
+      normalize = true))
+    // mean of the observed target straight from the triple (lin(0)/N) —
+    // the NULL-feature / no-dim-match fallback, no extra scan
+    val mean = if (triple.n == 0) 0.0 else triple.lin(0) / triple.n
+    val imputed = tm.time("impute_update") {
+      val pred = LinReg.predict(model, (factNum ++ dimNum).map(col), Seq(),
+        addNoise = stochastic, seed = seed)
+      missing.join(dim, Seq(key), "left")
+        .withColumn(target, coalesce(pred, lit(mean)))
+        .select(outCols.map(col): _*)
+        .localCheckpoint()
+    }
+    observed.unionByName(imputed)
+  }
+}

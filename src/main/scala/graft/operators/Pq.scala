@@ -32,7 +32,7 @@ object Pq {
 
   /** Trained codebooks: `flat((j·ksub + k)·dsub + t)` = element t of
     * codeword k of subspace j. Tiny (m·ksub·dsub doubles) — inside
-    * operators it ships as 1-row broadcast DATA ([[withArr]]), never a
+    * operators it ships as a TorrentBroadcast handle ([[bArr]]), never a
     * plan literal: a multi-KB literal is re-hashed by every Catalyst
     * transform, gets duplicated into pushed-down scan `DataFilters` and
     * both sides of self-joins, and serializes into every task binary
@@ -101,24 +101,26 @@ object Pq {
   private def reg(df: DataFrame): Unit = graft.Graft.register(df.sparkSession)
   private val FP = 1L << 24 // fixed-point grid shared with ivfBuild
 
-  /** Attach a driver-side array as a named column via a ONE-ROW
-    * broadcast join — the codebook/norm-LUT transport of every operator
-    * here (and [[Similarity]]'s coarse centroids). As a `typedLit` the
-    * same array would be re-hashed by every Catalyst transform, pushed
-    * into parquet `DataFilters`, duplicated across self-join sides, and
-    * serialized into each task binary; as an attribute read from a
-    * broadcast row it costs none of that. The join is a 1-row
-    * BroadcastNestedLoopJoin — the [[sdcScoredPairs]] SDC-table
-    * precedent. */
-  private[operators] def withArr(df: DataFrame, name: String, arr: Array[Double]): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.crossJoin(broadcast(Seq(Tuple1(arr.toSeq)).toDF(name)))
-  }
+  /** A driver-side array as a constant Column backed by a
+    * TorrentBroadcast handle ([[graft.functions.BroadcastArrayData]]) —
+    * the codebook/norm-LUT/SDC-table transport of every operator here
+    * (and [[Similarity]]'s coarse centroids). As a `typedLit` the same
+    * array would be re-hashed by every Catalyst transform, pushed into
+    * parquet `DataFilters`, duplicated across self-join sides, and
+    * serialized into each task binary; as a 1-row broadcast-JOINED
+    * DataFrame it would still ride one task binary per broadcast build
+    * (`LocalTableScan.doExecute` parallelizes its rows into the
+    * exchange's collect job). The handle costs neither: ~100 bytes per
+    * task, the array ships once per executor. One broadcast per call —
+    * reuse the returned Column when both sides of a self-join need the
+    * same array. */
+  private[operators] def bArr(df: DataFrame, arr: Array[Double]): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.BroadcastArrayData(df.sparkSession.sparkContext.broadcast(arr)))
 
   /** Column helper: ARRAY<TINYINT> of m codeword ids for `vec`. (The
     * codebook rides as a plan literal — fine for exploratory columns;
-    * the operators ship it as broadcast data instead, see [[withArr]].) */
+    * the operators ship it as a broadcast handle instead, see [[bArr]].) */
   def encode(vec: Column, cb: PqCodebook): Column =
     call_function("pq_encode", vec, typedLit(cb.flat.toSeq), lit(cb.m), lit(cb.ksub))
 
@@ -192,14 +194,14 @@ object Pq {
     for (k <- 0 until ksub; j <- 0 until m; t <- 0 until dsub)
       flat((j * ksub + k) * dsub + t) = sample(k % sample.length)(j * dsub + t)
     for (_ <- 1 to iters) {
-      val cells = withArr(corpus.where(finiteVec(col(vec), dim)), "__cbf", flat)
+      val cells = corpus.where(finiteVec(col(vec), dim))
         // encode in its OWN projection below the generate: a sibling
         // expression beside a generator lands in the Project ABOVE the
         // Generate and re-evaluates once per EXPLODED ELEMENT — dim× the
         // O(ksub·d) encode cost (the round-8 ScaleProbe regression);
         // split selects pin it below, computed once per row
         .select(col(vec).as("__v"),
-          call_function("pq_encode", col(vec), col("__cbf"), lit(m), lit(ksub)).as("__codes"))
+          call_function("pq_encode", col(vec), bArr(corpus, flat), lit(m), lit(ksub)).as("__codes"))
         .select(col("__codes"),
           posexplode(transform(col("__v"), x => (x.cast("double") * FP).cast("long")))
             .as(Seq("__pos", "__x")))
@@ -224,8 +226,7 @@ object Pq {
   /** Encode a corpus for storage/search: (id, codes) — m bytes/vector. */
   def encodeCorpus(corpus: DataFrame, id: String, vec: String, cb: PqCodebook): DataFrame = {
     reg(corpus)
-    withArr(corpus, "__cbf", cb.flat)
-      .select(col(id), encodeWith(col(vec), col("__cbf"), cb).as("codes"))
+    corpus.select(col(id), encodeWith(col(vec), bArr(corpus, cb.flat), cb).as("codes"))
   }
 
   /**
@@ -249,13 +250,11 @@ object Pq {
                   qId: String, qVec: String, cId: String, codes: String,
                   k: Int, cb: PqCodebook, excludeSelf: Boolean = true): DataFrame = {
     reg(queries)
-    val q = withArr(queries, "__cbf", cb.flat).select(col(qId).as("qId"),
-      lutWith(col(qVec), col("__cbf"), cb).as("__lut"),
+    val q = queries.select(col(qId).as("qId"),
+      lutWith(col(qVec), bArr(queries, cb.flat), cb).as("__lut"),
       call_function("vector_norm", col(qVec)).as("__qn"))
-    val c = withArr(corpusCodes.select(col(cId).as("cId"), col(codes).as("__codes")),
-        "__nlut", cb.normLut)
-      .select(col("cId"), col("__codes"),
-        sqrt(adcDot(col("__nlut"), col("__codes"))).as("__cn"))
+    val c = corpusCodes.select(col(cId).as("cId"), col(codes).as("__codes"))
+      .withColumn("__cn", sqrt(adcDot(bArr(corpusCodes, cb.normLut), col("__codes"))))
     val joined = c.crossJoin(broadcast(q))
     val scored = (if (excludeSelf) joined.filter(col("qId") =!= col("cId")) else joined)
       .withColumn("cos", adcCos(col("__lut"), col("__codes"), col("__qn"), col("__cn")))
@@ -272,9 +271,8 @@ object Pq {
   def ivfPqEncode(index: Similarity.IvfIndex, cId: String, cVec: String,
                   cb: PqCodebook): DataFrame = {
     reg(index.assigned)
-    withArr(index.assigned, "__cbf", cb.flat)
-      .select(col(cId).as("cId"), col("__cent").as("cent"),
-        encodeWith(col(cVec), col("__cbf"), cb).as("codes"))
+    index.assigned.select(col(cId).as("cId"), col("__cent").as("cent"),
+      encodeWith(col(cVec), bArr(index.assigned, cb.flat), cb).as("codes"))
   }
 
   /**
@@ -302,15 +300,12 @@ object Pq {
                        k: Int, cb: PqCodebook, nProbe: Int = 2,
                        excludeSelf: Boolean = true): DataFrame = {
     reg(queries)
-    val q = withArr(Similarity.probeAssign(queries, qId, qVec, index, nProbe),
-        "__cbf", cb.flat)
-      .withColumn("__lut", lutWith(col("__qv"), col("__cbf"), cb))
+    val q = Similarity.probeAssign(queries, qId, qVec, index, nProbe)
+      .withColumn("__lut", lutWith(col("__qv"), bArr(queries, cb.flat), cb))
       .withColumn("__qn", call_function("vector_norm", col("__qv")))
       .select(col("qId"), col("__cent"), col("__lut"), col("__qn"))
-    val c = withArr(corpusCodes.select(col("cId"), col("cent").as("__cent"),
-        col("codes").as("__codes")), "__nlut", cb.normLut)
-      .select(col("cId"), col("__cent"), col("__codes"),
-        sqrt(adcDot(col("__nlut"), col("__codes"))).as("__cn"))
+    val c = corpusCodes.select(col("cId"), col("cent").as("__cent"), col("codes").as("__codes"))
+      .withColumn("__cn", sqrt(adcDot(bArr(corpusCodes, cb.normLut), col("__codes"))))
     val joined = c.join(broadcast(q), "__cent")
     val scored = (if (excludeSelf) joined.filter(col("qId") =!= col("cId")) else joined)
       .withColumn("cos", adcCos(col("__lut"), col("__codes"), col("__qn"), col("__cn")))
@@ -345,33 +340,117 @@ object Pq {
       .drop("__mu")
   }
 
-  /** Train a codebook on IVF residuals (the residual-IVFADC build). */
+  // ------------------------------------------------------------------
+  // OPQ-lite rotation (Ge et al., "Optimized Product Quantization",
+  // CVPR 2013 §4 — public method; the RANDOM-rotation variant, OPQ's
+  // standard cheap baseline): PQ quantizes each dsub-dim subspace
+  // independently, so correlated / variance-skewed dimensions waste the
+  // bit budget. A seeded orthonormal rotation R decorrelates and
+  // balances energy across subspaces; rotating both residuals (encode
+  // side) and queries (LUT side) leaves every inner product and norm
+  // identical in exact arithmetic — only the QUANTIZATION GRID changes,
+  // which is the point. Cost: one native O(d²) matvec per corpus row at
+  // encode time (the pq_lut kernel with m=1, ksub=dim: lut[k] = ⟨x,
+  // R_k⟩ IS R·x) — a one-off next to the per-pair search work, and the
+  // search-many path reads codes only, exactly as before.
+  // ------------------------------------------------------------------
+
+  /** Seeded orthonormal rotation, row-major `flat(r·dim + c)`. */
+  final case class Rotation(dim: Int, flat: Array[Double])
+
+  /** Deterministic random rotation: seeded Gaussian matrix,
+    * Gram-Schmidt orthonormalized (driver-side, dim² doubles). */
+  def rotation(dim: Int, seed: Long = 42L): Rotation = {
+    val rng = new scala.util.Random(seed)
+    val rows = Array.fill(dim)(Array.fill(dim)(rng.nextGaussian()))
+    var r = 0
+    while (r < dim) {
+      var p = 0
+      while (p < r) {
+        var d = 0.0
+        var t = 0
+        while (t < dim) { d += rows(r)(t) * rows(p)(t); t += 1 }
+        t = 0
+        while (t < dim) { rows(r)(t) -= d * rows(p)(t); t += 1 }
+        p += 1
+      }
+      var n2 = 0.0
+      var t = 0
+      while (t < dim) { n2 += rows(r)(t) * rows(r)(t); t += 1 }
+      val inv = 1.0 / math.sqrt(n2)
+      t = 0
+      while (t < dim) { rows(r)(t) *= inv; t += 1 }
+      r += 1
+    }
+    Rotation(dim, rows.flatten)
+  }
+
+  /** R·x as a native column (the pq_lut m=1 kernel against R's rows,
+    * shipped as a broadcast handle via [[bArr]]). */
+  private def rotateWith(vec: Column, rCol: Column, rot: Rotation): Column =
+    call_function("pq_lut", vec, rCol, lit(1), lit(rot.dim))
+
+  /** Driver-side R·x (cell-aux preparation). */
+  private def rotateArr(rot: Rotation, v: Array[Double]): Array[Double] = {
+    val out = new Array[Double](rot.dim)
+    var r = 0
+    while (r < rot.dim) {
+      var s = 0.0
+      var t = 0
+      while (t < rot.dim) { s += rot.flat(r * rot.dim + t) * v(t); t += 1 }
+      out(r) = s
+      r += 1
+    }
+    out
+  }
+
+  /** IVF residuals with the rotation applied (when given): the
+    * residual-codebook training/encode input. */
+  private def residualInput(index: Similarity.IvfIndex, vec: String,
+                            rot: Option[Rotation]): (DataFrame, String) = rot match {
+    case None => (ivfResiduals(index, vec), "__res")
+    case Some(r) =>
+      val res = ivfResiduals(index, vec)
+      (res.withColumn("__rres", rotateWith(col("__res"), bArr(res, r.flat), r)), "__rres")
+  }
+
+  /** Train a codebook on IVF residuals (the residual-IVFADC build);
+    * `rot` trains in the rotated space (OPQ-lite). */
   def trainResidual(index: Similarity.IvfIndex, id: String, vec: String, dim: Int,
-                    m: Int = 8, ksub: Int = 16, iters: Int = 2): PqCodebook =
-    train(ivfResiduals(index, vec), id, "__res", dim, m, ksub, iters)
+                    m: Int = 8, ksub: Int = 16, iters: Int = 2,
+                    rot: Option[Rotation] = None): PqCodebook = {
+    val (in, c) = residualInput(index, vec, rot)
+    train(in, id, c, dim, m, ksub, iters)
+  }
 
   /** Residual-IVFADC corpus preparation: (cId, cent, codes) where codes
     * encode x − μ_cell — same persist-once form as [[ivfPqEncode]]. */
   def ivfPqEncodeResidual(index: Similarity.IvfIndex, cId: String, cVec: String,
-                          cb: PqCodebook): DataFrame =
-    withArr(ivfResiduals(index, cVec), "__cbf", cb.flat)
-      .select(col(cId).as("cId"), col("__cent").as("cent"),
-        encodeWith(col("__res"), col("__cbf"), cb).as("codes"))
+                          cb: PqCodebook, rot: Option[Rotation] = None): DataFrame = {
+    val (in, c) = residualInput(index, cVec, rot)
+    in.select(col(cId).as("cId"), col("__cent").as("cent"),
+      encodeWith(col(c), bArr(in, cb.flat), cb).as("codes"))
+  }
 
   /** Per-cell auxiliary table (driver-computed, nCentroids rows,
     * broadcast): centroid, its squared norm, and its LUT against the
-    * residual codebook — everything scoring needs beyond the codes. */
-  private def cellAux(index: Similarity.IvfIndex, cb: PqCodebook): Seq[(Int, Seq[Double], Double, Seq[Double])] =
+    * residual codebook — everything scoring needs beyond the codes.
+    * Under a rotation the codebook lives in ROTATED space, so the
+    * centroid LUT is built from R·μ (‖μ‖² and dot(q, μ) are
+    * rotation-invariant and stay in the original space). */
+  private def cellAux(index: Similarity.IvfIndex, cb: PqCodebook,
+                      rot: Option[Rotation]): Seq[(Int, Seq[Double], Double, Seq[Double])] =
     index.centroids.toSeq.map { case (cid, mu) =>
       var muN2 = 0.0
       var i = 0
       while (i < mu.length) { muN2 += mu(i) * mu(i); i += 1 }
+      val muCb = rot.map(rotateArr(_, mu)).getOrElse(mu)
       val lutMu = new Array[Double](cb.m * cb.ksub)
       for (j <- 0 until cb.m; k <- 0 until cb.ksub) {
         var s = 0.0
         var t = 0
         while (t < cb.dsub) {
-          s += mu(j * cb.dsub + t) * cb.flat((j * cb.ksub + k) * cb.dsub + t)
+          s += muCb(j * cb.dsub + t) * cb.flat((j * cb.ksub + k) * cb.dsub + t)
           t += 1
         }
         lutMu(j * cb.ksub + k) = s
@@ -415,34 +494,33 @@ object Pq {
   /** Shared SDC scaffold for the encoded-corpus pair operators: every
     * same-cell pair of `corpusCodes` ([[ivfPqEncode]] output), scored
     * by SDC cosine as (leftId, cId, cos, …). The m·ksub² table rides as
-    * a 1-row broadcast JOIN, not a plan literal: at ksub=128 it is
-    * ~262k doubles, and a literal that size makes every Catalyst
-    * transform re-hash it — plan time dwarfed the actual scoring
-    * (2.5 s vs 0.3 s at sf0.1). As an attribute read straight from the
-    * broadcast row it costs nothing. Per-row norm work is duplicated
-    * across the two join sides (no shared subplan without a cache);
-    * negligible — pair scoring at Σ cell² pairs dominates the 2n
-    * per-row adcDots. */
+    * a TorrentBroadcast handle ([[bArr]]), not a plan literal: at
+    * ksub=128 it is ~262k doubles (2 MB), and a literal that size makes
+    * every Catalyst transform re-hash it (plan time dwarfed the actual
+    * scoring, 2.5 s vs 0.3 s at sf0.1 — the round-8 fix) while even a
+    * 1-row broadcast-joined DataFrame still serialized it into one task
+    * binary per broadcast build (the round-9 fix). Per-row norm work is
+    * duplicated across the two join sides (no shared subplan without a
+    * cache); negligible — pair scoring at Σ cell² pairs dominates the
+    * 2n per-row adcDots. */
   private def sdcScoredPairs(corpusCodes: DataFrame, cb: PqCodebook,
                              leftId: String,
                              pairFilter: Column): DataFrame = {
     reg(corpusCodes)
-    val spark = corpusCodes.sparkSession
-    import spark.implicits._
-    val tableDf = Seq(Tuple1(cb.sdcTable.toSeq)).toDF("__sdc")
-    val a = withArr(corpusCodes.select(col("cId").as(leftId),
-        col("cent").as("__cent"), col("codes").as("__ca")), "__nla", cb.normLut)
-      .select(col(leftId), col("__cent"), col("__ca"),
-        sqrt(adcDot(col("__nla"), col("__ca"))).as("__na"))
-    val b = withArr(corpusCodes.select(col("cId").as("cId"),
-        col("cent").as("__cent"), col("codes").as("__cb")), "__nlb", cb.normLut)
-      .select(col("cId"), col("__cent"), col("__cb"),
-        sqrt(adcDot(col("__nlb"), col("__cb"))).as("__nb"))
+    // ONE broadcast each for the norm-LUT and the SDC table, shared by
+    // both self-join sides and the pair scorer
+    val nlut = bArr(corpusCodes, cb.normLut)
+    val table = bArr(corpusCodes, cb.sdcTable)
+    val a = corpusCodes.select(col("cId").as(leftId), col("cent").as("__cent"),
+        col("codes").as("__ca"))
+      .withColumn("__na", sqrt(adcDot(nlut, col("__ca"))))
+    val b = corpusCodes.select(col("cId").as("cId"), col("cent").as("__cent"),
+        col("codes").as("__cb"))
+      .withColumn("__nb", sqrt(adcDot(nlut, col("__cb"))))
     a.join(b, "__cent")
       .filter(pairFilter)
-      .crossJoin(broadcast(tableDf))
       .withColumn("cos", guardedCos(
-        sdcDot(col("__sdc"), col("__ca"), col("__cb"), cb), col("__na"), col("__nb")))
+        sdcDot(table, col("__ca"), col("__cb"), cb), col("__na"), col("__nb")))
   }
 
   /**
@@ -485,29 +563,37 @@ object Pq {
   def ivfPqTopKResidual(index: Similarity.IvfIndex, queries: DataFrame,
                         qId: String, qVec: String, cId: String, cVec: String,
                         k: Int, cb: PqCodebook, nProbe: Int = 2,
-                        excludeSelf: Boolean = true): DataFrame =
-    ivfPqTopKResidualEncoded(index, ivfPqEncodeResidual(index, cId, cVec, cb),
-      queries, qId, qVec, k, cb, nProbe, excludeSelf)
+                        excludeSelf: Boolean = true,
+                        rot: Option[Rotation] = None): DataFrame =
+    ivfPqTopKResidualEncoded(index, ivfPqEncodeResidual(index, cId, cVec, cb, rot),
+      queries, qId, qVec, k, cb, nProbe, excludeSelf, rot)
 
   /** Residual-IVFADC top-k over a corpus prepared by
-    * [[ivfPqEncodeResidual]] — the search-many path. */
+    * [[ivfPqEncodeResidual]] — the search-many path. Pass the SAME
+    * `rot` used at encode time: the query LUT is built from R·q against
+    * the rotated-space codebook (dot(q, r̂) = dot(R·q, R·r̂)); the
+    * coarse probe, dot(q, μ) and the norms stay in the original space. */
   def ivfPqTopKResidualEncoded(index: Similarity.IvfIndex, corpusCodes: DataFrame,
                                queries: DataFrame, qId: String, qVec: String,
                                k: Int, cb: PqCodebook, nProbe: Int = 2,
-                               excludeSelf: Boolean = true): DataFrame = {
+                               excludeSelf: Boolean = true,
+                               rot: Option[Rotation] = None): DataFrame = {
     reg(queries)
     val spark = queries.sparkSession
     import spark.implicits._
-    val aux = cellAux(index, cb).toDF("__cent", "__mu", "__muN2", "__lutMu")
-    val q = withArr(Similarity.probeAssign(queries, qId, qVec, index, nProbe),
-        "__cbf", cb.flat)
+    val aux = cellAux(index, cb, rot).toDF("__cent", "__mu", "__muN2", "__lutMu")
+    val cbFlatQ = bArr(queries, cb.flat)
+    val qVecForLut = rot match {
+      case Some(r) => rotateWith(col("__qv"), bArr(queries, r.flat), r)
+      case None => col("__qv")
+    }
+    val q = Similarity.probeAssign(queries, qId, qVec, index, nProbe)
       .join(broadcast(aux.select(col("__cent"), col("__mu"))), "__cent")
-      .withColumn("__lut", lutWith(col("__qv"), col("__cbf"), cb))
+      .withColumn("__lut", lutWith(qVecForLut, cbFlatQ, cb))
       .withColumn("__qn", call_function("vector_norm", col("__qv")))
       .withColumn("__qmu", call_function("dot_product", col("__qv"), col("__mu")))
       .select(col("qId"), col("__cent"), col("__lut"), col("__qn"), col("__qmu"))
-    val c = withArr(corpusCodes.select(col("cId"), col("cent").as("__cent"),
-        col("codes").as("__codes")), "__nlut", cb.normLut)
+    val c = corpusCodes.select(col("cId"), col("cent").as("__cent"), col("codes").as("__codes"))
       .join(broadcast(aux.select(col("__cent"), col("__muN2"), col("__lutMu"))), "__cent")
       // ‖x̂‖² reassembled from three cancelling terms can round to a
       // tiny NEGATIVE for near-zero reconstructions — sqrt would give
@@ -515,8 +601,7 @@ object Pq {
       // cn = 0 → NULL cos → sorts last, like every other path
       .withColumn("__cn", sqrt(greatest(lit(0.0), col("__muN2")
         + lit(2.0) * adcDot(col("__lutMu"), col("__codes"))
-        + adcDot(col("__nlut"), col("__codes")))))
-      .drop("__nlut")
+        + adcDot(bArr(corpusCodes, cb.normLut), col("__codes")))))
     val joined = c.join(broadcast(q), "__cent")
     val scored = (if (excludeSelf) joined.filter(col("qId") =!= col("cId")) else joined)
       .withColumn("cos", guardedCos(

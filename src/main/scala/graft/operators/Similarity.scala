@@ -214,23 +214,21 @@ object Similarity {
     * null-in→null-out — byte codes (`pq_encode`) to 128 cells,
     * SMALLINT codes (`pq_encode_s`) beyond (real corpora need cells ∝
     * corpus for the Σ cell² encoded-dedup family, so 128 was a scale
-    * cap, not a constant). The centroid matrix ships as 1-ROW BROADCAST
-    * DATA ([[Pq.withArr]]), not a plan literal — a literal gets
-    * duplicated into pushed-down scan filters and both sides of the
-    * downstream self-joins and serialized into every task binary (the
-    * round-8 2 MB task warning). Past 32768: the interpreted HOF argmin
-    * (array_min + array_position — first match wins on exact ties).
-    * Centroid ids equal their position in the flat matrix, which
-    * ivfBuild maintains. */
+    * cap, not a constant). The centroid matrix ships as a
+    * TorrentBroadcast handle ([[Pq.bArr]]), not a plan literal — a
+    * literal gets duplicated into pushed-down scan filters and both
+    * sides of the downstream self-joins and serialized into every task
+    * binary (the round-8 2 MB task warning). Past 32768: the
+    * interpreted HOF argmin (array_min + array_position — first match
+    * wins on exact ties). Centroid ids equal their position in the flat
+    * matrix, which ivfBuild maintains. */
   private def assignCentroid(df: DataFrame, vec: String,
                              cents: Array[(Int, Array[Double])]): DataFrame =
     if (cents.length <= 32768) {
       val fn = if (cents.length <= 128) "pq_encode" else "pq_encode_s"
       val flat = cents.sortBy(_._1).flatMap(_._2)
-      Pq.withArr(df, "__ccb", flat)
-        .withColumn("__cent", element_at(call_function(fn,
-          col(vec), col("__ccb"), lit(1), lit(cents.length)), 1).cast("int"))
-        .drop("__ccb")
+      df.withColumn("__cent", element_at(call_function(fn,
+        col(vec), Pq.bArr(df, flat), lit(1), lit(cents.length)), 1).cast("int"))
     } else {
       val centLit = typedLit(cents.map { case (i, v) => (i, v.toSeq) }.toSeq)
       val vd = transform(col(vec), x => x.cast("double"))
@@ -272,8 +270,12 @@ object Similarity {
       if (index.centroids.length <= 32768) {
         // native kernel to pq_lut's SMALLINT bound; the centroid matrix
         // and per-centroid norms ride as 1-row broadcast DATA, not plan
-        // literals (the Pq.withArr discipline — at 1024 cells × 64 dims
-        // a literal is 64k doubles in every task binary)
+        // literals (at 1024 cells × 64 dims a literal is 64k doubles in
+        // every task binary). The (id, norm) structs need a real row
+        // shape, so this stays a broadcast join rather than Pq.bArr;
+        // at the 32768-cell bound the aux row is ~17 MB — if probe
+        // tables ever grow past the task-size warning, split the norms
+        // into a second bArr and rebuild the structs positionally
         val byId = index.centroids.sortBy(_._1)
         val aux = Seq((byId.flatMap(_._2).toSeq, byId.map { case (i, v) =>
           var s = 0.0; var t = 0

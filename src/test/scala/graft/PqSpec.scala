@@ -54,6 +54,59 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("operator plans ship codebooks as broadcast handles, never literals") {
+    val corpus = mkVecs(100, 16, seed = 21).toDF("id", "v")
+    val cb = Pq.train(corpus, "id", "v", dim = 16, m = 4, ksub = 8, iters = 1)
+    val enc = Pq.encodeCorpus(corpus, "id", "v", cb)
+    val plan = enc.queryExecution.analyzed.toString
+    assert(plan.contains("broadcast_array"), s"codebook must ride a broadcast handle:\n$plan")
+    assert(plan.length < 10000, s"plan must be literal-free, got ${plan.length} chars")
+    // and the handle-backed encode must agree with the literal-backed one
+    val viaLit = corpus.select($"id", Pq.encode($"v", cb).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    enc.collect().foreach(r => assert(r.getSeq[Byte](1) == viaLit(r.getLong(0))))
+  }
+
+  test("pq_encode_s: SMALLINT codes, identical argmin past the byte bound") {
+    // 200 DISTINCT seeded-Gaussian codewords over dim 4 (m=1) — byte
+    // codes cannot represent ids > 127, and with distinct codewords the
+    // argmin spreads across the whole id range (a modular formula here
+    // would repeat codewords, and the lowest-id tie-break would then
+    // never pick a wide id)
+    val cbRng = new scala.util.Random(7)
+    val cbArr = Array.fill(200 * 4)(cbRng.nextGaussian())
+    val df = mkVecs(50, 4, seed = 31).toDF("id", "v")
+    val got = df.select($"id",
+      call_function("pq_encode_s", $"v", typedLit(cbArr.toSeq), lit(1), lit(200)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Short](1).head).toMap
+    val vecs = mkVecs(50, 4, seed = 31).toMap
+    for ((id, code) <- got) {
+      val v = vecs(id)
+      val best = (0 until 200).minBy { k =>
+        (0 until 4).map(t => math.pow(v(t) - cbArr(k * 4 + t), 2)).sum
+      }
+      assert(code == best, s"id=$id: wide kernel $code vs driver argmin $best")
+      assert(code > Byte.MaxValue || code >= 0) // exercises ids beyond a byte somewhere
+    }
+    assert(got.values.exists(_ > 127), "test data should hit codewords past the byte bound")
+  }
+
+  test("NaN/Inf vector elements -> NULL codes and NULL lut (null-in -> null-out)") {
+    val cb = typedLit((0 until 16).map(_.toDouble)) // m=2, ksub=2, dsub=4 over dim 8
+    val df = Seq(
+      (1L, Array.tabulate(8)(_.toFloat)),
+      (2L, Array.tabulate(8)(i => if (i == 3) Float.NaN else i.toFloat)),
+      (3L, Array.tabulate(8)(i => if (i == 5) Float.PositiveInfinity else i.toFloat))
+    ).toDF("id", "v")
+    val got = df.select($"id",
+      call_function("pq_encode", $"v", cb, lit(2), lit(2)).as("c"),
+      call_function("pq_lut", $"v", cb, lit(2), lit(2)).as("l")).collect()
+      .map(r => r.getLong(0) -> (r.isNullAt(1), r.isNullAt(2))).toMap
+    assert(got(1L) == ((false, false)))
+    assert(got(2L) == ((true, true)), "NaN element must propagate NULL")
+    assert(got(3L) == ((true, true)), "Inf element must propagate NULL")
+  }
+
   test("geometry/null semantics: bad length, null element, bad code -> NULL") {
     val cb = typedLit((0 until 16).map(_.toDouble))   // m=2, ksub=2, dsub=4 over dim 8
     val df = Seq(
