@@ -438,6 +438,40 @@ class PqSpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("rotation is orthonormal; rotated-residual scores == cosine of (centroid + R^T decoded), exactly") {
+    import graft.operators.Similarity
+    val rot = Pq.rotation(16, seed = 7L)
+    // R·Rᵀ = I to float precision
+    for (r <- 0 until 16; c <- 0 until 16) {
+      val d = (0 until 16).map(t => rot.flat(r * 16 + t) * rot.flat(c * 16 + t)).sum
+      assert(math.abs(d - (if (r == c) 1.0 else 0.0)) < 1e-12, s"RRt($r,$c)=$d")
+    }
+    val corpus = mkVecs(50, 16, seed = 83).toDF("id", "v").cache()
+    val idx = Similarity.ivfBuild(corpus, "id", "v", nCentroids = 4, kmeansIters = 1)
+    val cb = Pq.trainResidual(idx, "id", "v", dim = 16, m = 4, ksub = 8, iters = 1,
+      rot = Some(rot))
+    val queries = mkVecs(5, 16, seed = 84)
+    val got = Pq.ivfPqTopKResidual(idx, queries.toDF("id", "v"), "id", "v", "id", "v",
+        k = 50, cb, nProbe = 4, excludeSelf = false, rot = Some(rot))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 5 * 50)
+    // ground truth: reconstruction = centroid + Rᵀ · decode(codes)
+    // (codes live in rotated space; Rᵀ = R⁻¹ maps the decoded residual back)
+    val prepared = Pq.ivfPqEncodeResidual(idx, "id", "v", cb, rot = Some(rot)).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Byte](2).toArray)).toMap
+    val cents = idx.centroids.toMap
+    for ((qid, qv) <- queries; (cid, (cent, codes)) <- prepared) {
+      val resRot = cb.decode(codes)
+      val res = Array.tabulate(16)(t => (0 until 16).map(r => rot.flat(r * 16 + t) * resRot(r)).sum)
+      val recon = cents(cent).zip(res).map { case (a, b) => a + b }
+      val dot = qv.indices.map(i => qv(i).toDouble * recon(i)).sum
+      val qn = math.sqrt(qv.map(x => x.toDouble * x).sum)
+      val cn = math.sqrt(recon.map(x => x * x).sum)
+      assert(math.abs(got((qid, cid)) - dot / (qn * cn)) < 1e-9, s"q=$qid c=$cid")
+    }
+    corpus.unpersist()
+  }
+
   test("residual encoding beats flat PQ recall at the same bit budget") {
     import graft.operators.Similarity
     // clustered data where flat PQ collapses within-cluster order to
