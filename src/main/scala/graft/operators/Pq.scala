@@ -41,8 +41,10 @@ object Pq {
     def dim: Int = m * dsub
     /** Per-codeword squared norms in LUT layout: nlut[j·ksub + k] =
       * ‖codeword‖² — `pq_adc_dot(nlut, codes)` is then the squared norm
-      * of the reconstruction, computed once per CORPUS row. */
-    def normLut: Array[Double] = {
+      * of the reconstruction, computed once per CORPUS row. Lazy val
+      * (not def): a stable array instance is what [[bArr]]'s
+      * per-instance broadcast memoization keys on. */
+    lazy val normLut: Array[Double] = {
       val out = new Array[Double](m * ksub)
       var j = 0
       while (j < m) {
@@ -62,8 +64,9 @@ object Pq {
       * ((j·ksub + ka)·ksub + kb) ↦ ⟨cwⱼₖₐ, cwⱼₖᵦ⟩ — m·ksub² doubles
       * (KBs at any sane geometry), so `pq_sdc_dot(table, a, b)` scores a
       * pair of ENCODED vectors in O(m) lookups: exactly
-      * dot(decode(a), decode(b)), float vectors never touched. */
-    def sdcTable: Array[Double] = {
+      * dot(decode(a), decode(b)), float vectors never touched. Lazy val
+      * for the same [[bArr]] memoization reason as [[normLut]]. */
+    lazy val sdcTable: Array[Double] = {
       val out = new Array[Double](m * ksub * ksub)
       var j = 0
       while (j < m) {
@@ -111,12 +114,32 @@ object Pq {
     * DataFrame it would still ride one task binary per broadcast build
     * (`LocalTableScan.doExecute` parallelizes its rows into the
     * exchange's collect job). The handle costs neither: ~100 bytes per
-    * task, the array ships once per executor. One broadcast per call —
-    * reuse the returned Column when both sides of a self-join need the
-    * same array. */
-  private[operators] def bArr(df: DataFrame, arr: Array[Double]): Column =
+    * task, the array ships once per executor.
+    *
+    * Broadcasts are memoized per ARRAY INSTANCE (weak keys — an entry
+    * lives exactly as long as its codebook) and per SparkContext:
+    * repeat operator calls over the same codebook reuse one broadcast
+    * instead of paying ~10s of ms of torrent setup per call (the bench
+    * regression the literal path never had), and a restarted context
+    * invalidates its entries instead of resurrecting dead handles.
+    * [[PqCodebook.normLut]]/[[PqCodebook.sdcTable]] are lazy vals
+    * precisely so they present stable instances here. */
+  private val bcCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[Array[Double],
+      (org.apache.spark.SparkContext, org.apache.spark.broadcast.Broadcast[Array[Double]])]())
+  private[graft] def bArr(df: DataFrame, arr: Array[Double]): Column = {
+    val sc = df.sparkSession.sparkContext
+    val cached = bcCache.get(arr)
+    val bc =
+      if (cached != null && (cached._1 eq sc) && !sc.isStopped) cached._2
+      else {
+        val fresh = sc.broadcast(arr)
+        bcCache.put(arr, (sc, fresh))
+        fresh
+      }
     org.apache.spark.sql.graft.ColumnBridge.column(
-      graft.functions.BroadcastArrayData(df.sparkSession.sparkContext.broadcast(arr)))
+      graft.functions.BroadcastArrayData(bc))
+  }
 
   /** Column helper: ARRAY<TINYINT> of m codeword ids for `vec`. (The
     * codebook rides as a plan literal — fine for exploratory columns;
@@ -283,7 +306,10 @@ object Pq {
    * |q| · (nProbe/nCentroids) · |corpus| pairs × O(m) per pair — vs
    * O(d) per pair for IVF-flat at the same probe budget, and the corpus
    * shuffles m-byte codes, not d-float vectors. The probe stage is
-   * [[Similarity.probeAssign]], bit-identical to IVF-flat's.
+   * [[Similarity.probeAssign]], bit-identical to IVF-flat's — including
+   * its contract that DEGENERATE query rows (NULL vector, NULL element,
+   * wrong dimension) are DROPPED, not emitted with NULL cos: the result
+   * can have fewer distinct qIds than `queries` has rows.
    */
   def ivfPqTopK(index: Similarity.IvfIndex, queries: DataFrame,
                 qId: String, qVec: String, cId: String, cVec: String,

@@ -11,7 +11,9 @@ blow up every bucketed candidate generator quadratically):
   - embeddings: replica vec = 0.8*orig + 0.6*std*gauss(seed) -- keeps
     the label-cluster structure, kills near-identical copies
 
-Usage: gen_sf1.py [src_sf_dir] [out_dir]
+Usage: gen_sf1.py [src_sf_dir] [out_dir] [rep] [rep_emb]
+  defaults: /root/testdata/sf0.1 /root/repo/testdata-sf1 10 16  (= sf1)
+  sf10:     gen_sf1.py /root/testdata/sf0.1 /root/repo/testdata-sf10 100 160
 """
 import os, sys, random
 import numpy as np
@@ -21,8 +23,8 @@ import pyarrow.parquet as pq
 
 src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/testdata-sf1"
-REP = 10      # replicas for relational tables / documents
-REP_EMB = 16  # replicas for embeddings (32k vectors)
+REP = int(sys.argv[3]) if len(sys.argv) > 3 else 10       # relational / documents
+REP_EMB = int(sys.argv[4]) if len(sys.argv) > 4 else 16   # embeddings
 os.makedirs(out, exist_ok=True)
 
 con = duckdb.connect()
