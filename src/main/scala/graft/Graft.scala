@@ -58,6 +58,8 @@ object Graft {
         graft.functions.MinHashPrepare(es(0), intArg(es, 1), intArg(es, 2), intArg(es, 3)), "scala_udf")
       reg.createOrReplaceTempFunction("repetition_score", es =>
         graft.functions.RepetitionScore(es(0), intArg(es, 1)), "scala_udf")
+      reg.createOrReplaceTempFunction("token_stats", es =>
+        graft.functions.TokenStats(es.head), "scala_udf")
       // native embedding math (codegen'd single-loop expressions)
       reg.createOrReplaceTempFunction("dot_product", es =>
         graft.functions.DotProduct(es(0), es(1)), "scala_udf")

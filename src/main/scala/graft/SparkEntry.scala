@@ -124,11 +124,16 @@ object SparkEntry {
 
     // text analysis: token statistics (pure Column expressions)
     "q10_token_stats" -> { (s, dir) =>
-      Tables.load(s, dir, "documents").select(
-          col("doc_id"),
-          graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
-          size(array_distinct(graft.functions.TextFunctions.tokens(col("text")))).cast("long").as("n_distinct"),
-          length(col("text")).cast("long").as("n_chars"))
+      // fused single-pass kernel (one tokenize + one hash pass per doc;
+      // TokenStatsSpec pins field-for-field parity with the unfused
+      // tokenCount/array_distinct/length expressions)
+      Graft.register(s)
+      Tables.load(s, dir, "documents")
+        .withColumn("__ts", graft.functions.TextFunctions.tokenStats(col("text")))
+        .select(col("doc_id"),
+          col("__ts.n_tokens").cast("long").as("n_tokens"),
+          col("__ts.n_distinct").cast("long").as("n_distinct"),
+          col("__ts.n_chars").cast("long").as("n_chars"))
         .orderBy(col("doc_id"))
     },
 

@@ -18,6 +18,13 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Fused per-document statistics — STRUCT(n_tokens, n_distinct,
+    * n_chars) in ONE tokenize + one hash pass ([[TokenStats]]), vs the
+    * unfused triple that tokenizes twice and materializes the token
+    * array for `array_distinct`. Bit-identical fields (the q10 oracle
+    * checks it). Requires [[graft.Graft.register]]. */
+  def tokenStats(text: Column): Column = call_function("token_stats", text)
+
   /** BPE-ish subword proxy: alpha runs, digit runs, and single
     * punctuation marks each count as one token. */
   def bpeTokenCount(text: Column): Column =
