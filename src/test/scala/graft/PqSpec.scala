@@ -319,6 +319,25 @@ class PqSpec extends AnyFunSuite {
     assert(math.abs(asBin.asInstanceOf[Double] - got(1L)) < 1e-12)
   }
 
+  test("pinned geometry turns a coincidentally-square wrong table into NULL") {
+    // the advice scenario: m=2 codes against an m=8/ksub=16 table
+    // (2048 doubles). 2048/2 = 1024 = 32², so the 3-arg inference
+    // "succeeds" with ksub=32 and returns a silently WRONG score; the
+    // 5-arg pinned form must return NULL instead.
+    val wrongTable = typedLit((0 until 8 * 16 * 16).map(_.toDouble * 0.5))
+    val m2codes = Seq((Array(3.toByte, 7.toByte), Array(1.toByte, 2.toByte))).toDF("a", "b")
+    // inference path: non-null (documented hazard of the exploratory form)
+    val inferred = m2codes.select(Pq.sdcDot(wrongTable, $"a", $"b")).head
+    assert(!inferred.isNullAt(0), "3-arg inference accepts the square-length table")
+    // pinned path: the operator knows the true geometry -> NULL
+    val m8cb = Pq.PqCodebook(8, 16, 2, new Array[Double](8 * 16 * 2))
+    assert(m2codes.select(Pq.sdcDot(wrongTable, $"a", $"b", m8cb)).head.isNullAt(0),
+      "pinned m/ksub must reject codes of the wrong m")
+    // and pinned geometry that MATCHES still scores (non-null)
+    val m2cb = Pq.PqCodebook(2, 32, 1, new Array[Double](2 * 32 * 1))
+    assert(!m2codes.select(Pq.sdcDot(wrongTable, $"a", $"b", m2cb)).head.isNullAt(0))
+  }
+
   test("sdcNearDupPairsEncoded finds planted near-duplicates over codes alone") {
     import graft.operators.Similarity
     val rng = new scala.util.Random(111)
