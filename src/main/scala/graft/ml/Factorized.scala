@@ -60,7 +60,13 @@ object Factorized {
       val r = df.agg(count(lit(1)).as("n"), approx_count_distinct(col(key)).as("k")).head
       r.getLong(0).toDouble / math.max(1L, r.getLong(1)).toDouble
     }
-    if (rowsPerKey(left) >= minRowsPerKey && rowsPerKey(right) >= minRowsPerKey)
+    // probe the RIGHT side first: in the common fact ⋈ dim shape the
+    // dimension side is per-key-unique and fails the threshold, and &&
+    // short-circuits — the (usually much larger) fact side is then
+    // never probe-scanned at all (measured ~2.5 s of the 40 s sf100
+    // adaptive wall-clock; the probe reads one column, so it was never
+    // the dominant term)
+    if (rowsPerKey(right) >= minRowsPerKey && rowsPerKey(left) >= minRowsPerKey)
       cofactorOverJoin(left, right, key, leftNum, leftCat, rightNum, rightCat)
     else {
       // plain fused aggregate over the join, shaped to the factorized
