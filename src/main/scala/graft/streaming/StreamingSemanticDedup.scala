@@ -72,16 +72,19 @@ object StreamingSemanticDedup {
   def dedup(docs: DataFrame, idCol: String, vecCol: String, tsCol: String,
             centroids: Array[(Int, Array[Double])], cb: Pq.PqCodebook,
             threshold: Double, watermark: String, horizonMs: Long): Dataset[EncodedDoc] = {
-    require(centroids.nonEmpty && centroids.length <= 128,
-      "streaming dedup keys state by cell id from the byte-code coarse kernel; 1..128 cells")
+    require(centroids.nonEmpty && centroids.length <= 32768,
+      "streaming dedup assigns cells with the native coarse kernel; 1..32768 cells")
     graft.Graft.register(docs.sparkSession)
     implicit val encDoc = Encoders.product[EncodedDoc]
     implicit val encState = Encoders.product[CellState]
     implicit val encInt = Encoders.scalaInt
 
+    // byte codes to 128 cells, SMALLINT beyond — the batch
+    // assignCentroid ladder, so stream cell ids == batch cell ids
+    val coarseFn = if (centroids.length <= 128) "pq_encode" else "pq_encode_s"
     val coarseFlat = centroids.sortBy(_._1).flatMap(_._2)
     val encoded = docs.withWatermark(tsCol, watermark)
-      .withColumn("__cent", element_at(call_function("pq_encode",
+      .withColumn("__cent", element_at(call_function(coarseFn,
         col(vecCol), Pq.bArr(docs, coarseFlat), lit(1), lit(centroids.length)), 1).cast("int"))
       .withColumn("__codes", call_function("pq_encode",
         col(vecCol), Pq.bArr(docs, cb.flat), lit(cb.m), lit(cb.ksub)))
