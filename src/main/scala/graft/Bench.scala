@@ -300,7 +300,9 @@ object Bench {
       val driftAbs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DRIFT_ABS", "0.08").toDouble
       val txt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(driftRef)),
         java.nio.charset.StandardCharsets.UTF_8)
-      results.collect { case (k, v, _, false) =>
+      // BOTH tiers: sf1 names are sf1_-prefixed so the per-name regex
+      // can never confuse a tier with its main-tier namesake
+      (results ++ sf1Results).collect { case (k, v, _, false) =>
         val re = ("\"" + java.util.regex.Pattern.quote(k) + "\":(-?[0-9.]+)").r
         re.findFirstMatchIn(txt).map(_.group(1).toDouble) match {
           case Some(old) if old > 0 && math.abs(v - old) > driftAbs
@@ -313,7 +315,8 @@ object Bench {
       System.err.println(f"[bench] $k: DRIFT ${pct * 100}%+.0f%% vs committed $driftRef")
     }
     val slowDrift = drifted.collect { case (k, pct) if pct > 0 => k }.toSet
-    val flagged = (results.collect { case (k, _, true, _) => k } ++ slowDrift)
+    val flagged = (results.collect { case (k, _, true, _) => k }
+        ++ slowDrift.filterNot(_.startsWith("sf1_")))
       .distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val driftJson = drifted.map { case (k, pct) => "\"" + k + f"""\":"${pct * 100}%+.0f%%"""" }
       .mkString("{", ",", "}")
@@ -321,7 +324,9 @@ object Bench {
     val sf1Json = if (sf1Results.isEmpty) "" else {
       val q1 = sf1Results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
       val t1 = sf1Results.collect { case (_, v, _, false) => v }.sum
-      val u1 = sf1Results.collect { case (k, _, true, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
+      val u1 = (sf1Results.collect { case (k, _, true, _) => k }
+          ++ slowDrift.filter(_.startsWith("sf1_")))
+        .distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
       val b1 = sf1Results.collect { case (k, _, _, true) => "\"" + k + "\"" }.mkString("[", ",", "]")
       f""","sf1":{"dir":"$sf1Dir","total":$t1%.3f,"queries":$q1,"unstable":$u1,"failed":$b1}"""
     }
