@@ -35,8 +35,15 @@ object MiceJoin {
    * the missing stratum through a row-level join restricted to it.
    *
    * `dim` must carry the join key under the same name `key` as `fact`
-   * (rename before calling) and be projected to (key, dimNum…). A
-   * missing-stratum row with no dim match (or a NULL feature) falls back
+   * (rename before calling), be projected to (key, dimNum…), and be
+   * UNIQUE per key — a duplicated key would both multiply the cofactor's
+   * per-key counts (training sees phantom join rows) and fan out the
+   * missing stratum (more output rows than `fact`, with conflicting
+   * imputed values per fact row). This is asserted up front with one
+   * aggregate probe over `dim` (dimension-table sized, not fact-sized)
+   * rather than silently `dropDuplicates`-ed, which would impute from an
+   * arbitrary surviving row. A missing-stratum row with no dim match (or
+   * a NULL feature) falls back
    * to the observed-target mean — the imputation never leaves NULLs.
    * With a single imputed column the observed stratum never changes, so
    * one round IS the fixed point of non-stochastic MICE; chain calls for
@@ -51,6 +58,7 @@ object MiceJoin {
                          tm: Mice.Timings = new Mice.Timings): DataFrame = {
     val spark = fact.sparkSession
     Graft.register(spark)
+    requireUniqueKey(dim, key)
     val outCols = fact.columns.toSeq
     val (observed, missing) = tm.time("partition")(
       (fact.filter(col(target).isNotNull).localCheckpoint(),
@@ -79,5 +87,14 @@ object MiceJoin {
         .localCheckpoint()
     }
     observed.unionByName(imputed)
+  }
+
+  /** Fail loudly on a duplicated dim key (see the contract above): one
+    * hash-agg + limit-1 probe, map-side combined, dim-sized. */
+  private[mice] def requireUniqueKey(dim: DataFrame, key: String): Unit = {
+    val dup = dim.groupBy(col(key)).count().where(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"MiceJoin requires dim unique per '$key'; found duplicated key ${dup.head.get(0)} " +
+        "(pre-aggregate or dropDuplicates the dimension side explicitly before calling)")
   }
 }

@@ -116,17 +116,35 @@ object Pq {
     * exchange's collect job). The handle costs neither: ~100 bytes per
     * task, the array ships once per executor.
     *
-    * Broadcasts are memoized per ARRAY INSTANCE (weak keys — an entry
-    * lives exactly as long as its codebook) and per SparkContext:
-    * repeat operator calls over the same codebook reuse one broadcast
-    * instead of paying ~10s of ms of torrent setup per call (the bench
-    * regression the literal path never had), and a restarted context
-    * invalidates its entries instead of resurrecting dead handles.
+    * Broadcasts are memoized per ARRAY INSTANCE (identity keys — Java
+    * array equals/hashCode) and per SparkContext: repeat operator calls
+    * over the same codebook reuse one broadcast instead of paying ~10s
+    * of ms of torrent setup per call (the bench regression the literal
+    * path never had), and a restarted context invalidates its entries
+    * instead of resurrecting dead handles.
     * [[PqCodebook.normLut]]/[[PqCodebook.sdcTable]] are lazy vals
-    * precisely so they present stable instances here. */
+    * precisely so they present stable instances here.
+    *
+    * Lifecycle is EXPLICIT, not GC-driven: `sc.broadcast` pins the value
+    * strongly in the driver BlockManager (TorrentBroadcast putSingle),
+    * so a weak-keyed cache could never collect an entry while the
+    * context lives. Instead the cache is an access-order LRU of
+    * [[MaxCachedBroadcasts]] entries whose evictees are `destroy()`ed
+    * (freeing driver AND executor blocks), and training loops release
+    * each superseded per-iteration broadcast eagerly via [[releaseArr]].
+    * The cap is a leak bound, not a working-set size: a session holds a
+    * handful of live codebook arrays, so eviction only ever hits arrays
+    * whose plans have long since executed. */
+  private val MaxCachedBroadcasts = 128
+  private type BcEntry = (org.apache.spark.SparkContext, org.apache.spark.broadcast.Broadcast[Array[Double]])
   private val bcCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[Array[Double],
-      (org.apache.spark.SparkContext, org.apache.spark.broadcast.Broadcast[Array[Double]])]())
+    new java.util.LinkedHashMap[Array[Double], BcEntry](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[Array[Double], BcEntry]): Boolean =
+        size() > MaxCachedBroadcasts && {
+          try e.getValue._2.destroy() catch { case _: Exception => () }
+          true
+        }
+    })
   private[graft] def bArr(df: DataFrame, arr: Array[Double]): Column = {
     val sc = df.sparkSession.sparkContext
     val cached = bcCache.get(arr)
@@ -139,6 +157,16 @@ object Pq {
       }
     org.apache.spark.sql.graft.ColumnBridge.column(
       graft.functions.BroadcastArrayData(bc))
+  }
+
+  /** Destroy the memoized broadcast for `arr`, if any — for arrays whose
+    * every plan has finished executing (Lloyd-iteration codebooks after
+    * their pass collects). A later [[bArr]] on the same instance simply
+    * re-broadcasts. */
+  private[graft] def releaseArr(arr: Array[Double]): Unit = {
+    val cached = bcCache.remove(arr)
+    if (cached != null && !cached._1.isStopped)
+      try cached._2.destroy() catch { case _: Exception => () }
   }
 
   /** Column helper: ARRAY<TINYINT> of m codeword ids for `vec`. (The
@@ -235,6 +263,11 @@ object Pq {
           col("__pos"))
         .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
         .collect()
+      // this iteration's codebook broadcast is dead once the pass has
+      // collected — destroy it now rather than letting one accumulate
+      // per Lloyd round (flat is cloned below, so the instance is never
+      // re-broadcast)
+      releaseArr(flat)
       val next = flat.clone()
       cells.foreach { r =>
         val j = r.getInt(0); val k = r.getInt(1); val pos = r.getInt(2)

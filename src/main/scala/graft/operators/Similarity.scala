@@ -158,15 +158,13 @@ object Similarity {
     // that is ~5×10¹² rows per centroid, far beyond any real shard.
     val FP = 1L << 24
     // rows with a NULL/NaN/±Inf element are excluded from sampling AND
-    // the Lloyd sums (the Pq.train discipline): a NULL vector would NPE
-    // the sample decode, a NaN element casts to 0 in the fixed-point
-    // transform and an Inf to Long.MaxValue — silently poisoning a
-    // centroid that residual IVFADC then bakes into every score
-    def clean(c: Column): Column =
-      c.isNotNull && !exists(c, x => x.isNull || isnan(x.cast("double")) ||
-        abs(x.cast("double")) === lit(Double.PositiveInfinity))
+    // the Lloyd sums (the Pq.train discipline, = finiteVec): a NULL
+    // vector would NPE the sample decode, a NaN element casts to 0 in
+    // the fixed-point transform and an Inf to Long.MaxValue — silently
+    // poisoning a centroid that residual IVFADC then bakes into every
+    // score
     var cents = corpus.select(col(id), col(vec))
-      .where(clean(col(vec)))
+      .where(finiteVec(col(vec)))
       .withColumn("__r", xxhash64(col(id)))
       .orderBy(col("__r")).limit(nCentroids)
       .collect().zipWithIndex
@@ -175,8 +173,14 @@ object Similarity {
       .map { case (r, i) =>
         i -> r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toArray }
     for (_ <- 1 to kmeansIters) {
-      val means = assignCentroid(
-          corpus.where(clean(col(vec))).select(col(vec).as("__v")), "__v", cents)
+      // the iteration's centroid matrix is superseded as soon as this
+      // pass has collected — release its TorrentBroadcast explicitly
+      // (the bcCache memoizes per array instance; without the release,
+      // each Lloyd round would leave a dead broadcast pinned in the
+      // driver BlockManager for the life of the context)
+      val iterFlat = if (cents.length <= 32768) cents.sortBy(_._1).flatMap(_._2) else null
+      val means = assignCentroidFlat(
+          corpus.where(finiteVec(col(vec))).select(col(vec).as("__v")), "__v", cents, iterFlat)
         // assignment in its OWN projection below the generate (inside
         // assignCentroid): a sibling expression beside a generator lands
         // in the Project ABOVE the Generate and re-evaluates once per
@@ -193,6 +197,7 @@ object Similarity {
         .groupBy("__cent", "__pos")
         .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
         .collect().groupBy(_.getInt(0))
+      if (iterFlat != null) Pq.releaseArr(iterFlat)
       cents = cents.map { case (i, old) =>
         means.get(i) match {
           case Some(rows) =>
@@ -224,9 +229,17 @@ object Similarity {
     * matrix, which ivfBuild maintains. */
   private def assignCentroid(df: DataFrame, vec: String,
                              cents: Array[(Int, Array[Double])]): DataFrame =
+    assignCentroidFlat(df, vec, cents,
+      if (cents.length <= 32768) cents.sortBy(_._1).flatMap(_._2) else null)
+
+  /** [[assignCentroid]] with a caller-held flat centroid matrix (ignored
+    * on the >32768 HOF branch), so Lloyd loops can release the
+    * iteration's broadcast as soon as its pass has collected. */
+  private def assignCentroidFlat(df: DataFrame, vec: String,
+                                 cents: Array[(Int, Array[Double])],
+                                 flat: Array[Double]): DataFrame =
     if (cents.length <= 32768) {
       val fn = if (cents.length <= 128) "pq_encode" else "pq_encode_s"
-      val flat = cents.sortBy(_._1).flatMap(_._2)
       df.withColumn("__cent", element_at(call_function(fn,
         col(vec), Pq.bArr(df, flat), lit(1), lit(cents.length)), 1).cast("int"))
     } else {
@@ -238,6 +251,14 @@ object Similarity {
       df.withColumn("__cent",
         (array_position(d2s, array_min(d2s)) - 1).cast("int"))
     }
+
+  /** Complete-and-finite vector predicate shared by ivfBuild's Lloyd
+    * sums and probeAssign's degenerate-query drop (the [[Pq]] train
+    * discipline): NULL vector, NULL element, NaN or ±Inf element all
+    * fail. */
+  private def finiteVec(c: Column): Column =
+    c.isNotNull && !exists(c, x => x.isNull || isnan(x.cast("double")) ||
+      abs(x.cast("double")) === lit(Double.PositiveInfinity))
 
   /** The probe stage shared by IVF-flat and IVFADC search: each query row
     * exploded into its `nProbe` nearest centroid ids — (qId, __qv,
@@ -258,14 +279,14 @@ object Similarity {
     val spark = queries.sparkSession
     import spark.implicits._
     val dim = index.centroids.headOption.map(_._2.length).getOrElse(0)
-    // degenerate queries (NULL vector, NULL element, wrong dimension)
-    // are DROPPED — explicitly, so both branches below agree: the
-    // native path's NULL lut would drop them via explode(NULL) while
-    // the HOF path would emit probes with a NULL d2, and the two must
-    // not differ by centroid count
+    // degenerate queries (NULL vector, NULL element, NaN/±Inf element,
+    // wrong dimension) are DROPPED — explicitly, so both branches below
+    // agree: the native path's NULL lut (pq_lut NaN-guards) would drop
+    // them via explode(NULL), while the HOF path would emit probes with
+    // a NaN d2 (NaN orders LARGEST in array_sort, i.e. arbitrary probe
+    // cells) or a NULL d2, and the two must not differ by a single row
     val base = queries.select(col(qId).as("qId"), col(qVec).as("__qv"))
-      .where(col("__qv").isNotNull && size(col("__qv")) === dim &&
-        !exists(col("__qv"), x => x.isNull))
+      .where(size(col("__qv")) === dim && finiteVec(col("__qv")))
     val probed =
       if (index.centroids.length <= 32768) {
         // native kernel to pq_lut's SMALLINT bound; the centroid matrix
@@ -306,8 +327,8 @@ object Similarity {
    * nearest centroids' postings lists — candidate cost is
    * |q| · (nProbe/nCentroids) · |corpus| instead of |q| · |corpus|.
    *
-   * Degenerate query rows (NULL vector, NULL element, wrong dimension)
-   * are DROPPED by the probe stage, not emitted with a NULL cos — the
+   * Degenerate query rows (NULL vector, NULL/NaN/±Inf element, wrong
+   * dimension) are DROPPED by the probe stage, not emitted with a NULL cos — the
    * result can have fewer distinct qIds than `queries` has rows. (Same
    * for every IVF-probed path: [[Pq.ivfPqTopK]] and the residual
    * variants.)

@@ -125,8 +125,14 @@ object StreamingSemanticDedup {
             var kept = alive
             val out = Seq.newBuilder[EncodedDoc]
             for (d <- batch) {
-              val dup = kept.exists { case (_, c, n2, _) =>
-                sdcCos(table.value, ksub, d.codes, d.norm2, c, n2) >= threshold
+              // age check against the ARRIVING row's event time, not the
+              // watermark: the watermark lags event time (delay + a batch,
+              // or arbitrarily after a quiet period), so watermark-based
+              // eviction alone would let a kept row suppress arrivals past
+              // its horizon. Eviction above stays purely a state-size bound.
+              val dup = kept.exists { case (_, c, n2, kts) =>
+                d.tsMs - kts < horizonMs &&
+                  sdcCos(table.value, ksub, d.codes, d.norm2, c, n2) >= threshold
               }
               if (!dup) {
                 kept = (d.id, d.codes, d.norm2, d.tsMs) :: kept

@@ -120,4 +120,40 @@ class StreamingSemanticDedupSpec extends AnyFunSuite {
     assert(!got.contains(100L), "within-horizon near-dup must be suppressed")
     assert(got.contains(200L), "past-horizon near-dup must survive (state expired)")
   }
+
+  test("past-horizon near-dup survives even while the watermark lags") {
+    // The dup predicate must compare the ARRIVING row's event time against
+    // the kept row's, not rely on watermark eviction: after a quiet period
+    // the watermark can sit arbitrarily far behind event time, so the kept
+    // row is still in state when a past-horizon near-dup arrives.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = mkDocs(8, seed = 11)
+    val (idx, cb) = artifacts(base)
+    val t0 = 1700000000000L
+
+    val input = MemoryStream[(java.sql.Timestamp, Long, Array[Float])]
+    val out = StreamingSemanticDedup.dedup(
+      input.toDF().toDF("ts", "id", "v"), "id", "v", "ts",
+      idx.centroids, cb, threshold = 0.9, watermark = "1 second",
+      horizonMs = 60L * 1000)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sem_dedup_lag").start()
+    // batch 1: first copy at t0 -> kept; watermark advances to ~t0-1s
+    input.addData((new java.sql.Timestamp(t0), 0L, base(0)._2))
+    q.processAllAvailable()
+    // batch 2: near-dup 2 minutes later — past the 1-minute horizon, but
+    // the watermark (still ~t0-1s) has NOT evicted the kept row. Without
+    // the per-row age check this row would be wrongly suppressed.
+    input.addData((new java.sql.Timestamp(t0 + 2 * 60 * 1000), 300L, base(0)._2.map(x => x + 0.001f)))
+    q.processAllAvailable()
+    // batch 3: a within-horizon near-dup of id 300 is still suppressed
+    input.addData((new java.sql.Timestamp(t0 + 2 * 60 * 1000 + 5000), 301L, base(0)._2.map(x => x + 0.002f)))
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("sem_dedup_lag").select("id").collect().map(_.getLong(0)).toSet
+    assert(got.contains(0L))
+    assert(got.contains(300L), "past-horizon near-dup must survive despite lagging watermark")
+    assert(!got.contains(301L), "within-horizon near-dup of the new kept row must be suppressed")
+  }
 }
