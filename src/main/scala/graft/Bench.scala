@@ -281,6 +281,28 @@ object Bench {
           }
         ))
       }
+    // sf10 tier (60M-row lineitem, 500k docs, 320k vectors — gen_sf1.py
+    // with rep=100): ONLY the families whose ≤2×-of-DuckDB claim the
+    // round-9 BENCH_CONTEXT rests on (knn_int8 / as-of / fused
+    // text_stats / knn brute force, measured wins or ~1× there). Keeping
+    // them in the drift-guarded artifact makes a regression to the
+    // headline claim visible instead of living in a hand-run table.
+    // ~30 s total; runs only when the generated tier exists.
+    val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/root/repo/testdata-sf10")
+    val sf10Results: Seq[(String, Double, Boolean, Boolean)] =
+      if (!new java.io.File(sf10Dir + "/lineitem.parquet").exists()) Seq.empty
+      else timeSuite(Seq(
+        "sf10_text_stats" -> (() => noop(SparkEntry.queries("q10_token_stats")(spark, sf10Dir))),
+        "sf10_asof_join" -> (() => noop(SparkEntry.queries("q44_asof_join")(spark, sf10Dir))),
+        "sf10_knn_bruteforce" -> (() => noop(SparkEntry.queries("q16_knn_bruteforce")(spark, sf10Dir))),
+        "sf10_knn_int8" -> { () =>
+          val emb = Tables.load(spark, sf10Dir, "embeddings")
+            .select(col("vec_id"),
+              graft.operators.Quantize.quantizeInt8(col("embedding")).getField("q").as("q8"))
+          noop(graft.operators.Similarity.bruteForceTopK(
+            emb.filter(col("vec_id") < 20), emb, "vec_id", "q8", "vec_id", "q8", k = 3))
+        }
+      ))
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, false) => v }.sum
     // Cross-run drift vs the COMMITTED result: per-run spread can be
@@ -293,17 +315,20 @@ object Bench {
     // reference and never flag.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_RESULT.json")
     val driftRef = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", out)
-    val drifted: Seq[(String, Double)] = (try {
+    def driftScan(refPath: String): Seq[(String, Double)] = (try {
       // driftAbs parse sits INSIDE the try: the stated contract is that a
       // setup/drift failure must not abort the bench before the artifact
       // is written, and a malformed env value is exactly such a failure
       val driftAbs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DRIFT_ABS", "0.08").toDouble
-      val txt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(driftRef)),
+      val txt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(refPath)),
         java.nio.charset.StandardCharsets.UTF_8)
-      // BOTH tiers: sf1 names are sf1_-prefixed so the per-name regex
+      // ALL tiers: sf1/sf10 names are prefixed so the per-name regex
       // can never confuse a tier with its main-tier namesake
-      (results ++ sf1Results).collect { case (k, v, _, false) =>
-        val re = ("\"" + java.util.regex.Pattern.quote(k) + "\":(-?[0-9.]+)").r
+      (results ++ sf1Results ++ sf10Results).collect { case (k, v, _, false) =>
+        // \s* after the colon: the per-round driver snapshot
+        // (BENCH_r{N}.json) re-serializes the parsed line with ": "
+        // separators, while BENCH_RESULT.json itself is compact
+        val re = ("\"" + java.util.regex.Pattern.quote(k) + "\"\\s*:\\s*(-?[0-9.]+)").r
         re.findFirstMatchIn(txt).map(_.group(1).toDouble) match {
           case Some(old) if old > 0 && math.abs(v - old) > driftAbs
               && math.abs(v - old) / old > tolerance => Some(k -> ((v - old) / old))
@@ -311,15 +336,45 @@ object Bench {
         }
       }.flatten
     } catch { case _: Throwable => Seq.empty })
+    val drifted = driftScan(driftRef)
     drifted.foreach { case (k, pct) =>
       System.err.println(f"[bench] $k: DRIFT ${pct * 100}%+.0f%% vs committed $driftRef")
     }
-    val slowDrift = drifted.collect { case (k, pct) if pct > 0 => k }.toSet
+    // Second, IMMUTABLE reference: the latest per-round snapshot
+    // (BENCH_r{N}.json, committed once by the driver and never rewritten).
+    // The committed-file guard above resets whenever BENCH_RESULT.json is
+    // re-committed mid-round, so round-over-round drift could hide behind
+    // a refreshed baseline (round 9's +7.7% legacy drift was invisible to
+    // it). A per-round file can't be reset the same way. Report-only AND
+    // unstable-marking for slower rows, same thresholds.
+    val prevRef: Option[String] = sys.env.get("SPARK_GRAFT_BENCH_PREV")
+      .map(p => if (p.isEmpty) None else Some(p)).getOrElse {
+        val re = "BENCH_r(\\d+)\\.json".r
+        Option(new java.io.File(".").listFiles()).toSeq.flatten
+          .flatMap(f => f.getName match {
+            case re(n) => Some(n.toInt -> f.getName)
+            case _ => None
+          }) match {
+          case Seq() => None
+          case fs => Some(fs.maxBy(_._1)._2)
+        }
+      }
+    val driftedPrev = prevRef.map(driftScan).getOrElse(Seq.empty)
+    driftedPrev.foreach { case (k, pct) =>
+      System.err.println(f"[bench] $k: DRIFT ${pct * 100}%+.0f%% vs previous round ${prevRef.get}")
+    }
+    val slowDrift = (drifted ++ driftedPrev).collect { case (k, pct) if pct > 0 => k }.toSet
     val flagged = (results.collect { case (k, _, true, _) => k }
-        ++ slowDrift.filterNot(_.startsWith("sf1_")))
+        ++ slowDrift.filterNot(k => k.startsWith("sf1_") || k.startsWith("sf10_")))
       .distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val driftJson = drifted.map { case (k, pct) => "\"" + k + f"""\":"${pct * 100}%+.0f%%"""" }
-      .mkString("{", ",", "}")
+    def pctJson(ds: Seq[(String, Double)]): String =
+      ds.map { case (k, pct) => "\"" + k + f"""\":"${pct * 100}%+.0f%%"""" }
+        .mkString("{", ",", "}")
+    val driftJson = pctJson(drifted)
+    val driftPrevJson = prevRef match {
+      case Some(p) => f""","drift_vs_prev":{"ref":"$p","rows":${pctJson(driftedPrev)}}"""
+      case None => ""
+    }
     val broken = results.collect { case (k, _, _, true) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val sf1Json = if (sf1Results.isEmpty) "" else {
       val q1 = sf1Results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
@@ -330,7 +385,16 @@ object Bench {
       val b1 = sf1Results.collect { case (k, _, _, true) => "\"" + k + "\"" }.mkString("[", ",", "]")
       f""","sf1":{"dir":"$sf1Dir","total":$t1%.3f,"queries":$q1,"unstable":$u1,"failed":$b1}"""
     }
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median","unstable":$flagged,"failed":$broken,"drift":$driftJson$sf1Json}"""
+    val sf10Json = if (sf10Results.isEmpty) "" else {
+      val q10 = sf10Results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      val t10 = sf10Results.collect { case (_, v, _, false) => v }.sum
+      val u10 = (sf10Results.collect { case (k, _, true, _) => k }
+          ++ slowDrift.filter(_.startsWith("sf10_")))
+        .distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val b10 = sf10Results.collect { case (k, _, _, true) => "\"" + k + "\"" }.mkString("[", ",", "]")
+      f""","sf10":{"dir":"$sf10Dir","total":$t10%.3f,"queries":$q10,"unstable":$u10,"failed":$b10}"""
+    }
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median","unstable":$flagged,"failed":$broken,"drift":$driftJson$driftPrevJson$sf1Json$sf10Json}"""
     println(json)
     // belt-and-braces: sbt's logger can prefix stdout lines ("[info] ..."),
     // which broke round-1 parsing — also drop the line in a results file

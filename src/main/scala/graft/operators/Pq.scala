@@ -444,6 +444,93 @@ object Pq {
     Rotation(dim, rows.flatten)
   }
 
+  /**
+   * Data-DEPENDENT OPQ rotation (Ge et al. CVPR 2013 §5's "eigenvalue
+   * allocation" — the parametric initialization, optimal for Gaussian
+   * data and the standard one-shot upgrade over a random rotation): PCA
+   * of a seeded driver-side sample decorrelates the dimensions, then the
+   * principal directions are dealt to the m subspaces so every
+   * subspace's variance PRODUCT is balanced — greedy over eigenvalues in
+   * descending order, each to the unfilled subspace with the smallest
+   * log-variance product. Balanced information per subspace is exactly
+   * what per-subspace k-means needs to spend its ksub codewords evenly.
+   *
+   * Deterministic end to end: the sample is the xxhash64-ordered prefix
+   * (the [[train]] discipline — partition-independent), moments are
+   * accumulated driver-side in that fixed order, and LAPACK's
+   * eigendecomposition of a bit-identical matrix is bit-identical.
+   * O(sampleN·d²) driver flops — ~17M at d=64/sampleN=4096, milliseconds.
+   *
+   * Train the codebook on the SAME rotated input this returns for
+   * (e.g. residuals for residual IVFADC — [[pcaRotationResidual]]).
+   */
+  def pcaRotation(input: DataFrame, id: String, vec: String, dim: Int, m: Int,
+                  sampleN: Int = 4096): Rotation = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    val rows = input
+      .select(col(vec).as("__v"), col(id).as("__id"), xxhash64(col(id)).as("__r"))
+      .where(finiteVec(col("__v"), dim))
+      .orderBy(col("__r"), col("__id")).limit(sampleN)
+      .collect()
+      .map(_.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue()).toArray)
+    require(rows.nonEmpty, "pcaRotation needs at least one valid vector")
+    val n = rows.length
+    val mean = new Array[Double](dim)
+    rows.foreach { v =>
+      var t = 0; while (t < dim) { mean(t) += v(t); t += 1 }
+    }
+    var t0 = 0
+    while (t0 < dim) { mean(t0) /= n; t0 += 1 }
+    val cov = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+    rows.foreach { v =>
+      var i = 0
+      while (i < dim) {
+        val di = v(i) - mean(i)
+        var j = 0
+        while (j <= i) { cov(i, j) += di * (v(j) - mean(j)); j += 1 }
+        i += 1
+      }
+    }
+    for (i <- 0 until dim; j <- 0 to i) {
+      val x = cov(i, j) / n; cov(i, j) = x; cov(j, i) = x
+    }
+    val es = breeze.linalg.eigSym(cov)
+    val desc = (0 until dim).sortBy(i => (-es.eigenvalues(i), i))
+    val dsub = dim / m
+    val bucketLog = new Array[Double](m)
+    val buckets = Array.fill(m)(Vector.empty[Int])
+    for (ei <- desc) {
+      var best = -1
+      var bestV = Double.MaxValue
+      var b = 0
+      while (b < m) {
+        if (buckets(b).length < dsub && bucketLog(b) < bestV) {
+          bestV = bucketLog(b); best = b
+        }
+        b += 1
+      }
+      // λ→0 directions carry no information; floor keeps the log finite
+      bucketLog(best) += math.log(math.max(es.eigenvalues(ei), 1e-12))
+      buckets(best) = buckets(best) :+ ei
+    }
+    val flat = new Array[Double](dim * dim)
+    var r = 0
+    for (b <- 0 until m; ei <- buckets(b)) {
+      var t = 0
+      while (t < dim) { flat(r * dim + t) = es.eigenvectors(t, ei); t += 1 }
+      r += 1
+    }
+    Rotation(dim, flat)
+  }
+
+  /** [[pcaRotation]] over the IVF residuals — the input residual IVFADC
+    * actually quantizes (rotating for the RAW distribution would
+    * misallocate: coarse assignment already removes the between-cell
+    * variance). */
+  def pcaRotationResidual(index: Similarity.IvfIndex, id: String, vec: String,
+                          dim: Int, m: Int, sampleN: Int = 4096): Rotation =
+    pcaRotation(ivfResiduals(index, vec), id, "__res", dim, m, sampleN)
+
   /** R·x as a native column (the pq_lut m=1 kernel against R's rows,
     * shipped as a broadcast handle via [[bArr]]). */
   private def rotateWith(vec: Column, rCol: Column, rot: Rotation): Column =

@@ -220,6 +220,33 @@ class MlSpec extends AnyFunSuite {
     assert(tEmpty.n == 0 && tEmpty.numCols == 3 && tEmpty.catCols == 1)
   }
 
+  test("adaptive probe decision is memoized per (canonicalized plan, key)") {
+    // freshly-built but logically identical inputs must HIT the memo
+    // (canonicalized plans normalize expression ids), so a repeat call
+    // pays zero probe scans; a logically different input must MISS it
+    def dim = Seq.tabulate(50)(k => (k, k * 0.5 + 1.0, k % 4)).toDF("k", "dprice", "dcat")
+    def fact = rows.zipWithIndex.map { case ((y, a, b, c), i) => (i % 50, y, a) }
+      .toDF("k", "y", "a")
+    graft.ml.Factorized.clearProbeCache()
+    val t1 = graft.ml.Factorized.cofactorOverJoinAdaptive(
+      fact, dim, "k", Seq("y", "a"), Seq(), Seq("dprice"), Seq("dcat"), minRowsPerKey = 2.0)
+    val n1 = graft.ml.Factorized.probeCacheSize
+    assert(n1 >= 1, "first call must populate the probe memo")
+    val t2 = graft.ml.Factorized.cofactorOverJoinAdaptive(
+      fact, dim, "k", Seq("y", "a"), Seq(), Seq("dprice"), Seq("dcat"), minRowsPerKey = 2.0)
+    assert(graft.ml.Factorized.probeCacheSize == n1,
+      "rebuilt-but-identical inputs must hit the memo, not re-probe")
+    assert(t1.approxEquals(t2, 1e-12))
+    // vary the RIGHT side — it is always probed first (the left probe
+    // short-circuits away when the right side is near-unique, as here)
+    val t3 = graft.ml.Factorized.cofactorOverJoinAdaptive(
+      fact, dim.filter($"k" =!= 7), "k", Seq("y", "a"), Seq(), Seq("dprice"), Seq("dcat"),
+      minRowsPerKey = 2.0)
+    assert(graft.ml.Factorized.probeCacheSize > n1,
+      "a logically different input must take its own probe")
+    assert(!t3.approxEquals(t1, 1e-12))
+  }
+
   test("LDA on triple == LDA trained from raw scatter matrices (parity)") {
     val t = Graft.cofactor(clsDf, Seq("f1", "f2"), Seq("cls"))
     val m = Lda.train(t, label = 0, shrinkage = 0.0)
