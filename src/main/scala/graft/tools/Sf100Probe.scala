@@ -6,7 +6,10 @@ import org.apache.spark.sql.functions._
   * numbers: q01 / cofactor / factorized over a 600M-row lineitem
   * (generate with the gen_sf1.py machinery at rep=1000 into
   * /root/repo/testdata-sf100 — relational tables only). 4 passes each;
-  * quote the steady-state median of the last 3. */
+  * quote the steady-state median of the last 3.
+  *
+  * Usage: runMain graft.tools.Sf100Probe [dataDir] — any tier with
+  * lineitem+orders works (the sf10 factorized ratio is probed this way). */
 object Sf100Probe {
   def main(args: Array[String]): Unit = {
     val spark = graft.Graft.register(SparkSession.builder().master("local[32]")
@@ -14,7 +17,7 @@ object Sf100Probe {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.ui.enabled","false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/repo/testdata-sf100"
+    val dir = args.headOption.getOrElse("/root/repo/testdata-sf100")
     def li = spark.read.parquet(s"$dir/lineitem.parquet")
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
