@@ -53,7 +53,7 @@ object Mice {
       seed: Long = 42L,
       catModel: String = "lda")
 
-  private def flag(c: String) = s"${c}__isnull"
+  private[mice] def flag(c: String) = s"${c}__isnull"
 
   /** Per-phase wall-clock accumulator mirroring the reference's timers
     * (prepare / partition / cofactor / delta / train / impute-update;
@@ -72,7 +72,7 @@ object Mice {
 
   /** Mean/mode initialization + observation flags
     * (init_baseline, partition.cpp:671-719). */
-  private def prepare(df: DataFrame, cfg: Config): DataFrame = {
+  private[mice] def prepare(df: DataFrame, cfg: Config): DataFrame = {
     val imputed = cfg.imputeCont ++ cfg.imputeCat
     val aggs = cfg.imputeCont.map(c => avg(col(c)).as(s"mean_$c")) ++
       cfg.imputeCat.map(c => mode(col(c)).as(s"mode_$c"))

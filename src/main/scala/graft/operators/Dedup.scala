@@ -130,29 +130,38 @@ object Dedup {
   /** [[lshCandidatePairs]] plus a release() handle (kept for API
     * stability — since the bucket table is no longer persisted there is
     * nothing to free here; the outer operators' handles still release
-    * their shared signature pass). */
+    * their shared signature pass).
+    *
+    * Shape note: bucket sizes come from a plain `count` aggregate — a
+    * codegen'd HashAggregate over longs with map-side partial combine —
+    * and pair generation is an equi-self-join restricted to the (few)
+    * buckets of size 2..cap. The obvious one-shuffle alternative,
+    * `collect_list` per bucket + in-bucket combinations, is a
+    * TypedImperativeAggregate: over n·bands MOSTLY-UNIQUE keys it
+    * overflows the object-hash-aggregate key budget and falls back to
+    * sort-based aggregation, external-sorting the entire exploded table
+    * (22 s of the 40 s sf10 near-dedup wall-clock; the join form
+    * measures 3 s, and Spark reuses the self-join's identical exchange
+    * twice). */
   def lshCandidatePairsReleasable(df: DataFrame, id: Column, bandHashes: Column,
                                   maxBucketSize: Int = 200): (DataFrame, () => Unit) = {
     installWarner(df.sparkSession)
-    val buckets = df.select(id.as("__id"), posexplode(bandHashes).as(Seq("__band", "__bucket")))
-      .groupBy("__band", "__bucket")
-      .agg(collect_list("__id").as("__ids"))
-      .filter(size(col("__ids")) >= 2)
+    val exploded = df.select(id.as("__id"), posexplode(bandHashes).as(Seq("__band", "__bucket")))
+    val sizes = exploded.groupBy("__band", "__bucket")
+      .agg(count(lit(1)).as("__n"))
       .observe(DroppedMetricPrefix + metricSeq.incrementAndGet(),
-        count(when(size(col("__ids")) > maxBucketSize, true)).as("dropped"),
+        count(when(col("__n") > maxBucketSize, true)).as("dropped"),
         max(lit(maxBucketSize)).as("cap"))
-    val pairs = buckets.filter(size(col("__ids")) <= maxBucketSize)
-      .select(explode(pairCombinations(col("__ids"))).as("__p"))
-      .select(col("__p")(0).as("idA"), col("__p")(1).as("idB"))
+    val hot = sizes.filter(col("__n") >= 2 && col("__n") <= maxBucketSize)
+      .select(col("__band"), col("__bucket"))
+    val members = exploded.join(hot, Seq("__band", "__bucket"))
+    val a = members.select(col("__band"), col("__bucket"), col("__id").as("idA"))
+    val b = members.select(col("__band"), col("__bucket"), col("__id").as("idB"))
+    val pairs = a.join(b, Seq("__band", "__bucket"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"))
       .distinct()
     (pairs, () => ())
-  }
-
-  /** All unordered pairs from an array (a < b by array order after sort). */
-  private def pairCombinations(ids: Column): Column = {
-    val sorted = array_sort(ids)
-    flatten(transform(sequence(lit(0), size(sorted) - 2), i =>
-      transform(slice(sorted, i + 2, size(sorted)), b => array(sorted(i), b))))
   }
 
   /**
@@ -175,15 +184,19 @@ object Dedup {
     // ONE fused pass over the corpus computes BOTH the band hashes and
     // the shingle-hash sets (a single tokenize+shingle walk per row —
     // at scale, reading and shingling the corpus once is the budget).
-    // The struct is persisted BEFORE field extraction so projection
-    // collapse can never duplicate the expression: downstream selects
-    // read struct fields out of the cached rows.
+    // The fields are extracted BELOW the persist in their own projection
+    // (one struct evaluation, codegen CSE shares it across the two
+    // extracts) and cached as top-level COLUMNS: InMemoryTableScan
+    // prunes top-level columns only, so caching the raw struct made
+    // every bucket-stage pass deserialize the (large) shingle-set arrays
+    // it never reads — the band-only passes now read bands alone.
     val prep0 = df.select(col(idCol),
         minhashPrepare(col(textCol), numHashes, shingleSize, bands).as("__p"))
+      .select(col(idCol),
+        col("__p").getField("bands").as("__bands"),
+        col("__p").getField("sh").as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val prepared = prep0.select(col(idCol),
-      col("__p").getField("bands").as("__bands"),
-      col("__p").getField("sh").as("__sh"))
+    val prepared = prep0
     val (cands, releaseBuckets) = lshCandidatePairsReleasable(prepared, col(idCol), col("__bands"))
     val a = prepared.select(col(idCol).as("idA"), col("__sh").as("__sa"))
     val b = prepared.select(col(idCol).as("idB"), col("__sh").as("__sb"))

@@ -45,12 +45,15 @@ object MinhashProbe {
       docs.select(Dedup.minhashPrepare(col("text")).as("__p"))
         .select(size(col("__p").getField("sh")).as("n")).agg(sum(col("n"))).head)
     // the operator's real first stage: prepare + persist both artifacts
+    // (fields extracted below the persist — the operator's layout, so the
+    // bucket stage's cache reads prune away the shingle sets)
     val prep = docs.select(col("doc_id"), Dedup.minhashPrepare(col("text")).as("__p"))
+      .select(col("doc_id"),
+        col("__p").getField("bands").as("__bands"),
+        col("__p").getField("sh").as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     t("prepare + persist")(prep.count())
-    val prepared = prep.select(col("doc_id"),
-      col("__p").getField("bands").as("__bands"),
-      col("__p").getField("sh").as("__sh"))
+    val prepared = prep
     val cands = t("lsh bucket + pair gen") {
       val c = Dedup.lshCandidatePairs(prepared, col("doc_id"), col("__bands")).cache()
       println("candidates=" + c.count()); c
