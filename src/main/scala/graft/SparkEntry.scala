@@ -1172,6 +1172,45 @@ object SparkEntry {
         count(when(col("miss"), lit(1))).as("n_imputed"),
         round(sqrt(avg(when(col("miss"),
           pow(col("l_discount") - col("d_true"), 2)))), 4).as("rmse"))
+    },
+
+    // CHAINED multi-column MICE over the join (q62 one column up — the
+    // full Flight workload loop): TWO fact-side columns imputed in one
+    // chained round, each trained factorized over lineitem ⋈ orders with
+    // the OTHER column among the features, so step 2's training data
+    // contains step 1's imputations (the chain, visible in the oracle:
+    // its second Cramer solve reads the first's predictions). q62
+    // discipline throughout — deterministic arithmetic masks (disjoint
+    // hashes), non-stochastic, normalize=true, closed-form DuckDB
+    // least-squares comparator per step, RMSE rounded to 4dp.
+    "q64_chained_mice_join" -> { (s, dir) =>
+      Graft.register(s)
+      val fact = li(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_discount").cast("double").as("d_true"),
+          col("l_tax").cast("double").as("t_true"))
+        .withColumn("miss_d",
+          (col("l_orderkey") * lit(2654435761L) + col("l_linenumber") * lit(40503L)) % 1000 < 150)
+        .withColumn("miss_t",
+          (col("l_orderkey") * lit(7919L) + col("l_linenumber") * lit(104729L)) % 1000 < 150)
+        .withColumn("l_discount", when(col("miss_d"), lit(null)).otherwise(col("d_true")))
+        .withColumn("l_tax", when(col("miss_t"), lit(null)).otherwise(col("t_true")))
+      val dim = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+      val done = graft.mice.MiceJoin.imputeChainedOverJoin(fact, dim, "l_orderkey",
+        graft.mice.MiceJoin.ChainConfig(
+          factNum = Seq("l_discount", "l_tax"), factCat = Seq(),
+          dimNum = Seq("o_totalprice"),
+          imputeCont = Seq("l_discount", "l_tax"), iterations = 1))
+      done.agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("miss_d"), lit(1))).as("n_imputed_d"),
+        count(when(col("miss_t"), lit(1))).as("n_imputed_t"),
+        round(sqrt(avg(when(col("miss_d"),
+          pow(col("l_discount") - col("d_true"), 2)))), 4).as("rmse_d"),
+        round(sqrt(avg(when(col("miss_t"),
+          pow(col("l_tax") - col("t_true"), 2)))), 4).as("rmse_t"))
     }
   )
 
@@ -2123,6 +2162,62 @@ object SparkEntry {
         |       count(CASE WHEN miss THEN 1 END) AS n_imputed,
         |       round(sqrt(avg(CASE WHEN miss THEN
         |         (b.b0 + b.b1*x1 + b.b2*x2 - y)*(b.b0 + b.b1*x1 + b.b2*x2 - y) END)), 4) AS rmse
-        |FROM d, b""".stripMargin
+        |FROM d, b""".stripMargin,
+    // one chained round, closed-form: step 1 imputes l_discount from
+    // (mean-initialized l_tax, o_totalprice); step 2 imputes l_tax from
+    // (step-1-imputed l_discount, o_totalprice) — the second Cramer
+    // solve's training moments read the first's predictions, which is
+    // exactly the chain the Spark side runs (q62's 3x3 template, twice)
+    "q64_chained_mice_join" ->
+      """WITH f AS (
+        |  SELECT l_discount::DOUBLE AS d_true, l_tax::DOUBLE AS t_true,
+        |         o_totalprice::DOUBLE AS p,
+        |         ((l_orderkey*2654435761 + l_linenumber*40503) % 1000) < 150 AS miss_d,
+        |         ((l_orderkey*7919 + l_linenumber*104729) % 1000) < 150 AS miss_t
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |d0 AS (
+        |  SELECT f.*, CASE WHEN miss_t THEN
+        |      (SELECT avg(CASE WHEN NOT miss_t THEN t_true END) FROM f)
+        |    ELSE t_true END AS t0 FROM f),
+        |m1 AS (
+        |  SELECT count(*)::DOUBLE AS n, sum(t0) AS sx1, sum(p) AS sx2, sum(d_true) AS sy,
+        |         sum(t0*t0) AS s11, sum(t0*p) AS s12, sum(p*p) AS s22,
+        |         sum(t0*d_true) AS s1y, sum(p*d_true) AS s2y
+        |  FROM d0 WHERE NOT miss_d),
+        |cf1 AS (
+        |  SELECT
+        |    (sy*(s11*s22 - s12*s12) - sx1*(s1y*s22 - s12*s2y) + sx2*(s1y*s12 - s11*s2y))
+        |      / (n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2) + sx2*(sx1*s12 - s11*sx2)) AS a0,
+        |    (n*(s1y*s22 - s12*s2y) - sy*(sx1*s22 - s12*sx2) + sx2*(sx1*s2y - s1y*sx2))
+        |      / (n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2) + sx2*(sx1*s12 - s11*sx2)) AS a1,
+        |    (n*(s11*s2y - s1y*s12) - sx1*(sx1*s2y - s1y*sx2) + sy*(sx1*s12 - s11*sx2))
+        |      / (n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2) + sx2*(sx1*s12 - s11*sx2)) AS a2
+        |  FROM m1),
+        |d1 AS (
+        |  SELECT d0.*, CASE WHEN miss_d THEN cf1.a0 + cf1.a1*t0 + cf1.a2*p
+        |    ELSE d_true END AS dd FROM d0, cf1),
+        |m2 AS (
+        |  SELECT count(*)::DOUBLE AS n, sum(dd) AS sx1, sum(p) AS sx2, sum(t_true) AS sy,
+        |         sum(dd*dd) AS s11, sum(dd*p) AS s12, sum(p*p) AS s22,
+        |         sum(dd*t_true) AS s1y, sum(p*t_true) AS s2y
+        |  FROM d1 WHERE NOT miss_t),
+        |cf2 AS (
+        |  SELECT
+        |    (sy*(s11*s22 - s12*s12) - sx1*(s1y*s22 - s12*s2y) + sx2*(s1y*s12 - s11*s2y))
+        |      / (n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2) + sx2*(sx1*s12 - s11*sx2)) AS c0,
+        |    (n*(s1y*s22 - s12*s2y) - sy*(sx1*s22 - s12*sx2) + sx2*(sx1*s2y - s1y*sx2))
+        |      / (n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2) + sx2*(sx1*s12 - s11*sx2)) AS c1,
+        |    (n*(s11*s2y - s1y*s12) - sx1*(sx1*s2y - s1y*sx2) + sy*(sx1*s12 - s11*sx2))
+        |      / (n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2) + sx2*(sx1*s12 - s11*sx2)) AS c2
+        |  FROM m2),
+        |o AS (
+        |  SELECT d1.*, CASE WHEN miss_t THEN cf2.c0 + cf2.c1*dd + cf2.c2*p
+        |    ELSE t_true END AS tt FROM d1, cf2)
+        |SELECT count(*) AS n_rows,
+        |       count(CASE WHEN miss_d THEN 1 END) AS n_imputed_d,
+        |       count(CASE WHEN miss_t THEN 1 END) AS n_imputed_t,
+        |       round(sqrt(avg(CASE WHEN miss_d THEN (dd - d_true)*(dd - d_true) END)), 4) AS rmse_d,
+        |       round(sqrt(avg(CASE WHEN miss_t THEN (tt - t_true)*(tt - t_true) END)), 4) AS rmse_t
+        |FROM o""".stripMargin
   )
 }

@@ -89,6 +89,106 @@ object MiceJoin {
     observed.unionByName(imputed)
   }
 
+  /**
+   * Chained multi-column MICE over the join — [[Mice.baseline]]'s
+   * columns × iterations loop with every training aggregate computed
+   * FACTORIZED over fact ⋈ dim and every row-level update restricted to
+   * the column's missing stratum (the paper's full Flight workload:
+   * multiple fact-side columns, continuous AND categorical, imputed from
+   * fact + dimension features the join never materializes for training).
+   *
+   * @param factNum  continuous fact columns (cast to double; superset of
+   *                 `imputeCont`)
+   * @param factCat  categorical fact columns (cast to int; superset of
+   *                 `imputeCat`)
+   * @param dimNum / dimCat  dimension-side features — names must be
+   *                 disjoint from fact's (project/rename `dim` first);
+   *                 `dim` unique per `key` (asserted, as above)
+   * @param cfg      [[ChainConfig]]: which columns to impute, iteration
+   *                 count, regularization, normalization (keep `true`
+   *                 for wild-scale features — the q62 lesson)
+   *
+   * Semantics match [[Mice.baseline]] run on the MATERIALIZED join with
+   * contCols = factNum ++ dimNum and catCols = factCat ++ dimCat
+   * (categorical columns first, mean/mode init, per-column retrain on
+   * the rows where that column was originally observed), with one
+   * extension: a missing-stratum row with no dim match keeps its current
+   * value (baseline never faces that case). `MiceJoinSpec` pins the
+   * parity on a complete join and the fixed point of the non-stochastic
+   * chain.
+   *
+   * Returns `fact`'s columns with the imputed values in place.
+   */
+  final case class ChainConfig(
+      factNum: Seq[String], factCat: Seq[String],
+      dimNum: Seq[String], dimCat: Seq[String] = Seq(),
+      imputeCont: Seq[String] = Seq(), imputeCat: Seq[String] = Seq(),
+      iterations: Int = 5,
+      lambda: Double = 0.0, shrinkage: Double = 0.0,
+      normalize: Boolean = true,
+      stochastic: Boolean = false, seed: Long = 42L)
+
+  def imputeChainedOverJoin(fact: DataFrame, dim: DataFrame, key: String,
+                            cfg: ChainConfig,
+                            tm: Mice.Timings = new Mice.Timings): DataFrame = {
+    val spark = fact.sparkSession
+    Graft.register(spark)
+    requireUniqueKey(dim, key)
+    require(cfg.imputeCont.forall(cfg.factNum.contains) &&
+      cfg.imputeCat.forall(cfg.factCat.contains),
+      "imputed columns must be fact-side features (factNum/factCat)")
+    val dimCols = cfg.dimNum ++ cfg.dimCat
+    require(dimCols.intersect(fact.columns.toSeq).isEmpty,
+      s"dim feature names must be disjoint from fact's: ${dimCols.intersect(fact.columns.toSeq)}")
+    val miceCfg = Mice.Config(
+      contCols = cfg.factNum, catCols = cfg.factCat,
+      imputeCont = cfg.imputeCont, imputeCat = cfg.imputeCat,
+      iterations = cfg.iterations, lambda = cfg.lambda, shrinkage = cfg.shrinkage,
+      stochastic = cfg.stochastic, seed = cfg.seed)
+    var cur = tm.time("prepare")(Mice.prepare(fact, miceCfg).localCheckpoint())
+    val outCols = cur.columns.toSeq
+    val numAll = cfg.factNum ++ cfg.dimNum
+    val catAll = cfg.factCat ++ cfg.dimCat
+    val order = cfg.imputeCat ++ cfg.imputeCont // categorical first, the baseline order
+    for (iter <- 1 to cfg.iterations) {
+      for (c <- order) {
+        val observed = cur.filter(!col(Mice.flag(c)))
+        val missing = cur.filter(col(Mice.flag(c)))
+        // the training cofactor sees the WHOLE join through per-key
+        // triples (block layout [factNum ++ dimNum, factCat ++ dimCat] —
+        // exactly Mice.baseline's column order on the materialized join)
+        val triple = tm.time("cofactor")(Factorized.cofactorOverJoinAdaptive(
+          observed, dim, key, cfg.factNum, cfg.factCat, cfg.dimNum, cfg.dimCat))
+        val isCont = cfg.imputeCont.contains(c)
+        val pred = tm.time("train") {
+          if (isCont) {
+            val label = cfg.factNum.indexOf(c)
+            val model = LinReg.train(triple, label, cfg.lambda, normalize = cfg.normalize)
+            LinReg.predict(model,
+              numAll.filterNot(_ == c).map(col), catAll.map(col),
+              addNoise = cfg.stochastic, seed = cfg.seed + iter * 131 + label)
+          } else {
+            val label = cfg.factCat.indexOf(c)
+            val model = graft.ml.Lda.train(triple, label, cfg.shrinkage,
+              normalize = cfg.normalize)
+            graft.ml.Lda.predict(model,
+              numAll.map(col), catAll.filterNot(_ == c).map(col))
+          }
+        }
+        // row-level work touches ONLY the missing stratum; a row with no
+        // dim match (NULL features ⇒ NULL pred) keeps its current value
+        val updated = tm.time("impute_update") {
+          missing.join(dim, Seq(key), "left")
+            .withColumn(c, coalesce(pred, col(c)))
+            .select(outCols.map(col): _*)
+        }
+        cur = observed.unionByName(updated)
+      }
+      cur = tm.time("impute_update")(cur.localCheckpoint())
+    }
+    cur.drop((cfg.imputeCont ++ cfg.imputeCat).map(Mice.flag): _*)
+  }
+
   /** Fail loudly on a duplicated dim key (see the contract above): one
     * hash-agg + limit-1 probe, map-side combined, dim-sized. */
   private[mice] def requireUniqueKey(dim: DataFrame, key: String): Unit = {

@@ -49,6 +49,67 @@ class MiceJoinSpec extends AnyFunSuite {
     assert(mF.numCoef.zip(mM.numCoef).forall { case (a, b) => math.abs(a - b) < 1e-9 })
   }
 
+  test("chained 2-column MICE over the join == Mice.baseline on the materialized join") {
+    // two imputed fact columns (one continuous, one CATEGORICAL via the
+    // LDA path) + a dim feature; the chained-over-join loop must
+    // reproduce baseline MICE run on the wide join, column for column
+    val rng = new scala.util.Random(3)
+    val dim2 = Seq.tabulate(30)(k => (k.toLong, k * 0.7 - 9.0)).toDF("k", "d1")
+    val base = Seq.tabulate(600) { i =>
+      val k = i % 30
+      val x = rng.nextGaussian() * 2
+      val d1 = k * 0.7 - 9.0
+      val y = 1.5 + 2.0 * x + 0.8 * d1 + rng.nextGaussian() * 0.1
+      val c = if (y + rng.nextGaussian() * 0.5 > 1.5) 1 else 0
+      (i.toLong, k.toLong, x, y, c, i % 7 == 0, i % 11 == 3)
+    }.toDF("id", "k", "x", "yT", "cT", "missY", "missC")
+      .withColumn("y", when($"missY", lit(null)).otherwise($"yT"))
+      .withColumn("c", when($"missC", lit(null)).otherwise($"cT"))
+      .repartition(4)
+
+    val cfg = MiceJoin.ChainConfig(
+      factNum = Seq("y", "x"), factCat = Seq("c"),
+      dimNum = Seq("d1"), imputeCont = Seq("y"), imputeCat = Seq("c"),
+      iterations = 2, normalize = false)
+    val chained = MiceJoin.imputeChainedOverJoin(base, dim2, "k", cfg)
+
+    val mat = base.join(dim2, "k")
+    val bCfg = Mice.Config(
+      contCols = Seq("y", "x", "d1"), catCols = Seq("c"),
+      imputeCont = Seq("y"), imputeCat = Seq("c"), iterations = 2)
+    val baseline = Mice.baseline(mat, bCfg)
+
+    val joined = chained.select($"id", $"y".as("yJ"), $"c".as("cJ"))
+      .join(baseline.select($"id", $"y".as("yB"), $"c".as("cB")), "id")
+    assert(joined.count() == 600)
+    val maxY = joined.select(max(abs($"yJ" - $"yB"))).head.getDouble(0)
+    assert(maxY < 1e-6, s"continuous chain diverged from baseline: max |Δy| = $maxY")
+    val catDiff = joined.filter($"cJ" =!= $"cB").count()
+    assert(catDiff == 0, s"LDA chain diverged from baseline on $catDiff rows")
+  }
+
+  test("non-stochastic chain reaches a fixed point") {
+    val dim2 = Seq.tabulate(30)(k => (k.toLong, k * 0.7 - 9.0)).toDF("k", "d1")
+    val rng = new scala.util.Random(5)
+    val base = Seq.tabulate(500) { i =>
+      val k = i % 30
+      val x = rng.nextGaussian() * 2
+      val y = 1.0 + 1.2 * x + 0.5 * (k * 0.7 - 9.0) + rng.nextGaussian() * 0.05
+      val z = -2.0 + 0.7 * y + rng.nextGaussian() * 0.05
+      (i.toLong, k.toLong, x, y, z, i % 6 == 0, i % 9 == 2)
+    }.toDF("id", "k", "x", "yT", "zT", "missY", "missZ")
+      .withColumn("y", when($"missY", lit(null)).otherwise($"yT"))
+      .withColumn("z", when($"missZ", lit(null)).otherwise($"zT"))
+    def run(iters: Int) = MiceJoin.imputeChainedOverJoin(base, dim2, "k",
+      MiceJoin.ChainConfig(factNum = Seq("y", "z", "x"), factCat = Seq(),
+        dimNum = Seq("d1"), imputeCont = Seq("y", "z"), iterations = iters))
+    val at6 = run(6).select($"id", $"y".as("y6"), $"z".as("z6"))
+    val at7 = run(7).select($"id", $"y".as("y7"), $"z".as("z7"))
+    val d = at6.join(at7, "id")
+      .select(max(abs($"y6" - $"y7") + abs($"z6" - $"z7"))).head.getDouble(0)
+    assert(d < 1e-8, s"chain had not converged by iteration 6: extra-iteration delta $d")
+  }
+
   test("missing row without a dim match falls back to the observed mean") {
     val orphan = Seq((999L, 999L, 1.0, null.asInstanceOf[java.lang.Double], true))
       .toDF("id", "k", "x1", "yTrue", "miss")
