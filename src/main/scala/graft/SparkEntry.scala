@@ -1211,6 +1211,45 @@ object SparkEntry {
           pow(col("l_discount") - col("d_true"), 2)))), 4).as("rmse_d"),
         round(sqrt(avg(when(col("miss_t"),
           pow(col("l_tax") - col("t_true"), 2)))), 4).as("rmse_t"))
+    },
+
+    // Non-parametric OPQ (Ge CVPR 2013 Alg. 1: alternating per-subspace
+    // k-means + Procrustes rotation updates over the seeded residual
+    // sample) on q63's exact build — same IVF index, same 32 bits/vector
+    // (m=8, ksub=16). The ladder these three pinned rows climb at
+    // nProbe=8: identity 29 < random 34 (q63) < OPQ 39 of 150 — the
+    // learned rotation is the strongest free recall lever on the
+    // small-bit-budget geometry, +34% over no rotation at identical
+    // index and scan cost. Deterministic end to end (driver-side
+    // alternation over the xxhash64-prefix sample; partition
+    // independence probed via GoldenProbe 32 vs 5).
+    "q65_opq_nonparametric_recall" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 50)
+      val bf = graft.operators.Similarity.bruteForceTopK(
+          queries, emb, "vec_id", "embedding", "vec_id", "embedding", k = 3)
+        .select(col("qId"), col("cId")).cache()
+      val nTrue = bf.count()
+      val idx = graft.operators.Similarity.ivfBuild(
+        emb, "vec_id", "embedding", nCentroids = 16, kmeansIters = 3)
+      def hits(df: DataFrame): Long = {
+        val d = df.select(col("qId").as("q2"), col("cId").as("c2"))
+        bf.join(d, bf("qId") === d("q2") && bf("cId") === d("c2")).count()
+      }
+      val rot = Some(graft.operators.Pq.opqRotationResidual(
+        idx, "vec_id", "embedding", dim = 64, m = 8, ksub = 16))
+      val cb = graft.operators.Pq.trainResidual(idx, "vec_id", "embedding",
+        dim = 64, m = 8, ksub = 16, iters = 2, rot = rot)
+      val p4 = hits(graft.operators.Pq.ivfPqTopKResidual(idx, queries,
+        "vec_id", "embedding", "vec_id", "embedding", k = 3, cb, nProbe = 4, rot = rot))
+      val p8 = hits(graft.operators.Pq.ivfPqTopKResidual(idx, queries,
+        "vec_id", "embedding", "vec_id", "embedding", k = 3, cb, nProbe = 8, rot = rot))
+      bf.unpersist()
+      def rec(h: Long) = recallX1e4(h, nTrue)
+      Seq((nTrue, p4, rec(p4), p8, rec(p8)))
+        .toDF("n_true", "opqp4_hit", "opqp4_recall_x1e4",
+          "opqp8_hit", "opqp8_recall_x1e4")
     }
   )
 
@@ -2218,6 +2257,20 @@ object SparkEntry {
         |       count(CASE WHEN miss_t THEN 1 END) AS n_imputed_t,
         |       round(sqrt(avg(CASE WHEN miss_d THEN (dd - d_true)*(dd - d_true) END)), 4) AS rmse_d,
         |       round(sqrt(avg(CASE WHEN miss_t THEN (tt - t_true)*(tt - t_true) END)), 4) AS rmse_t
-        |FROM o""".stripMargin
+        |FROM o""".stripMargin,
+    // q63 discipline: n_true recomputed, OPQ hit counts frozen from the
+    // bit-deterministic build (driver-side alternation over the seeded
+    // sample; GoldenProbe 32-vs-5 partition-independence). 36 > 29 and
+    // 39 > 34 vs q63's random rotation at the SAME 32 bits/vector.
+    "q65_opq_nonparametric_recall" ->
+      """WITH bf AS (
+        |  SELECT a.vec_id AS qId, b.vec_id AS cId,
+        |         row_number() OVER (PARTITION BY a.vec_id
+        |           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rank
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 50)
+        |SELECT (SELECT count(*) FROM bf WHERE rank <= 3) AS n_true,
+        |       36::BIGINT AS opqp4_hit, 2400::BIGINT AS opqp4_recall_x1e4,
+        |       39::BIGINT AS opqp8_hit, 2600::BIGINT AS opqp8_recall_x1e4""".stripMargin
   )
 }

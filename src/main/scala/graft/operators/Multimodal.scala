@@ -455,6 +455,41 @@ object Multimodal {
     }(enc)
   }
 
+  /**
+   * The external-transcode seam for codecs no bare JVM decodes
+   * (H.264/HEVC/VP9 — see the class scaladoc): an EXTERNAL tool owns
+   * codec decode, this operator owns the data movement. Contract for
+   * the sidecar table `transcoded`:
+   *
+   *   - one row per clip the pipeline flagged undecodable (e.g.
+   *     `VideoMeta.meta(clip)._1` is an MP4 brand, or
+   *     `mjpegFrames(clip, 1).isEmpty`), keyed by the clip id;
+   *   - the payload is the SAME clip re-muxed to MJPEG-in-AVI by any
+   *     transcoder, one command per clip, e.g.
+   *     `ffmpeg -i clip.mp4 -an -c:v mjpeg -q:v 3 clip.avi`
+   *     (run where ffmpeg lives — an ingest step, not this cluster);
+   *   - ids unique per clip (it's a row-multiplying join otherwise —
+   *     the MiceJoin dim contract).
+   *
+   * Rows with a sidecar match flow on with the transcoded payload in
+   * `binCol`; rows without keep their original bytes. Downstream is
+   * unchanged — [[sampleRealFrames]] / [[MjpegVideoDecoder]] decode the
+   * swapped payloads like native MJPEG (executable end-to-end in
+   * PipelineSpec's seam test). Declarative left join on the id: the
+   * planner broadcasts a small sidecar and shuffle-joins a large one,
+   * and since the sidecar holds only the undecodable stratum, the
+   * common case ships no original bytes anywhere.
+   */
+  def withTranscodeFallback(df: DataFrame, idCol: String, binCol: String,
+                            transcoded: DataFrame, tIdCol: String,
+                            tBinCol: String): DataFrame = {
+    val side = transcoded.select(col(tIdCol).as("__t_id"), col(tBinCol).as("__t_bin"))
+    val outCols = df.columns.toSeq.map { c =>
+      if (c == binCol) coalesce(col("__t_bin"), col(binCol)).as(binCol) else col(c)
+    }
+    df.join(side, df(idCol) === col("__t_id"), "left").select(outCols: _*)
+  }
+
   /** Batched real image resize over a BINARY column (mapPartitions, same
     * no-shuffle shape as [[extractFeatures]]); undecodable rows get a
     * null payload. */

@@ -19,7 +19,7 @@ object GoldenProbe {
     val qs = if (args.length > 2) args.drop(2).toSeq
       else Seq("q45_ann_recall", "q48_quantized_knn",
         "q57_ivfadc_recall", "q58_residual_ivfadc_recall",
-        "q63_opq_rotation_recall")
+        "q63_opq_rotation_recall", "q65_opq_nonparametric_recall")
     for (q <- qs) {
       val rows = graft.SparkEntry.queries(q)(spark, dir).collect()
       println(s"[golden local[$n]] $q: ${rows.mkString("; ")}")

@@ -36,7 +36,9 @@ object RotationProbe {
       "identity" -> None,
       "random(seed=44)" -> Some(graft.operators.Pq.rotation(64, seed = 44L)),
       "pca" -> Some(graft.operators.Pq.pcaRotationResidual(
-        idx, "vec_id", "embedding", dim = 64, m = 8)))
+        idx, "vec_id", "embedding", dim = 64, m = 8)),
+      "opq" -> Some(graft.operators.Pq.opqRotationResidual(
+        idx, "vec_id", "embedding", dim = 64, m = 8, ksub = 16)))
     for ((name, rot) <- variants) {
       val cb = graft.operators.Pq.trainResidual(idx, "vec_id", "embedding",
         dim = 64, m = 8, ksub = 16, iters = 2, rot = rot)

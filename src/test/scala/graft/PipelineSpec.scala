@@ -871,6 +871,83 @@ class PipelineSpec extends AnyFunSuite {
       "legitimate nesting within the bound must still parse")
   }
 
+  test("external-transcode seam: sidecar MJPEG payloads carry undecodable codecs through the real decoder") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val sq = spark
+    import sq.implicits._
+    // RIFF/AVI building blocks (the video test's helpers, minimal form)
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val c = ByteBuffer.allocate(8 + payload.length + (payload.length & 1))
+        .order(ByteOrder.LITTLE_ENDIAN)
+      c.put(id.getBytes("US-ASCII")).putInt(payload.length).put(payload)
+      c.array()
+    }
+    def list(typ: String, children: Array[Byte]): Array[Byte] = {
+      val c = ByteBuffer.allocate(12 + children.length).order(ByteOrder.LITTLE_ENDIAN)
+      c.put("LIST".getBytes("US-ASCII")).putInt(4 + children.length)
+        .put(typ.getBytes("US-ASCII")).put(children)
+      c.array()
+    }
+    def avi(movi: Array[Byte]): Array[Byte] = {
+      val c = ByteBuffer.allocate(12 + movi.length).order(ByteOrder.LITTLE_ENDIAN)
+      c.put("RIFF".getBytes("US-ASCII")).putInt(4 + movi.length)
+        .put("AVI ".getBytes("US-ASCII")).put(movi)
+      c.array()
+    }
+    def jpegOf(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    // clip 1: native MJPEG (decodable in-JVM, needs no sidecar)
+    val mjpegClip = avi(list("movi", Seq(0xff0000, 0x00ff00).map(j => chunk("00dc", jpegOf(j))).reduce(_ ++ _)))
+    // clip 2: same container, movi chunks are NOT JPEG — an H.264-like
+    // payload as far as the JVM is concerned (mjpegFrames → Nil)
+    val h264ish = avi(list("movi",
+      chunk("00dc", Array.fill(64)(0x42.toByte)) ++ chunk("00dc", Array.fill(64)(0x17.toByte))))
+    assert(Multimodal.VideoMeta.mjpegFrames(h264ish, 4).isEmpty, "precondition: undecodable")
+    // the EXTERNAL tool's output per the documented contract: the same
+    // clip re-muxed to MJPEG-in-AVI (here: built by the same machinery
+    // ffmpeg would feed — frame payloads become JPEGs)
+    val transcodedClip2 = avi(list("movi",
+      Seq(0x0000ff, 0xffffff).map(j => chunk("00dc", jpegOf(j))).reduce(_ ++ _)))
+
+    val clips = Seq((1L, mjpegClip), (2L, h264ish), (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("clip_id", "clip").repartition(2)
+    val sidecar = Seq((2L, transcodedClip2)).toDF("t_id", "t_clip")
+
+    // without the seam, clip 2 is a zero vector and yields no frames
+    val before = Multimodal.extractFeatures(clips, "clip", dim = 4,
+        decoder = Multimodal.MjpegVideoDecoder)
+      .select($"clip_id", $"features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(before(2L).forall(_ == 0.0f), "undecodable codec must yield zeros pre-seam")
+    assert(before(1L).exists(_ != 0.0f))
+
+    // with the seam: sidecar payload swapped in, downstream unchanged
+    val patched = Multimodal.withTranscodeFallback(clips, "clip_id", "clip",
+      sidecar, "t_id", "t_clip")
+    assert(patched.columns.sameElements(clips.columns), "schema must be unchanged")
+    val after = Multimodal.extractFeatures(patched, "clip", dim = 4,
+        decoder = Multimodal.MjpegVideoDecoder)
+      .select($"clip_id", $"features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(after(2L).exists(_ != 0.0f), "transcoded payload must decode for real")
+    assert(after(1L) == before(1L), "clips without a sidecar row keep their bytes")
+    // frame sampling also works on the patched payloads
+    val frames = Multimodal.sampleRealFrames(patched, "clip", n = 2)
+      .select($"clip_id", size($"frames").as("n")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(frames == Map(1L -> 2, 2L -> 2, 3L -> -1), s"got $frames")
+    // null payloads stay null through the seam (no sidecar row)
+    assert(patched.filter($"clip_id" === 3L).select($"clip").head.isNullAt(0))
+    // the join is planner-chosen; a KB sidecar must broadcast
+    val plan = patched.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"small sidecar should broadcast:\n$plan")
+  }
+
   test("TimeBuckets.floorBucket: floor semantics for negatives, exact at ns-epoch magnitude") {
     import graft.operators.TimeBuckets
     val df = Seq(-21L, -20L, -1L, 0L, 19L, 20L,

@@ -491,6 +491,49 @@ class PqSpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("non-parametric OPQ rotation: orthonormal, deterministic, and no worse than identity") {
+    import graft.operators.Similarity
+    // correlated clustered data (the regime a learned rotation exists
+    // for): per-cluster offsets whose dimensions co-vary across the
+    // subspace boundary, so independent per-subspace quantizers waste
+    // codewords until the rotation decorrelates them
+    val rng = new scala.util.Random(107)
+    val centers = Array.fill(6)(Array.fill(16)(rng.nextGaussian() * 8))
+    val data = (0 until 240).map { i =>
+      val c = centers(i % 6)
+      val s = rng.nextGaussian() // shared factor -> cross-dim correlation
+      (i.toLong, Array.tabulate(16)(t => (c(t) + s * (1.0 + 0.2 * t) + rng.nextGaussian() * 0.3).toFloat))
+    }
+    val df = data.toDF("id", "v").cache()
+    val idx = Similarity.ivfBuild(df, "id", "v", nCentroids = 6, kmeansIters = 2)
+    val rot = Pq.opqRotationResidual(idx, "id", "v", dim = 16, m = 4, ksub = 8)
+    // Procrustes output is exactly orthogonal (U·Vt of an SVD)
+    for (r <- 0 until 16; c <- 0 until 16) {
+      val d = (0 until 16).map(t => rot.flat(r * 16 + t) * rot.flat(c * 16 + t)).sum
+      assert(math.abs(d - (if (r == c) 1.0 else 0.0)) < 1e-9, s"RRt($r,$c)=$d")
+    }
+    // bit-deterministic: the alternation runs driver-side over the
+    // xxhash64-prefix sample — a second call is identical
+    val rot2 = Pq.opqRotationResidual(idx, "id", "v", dim = 16, m = 4, ksub = 8)
+    assert(rot.flat.sameElements(rot2.flat), "OPQ rotation must be deterministic")
+    // recall at the same bit budget: learned rotation >= identity
+    val queries = df.filter($"id" < 20)
+    val bf = Similarity.bruteForceTopK(queries, df, "id", "v", "id", "v", k = 5)
+      .select($"qId", $"cId").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(rotOpt: Option[Pq.Rotation]): Double = {
+      val cb = Pq.trainResidual(idx, "id", "v", dim = 16, m = 4, ksub = 8,
+        iters = 2, rot = rotOpt)
+      val s = Pq.ivfPqTopKResidual(idx, queries, "id", "v", "id", "v",
+          k = 5, cb, nProbe = 6, rot = rotOpt)
+        .select($"qId", $"cId").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (bf intersect s).size.toDouble / bf.size
+    }
+    val rId = recallOf(None)
+    val rOpq = recallOf(Some(rot))
+    assert(rOpq >= rId, s"OPQ recall $rOpq regressed below identity $rId")
+    df.unpersist()
+  }
+
   test("residual encoding beats flat PQ recall at the same bit budget") {
     import graft.operators.Similarity
     // clustered data where flat PQ collapses within-cluster order to
