@@ -131,6 +131,38 @@ object Graft {
   }
 
   /**
+   * Numeric-only cofactor as PLAIN codegen'd aggregates: `count(*)` +
+   * k linear + k(k+1)/2 upper-triangle product SUMs, assembled into the
+   * [[Triple]] driver-side. Semantically ≡ [[cofactor]] with `cat = ∅`
+   * (same any-null-drops-the-row rule, enforced by the filter below, so
+   * partial sums see exactly the rows the fused aggregate would lift) —
+   * but where the fused aggregate runs as an ObjectHashAggregate that
+   * CLOSES the whole-stage-codegen pipeline feeding it, these SUMs fuse
+   * INTO it: over a shuffled-hash join the scan→join→partial-agg chain
+   * is one generated loop, the shuffle carries one 8·(1+k+k(k+1)/2)-byte
+   * row per partition, and the final merge is the same hash agg. Worth
+   * ~2× on a wide-join cofactor (sf10 60M ⋈ 15M: the adaptive fallback's
+   * ObjectHashAggregate boundary was the remaining gap vs a vectorized
+   * single-node engine). Float caveat: partial-sum ORDER differs from
+   * the buffer walk, so last-bit doubles can differ from [[cofactor]] —
+   * callers already treat triples as ±1e-9 (`Triple.approxEquals`).
+   */
+  def cofactorNumeric(df: DataFrame, num: Seq[String]): Triple = {
+    import org.apache.spark.sql.functions._
+    val k = num.length
+    val cast = num.map(c => col(c).cast("double"))
+    val clean = if (k == 0) df else df.where(cast.map(_.isNotNull).reduce(_ && _))
+    val aggs: Seq[Column] = count(lit(1)) +: (cast.map(sum) ++
+      (for { i <- 0 until k; j <- i until k } yield sum(cast(i) * cast(j))))
+    val row = clean.agg(aggs.head, aggs.tail: _*).head
+    def d(idx: Int): Double = if (row.isNullAt(idx)) 0.0 else row.getDouble(idx)
+    Triple(row.getLong(0),
+      Array.tabulate(k)(i => d(1 + i)),
+      Array.tabulate(k * (k + 1) / 2)(i => d(1 + k + i)),
+      Array.empty, Array.empty, Array.empty)
+  }
+
+  /**
    * Skew-resilient grouped cofactor: two-stage aggregation through a
    * row salt. Stage 1 aggregates on (keys, salt) — a hot key's rows
    * spread over `saltBuckets` reducers — stage 2 ring-adds the partial

@@ -96,7 +96,12 @@ object Factorized {
       // 60M ⋈ 15M bench shape). Broadcast still wins automatically when
       // a side fits the threshold (hints don't suppress it).
       val joined = left.hint("shuffle_hash").join(right.hint("shuffle_hash"), key)
-      Graft.cofactor(joined, leftNum ++ rightNum, leftCat ++ rightCat)
+      // no categorical columns → the triple is just plain SUMs, which
+      // fuse into the join's whole-stage pipeline instead of closing it
+      // at an ObjectHashAggregate boundary (Graft.cofactorNumeric)
+      if (leftCat.isEmpty && rightCat.isEmpty)
+        Graft.cofactorNumeric(joined, leftNum ++ rightNum)
+      else Graft.cofactor(joined, leftNum ++ rightNum, leftCat ++ rightCat)
     }
   }
 

@@ -21,10 +21,11 @@ import org.apache.spark.sql.functions._
   * (default 128 MB) so every core count reads the same splits and the
   * curve measures compute scaling, not scan-partitioning luck.
   *
-  * Usage: runMain graft.tools.CoresProbe [dataDir] [cores] [reps]
+  * Usage: runMain graft.tools.CoresProbe [dataDir] [cores] [reps] [queries...]
   *   dataDir default /root/repo/testdata-sf10
   *   cores   default 4,8,16,32
   *   reps    default 3 (use 2 at sf100 — passes are minutes)
+  *   queries optional name filter (default: all three)
   * Prints per-pass lines plus one machine-readable JSON line per query:
   *   {"probe":"cores","query":q,"dir":d,"cores":{"4":s,...}}
   */
@@ -33,6 +34,7 @@ object CoresProbe {
     val dir = args.headOption.getOrElse("/root/repo/testdata-sf10")
     val coreList = args.lift(1).getOrElse("4,8,16,32").split(",").map(_.trim.toInt)
     val reps = args.lift(2).map(_.toInt).getOrElse(3)
+    val only = args.drop(3).toSet
     val results = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.LinkedHashMap[Int, Double]]
 
@@ -67,7 +69,7 @@ object CoresProbe {
             "k", Seq("l_quantity"), Seq(), Seq("o_totalprice"), Seq())
           ()
         })
-      for ((name, f) <- queries) {
+      for ((name, f) <- queries if only.isEmpty || only(name)) {
         f() // warmup, untimed
         val times = (1 to reps).map { i =>
           val t0 = System.nanoTime(); f()

@@ -220,6 +220,31 @@ class MlSpec extends AnyFunSuite {
     assert(tEmpty.n == 0 && tEmpty.numCols == 3 && tEmpty.catCols == 1)
   }
 
+  test("cofactorNumeric: plain-SUM path == fused aggregate, incl. null-row semantics") {
+    // rows with nulls in EITHER column must be skipped whole (the fused
+    // aggregate's any-null rule), not column-wise
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.5, 2.0), (null, 3.0), (2.5, null), (4.0, -1.0), (0.0, 0.0)
+    ).toDF("x", "y")
+    val fused = Graft.cofactor(df, Seq("x", "y"), Seq())
+    val plain = Graft.cofactorNumeric(df, Seq("x", "y"))
+    assert(plain.n == 3 && fused.approxEquals(plain, 1e-12),
+      s"numeric declarative path diverged: $plain vs $fused")
+    // empty input → zero triple, not nulls
+    val empty = Graft.cofactorNumeric(df.filter($"x" > 100), Seq("x", "y"))
+    assert(empty == graft.ring.Triple.zero(2, 0))
+    // the numeric-only ADAPTIVE fallback takes this path and must agree
+    // with the factorized branch
+    val dim = Seq.tabulate(20)(k => (k, k * 0.5 + 1.0)).toDF("k", "dprice")
+    val fact = rows.zipWithIndex.map { case ((y, a, _, _), i) => (i % 20, y, a) }
+      .toDF("k", "y", "a")
+    val viaFallback = graft.ml.Factorized.cofactorOverJoinAdaptive(
+      fact, dim, "k", Seq("y", "a"), Seq(), Seq("dprice"), Seq(), minRowsPerKey = 1e9)
+    val viaFactorized = graft.ml.Factorized.cofactorOverJoin(
+      fact, dim, "k", Seq("y", "a"), Seq(), Seq("dprice"), Seq())
+    assert(viaFallback.approxEquals(viaFactorized, 1e-9))
+  }
+
   test("adaptive probe decision is memoized per (canonicalized plan, key)") {
     // freshly-built but logically identical inputs must HIT the memo
     // (canonicalized plans normalize expression ids), so a repeat call
