@@ -2,7 +2,7 @@ package graft.ml
 
 import graft.Graft
 import graft.ring.Triple
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -33,8 +33,10 @@ object Factorized {
     val b = side(right, key, rightNum, rightCat, "__B")
     // both sides are one-triple-per-key aggregates feeding one more fused
     // aggregate — same SHUFFLE_HASH reasoning as the adaptive fallback:
-    // sorting |keys| serialized triple buffers buys nothing
-    val row = a.hint("shuffle_hash").join(b.hint("shuffle_hash"), "__k")
+    // sorting |keys| serialized triple buffers buys nothing. Size-guarded
+    // (see hashJoinIfSafe): a non-spillable hash build over many keys'
+    // triple buffers can exceed task memory just like a raw-row build.
+    val row = hashJoinIfSafe(a, b, Seq("__k"))
       .select(Graft.sumTripleOf(Graft.multiplyTriple(col("__A"), col("__B"))).as("t"))
       .head
     // empty join → sum_triple yields NULL; the cofactor of zero rows is
@@ -62,19 +64,28 @@ object Factorized {
    * files are rewritten in place — call [[clearProbeCache]] after such a
    * rewrite, or pass `minRowsPerKey = 0` to pin the factorized path
    * probe-free (`Double.MaxValue` pins the fallback likewise).
+   *
+   * With no categorical columns the factorized regime runs as
+   * [[cofactorOverJoinNumeric]] (same triple, plain codegen'd SUMs, no
+   * ring objects). Below the threshold the row-level join fallback is
+   * kept deliberately: on the fact ⋈ unique-dim shape the moments
+   * decomposition measured SLOWER at every scale (sf10 local[32] 5.9 s
+   * vs 3.4 s hinted-SHJ row join; sf100 local[32] 79 s vs 58.7 s row
+   * SMJ — two 150M-group hash aggregations cost more than the fact-side
+   * sort they avoid), so low-multiplicity inputs never route there.
    */
   def cofactorOverJoinAdaptive(left: DataFrame, right: DataFrame, key: String,
                                leftNum: Seq[String], leftCat: Seq[String],
                                rightNum: Seq[String], rightCat: Seq[String],
                                minRowsPerKey: Double = 4.0): Triple = {
-    def rowsPerKey(df: DataFrame): Double = {
+    def probe(df: DataFrame): (Long, Double) = {
       val ck = (df.queryExecution.analyzed.canonicalized, key)
       val cached = probeCache.get(ck)
-      if (cached != null) cached.doubleValue()
+      if (cached != null) cached
       else {
         val r = df.agg(count(lit(1)).as("n"), approx_count_distinct(col(key)).as("k")).head
-        val v = r.getLong(0).toDouble / math.max(1L, r.getLong(1)).toDouble
-        probeCache.put(ck, java.lang.Double.valueOf(v))
+        val v = (r.getLong(0), r.getLong(0).toDouble / math.max(1L, r.getLong(1)).toDouble)
+        probeCache.put(ck, v)
         v
       }
     }
@@ -84,18 +95,39 @@ object Factorized {
     // never probe-scanned at all (measured ~2.5 s of the 40 s sf100
     // adaptive wall-clock; the probe reads one column, so it was never
     // the dominant term)
-    if (rowsPerKey(right) >= minRowsPerKey && rowsPerKey(left) >= minRowsPerKey)
-      cofactorOverJoin(left, right, key, leftNum, leftCat, rightNum, rightCat)
-    else {
+    val catsEmpty = leftCat.isEmpty && rightCat.isEmpty
+    // the documented probe-free pin: no scans at all, straight to the
+    // factorized regime (numeric flavor when no categorical columns)
+    if (minRowsPerKey <= 0.0)
+      return if (catsEmpty) cofactorOverJoinNumeric(left, right, key, leftNum, rightNum)
+             else cofactorOverJoin(left, right, key, leftNum, leftCat, rightNum, rightCat)
+    val (rightRows, rightRpk) = probe(right)
+    if (rightRpk >= minRowsPerKey && probe(left)._2 >= minRowsPerKey) {
+      // the factorized regime; with no categorical columns the numeric
+      // moments decomposition computes the identical triple without ring
+      // objects (plain SUMs, map-side combine) — strictly the better plan
+      if (catsEmpty) cofactorOverJoinNumeric(left, right, key, leftNum, rightNum)
+      else cofactorOverJoin(left, right, key, leftNum, leftCat, rightNum, rightCat)
+    } else {
       // plain fused aggregate over the join, shaped to the factorized
       // block layout [leftNum ++ rightNum, leftCat ++ rightCat].
-      // SHUFFLE_HASH on both sides: the downstream is a single fused
+      // SHUFFLE_HASH when safe: the downstream is a single fused
       // aggregate, so the sort-merge join's two O(n log n) sorts buy
       // nothing — a hash build on whichever side the planner estimates
       // smaller skips them (sf10: 3.4 → measured below-3 s on the
       // 60M ⋈ 15M bench shape). Broadcast still wins automatically when
-      // a side fits the threshold (hints don't suppress it).
-      val joined = left.hint("shuffle_hash").join(right.hint("shuffle_hash"), key)
+      // a side fits the threshold (hints don't suppress it). The hint is
+      // size-guarded by hashJoinIfSafe because SHJ's build cannot spill;
+      // the right side's probed EXACT row count (always available here —
+      // the right probe runs first) replaces the optimizer's compressed
+      // file-size estimate for it, and the left count rides along when
+      // its probe ran (it may have short-circuited away)
+      val joined = hashJoinIfSafe(left, right, Seq(key),
+        // left was probed iff the right side passed the threshold (the
+        // && above short-circuits otherwise); probe() is memoized so the
+        // re-read costs nothing
+        leftRows = if (rightRpk >= minRowsPerKey) Some(probe(left)._1) else None,
+        rightRows = Some(rightRows))
       // no categorical columns → the triple is just plain SUMs, which
       // fuse into the join's whole-stage pipeline instead of closing it
       // at an ObjectHashAggregate boundary (Graft.cofactorNumeric)
@@ -105,7 +137,162 @@ object Factorized {
     }
   }
 
-  /** Memoized rows-per-key probe results for [[cofactorOverJoinAdaptive]],
+  /**
+   * Numeric-only factorized cofactor over the equi-join, expressed as
+   * plain codegen'd SUM columns end to end — no ring objects anywhere.
+   * The degree-2 moments of `left ⋈ right` decompose per join key k
+   * (the continuous block of the ring product, mul.cpp:262-289):
+   * with per-key left moments (n_k, S_i = Σx_i, P_ij = Σx_i·x_j) and
+   * right moments (m_k, T_a, Q_ab), the join's contributions are
+   *   count      Σ_k n_k·m_k
+   *   Σ x_i      Σ_k m_k·S_i(k)        Σ y_a      Σ_k n_k·T_a(k)
+   *   Σ x_i·x_j  Σ_k m_k·P_ij(k)      Σ y_a·y_b  Σ_k n_k·Q_ab(k)
+   *   Σ x_i·y_a  Σ_k S_i(k)·T_a(k)
+   * so the plan is: two grouped partial aggregates (map-side combine
+   * collapses each side to ONE skinny row per key BEFORE its shuffle),
+   * an equi-join of the aggregated sides that REUSES both children's
+   * hash partitioning (no third exchange — VerifyDrive §18), and one
+   * global codegen'd SUM over the per-key products. Versus
+   * [[cofactorOverJoin]]'s object-triple path this stays inside
+   * whole-stage codegen and Tungsten rows throughout — the object path
+   * only earns its keep when categorical maps force it.
+   *
+   * Scope honestly measured: this wins in the MULTIPLICATIVE regime —
+   * both sides many rows per key, where each grouped partial collapses
+   * its side and the join is |keys|-sized. On the fact ⋈ unique-dim
+   * shape it LOSES to the row-level join at every measured scale
+   * (sf10 local[32]: 5.9 s vs 3.4 s hinted SHJ; sf100 local[32]: 79 s
+   * vs 58.7 s SMJ — the two near-|rows|-group hash aggregations cost
+   * more than the fact-side sort they avoid), which is why
+   * [[cofactorOverJoinAdaptive]] routes only the factorized regime
+   * here, never the low-multiplicity fallback.
+   * Null semantics match [[graft.Graft.cofactorNumeric]] over the
+   * materialized join: a joined row is dropped iff any numeric column
+   * on either side is NULL, which decomposes into per-side filters.
+   */
+  def cofactorOverJoinNumeric(left: DataFrame, right: DataFrame, key: String,
+                              leftNum: Seq[String], rightNum: Seq[String]): Triple = {
+    val kL = leftNum.length; val kR = rightNum.length; val k = kL + kR
+    def moments(df: DataFrame, num: Seq[String], p: String) = {
+      val cs = num.map(c => col(c).cast("double"))
+      val clean = if (num.isEmpty) df else df.where(cs.map(_.isNotNull).reduce(_ && _))
+      val aggs = count(lit(1)).as(s"${p}n") +:
+        (num.indices.map(i => sum(cs(i)).as(s"${p}s$i")) ++
+          (for { i <- num.indices; j <- num.indices if j >= i }
+            yield sum(cs(i) * cs(j)).as(s"${p}p${i}_$j")))
+      clean.groupBy(col(key).as("__k")).agg(aggs.head, aggs.tail: _*)
+    }
+    val joined = moments(left, leftNum, "a").join(moments(right, rightNum, "b"), "__k")
+    val an = col("an"); val bn = col("bn")
+    val sums: Seq[Column] =
+      leftNum.indices.map(i => sum(bn * col(s"as$i"))) ++
+        rightNum.indices.map(a => sum(an * col(s"bs$a")))
+    val prods: Seq[Column] = for { i <- 0 until k; j <- i until k } yield {
+      if (j < kL) sum(bn * col(s"ap${i}_$j"))
+      else if (i >= kL) sum(an * col(s"bp${i - kL}_${j - kL}"))
+      else sum(col(s"as$i") * col(s"bs${j - kL}"))
+    }
+    val all = sum(an * bn) +: (sums ++ prods)
+    val row = joined.agg(all.head, all.tail: _*).head
+    if (row.isNullAt(0)) Triple.zero(k, 0)
+    else {
+      def d(idx: Int): Double = if (row.isNullAt(idx)) 0.0 else row.getDouble(idx)
+      Triple(row.getLong(0), Array.tabulate(k)(i => d(1 + i)),
+        Array.tabulate(k * (k + 1) / 2)(i => d(1 + k + i)),
+        Array.empty, Array.empty, Array.empty)
+    }
+  }
+
+  /**
+   * Equi-join with a SHUFFLE_HASH hint on the smaller side — but ONLY
+   * when that side's projected IN-MEMORY hash build per shuffle
+   * partition fits comfortably inside one task's execution memory.
+   * Unlike sort-merge join, SHJ's hash build cannot spill: forcing it
+   * unconditionally aborts the job with "Can't acquire … bytes memory
+   * to build hash relation" the moment a build partition outgrows the
+   * task's share of the execution pool (observed: 150M build rows over
+   * 32 shuffle partitions at local[8]).
+   *
+   * Per-side build projection, best evidence first:
+   *   - exact row count (the adaptive path's cardinality probe already
+   *     paid for it): rows × (8B header + 8B per field + 24B
+   *     LongToUnsafeRowMap page/index overhead) — the UnsafeRow layout
+   *     plus the map's per-entry cost, measured within ~20% on the
+   *     numeric shapes this module joins;
+   *   - otherwise the optimizer's `stats.sizeInBytes`, multiplied by a
+   *     measured 15× expansion: that estimate scales COMPRESSED parquet
+   *     file bytes by the pruned-column ratio (~3 B/row on encoded
+   *     numeric columns at sf100) while the hash build holds decoded
+   *     UnsafeRows + index (~45 B/row) — trusting it raw re-creates
+   *     exactly the OOM the guard exists to prevent.
+   * The projection is divided by `spark.sql.shuffle.partitions` and
+   * compared against `spark.graft.shj.maxBuildPartitionBytes` (default
+   * 64 MB — conservative versus the ~1/(2·cores) share of the unified
+   * pool a task is guaranteed, on a 1000-executor cluster as on
+   * local[32]). Under the cap the hint names the smaller side as the
+   * build side explicitly; broadcast still wins when a side is under
+   * the broadcast threshold. Over the cap the join is NOT surrendered
+   * to sort-merge immediately: the per-partition build shrinks with the
+   * partition count, so both sides are first repartitioned by the join
+   * key to ceil(build/cap) partitions (capped at 4096) — co-partitioned,
+   * hint intact, every hash build cap-bounded no matter the total size.
+   * Only past that cap (or under pathological key skew, which the
+   * uniform-hash bound cannot see) does the plain spill-capable
+   * sort-merge join remain as the refuge.
+   */
+  /** Projected PEAK in-memory hash-relation size for `df` as an SHJ
+    * build side: UnsafeRow payload (8 B header + 8 B per field) + ~24 B
+    * map page/index overhead per row, DOUBLED for the map's
+    * capacity-growth transient (the old and new index arrays coexist
+    * during a grow — measured: a 150M-row build over 32 partitions
+    * aborts asking for a 268 MB grant even inside a 19 GB pool).
+    * Without an exact row count, the optimizer's `stats.sizeInBytes` ×
+    * a measured 15× expansion (compressed pruned file bytes ≈ 3 B/row
+    * vs ~45 B/row steady in-memory; see [[hashJoinIfSafe]]). */
+  private def buildBytes(df: DataFrame, rows: Option[Long]): BigInt = rows match {
+    case Some(n) => BigInt(n) * (8L + 8L * df.schema.size + 24L) * 2L
+    case None => df.queryExecution.optimizedPlan.stats.sizeInBytes * 15L * 2L
+  }
+
+  private[graft] def hashJoinIfSafe(left: DataFrame, right: DataFrame,
+                                    usingColumns: Seq[String],
+                                    leftRows: Option[Long] = None,
+                                    rightRows: Option[Long] = None): DataFrame = {
+    val spark = left.sparkSession
+    val cap = spark.conf
+      .get("spark.graft.shj.maxBuildPartitionBytes", (64L << 20).toString).toLong
+    val confParts = math.max(1, spark.sessionState.conf.numShufflePartitions).toLong
+    val l = buildBytes(left, leftRows)
+    val r = buildBytes(right, rightRows)
+    val build = l.min(r)
+    if (cap > 0 && build / confParts <= cap) {
+      if (l <= r) left.hint("shuffle_hash").join(right, usingColumns)
+      else left.join(right.hint("shuffle_hash"), usingColumns)
+    } else if (cap > 0 && build / cap + 1 <= 4096) {
+      // partition-to-fit: the build does not fit a task at the session's
+      // partition count, but the per-partition build SHRINKS with the
+      // partition count — repartition BOTH sides by the join key to
+      // ceil(build/cap) partitions (co-partitioned, so the join adds no
+      // further exchange) and the hash build is cap-bounded regardless
+      // of total size. This is the shape a large cluster runs anyway
+      // (thousands of shuffle partitions); on local[32] it turns the
+      // sf100 150M-row build from an abort into 256 bounded builds.
+      // Skew caveat: the bound models uniform key hashing — a pathological
+      // hot key still concentrates one partition, where the un-hinted
+      // spill-capable sort-merge below is the refuge (cap the partition
+      // count, here 4096, so degenerate estimates can't explode the
+      // stage; past it fall back to SMJ).
+      val parts = (build / cap + 1).toInt
+      val cols = usingColumns.map(col)
+      val lp = left.repartition(parts, cols: _*)
+      val rp = right.repartition(parts, cols: _*)
+      if (l <= r) lp.hint("shuffle_hash").join(rp, usingColumns)
+      else lp.join(rp.hint("shuffle_hash"), usingColumns)
+    } else left.join(right, usingColumns)
+  }
+
+  /** Memoized probe results — (exact row count, rows-per-key) — for
+    * [[cofactorOverJoinAdaptive]] and the SHJ size guard,
     * keyed by (canonicalized analyzed plan, key column). Canonicalized
     * plans normalize expression ids, so two reads of the same files with
     * the same projection hit the same entry regardless of session or
@@ -114,10 +301,10 @@ object Factorized {
     * working-set size. */
   private val probeCache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String),
-      java.lang.Double](16, 0.75f, true) {
+      (Long, Double)](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String),
-            java.lang.Double]): Boolean = size() > 256
+            (Long, Double)]): Boolean = size() > 256
     })
 
   /** Drop memoized key-profile probes — call after rewriting a table's

@@ -41,7 +41,18 @@ object CoresProbe {
     for (n <- coreList) {
       val spark = graft.Graft.register(SparkSession.builder()
         .master(s"local[$n]")
-        .config("spark.sql.shuffle.partitions", n.toString)
+        // shuffle partitions PINNED at 32 for every core count: on a real
+        // cluster the partitioning is fixed while executors vary, and a
+        // per-cores partition count would change per-partition build sizes
+        // (and thus join strategy under the SHJ size guard) mid-curve —
+        // the sweep must time the same plan at every point
+        .config("spark.sql.shuffle.partitions", "32")
+        // optional override for the SHJ build-size guard, so the sweep
+        // can model executors with more task memory than the 8 GB
+        // default heap (pair with SPARK_DRIVER_MEM — the guard cap and
+        // the heap must move together or the admitted build OOMs)
+        .config("spark.graft.shj.maxBuildPartitionBytes",
+          sys.env.getOrElse("SPARK_GRAFT_SHJ_CAP", (64L << 20).toString))
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
         .config("spark.ui.enabled", "false")
         .getOrCreate())
@@ -55,6 +66,14 @@ object CoresProbe {
             .agg(round(sum(col("l_quantity")), 2), round(avg(col("l_extendedprice")), 2),
               round(avg(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2),
               count(lit(1))))
+        },
+        // q01 minus the group-by: same five columns decoded, one global
+        // aggregate — isolates parquet-decode/memory-bandwidth scaling
+        // from hash-aggregation scaling (if this curve flattens where
+        // q01's does, the saturated resource is the scan, not the agg)
+        "scan_sum" -> { () =>
+          noop(li.agg(sum(col("l_quantity")), sum(col("l_extendedprice") * col("l_discount")),
+            sum(length(col("l_returnflag")) + length(col("l_linestatus"))), count(lit(1))))
         },
         "cofactor_full" -> { () =>
           noop(li.withColumn("shipyear", year(col("l_shipdate")))

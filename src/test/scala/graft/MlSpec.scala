@@ -272,6 +272,78 @@ class MlSpec extends AnyFunSuite {
     assert(!t3.approxEquals(t1, 1e-12))
   }
 
+  test("numeric factorized moments == object factorized == cofactor over materialized join") {
+    val dim = Seq.tabulate(20)(k => (k, k * 0.5 + 1.0)).toDF("k", "dprice")
+    val fact = rows.zipWithIndex.map { case ((y, a, _, _), i) => (i % 20, y, a) }
+      .toDF("k", "y", "a")
+    val viaNumeric = graft.ml.Factorized.cofactorOverJoinNumeric(
+      fact, dim, "k", Seq("y", "a"), Seq("dprice"))
+    val viaObject = graft.ml.Factorized.cofactorOverJoin(
+      fact, dim, "k", Seq("y", "a"), Seq(), Seq("dprice"), Seq())
+    assert(viaNumeric.approxEquals(viaObject, 1e-9),
+      s"moments decomposition diverged from the ring product: $viaNumeric vs $viaObject")
+    val plain = Graft.cofactorNumeric(fact.join(dim, "k"), Seq("y", "a", "dprice"))
+    assert(viaNumeric.approxEquals(plain, 1e-9))
+    // null semantics: a joined row drops iff any numeric column on either
+    // side is null — per-side nulls must match the materialized filter
+    val factN = fact.withColumn("y", when($"k" === 3, lit(null)).otherwise($"y"))
+    val dimN = dim.withColumn("dprice", when($"k" === 7, lit(null)).otherwise($"dprice"))
+    val nNumeric = graft.ml.Factorized.cofactorOverJoinNumeric(
+      factN, dimN, "k", Seq("y", "a"), Seq("dprice"))
+    val nPlain = Graft.cofactorNumeric(factN.join(dimN, "k"), Seq("y", "a", "dprice"))
+    assert(nNumeric.approxEquals(nPlain, 1e-9))
+    assert(nNumeric.n < viaNumeric.n, "null injection must have dropped rows")
+    // empty join → zero triple of the combined arity
+    val empty = graft.ml.Factorized.cofactorOverJoinNumeric(
+      fact.filter($"k" > 100), dim, "k", Seq("y", "a"), Seq("dprice"))
+    assert(empty == graft.ring.Triple.zero(3, 0))
+  }
+
+  test("shuffle-hash hint is size-guarded: SHJ under the cap, spillable SMJ over it") {
+    def dim = Seq.tabulate(50)(k => (k, k * 0.5)).toDF("k", "dprice")
+    def fact = rows.zipWithIndex.map { case ((y, a, _, _), i) => (i % 50, y, a) }
+      .toDF("k", "y", "a")
+    // disable broadcast so the choice under test is SHJ vs SMJ
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val under = graft.ml.Factorized.hashJoinIfSafe(fact, dim, Seq("k"))
+      assert(under.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"),
+        "tiny build side under the cap must take the hinted shuffled hash join")
+      // a zero cap models a build partition that cannot fit task memory:
+      // the hint must vanish (SHJ cannot spill its build) leaving SMJ
+      spark.conf.set("spark.graft.shj.maxBuildPartitionBytes", "0")
+      val over = graft.ml.Factorized.hashJoinIfSafe(fact, dim, Seq("k"))
+      val plan = over.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        s"over-cap build must fall back to sort-merge join, got:\n$plan")
+      // results identical either way
+      assert(under.count() == over.count())
+      spark.conf.unset("spark.graft.shj.maxBuildPartitionBytes")
+      // exact-rows evidence outranks the optimizer's estimate: a probed
+      // row count implying a build past the cap at the session partition
+      // count must NOT hint at that count (the sf100 OOM shape: ~3 B/row
+      // compressed estimate vs ~45 B/row in-memory hash build). Instead
+      // the join partitions-to-fit: both sides repartitioned by key so
+      // every hash build stays cap-bounded, hint intact
+      val refit = graft.ml.Factorized.hashJoinIfSafe(
+        fact, dim, Seq("k"),
+        leftRows = Some(2_000_000_000L), rightRows = Some(2_000_000_000L))
+      val rplan = refit.queryExecution.executedPlan.toString
+      assert(rplan.contains("ShuffledHashJoin") && rplan.contains("REPARTITION_BY_NUM"),
+        s"over-cap build must partition-to-fit, keeping the hash join:\n$rplan")
+      // past the 4096-partition guardrail the spill-capable SMJ remains
+      val vetoed = graft.ml.Factorized.hashJoinIfSafe(
+        fact, dim, Seq("k"),
+        leftRows = Some(40_000_000_000L), rightRows = Some(40_000_000_000L))
+      val vplan = vetoed.queryExecution.executedPlan.toString
+      assert(vplan.contains("SortMergeJoin") && !vplan.contains("ShuffledHashJoin"),
+        s"past the partition guardrail the join must stay sort-merge, got:\n$vplan")
+    } finally {
+      spark.conf.unset("spark.graft.shj.maxBuildPartitionBytes")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("LDA on triple == LDA trained from raw scatter matrices (parity)") {
     val t = Graft.cofactor(clsDf, Seq("f1", "f2"), Seq("cls"))
     val m = Lda.train(t, label = 0, shrinkage = 0.0)
