@@ -190,11 +190,14 @@ object MiceJoin {
   }
 
   /** Fail loudly on a duplicated dim key (see the contract above): one
-    * hash-agg + limit-1 probe, map-side combined, dim-sized. */
-  private[mice] def requireUniqueKey(dim: DataFrame, key: String): Unit = {
+    * hash-agg + limit-1 probe, map-side combined, dim-sized. Shared with
+    * every operator that left-joins a must-be-unique side (e.g.
+    * [[graft.operators.Multimodal.withTranscodeFallback]]). */
+  private[graft] def requireUniqueKey(dim: DataFrame, key: String,
+                                      caller: String = "MiceJoin"): Unit = {
     val dup = dim.groupBy(col(key)).count().where(col("count") > 1).limit(1).collect()
     require(dup.isEmpty,
-      s"MiceJoin requires dim unique per '$key'; found duplicated key ${dup.head.get(0)} " +
-        "(pre-aggregate or dropDuplicates the dimension side explicitly before calling)")
+      s"$caller requires the joined side unique per '$key'; found duplicated key ${dup.head.get(0)} " +
+        "(pre-aggregate or dropDuplicates that side explicitly before calling)")
   }
 }

@@ -79,7 +79,7 @@ object Factorized {
                                rightNum: Seq[String], rightCat: Seq[String],
                                minRowsPerKey: Double = 4.0): Triple = {
     def probe(df: DataFrame): (Long, Double) = {
-      val ck = (df.queryExecution.analyzed.canonicalized, key)
+      val ck = (df.queryExecution.analyzed.canonicalized, key, snapshotFingerprint(df))
       val cached = probeCache.get(ck)
       if (cached != null) cached
       else {
@@ -300,16 +300,36 @@ object Factorized {
     * retraining service probing thousands of distinct inputs), not a
     * working-set size. */
   private val probeCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String),
+    new java.util.LinkedHashMap[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Long),
       (Long, Double)](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String),
+          e: java.util.Map.Entry[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Long),
             (Long, Double)]): Boolean = size() > 256
     })
 
-  /** Drop memoized key-profile probes — call after rewriting a table's
-    * files in place (the one way a logical plan's rows-per-key can move
-    * under the memo). */
+  /** Cheap file-snapshot fingerprint folded into the probe-memo key:
+    * canonicalized plans compare by rootPaths, so a table rewritten or
+    * appended IN PLACE would otherwise silently replay a stale row
+    * count — which [[hashJoinIfSafe]] then trusts for the non-spillable
+    * SHJ build guard, re-admitting exactly the abort the guard exists
+    * to prevent. Folding (file count, total bytes) per file-source leaf
+    * invalidates the memo on any rewrite that changes bytes on disk
+    * without scanning anything (driver-side listing metadata only). A
+    * same-size same-count in-place rewrite can still alias — that needs
+    * the documented [[clearProbeCache]]. */
+  private def snapshotFingerprint(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    df.queryExecution.analyzed.collectLeaves().foldLeft(17L) {
+      case (h, LogicalRelation(fs: HadoopFsRelation, _, _, _, _)) =>
+        ((h * 31 + fs.location.inputFiles.length) * 31) + fs.sizeInBytes
+      case (h, other) => h * 31 + other.getClass.getName.hashCode
+    }
+  }
+
+  /** Drop memoized key-profile probes. Appends/rewrites that change
+    * file count or total bytes invalidate automatically (see
+    * [[snapshotFingerprint]]); call this after a byte-identical-size
+    * in-place rewrite, the one case the fingerprint can alias. */
   def clearProbeCache(): Unit = probeCache.clear()
 
   private[graft] def probeCacheSize: Int = probeCache.size()

@@ -190,6 +190,17 @@ object Dedup {
     // prunes top-level columns only, so caching the raw struct made
     // every bucket-stage pass deserialize the (large) shingle-set arrays
     // it never reads — the band-only passes now read bands alone.
+    // CODEGEN ASSUMPTION, stated deliberately: the once-per-row cost of
+    // minhashPrepare during cache materialization relies on whole-stage
+    // codegen's subexpression elimination fusing the two getField
+    // extracts. Under an interpreted/fallback projection
+    // (spark.sql.codegen.factoryMode=NO_CODEGEN, or a codegen blowup on
+    // a far wider surrounding plan) the fused pass would run twice for
+    // that one materialization — a bounded 2× on one pass, accepted in
+    // exchange for top-level-column pruning on every later pass, which
+    // is the asymptotic term. The alternative (persist the struct, split
+    // after) re-reads shingle sets in every band pass and is strictly
+    // worse under either codegen mode.
     val prep0 = df.select(col(idCol),
         minhashPrepare(col(textCol), numHashes, shingleSize, bands).as("__p"))
       .select(col(idCol),

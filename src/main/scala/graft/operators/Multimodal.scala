@@ -483,6 +483,10 @@ object Multimodal {
   def withTranscodeFallback(df: DataFrame, idCol: String, binCol: String,
                             transcoded: DataFrame, tIdCol: String,
                             tBinCol: String): DataFrame = {
+    // enforce the dim contract the scaladoc cites, not just state it: a
+    // duplicated sidecar id would silently multiply fact rows through the
+    // left join. Sidecar-sized probe (same helper as MiceJoin).
+    graft.mice.MiceJoin.requireUniqueKey(transcoded, tIdCol, "withTranscodeFallback")
     val side = transcoded.select(col(tIdCol).as("__t_id"), col(tBinCol).as("__t_bin"))
     val outCols = df.columns.toSeq.map { c =>
       if (c == binCol) coalesce(col("__t_bin"), col(binCol)).as(binCol) else col(c)

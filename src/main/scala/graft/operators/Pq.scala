@@ -125,25 +125,24 @@ object Pq {
     * [[PqCodebook.normLut]]/[[PqCodebook.sdcTable]] are lazy vals
     * precisely so they present stable instances here.
     *
-    * Lifecycle is EXPLICIT, not GC-driven: `sc.broadcast` pins the value
-    * strongly in the driver BlockManager (TorrentBroadcast putSingle),
-    * so a weak-keyed cache could never collect an entry while the
-    * context lives. Instead the cache is an access-order LRU of
-    * [[MaxCachedBroadcasts]] entries whose evictees are `destroy()`ed
-    * (freeing driver AND executor blocks), and training loops release
-    * each superseded per-iteration broadcast eagerly via [[releaseArr]].
-    * The cap is a leak bound, not a working-set size: a session holds a
-    * handful of live codebook arrays, so eviction only ever hits arrays
-    * whose plans have long since executed. */
+    * Lifecycle: the cache is an access-order LRU of
+    * [[MaxCachedBroadcasts]] entries. Eviction only DROPS the map
+    * reference — it must NOT `destroy()`, because [[bArr]] hands the
+    * broadcast handle to LAZY plans: a caller can hold an unexecuted
+    * DataFrame across 128+ later broadcasts (long training sessions),
+    * and destroying the evictee would fail that plan with "Attempted to
+    * use Broadcast after it was destroyed". Once the map and every plan
+    * drop their references, Spark's ContextCleaner reclaims the blocks
+    * through its weak-reference tracking of Broadcast objects — eviction
+    * re-enables exactly that path. Deterministic, eager freeing is the
+    * job of [[releaseArr]], which training loops call on each superseded
+    * per-iteration codebook they know has finished executing. */
   private val MaxCachedBroadcasts = 128
   private type BcEntry = (org.apache.spark.SparkContext, org.apache.spark.broadcast.Broadcast[Array[Double]])
   private val bcCache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[Array[Double], BcEntry](16, 0.75f, true) {
       override def removeEldestEntry(e: java.util.Map.Entry[Array[Double], BcEntry]): Boolean =
-        size() > MaxCachedBroadcasts && {
-          try e.getValue._2.destroy() catch { case _: Exception => () }
-          true
-        }
+        size() > MaxCachedBroadcasts
     })
   private[graft] def bArr(df: DataFrame, arr: Array[Double]): Column = {
     val sc = df.sparkSession.sparkContext

@@ -130,6 +130,14 @@ object StreamingSemanticDedup {
               // or arbitrarily after a quiet period), so watermark-based
               // eviction alone would let a kept row suppress arrivals past
               // its horizon. Eviction above stays purely a state-size bound.
+              // DELIBERATELY one-sided: an out-of-order arrival whose event
+              // time is more than horizonMs OLDER than a kept row has a
+              // negative delta and is still suppressed. In the batch-greedy
+              // reference order that late row would have been processed
+              // FIRST and the kept row suppressed by IT — emitting both now
+              // would break the pairwise dedup guarantee, so dropping the
+              // late twin is the conservative streaming approximation (its
+              // lateness is already bounded by the watermark delay).
               val dup = kept.exists { case (_, c, n2, kts) =>
                 d.tsMs - kts < horizonMs &&
                   sdcCos(table.value, ksub, d.codes, d.norm2, c, n2) >= threshold
