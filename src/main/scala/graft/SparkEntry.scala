@@ -17,6 +17,20 @@ object SparkEntry {
 
   private def li(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "lineitem")
 
+  /** events.parquet with `ts` forced to TIMESTAMP (LTZ): the file
+    * annotates INT64 micros with isAdjustedToUTC=false, which Spark
+    * infers as TIMESTAMP_NTZ — but `unix_micros` (= DuckDB `epoch_us`)
+    * only takes LTZ, and the forced schema reads the SAME raw micros
+    * without any wall-clock/timezone reinterpretation, so the two
+    * engines agree on exact epoch-micros regardless of session tz. */
+  private val eventsSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+  }
+
   // recall golden scaling shared by q45/q48: floor(hit/nTrue · 1e4) —
   // load-bearing for oracle parity (the DuckDB side hardcodes the
   // outputs), so it must be a SINGLE definition
@@ -496,17 +510,11 @@ object SparkEntry {
     },
 
     // gap-based sessionization over the events stream (30-minute gap) —
-    // event time compared in integer epoch-micros on both sides (the
-    // parquet ts is nanos; DuckDB truncates to micros, Spark matches
-    // with integer division)
+    // event time compared in integer epoch-micros on both sides
+    // (events.ts is timestamp[us]; unix_micros = DuckDB epoch_us)
     "q33_sessionize" -> { (s, dir) =>
-      import org.apache.spark.sql.types._
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
-      val ev = s.read.schema(schema).parquet(s"$dir/events.parquet")
-        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("t_us"))
+      val ev = s.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t_us"))
       graft.operators.Sessionize.summary(
           ev, col("user_id"), col("t_us"), col("event_id"), maxGap = 1800000000L)
         .select(col("key").as("user_id"), col("n_sessions"),
@@ -638,14 +646,9 @@ object SparkEntry {
     // BroadcastNestedLoopJoin Spark would plan for a raw inequality
     // join. DuckDB's native range join is the independent ground truth.
     "q46_range_join" -> { (s, dir) =>
-      import org.apache.spark.sql.types._
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
-      val ev = s.read.schema(schema).parquet(s"$dir/events.parquet")
+      val ev = s.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("user_id"), col("event_type"),
-          expr("ts div 1000").as("t_us"))
+          unix_micros(col("ts")).as("t_us"))
       // cached: used by the range join AND the zero-count left join —
       // without it events.parquet is scanned a third time
       val errors = ev.filter(col("event_type") === "error")
@@ -723,14 +726,9 @@ object SparkEntry {
     // same user at-or-before it — one shuffle + per-partition sort, no
     // range cross join. Checked against DuckDB's native ASOF JOIN.
     "q44_asof_join" -> { (s, dir) =>
-      import org.apache.spark.sql.types._
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
-      val ev = s.read.schema(schema).parquet(s"$dir/events.parquet")
+      val ev = s.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("user_id"), col("event_type"),
-          expr("ts div 1000").as("t_us"))
+          unix_micros(col("ts")).as("t_us"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("t_us"))
       // one view per (user, µs): DuckDB's ASOF JOIN picks an ARBITRARY
@@ -1250,6 +1248,44 @@ object SparkEntry {
       Seq((nTrue, p4, rec(p4), p8, rec(p8)))
         .toDF("n_true", "opqp4_hit", "opqp4_recall_x1e4",
           "opqp8_hit", "opqp8_recall_x1e4")
+    },
+
+    // MULTI-DIMENSION star MICE (q62 two dims up — the paper's full
+    // Flight/Retailer star shape): l_discount imputed from features in
+    // TWO dimension tables (orders.o_totalprice on l_orderkey,
+    // part.p_retailprice on l_partkey), trained through the CHAINED
+    // ring products of Factorized.cofactorOverStar with the factorized
+    // chain PINNED (minRowsPerKey=0) so the oracle certifies the
+    // fact-grouped triple × dim triple × dim triple decomposition
+    // itself, not the materialized fallback. q62 discipline throughout:
+    // deterministic arithmetic mask, non-stochastic, closed-form DuckDB
+    // Cramer comparator over the materialized 3-way join, RMSE at 4dp.
+    "q66_star_mice_join" -> { (s, dir) =>
+      Graft.register(s)
+      val fact = li(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+          col("l_discount").cast("double").as("d_true"))
+        .withColumn("miss",
+          (col("l_orderkey") * lit(2654435761L) + col("l_linenumber") * lit(40503L)) % 1000 < 150)
+        .withColumn("l_discount", when(col("miss"), lit(null)).otherwise(col("d_true")))
+      val dims = Seq(
+        graft.ml.Factorized.StarDim(
+          Tables.load(s, dir, "orders").select(
+            col("o_orderkey").as("l_orderkey"),
+            col("o_totalprice").cast("double").as("o_totalprice")),
+          "l_orderkey", num = Seq("o_totalprice")),
+        graft.ml.Factorized.StarDim(
+          Tables.load(s, dir, "part").select(
+            col("p_partkey").as("l_partkey"),
+            col("p_retailprice").cast("double").as("p_retailprice")),
+          "l_partkey", num = Seq("p_retailprice")))
+      val done = graft.mice.MiceJoin.imputeContOverStar(
+        fact, dims, target = "l_discount", factNum = Seq(), minRowsPerKey = 0.0)
+      done.agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("miss"), lit(1))).as("n_imputed"),
+        round(sqrt(avg(when(col("miss"),
+          pow(col("l_discount") - col("d_true"), 2)))), 4).as("rmse"))
     }
   )
 
@@ -2271,6 +2307,36 @@ object SparkEntry {
         |  WHERE a.vec_id < 50)
         |SELECT (SELECT count(*) FROM bf WHERE rank <= 3) AS n_true,
         |       36::BIGINT AS opqp4_hit, 2400::BIGINT AS opqp4_recall_x1e4,
-        |       39::BIGINT AS opqp8_hit, 2600::BIGINT AS opqp8_recall_x1e4""".stripMargin
+        |       39::BIGINT AS opqp8_hit, 2600::BIGINT AS opqp8_recall_x1e4""".stripMargin,
+    // q62's 3x3 Cramer template over the MATERIALIZED 2-dim star join —
+    // the independent ground truth for the chained-ring-product star
+    // cofactor (x1 = dim1 feature, x2 = dim2 feature)
+    "q66_star_mice_join" ->
+      """WITH d AS (
+        |  SELECT o_totalprice::DOUBLE AS x1, p_retailprice::DOUBLE AS x2,
+        |         l_discount::DOUBLE AS y,
+        |         ((l_orderkey*2654435761 + l_linenumber*40503) % 1000) < 150 AS miss
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey),
+        |m AS (
+        |  SELECT count(*)::DOUBLE AS n, sum(x1) AS sx1, sum(x2) AS sx2, sum(y) AS sy,
+        |         sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
+        |         sum(x1*y) AS s1y, sum(x2*y) AS s2y
+        |  FROM d WHERE NOT miss),
+        |b AS (
+        |  SELECT
+        |    (sy*(s11*s22 - s12*s12) - sx1*(s1y*s22 - s12*s2y) + sx2*(s1y*s12 - s11*s2y))
+        |      / (n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2) + sx2*(sx1*s12 - s11*sx2)) AS b0,
+        |    (n*(s1y*s22 - s12*s2y) - sy*(sx1*s22 - s12*sx2) + sx2*(sx1*s2y - s1y*sx2))
+        |      / (n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2) + sx2*(sx1*s12 - s11*sx2)) AS b1,
+        |    (n*(s11*s2y - s1y*s12) - sx1*(sx1*s2y - s1y*sx2) + sy*(sx1*s12 - s11*sx2))
+        |      / (n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2) + sx2*(sx1*s12 - s11*sx2)) AS b2
+        |  FROM m)
+        |SELECT count(*) AS n_rows,
+        |       count(CASE WHEN miss THEN 1 END) AS n_imputed,
+        |       round(sqrt(avg(CASE WHEN miss THEN
+        |         (b.b0 + b.b1*x1 + b.b2*x2 - y)*(b.b0 + b.b1*x1 + b.b2*x2 - y) END)), 4) AS rmse
+        |FROM d, b""".stripMargin
   )
 }

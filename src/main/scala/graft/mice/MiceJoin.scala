@@ -90,6 +90,54 @@ object MiceJoin {
   }
 
   /**
+   * One factorized MICE round for a continuous fact-side column over a
+   * MULTI-DIMENSION star join (the paper's Flight/Retailer shape —
+   * factorized_imputation_flight.h:6-8: the fact column's features live
+   * in SEVERAL dimension tables joined on distinct keys).
+   * [[imputeContOverJoin]] generalized: training sees the whole star
+   * through [[Factorized.cofactorOverStar]]'s chained ring products (the
+   * wide join never materialized), and the row-level imputation join
+   * touches only the missing stratum, left-joining each dim in turn.
+   * Every dim must be unique per its key (asserted, dim-sized probes) —
+   * required here even though training alone would tolerate
+   * multiplicity, because the imputation left-joins must not fan out
+   * fact rows. A missing-stratum row with no match in SOME dim (NULL
+   * features ⇒ NULL prediction) falls back to the observed-target mean.
+   */
+  def imputeContOverStar(fact: DataFrame, dims: Seq[Factorized.StarDim],
+                         target: String, factNum: Seq[String],
+                         lambda: Double = 0.0, stochastic: Boolean = false,
+                         seed: Long = 42L, minRowsPerKey: Double = 4.0,
+                         tm: Mice.Timings = new Mice.Timings): DataFrame = {
+    val spark = fact.sparkSession
+    Graft.register(spark)
+    dims.foreach(d => requireUniqueKey(d.df, d.key))
+    val dimNum = dims.flatMap(_.num)
+    require(dims.forall(_.cat.isEmpty),
+      "imputeContOverStar supports continuous dim features (one-hot or chain for categoricals)")
+    require(dimNum.intersect(fact.columns.toSeq).isEmpty,
+      s"dim feature names must be disjoint from fact's: ${dimNum.intersect(fact.columns.toSeq)}")
+    val outCols = fact.columns.toSeq
+    val (observed, missing) = tm.time("partition")(
+      (fact.filter(col(target).isNotNull).localCheckpoint(),
+       fact.filter(col(target).isNull).localCheckpoint()))
+    val triple = tm.time("cofactor_static")(Factorized.cofactorOverStar(
+      observed, target +: factNum, Seq(), dims, minRowsPerKey))
+    val model = tm.time("train")(LinReg.train(triple, label = 0, lambda,
+      normalize = true))
+    val mean = if (triple.n == 0) 0.0 else triple.lin(0) / triple.n
+    val imputed = tm.time("impute_update") {
+      val pred = LinReg.predict(model, (factNum ++ dimNum).map(col), Seq(),
+        addNoise = stochastic, seed = seed)
+      dims.foldLeft(missing)((acc, d) => acc.join(d.df, Seq(d.key), "left"))
+        .withColumn(target, coalesce(pred, lit(mean)))
+        .select(outCols.map(col): _*)
+        .localCheckpoint()
+    }
+    observed.unionByName(imputed)
+  }
+
+  /**
    * Chained multi-column MICE over the join — [[Mice.baseline]]'s
    * columns × iterations loop with every training aggregate computed
    * FACTORIZED over fact ⋈ dim and every row-level update restricted to

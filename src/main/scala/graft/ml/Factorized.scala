@@ -78,17 +78,7 @@ object Factorized {
                                leftNum: Seq[String], leftCat: Seq[String],
                                rightNum: Seq[String], rightCat: Seq[String],
                                minRowsPerKey: Double = 4.0): Triple = {
-    def probe(df: DataFrame): (Long, Double) = {
-      val ck = (df.queryExecution.analyzed.canonicalized, key, snapshotFingerprint(df))
-      val cached = probeCache.get(ck)
-      if (cached != null) cached
-      else {
-        val r = df.agg(count(lit(1)).as("n"), approx_count_distinct(col(key)).as("k")).head
-        val v = (r.getLong(0), r.getLong(0).toDouble / math.max(1L, r.getLong(1)).toDouble)
-        probeCache.put(ck, v)
-        v
-      }
-    }
+    def probe(df: DataFrame): (Long, Double) = probeRowsPerKey(df, Seq(key))
     // probe the RIGHT side first: in the common fact ⋈ dim shape the
     // dimension side is per-key-unique and fails the threshold, and &&
     // short-circuits — the (usually much larger) fact side is then
@@ -333,6 +323,138 @@ object Factorized {
   def clearProbeCache(): Unit = probeCache.clear()
 
   private[graft] def probeCacheSize: Int = probeCache.size()
+
+  /** One dimension table of a star join: `df` must carry the join key
+    * under the SAME name `key` as the fact table (rename before
+    * constructing), projected to (key, num…, cat…). Feature names must
+    * be disjoint from the fact's and from every other dim's. */
+  final case class StarDim(df: DataFrame, key: String,
+                           num: Seq[String] = Seq(), cat: Seq[String] = Seq())
+
+  /**
+   * Cofactor of the multi-dimension STAR join
+   * `fact ⋈_{k1} dim1 ⋈_{k2} dim2 ⋈ …` without materializing it — the
+   * reference paper's Flight/Retailer workload shape
+   * (factorized_imputation_flight.h:6-8, factorized_imputation_retailer.h:6-8:
+   * one fact table joining several dimension tables on distinct keys),
+   * computed by CHAINED ring products:
+   *
+   *   triple(F ⋈ D1 ⋈ … ⋈ Dn)
+   *     = Σ over fact key-combos  [ triple_F(k1…kn) × triple_D1(k1) × … ]
+   *
+   * Plan shape: each dim collapses to ONE triple per key (dim-sized
+   * grouped aggregate), the fact collapses to one triple per DISTINCT
+   * key COMBINATION, and the joins chain over those pre-aggregates —
+   * the wide star join never exists. Each join is size-guarded
+   * [[hashJoinIfSafe]]; an aggregated dim under the broadcast threshold
+   * broadcasts automatically, so the fact-side aggregate typically
+   * never re-shuffles after its own grouping. Layout follows the ring
+   * product's block rule applied left to right:
+   * `[factNum ++ dim1.num ++ … , factCat ++ dim1.cat ++ …]`.
+   *
+   * Inner-join semantics throughout (a fact row whose key misses a dim
+   * drops), and the ring lift's null rule per side (a row with a NULL
+   * numeric feature contributes nothing), exactly as the fused
+   * aggregate over the materialized star join would behave —
+   * `MlSpec`/`VerifyDrive` pin the parity on real tables.
+   *
+   * Adaptivity ([[cofactorOverJoinAdaptive]]'s probe, generalized): the
+   * fact-side grouping only pays when key combinations REPEAT (else it
+   * is one ObjectHashAggregate buffer per ~1 row — the measured
+   * pessimization), and a dim-side grouping pays for itself the same
+   * way. Probed with one memoized `approx_count_distinct` per input
+   * (composite key on the fact side); the chain factorizes when the
+   * fact combos repeat ≥ `minRowsPerKey` OR any dim key does (a
+   * multiplicative dim makes the materialized join EXPLODE —
+   * |fact|·Π multiplicities rows — so factorizing is then the only
+   * scale-safe plan even over a near-unique fact grouping). Otherwise
+   * every side is near-unique and the materialized star join with the
+   * fused (codegen'd-numeric when possible) cofactor is strictly
+   * cheaper — the chain of size-guarded row-level joins at ~|fact|
+   * rows. `minRowsPerKey = 0` pins the factorized chain probe-free;
+   * `Double.MaxValue` pins the materialized fallback.
+   */
+  def cofactorOverStar(fact: DataFrame, factNum: Seq[String], factCat: Seq[String],
+                       dims: Seq[StarDim], minRowsPerKey: Double = 4.0): Triple = {
+    val spark = fact.sparkSession
+    Graft.register(spark)
+    val numAll = factNum ++ dims.flatMap(_.num)
+    val catAll = factCat ++ dims.flatMap(_.cat)
+    if (dims.isEmpty)
+      return if (catAll.isEmpty) Graft.cofactorNumeric(fact, numAll)
+             else Graft.cofactor(fact, numAll, catAll)
+    if (dims.length == 1)
+      return cofactorOverJoinAdaptive(fact, dims.head.df, dims.head.key,
+        factNum, factCat, dims.head.num, dims.head.cat, minRowsPerKey)
+    val keys = dims.map(_.key)
+    require(keys.distinct.length == keys.length,
+      s"star dims must join on distinct fact keys, got $keys")
+
+    def rowsPerKey(df: DataFrame, keyCols: Seq[String]): (Long, Double) =
+      probeRowsPerKey(df, keyCols)
+    val factorize =
+      if (minRowsPerKey <= 0.0) true
+      else if (minRowsPerKey == Double.MaxValue) false
+      else {
+        // dims first (dimension tables are small — cheap probes; a
+        // multiplicative dim alone forces the factorized chain), fact
+        // composite-key probe only if no dim decided it
+        dims.exists(d => rowsPerKey(d.df, Seq(d.key))._2 >= minRowsPerKey) ||
+          rowsPerKey(fact, keys)._2 >= minRowsPerKey
+      }
+
+    if (factorize) {
+      val factCols = factNum.map(c => col(c).cast("double")) ++
+        factCat.map(c => col(c).cast("int"))
+      var cur = fact.groupBy(keys.map(col): _*)
+        .agg(Graft.sumTriple(factCols: _*).as("__T"))
+      for (d <- dims) {
+        val dimCols = d.num.map(c => col(c).cast("double")) ++
+          d.cat.map(c => col(c).cast("int"))
+        val dagg = d.df.groupBy(col(d.key)).agg(Graft.sumTriple(dimCols: _*).as("__D"))
+        cur = hashJoinIfSafe(cur, dagg, Seq(d.key))
+          .withColumn("__T", Graft.multiplyTriple(col("__T"), col("__D")))
+          .drop("__D")
+      }
+      val row = cur.select(Graft.sumTripleOf(col("__T")).as("t")).head
+      if (row.isNullAt(0)) Triple.zero(numAll.length, catAll.length)
+      else Graft.tripleFromRow(row.getStruct(0))
+    } else {
+      // every side near-unique: materialize the star row-level (each
+      // join size-guarded; dims under the broadcast threshold broadcast)
+      // and fuse one cofactor over it — codegen'd SUMs when no cats
+      val joined = dims.foldLeft(fact)((acc, d) => hashJoinIfSafe(acc, d.df, Seq(d.key)))
+      if (catAll.isEmpty) Graft.cofactorNumeric(joined, numAll)
+      else Graft.cofactor(joined, numAll, catAll)
+    }
+  }
+
+  /** Memoized (rows, rows-per-key) probe shared by the adaptive
+    * single-join and star paths; composite keys probe
+    * `approx_count_distinct(struct(keys))`. */
+  private def probeRowsPerKey(df: DataFrame, keyCols: Seq[String]): (Long, Double) = {
+    val ck = (df.queryExecution.analyzed.canonicalized, keyCols.mkString(" "),
+      snapshotFingerprint(df))
+    val cached = probeCache.get(ck)
+    if (cached != null) cached
+    else {
+      val kc = if (keyCols.length == 1) col(keyCols.head)
+               else struct(keyCols.map(col): _*)
+      val r = df.agg(count(lit(1)).as("n"), approx_count_distinct(kc).as("k")).head
+      val v = (r.getLong(0), r.getLong(0).toDouble / math.max(1L, r.getLong(1)).toDouble)
+      probeCache.put(ck, v)
+      v
+    }
+  }
+
+  /** Train linear regression over the (never materialized) star join.
+    * `label` indexes `factNum ++ dims.flatMap(_.num)`. */
+  def linRegOverStar(fact: DataFrame, factNum: Seq[String], factCat: Seq[String],
+                     dims: Seq[StarDim], label: Int, lambda: Double = 0.0,
+                     normalize: Boolean = false): LinReg.Model = {
+    val t = cofactorOverStar(fact, factNum, factCat, dims)
+    LinReg.train(t, label, lambda, normalize)
+  }
 
   /** Train linear regression over the (never materialized) join. */
   def linRegOverJoin(left: DataFrame, right: DataFrame, key: String,

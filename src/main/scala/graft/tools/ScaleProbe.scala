@@ -140,13 +140,9 @@ object ScaleProbe {
 
     // --- asof join: 100k → 1.6M events ---
     // one shuffle + per-partition sort: wall-clock should track the sort
-    val evSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType)))
-    val ev = spark.read.schema(evSchema).parquet("/root/testdata/sf0.1/events.parquet")
-      .select(col("event_id"), col("user_id"), col("event_type"), col("ts")).cache()
+    val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts")).cache()
     val nEv = ev.count()
     for (k <- Seq(1, 4, 16)) {
       val rep = (0 until k).map(i =>

@@ -194,13 +194,8 @@ object VerifyDrive {
     println(s"knn top-3 for 5 queries OK (cos in [-1,1])")
 
     println("== [13] asof join: plan shape (ONE shuffle, no range cross join) ==")
-    val evSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType)))
-    val evA = spark.read.schema(evSchema).parquet("/root/testdata/sf0.001/events.parquet")
-      .select($"event_id", $"user_id", $"event_type", $"ts".as("t"))
+    val evA = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"event_id", $"user_id", $"event_type", unix_micros($"ts").as("t"))
     val clicks = evA.filter($"event_type" === "click").select($"event_id", $"user_id", $"t")
     val views = evA.filter($"event_type" === "view")
       .select($"event_id".as("v_eid"), $"user_id", $"t".as("vt"))
@@ -354,6 +349,39 @@ object VerifyDrive {
         li, ord, "k", Seq("l_quantity"), Seq(), Seq("o_totalprice"), Seq())
       assert(viaNumeric.approxEquals(viaRing, 1e-9), "numeric moments != ring product")
       println(s"numeric factorized OK: $nEx exchanges, codegen'd aggs, parity with ring path")
+    }
+
+    println("== [19] star cofactor (2 dims): chained ring products == materialized 3-way join ==")
+    locally {
+      // the paper's Flight/Retailer star shape on real tables: lineitem
+      // fact joining orders (l_orderkey) AND part (l_partkey); the
+      // chained-ring-product triple must equal the fused cofactor over
+      // the materialized 3-way join, on BOTH the pinned chain and the
+      // probed adaptive route
+      import graft.ml.Factorized.StarDim
+      val fact = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"),
+          col("l_quantity").cast("double").as("l_quantity"),
+          col("l_linenumber").cast("int").as("l_linenumber"))
+      val dimO = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select(col("o_orderkey").as("l_orderkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+      val dimP = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+        .select(col("p_partkey").as("l_partkey"),
+          col("p_retailprice").cast("double").as("p_retailprice"),
+          col("p_size").cast("int").as("p_size"))
+      val dims = Seq(StarDim(dimO, "l_orderkey", Seq("o_totalprice")),
+                     StarDim(dimP, "l_partkey", Seq("p_retailprice"), Seq("p_size")))
+      val tChain = graft.ml.Factorized.cofactorOverStar(
+        fact, Seq("l_quantity"), Seq("l_linenumber"), dims, minRowsPerKey = 0.0)
+      val tAdapt = graft.ml.Factorized.cofactorOverStar(
+        fact, Seq("l_quantity"), Seq("l_linenumber"), dims)
+      val mat = fact.join(dimO, "l_orderkey").join(dimP, "l_partkey")
+      val tMat = graft.Graft.cofactor(mat,
+        Seq("l_quantity", "o_totalprice", "p_retailprice"), Seq("l_linenumber", "p_size"))
+      assert(tChain.approxEquals(tMat, 1e-9), "star chain != materialized 3-way cofactor")
+      assert(tAdapt.approxEquals(tMat, 1e-9), "adaptive star != materialized 3-way cofactor")
+      println(s"star cofactor OK: N=${tChain.n} chain == adaptive == materialized 3-way")
     }
 
     spark.stop()

@@ -38,6 +38,39 @@ class MiceJoinSpec extends AnyFunSuite {
     assert(tm.totals.contains("cofactor_static") && tm.totals.contains("train"))
   }
 
+  test("star impute (2 dims) recovers an exactly-linear relation and matches the materialized train") {
+    import graft.ml.Factorized.StarDim
+    // y = 2 + 3*x1 + 0.5*d1 - 1.5*d2 EXACTLY, features in TWO dims
+    val dimA = Seq.tabulate(40)(k => (k.toLong, k * 1.5 - 10.0)).toDF("ka", "d1")
+    val dimB = Seq.tabulate(25)(k => (k.toLong, k * 0.8 + 2.0)).toDF("kb", "d2")
+    val starFact = Seq.tabulate(400) { i =>
+      val ka = i % 40; val kb = i % 25
+      val x1 = (i % 17).toDouble - 8
+      val y = 2.0 + 3.0 * x1 + 0.5 * (ka * 1.5 - 10.0) - 1.5 * (kb * 0.8 + 2.0)
+      (i.toLong, ka.toLong, kb.toLong, x1, y, i % 5 == 0)
+    }.toDF("id", "ka", "kb", "x1", "yTrue", "miss")
+      .withColumn("y", when($"miss", lit(null)).otherwise($"yTrue"))
+      .repartition(4)
+    val dims = Seq(StarDim(dimA, "ka", Seq("d1")), StarDim(dimB, "kb", Seq("d2")))
+    for (pin <- Seq(0.0, Double.MaxValue)) { // chain AND materialized fallback
+      val done = MiceJoin.imputeContOverStar(starFact, dims, target = "y",
+        factNum = Seq("x1"), minRowsPerKey = pin)
+      assert(done.count() == 400 && done.filter($"y".isNull).count() == 0)
+      val maxErr = done.filter($"miss")
+        .select(max(abs($"y" - $"yTrue"))).head.getDouble(0)
+      assert(maxErr < 1e-6, s"star imputation (pin=$pin) should be exact, max err $maxErr")
+    }
+    // a duplicated key in EITHER dim must fail loudly (imputation
+    // left-joins must not fan out fact rows)
+    val dupB = dimB.union(Seq((3L, 99.0)).toDF("kb", "d2"))
+    val ex = intercept[IllegalArgumentException] {
+      MiceJoin.imputeContOverStar(starFact,
+        Seq(StarDim(dimA, "ka", Seq("d1")), StarDim(dupB, "kb", Seq("d2"))),
+        target = "y", factNum = Seq("x1"))
+    }
+    assert(ex.getMessage.contains("unique"))
+  }
+
   test("factorized training == training over the materialized join") {
     val observed = fact.filter(!$"miss")
     val tFact = graft.ml.Factorized.cofactorOverJoin(

@@ -220,6 +220,76 @@ class MlSpec extends AnyFunSuite {
     assert(tEmpty.n == 0 && tEmpty.numCols == 3 && tEmpty.catCols == 1)
   }
 
+  test("star cofactor (2 dims, chained ring products) == materialized 3-way join") {
+    import graft.ml.Factorized.StarDim
+    // fact with TWO distinct join keys; dim features continuous AND
+    // categorical; ~6 fact rows per (k1,k2) combo so the chain factorizes
+    val fact = rows.zipWithIndex.map { case ((y, a, _, c), i) => (i % 10, i % 5, y, a, c) }
+      .toDF("k1", "k2", "y", "a", "c")
+    val dim1 = Seq.tabulate(10)(k => (k, k * 0.5 + 1.0, k % 3)).toDF("k1", "d1p", "d1c")
+    val dim2 = Seq.tabulate(5)(k => (k, k * 2.0 - 3.0)).toDF("k2", "d2p")
+    val dims = Seq(StarDim(dim1, "k1", Seq("d1p"), Seq("d1c")),
+                   StarDim(dim2, "k2", Seq("d2p")))
+    val mat = fact.join(dim1, "k1").join(dim2, "k2")
+    val tMat = Graft.cofactor(mat, Seq("y", "a", "d1p", "d2p"), Seq("c", "d1c"))
+    // pinned factorized chain, probed-adaptive (combos repeat), and
+    // pinned materialized fallback must all agree with the fused 3-way
+    val tChain = graft.ml.Factorized.cofactorOverStar(
+      fact, Seq("y", "a"), Seq("c"), dims, minRowsPerKey = 0.0)
+    val tAdapt = graft.ml.Factorized.cofactorOverStar(
+      fact, Seq("y", "a"), Seq("c"), dims, minRowsPerKey = 2.0)
+    val tFall = graft.ml.Factorized.cofactorOverStar(
+      fact, Seq("y", "a"), Seq("c"), dims, minRowsPerKey = Double.MaxValue)
+    assert(tChain.approxEquals(tMat, 1e-9), s"star chain != materialized")
+    assert(tAdapt.approxEquals(tMat, 1e-9))
+    assert(tFall.approxEquals(tMat, 1e-9))
+    // training over the star == training over the materialized join
+    val mStar = graft.ml.Factorized.linRegOverStar(
+      fact, Seq("y", "a"), Seq("c"), dims, label = 0)
+    val mMat = LinReg.train(tMat, label = 0)
+    for (i <- mStar.numCoef.indices)
+      assert(math.abs(mStar.numCoef(i) - mMat.numCoef(i)) < 1e-8)
+
+    // a MULTIPLICATIVE dim (repeated keys): the materialized join fans
+    // out; the chain must reproduce exactly that fan-out's cofactor
+    val dim2m = Seq.tabulate(15)(i => (i % 5, i * 1.5 - 2.0)).toDF("k2", "d2p")
+    val dimsM = Seq(StarDim(dim1, "k1", Seq("d1p"), Seq("d1c")),
+                    StarDim(dim2m, "k2", Seq("d2p")))
+    val tMatM = Graft.cofactor(fact.join(dim1, "k1").join(dim2m, "k2"),
+      Seq("y", "a", "d1p", "d2p"), Seq("c", "d1c"))
+    val tChainM = graft.ml.Factorized.cofactorOverStar(
+      fact, Seq("y", "a"), Seq("c"), dimsM, minRowsPerKey = 0.0)
+    assert(tChainM.approxEquals(tMatM, 1e-9), "multiplicative-dim chain != materialized")
+    // the probe must choose the chain here even though the FACT side is
+    // made near-unique: dim2m repeats 3×/key, and materializing would
+    // explode |fact|·3 — any multiplicative side forces factorization
+    val factU = rows.zipWithIndex.map { case ((y, a, _, c), i) => (i, i % 5, y, a, c) }
+      .toDF("k1", "k2", "y", "a", "c")
+    val dim1U = Seq.tabulate(300)(k => (k, k * 0.5 + 1.0, k % 3)).toDF("k1", "d1p", "d1c")
+    val tAdaptM = graft.ml.Factorized.cofactorOverStar(
+      factU, Seq("y", "a"), Seq("c"),
+      Seq(StarDim(dim1U, "k1", Seq("d1p"), Seq("d1c")), StarDim(dim2m, "k2", Seq("d2p"))),
+      minRowsPerKey = 2.0)
+    val tMatU = Graft.cofactor(factU.join(dim1U, "k1").join(dim2m, "k2"),
+      Seq("y", "a", "d1p", "d2p"), Seq("c", "d1c"))
+    assert(tAdaptM.approxEquals(tMatU, 1e-9))
+
+    // disjoint keys in ONE dim → empty star → zero triple of full arity
+    val tEmpty = graft.ml.Factorized.cofactorOverStar(
+      fact, Seq("y", "a"), Seq("c"),
+      Seq(StarDim(dim1.filter($"k1" < 0), "k1", Seq("d1p"), Seq("d1c")),
+          StarDim(dim2, "k2", Seq("d2p"))), minRowsPerKey = 0.0)
+    assert(tEmpty.n == 0 && tEmpty.numCols == 4 && tEmpty.catCols == 2)
+    // numeric-only star fallback routes through codegen'd cofactorNumeric
+    val tNum = graft.ml.Factorized.cofactorOverStar(
+      fact, Seq("y", "a"), Seq(),
+      Seq(StarDim(dim1.drop("d1c"), "k1", Seq("d1p")), StarDim(dim2, "k2", Seq("d2p"))),
+      minRowsPerKey = Double.MaxValue)
+    val tNumMat = Graft.cofactorNumeric(fact.join(dim1, "k1").join(dim2, "k2"),
+      Seq("y", "a", "d1p", "d2p"))
+    assert(tNum.approxEquals(tNumMat, 1e-9))
+  }
+
   test("cofactorNumeric: plain-SUM path == fused aggregate, incl. null-row semantics") {
     // rows with nulls in EITHER column must be skipped whole (the fused
     // aggregate's any-null rule), not column-wise

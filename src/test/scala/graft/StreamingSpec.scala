@@ -19,14 +19,13 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Paths.get(dir, "events.parquet"))
     dir
   }
-  // ts is physically INT64 nanos; read raw and convert to micros timestamp
+  // ts is a proper timestamp[us] column — read it natively
   val schema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
   private def prep(df: org.apache.spark.sql.DataFrame) = df
-    .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
     .withColumn("etype", abs(hash(col("event_type"))) % 5)
 
   test("windowed streaming cofactor == batch cofactor per window") {
