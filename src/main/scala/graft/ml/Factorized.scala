@@ -226,9 +226,14 @@ object Factorized {
    * partition count, so both sides are first repartitioned by the join
    * key to ceil(build/cap) partitions (capped at 4096) — co-partitioned,
    * hint intact, every hash build cap-bounded no matter the total size.
-   * Only past that cap (or under pathological key skew, which the
-   * uniform-hash bound cannot see) does the plain spill-capable
-   * sort-merge join remain as the refuge.
+   * That bound models uniform key hashing, so the tier additionally
+   * probes the build side's max key multiplicity (memoized): a hot key
+   * whose build rows alone exceed the cap routes to [[saltedHashJoin]]
+   * — build rows of hot keys split over salt buckets, probe rows
+   * replicated — keeping every hash build cap-bounded under arbitrary
+   * skew. Only degenerate cases (>4096 partitions from a broken
+   * estimate, >64 hot keys, salt factor >256, multi-column keys) fall
+   * back to the plain spill-capable sort-merge join.
    */
   /** Projected PEAK in-memory hash-relation size for `df` as an SHJ
     * build side: UnsafeRow payload (8 B header + 8 B per field) + ~24 B
@@ -267,18 +272,91 @@ object Factorized {
       // of total size. This is the shape a large cluster runs anyway
       // (thousands of shuffle partitions); on local[32] it turns the
       // sf100 150M-row build from an abort into 256 bounded builds.
-      // Skew caveat: the bound models uniform key hashing — a pathological
-      // hot key still concentrates one partition, where the un-hinted
-      // spill-capable sort-merge below is the refuge (cap the partition
-      // count, here 4096, so degenerate estimates can't explode the
-      // stage; past it fall back to SMJ).
+      //
+      // SKEW: hash partitioning bounds a partition's build only under
+      // roughly-uniform keys — one hot key's rows all land in one build
+      // no matter the partition count, and AQE's skew splitter does NOT
+      // engage here (it refuses to split user-specified repartitions,
+      // and splitting a hash BUILD would be wrong anyway). So the tier
+      // first probes the build side's max key multiplicity (one
+      // map-side-combined count, memoized like the cardinality probes).
+      // A key whose build rows alone exceed the cap vetoes plain SHJ:
+      // the join runs SALTED instead — build rows of hot keys spread
+      // over ceil(hotBytes/cap) salt buckets (each build stays
+      // cap-bounded), probe rows of those keys replicated across the
+      // buckets (each probe-build pair still meets exactly once; the
+      // probe side STREAMS, so replication costs shuffle bytes, not
+      // memory). Degenerate skew (R > 256 or > 64 distinct hot keys or
+      // a multi-column key) surrenders to the spill-capable SMJ below.
       val parts = (build / cap + 1).toInt
       val cols = usingColumns.map(col)
-      val lp = left.repartition(parts, cols: _*)
-      val rp = right.repartition(parts, cols: _*)
-      if (l <= r) lp.hint("shuffle_hash").join(rp, usingColumns)
-      else lp.join(rp.hint("shuffle_hash"), usingColumns)
+      val (bDf, pDf, bFirst) = if (l <= r) (left, right, true) else (right, left, false)
+      val perRow = (8L + 8L * bDf.schema.size + 24L) * 2L
+      val maxCnt = maxKeyCount(bDf, usingColumns)
+      if (BigInt(maxCnt) * perRow <= cap) {
+        val lp = left.repartition(parts, cols: _*)
+        val rp = right.repartition(parts, cols: _*)
+        if (bFirst) lp.hint("shuffle_hash").join(rp, usingColumns)
+        else lp.join(rp.hint("shuffle_hash"), usingColumns)
+      } else if (usingColumns.length == 1) {
+        saltedHashJoin(bDf, pDf, usingColumns.head, cap, perRow, parts, bFirst)
+          .getOrElse(left.join(right, usingColumns))
+      } else left.join(right, usingColumns)
     } else left.join(right, usingColumns)
+  }
+
+  /** Max rows under a single join-key value (the build-side hot-key
+    * probe): one grouped count + max, map-side combined, memoized with
+    * the same snapshot-fingerprint discipline as the cardinality
+    * probes. */
+  private def maxKeyCount(df: DataFrame, keyCols: Seq[String]): Long = {
+    val ck = (df.queryExecution.analyzed.canonicalized, "max:" + keyCols.mkString(" "),
+      snapshotFingerprint(df))
+    val cached = probeCache.get(ck)
+    if (cached != null) cached._1
+    else {
+      val row = df.groupBy(keyCols.map(col): _*).count()
+        .agg(max(col("count"))).head
+      val v = if (row.isNullAt(0)) 0L else row.getLong(0)
+      probeCache.put(ck, (v, 0.0))
+      v
+    }
+  }
+
+  /** Skew-salted shuffled-hash join for a single-column equi-join whose
+    * BUILD side has hot keys too large for one cap-bounded hash build.
+    * Hot keys (per-key build bytes > cap) get their build rows salted
+    * over R buckets and their probe rows replicated to all R; everything
+    * else keeps salt 0. Join on (key, salt) — co-partitioned to
+    * `parts`, hint on the build side. Returns None when the skew is
+    * degenerate (too many hot keys / too large R) and the caller should
+    * take the spill-capable SMJ. */
+  private def saltedHashJoin(bDf: DataFrame, pDf: DataFrame, key: String,
+                             cap: Long, perRow: Long, parts: Int,
+                             buildIsLeft: Boolean): Option[DataFrame] = {
+    val hot = bDf.groupBy(col(key)).count()
+      .filter(col("count") * lit(perRow) > lit(cap))
+      .limit(65).collect()
+    if (hot.length > 64) return None
+    val maxCnt = hot.map(_.getLong(1)).max
+    val rFactor = (BigInt(maxCnt) * perRow / cap + 1).toInt
+    if (rFactor > 256) return None
+    val hotKeys = hot.map(_.get(0))
+    val isHot = col(key).isin(hotKeys: _*)
+    // build: one deterministic-ish salt per row (row identity, not key)
+    val bS = bDf.withColumn("__salt",
+      when(isHot, pmod(monotonically_increasing_id(), lit(rFactor.toLong)).cast("int"))
+        .otherwise(lit(0)))
+    // probe: hot-key rows fan out to every salt bucket
+    val pS = pDf
+      .withColumn("__salts", when(isHot, sequence(lit(0), lit(rFactor - 1))).otherwise(array(lit(0))))
+      .withColumn("__salt", explode(col("__salts"))).drop("__salts")
+    val keys = Seq(key, "__salt")
+    val kc = keys.map(col)
+    val bp = bS.repartition(parts, kc: _*).hint("shuffle_hash")
+    val pp = pS.repartition(parts, kc: _*)
+    val joined = if (buildIsLeft) bp.join(pp, keys) else pp.join(bp, keys)
+    Some(joined.drop("__salt"))
   }
 
   /** Memoized probe results — (exact row count, rows-per-key) — for

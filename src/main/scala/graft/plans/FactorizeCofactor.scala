@@ -31,14 +31,34 @@ import org.apache.spark.sql.catalyst.rules.Rule
 object FactorizeCofactorRule extends Rule[LogicalPlan] {
 
   def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case agg @ Aggregate(Nil, Seq(alias @ Alias(
-          ae @ AggregateExpression(cof: CofactorAggregate, _, false, None, _), _)), child, _)
-        if !cof.nbMode =>
+    // global OR grouped cofactor over a join: grouping columns must be
+    // plain attributes and the aggregate list exactly [groups…, cofactor]
+    // (the shape DataFrame.groupBy().agg() / SQL GROUP BY produce); the
+    // NB ring product factorizes identically (mul_nb.cpp:20-268), so
+    // nbMode rewrites too
+    case agg @ Aggregate(groups, projList, child, _)
+        if groups.forall(_.isInstanceOf[Attribute]) &&
+          projList.count(isCofactorAlias) == 1 &&
+          projList.filterNot(isCofactorAlias).forall {
+            case a: Attribute => groups.exists(_.asInstanceOf[Attribute].exprId == a.exprId)
+            case _ => false
+          } =>
+      val alias = projList.collectFirst {
+        case al @ Alias(AggregateExpression(_: CofactorAggregate, _, false, None, _), _) => al
+      }.get
+      val ae = alias.child.asInstanceOf[AggregateExpression]
+      val cof = ae.aggregateFunction.asInstanceOf[CofactorAggregate]
       extractJoin(child) match {
         case Some((join, leftKeys, rightKeys)) =>
-          rewrite(agg, alias, ae, cof, join, leftKeys, rightKeys).getOrElse(agg)
+          rewrite(agg, alias, ae, cof, join, leftKeys, rightKeys,
+            groups.map(_.asInstanceOf[Attribute]), projList).getOrElse(agg)
         case None => agg
       }
+  }
+
+  private def isCofactorAlias(ne: NamedExpression): Boolean = ne match {
+    case Alias(AggregateExpression(_: CofactorAggregate, _, false, None, _), _) => true
+    case _ => false
   }
 
   /** Accept the join directly or under a pure column-pruning Project. */
@@ -97,8 +117,17 @@ object FactorizeCofactorRule extends Rule[LogicalPlan] {
 
   private def rewrite(agg: Aggregate, alias: Alias, ae: AggregateExpression,
                       cof: CofactorAggregate, join: Join,
-                      leftKeys: Seq[Attribute], rightKeys: Seq[Attribute]): Option[LogicalPlan] = {
+                      leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+                      groups: Seq[Attribute], projList: Seq[NamedExpression]): Option[LogicalPlan] = {
     if (keysTooFine(join.left, leftKeys) || keysTooFine(join.right, rightKeys)) return None
+    // every grouping column must belong to exactly one side; it joins
+    // that side's pre-aggregation keys (per-(key, group) triples), and
+    // the outer aggregate groups by it as before — correct even when
+    // groups span BOTH sides (the per-key product of the (k,g1) and
+    // (k,g2) partials is exactly the cofactor of that group's join rows)
+    val (leftGroups, rightGroups) =
+      (groups.filter(join.left.outputSet.contains), groups.filter(join.right.outputSet.contains))
+    if (leftGroups.length + rightGroups.length != groups.length) return None
     // every aggregated column must be a plain attribute of exactly one side
     val attrs = cof.children.map {
       case a: AttributeReference => Some(a)
@@ -130,15 +159,23 @@ object FactorizeCofactorRule extends Rule[LogicalPlan] {
     val numPerm = permFor(isNum)
     val catPerm = permFor(a => !isNum(a))
     val identity = numPerm == numPerm.indices.toSeq && catPerm == catPerm.indices.toSeq
+    // PermuteTriple only reshapes FULL triples; an interleaved-order NB
+    // aggregate keeps the fused plan (rare — NB callers pass per-side
+    // blocks). All identity-order NB shapes rewrite below.
+    if (cof.nbMode && !identity) return None
 
-    def sideAgg(side: LogicalPlan, keys: Seq[Attribute], sideCols: Seq[Attribute], tag: String) = {
-      val cofSide = CofactorAggregate(sideCols, nbMode = false)
+    def sideAgg(side: LogicalPlan, keys: Seq[Attribute], gs: Seq[Attribute],
+                sideCols: Seq[Attribute], tag: String) = {
+      val cofSide = CofactorAggregate(sideCols, nbMode = cof.nbMode)
       val a = Alias(AggregateExpression(cofSide, ae.mode, isDistinct = false, None,
         NamedExpression.newExprId), tag)()
-      (Aggregate(keys, keys ++ Seq(a), side), a.toAttribute)
+      // grouping columns ride the side's pre-aggregation keys (dedup'd:
+      // grouping BY the join key itself must not repeat it)
+      val ks = (keys ++ gs).groupBy(_.exprId).map(_._2.head).toSeq
+      (Aggregate(ks, ks ++ Seq(a), side), a.toAttribute)
     }
-    val (leftAgg, aAttr) = sideAgg(join.left, leftKeys, fromLeft, "__cof_A")
-    val (rightAgg, bAttr) = sideAgg(join.right, rightKeys, fromRight, "__cof_B")
+    val (leftAgg, aAttr) = sideAgg(join.left, leftKeys, leftGroups, fromLeft, "__cof_A")
+    val (rightAgg, bAttr) = sideAgg(join.right, rightKeys, rightGroups, fromRight, "__cof_B")
 
     val cond = leftKeys.zip(rightKeys).map { case (l, r) => EqualTo(l, r): Expression }
       .reduce(And(_, _))
@@ -151,15 +188,27 @@ object FactorizeCofactorRule extends Rule[LogicalPlan] {
       else graft.agg.PermuteTriple(outer, numPerm, catPerm)
     // empty-input parity: the original fused aggregate yields the zero
     // triple of its declared arity on an empty group, while sum_triple
-    // yields NULL — coalesce restores the original semantics
+    // yields NULL — coalesce restores the original semantics (for
+    // grouped aggregates a group only exists with ≥1 product row, so
+    // the coalesce is inert but harmless)
     val (nNum, nCat) = (cols.count(isNum), cols.count(a => !isNum(a)))
+    val zeroTriple =
+      if (cof.nbMode) graft.ring.Triple(0L, new Array[Double](nNum), new Array[Double](nNum),
+        Array.fill(nCat)(Map.empty[Int, Double]), Array.empty, Array.empty)
+      else graft.ring.Triple.zero(nNum, nCat)
     val zero = Literal.create(
-      graft.agg.TripleCodec.toCatalyst(graft.ring.Triple.zero(nNum, nCat), nb = false),
-      graft.agg.TripleCodec.fullType)
+      graft.agg.TripleCodec.toCatalyst(zeroTriple, nb = cof.nbMode),
+      graft.agg.TripleCodec.dataType(cof.nbMode))
     val withZero = Coalesce(Seq(shaped, zero))
     // preserve the original output attribute (name + exprId) so parents resolve
     val outAlias = Alias(withZero, alias.name)(alias.exprId, alias.qualifier, alias.explicitMetadata)
-    Some(Aggregate(Nil, Seq(outAlias), newJoin))
+    // original projection order: grouping attrs stay in place, the
+    // cofactor alias is replaced by the factorized expression
+    val outList = projList.map {
+      case ne if isCofactorAlias(ne) => outAlias
+      case other => other
+    }
+    Some(Aggregate(groups, outList, newJoin))
   }
 }
 

@@ -140,7 +140,14 @@ object ScaleProbe {
 
     // --- asof join: 100k → 1.6M events ---
     // one shuffle + per-partition sort: wall-clock should track the sort
-    val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    // force TIMESTAMP (LTZ) over the NTZ-annotated file so unix_micros
+    // resolves (SparkEntry eventsSchema discipline)
+    val ev = spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType)))
+      ).parquet("/root/testdata/sf0.1/events.parquet")
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts")).cache()
     val nEv = ev.count()

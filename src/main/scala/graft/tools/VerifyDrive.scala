@@ -194,7 +194,15 @@ object VerifyDrive {
     println(s"knn top-3 for 5 queries OK (cos in [-1,1])")
 
     println("== [13] asof join: plan shape (ONE shuffle, no range cross join) ==")
-    val evA = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    // ts is annotated NTZ in the file; force TIMESTAMP (LTZ) so
+    // unix_micros resolves — same raw micros either way (SparkEntry
+    // eventsSchema discipline)
+    val evA = spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType)))
+      ).parquet("/root/testdata/sf0.001/events.parquet")
       .select($"event_id", $"user_id", $"event_type", unix_micros($"ts").as("t"))
     val clicks = evA.filter($"event_type" === "click").select($"event_id", $"user_id", $"t")
     val views = evA.filter($"event_type" === "view")

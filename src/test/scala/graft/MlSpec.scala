@@ -315,6 +315,37 @@ class MlSpec extends AnyFunSuite {
     assert(viaFallback.approxEquals(viaFactorized, 1e-9))
   }
 
+  test("skew-robust SHJ: a hot build key routes to the salted join with exact parity") {
+    // cap tiny so the partition-to-fit tier engages on toy data; one
+    // key holds 2000 of the dim's 2500 rows — its build alone exceeds
+    // the cap, so plain partition-to-fit SHJ would concentrate one
+    // non-spillable build no matter the partition count
+    spark.conf.set("spark.graft.shj.maxBuildPartitionBytes", "8192")
+    try {
+      val hotDim = (Seq.tabulate(2000)(i => (0, i * 0.01)) ++
+        Seq.tabulate(500)(i => (i + 1, i * 0.1))).toDF("k", "dprice")
+      val fact = Seq.tabulate(3000)(i => (i % 501, i * 1.0, (i % 7).toDouble))
+        .toDF("k", "y", "a")
+      val joined = graft.ml.Factorized.hashJoinIfSafe(fact, hotDim, Seq("k"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("__salt"), s"hot key must take the salted tier:\n$plan")
+      val viaSalted = Graft.cofactorNumeric(joined, Seq("y", "a", "dprice"))
+      val plain = Graft.cofactorNumeric(fact.join(hotDim, "k"), Seq("y", "a", "dprice"))
+      assert(viaSalted.approxEquals(plain, 1e-9),
+        s"salted join changed the cofactor: $viaSalted vs $plain")
+      assert(viaSalted.n == plain.n && viaSalted.n > 10000, s"n=${viaSalted.n}")
+      // without the hot key the same tier keeps the plain co-partitioned
+      // SHJ (no salt column anywhere in the plan)
+      val uniDim = Seq.tabulate(2500)(i => (i, i * 0.01)).toDF("k", "dprice")
+      val juni = graft.ml.Factorized.hashJoinIfSafe(fact, uniDim, Seq("k"))
+      val puni = juni.queryExecution.optimizedPlan.toString
+      assert(!puni.contains("__salt"), s"uniform keys must not salt:\n$puni")
+      val viaUni = Graft.cofactorNumeric(juni, Seq("y", "a", "dprice"))
+      val plainUni = Graft.cofactorNumeric(fact.join(uniDim, "k"), Seq("y", "a", "dprice"))
+      assert(viaUni.approxEquals(plainUni, 1e-9))
+    } finally spark.conf.unset("spark.graft.shj.maxBuildPartitionBytes")
+  }
+
   test("adaptive probe decision is memoized per (canonicalized plan, key)") {
     // freshly-built but logically identical inputs must HIT the memo
     // (canonicalized plans normalize expression ids), so a repeat call

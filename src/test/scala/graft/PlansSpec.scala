@@ -81,12 +81,83 @@ class PlansSpec extends AnyFunSuite {
       Graft.tripleFromRow(q.head.getStruct(0))
     }
     assert(fact == plain)
-    // grouped aggregation (non-global) is left alone
-    withRule {
-      val g = l.join(r, "k").groupBy($"lc").agg(Graft.sumTriple($"lx", $"rx").as("t"))
-      assert(!g.queryExecution.optimizedPlan.toString.contains("multiply_triple"))
-      assert(g.count() > 0)
+  }
+
+  test("GROUPED cofactor over a join factorizes: per-(key, group) partials, identical groups") {
+    Graft.register(spark)
+    val (l, r) = fixtures()
+    def collectGroups(df: org.apache.spark.sql.DataFrame): Map[Int, graft.ring.Triple] =
+      df.collect().map(row => row.getInt(0) -> Graft.tripleFromRow(row.getStruct(1))).toMap
+    // group column from the LEFT side
+    def gq = l.join(r, "k").groupBy($"lc").agg(Graft.sumTriple($"lx", $"rx").as("t"))
+    val plainL = collectGroups(gq)
+    val factL = withRule {
+      val q = gq
+      assert(q.queryExecution.optimizedPlan.toString.contains("multiply_triple"),
+        s"grouped (left group col) rule did not fire:\n${q.queryExecution.optimizedPlan}")
+      collectGroups(q)
     }
+    assert(factL.keySet == plainL.keySet)
+    for ((k, t) <- plainL) assert(factL(k).approxEquals(t, 1e-9), s"group $k diverged")
+    // group columns from BOTH sides: per-key product of (k,g1)×(k,g2)
+    // partials must reproduce every (g1,g2) group of the join
+    def gq2 = l.join(r, "k").groupBy($"lc", $"rc").agg(Graft.sumTriple($"lx", $"rx").as("t"))
+    def collect2(df: org.apache.spark.sql.DataFrame): Map[(Int, Int), graft.ring.Triple] =
+      df.collect().map(row => (row.getInt(0), row.getInt(1)) -> Graft.tripleFromRow(row.getStruct(2))).toMap
+    val plain2 = collect2(gq2)
+    val fact2 = withRule {
+      val q = gq2
+      assert(q.queryExecution.optimizedPlan.toString.contains("multiply_triple"))
+      collect2(q)
+    }
+    assert(fact2.keySet == plain2.keySet && plain2.nonEmpty)
+    for ((k, t) <- plain2) assert(fact2(k).approxEquals(t, 1e-9), s"group $k diverged")
+    // grouping BY the join key itself must not repeat the key column
+    def gqk = l.join(r, "k").groupBy($"k").agg(Graft.sumTriple($"lx", $"rx").as("t"))
+    val plainK = collectGroups(gqk)
+    val factK = withRule {
+      val q = gqk
+      assert(q.queryExecution.optimizedPlan.toString.contains("multiply_triple"))
+      collectGroups(q)
+    }
+    assert(factK.keySet == plainK.keySet)
+    for ((k, t) <- plainK) assert(factK(k).approxEquals(t, 1e-9), s"group $k diverged")
+  }
+
+  test("NB-mode cofactor over a join factorizes with the NB ring product") {
+    Graft.register(spark)
+    val (l, r) = fixtures()
+    def toT(row: org.apache.spark.sql.Row) = Graft.tripleFromRow(row.getStruct(0))
+    // block order [left…, right…] — identity permutation, rule fires
+    def nbq = l.join(r, "k").agg(Graft.sumNbAgg($"lx", $"ly", $"rx", $"lc", $"rc").as("t"))
+    val plainNb = toT(nbq.head)
+    val factNb = withRule {
+      val q = nbq
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("multiply_triple"), s"NB rule did not fire:\n$plan")
+      toT(q.head)
+    }
+    assert(factNb.approxEquals(plainNb, 1e-9), "NB factorized != NB direct")
+    assert(factNb.n == 4 && factNb.quad.length == factNb.lin.length) // diagonal-only NB quad
+    // interleaved order has no NB permute — rule must DECLINE, result unchanged
+    def nbInter = l.join(r, "k").agg(Graft.sumNbAgg($"rx", $"lx", $"rc", $"lc").as("t"))
+    val plainInter = toT(nbInter.head)
+    withRule {
+      val q = nbInter
+      assert(!q.queryExecution.optimizedPlan.toString.contains("multiply_triple"),
+        "interleaved NB must keep the fused plan (no NB permute)")
+      assert(toT(q.head).approxEquals(plainInter, 1e-9))
+    }
+    // grouped NB: the NB product factorizes per group identically
+    def nbg = l.join(r, "k").groupBy($"lc").agg(Graft.sumNbAgg($"lx", $"rx").as("t"))
+    val plainG = nbg.collect().map(row => row.getInt(0) -> Graft.tripleFromRow(row.getStruct(1))).toMap
+    val factG = withRule {
+      val q = nbg
+      assert(q.queryExecution.optimizedPlan.toString.contains("multiply_triple"))
+      q.collect().map(row => row.getInt(0) -> Graft.tripleFromRow(row.getStruct(1))).toMap
+    }
+    assert(factG.keySet == plainG.keySet)
+    for ((k, t) <- plainG) assert(factG(k).approxEquals(t, 1e-9), s"NB group $k diverged")
   }
 
   test("rewritten plan preserves empty-join semantics (zero triple, not NULL)") {
