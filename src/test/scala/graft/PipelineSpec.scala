@@ -948,6 +948,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"small sidecar should broadcast:\n$plan")
   }
 
+  test("ffmpeg integration: a REAL H.264 clip transcoded per the documented sidecar contract " +
+       "(skipped when ffmpeg is absent)") {
+    // makes the seam's EXTERNAL contract executable where ffmpeg exists:
+    // generate an H.264 clip, run exactly the scaladoc's command
+    // (`ffmpeg -i clip.mp4 -an -c:v mjpeg -q:v 3 clip.avi`), and assert
+    // the sidecar payload decodes through the unchanged downstream
+    def run(cmd: String*): Int =
+      try new ProcessBuilder(cmd: _*).redirectErrorStream(true).start().waitFor()
+      catch { case _: java.io.IOException => -1 }
+    assume(run("ffmpeg", "-version") == 0,
+      "ffmpeg not installed — external-transcode contract not executable in this environment")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ffmpeg")
+    val mp4 = dir.resolve("clip.mp4").toString
+    val avi = dir.resolve("clip.avi").toString
+    assume(run("ffmpeg", "-y", "-f", "lavfi", "-i", "testsrc=duration=0.3:size=64x64:rate=10",
+      "-c:v", "libx264", "-pix_fmt", "yuv420p", mp4) == 0,
+      "ffmpeg present but cannot encode H.264 (libx264 missing)")
+    assert(run("ffmpeg", "-y", "-i", mp4, "-an", "-c:v", "mjpeg", "-q:v", "3", avi) == 0,
+      "the documented transcode command failed")
+    val sq = spark
+    import sq.implicits._
+    import graft.operators.Multimodal
+    val mp4Bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(mp4))
+    val aviBytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(avi))
+    // precondition: the H.264 payload is undecodable in-JVM, the
+    // ffmpeg-produced AVI is real MJPEG the decoder reads
+    assert(Multimodal.VideoMeta.mjpegFrames(mp4Bytes, 1).isEmpty)
+    assert(Multimodal.VideoMeta.mjpegFrames(aviBytes, 1).nonEmpty,
+      "ffmpeg's MJPEG-in-AVI must decode natively")
+    val clips = Seq((1L, mp4Bytes)).toDF("clip_id", "clip")
+    val sidecar = Seq((1L, aviBytes)).toDF("t_id", "t_clip")
+    val patched = Multimodal.withTranscodeFallback(clips, "clip_id", "clip",
+      sidecar, "t_id", "t_clip")
+    val feats = Multimodal.extractFeatures(patched, "clip", dim = 4,
+        decoder = Multimodal.MjpegVideoDecoder)
+      .select($"features").head.getSeq[Float](0)
+    assert(feats.exists(_ != 0.0f), "real transcoded clip must yield nonzero features")
+    val nFrames = Multimodal.sampleRealFrames(patched, "clip", n = 2)
+      .select(size($"frames")).head.getInt(0)
+    assert(nFrames == 2, s"frame sampling over the real transcode got $nFrames")
+  }
+
   test("TimeBuckets.floorBucket: floor semantics for negatives, exact at ns-epoch magnitude") {
     import graft.operators.TimeBuckets
     val df = Seq(-21L, -20L, -1L, 0L, 19L, 20L,
