@@ -124,6 +124,31 @@ class PlansSpec extends AnyFunSuite {
     for ((k, t) <- plainK) assert(factK(k).approxEquals(t, 1e-9), s"group $k diverged")
   }
 
+  test("STAR auto-factorization: grouped rewrite composes recursively over fact ⋈ dim1 ⋈ dim2") {
+    Graft.register(spark)
+    // the outer (global) rewrite leaves a grouped side-aggregate over the
+    // inner join; the optimizer's fixed point re-applies the rule there,
+    // so BOTH joins end up factorized — the fact pre-aggregated by
+    // (k1, k2), each dim by its own key: exactly cofactorOverStar's
+    // chained decomposition, derived by Catalyst instead of by hand
+    val f = Seq.tabulate(120)(i => (i % 6, i % 4, i * 0.5, i % 3))
+      .toDF("k1", "k2", "fx", "fc")
+    val d1 = Seq.tabulate(6)(k => (k, k * 2.0)).toDF("k1", "d1x")
+    val d2 = Seq.tabulate(4)(k => (k, k * 3.0 - 1.0)).toDF("k2", "d2x")
+    def q = f.join(d1, "k1").join(d2, "k2")
+      .agg(Graft.sumTriple($"fx", $"d1x", $"d2x", $"fc").as("t"))
+    val plain = Graft.tripleFromRow(q.head.getStruct(0))
+    withRule {
+      val qq = q
+      val plan = qq.queryExecution.optimizedPlan.toString
+      assert("multiply_triple".r.findAllIn(plan).length >= 2,
+        s"both join levels must factorize (expected 2 ring products):\n$plan")
+      val fact = Graft.tripleFromRow(qq.head.getStruct(0))
+      assert(fact.approxEquals(plain, 1e-9), "recursive star factorization diverged")
+      assert(fact.n == 120)
+    }
+  }
+
   test("NB-mode cofactor over a join factorizes with the NB ring product") {
     Graft.register(spark)
     val (l, r) = fixtures()
