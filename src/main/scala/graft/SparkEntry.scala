@@ -1286,6 +1286,76 @@ object SparkEntry {
         count(when(col("miss"), lit(1))).as("n_imputed"),
         round(sqrt(avg(when(col("miss"),
           pow(col("l_discount") - col("d_true"), 2)))), 4).as("rmse"))
+    },
+
+    // GROUPED auto-factorization through the optimizer rule, end to end
+    // on real tables: the round-11 FactorizeCofactorRule extension
+    // (grouping columns join their side's pre-aggregation keys) drives a
+    // GROUP BY cofactor over lineitem ⋈ orders; the rewrite is ASSERTED
+    // to fire (a silently-fused plan must not pass as factorized), and
+    // the per-group moments are read back out of the triple and checked
+    // against DuckDB's plain grouped averages. Averages, not sums, so
+    // double-rounding at 5/2 dp is orders of magnitude above the
+    // partial-sum-order float noise.
+    "q67_grouped_rule_factorized" -> { (s, dir) =>
+      Graft.register(s)
+      val liq = li(s, dir).select(col("l_orderkey"), col("l_returnflag"),
+        col("l_quantity").cast("double").as("l_quantity"))
+      val ord = Tables.load(s, dir, "orders").select(col("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+      val saved = s.experimental.extraOptimizations
+      s.experimental.extraOptimizations = saved :+ graft.plans.FactorizeCofactorRule
+      try {
+        val q = liq.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(Graft.sumTriple(col("l_quantity"), col("o_totalprice")).as("t"))
+        require(q.queryExecution.optimizedPlan.toString.contains("multiply_triple"),
+          "grouped auto-factorization must fire — the oracle certifies the rewrite")
+        q.select(col("l_returnflag"),
+            col("t.n").as("n_rows"),
+            round(col("t.lin")(0) / col("t.n"), 5).as("avg_qty"),
+            round(col("t.lin")(1) / col("t.n"), 2).as("avg_price"),
+            round(col("t.quad")(1) / col("t.n"), 2).as("avg_qp"))
+          .orderBy(col("l_returnflag"))
+      } finally s.experimental.extraOptimizations = saved
+    },
+
+    // The skew-salted SHJ tier under the correctness gate: a 20-key
+    // synthetic join whose build side holds ~50 rows per key while the
+    // cap is forced tiny, so EVERY key is "hot" — hashJoinIfSafe must
+    // take the salted route (asserted on the plan: a silently plain join
+    // must not pass as the salted tier) and the salted join's aggregate
+    // must match DuckDB over the materialized join exactly (each
+    // probe-build pair met exactly once despite build-row salting and
+    // probe-row replication).
+    "q68_salted_skew_join" -> { (s, dir) =>
+      Graft.register(s)
+      val fact = li(s, dir).select(pmod(col("l_orderkey"), lit(20)).as("k"),
+        col("l_quantity").cast("double").as("x"))
+      val dim = Tables.load(s, dir, "orders").filter(col("o_orderkey") < 1000)
+        .select(pmod(col("o_orderkey"), lit(20)).as("k"),
+          col("o_totalprice").cast("double").as("y"))
+      // 1024 B: small enough that the 96 KB projected build exceeds
+      // cap×partitions at ANY plausible local parallelism (the tier
+      // choice must be partition-count-independent for a golden row)
+      val key = "spark.graft.shj.maxBuildPartitionBytes"
+      val saved = s.conf.getOption(key)
+      s.conf.set(key, "1024")
+      try {
+        val joined = graft.ml.Factorized.hashJoinIfSafe(fact, dim, Seq("k"),
+          rightRows = Some(1000L))
+        require(joined.queryExecution.optimizedPlan.toString.contains("__salt"),
+          "the salted tier must engage — the oracle certifies the salted plan")
+        joined.agg(count(lit(1)).as("n_rows"),
+          round(avg(col("x")), 5).as("avg_x"),
+          round(avg(col("y")), 2).as("avg_y"),
+          round(avg(col("x") * col("y")), 2).as("avg_xy"))
+      } finally {
+        saved match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      }
     }
   )
 
@@ -2337,6 +2407,25 @@ object SparkEntry {
         |       count(CASE WHEN miss THEN 1 END) AS n_imputed,
         |       round(sqrt(avg(CASE WHEN miss THEN
         |         (b.b0 + b.b1*x1 + b.b2*x2 - y)*(b.b0 + b.b1*x1 + b.b2*x2 - y) END)), 4) AS rmse
-        |FROM d, b""".stripMargin
+        |FROM d, b""".stripMargin,
+    // plain grouped averages over the join — the independent ground
+    // truth for the GROUPED auto-factorized triple's per-group moments
+    "q67_grouped_rule_factorized" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |       round(avg(l_quantity), 5) AS avg_qty,
+        |       round(avg(o_totalprice), 2) AS avg_price,
+        |       round(avg(l_quantity*o_totalprice), 2) AS avg_qp
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the materialized skewed join's aggregate — ground truth for the
+    // salted SHJ tier (every probe-build pair exactly once)
+    "q68_salted_skew_join" ->
+      """SELECT count(*) AS n_rows,
+        |       round(avg(x), 5) AS avg_x,
+        |       round(avg(y), 2) AS avg_y,
+        |       round(avg(x*y), 2) AS avg_xy
+        |FROM (SELECT l_orderkey % 20 AS k, l_quantity::DOUBLE AS x FROM lineitem) f
+        |JOIN (SELECT o_orderkey % 20 AS k, o_totalprice::DOUBLE AS y
+        |      FROM orders WHERE o_orderkey < 1000) d USING (k)""".stripMargin
   )
 }
