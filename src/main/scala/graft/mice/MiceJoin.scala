@@ -178,16 +178,43 @@ object MiceJoin {
 
   def imputeChainedOverJoin(fact: DataFrame, dim: DataFrame, key: String,
                             cfg: ChainConfig,
+                            tm: Mice.Timings = new Mice.Timings): DataFrame =
+    imputeChainedOverStar(fact,
+      Seq(Factorized.StarDim(dim, key, cfg.dimNum, cfg.dimCat)),
+      cfg.copy(dimNum = Seq(), dimCat = Seq()), tm)
+
+  /**
+   * [[imputeChainedOverJoin]] over a MULTI-DIMENSION star — the paper's
+   * full Flight/Retailer workload (multiple imputed fact columns,
+   * continuous AND categorical, with features spread across SEVERAL
+   * dimension tables joined on distinct keys). Each per-column training
+   * aggregate is [[Factorized.cofactorOverStar]]'s chained ring product
+   * (the wide star never materialized for training); each row-level
+   * update left-joins every dim, restricted to the column's missing
+   * stratum. Dim features come from the [[Factorized.StarDim]]s —
+   * `cfg.dimNum`/`cfg.dimCat` must be empty in this overload. Semantics
+   * ≡ [[Mice.baseline]] on the materialized star join with
+   * contCols = factNum ++ dims.flatMap(num) and
+   * catCols = factCat ++ dims.flatMap(cat) (`MiceJoinSpec` pins it).
+   */
+  def imputeChainedOverStar(fact: DataFrame, dims: Seq[Factorized.StarDim],
+                            cfg: ChainConfig,
                             tm: Mice.Timings = new Mice.Timings): DataFrame = {
     val spark = fact.sparkSession
     Graft.register(spark)
-    requireUniqueKey(dim, key)
+    require(cfg.dimNum.isEmpty && cfg.dimCat.isEmpty,
+      "star chain: dim features are declared on each StarDim, not in ChainConfig")
+    dims.foreach(d => requireUniqueKey(d.df, d.key))
     require(cfg.imputeCont.forall(cfg.factNum.contains) &&
       cfg.imputeCat.forall(cfg.factCat.contains),
       "imputed columns must be fact-side features (factNum/factCat)")
-    val dimCols = cfg.dimNum ++ cfg.dimCat
+    val dimNumAll = dims.flatMap(_.num)
+    val dimCatAll = dims.flatMap(_.cat)
+    val dimCols = dimNumAll ++ dimCatAll
     require(dimCols.intersect(fact.columns.toSeq).isEmpty,
       s"dim feature names must be disjoint from fact's: ${dimCols.intersect(fact.columns.toSeq)}")
+    require(dimCols.distinct.length == dimCols.length,
+      "dim feature names must be pairwise disjoint across dims")
     val miceCfg = Mice.Config(
       contCols = cfg.factNum, catCols = cfg.factCat,
       imputeCont = cfg.imputeCont, imputeCat = cfg.imputeCat,
@@ -195,18 +222,19 @@ object MiceJoin {
       stochastic = cfg.stochastic, seed = cfg.seed)
     var cur = tm.time("prepare")(Mice.prepare(fact, miceCfg).localCheckpoint())
     val outCols = cur.columns.toSeq
-    val numAll = cfg.factNum ++ cfg.dimNum
-    val catAll = cfg.factCat ++ cfg.dimCat
+    val numAll = cfg.factNum ++ dimNumAll
+    val catAll = cfg.factCat ++ dimCatAll
     val order = cfg.imputeCat ++ cfg.imputeCont // categorical first, the baseline order
     for (iter <- 1 to cfg.iterations) {
       for (c <- order) {
         val observed = cur.filter(!col(Mice.flag(c)))
         val missing = cur.filter(col(Mice.flag(c)))
-        // the training cofactor sees the WHOLE join through per-key
-        // triples (block layout [factNum ++ dimNum, factCat ++ dimCat] —
-        // exactly Mice.baseline's column order on the materialized join)
-        val triple = tm.time("cofactor")(Factorized.cofactorOverJoinAdaptive(
-          observed, dim, key, cfg.factNum, cfg.factCat, cfg.dimNum, cfg.dimCat))
+        // the training cofactor sees the WHOLE star through chained
+        // per-key triples (block layout [factNum ++ dim1.num ++ …,
+        // factCat ++ dim1.cat ++ …] — exactly Mice.baseline's column
+        // order on the materialized star join)
+        val triple = tm.time("cofactor")(Factorized.cofactorOverStar(
+          observed, cfg.factNum, cfg.factCat, dims))
         val isCont = cfg.imputeCont.contains(c)
         val pred = tm.time("train") {
           if (isCont) {
@@ -224,9 +252,9 @@ object MiceJoin {
           }
         }
         // row-level work touches ONLY the missing stratum; a row with no
-        // dim match (NULL features ⇒ NULL pred) keeps its current value
+        // match in some dim (NULL features ⇒ NULL pred) keeps its value
         val updated = tm.time("impute_update") {
-          missing.join(dim, Seq(key), "left")
+          dims.foldLeft(missing)((acc, d) => acc.join(d.df, Seq(d.key), "left"))
             .withColumn(c, coalesce(pred, col(c)))
             .select(outCols.map(col): _*)
         }

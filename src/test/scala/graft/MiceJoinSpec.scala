@@ -121,6 +121,49 @@ class MiceJoinSpec extends AnyFunSuite {
     assert(catDiff == 0, s"LDA chain diverged from baseline on $catDiff rows")
   }
 
+  test("chained 2-column MICE over a 2-dim STAR == Mice.baseline on the materialized star join") {
+    import graft.ml.Factorized.StarDim
+    val rng = new scala.util.Random(11)
+    val dimA = Seq.tabulate(30)(k => (k.toLong, k * 0.7 - 9.0)).toDF("ka", "d1")
+    val dimB = Seq.tabulate(20)(k => (k.toLong, k * 1.3 + 4.0)).toDF("kb", "d2")
+    val base = Seq.tabulate(600) { i =>
+      val ka = i % 30; val kb = i % 20
+      val x = rng.nextGaussian() * 2
+      val d1 = ka * 0.7 - 9.0; val d2 = kb * 1.3 + 4.0
+      val y = 1.5 + 2.0 * x + 0.8 * d1 - 0.4 * d2 + rng.nextGaussian() * 0.1
+      val c = if (y + rng.nextGaussian() * 0.5 > 1.0) 1 else 0
+      (i.toLong, ka.toLong, kb.toLong, x, y, c, i % 7 == 0, i % 11 == 3)
+    }.toDF("id", "ka", "kb", "x", "yT", "cT", "missY", "missC")
+      .withColumn("y", when($"missY", lit(null)).otherwise($"yT"))
+      .withColumn("c", when($"missC", lit(null)).otherwise($"cT"))
+      .repartition(4)
+    val dims = Seq(StarDim(dimA, "ka", Seq("d1")), StarDim(dimB, "kb", Seq("d2")))
+    val cfg = MiceJoin.ChainConfig(
+      factNum = Seq("y", "x"), factCat = Seq("c"),
+      dimNum = Seq(), dimCat = Seq(), imputeCont = Seq("y"), imputeCat = Seq("c"),
+      iterations = 2, normalize = false)
+    val chained = MiceJoin.imputeChainedOverStar(base, dims, cfg)
+
+    val mat = base.join(dimA, "ka").join(dimB, "kb")
+    val bCfg = Mice.Config(
+      contCols = Seq("y", "x", "d1", "d2"), catCols = Seq("c"),
+      imputeCont = Seq("y"), imputeCat = Seq("c"), iterations = 2)
+    val baseline = Mice.baseline(mat, bCfg)
+
+    val joined = chained.select($"id", $"y".as("yJ"), $"c".as("cJ"))
+      .join(baseline.select($"id", $"y".as("yB"), $"c".as("cB")), "id")
+    assert(joined.count() == 600)
+    val maxY = joined.select(max(abs($"yJ" - $"yB"))).head.getDouble(0)
+    assert(maxY < 1e-6, s"continuous star chain diverged from baseline: max |Δy| = $maxY")
+    assert(joined.filter($"cJ" =!= $"cB").count() == 0, "LDA star chain diverged from baseline")
+    // declaring dim features in ChainConfig (single-join style) must be
+    // rejected in the star overload — they belong on the StarDims
+    val ex = intercept[IllegalArgumentException] {
+      MiceJoin.imputeChainedOverStar(base, dims, cfg.copy(dimNum = Seq("d1")))
+    }
+    assert(ex.getMessage.contains("StarDim"))
+  }
+
   test("non-stochastic chain reaches a fixed point") {
     val dim2 = Seq.tabulate(30)(k => (k.toLong, k * 0.7 - 9.0)).toDF("k", "d1")
     val rng = new scala.util.Random(5)
