@@ -436,21 +436,24 @@ object Factorized {
    * aggregate over the materialized star join would behave —
    * `MlSpec`/`VerifyDrive` pin the parity on real tables.
    *
-   * Adaptivity ([[cofactorOverJoinAdaptive]]'s probe, generalized): the
-   * fact-side grouping only pays when key combinations REPEAT (else it
-   * is one ObjectHashAggregate buffer per ~1 row — the measured
-   * pessimization), and a dim-side grouping pays for itself the same
-   * way. Probed with one memoized `approx_count_distinct` per input
-   * (composite key on the fact side); the chain factorizes when the
-   * fact combos repeat ≥ `minRowsPerKey` OR any dim key does (a
-   * multiplicative dim makes the materialized join EXPLODE —
-   * |fact|·Π multiplicities rows — so factorizing is then the only
-   * scale-safe plan even over a near-unique fact grouping). Otherwise
-   * every side is near-unique and the materialized star join with the
+   * Adaptivity ([[cofactorOverJoinAdaptive]]'s probe, generalized to
+   * MIXED routing): each dim is judged separately from one memoized
+   * `approx_count_distinct` probe. A MULTIPLICATIVE dim (rows-per-key ≥
+   * `minRowsPerKey`) must be aggregated — materializing it fans the
+   * join out by its multiplicity, |fact|·Π multiplicities rows at the
+   * extreme. A NEAR-UNIQUE dim is folded into the fact row-level
+   * instead (size-guarded join): aggregating it would both pay one
+   * ring buffer per ~1 row (the measured pessimization) and drag its
+   * key into the fact grouping's composite, pushing that grouping
+   * toward one group per fact row. The chain then groups the fact by
+   * ONLY the aggregated dims' keys — inner joins commute, so the
+   * triple is identical in every routing (the block order is permuted
+   * back to the declared layout when the split reorders dims). With no
+   * multiplicative dim at all the materialized star join with the
    * fused (codegen'd-numeric when possible) cofactor is strictly
-   * cheaper — the chain of size-guarded row-level joins at ~|fact|
-   * rows. `minRowsPerKey = 0` pins the factorized chain probe-free;
-   * `Double.MaxValue` pins the materialized fallback.
+   * cheaper. `minRowsPerKey = 0` pins every dim aggregated (the fully
+   * factorized chain, probe-free); `Double.MaxValue` pins the
+   * materialized fallback.
    */
   def cofactorOverStar(fact: DataFrame, factNum: Seq[String], factCat: Seq[String],
                        dims: Seq[StarDim], minRowsPerKey: Double = 4.0): Triple = {
@@ -467,26 +470,41 @@ object Factorized {
     val keys = dims.map(_.key)
     require(keys.distinct.length == keys.length,
       s"star dims must join on distinct fact keys, got $keys")
+    require(numAll.distinct.length == numAll.length &&
+      catAll.distinct.length == catAll.length,
+      "star feature names must be pairwise distinct across fact and dims")
 
     def rowsPerKey(df: DataFrame, keyCols: Seq[String]): (Long, Double) =
       probeRowsPerKey(df, keyCols)
-    val factorize =
-      if (minRowsPerKey <= 0.0) true
-      else if (minRowsPerKey == Double.MaxValue) false
-      else {
-        // dims first (dimension tables are small — cheap probes; a
-        // multiplicative dim alone forces the factorized chain), fact
-        // composite-key probe only if no dim decided it
-        dims.exists(d => rowsPerKey(d.df, Seq(d.key))._2 >= minRowsPerKey) ||
-          rowsPerKey(fact, keys)._2 >= minRowsPerKey
-      }
+    // MIXED routing: each dim is judged separately. A multiplicative dim
+    // must be AGGREGATED (materializing it fans the join out by its
+    // multiplicity); a near-unique dim should be FOLDED into the fact
+    // row-level (aggregating it is the measured per-~1-row-buffer
+    // pessimization, and worse, its key would join the fact's grouping
+    // composite — pushing the fact grouping toward one group per row).
+    // The chain then groups the fact by ONLY the aggregated dims' keys.
+    // minRowsPerKey = 0 pins EVERY dim aggregated (the fully-factorized
+    // chain, deterministic for oracle rows); Double.MaxValue pins the
+    // fully-materialized fallback.
+    val (aggDims, rowDims) =
+      if (minRowsPerKey <= 0.0) (dims, Seq.empty[StarDim])
+      else if (minRowsPerKey == Double.MaxValue) (Seq.empty[StarDim], dims)
+      else dims.partition(d => rowsPerKey(d.df, Seq(d.key))._2 >= minRowsPerKey)
 
-    if (factorize) {
-      val factCols = factNum.map(c => col(c).cast("double")) ++
-        factCat.map(c => col(c).cast("int"))
-      var cur = fact.groupBy(keys.map(col): _*)
+    if (aggDims.nonEmpty) {
+      // fold near-unique dims into the fact first (their features become
+      // fact features; inner joins commute, so the triple is identical),
+      // then chain over the aggregated dims with the fact grouped by
+      // ONLY their keys — the mixed-star plan
+      val fact2 = rowDims.foldLeft(fact)((acc, d) => hashJoinIfSafe(acc, d.df, Seq(d.key)))
+      val fNum = factNum ++ rowDims.flatMap(_.num)
+      val fCat = factCat ++ rowDims.flatMap(_.cat)
+      val groupKeys = aggDims.map(_.key)
+      val factCols = fNum.map(c => col(c).cast("double")) ++
+        fCat.map(c => col(c).cast("int"))
+      var cur = fact2.groupBy(groupKeys.map(col): _*)
         .agg(Graft.sumTriple(factCols: _*).as("__T"))
-      for (d <- dims) {
+      for (d <- aggDims) {
         val dimCols = d.num.map(c => col(c).cast("double")) ++
           d.cat.map(c => col(c).cast("int"))
         val dagg = d.df.groupBy(col(d.key)).agg(Graft.sumTriple(dimCols: _*).as("__D"))
@@ -495,8 +513,20 @@ object Factorized {
           .drop("__D")
       }
       val row = cur.select(Graft.sumTripleOf(col("__T")).as("t")).head
-      if (row.isNullAt(0)) Triple.zero(numAll.length, catAll.length)
+      val t = if (row.isNullAt(0))
+        Triple.zero(numAll.length, catAll.length)
       else Graft.tripleFromRow(row.getStruct(0))
+      // the fold changed the block order to [factNum ++ rowDimNums ++
+      // aggDimNums, …] — permute back to the declared [factNum ++
+      // dims-in-order] layout when the routing split reordered dims
+      val declaredNum = numAll
+      val builtNum = fNum ++ aggDims.flatMap(_.num)
+      val declaredCat = catAll
+      val builtCat = fCat ++ aggDims.flatMap(_.cat)
+      if (builtNum == declaredNum && builtCat == declaredCat) t
+      else Triple.permute(t,
+        declaredNum.map(builtNum.indexOf).toArray,
+        declaredCat.map(builtCat.indexOf).toArray)
     } else {
       // every side near-unique: materialize the star row-level (each
       // join size-guarded; dims under the broadcast threshold broadcast)

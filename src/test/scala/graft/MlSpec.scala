@@ -273,6 +273,18 @@ class MlSpec extends AnyFunSuite {
     val tMatU = Graft.cofactor(factU.join(dim1U, "k1").join(dim2m, "k2"),
       Seq("y", "a", "d1p", "d2p"), Seq("c", "d1c"))
     assert(tAdaptM.approxEquals(tMatU, 1e-9))
+    // declaring the MULTIPLICATIVE dim first makes the mixed routing
+    // (unique dim folded into the fact, multiplicative dim aggregated)
+    // build the blocks out of declared order — the result must come back
+    // permuted to the declared [fact ++ dim-in-order] layout
+    val tMixedOrder = graft.ml.Factorized.cofactorOverStar(
+      factU, Seq("y", "a"), Seq("c"),
+      Seq(StarDim(dim2m, "k2", Seq("d2p")), StarDim(dim1U, "k1", Seq("d1p"), Seq("d1c"))),
+      minRowsPerKey = 2.0)
+    val tMatU2 = Graft.cofactor(factU.join(dim2m, "k2").join(dim1U, "k1"),
+      Seq("y", "a", "d2p", "d1p"), Seq("c", "d1c"))
+    assert(tMixedOrder.approxEquals(tMatU2, 1e-9),
+      "mixed routing must permute blocks back to the declared dim order")
 
     // disjoint keys in ONE dim → empty star → zero triple of full arity
     val tEmpty = graft.ml.Factorized.cofactorOverStar(
