@@ -1309,14 +1309,24 @@ object SparkEntry {
         val q = liq.join(ord, col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("l_returnflag"))
           .agg(Graft.sumTriple(col("l_quantity"), col("o_totalprice")).as("t"))
-        require(q.queryExecution.optimizedPlan.toString.contains("multiply_triple"),
-          "grouped auto-factorization must fire — the oracle certifies the rewrite")
-        q.select(col("l_returnflag"),
+          .select(col("l_returnflag"),
             col("t.n").as("n_rows"),
             round(col("t.lin")(0) / col("t.n"), 5).as("avg_qty"),
             round(col("t.lin")(1) / col("t.n"), 2).as("avg_price"),
             round(col("t.quad")(1) / col("t.n"), 2).as("avg_qp"))
           .orderBy(col("l_returnflag"))
+        // assert on the FINAL query's optimized plan — the one about to
+        // execute — and COLLECT while the rule is still installed: the
+        // `finally` below uninstalls it, and any later QueryExecution
+        // (Verify re-planning the returned frame) would silently
+        // optimize WITHOUT the rule, making the oracle certify the
+        // plain fused plan instead of the grouped rewrite. The rows the
+        // driver hashes are therefore the rewrite's own output (the
+        // per-group moments read back out of the triple), per-group.
+        require(q.queryExecution.optimizedPlan.toString.contains("multiply_triple"),
+          "grouped auto-factorization must fire — the oracle certifies the rewrite")
+        val rows = q.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), q.schema)
       } finally s.experimental.extraOptimizations = saved
     },
 
@@ -1356,6 +1366,50 @@ object SparkEntry {
           case None => s.conf.unset(key)
         }
       }
+    },
+
+    // The MIXED star route under the correctness gate: orders is the
+    // fact, lineitem a MULTIPLICATIVE dim (~4 rows per order key — must
+    // be aggregated or the join fans out), customer a NEAR-UNIQUE dim
+    // (1 row per cust key — must fold row-level or pay one ring buffer
+    // per row AND drag its key into the fact grouping). minRowsPerKey=2
+    // is ADAPTIVE (0 / MaxValue are the pins): the memoized probe judges
+    // each dim, and the split is ASSERTED — a silently all-aggregated or
+    // all-materialized run must not pass as the mixed route. The
+    // declared layout interleaves the routing's block order, so the
+    // checked moments also certify Triple.permute's restore. Oracle =
+    // the same moments over the materialized 3-way join in DuckDB.
+    "q69_star_mixed_route" -> { (s, dir) =>
+      Graft.register(s)
+      val fact = Tables.load(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+      val dims = Seq(
+        graft.ml.Factorized.StarDim(
+          li(s, dir).select(col("l_orderkey").as("o_orderkey"),
+            col("l_quantity").cast("double").as("l_quantity")),
+          "o_orderkey", num = Seq("l_quantity")),
+        graft.ml.Factorized.StarDim(
+          Tables.load(s, dir, "customer").select(col("c_custkey").as("o_custkey"),
+            col("c_acctbal").cast("double").as("c_acctbal")),
+          "o_custkey", num = Seq("c_acctbal")))
+      val t = graft.ml.Factorized.cofactorOverStar(fact,
+        factNum = Seq("o_totalprice"), factCat = Seq(), dims, minRowsPerKey = 2.0)
+      val (aggKeys, foldKeys) = graft.ml.Factorized.lastStarRouting()
+      require(aggKeys == Seq("o_orderkey") && foldKeys == Seq("o_custkey"),
+        s"mixed route expected (agg=o_orderkey, fold=o_custkey); got agg=$aggKeys fold=$foldKeys")
+      // declared num layout [o_totalprice, l_quantity, c_acctbal];
+      // packed quad upper triangle → pq at index 1, qb at index 4
+      import s.implicits._
+      Seq((t.n, t.lin(0) / t.n, t.lin(1) / t.n, t.lin(2) / t.n,
+          t.quad(1) / t.n, t.quad(4) / t.n))
+        .toDF("n_rows", "p", "q", "b", "pq", "qb")
+        .select(col("n_rows"),
+          round(col("p"), 2).as("avg_price"),
+          round(col("q"), 5).as("avg_qty"),
+          round(col("b"), 2).as("avg_bal"),
+          round(col("pq"), 2).as("avg_pq"),
+          round(col("qb"), 2).as("avg_qb"))
     }
   )
 
@@ -2426,6 +2480,19 @@ object SparkEntry {
         |       round(avg(x*y), 2) AS avg_xy
         |FROM (SELECT l_orderkey % 20 AS k, l_quantity::DOUBLE AS x FROM lineitem) f
         |JOIN (SELECT o_orderkey % 20 AS k, o_totalprice::DOUBLE AS y
-        |      FROM orders WHERE o_orderkey < 1000) d USING (k)""".stripMargin
+        |      FROM orders WHERE o_orderkey < 1000) d USING (k)""".stripMargin,
+    // the mixed-route star cofactor's moments vs the materialized
+    // 3-way join — ground truth for the fold/aggregate split AND the
+    // permute-back of the interleaved block order
+    "q69_star_mixed_route" ->
+      """SELECT count(*) AS n_rows,
+        |       round(avg(o_totalprice), 2) AS avg_price,
+        |       round(avg(l_quantity), 5) AS avg_qty,
+        |       round(avg(c_acctbal), 2) AS avg_bal,
+        |       round(avg(o_totalprice * l_quantity), 2) AS avg_pq,
+        |       round(avg(l_quantity * c_acctbal), 2) AS avg_qb
+        |FROM orders
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin
   )
 }

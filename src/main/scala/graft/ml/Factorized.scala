@@ -2,7 +2,7 @@ package graft.ml
 
 import graft.Graft
 import graft.ring.Triple
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /**
@@ -305,22 +305,32 @@ object Factorized {
     } else left.join(right, usingColumns)
   }
 
-  /** Max rows under a single join-key value (the build-side hot-key
-    * probe): one grouped count + max, map-side combined, memoized with
-    * the same snapshot-fingerprint discipline as the cardinality
-    * probes. */
-  private def maxKeyCount(df: DataFrame, keyCols: Seq[String]): Long = {
-    val ck = (df.queryExecution.analyzed.canonicalized, "max:" + keyCols.mkString(" "),
-      snapshotFingerprint(df))
-    val cached = probeCache.get(ck)
-    if (cached != null) cached._1
+  /** The 65 largest build-side key groups as (key cols…, count) rows,
+    * count descending: one map-side-combined grouped count + TakeOrdered,
+    * memoized with the same snapshot-fingerprint discipline as the
+    * cardinality probes. Feeds BOTH the SHJ hot-key veto (head = max
+    * multiplicity) and [[saltedHashJoin]]'s hot-key set, so skew
+    * detection and salting pay for one scan between them. 65 because the
+    * salted tier surrenders past 64 hot keys — a 65th qualifying entry
+    * already proves degeneracy. */
+  private def topKeyCounts(df: DataFrame, keyCols: Seq[String]): Array[Row] = {
+    val ck = (df.queryExecution.analyzed.canonicalized,
+      "topk:" + keyCols.mkString("\u0001"), snapshotFingerprint(df))
+    val cached = topKeyCache.get(ck)
+    if (cached != null) cached
     else {
-      val row = df.groupBy(keyCols.map(col): _*).count()
-        .agg(max(col("count"))).head
-      val v = if (row.isNullAt(0)) 0L else row.getLong(0)
-      probeCache.put(ck, (v, 0.0))
-      v
+      val rows = df.groupBy(keyCols.map(col): _*).count()
+        .orderBy(col("count").desc).limit(65).collect()
+      topKeyCache.put(ck, rows)
+      rows
     }
+  }
+
+  /** Max rows under a single join-key value (the build-side hot-key
+    * probe); derived from [[topKeyCounts]]'s memoized scan. */
+  private def maxKeyCount(df: DataFrame, keyCols: Seq[String]): Long = {
+    val top = topKeyCounts(df, keyCols)
+    if (top.isEmpty) 0L else top.head.getLong(top.head.length - 1)
   }
 
   /** Skew-salted shuffled-hash join for a single-column equi-join whose
@@ -334,18 +344,29 @@ object Factorized {
   private def saltedHashJoin(bDf: DataFrame, pDf: DataFrame, key: String,
                              cap: Long, perRow: Long, parts: Int,
                              buildIsLeft: Boolean): Option[DataFrame] = {
-    val hot = bDf.groupBy(col(key)).count()
-      .filter(col("count") * lit(perRow) > lit(cap))
-      .limit(65).collect()
+    // hot set from the same memoized top-key scan the SHJ veto used —
+    // the count-descending order makes the qualifying set a prefix, so
+    // a full 65-entry prefix proves >64 hot keys (degenerate)
+    val hot = topKeyCounts(bDf, Seq(key))
+      .filter(r => BigInt(r.getLong(1)) * perRow > cap)
     if (hot.length > 64) return None
     val maxCnt = hot.map(_.getLong(1)).max
     val rFactor = (BigInt(maxCnt) * perRow / cap + 1).toInt
     if (rFactor > 256) return None
     val hotKeys = hot.map(_.get(0))
     val isHot = col(key).isin(hotKeys: _*)
-    // build: one deterministic-ish salt per row (row identity, not key)
+    // build: content-derived salt — xxhash64 over the full row, mod R.
+    // Retry-DETERMINISTIC: a recomputed map task assigns every row the
+    // same salt as the original attempt, so a shuffle fetch failure
+    // retries per-task instead of forcing the whole-stage rerun Spark
+    // imposes on indeterminate stages (monotonically_increasing_id
+    // would re-deal salts on recompute and silently drop/duplicate
+    // pairs if Spark did NOT rerun the stage). Byte-identical duplicate
+    // rows concentrate in one bucket — interchangeable rows, so the
+    // join result is unchanged; only the spread degrades, bounded by
+    // the duplicate multiplicity.
     val bS = bDf.withColumn("__salt",
-      when(isHot, pmod(monotonically_increasing_id(), lit(rFactor.toLong)).cast("int"))
+      when(isHot, pmod(xxhash64(bDf.columns.map(col): _*), lit(rFactor.toLong)).cast("int"))
         .otherwise(lit(0)))
     // probe: hot-key rows fan out to every salt bucket
     val pS = pDf
@@ -375,6 +396,17 @@ object Factorized {
             (Long, Double)]): Boolean = size() > 256
     })
 
+  /** Same discipline for [[topKeyCounts]]'s top-65 (key, count) rows —
+    * a separate map only because the value shape differs; each entry is
+    * ≤65 rows, so the 256-entry bound also bounds memory. */
+  private val topKeyCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Long),
+      Array[Row]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Long),
+            Array[Row]]): Boolean = size() > 256
+    })
+
   /** Cheap file-snapshot fingerprint folded into the probe-memo key:
     * canonicalized plans compare by rootPaths, so a table rewritten or
     * appended IN PLACE would otherwise silently replay a stale row
@@ -398,9 +430,21 @@ object Factorized {
     * file count or total bytes invalidate automatically (see
     * [[snapshotFingerprint]]); call this after a byte-identical-size
     * in-place rewrite, the one case the fingerprint can alias. */
-  def clearProbeCache(): Unit = probeCache.clear()
+  def clearProbeCache(): Unit = { probeCache.clear(); topKeyCache.clear() }
 
   private[graft] def probeCacheSize: Int = probeCache.size()
+
+  /** Routing the last multi-dim [[cofactorOverStar]] call on this
+    * thread chose — (aggregated dim keys, row-folded dim keys). The
+    * chain is driver-side, so there is no single query plan to assert
+    * a route on; oracle rows (q69) and specs certify the ADAPTIVE
+    * probe's decision through this instead. Thread-local: parallel
+    * suites and concurrent sessions don't race. */
+  private val lastStarRoutingTL =
+    new ThreadLocal[(Seq[String], Seq[String])] {
+      override def initialValue(): (Seq[String], Seq[String]) = (Seq(), Seq())
+    }
+  def lastStarRouting(): (Seq[String], Seq[String]) = lastStarRoutingTL.get()
 
   /** One dimension table of a star join: `df` must carry the join key
     * under the SAME name `key` as the fact table (rename before
@@ -490,6 +534,7 @@ object Factorized {
       if (minRowsPerKey <= 0.0) (dims, Seq.empty[StarDim])
       else if (minRowsPerKey == Double.MaxValue) (Seq.empty[StarDim], dims)
       else dims.partition(d => rowsPerKey(d.df, Seq(d.key))._2 >= minRowsPerKey)
+    lastStarRoutingTL.set((aggDims.map(_.key), rowDims.map(_.key)))
 
     if (aggDims.nonEmpty) {
       // fold near-unique dims into the fact first (their features become
@@ -541,8 +586,8 @@ object Factorized {
     * single-join and star paths; composite keys probe
     * `approx_count_distinct(struct(keys))`. */
   private def probeRowsPerKey(df: DataFrame, keyCols: Seq[String]): (Long, Double) = {
-    val ck = (df.queryExecution.analyzed.canonicalized, keyCols.mkString(" "),
-      snapshotFingerprint(df))
+    val ck = (df.queryExecution.analyzed.canonicalized,
+      "rpk:" + keyCols.mkString("\u0001"), snapshotFingerprint(df))
     val cached = probeCache.get(ck)
     if (cached != null) cached
     else {

@@ -169,9 +169,15 @@ object FactorizeCofactorRule extends Rule[LogicalPlan] {
       val cofSide = CofactorAggregate(sideCols, nbMode = cof.nbMode)
       val a = Alias(AggregateExpression(cofSide, ae.mode, isDistinct = false, None,
         NamedExpression.newExprId), tag)()
-      // grouping columns ride the side's pre-aggregation keys (dedup'd:
-      // grouping BY the join key itself must not repeat it)
-      val ks = (keys ++ gs).groupBy(_.exprId).map(_._2.head).toSeq
+      // grouping columns ride the side's pre-aggregation keys (dedup'd
+      // ORDER-PRESERVING: grouping BY the join key itself must not
+      // repeat it, and a HashMap-ordered dedup would make the rewritten
+      // plan's grouping order vary run to run — semantically harmless
+      // but it breaks plan-string assertions and canonicalized-plan
+      // caches keyed on the rewrite)
+      val ks = (keys ++ gs).foldLeft(Vector.empty[Attribute]) { (acc, a) =>
+        if (acc.exists(_.exprId == a.exprId)) acc else acc :+ a
+      }
       (Aggregate(ks, ks ++ Seq(a), side), a.toAttribute)
     }
     val (leftAgg, aAttr) = sideAgg(join.left, leftKeys, leftGroups, fromLeft, "__cof_A")
@@ -179,7 +185,26 @@ object FactorizeCofactorRule extends Rule[LogicalPlan] {
 
     val cond = leftKeys.zip(rightKeys).map { case (l, r) => EqualTo(l, r): Expression }
       .reduce(And(_, _))
-    val newJoin = Join(leftAgg, rightAgg, Inner, Some(cond), JoinHint.NONE)
+    // SHUFFLE_HASH for the pre-aggregate join, size-guarded: both
+    // inputs are one-triple-per-key aggregates feeding one more fused
+    // aggregate, so a sort-merge join would sort |keys| serialized
+    // triple buffers for nothing — the exact pessimization
+    // cofactorOverJoin avoids via hashJoinIfSafe. SHJ's build cannot
+    // spill, so the hint only attaches when the smaller side's
+    // ESTIMATED per-partition bytes fit the same cap hashJoinIfSafe
+    // enforces; past the cap the planner keeps its spill-capable
+    // choice (broadcast still wins automatically under its threshold —
+    // hints don't suppress it).
+    val cap = conf.getConfString("spark.graft.shj.maxBuildPartitionBytes",
+      (64L << 20).toString).toLong
+    val parts = BigInt(math.max(1, conf.numShufflePartitions))
+    val (lSize, rSize) = (leftAgg.stats.sizeInBytes, rightAgg.stats.sizeInBytes)
+    val hint =
+      if (cap > 0 && lSize.min(rSize) / parts <= cap) {
+        val h = Some(HintInfo(strategy = Some(SHUFFLE_HASH)))
+        if (lSize <= rSize) JoinHint(h, None) else JoinHint(None, h)
+      } else JoinHint.NONE
+    val newJoin = Join(leftAgg, rightAgg, Inner, Some(cond), hint)
 
     val product = MultiplyTriple(aAttr, bAttr)
     val outer: Expression = AggregateExpression(SumTriple(product), ae.mode, isDistinct = false,

@@ -124,6 +124,38 @@ class PlansSpec extends AnyFunSuite {
     for ((k, t) <- plainK) assert(factK(k).approxEquals(t, 1e-9), s"group $k diverged")
   }
 
+  test("rewritten pre-aggregate join carries a size-guarded SHUFFLE_HASH hint") {
+    Graft.register(spark)
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, SHUFFLE_HASH}
+    val (l, r) = fixtures()
+    def query = l.join(r, "k").agg(Graft.sumTriple($"lx", $"rx").as("t"))
+    def hintedJoins(q: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val joins = q.queryExecution.optimizedPlan.collect { case j: Join => j }
+      val hinted = joins.count(j => Seq(j.hint.leftHint, j.hint.rightHint).flatten
+        .exists(_.strategy.contains(SHUFFLE_HASH)))
+      (joins.length, hinted)
+    }
+    // tiny pre-aggregates: the estimated build fits the cap, the join
+    // the rewrite emits must not leave the planner to SMJ-sort |keys|
+    // serialized triple buffers
+    withRule {
+      val q = query
+      assert(q.queryExecution.optimizedPlan.toString.contains("multiply_triple"))
+      val (n, h) = hintedJoins(q)
+      assert(n > 0 && h == n, s"expected every rewritten join hinted, got $h of $n")
+    }
+    // cap disabled (<= 0): SHJ's build cannot spill, so the rule must
+    // NOT pin it — the planner keeps its spill-capable choice
+    val key = "spark.graft.shj.maxBuildPartitionBytes"
+    spark.conf.set(key, "0")
+    try withRule {
+      val q = query
+      assert(q.queryExecution.optimizedPlan.toString.contains("multiply_triple"))
+      val (n, h) = hintedJoins(q)
+      assert(n > 0 && h == 0, s"expected no hint past the cap, got $h of $n")
+    } finally spark.conf.unset(key)
+  }
+
   test("STAR auto-factorization: grouped rewrite composes recursively over fact ⋈ dim1 ⋈ dim2") {
     Graft.register(spark)
     // the outer (global) rewrite leaves a grouped side-aggregate over the
