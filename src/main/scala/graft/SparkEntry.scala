@@ -1410,6 +1410,45 @@ object SparkEntry {
           round(col("b"), 2).as("avg_bal"),
           round(col("pq"), 2).as("avg_pq"),
           round(col("qb"), 2).as("avg_qb"))
+    },
+
+    // Star MICE with a CATEGORICAL dim feature (the round-11 verdict's
+    // convenience gap): impute l_discount over the lineitem ⋈ orders ⋈
+    // part star where orders contributes a numeric feature and part a
+    // 5-level categorical (p_size mod 5) — the one-hot block rides the
+    // chained ring products (minRowsPerKey=0 pins the fully factorized
+    // chain, q66 discipline). Oracle: with one numeric + one categorical
+    // regressor, the least-squares prediction is the ANCOVA closed form
+    // (per-category intercept + shared within-group slope) — unique for
+    // any seen category even though the one-hot design is rank-deficient
+    // (fitted functions of all LS solutions agree on the span), so
+    // DuckDB recomputes it exactly without a matrix inverse.
+    "q70_star_mice_cat_dim" -> { (s, dir) =>
+      Graft.register(s)
+      val fact = li(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+          col("l_discount").cast("double").as("d_true"))
+        .withColumn("miss",
+          (col("l_orderkey") * lit(2654435761L) + col("l_linenumber") * lit(40503L)) % 1000 < 150)
+        .withColumn("l_discount", when(col("miss"), lit(null)).otherwise(col("d_true")))
+      val dims = Seq(
+        graft.ml.Factorized.StarDim(
+          Tables.load(s, dir, "orders").select(
+            col("o_orderkey").as("l_orderkey"),
+            col("o_totalprice").cast("double").as("o_totalprice")),
+          "l_orderkey", num = Seq("o_totalprice")),
+        graft.ml.Factorized.StarDim(
+          Tables.load(s, dir, "part").select(
+            col("p_partkey").as("l_partkey"),
+            pmod(col("p_size"), lit(5)).cast("int").as("p_cat")),
+          "l_partkey", cat = Seq("p_cat")))
+      val done = graft.mice.MiceJoin.imputeContOverStar(
+        fact, dims, target = "l_discount", factNum = Seq(), minRowsPerKey = 0.0)
+      done.agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("miss"), lit(1))).as("n_imputed"),
+        round(sqrt(avg(when(col("miss"),
+          pow(col("l_discount") - col("d_true"), 2)))), 4).as("rmse"))
     }
   )
 
@@ -2493,6 +2532,28 @@ object SparkEntry {
         |       round(avg(l_quantity * c_acctbal), 2) AS avg_qb
         |FROM orders
         |JOIN lineitem ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey""".stripMargin
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    // categorical-dim star MICE: least squares with one numeric + one
+    // categorical regressor == ANCOVA closed form (per-category
+    // intercept ȳ_g − b·x̄_g, shared within-group slope b), so the
+    // imputation is recomputed exactly without any matrix inverse
+    "q70_star_mice_cat_dim" ->
+      """WITH d AS (
+        |  SELECT o_totalprice::DOUBLE AS x, (p_size % 5) AS c,
+        |         l_discount::DOUBLE AS y,
+        |         ((l_orderkey*2654435761 + l_linenumber*40503) % 1000) < 150 AS miss
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey),
+        |g AS (SELECT c, avg(x) AS xg, avg(y) AS yg FROM d WHERE NOT miss GROUP BY c),
+        |s AS (SELECT sum((d.x - g.xg)*(d.y - g.yg)) / sum((d.x - g.xg)*(d.x - g.xg)) AS b
+        |      FROM d JOIN g USING (c) WHERE NOT miss),
+        |o AS (SELECT d.y, d.miss,
+        |             CASE WHEN d.miss THEN g.yg + s.b*(d.x - g.xg) ELSE d.y END AS yy
+        |      FROM d JOIN g USING (c), s)
+        |SELECT count(*) AS n_rows,
+        |       count(CASE WHEN miss THEN 1 END) AS n_imputed,
+        |       round(sqrt(avg(CASE WHEN miss THEN (yy - y)*(yy - y) END)), 4) AS rmse
+        |FROM o""".stripMargin
   )
 }

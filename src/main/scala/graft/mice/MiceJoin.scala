@@ -113,10 +113,14 @@ object MiceJoin {
     Graft.register(spark)
     dims.foreach(d => requireUniqueKey(d.df, d.key))
     val dimNum = dims.flatMap(_.num)
-    require(dims.forall(_.cat.isEmpty),
-      "imputeContOverStar supports continuous dim features (one-hot or chain for categoricals)")
-    require(dimNum.intersect(fact.columns.toSeq).isEmpty,
-      s"dim feature names must be disjoint from fact's: ${dimNum.intersect(fact.columns.toSeq)}")
+    // categorical dim features ride the same star cofactor (their
+    // one-hot blocks live in the triple's cat slices) and enter the
+    // regression exactly as in the chained driver — the predictor gets
+    // them in declared dim order
+    val dimCat = dims.flatMap(_.cat)
+    val dimCols = dimNum ++ dimCat
+    require(dimCols.intersect(fact.columns.toSeq).isEmpty,
+      s"dim feature names must be disjoint from fact's: ${dimCols.intersect(fact.columns.toSeq)}")
     val outCols = fact.columns.toSeq
     val (observed, missing) = tm.time("partition")(
       (fact.filter(col(target).isNotNull).localCheckpoint(),
@@ -127,7 +131,7 @@ object MiceJoin {
       normalize = true))
     val mean = if (triple.n == 0) 0.0 else triple.lin(0) / triple.n
     val imputed = tm.time("impute_update") {
-      val pred = LinReg.predict(model, (factNum ++ dimNum).map(col), Seq(),
+      val pred = LinReg.predict(model, (factNum ++ dimNum).map(col), dimCat.map(col),
         addNoise = stochastic, seed = seed)
       dims.foldLeft(missing)((acc, d) => acc.join(d.df, Seq(d.key), "left"))
         .withColumn(target, coalesce(pred, lit(mean)))

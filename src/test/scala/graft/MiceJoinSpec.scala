@@ -71,6 +71,34 @@ class MiceJoinSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("unique"))
   }
 
+  test("star impute with a CATEGORICAL dim feature recovers per-category offsets exactly") {
+    import graft.ml.Factorized.StarDim
+    // y = 2 + 3*x1 + 0.5*d1 + eff(c2) EXACTLY — c2 is a 3-level
+    // categorical carried by dim B, so the regression's one-hot block
+    // must flow through the chained star cofactor AND the predictor
+    val dimA = Seq.tabulate(40)(k => (k.toLong, k * 1.5 - 10.0)).toDF("ka", "d1")
+    val dimB = Seq.tabulate(25)(k => (k.toLong, k % 3)).toDF("kb", "c2")
+    def eff(c: Int): Double = c match { case 0 => -2.0; case 1 => 0.5; case _ => 4.0 }
+    val starFact = Seq.tabulate(400) { i =>
+      val ka = i % 40; val kb = i % 25
+      val x1 = (i % 17).toDouble - 8
+      val y = 2.0 + 3.0 * x1 + 0.5 * (ka * 1.5 - 10.0) + eff(kb % 3)
+      (i.toLong, ka.toLong, kb.toLong, x1, y, i % 5 == 0)
+    }.toDF("id", "ka", "kb", "x1", "yTrue", "miss")
+      .withColumn("y", when($"miss", lit(null)).otherwise($"yTrue"))
+      .repartition(4)
+    val dims = Seq(StarDim(dimA, "ka", num = Seq("d1")),
+      StarDim(dimB, "kb", cat = Seq("c2")))
+    for (pin <- Seq(0.0, Double.MaxValue)) { // chain AND materialized fallback
+      val done = MiceJoin.imputeContOverStar(starFact, dims, target = "y",
+        factNum = Seq("x1"), minRowsPerKey = pin)
+      assert(done.count() == 400 && done.filter($"y".isNull).count() == 0)
+      val maxErr = done.filter($"miss")
+        .select(max(abs($"y" - $"yTrue"))).head.getDouble(0)
+      assert(maxErr < 1e-6, s"categorical-dim star imputation (pin=$pin) should be exact, max err $maxErr")
+    }
+  }
+
   test("factorized training == training over the materialized join") {
     val observed = fact.filter(!$"miss")
     val tFact = graft.ml.Factorized.cofactorOverJoin(
