@@ -60,6 +60,10 @@ object Graft {
         graft.functions.RepetitionScore(es(0), intArg(es, 1)), "scala_udf")
       reg.createOrReplaceTempFunction("token_stats", es =>
         graft.functions.TokenStats(es.head), "scala_udf")
+      // bounded top-k (score DESC NULLS LAST, id ASC) — the map-side
+      // ranking tail of every similarity search (see TopKAggregate)
+      reg.createOrReplaceTempFunction("topk_by_score", es =>
+        agg.TopKByScore(es(0), es(1), intArg(es, 2)), "scala_udf")
       // native embedding math (codegen'd single-loop expressions)
       reg.createOrReplaceTempFunction("dot_product", es =>
         graft.functions.DotProduct(es(0), es(1)), "scala_udf")

@@ -39,10 +39,31 @@ object Similarity {
     dot(a, b) / (na * nb)
 
   /** The shared ranking tail of every top-k search path: per-query
-    * window rank over (cos desc, cId) — ONE definition, so a tie-break
-    * change can never drift between the exact and approximate paths.
-    * Expects (qId, cId, cos). */
+    * top-k under (cos desc NULLS LAST, cId asc) — ONE definition, so a
+    * tie-break change can never drift between the exact and approximate
+    * paths. Expects (qId, cId, cos).
+    *
+    * A bounded map-side aggregate ([[graft.agg.TopKByScore]]), not a
+    * window `row_number`: the window shuffles and sorts EVERY scored
+    * pair (O(|q|·|corpus|) rows — 8.5 s of the 12.7 s sf10 brute-force
+    * knn), while the aggregate rejects most candidates with one double
+    * compare against a k-heap root and ships one O(k) heap per
+    * (query × task) through the shuffle. Identical output to the
+    * window formulation, including NULL-cos candidates padding the
+    * tail when a query has fewer than k non-null scores. */
   private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    reg(scored)
+    scored.groupBy(col("qId"))
+      .agg(call_function("topk_by_score", col("cos"), col("cId"), lit(k)).as("__top"))
+      .select(col("qId"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("qId"), col("__e").getField("cId").as("cId"),
+        col("__e").getField("cos").as("cos"),
+        (col("__pos") + lit(1)).as("rank"))
+  }
+
+  /** The pre-round-12 window formulation of [[rankTopK]], kept for the
+    * parity spec: same (cos desc, cId) order, rank = row_number. */
+  private[operators] def rankTopKWindow(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qId")).orderBy(col("cos").desc, col("cId"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

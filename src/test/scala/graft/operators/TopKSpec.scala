@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The aggregate ranking tail ([[graft.agg.TopKByScore]] via
+  * `Similarity.rankTopK`) must be row-identical to the window
+  * formulation it replaced — including the ugly corners: cos ties
+  * broken by cId, NaN sorting above every finite cos, NULL cos padding
+  * the tail (desc NULLS LAST), and groups with fewer than k rows. */
+class TopKSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // NaN canonicalized to a string: Scala == unboxes and NaN != NaN
+  private def cosKey(v: Any): Any = v match {
+    case d: java.lang.Double if d.isNaN => "NaN"
+    case other => other
+  }
+
+  private def compare(rows: Seq[(Long, Long, java.lang.Double)], k: Int): Unit = {
+    val scored = rows.toDF("qId", "cId", "cos")
+    val got = Similarity.rankTopK(scored, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(cosKey), r.getInt(3))).toSet
+    val want = Similarity.rankTopKWindow(scored, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(cosKey), r.getInt(3))).toSet
+    assert(got == want, s"agg top-k diverged from window: got $got want $want")
+  }
+
+  test("agg top-k == window: ties, NaN, NULL cos, short groups") {
+    compare(Seq(
+      // q0: plain distinct scores, more than k candidates
+      (0L, 10L, 0.9), (0L, 11L, 0.8), (0L, 12L, 0.7), (0L, 13L, 0.6),
+      // q1: three-way cos tie -> cId ascending breaks it
+      (1L, 22L, 0.5), (1L, 20L, 0.5), (1L, 21L, 0.5), (1L, 23L, 0.4),
+      // q2: NaN ranks first (Spark sorts NaN greatest), then finite, then NULL last
+      (2L, 30L, Double.NaN), (2L, 31L, 0.99), (2L, 32L, null), (2L, 33L, 0.1),
+      // q3: fewer than k rows
+      (3L, 40L, 0.2),
+      // q4: all NULL scores -> cId ascending
+      (4L, 52L, null), (4L, 50L, null), (4L, 51L, null), (4L, 53L, null)
+    ), k = 3)
+  }
+
+  test("agg top-k == window under a random fuzz (ties + nulls mixed in)") {
+    val rng = new scala.util.Random(7)
+    val rows = Seq.tabulate(4000) { i =>
+      val q = (i % 7).toLong
+      val cos: java.lang.Double =
+        if (rng.nextInt(20) == 0) null
+        else math.round(rng.nextDouble() * 50) / 50.0 // coarse grid -> frequent ties
+      (q, rng.nextInt(500).toLong, cos)
+    }
+    compare(rows, k = 5)
+  }
+
+  test("string ids rank by binary order on cos ties") {
+    val scored = Seq(
+      (0L, "b", 0.5), (0L, "a", 0.5), (0L, "c", 0.5), (0L, "d", 0.1)
+    ).toDF("qId", "cId", "cos")
+    val got = Similarity.rankTopK(scored, 2)
+      .orderBy($"rank").collect().map(_.getString(1)).toSeq
+    assert(got == Seq("a", "b"))
+  }
+}
