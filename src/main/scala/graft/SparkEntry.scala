@@ -1449,6 +1449,31 @@ object SparkEntry {
         count(when(col("miss"), lit(1))).as("n_imputed"),
         round(sqrt(avg(when(col("miss"),
           pow(col("l_discount") - col("d_true"), 2)))), 4).as("rmse"))
+    },
+
+    // The round-12 ranking tail itself under oracle: TopKByScore (the
+    // bounded aggregate every knn path now rides) vs DuckDB's window
+    // row_number, on a score landscape built to stress exactly what a
+    // float cosine never deterministically does — heavy ties (score =
+    // doc_id % 7, broken by cId asc), sprinkled NULL scores (% 11,
+    // DESC NULLS LAST), and one group scored entirely NULL (group 4),
+    // whose top-k is pure NULL-tail padding ordered by cId. Integer-
+    // derived doubles, so no cross-engine rounding-boundary flake.
+    "q71_topk_ties" -> { (s, dir) =>
+      Graft.register(s)
+      val scored = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 50)
+        .select(
+          (col("doc_id") % 5).as("qId"),
+          col("doc_id").as("cId"),
+          when(col("doc_id") % 11 === 0 || col("doc_id") % 5 === 4, lit(null))
+            .otherwise((col("doc_id") % 7).cast("double")).as("cos"))
+      // output coalesces the NULL scores (ranked last) to -1: the
+      // hash compare must not have to equate NULL/NaN doubles
+      graft.operators.Similarity.topKScored(scored, 4)
+        .select(col("qId"), col("cId"), coalesce(col("cos"), lit(-1.0)).as("cos"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("qId"), col("rank"))
     }
   )
 
@@ -2554,6 +2579,18 @@ object SparkEntry {
         |SELECT count(*) AS n_rows,
         |       count(CASE WHEN miss THEN 1 END) AS n_imputed,
         |       round(sqrt(avg(CASE WHEN miss THEN (yy - y)*(yy - y) END)), 4) AS rmse
-        |FROM o""".stripMargin
+        |FROM o""".stripMargin,
+
+    "q71_topk_ties" ->
+      """SELECT qId, cId, COALESCE(cos, -1.0) AS cos, rank FROM (
+        |  SELECT doc_id % 5 AS qId, doc_id AS cId,
+        |         CASE WHEN doc_id % 11 = 0 OR doc_id % 5 = 4 THEN NULL
+        |              ELSE (doc_id % 7)::DOUBLE END AS cos,
+        |         row_number() OVER (PARTITION BY doc_id % 5
+        |           ORDER BY (CASE WHEN doc_id % 11 = 0 OR doc_id % 5 = 4 THEN NULL
+        |                          ELSE (doc_id % 7)::DOUBLE END) DESC NULLS LAST,
+        |                    doc_id) AS rank
+        |  FROM documents WHERE doc_id < 50) t
+        |WHERE rank <= 4 ORDER BY qId, rank""".stripMargin
   )
 }

@@ -61,6 +61,13 @@ object Similarity {
         (col("__pos") + lit(1)).as("rank"))
   }
 
+  /** Public form of the shared ranking tail for ALREADY-SCORED pairs:
+    * per-qId top-k of (qId, cId, cos) under (cos desc NULLS LAST,
+    * cId asc) — for callers that score pairs their own way (a custom
+    * metric, a rerank stage) but want the same bounded-aggregate tail
+    * every built-in search path uses. */
+  def topKScored(scored: DataFrame, k: Int): DataFrame = rankTopK(scored, k)
+
   /** The pre-round-12 window formulation of [[rankTopK]], kept for the
     * parity spec: same (cos desc, cId) order, rank = row_number. */
   private[operators] def rankTopKWindow(scored: DataFrame, k: Int): DataFrame = {
