@@ -1474,6 +1474,60 @@ object SparkEntry {
         .select(col("qId"), col("cId"), coalesce(col("cos"), lit(-1.0)).as("cos"),
           col("rank").cast("long").as("rank"))
         .orderBy(col("qId"), col("rank"))
+    },
+
+    // The BUCKETED co-located join tier under the correctness gate:
+    // lineitem and orders are bucketized once on the join key
+    // (Tables.writeBucketed — the 100 TB pattern for fact tables joined
+    // repeatedly), the SHJ build cap is forced below build/confParts at
+    // ANY plausible partition count so the un-bucketed plan would take
+    // the partition-to-fit REPARTITION tier, and the bucketed tier must
+    // instead keep the scan's own hash partitioning: the executed plan
+    // is ASSERTED to contain a ShuffledHashJoin and ZERO exchanges — a
+    // silently re-shuffled (or silently sort-merged) plan must not pass
+    // as the bucketed tier. The moments the oracle hashes come out of
+    // that shuffle-free join (q09's shape over the same tables).
+    "q72_bucketed_join_cofactor" -> { (s, dir) =>
+      Graft.register(s)
+      val liRaw = li(s, dir).select(col("l_orderkey"), col("l_quantity"))
+      val ordRaw = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val ordRows = ordRaw.count()
+      val liRows = liRaw.count()
+      // build = orders (the smaller projection); cap sits at build/150 so
+      // build/confParts exceeds it for every confParts ≤ 150 (tier choice
+      // stays partition-count-independent, q68's discipline) while the
+      // 256-bucket per-bucket build (build/256) stays under it
+      val perRow = (8L + 8L * 2 + 24L) * 2L
+      val cap = math.max(1L, ordRows * perRow / 150L)
+      Tables.writeBucketed(liRaw, "q72_li_bkt", "l_orderkey", 256)
+      Tables.writeBucketed(ordRaw, "q72_ord_bkt", "o_orderkey", 256)
+      val noBroadcast = "spark.sql.autoBroadcastJoinThreshold"
+      val savedBc = s.conf.getOption(noBroadcast)
+      val capKey = "spark.graft.shj.maxBuildPartitionBytes"
+      val savedCap = s.conf.getOption(capKey)
+      s.conf.set(noBroadcast, "-1")
+      s.conf.set(capKey, cap.toString)
+      try {
+        val liB = s.table("q72_li_bkt").select(col("l_orderkey").as("k"), col("l_quantity"))
+        val ordB = s.table("q72_ord_bkt").select(col("o_orderkey").as("k"), col("o_totalprice"))
+        val joined = graft.ml.Factorized.hashJoinIfSafe(liB, ordB, Seq("k"),
+          leftRows = Some(liRows), rightRows = Some(ordRows))
+        val plan = joined.queryExecution.executedPlan.toString
+        require(plan.contains("ShuffledHashJoin"),
+          s"bucketed tier must produce a shuffled-hash join:\n$plan")
+        require(!plan.contains("Exchange"),
+          s"bucketed co-located join must plan with ZERO exchanges:\n$plan")
+        joined
+          .agg(Graft.sumTriple(col("l_quantity"), col("o_totalprice")).as("t"))
+          .select(
+            col("t.n").as("n_rows"),
+            round(col("t.lin")(0), 2).as("sum_qty"),
+            round(col("t.lin")(1) / col("t.n"), 2).as("avg_total"),
+            round(col("t.quad")(1) / col("t.n"), 2).as("avg_qty_total"))
+      } finally {
+        savedBc match { case Some(v) => s.conf.set(noBroadcast, v); case None => s.conf.unset(noBroadcast) }
+        savedCap match { case Some(v) => s.conf.set(capKey, v); case None => s.conf.unset(capKey) }
+      }
     }
   )
 
@@ -2591,6 +2645,15 @@ object SparkEntry {
         |                          ELSE (doc_id % 7)::DOUBLE END) DESC NULLS LAST,
         |                    doc_id) AS rank
         |  FROM documents WHERE doc_id < 50) t
-        |WHERE rank <= 4 ORDER BY qId, rank""".stripMargin
+        |WHERE rank <= 4 ORDER BY qId, rank""".stripMargin,
+    // q72 reads bucketized COPIES of lineitem/orders (same rows, different
+    // physical layout) — the oracle runs over the originals, so a layout
+    // bug that drops or duplicates rows cannot hash-match
+    "q72_bucketed_join_cofactor" ->
+      """SELECT count(*) AS n_rows,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(avg(o_totalprice), 2) AS avg_total,
+        |       round(avg(l_quantity * o_totalprice), 2) AS avg_qty_total
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
   )
 }

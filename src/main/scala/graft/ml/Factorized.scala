@@ -222,10 +222,17 @@ object Factorized {
    * local[32]). Under the cap the hint names the smaller side as the
    * build side explicitly; broadcast still wins when a side is under
    * the broadcast threshold. Over the cap the join is NOT surrendered
-   * to sort-merge immediately: the per-partition build shrinks with the
-   * partition count, so both sides are first repartitioned by the join
-   * key to ceil(build/cap) partitions (capped at 4096) — co-partitioned,
-   * hint intact, every hash build cap-bounded no matter the total size.
+   * to sort-merge immediately. First a bucketed shortcut: when both
+   * sides scan tables bucketed with the same bucket count and each
+   * bucket's projected build fits the cap, the hinted join is planned
+   * WITHOUT any repartition and kept iff the planner inserts no
+   * exchange — tables bucketized once on their join key
+   * ([[graft.sources.Tables.writeBucketed]]) then join shuffle-free on
+   * every subsequent run. Otherwise the per-partition build shrinks
+   * with the partition count, so both sides are repartitioned by the
+   * join key to ceil(build/cap) partitions (capped at 4096) —
+   * co-partitioned, hint intact, every hash build cap-bounded no
+   * matter the total size.
    * That bound models uniform key hashing, so the tier additionally
    * probes the build side's max key multiplicity (memoized): a hot key
    * whose build rows alone exceed the cap routes to [[saltedHashJoin]]
@@ -247,6 +254,23 @@ object Factorized {
   private def buildBytes(df: DataFrame, rows: Option[Long]): BigInt = rows match {
     case Some(n) => BigInt(n) * (8L + 8L * df.schema.size + 24L) * 2L
     case None => df.queryExecution.optimizedPlan.stats.sizeInBytes * 15L * 2L
+  }
+
+  /** Bucket count of `df`'s underlying file scan, when the plan reads
+    * exactly ONE bucketed relation (projections/filters on top are
+    * fine; a multi-scan plan returns None — a first-scan guess could
+    * pre-qualify the wrong thing). Only PRE-qualifies the bucketed
+    * co-located tier in [[hashJoinIfSafe]]; the planner's no-exchange
+    * outcome is the authoritative gate. */
+  private def bucketSpecOf(df: DataFrame): Option[Int] = {
+    val rels = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l.relation
+    }
+    rels match {
+      case Seq(h: org.apache.spark.sql.execution.datasources.HadoopFsRelation) =>
+        h.bucketSpec.map(_.numBuckets)
+      case _ => None
+    }
   }
 
   private[graft] def hashJoinIfSafe(left: DataFrame, right: DataFrame,
@@ -293,7 +317,32 @@ object Factorized {
       val (bDf, pDf, bFirst) = if (l <= r) (left, right, true) else (right, left, false)
       val perRow = (8L + 8L * bDf.schema.size + 24L) * 2L
       val maxCnt = maxKeyCount(bDf, usingColumns)
-      if (BigInt(maxCnt) * perRow <= cap) {
+      // BUCKETED co-located tier, tried before any repartition: when both
+      // sides scan tables bucketed with the SAME bucket count and each
+      // bucket's build fits the cap, the scan itself already IS the hash
+      // partitioning — the repartition below would REINTRODUCE the two
+      // exchanges that bucketing paid for at write time. The bucket-spec
+      // check only pre-qualifies (equal counts, per-bucket build ≤ cap,
+      // no hot key over the cap); the authoritative gate is Spark's own
+      // planner: plan the hinted join WITHOUT repartition and accept it
+      // iff EnsureRequirements inserted no exchange (this delegates the
+      // bucket-column-vs-join-key match, alias tracing, and the
+      // bucketing-enabled conf to the engine instead of re-deriving
+      // them). This is the 100 TB repeated-join pattern: bucketize fact
+      // tables once (Tables.writeBucketed), and every subsequent
+      // factorized/MICE run on that key joins shuffle-free.
+      val bucketed: Option[DataFrame] =
+        (bucketSpecOf(left), bucketSpecOf(right)) match {
+          case (Some(ln), Some(rn)) if ln == rn && build / ln <= cap &&
+              BigInt(maxCnt) * perRow <= cap =>
+            val j = if (bFirst) left.hint("shuffle_hash").join(right, usingColumns)
+                    else left.join(right.hint("shuffle_hash"), usingColumns)
+            if (j.queryExecution.executedPlan.toString.contains("Exchange")) None
+            else Some(j)
+          case _ => None
+        }
+      if (bucketed.isDefined) bucketed.get
+      else if (BigInt(maxCnt) * perRow <= cap) {
         val lp = left.repartition(parts, cols: _*)
         val rp = right.repartition(parts, cols: _*)
         if (bFirst) lp.hint("shuffle_hash").join(rp, usingColumns)

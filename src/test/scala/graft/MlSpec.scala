@@ -358,6 +358,83 @@ class MlSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.shj.maxBuildPartitionBytes")
   }
 
+  test("bucketed co-located tier: no exchange, exact parity, hot-key veto intact") {
+    // cap tiny so tier 1 (build fits at the session's partition count)
+    // fails and the UN-bucketed join would take the partition-to-fit
+    // REPARTITION tier; bucketed inputs must instead keep the scan's own
+    // hash partitioning — zero exchanges in the executed plan
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.graft.shj.maxBuildPartitionBytes", "4096")
+    try {
+      val liRaw = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select($"l_orderkey", $"l_quantity")
+      val ordRaw = spark.read.parquet(s"$dir/orders.parquet")
+        .select($"o_orderkey", $"o_totalprice")
+      graft.sources.Tables.writeBucketed(liRaw, "mls_li_bkt", "l_orderkey", 64)
+      graft.sources.Tables.writeBucketed(ordRaw, "mls_ord_bkt", "o_orderkey", 64)
+      val liB = spark.table("mls_li_bkt").select($"l_orderkey".as("k"), $"l_quantity")
+      val ordB = spark.table("mls_ord_bkt").select($"o_orderkey".as("k"), $"o_totalprice")
+      val j = graft.ml.Factorized.hashJoinIfSafe(liB, ordB, Seq("k"),
+        leftRows = Some(liRaw.count()), rightRows = Some(ordRaw.count()))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin"), s"expected SHJ:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      val viaBucketed = Graft.cofactorNumeric(j, Seq("l_quantity", "o_totalprice"))
+      val plain = Graft.cofactorNumeric(
+        liRaw.join(ordRaw, $"l_orderkey" === $"o_orderkey"),
+        Seq("l_quantity", "o_totalprice"))
+      assert(viaBucketed.approxEquals(plain, 1e-9) && viaBucketed.n > 1000,
+        s"bucketed tier changed the cofactor: $viaBucketed vs $plain")
+
+      // one side UN-bucketed: the tier must refuse (the planner would
+      // insert an exchange) and fall through to partition-to-fit — the
+      // plan shuffles, the numbers still agree
+      val jHalf = graft.ml.Factorized.hashJoinIfSafe(
+        liRaw.select($"l_orderkey".as("k"), $"l_quantity"), ordB, Seq("k"),
+        leftRows = Some(liRaw.count()), rightRows = Some(ordRaw.count()))
+      val planHalf = jHalf.queryExecution.executedPlan.toString
+      assert(planHalf.contains("Exchange"),
+        s"half-bucketed join cannot be co-located:\n$planHalf")
+      assert(Graft.cofactorNumeric(jHalf, Seq("l_quantity", "o_totalprice"))
+        .approxEquals(plain, 1e-9))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+      spark.conf.unset("spark.graft.shj.maxBuildPartitionBytes")
+      spark.sql("DROP TABLE IF EXISTS mls_li_bkt")
+      spark.sql("DROP TABLE IF EXISTS mls_ord_bkt")
+    }
+  }
+
+  test("bucketed tier yields to the salted route when a bucket's hot key exceeds the cap") {
+    // both sides bucketed, but one build key holds 2000 rows — its
+    // bucket alone blows the cap no matter the bucket count, so the
+    // bucketed shortcut must NOT engage; the salted tier takes over
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.graft.shj.maxBuildPartitionBytes", "8192")
+    try {
+      val hotDim = (Seq.tabulate(2000)(i => (0, i * 0.01)) ++
+        Seq.tabulate(500)(i => (i + 1, i * 0.1))).toDF("k", "dprice")
+      val fact = Seq.tabulate(3000)(i => (i % 501, i * 1.0, (i % 7).toDouble))
+        .toDF("k", "y", "a")
+      graft.sources.Tables.writeBucketed(hotDim, "mls_hot_bkt", "k", 16)
+      graft.sources.Tables.writeBucketed(fact, "mls_fact_bkt", "k", 16)
+      val j = graft.ml.Factorized.hashJoinIfSafe(
+        spark.table("mls_fact_bkt"), spark.table("mls_hot_bkt"), Seq("k"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("__salt"), s"hot bucketed key must still salt:\n$plan")
+      val viaSalted = Graft.cofactorNumeric(j, Seq("y", "a", "dprice"))
+      val plain = Graft.cofactorNumeric(fact.join(hotDim, "k"), Seq("y", "a", "dprice"))
+      assert(viaSalted.approxEquals(plain, 1e-9),
+        s"salted-over-bucketed changed the cofactor: $viaSalted vs $plain")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+      spark.conf.unset("spark.graft.shj.maxBuildPartitionBytes")
+      spark.sql("DROP TABLE IF EXISTS mls_hot_bkt")
+      spark.sql("DROP TABLE IF EXISTS mls_fact_bkt")
+    }
+  }
+
   test("adaptive probe decision is memoized per (canonicalized plan, key)") {
     // freshly-built but logically identical inputs must HIT the memo
     // (canonicalized plans normalize expression ids), so a repeat call
