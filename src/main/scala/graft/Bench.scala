@@ -313,10 +313,52 @@ object Bench {
     // headline claim visible instead of living in a hand-run table.
     // ~30 s total; runs only when the generated tier exists.
     val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/root/repo/testdata-sf10")
+    // bucketize-once setup for the factorized_bucketed rows (untimed:
+    // the one-time write is the amortized cost the pattern exists to
+    // pay once per CORPUS, not per run; a fresh session re-attaches the
+    // existing files with a metadata-only CREATE TABLE). A setup
+    // failure skips only the bucketed rows, BENCH-failure contract.
+    def bucketedPair(dir: String, tag: String, buckets: Int):
+        Option[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] =
+      try {
+        val li = Tables.attachOrWriteBucketed(spark, s"$dir/lineitem.parquet",
+          s"li_bkt_$tag", "l_orderkey", Seq("l_orderkey", "l_quantity"),
+          s"$dir-bucketed/lineitem", buckets)
+        val ord = Tables.attachOrWriteBucketed(spark, s"$dir/orders.parquet",
+          s"ord_bkt_$tag", "o_orderkey", Seq("o_orderkey", "o_totalprice"),
+          s"$dir-bucketed/orders", buckets)
+        Some((li.select(col("l_orderkey").as("k"), col("l_quantity")),
+              ord.select(col("o_orderkey").as("k"), col("o_totalprice"))))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] bucketize($tag) failed — bucketed rows skipped: $e")
+          None
+      }
+    def factorizedBucketed(pair: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)): Unit = {
+      graft.ml.Factorized.cofactorOverJoinAdaptive(
+        pair._1, pair._2, "k", Seq("l_quantity"), Seq(), Seq("o_totalprice"), Seq())
+      ()
+    }
     val sf10Results: Seq[(String, Double, Boolean, Boolean)] =
       if (!new java.io.File(sf10Dir + "/lineitem.parquet").exists()) Seq.empty
       else timeSuite(Seq(
         "sf10_text_stats" -> (() => noop(SparkEntry.queries("q10_token_stats")(spark, sf10Dir))),
+        // the factorized family at sf10, both physical designs: the
+        // probe-routed adaptive over raw parquet (two exchanges) vs the
+        // same operator over bucketized tables (zero exchanges) — the
+        // pair quantifies what bucketize-once buys the repeated-join
+        // pattern at this scale
+        "sf10_factorized_adaptive" -> { () =>
+          graft.ml.Factorized.cofactorOverJoinAdaptive(
+            Tables.load(spark, sf10Dir, "lineitem")
+              .select(col("l_orderkey").as("k"), col("l_quantity")),
+            Tables.load(spark, sf10Dir, "orders")
+              .select(col("o_orderkey").as("k"), col("o_totalprice")),
+            "k", Seq("l_quantity"), Seq(), Seq("o_totalprice"), Seq())
+          ()
+        }) ++
+        bucketedPair(sf10Dir, "sf10", 32).map(p =>
+          "sf10_factorized_bucketed" -> (() => factorizedBucketed(p))).toSeq ++ Seq(
         "sf10_asof_join" -> (() => noop(SparkEntry.queries("q44_asof_join")(spark, sf10Dir))),
         "sf10_knn_bruteforce" -> (() => noop(SparkEntry.queries("q16_knn_bruteforce")(spark, sf10Dir))),
         "sf10_knn_int8" -> { () =>
@@ -362,8 +404,14 @@ object Bench {
                 .select(col("o_orderkey").as("k"), col("o_totalprice")),
               "k", Seq("l_quantity"), Seq(), Seq("o_totalprice"), Seq())
             ()
-          }
-        ), repsOverride = Some(3), warmupOverride = Some(1),
+          }) ++
+          // the exchange-free design at the endpoint scale: the same
+          // operator over 256-bucket tables — the 150M-row build takes
+          // the bucketed co-located tier (per-bucket build ≤ cap)
+          // instead of partition-to-fit's two full-tier re-shuffles
+          bucketedPair(sf100Dir, "sf100", 256).map(p =>
+            "sf100_factorized_bucketed" -> (() => factorizedBucketed(p))).toSeq,
+          repsOverride = Some(3), warmupOverride = Some(1),
            maxRepsOverride = Some(6), statMin = true)
       }
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")

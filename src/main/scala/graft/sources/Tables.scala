@@ -24,4 +24,34 @@ object Tables {
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
+
+  /** Bucketized EXTERNAL copy of `srcParquet` (projected to `cols`) at
+    * `path`, registered as `table`. Bucket metadata lives in the session
+    * catalog, so a FRESH session must re-attach before the bucketed scan
+    * is recognized — this helper makes the bucketize-once pattern
+    * session-independent: already-attached → reuse; files on disk →
+    * CREATE TABLE … CLUSTERED BY … LOCATION (metadata-only, instant);
+    * else pay the one-time write, pre-shuffled to `buckets` partitions
+    * so each bucket lands in ONE file (repartition and bucketBy share
+    * Murmur3 `pmod` hashing) instead of #writeTasks × #buckets
+    * fragments. */
+  def attachOrWriteBucketed(spark: SparkSession, srcParquet: String,
+                            table: String, key: String, cols: Seq[String],
+                            path: String, buckets: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (!spark.catalog.tableExists(table)) {
+      val src = spark.read.parquet(srcParquet).select(cols.map(col): _*)
+      if (new java.io.File(path).exists()) {
+        spark.sql(s"""CREATE TABLE $table (${src.schema.toDDL})
+          USING parquet CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+          LOCATION '$path'""")
+      } else {
+        src.repartition(buckets, col(key))
+          .write.mode("overwrite").option("path", path)
+          .bucketBy(buckets, key).sortBy(key)
+          .format("parquet").saveAsTable(table)
+      }
+    }
+    spark.table(table)
+  }
 }

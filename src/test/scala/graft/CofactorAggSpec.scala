@@ -175,6 +175,42 @@ class CofactorAggSpec extends AnyFunSuite {
     }
   }
 
+  test("attachOrWriteBucketed: write once, re-attach metadata-only, co-located join intact") {
+    val dir = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("bkt").toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      // first call pays the write (external table at tmp path)
+      val li1 = graft.sources.Tables.attachOrWriteBucketed(spark, s"$dir/lineitem.parquet",
+        "att_li_bkt", "l_orderkey", Seq("l_orderkey", "l_quantity"), s"$tmp/li", 8)
+      val n = li1.count()
+      assert(n > 5000)
+      // each bucket lands in ONE file (repartition pre-shuffle shares
+      // bucketBy's hash) — plus the _SUCCESS marker
+      val files = new java.io.File(s"$tmp/li").listFiles().map(_.getName)
+        .filter(_.endsWith(".parquet"))
+      assert(files.length == 8, s"expected 8 single-file buckets, got ${files.toSeq}")
+      // DROP keeps external files; the re-attach must be metadata-only
+      // (CREATE ... CLUSTERED BY ... LOCATION) and keep the bucket spec
+      spark.sql("DROP TABLE att_li_bkt")
+      val li2 = graft.sources.Tables.attachOrWriteBucketed(spark, s"$dir/lineitem.parquet",
+        "att_li_bkt", "l_orderkey", Seq("l_orderkey", "l_quantity"), s"$tmp/li", 8)
+      assert(li2.count() == n, "re-attached table must see the same rows")
+      graft.sources.Tables.attachOrWriteBucketed(spark, s"$dir/orders.parquet",
+        "att_ord_bkt", "o_orderkey", Seq("o_orderkey", "o_totalprice"), s"$tmp/ord", 8)
+      val j = spark.table("att_li_bkt").join(spark.table("att_ord_bkt"),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"re-attached bucketed join shuffles:\n$plan")
+      assert(j.count() == n)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+      spark.sql("DROP TABLE IF EXISTS att_li_bkt")
+      spark.sql("DROP TABLE IF EXISTS att_ord_bkt")
+    }
+  }
+
   test("nulls are skipped; empty input yields zero triple") {
     val df = Seq(
       (Some(1.0), Some(2)), (None, Some(3)), (Some(4.0), None), (Some(2.0), Some(2))
