@@ -1499,6 +1499,8 @@ object SparkEntry {
       // 256-bucket per-bucket build (build/256) stays under it
       val perRow = (8L + 8L * 2 + 24L) * 2L
       val cap = math.max(1L, ordRows * perRow / 150L)
+      dropBucketedTable(s, "q72_li_bkt")
+      dropBucketedTable(s, "q72_ord_bkt")
       Tables.writeBucketed(liRaw, "q72_li_bkt", "l_orderkey", 256)
       Tables.writeBucketed(ordRaw, "q72_ord_bkt", "o_orderkey", 256)
       val noBroadcast = "spark.sql.autoBroadcastJoinThreshold"
@@ -1528,8 +1530,83 @@ object SparkEntry {
         savedBc match { case Some(v) => s.conf.set(noBroadcast, v); case None => s.conf.unset(noBroadcast) }
         savedCap match { case Some(v) => s.conf.set(capKey, v); case None => s.conf.unset(capKey) }
       }
+    },
+
+    // MISMATCHED bucket counts through the engine's bucket coalescing,
+    // under the correctness gate: lineitem bucketized at 128, orders
+    // (the build side) at 64 — the planner coalesces the probe's 128
+    // buckets onto 64 (stream-side coalesce, ratio 2) and the join must
+    // still plan with ZERO exchanges (asserted, with the coalesce
+    // visible in the scan). Coalescing is a session conf read at
+    // physical-planning time, so the rows the oracle hashes are
+    // COLLECTED while the conf is set (q67 discipline: a later
+    // re-planning by Verify's write must not silently certify the
+    // exchange-bearing fallback instead).
+    "q73_bucket_coalesced_join" -> { (s, dir) =>
+      Graft.register(s)
+      val liRaw = li(s, dir).select(col("l_orderkey"), col("l_quantity"))
+      val ordRaw = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val ordRows = ordRaw.count()
+      val liRows = liRaw.count()
+      dropBucketedTable(s, "q73_li_bkt")
+      dropBucketedTable(s, "q73_ord_bkt")
+      Tables.writeBucketed(liRaw, "q73_li_bkt", "l_orderkey", 128)
+      Tables.writeBucketed(ordRaw, "q73_ord_bkt", "o_orderkey", 64)
+      val perRow = (8L + 8L * 2 + 24L) * 2L
+      // cap just above the POST-COALESCE per-bucket build (build/64) so
+      // the bucketed tier pre-qualifies on the smaller count; at any
+      // plausible verify parallelism the un-bucketed plan would
+      // repartition instead
+      val cap = ordRows * perRow / 64L + 1024L
+      val conf = Seq(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.graft.shj.maxBuildPartitionBytes" -> cap.toString,
+        "spark.sql.bucketing.coalesceBucketsInJoin.enabled" -> "true")
+      val saved = conf.map { case (k, _) => k -> s.conf.getOption(k) }
+      conf.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val liB = s.table("q73_li_bkt").select(col("l_orderkey").as("k"), col("l_quantity"))
+        val ordB = s.table("q73_ord_bkt").select(col("o_orderkey").as("k"), col("o_totalprice"))
+        val joined = graft.ml.Factorized.hashJoinIfSafe(liB, ordB, Seq("k"),
+          leftRows = Some(liRows), rightRows = Some(ordRows))
+        val plan = joined.queryExecution.executedPlan.toString
+        require(plan.contains("ShuffledHashJoin"),
+          s"coalesced bucketed tier must produce a shuffled-hash join:\n$plan")
+        require(!plan.contains("Exchange"),
+          s"coalesced bucketed join must plan with ZERO exchanges:\n$plan")
+        val q = joined
+          .agg(Graft.sumTriple(col("l_quantity"), col("o_totalprice")).as("t"))
+          .select(
+            col("t.n").as("n_rows"),
+            round(col("t.lin")(0) / col("t.n"), 5).as("avg_qty"),
+            round(col("t.lin")(1), 2).as("sum_total"),
+            round(col("t.quad")(1) / col("t.n"), 2).as("avg_qty_total"))
+        val rows = q.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), q.schema)
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
     }
   )
+
+  /** Drop a MANAGED bucketed scratch table AND its warehouse directory.
+    * A fresh session's catalog does not know tables a previous session
+    * created, but their warehouse directories persist — saveAsTable then
+    * fails with LOCATION_ALREADY_EXISTS. DROP alone is not enough (it is
+    * a no-op in the fresh session), so the location is deleted too. */
+  private def dropBucketedTable(s: SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+    val dir = new java.io.File(
+      if (wh.getScheme == "file") wh.getPath
+      else s.conf.get("spark.sql.warehouse.dir"), table)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    if (dir.exists()) rm(dir)
+  }
 
   /** Closed-form integer codebook shared by q55/q56 (m=8, ksub=16,
     * dsub=8 over dim 64): cb[(j·16+k)·8+t] = ((k·5 + t·3 + j·2) mod 17) − 8.
@@ -2653,6 +2730,16 @@ object SparkEntry {
       """SELECT count(*) AS n_rows,
         |       round(sum(l_quantity), 2) AS sum_qty,
         |       round(avg(o_totalprice), 2) AS avg_total,
+        |       round(avg(l_quantity * o_totalprice), 2) AS avg_qty_total
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+    // q73 joins bucketized copies at MISMATCHED counts (128 vs 64)
+    // through the engine's coalescing; the oracle runs over the
+    // originals — a coalesce bug that merges the wrong buckets (or
+    // drops/duplicates matches) cannot hash-match
+    "q73_bucket_coalesced_join" ->
+      """SELECT count(*) AS n_rows,
+        |       round(avg(l_quantity), 5) AS avg_qty,
+        |       round(sum(o_totalprice), 2) AS sum_total,
         |       round(avg(l_quantity * o_totalprice), 2) AS avg_qty_total
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
   )

@@ -333,7 +333,15 @@ object Factorized {
       // factorized/MICE run on that key joins shuffle-free.
       val bucketed: Option[DataFrame] =
         (bucketSpecOf(left), bucketSpecOf(right)) match {
-          case (Some(ln), Some(rn)) if ln == rn && build / ln <= cap &&
+          // counts need NOT match: with
+          // spark.sql.bucketing.coalesceBucketsInJoin.enabled the engine
+          // coalesces the larger-bucket side onto the smaller (integer
+          // ratio ≤ maxBucketRatio, stream side only for SHJ) — whether
+          // a given mismatch is eligible is again the planner's call,
+          // answered by the same no-exchange gate. The cap check uses
+          // the SMALLER count: post-coalesce that is the real bucket
+          // granularity of every hash build.
+          case (Some(ln), Some(rn)) if build / math.min(ln, rn) <= cap &&
               BigInt(maxCnt) * perRow <= cap =>
             val j = if (bFirst) left.hint("shuffle_hash").join(right, usingColumns)
                     else left.join(right.hint("shuffle_hash"), usingColumns)

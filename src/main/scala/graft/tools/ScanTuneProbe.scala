@@ -48,7 +48,13 @@ object ScanTuneProbe {
       "batch 8192 + split 256MB" -> Map(
         "spark.sql.parquet.columnarReaderBatchSize" -> "8192",
         "spark.sql.files.maxPartitionBytes" -> (256L << 20).toString),
-      "vectorized OFF (control)" -> Map("spark.sql.parquet.enableVectorizedReader" -> "false")
+      "vectorized OFF (control)" -> Map("spark.sql.parquet.enableVectorizedReader" -> "false"),
+      // baseline REPEATED last: the first config of a sweep always
+      // measures slowest regardless of which config runs first (JVM-wide
+      // JIT on the parquet decode loops outlasts the one untimed
+      // warmup) — a knob only counts as a win if it beats THIS row, not
+      // the cold first row
+      "baseline again (warm control)" -> Map()
     )
     for ((name, conf) <- sweeps) {
       val saved = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap

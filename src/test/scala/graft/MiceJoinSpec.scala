@@ -110,6 +110,33 @@ class MiceJoinSpec extends AnyFunSuite {
     assert(mF.numCoef.zip(mM.numCoef).forall { case (a, b) => math.abs(a - b) < 1e-9 })
   }
 
+  test("MICE over catalog-BUCKETED tables == MICE over raw frames (bucketize-once pattern)") {
+    // the 100 TB shape: fact and dim bucketized once on the join key,
+    // every column-step's training join rides the bucketed co-located
+    // tier via hashJoinIfSafe with no API change — results must be
+    // IDENTICAL to the raw-frame run (the tier only changes the plan)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.sources.Tables.writeBucketed(fact, "mice_fact_bkt", "k", 8)
+      graft.sources.Tables.writeBucketed(dim, "mice_dim_bkt", "k", 8)
+      val tm = new Mice.Timings
+      val bucketed = MiceJoin.imputeContOverJoin(
+        spark.table("mice_fact_bkt"), spark.table("mice_dim_bkt"),
+        key = "k", target = "y", factNum = Seq("x1"), dimNum = Seq("x2"), tm = tm)
+      val raw = MiceJoin.imputeContOverJoin(fact, dim, key = "k", target = "y",
+        factNum = Seq("x1"), dimNum = Seq("x2"), tm = new Mice.Timings)
+      val joined = bucketed.select($"id", $"y".as("yB"))
+        .join(raw.select($"id", $"y".as("yR")), "id")
+      assert(joined.count() == 400)
+      val maxDiff = joined.select(max(abs($"yB" - $"yR"))).head.getDouble(0)
+      assert(maxDiff < 1e-9, s"bucketed MICE diverged from raw: $maxDiff")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+      spark.sql("DROP TABLE IF EXISTS mice_fact_bkt")
+      spark.sql("DROP TABLE IF EXISTS mice_dim_bkt")
+    }
+  }
+
   test("chained 2-column MICE over the join == Mice.baseline on the materialized join") {
     // two imputed fact columns (one continuous, one CATEGORICAL via the
     // LDA path) + a dim feature; the chained-over-join loop must

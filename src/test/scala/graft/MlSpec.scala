@@ -406,6 +406,55 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("mismatched bucket counts: co-located iff the engine's coalescing is enabled") {
+    // build side (orders) bucketed 8, probe side (lineitem) 16: with
+    // coalesceBucketsInJoin the planner coalesces the probe 16 → 8
+    // (stream-side coalesce, ratio 2 ≤ maxBucketRatio) and the tier
+    // keeps the exchange-free plan; with it off the same join must
+    // fall through to partition-to-fit (exchanges present), parity both
+    val dir = "/root/testdata/sf0.001"
+    val coalesceKey = "spark.sql.bucketing.coalesceBucketsInJoin.enabled"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.graft.shj.maxBuildPartitionBytes", "32768")
+    try {
+      val liRaw = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select($"l_orderkey", $"l_quantity")
+      val ordRaw = spark.read.parquet(s"$dir/orders.parquet")
+        .select($"o_orderkey", $"o_totalprice")
+      graft.sources.Tables.writeBucketed(liRaw, "mm_li_bkt", "l_orderkey", 16)
+      graft.sources.Tables.writeBucketed(ordRaw, "mm_ord_bkt", "o_orderkey", 8)
+      def join() = graft.ml.Factorized.hashJoinIfSafe(
+        spark.table("mm_li_bkt").select($"l_orderkey".as("k"), $"l_quantity"),
+        spark.table("mm_ord_bkt").select($"o_orderkey".as("k"), $"o_totalprice"),
+        Seq("k"), leftRows = Some(liRaw.count()), rightRows = Some(ordRaw.count()))
+      val plain = Graft.cofactorNumeric(
+        liRaw.join(ordRaw, $"l_orderkey" === $"o_orderkey"),
+        Seq("l_quantity", "o_totalprice"))
+
+      spark.conf.set(coalesceKey, "true")
+      val jOn = join()
+      val planOn = jOn.queryExecution.executedPlan.toString
+      assert(!planOn.contains("Exchange"),
+        s"coalesced mismatched buckets must not shuffle:\n$planOn")
+      assert(Graft.cofactorNumeric(jOn, Seq("l_quantity", "o_totalprice"))
+        .approxEquals(plain, 1e-9))
+
+      spark.conf.set(coalesceKey, "false")
+      val jOff = join()
+      val planOff = jOff.queryExecution.executedPlan.toString
+      assert(planOff.contains("Exchange"),
+        s"without coalescing, mismatched buckets cannot co-locate:\n$planOff")
+      assert(Graft.cofactorNumeric(jOff, Seq("l_quantity", "o_totalprice"))
+        .approxEquals(plain, 1e-9))
+    } finally {
+      spark.conf.unset(coalesceKey)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+      spark.conf.unset("spark.graft.shj.maxBuildPartitionBytes")
+      spark.sql("DROP TABLE IF EXISTS mm_li_bkt")
+      spark.sql("DROP TABLE IF EXISTS mm_ord_bkt")
+    }
+  }
+
   test("bucketed tier yields to the salted route when a bucket's hot key exceeds the cap") {
     // both sides bucketed, but one build key holds 2000 rows — its
     // bucket alone blows the cap no matter the bucket count, so the
