@@ -71,14 +71,41 @@ object Bench {
     def withPq(f: PqSetup => Unit): () => Unit =
       () => pqSetup.fold(e => throw e, f)
 
+    // the same moments as cofactor_full / q01_pricing through the
+    // columnar-batch kernel (ColumnarCofactor): no ColumnarToRow, no
+    // aggregate exchange — the vs-DuckDB scan-aggregate pair rides on
+    // these rows
+    def columnarCofactorFull(dir: String): Unit = {
+      import graft.agg.ColumnarCofactor._
+      val t = cofactor(Tables.load(spark, dir, "lineitem"),
+        Seq(NumCol("l_quantity"), NumCol("l_extendedprice"), NumCol("l_discount"), NumCol("l_tax")),
+        Seq(CatCol("l_linenumber"), CatYear("l_shipdate")))
+      require(t.isDefined, "columnar harvest must engage on the bare lineitem scan")
+    }
+    def columnarPricing(dir: String): Unit = {
+      import graft.agg.ColumnarCofactor._
+      val t = cofactor(Tables.load(spark, dir, "lineitem"),
+        Seq(NumCol("l_quantity"), NumCol("l_extendedprice"),
+          NumDerived(Seq("l_extendedprice", "l_discount"), "disc_price",
+            (in, out, n) => {
+              val e = in(0); val d = in(1)
+              var r = 0
+              while (r < n) { out(r) = e(r) * (1.0 - d(r)); r += 1 }
+            })),
+        Seq(CatPackedStrings(Seq("l_returnflag", "l_linestatus"))))
+      require(t.isDefined, "columnar harvest must engage on the bare lineitem scan")
+    }
+
     val benches: Seq[(String, () => Unit)] = Seq(
       "q01_pricing" -> (() => noop(SparkEntry.queries("q01_agg_pricing")(spark, sfDir))),
+      "q01_columnar" -> (() => columnarPricing(sfDir)),
       "cofactor_full" -> { () =>
         noop(li.withColumn("shipyear", year(col("l_shipdate")))
           .agg(Graft.sumTriple(
             col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"),
             col("l_linenumber"), col("shipyear")).as("t")))
       },
+      "cofactor_columnar" -> (() => columnarCofactorFull(sfDir)),
       "cofactor_grouped" -> { () =>
         noop(li.groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(Graft.sumTriple(
@@ -276,6 +303,7 @@ object Bench {
                 col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"),
                 col("l_linenumber"), col("shipyear")).as("t")))
           },
+          "sf1_cofactor_columnar" -> (() => columnarCofactorFull(sf1Dir)),
           "sf1_factorized_adaptive" -> { () =>
             graft.ml.Factorized.cofactorOverJoinAdaptive(
               li1.select(col("l_orderkey").as("k"), col("l_quantity")),
@@ -391,6 +419,8 @@ object Bench {
         li100.count() // warm the scan cache path (file listing, footers)
         timeSuite(Seq(
           "sf100_q01_pricing" -> (() => noop(SparkEntry.queries("q01_agg_pricing")(spark, sf100Dir))),
+          "sf100_q01_columnar" -> (() => columnarPricing(sf100Dir)),
+          "sf100_cofactor_columnar" -> (() => columnarCofactorFull(sf100Dir)),
           "sf100_cofactor_full" -> { () =>
             noop(li100.withColumn("shipyear", year(col("l_shipdate")))
               .agg(Graft.sumTriple(

@@ -128,10 +128,23 @@ object Graft {
     * a few KB — is the only thing that reaches the driver). */
   def cofactor(df: DataFrame, num: Seq[String], cat: Seq[String], nb: Boolean = false): Triple = {
     register(df.sparkSession)
-    val cols = num.map(c => org.apache.spark.sql.functions.col(c).cast("double")) ++
-      cat.map(c => org.apache.spark.sql.functions.col(c).cast("int"))
-    val agg = if (nb) sumNbAgg(cols: _*) else sumTriple(cols: _*)
-    tripleFromRow(df.agg(agg.as("t")).head.getStruct(0))
+    // fast path: when `df` is a bare columnar scan and every column is a
+    // plain supported type, consume the parquet batches directly
+    // (ColumnarCofactor) — identical semantics (null-skip, int→cat
+    // dispatch, cardinality guard), no ColumnarToRow, no agg exchange.
+    // Any filter/join/derived column makes the harvest refuse and we
+    // fall through to the row aggregate below.
+    graft.agg.ColumnarCofactor.cofactor(
+      df,
+      num.map(graft.agg.ColumnarCofactor.NumCol),
+      cat.map(graft.agg.ColumnarCofactor.CatCol),
+      nbMode = nb
+    ).getOrElse {
+      val cols = num.map(c => org.apache.spark.sql.functions.col(c).cast("double")) ++
+        cat.map(c => org.apache.spark.sql.functions.col(c).cast("int"))
+      val agg = if (nb) sumNbAgg(cols: _*) else sumTriple(cols: _*)
+      tripleFromRow(df.agg(agg.as("t")).head.getStruct(0))
+    }
   }
 
   /**

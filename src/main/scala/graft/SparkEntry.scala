@@ -1,9 +1,11 @@
 package graft
 
 import graft.ml.LinReg
+import graft.ring.Triple
 import graft.sources.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 
 /**
  * Driver contract: one `queries` entry per operator from SURVEY.md §2,
@@ -1587,8 +1589,90 @@ object SparkEntry {
         case (k, Some(v)) => s.conf.set(k, v)
         case (k, None) => s.conf.unset(k)
       }
+    },
+
+    // The columnar-batch cofactor kernel under the correctness gate:
+    // moments computed straight off the parquet scan's ColumnarBatch
+    // vectors (no ColumnarToRow, no agg exchange) — continuous block
+    // (raw + a derived disc-price column), a categorical int column, and
+    // the year-of-timestamp categorical, each read back out of the
+    // triple and compared against DuckDB recomputing them relationally.
+    // The harvest MUST engage (a silent row-aggregate fallback cannot
+    // pass as the batch kernel).
+    "q74_columnar_cofactor" -> { (s, dir) =>
+      import graft.agg.ColumnarCofactor._
+      val t = cofactor(
+        li(s, dir),
+        Seq(NumCol("l_quantity"), NumCol("l_extendedprice"),
+          NumDerived(Seq("l_extendedprice", "l_discount"), "disc_price", discPriceKernel)),
+        Seq(CatCol("l_linenumber"), CatYear("l_shipdate"))
+      ).getOrElse(throw new IllegalStateException(
+        "q74: the columnar harvest must engage — the oracle certifies the batch kernel"))
+      val n = t.n.toDouble
+      val years = t.linCat(1)
+      val minYear = years.keys.min
+      val row = Row(
+        t.n,
+        dround(t.lin(0), 2),                                  // sum_qty
+        dround(t.lin(1) / n, 2),                              // avg_price
+        dround(t.quad(Triple.triIdx(0, 1, 3)) / n, 2),        // avg_qty_price
+        dround(t.lin(2) / n, 2),                              // avg_disc_price
+        dround(t.quadNumCat(0).getOrElse(1, 0.0), 2),         // Σ qty | linenumber=1
+        years.size.toLong,                                    // n_years
+        minYear,                                              // min_year
+        years(minYear).toLong)                                // cnt_min_year
+      val schema = StructType(Seq(
+        StructField("n_rows", LongType), StructField("sum_qty", DoubleType),
+        StructField("avg_price", DoubleType), StructField("avg_qty_price", DoubleType),
+        StructField("avg_disc_price", DoubleType), StructField("sum_qty_line1", DoubleType),
+        StructField("n_years", LongType), StructField("min_year", IntegerType),
+        StructField("cnt_min_year", LongType)))
+      s.createDataFrame(java.util.Arrays.asList(row), schema)
+    },
+
+    // q01's pricing aggregate through the SAME columnar kernel: the
+    // group-by pair rides as one packed-strings categorical and every
+    // output is read back out of the triple's categorical maps — the
+    // DuckDB oracle is the plain GROUP BY (q01's own SQL shape).
+    "q75_columnar_pricing" -> { (s, dir) =>
+      import graft.agg.ColumnarCofactor._
+      val t = cofactor(
+        li(s, dir),
+        Seq(NumCol("l_quantity"), NumCol("l_extendedprice"),
+          NumDerived(Seq("l_extendedprice", "l_discount"), "disc_price", discPriceKernel)),
+        Seq(CatPackedStrings(Seq("l_returnflag", "l_linestatus")))
+      ).getOrElse(throw new IllegalStateException(
+        "q75: the columnar harvest must engage — the oracle certifies the batch kernel"))
+      // packed-key ascending == ORDER BY l_returnflag, l_linestatus
+      val rows = t.linCat(0).keys.toSeq.sorted.map { key =>
+        val cnt = t.linCat(0)(key)
+        val Seq(flag, status) = unpackStrings(key, 2)
+        Row(flag, status,
+          dround(t.quadNumCat(0).getOrElse(key, 0.0), 2),        // sum_qty
+          dround(t.quadNumCat(1).getOrElse(key, 0.0) / cnt, 2),  // avg_price
+          dround(t.quadNumCat(2).getOrElse(key, 0.0) / cnt, 2),  // avg_disc_price
+          cnt.toLong)
+      }
+      val schema = StructType(Seq(
+        StructField("l_returnflag", StringType), StructField("l_linestatus", StringType),
+        StructField("sum_qty", DoubleType), StructField("avg_price", DoubleType),
+        StructField("avg_disc_price", DoubleType), StructField("cnt", LongType)))
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     }
   )
+
+  /** `out(r) = price(r) * (1 - discount(r))` — the shared derived-column
+    * kernel for the columnar cofactor oracle rows. */
+  private val discPriceKernel: (Array[Array[Double]], Array[Double], Int) => Unit =
+    (in, out, n) => {
+      val e = in(0); val dsc = in(1)
+      var r = 0
+      while (r < n) { out(r) = e(r) * (1.0 - dsc(r)); r += 1 }
+    }
+
+  /** DuckDB-compatible HALF_UP rounding for driver-side computed moments. */
+  private def dround(x: Double, scale: Int): Double =
+    BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** Drop a MANAGED bucketed scratch table AND its warehouse directory.
     * A fresh session's catalog does not know tables a previous session
@@ -2741,6 +2825,31 @@ object SparkEntry {
         |       round(avg(l_quantity), 5) AS avg_qty,
         |       round(sum(o_totalprice), 2) AS sum_total,
         |       round(avg(l_quantity * o_totalprice), 2) AS avg_qty_total
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+    // ground truth for the columnar-batch kernel's moments: continuous
+    // sums/products, the derived disc-price column, the int categorical
+    // slice, and the year-of-timestamp categorical recomputed
+    // relationally
+    "q74_columnar_cofactor" ->
+      """SELECT count(*) AS n_rows,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(avg(l_extendedprice), 2) AS avg_price,
+        |       round(avg(l_quantity * l_extendedprice), 2) AS avg_qty_price,
+        |       round(avg(l_extendedprice * (1 - l_discount)), 2) AS avg_disc_price,
+        |       round(sum(CASE WHEN l_linenumber = 1 THEN l_quantity END), 2) AS sum_qty_line1,
+        |       count(DISTINCT year(l_shipdate)) AS n_years,
+        |       min(year(l_shipdate)) AS min_year,
+        |       count(*) FILTER (WHERE year(l_shipdate) =
+        |         (SELECT min(year(l_shipdate)) FROM lineitem)) AS cnt_min_year
+        |FROM lineitem""".stripMargin,
+    // q01's GROUP BY as the ground truth for the packed-strings
+    // categorical route through the same kernel
+    "q75_columnar_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(avg(l_extendedprice), 2) AS avg_price,
+        |       round(avg(l_extendedprice * (1 - l_discount)), 2) AS avg_disc_price,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

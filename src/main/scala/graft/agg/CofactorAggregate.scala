@@ -57,6 +57,15 @@ final class CofactorBuffer(val numCols: Int, val catCols: Int, val nbMode: Boole
         i += 1
       }
     }
+    updateCats()
+  }
+
+  /** Categorical-side accumulation for the row currently in the scratch
+    * arrays. Split out of [[updateRow]] so the columnar batch path
+    * ([[ColumnarCofactor]]) can vectorize the numeric block separately
+    * while reusing the exact per-row map updates and cardinality guard. */
+  def updateCats(): Unit = {
+    var i = 0
     var j = 0
     while (j < catCols) {
       val m = catMaps(j)

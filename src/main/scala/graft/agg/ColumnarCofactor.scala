@@ -1,0 +1,424 @@
+package graft.agg
+
+import graft.ring.Triple
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{ColumnarToRowExec, InputAdapter, ProjectExec, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+/**
+ * Columnar-batch cofactor: computes the same triple as
+ * `agg(sumTriple(...))` by consuming the parquet scan's
+ * [[ColumnarBatch]] vectors directly, skipping the ColumnarToRow
+ * boundary, per-row expression evaluation, and the aggregate iterator —
+ * the measured residual between graft's scan-aggregate and DuckDB's
+ * vectorized pipeline on the same data (BENCH_CONTEXT "scan-agg
+ * endpoint").
+ *
+ * The numeric block (Σx_i and the packed-upper-triangle Σx_i·x_j) runs
+ * as tight loops over per-batch primitive `double[]` buffers — the
+ * JIT-vectorizable shape — while the categorical block reuses
+ * [[CofactorBuffer.updateCats]] per row, so the map layout, canonical
+ * form, and the max-categories OOM guard are the single certified
+ * implementation. Per-partition partials are [[Triple]]s merged on the
+ * driver with the ring's own `Triple.add` (KBs per partition — the same
+ * content the row aggregate shuffles).
+ *
+ * Semantics match [[CofactorAggregate]] exactly: float/double columns
+ * are continuous, integer columns categorical, rows with any NULL input
+ * are skipped (partition.cpp:210-220 in the reference's MICE drivers),
+ * and `CatYear` mirrors `year(timestamp_col)` under the session
+ * timezone. Only floating-point summation ORDER differs (batched vs
+ * row-at-a-time), i.e. last-ulp differences — the same caveat any
+ * partial-aggregation plan already carries across partition counts.
+ *
+ * Scale: the harvested RDD is the scan's own — one task per parquet
+ * split, no shuffle at all; the only data movement is one triple per
+ * partition to the driver. This is strictly less traffic than the row
+ * aggregate's partial/final exchange. The harvest REFUSES any plan that
+ * is not a bare columnar scan (+ attribute-only projections), so a
+ * filter or join can never be silently dropped — callers fall back to
+ * the row aggregate (`None`).
+ */
+object ColumnarCofactor {
+
+  /** Continuous column spec: a source column read as double. */
+  sealed trait NumSpec { def inputs: Seq[String] }
+  final case class NumCol(name: String) extends NumSpec { def inputs: Seq[String] = Seq(name) }
+  /** Derived continuous column: `f(inBufs, out, n)` fills `out(0 until n)`
+    * from the materialized input buffers (tight-loop shape; the lambda
+    * ships in the task closure so it must not capture driver state). */
+  final case class NumDerived(inputs: Seq[String], label: String,
+      f: (Array[Array[Double]], Array[Double], Int) => Unit) extends NumSpec
+
+  /** Categorical column spec: a source column read as an int key. */
+  sealed trait CatSpec { def inputs: Seq[String] }
+  /** Integer-typed categorical column (the aggregate's bind-time rule). */
+  final case class CatCol(name: String) extends CatSpec { def inputs: Seq[String] = Seq(name) }
+  /** `year(timestamp_col)` as a categorical — session-timezone calendar
+    * year, matching `functions.year` on TIMESTAMP. */
+  final case class CatYear(name: String) extends CatSpec { def inputs: Seq[String] = Seq(name) }
+  /** 1–4 single-byte string columns packed into one int key (one byte
+    * per column, first-listed in the high bits) — the TPC-H flag-column
+    * shape (`l_returnflag`/`l_linestatus`). Longer values throw:
+    * a general string dimension should be dictionary-encoded to an int
+    * column upstream instead of silently colliding here. */
+  final case class CatPackedStrings(names: Seq[String]) extends CatSpec {
+    require(names.nonEmpty && names.size <= 4, "CatPackedStrings takes 1-4 columns")
+    def inputs: Seq[String] = names
+  }
+
+  /** Recover the packed strings of a [[CatPackedStrings]] key. */
+  def unpackStrings(key: Int, nCols: Int): Seq[String] =
+    (0 until nCols).map(i => ((key >>> (8 * (nCols - 1 - i))) & 0xff).toChar.toString)
+
+  // ---------------------------------------------------------------- harvest
+
+  /** The columnar leaf scan of `plan`, or None if anything other than
+    * row-conversion / codegen glue / attribute-only projection sits above
+    * it (a filter or join must force the fallback, never be dropped). */
+  private def leafColumnarScan(plan: SparkPlan): Option[SparkPlan] = plan match {
+    case w: WholeStageCodegenExec => leafColumnarScan(w.child)
+    case i: InputAdapter => leafColumnarScan(i.child)
+    case c: ColumnarToRowExec => leafColumnarScan(c.child)
+    case p: ProjectExec if p.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      leafColumnarScan(p.child)
+    case s if s.supportsColumnar && s.children.isEmpty => Some(s)
+    case _ => None
+  }
+
+  // type codes for the per-batch materializers
+  private final val T_DOUBLE = 0; private final val T_FLOAT = 1
+  private final val T_INT = 2; private final val T_LONG = 3
+  private final val T_SHORT = 4; private final val T_BYTE = 5
+  private final val T_TS = 6; private final val T_STRING = 7
+
+  private def numTypeCode(dt: DataType): Option[Int] = dt match {
+    case DoubleType => Some(T_DOUBLE)
+    case FloatType => Some(T_FLOAT)
+    case IntegerType => Some(T_INT)
+    case LongType => Some(T_LONG)
+    case ShortType => Some(T_SHORT)
+    case ByteType => Some(T_BYTE)
+    case _ => None
+  }
+
+  // compiled, serializable execution plan for the batch kernel
+  private final case class Compiled(
+      numCols: Int, catCols: Int, nbMode: Boolean, maxCategories: Int,
+      // raw double inputs: scan-output ordinal + type code, one per unique input name
+      rawOrd: Array[Int], rawT: Array[Int],
+      // numeric spec k reads rawBufs(numFromRaw(k)) if >= 0, else derived
+      numFromRaw: Array[Int],
+      derived: Array[(Array[Int], (Array[Array[Double]], Array[Double], Int) => Unit)],
+      // categorical specs: kind (0=col,1=year,2=packed), ordinals, type codes
+      catKind: Array[Int], catOrds: Array[Array[Int]], catT: Array[Array[Int]],
+      sessionTz: String)
+
+  /**
+   * Compute the cofactor triple of `src` over the given continuous and
+   * categorical specs via the columnar scan, or `None` when the plan is
+   * not a bare harvestable scan (caller falls back to
+   * `agg(sumTriple(...))`).
+   */
+  def cofactor(src: DataFrame, nums: Seq[NumSpec], cats: Seq[CatSpec] = Nil,
+               nbMode: Boolean = false,
+               maxCategories: Int = CofactorAggregate.confMaxCategories()): Option[Triple] = {
+    require(nums.nonEmpty, "cofactor needs at least one continuous column")
+    val inputNames = (nums.flatMap(_.inputs) ++ cats.flatMap(_.inputs)).distinct
+    val pruned = src.select(inputNames.map(col): _*)
+    leafColumnarScan(pruned.queryExecution.executedPlan).flatMap { scan =>
+      val ord = scan.output.map(_.name).zipWithIndex.toMap
+      if (!inputNames.forall(ord.contains)) return None
+      val dtOf = scan.output.map(a => a.name -> a.dataType).toMap
+
+      // unique raw double inputs (NumCol sources + NumDerived inputs)
+      val rawNames = nums.flatMap(_.inputs).distinct
+      val rawIdx = rawNames.zipWithIndex.toMap
+      val rawT = new Array[Int](rawNames.size)
+      for ((n, i) <- rawNames.zipWithIndex)
+        numTypeCode(dtOf(n)) match { case Some(t) => rawT(i) = t; case None => return None }
+
+      val numFromRaw = nums.map { case NumCol(n) => rawIdx(n); case _: NumDerived => -1 }.toArray
+      val derived = nums.collect { case d: NumDerived =>
+        (d.inputs.map(rawIdx).toArray, d.f)
+      }.toArray
+
+      val catKind = new Array[Int](cats.size)
+      val catOrds = new Array[Array[Int]](cats.size)
+      val catT = new Array[Array[Int]](cats.size)
+      for ((c, j) <- cats.zipWithIndex) c match {
+        case CatCol(n) =>
+          catKind(j) = 0; catOrds(j) = Array(ord(n))
+          catT(j) = Array(dtOf(n) match {
+            case IntegerType => T_INT; case LongType => T_LONG
+            case ShortType => T_SHORT; case ByteType => T_BYTE
+            case _ => return None
+          })
+        case CatYear(n) =>
+          catKind(j) = 1; catOrds(j) = Array(ord(n))
+          catT(j) = Array(dtOf(n) match {
+            case TimestampType | TimestampNTZType => T_TS
+            case _ => return None
+          })
+        case CatPackedStrings(names) =>
+          catKind(j) = 2; catOrds(j) = names.map(ord).toArray
+          if (!names.forall(n => dtOf(n) == StringType)) return None
+          catT(j) = names.map(_ => T_STRING).toArray
+      }
+
+      val compiled = Compiled(
+        nums.size, cats.size, nbMode, maxCategories,
+        rawNames.map(ord).toArray, rawT, numFromRaw, derived,
+        catKind, catOrds, catT,
+        src.sparkSession.sessionState.conf.sessionLocalTimeZone)
+
+      val partials = scan.executeColumnar().mapPartitions { batches =>
+        val acc = new BatchAcc(compiled)
+        batches.foreach(acc.addBatch)
+        Iterator.single(acc.buf.toTriple)
+      }.collect()
+
+      Some(if (partials.isEmpty) {
+        val b = new CofactorBuffer(nums.size, cats.size, nbMode)
+        b.toTriple
+      } else partials.reduce(Triple.add))
+    }
+  }
+
+  // ----------------------------------------------------------- batch kernel
+
+  /** Hinnant's civil-from-days year (public-domain algorithm; proleptic
+    * Gregorian, identical to java.time for the supported range). */
+  private[graft] def civilYear(epochDay: Long): Int = {
+    val z = epochDay + 719468L
+    val era = Math.floorDiv(z, 146097L)
+    val doe = z - era * 146097L
+    val yoe = (doe - doe / 1460 + doe / 36524 - doe / 146096) / 365
+    val y = yoe + era * 400
+    val doy = doe - (365 * yoe + yoe / 4 - yoe / 100)
+    val mp = (5 * doy + 2) / 153
+    val m = if (mp < 10) mp + 3 else mp - 9
+    (if (m <= 2) y + 1 else y).toInt
+  }
+
+  private final val MicrosPerDay = 86400000000L
+
+  private final class BatchAcc(p: Compiled) {
+    val buf = new CofactorBuffer(p.numCols, p.catCols, p.nbMode)
+    buf.maxCategories = p.maxCategories
+
+    private val utcTz = p.sessionTz == "UTC" || p.sessionTz == "Etc/UTC" ||
+      p.sessionTz == "GMT" || p.sessionTz == "Z"
+    private lazy val zone = java.time.ZoneId.of(p.sessionTz)
+    private def yearOfMicros(us: Long): Int =
+      if (utcTz) civilYear(Math.floorDiv(us, MicrosPerDay))
+      else java.time.Instant
+        .ofEpochSecond(Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+        .atZone(zone).getYear
+
+    private val nRaw = p.rawOrd.length
+    private var cap = 0
+    private var rawBufs: Array[Array[Double]] = _
+    private var derBufs: Array[Array[Double]] = _
+    private var numBufs: Array[Array[Double]] = _ // spec order, aliases raw/der
+    private var catBufs: Array[Array[Int]] = _
+    private var sel: Array[Int] = _
+
+    private def ensure(n: Int): Unit = if (n > cap) {
+      cap = math.max(n, 4096)
+      rawBufs = Array.fill(nRaw)(new Array[Double](cap))
+      derBufs = Array.fill(p.derived.length)(new Array[Double](cap))
+      numBufs = new Array[Array[Double]](p.numCols)
+      var k = 0; var di = 0
+      while (k < p.numCols) {
+        if (p.numFromRaw(k) >= 0) numBufs(k) = rawBufs(p.numFromRaw(k))
+        else { numBufs(k) = derBufs(di); di += 1 }
+        k += 1
+      }
+      catBufs = Array.fill(p.catCols)(new Array[Int](cap))
+      sel = new Array[Int](cap)
+    }
+
+    private def fillDouble(v: ColumnVector, t: Int, out: Array[Double], s: Array[Int], n: Int): Unit = {
+      var r = 0
+      t match {
+        case T_DOUBLE =>
+          if (s == null) while (r < n) { out(r) = v.getDouble(r); r += 1 }
+          else while (r < n) { out(r) = v.getDouble(s(r)); r += 1 }
+        case T_FLOAT =>
+          if (s == null) while (r < n) { out(r) = v.getFloat(r).toDouble; r += 1 }
+          else while (r < n) { out(r) = v.getFloat(s(r)).toDouble; r += 1 }
+        case T_INT =>
+          if (s == null) while (r < n) { out(r) = v.getInt(r).toDouble; r += 1 }
+          else while (r < n) { out(r) = v.getInt(s(r)).toDouble; r += 1 }
+        case T_LONG =>
+          if (s == null) while (r < n) { out(r) = v.getLong(r).toDouble; r += 1 }
+          else while (r < n) { out(r) = v.getLong(s(r)).toDouble; r += 1 }
+        case T_SHORT =>
+          if (s == null) while (r < n) { out(r) = v.getShort(r).toDouble; r += 1 }
+          else while (r < n) { out(r) = v.getShort(s(r)).toDouble; r += 1 }
+        case T_BYTE =>
+          if (s == null) while (r < n) { out(r) = v.getByte(r).toDouble; r += 1 }
+          else while (r < n) { out(r) = v.getByte(s(r)).toDouble; r += 1 }
+      }
+    }
+
+    private def fillCatInt(v: ColumnVector, t: Int, out: Array[Int], s: Array[Int], n: Int): Unit = {
+      var r = 0
+      t match {
+        case T_INT =>
+          if (s == null) while (r < n) { out(r) = v.getInt(r); r += 1 }
+          else while (r < n) { out(r) = v.getInt(s(r)); r += 1 }
+        case T_LONG =>
+          if (s == null) while (r < n) { out(r) = v.getLong(r).toInt; r += 1 }
+          else while (r < n) { out(r) = v.getLong(s(r)).toInt; r += 1 }
+        case T_SHORT =>
+          if (s == null) while (r < n) { out(r) = v.getShort(r).toInt; r += 1 }
+          else while (r < n) { out(r) = v.getShort(s(r)).toInt; r += 1 }
+        case T_BYTE =>
+          if (s == null) while (r < n) { out(r) = v.getByte(r).toInt; r += 1 }
+          else while (r < n) { out(r) = v.getByte(s(r)).toInt; r += 1 }
+        case T_TS =>
+          if (s == null) while (r < n) { out(r) = yearOfMicros(v.getLong(r)); r += 1 }
+          else while (r < n) { out(r) = yearOfMicros(v.getLong(s(r))); r += 1 }
+      }
+    }
+
+    private def packByte(v: ColumnVector, row: Int, colName: => String): Int = {
+      val u = v.getUTF8String(row)
+      if (u.numBytes != 1)
+        throw new IllegalArgumentException(
+          s"CatPackedStrings: column $colName has a ${u.numBytes}-byte value ('$u') — " +
+          "only single-byte flag columns pack; dictionary-encode wider strings to an int column")
+      u.getByte(0) & 0xff
+    }
+
+    def addBatch(batch: ColumnarBatch): Unit = {
+      val nAll = batch.numRows()
+      if (nAll == 0) return
+      ensure(nAll)
+
+      // every vector any spec reads — the NULL-skip semantics span all of them
+      var anyNull = false
+      var i = 0
+      while (i < nRaw) { if (batch.column(p.rawOrd(i)).hasNull) anyNull = true; i += 1 }
+      var j = 0
+      while (j < p.catCols) {
+        val os = p.catOrds(j); var q = 0
+        while (q < os.length) { if (batch.column(os(q)).hasNull) anyNull = true; q += 1 }
+        j += 1
+      }
+
+      var n = nAll
+      var s: Array[Int] = null
+      if (anyNull) {
+        // compact to the rows with no NULL in any input (aggregate semantics)
+        var keep = 0
+        var r = 0
+        while (r < nAll) {
+          var ok = true
+          i = 0
+          while (ok && i < nRaw) { if (batch.column(p.rawOrd(i)).isNullAt(r)) ok = false; i += 1 }
+          j = 0
+          while (ok && j < p.catCols) {
+            val os = p.catOrds(j); var q = 0
+            while (ok && q < os.length) { if (batch.column(os(q)).isNullAt(r)) ok = false; q += 1 }
+            j += 1
+          }
+          if (ok) { sel(keep) = r; keep += 1 }
+          r += 1
+        }
+        n = keep
+        s = sel
+        if (n == 0) return
+      }
+
+      i = 0
+      while (i < nRaw) { fillDouble(batch.column(p.rawOrd(i)), p.rawT(i), rawBufs(i), s, n); i += 1 }
+      var di = 0
+      while (di < p.derived.length) {
+        val (ins, f) = p.derived(di)
+        val inArr = new Array[Array[Double]](ins.length)
+        var q = 0
+        while (q < ins.length) { inArr(q) = rawBufs(ins(q)); q += 1 }
+        f(inArr, derBufs(di), n)
+        di += 1
+      }
+      j = 0
+      while (j < p.catCols) {
+        if (p.catKind(j) == 2) {
+          val os = p.catOrds(j)
+          val out = catBufs(j)
+          var r = 0
+          if (s == null) while (r < n) {
+            var key = 0; var q = 0
+            while (q < os.length) { key = (key << 8) | packByte(batch.column(os(q)), r, s"#${os(q)}"); q += 1 }
+            out(r) = key; r += 1
+          } else while (r < n) {
+            var key = 0; var q = 0
+            while (q < os.length) { key = (key << 8) | packByte(batch.column(os(q)), s(r), s"#${os(q)}"); q += 1 }
+            out(r) = key; r += 1
+          }
+        } else fillCatInt(batch.column(p.catOrds(j)(0)), p.catT(j)(0), catBufs(j), s, n)
+        j += 1
+      }
+
+      // numeric block: vector loops over the materialized buffers
+      buf.n += n
+      val d = p.numCols
+      var k = 0
+      while (k < d) {
+        val a = numBufs(k)
+        var acc = 0.0
+        var r = 0
+        while (r < n) { acc += a(r); r += 1 }
+        buf.lin(k) += acc
+        k += 1
+      }
+      if (p.nbMode) {
+        k = 0
+        while (k < d) {
+          val a = numBufs(k)
+          var acc = 0.0
+          var r = 0
+          while (r < n) { val x = a(r); acc += x * x; r += 1 }
+          buf.quad(k) += acc
+          k += 1
+        }
+      } else {
+        var idx = 0
+        k = 0
+        while (k < d) {
+          val a = numBufs(k)
+          var kk = k
+          while (kk < d) {
+            val b = numBufs(kk)
+            var acc = 0.0
+            var r = 0
+            while (r < n) { acc += a(r) * b(r); r += 1 }
+            buf.quad(idx) += acc
+            idx += 1
+            kk += 1
+          }
+          k += 1
+        }
+      }
+
+      // categorical block: per-row scratch + the shared certified update
+      if (p.catCols > 0) {
+        var r = 0
+        while (r < n) {
+          k = 0
+          while (k < d) { buf.rowNum(k) = numBufs(k)(r); k += 1 }
+          j = 0
+          while (j < p.catCols) { buf.rowCat(j) = catBufs(j)(r); j += 1 }
+          buf.updateCats()
+          r += 1
+        }
+      }
+    }
+  }
+}

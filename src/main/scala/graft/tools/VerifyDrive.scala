@@ -392,6 +392,32 @@ object VerifyDrive {
       println(s"star cofactor OK: N=${tChain.n} chain == adaptive == materialized 3-way")
     }
 
+    println("== [20] columnar-batch cofactor: harvested scan == row aggregate, refusal on filters ==")
+    locally {
+      import graft.agg.ColumnarCofactor
+      import graft.agg.ColumnarCofactor._
+      val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      val t = ColumnarCofactor.cofactor(li,
+        Seq(NumCol("l_quantity"), NumCol("l_extendedprice")),
+        Seq(CatCol("l_linenumber"), CatYear("l_shipdate")))
+        .getOrElse(sys.error("columnar harvest must engage on the bare scan"))
+      val ref = graft.Graft.tripleFromRow(
+        li.withColumn("shipyear", year(col("l_shipdate")))
+          .agg(graft.Graft.sumTriple(col("l_quantity"), col("l_extendedprice"),
+            col("l_linenumber"), col("shipyear")).as("t")).head.getStruct(0))
+      assert(t.approxEquals(ref, 1e-9), "columnar cofactor != row aggregate")
+      // refusal: a filtered plan must NOT be harvested (the filter would
+      // be silently dropped) — production entry falls back row-based
+      assert(ColumnarCofactor.cofactor(li.filter(col("l_quantity") > 25),
+        Seq(NumCol("l_quantity"))).isEmpty, "filtered plan must refuse the harvest")
+      val filtered = graft.Graft.cofactor(li.filter(col("l_quantity") > 25), Seq("l_quantity"), Seq())
+      val filteredRef = graft.Graft.tripleFromRow(
+        li.filter(col("l_quantity") > 25)
+          .agg(graft.Graft.sumTriple(col("l_quantity")).as("t")).head.getStruct(0))
+      assert(filtered.approxEquals(filteredRef, 1e-12), "fallback path broken")
+      println(s"columnar cofactor OK: N=${t.n} parity with row aggregate; filtered plan refused")
+    }
+
     spark.stop()
   }
 }

@@ -1,0 +1,141 @@
+package graft
+
+import graft.agg.ColumnarCofactor
+import graft.agg.ColumnarCofactor._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The columnar-batch cofactor kernel against the row aggregate it
+  * replaces on bare scans: identical triples (up to summation-order
+  * ulps) on real parquet, identical NULL-skip semantics, refusal of any
+  * non-harvestable plan, and the year/packed-strings categorical
+  * transforms. */
+class ColumnarCofactorSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.001"
+  def li = spark.read.parquet(s"$dir/lineitem.parquet")
+
+  test("columnar triple == row-aggregate triple on a bare scan (nums + int cat)") {
+    val t = ColumnarCofactor.cofactor(li,
+      Seq(NumCol("l_quantity"), NumCol("l_extendedprice")),
+      Seq(CatCol("l_linenumber"))).get
+    val ref = Graft.tripleFromRow(
+      li.agg(Graft.sumTriple(col("l_quantity"), col("l_extendedprice"), col("l_linenumber")).as("t"))
+        .head.getStruct(0))
+    assert(t.n == ref.n)
+    assert(t.approxEquals(ref, 1e-9))
+  }
+
+  test("CatYear matches year(timestamp) under the session timezone") {
+    val t = ColumnarCofactor.cofactor(li,
+      Seq(NumCol("l_quantity")), Seq(CatYear("l_shipdate"))).get
+    val ref = Graft.tripleFromRow(
+      li.withColumn("y", year(col("l_shipdate")))
+        .agg(Graft.sumTriple(col("l_quantity"), col("y")).as("t")).head.getStruct(0))
+    assert(t.approxEquals(ref, 1e-9))
+  }
+
+  test("civilYear matches java.time over four centuries") {
+    var day = java.time.LocalDate.of(1900, 1, 1).toEpochDay
+    val end = java.time.LocalDate.of(2300, 1, 1).toEpochDay
+    while (day < end) {
+      assert(ColumnarCofactor.civilYear(day) == java.time.LocalDate.ofEpochDay(day).getYear)
+      day += 37 // stride across month/year boundaries
+    }
+    assert(ColumnarCofactor.civilYear(java.time.LocalDate.of(1969, 12, 31).toEpochDay) == 1969)
+  }
+
+  test("NumDerived kernel matches the expression column") {
+    val f: (Array[Array[Double]], Array[Double], Int) => Unit =
+      (in, out, n) => { var r = 0; while (r < n) { out(r) = in(0)(r) * (1.0 - in(1)(r)); r += 1 } }
+    val t = ColumnarCofactor.cofactor(li,
+      Seq(NumCol("l_quantity"), NumDerived(Seq("l_extendedprice", "l_discount"), "dp", f))).get
+    val ref = Graft.tripleFromRow(
+      li.withColumn("dp", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .agg(Graft.sumTriple(col("l_quantity"), col("dp")).as("t")).head.getStruct(0))
+    assert(t.approxEquals(ref, 1e-9))
+  }
+
+  test("CatPackedStrings == the group-by pair; key order is lexicographic") {
+    val t = ColumnarCofactor.cofactor(li,
+      Seq(NumCol("l_quantity")),
+      Seq(CatPackedStrings(Seq("l_returnflag", "l_linestatus")))).get
+    val exp = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sq"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(0 + 2), r.getDouble(3)))
+      .toMap
+    assert(t.linCat(0).size == exp.size)
+    for ((key, cnt) <- t.linCat(0)) {
+      val Seq(flag, status) = unpackStrings(key, 2)
+      val (ecnt, esq) = exp((flag, status))
+      assert(cnt == ecnt.toDouble)
+      assert(math.abs(t.quadNumCat(0)(key) - esq) <= 1e-9 * (1 + math.abs(esq)))
+    }
+    val sortedKeys = t.linCat(0).keys.toSeq.sorted
+    val pairs = sortedKeys.map(k => { val Seq(a, b) = unpackStrings(k, 2); (a, b) })
+    assert(pairs == pairs.sorted)
+  }
+
+  test("NULL rows are skipped exactly like the row aggregate") {
+    val tmp = java.nio.file.Files.createTempDirectory("colcof").toString
+    Seq[(java.lang.Double, java.lang.Double, java.lang.Integer)](
+      (1.0, 2.0, 1), (null, 3.0, 1), (2.0, null, 2), (3.0, 4.0, null), (5.0, 6.0, 2)
+    ).toDF("x", "y", "c").write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
+    val t = ColumnarCofactor.cofactor(df, Seq(NumCol("x"), NumCol("y")), Seq(CatCol("c"))).get
+    assert(t.n == 2) // only the two all-non-null rows survive
+    val ref = Graft.tripleFromRow(
+      df.agg(Graft.sumTriple(col("x"), col("y"), col("c")).as("t")).head.getStruct(0))
+    assert(t.approxEquals(ref, 1e-12))
+  }
+
+  test("harvest refuses filters, derived plans, and non-scan sources") {
+    assert(ColumnarCofactor.cofactor(
+      li.filter(col("l_quantity") > 10), Seq(NumCol("l_quantity"))).isEmpty)
+    assert(ColumnarCofactor.cofactor(
+      li.withColumn("q2", col("l_quantity") * 2).select(col("q2").as("l_quantity")),
+      Seq(NumCol("l_quantity"))).isEmpty)
+    val local = Seq((1.0, 2), (3.0, 4)).toDF("x", "c")
+    assert(ColumnarCofactor.cofactor(local, Seq(NumCol("x")), Seq(CatCol("c"))).isEmpty)
+  }
+
+  test("Graft.cofactor routes bare scans columnar and filtered frames to the row aggregate") {
+    // both paths must agree — this is the production entry MICE's static
+    // cofactor rides on
+    val full = Graft.cofactor(li, Seq("l_quantity", "l_extendedprice"), Seq("l_linenumber"))
+    val refFull = Graft.tripleFromRow(
+      li.agg(Graft.sumTriple(col("l_quantity"), col("l_extendedprice"), col("l_linenumber")).as("t"))
+        .head.getStruct(0))
+    assert(full.approxEquals(refFull, 1e-9))
+    val filt = Graft.cofactor(li.filter(col("l_linenumber") === 1), Seq("l_quantity"), Seq())
+    val refFilt = Graft.tripleFromRow(
+      li.filter(col("l_linenumber") === 1)
+        .agg(Graft.sumTriple(col("l_quantity")).as("t")).head.getStruct(0))
+    assert(filt.approxEquals(refFilt, 1e-12))
+  }
+
+  test("nb mode: diagonal-only quad matches the row aggregate") {
+    val t = ColumnarCofactor.cofactor(li,
+      Seq(NumCol("l_quantity"), NumCol("l_tax")), Seq(CatCol("l_linenumber")), nbMode = true).get
+    val ref = Graft.tripleFromRow(
+      li.agg(Graft.sumNbAgg(col("l_quantity"), col("l_tax"), col("l_linenumber")).as("t"))
+        .head.getStruct(0))
+    assert(t.n == ref.n)
+    assert(t.approxEquals(ref, 1e-9))
+  }
+
+  test("multi-byte CatPackedStrings value fails loudly, not silently collides") {
+    val tmp = java.nio.file.Files.createTempDirectory("colcofs").toString
+    Seq(("AB", 1.0), ("C", 2.0)).toDF("f", "x").write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
+    val ex = intercept[Exception] {
+      ColumnarCofactor.cofactor(df, Seq(NumCol("x")), Seq(CatPackedStrings(Seq("f"))))
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("single-byte")))
+  }
+}
