@@ -125,7 +125,38 @@ object ColumnarCofactor {
    */
   def cofactor(src: DataFrame, nums: Seq[NumSpec], cats: Seq[CatSpec] = Nil,
                nbMode: Boolean = false,
-               maxCategories: Int = CofactorAggregate.confMaxCategories()): Option[Triple] = {
+               maxCategories: Int = CofactorAggregate.confMaxCategories()): Option[Triple] =
+    compile(src, nums, cats, nbMode, maxCategories).map { case (scan, compiled) =>
+      val partials = scan.executeColumnar().mapPartitions { batches =>
+        val acc = new BatchAcc(compiled)
+        batches.foreach(acc.addBatch)
+        Iterator.single(acc.buf.toTriple)
+      }.collect()
+      if (partials.isEmpty) {
+        val b = new CofactorBuffer(nums.size, cats.size, nbMode)
+        b.toTriple
+      } else partials.reduce(Triple.add)
+    }
+
+  /** Stage-truncated run for `tools.ColProfile` (1 = iterate only,
+    * 2 = +numeric decode, 3 = +numeric moments, 4 = +cat decode);
+    * returns total rows seen so the work cannot be dead-code-eliminated. */
+  private[graft] def profileStage(src: DataFrame, numCols: Seq[String],
+      catInts: Seq[String], catYears: Seq[String], stage: Int): Long = {
+    val nums: Seq[NumSpec] = numCols.map(NumCol)
+    val cats: Seq[CatSpec] = catInts.map(CatCol) ++ catYears.map(CatYear)
+    val (scan, compiled) = compile(src, nums, cats, nbMode = false,
+      CofactorAggregate.confMaxCategories()).getOrElse(sys.error("harvest must engage"))
+    scan.executeColumnar().mapPartitions { batches =>
+      val acc = new BatchAcc(compiled, stage)
+      batches.foreach(acc.addBatch)
+      Iterator.single(acc.buf.n + acc.rowsSeen)
+    }.collect().sum
+  }
+
+  private def compile(src: DataFrame, nums: Seq[NumSpec], cats: Seq[CatSpec],
+               nbMode: Boolean,
+               maxCategories: Int): Option[(SparkPlan, Compiled)] = {
     require(nums.nonEmpty, "cofactor needs at least one continuous column")
     val inputNames = (nums.flatMap(_.inputs) ++ cats.flatMap(_.inputs)).distinct
     val pruned = src.select(inputNames.map(col): _*)
@@ -174,17 +205,7 @@ object ColumnarCofactor {
         rawNames.map(ord).toArray, rawT, numFromRaw, derived,
         catKind, catOrds, catT,
         src.sparkSession.sessionState.conf.sessionLocalTimeZone)
-
-      val partials = scan.executeColumnar().mapPartitions { batches =>
-        val acc = new BatchAcc(compiled)
-        batches.foreach(acc.addBatch)
-        Iterator.single(acc.buf.toTriple)
-      }.collect()
-
-      Some(if (partials.isEmpty) {
-        val b = new CofactorBuffer(nums.size, cats.size, nbMode)
-        b.toTriple
-      } else partials.reduce(Triple.add))
+      Some((scan, compiled))
     }
   }
 
@@ -206,9 +227,10 @@ object ColumnarCofactor {
 
   private final val MicrosPerDay = 86400000000L
 
-  private final class BatchAcc(p: Compiled) {
+  private final class BatchAcc(p: Compiled, stage: Int = 5) {
     val buf = new CofactorBuffer(p.numCols, p.catCols, p.nbMode)
     buf.maxCategories = p.maxCategories
+    var rowsSeen = 0L // profile stages < 3 don't touch buf.n
 
     private val utcTz = p.sessionTz == "UTC" || p.sessionTz == "Etc/UTC" ||
       p.sessionTz == "GMT" || p.sessionTz == "Z"
