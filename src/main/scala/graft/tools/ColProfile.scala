@@ -21,9 +21,10 @@ import org.apache.spark.sql.functions._
 object ColProfile {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/repo/testdata-sf100")
-    // optional reader-tuning axes: [maxPartitionBytes] [batchSize]
+    // optional reader-tuning axes: [maxPartitionBytes] [batchSize] [rebaseMode]
     val mpb = if (args.length > 1) args(1) else "134217728"
     val cbs = if (args.length > 2) args(2) else "4096"
+    val rebase = if (args.length > 3) args(3) else "EXCEPTION"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -32,8 +33,9 @@ object ColProfile {
       .config("spark.driver.memory", "16g")
       .config("spark.sql.files.maxPartitionBytes", mpb)
       .config("spark.sql.parquet.columnarReaderBatchSize", cbs)
+      .config("spark.sql.parquet.datetimeRebaseModeInRead", rebase)
       .getOrCreate()
-    println(s"[colprofile] maxPartitionBytes=$mpb batchSize=$cbs")
+    println(s"[colprofile] maxPartitionBytes=$mpb batchSize=$cbs rebase=$rebase")
     spark.sparkContext.setLogLevel("WARN")
     val li = Tables.load(spark, dir, "lineitem")
     li.count() // warm file listing/footers
