@@ -204,18 +204,30 @@ object Graft {
   }
 
   /** Per-class cofactors: `GROUP BY label` aggregation collected as
-    * (label value, triple) pairs (the QDA/NB training input). */
+    * (label value, triple) pairs (the QDA/NB training input). Rows with
+    * a NULL label are dropped on BOTH routes (a SQL GROUP BY would form
+    * a NULL group whose key then unboxes to 0 — silently merging
+    * unlabeled rows into class 0 is never what training wants). Bare
+    * scans route through the columnar kernel, like [[cofactor]]. */
   def cofactorPerClass(df: DataFrame, num: Seq[String], cat: Seq[String],
                        label: String, nb: Boolean = false): Seq[(Int, Triple)] = {
     register(df.sparkSession)
-    val cols = num.map(c => org.apache.spark.sql.functions.col(c).cast("double")) ++
-      cat.map(c => org.apache.spark.sql.functions.col(c).cast("int"))
-    val agg = if (nb) sumNbAgg(cols: _*) else sumTriple(cols: _*)
-    df.groupBy(org.apache.spark.sql.functions.col(label).cast("int").as("__label"))
-      .agg(agg.as("t"))
-      .collect()
-      .map(r => r.getInt(0) -> tripleFromRow(r.getStruct(1))).toSeq
-  }
+    graft.agg.ColumnarCofactor.cofactorPerClass(
+      df,
+      num.map(graft.agg.ColumnarCofactor.NumCol),
+      cat.map(graft.agg.ColumnarCofactor.CatCol),
+      graft.agg.ColumnarCofactor.CatCol(label),
+      nbMode = nb
+    ).getOrElse {
+      val cols = num.map(c => org.apache.spark.sql.functions.col(c).cast("double")) ++
+        cat.map(c => org.apache.spark.sql.functions.col(c).cast("int"))
+      val agg = if (nb) sumNbAgg(cols: _*) else sumTriple(cols: _*)
+      df.filter(org.apache.spark.sql.functions.col(label).isNotNull)
+        .groupBy(org.apache.spark.sql.functions.col(label).cast("int").as("__label"))
+        .agg(agg.as("t"))
+        .collect()
+        .map(r => r.getInt(0) -> tripleFromRow(r.getStruct(1))).toSeq
+  } }
 
   /** Decode a collected triple struct Row into a [[Triple]]. */
   def tripleFromRow(r: Row): Triple = {

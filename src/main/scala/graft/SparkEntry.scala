@@ -1658,6 +1658,36 @@ object SparkEntry {
         StructField("sum_qty", DoubleType), StructField("avg_price", DoubleType),
         StructField("avg_disc_price", DoubleType), StructField("cnt", LongType)))
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    },
+
+    // Per-class triples (the QDA/LDA/NB training input) through the
+    // columnar kernel: one FULL triple per label value — including the
+    // per-class QUAD moment, which the flat kernel's categorical maps
+    // cannot express — plus a per-class categorical (distinct ship
+    // years), each recomputed relationally by DuckDB. Harvest asserted.
+    "q76_perclass_columnar" -> { (s, dir) =>
+      import graft.agg.ColumnarCofactor
+      import graft.agg.ColumnarCofactor._
+      val perClass = ColumnarCofactor.cofactorPerClass(
+        li(s, dir),
+        Seq(NumCol("l_quantity"), NumCol("l_extendedprice")),
+        Seq(CatYear("l_shipdate")),
+        CatCol("l_linenumber")
+      ).getOrElse(throw new IllegalStateException(
+        "q76: the columnar harvest must engage — the oracle certifies the per-class kernel"))
+      val rows = perClass.sortBy(_._1).map { case (line, t) =>
+        val n = t.n.toDouble
+        Row(line, t.n,
+          dround(t.lin(0), 2),                            // sum_qty
+          dround(t.lin(1) / n, 2),                        // avg_price
+          dround(t.quad(Triple.triIdx(0, 1, 2)) / n, 2),  // avg_qty_price (per-class quad)
+          t.linCat(0).size.toLong)                        // n_years
+      }
+      val schema = StructType(Seq(
+        StructField("l_linenumber", IntegerType), StructField("n_rows", LongType),
+        StructField("sum_qty", DoubleType), StructField("avg_price", DoubleType),
+        StructField("avg_qty_price", DoubleType), StructField("n_years", LongType)))
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     }
   )
 
@@ -2850,6 +2880,15 @@ object SparkEntry {
         |       round(avg(l_extendedprice), 2) AS avg_price,
         |       round(avg(l_extendedprice * (1 - l_discount)), 2) AS avg_disc_price,
         |       count(*) AS cnt
-        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // per-class ground truth: full per-group moments incl. the quad
+    // term and a per-group categorical cardinality
+    "q76_perclass_columnar" ->
+      """SELECT l_linenumber, count(*) AS n_rows,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(avg(l_extendedprice), 2) AS avg_price,
+        |       round(avg(l_quantity * l_extendedprice), 2) AS avg_qty_price,
+        |       count(DISTINCT year(l_shipdate)) AS n_years
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

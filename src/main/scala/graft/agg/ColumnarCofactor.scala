@@ -138,6 +138,29 @@ object ColumnarCofactor {
       } else partials.reduce(Triple.add)
     }
 
+  /**
+   * Per-class cofactor triples (the QDA/LDA/NB training input —
+   * `GROUP BY label` with a FULL triple per class) via the columnar
+   * scan, or `None` when the plan is not harvestable. The label rides
+   * through the same compiled plan as an extra categorical, so the
+   * NULL-skip machinery covers it: a NULL-label row is skipped, same
+   * as any other NULL input (the row path filters `label IS NOT NULL`
+   * for the same contract). Class count is bounded by the same
+   * cardinality guard as categorical columns — an ID-like label is an
+   * executor OOM, not a training set.
+   */
+  def cofactorPerClass(src: DataFrame, nums: Seq[NumSpec], cats: Seq[CatSpec],
+                       label: CatSpec, nbMode: Boolean = false,
+                       maxCategories: Int = CofactorAggregate.confMaxCategories()): Option[Seq[(Int, Triple)]] =
+    compile(src, nums, cats :+ label, nbMode, maxCategories).map { case (scan, compiled) =>
+      val partials = scan.executeColumnar().mapPartitions { batches =>
+        val acc = new BatchAcc(compiled, labelMode = true)
+        batches.foreach(acc.addBatch)
+        Iterator.single(acc.perClassResult)
+      }.collect()
+      partials.foldLeft(Seq.empty[(Int, Triple)])(Triple.addPerClass)
+    }
+
   /** Stage-truncated run for `tools.ColProfile` (1 = iterate only,
     * 2 = +numeric decode, 3 = +numeric moments, 4 = +cat decode);
     * returns total rows seen so the work cannot be dead-code-eliminated. */
@@ -227,10 +250,305 @@ object ColumnarCofactor {
 
   private final val MicrosPerDay = 86400000000L
 
-  private final class BatchAcc(p: Compiled, stage: Int = 5) {
-    val buf = new CofactorBuffer(p.numCols, p.catCols, p.nbMode)
+  private final class BatchAcc(p: Compiled, stage: Int = 5, labelMode: Boolean = false) {
+    val buf = new CofactorBuffer(p.numCols, if (labelMode) 0 else p.catCols, p.nbMode)
     buf.maxCategories = p.maxCategories
     var rowsSeen = 0L // profile stages < 3 don't touch buf.n
+
+    // label mode: the LAST compiled cat column is the class label; one
+    // full CofactorBuffer per class, fed row-at-a-time (updateRow —
+    // the ladder showed kernel arithmetic is free next to the scan)
+    private val byClass = new scala.collection.mutable.LongMap[CofactorBuffer]
+    private def classBuf(label: Int): CofactorBuffer = {
+      val before = byClass.size
+      val b = byClass.getOrElseUpdate(label.toLong, {
+        val nb = new CofactorBuffer(p.numCols, p.catCols - 1, p.nbMode)
+        nb.maxCategories = p.maxCategories
+        nb
+      })
+      if (byClass.size > before && byClass.size > p.maxCategories)
+        throw new IllegalStateException(
+          s"per-class cofactor: label exceeded ${p.maxCategories} distinct classes — " +
+          "this looks like an ID, not a label (raise spark.graft.cofactor.maxCategories to override)")
+      b
+    }
+    def perClassResult: Seq[(Int, Triple)] =
+      byClass.toSeq.map { case (k, b) => (k.toInt, b.toTriple) }.sortBy(_._1)
+
+    // ---- dense categorical fast path (flat mode) -------------------
+    // The ladder (tools/ColProfile) shows the per-row LongMap probes of
+    // updateCats cost as much as the whole scan. Real categoricals are
+    // small-range ints, so each BATCH accumulates into direct-indexed
+    // arrays (window = the batch's own [min,max]) and flushes the few
+    // touched slots into the certified maps at batch end — ≤span probes
+    // per batch instead of catCols(+pairs) probes per ROW. Slots are
+    // zeroed lazily via epoch marks (no per-batch memset of the
+    // window); a batch whose span exceeds the caps falls back to
+    // updateCats row-by-row, so semantics never depend on the window.
+    private val catStride = if (p.nbMode) 1 else p.numCols + 1
+    private val DenseSpanCap = 1 << 16
+    private val DensePairCap = 1 << 20
+    private val nPairs = if (p.nbMode) 0 else p.catCols * (p.catCols + 1) / 2
+    private var epoch = 0
+    private var mnB: Array[Int] = _
+    private var spanB: Array[Int] = _
+    private var dSlots: Array[Array[Double]] = _
+    private var dMark: Array[Array[Int]] = _
+    private var dTouch: Array[Array[Int]] = _
+    private var dTc: Array[Int] = _
+    private var pSlots: Array[Array[Double]] = _
+    private var pMark: Array[Array[Int]] = _
+    private var pTouch: Array[Array[Int]] = _
+    private var pTc: Array[Int] = _
+
+    private def growD(a: Array[Double], need: Int): Array[Double] =
+      if (a != null && a.length >= need) a else new Array[Double](need)
+    private def growI(a: Array[Int], need: Int): Array[Int] =
+      if (a != null && a.length >= need) a else new Array[Int](need)
+
+    // combined-cell tier: when Π span is tiny (the usual case — a few
+    // small dimension columns), ONE direct-indexed cell per row carries
+    // count + Σx_i for the full cross-category group, and the per-column
+    // maps, diagonal and cross pairs are all MARGINALIZED out of the ≤
+    // Π-span touched cells at flush — per-row work collapses to one
+    // index + (d+1) adds regardless of catCols
+    private val CombCap = 8192
+    private var cSlots: Array[Double] = _
+    private var cMark: Array[Int] = _
+    private var cTouch: Array[Int] = _
+    private var cVals: Array[Int] = _ // scratch: decomposed cell coords
+
+    private def denseCatsCombined(n: Int): Boolean = {
+      val c = p.catCols
+      var comb = 1L
+      var j = 0
+      while (j < c) {
+        comb *= spanB(j)
+        if (comb > CombCap) return false
+        j += 1
+      }
+      val combI = comb.toInt
+      val d = p.numCols
+      val stride = catStride
+      cSlots = growD(cSlots, combI * stride)
+      cMark = growI(cMark, combI)
+      cTouch = growI(cTouch, math.min(combI, n))
+      if (cVals == null || cVals.length < c) cVals = new Array[Int](c)
+      var tc = 0
+      var r = 0
+      while (r < n) {
+        var cidx = 0
+        j = 0
+        while (j < c) { cidx = cidx * spanB(j) + (catBufs(j)(r) - mnB(j)); j += 1 }
+        val off = cidx * stride
+        if (cMark(cidx) != epoch) {
+          cMark(cidx) = epoch
+          cTouch(tc) = cidx; tc += 1
+          var z = 0
+          while (z < stride) { cSlots(off + z) = 0.0; z += 1 }
+        }
+        cSlots(off) += 1.0
+        if (!p.nbMode) {
+          var i2 = 0
+          while (i2 < d) { cSlots(off + 1 + i2) += numBufs(i2)(r); i2 += 1 }
+        }
+        r += 1
+      }
+      // flush: marginalize each touched cell into the certified maps
+      var t = 0
+      while (t < tc) {
+        val cell = cTouch(t)
+        var rem = cell
+        j = c - 1
+        while (j >= 0) { cVals(j) = mnB(j) + rem % spanB(j); rem /= spanB(j); j -= 1 }
+        val off = cell * stride
+        val cnt = cSlots(off)
+        j = 0
+        while (j < c) {
+          val slot = buf.catMaps(j).getOrElseUpdate(cVals(j).toLong, new Array[Double](stride))
+          slot(0) += cnt
+          if (!p.nbMode) {
+            var i2 = 0
+            while (i2 < d) { slot(1 + i2) += cSlots(off + 1 + i2); i2 += 1 }
+          }
+          j += 1
+        }
+        if (!p.nbMode) {
+          j = 0
+          while (j < c) {
+            var k = j
+            while (k < c) {
+              val pm = buf.quadCat(Triple.pairIdx(j, k, c))
+              pm.getOrElseUpdate(Triple.catKey(cVals(j), cVals(k)), new Array[Double](1))(0) += cnt
+              k += 1
+            }
+            j += 1
+          }
+        }
+        t += 1
+      }
+      j = 0
+      while (j < c) {
+        if (buf.catMaps(j).size > p.maxCategories)
+          throw new IllegalStateException(
+            s"cofactor: categorical column #$j exceeded ${p.maxCategories} distinct values — " +
+            "this looks like an ID, not a category (raise spark.graft.cofactor.maxCategories to override)")
+        j += 1
+      }
+      true
+    }
+
+    /** Accumulate the batch's categorical block densely; false if any
+      * window exceeds the caps (caller falls back to updateCats). */
+    private def denseCats(n: Int): Boolean = {
+      val c = p.catCols
+      if (mnB == null) {
+        mnB = new Array[Int](c); spanB = new Array[Int](c)
+        dSlots = new Array[Array[Double]](c); dMark = new Array[Array[Int]](c)
+        dTouch = new Array[Array[Int]](c); dTc = new Array[Int](c)
+        pSlots = new Array[Array[Double]](nPairs); pMark = new Array[Array[Int]](nPairs)
+        pTouch = new Array[Array[Int]](nPairs); pTc = new Array[Int](nPairs)
+      }
+      var j = 0
+      while (j < c) {
+        val a = catBufs(j)
+        var mn = a(0); var mx = a(0)
+        var r = 1
+        while (r < n) { val v = a(r); if (v < mn) mn = v; if (v > mx) mx = v; r += 1 }
+        val span = mx - mn + 1
+        if (span <= 0 || span > DenseSpanCap) return false // overflow-safe: huge range
+        mnB(j) = mn; spanB(j) = span
+        j += 1
+      }
+      epoch += 1
+      if (denseCatsCombined(n)) return true
+      if (!p.nbMode) {
+        // a column's SELF-pair only ever holds diagonal (v,v) keys, so
+        // its dense table is span-sized, never span² — only cross
+        // pairs pay the product
+        j = 0
+        while (j < c) {
+          var k = j + 1
+          while (k < c) {
+            if (spanB(j).toLong * spanB(k) > DensePairCap) return false
+            k += 1
+          }
+          j += 1
+        }
+      }
+      val d = p.numCols
+      j = 0
+      while (j < c) {
+        dSlots(j) = growD(dSlots(j), spanB(j) * catStride)
+        dMark(j) = growI(dMark(j), spanB(j))
+        dTouch(j) = growI(dTouch(j), math.min(spanB(j), n))
+        dTc(j) = 0
+        // fresh/grown arrays are zero-filled and epoch starts at 1, so a
+        // stale mark can never equal the current epoch — no memset needed
+        j += 1
+      }
+      if (!p.nbMode) {
+        var pi = 0
+        while (pi < nPairs) { pTc(pi) = 0; pi += 1 }
+        j = 0
+        while (j < c) {
+          var k = j
+          while (k < c) {
+            val pi = Triple.pairIdx(j, k, c)
+            val need = if (k == j) spanB(j) else spanB(j) * spanB(k)
+            pSlots(pi) = growD(pSlots(pi), need)
+            pMark(pi) = growI(pMark(pi), need)
+            pTouch(pi) = growI(pTouch(pi), math.min(need, n))
+            k += 1
+          }
+          j += 1
+        }
+      }
+      // row loop: direct-indexed accumulation, no hash probes
+      var r = 0
+      while (r < n) {
+        j = 0
+        while (j < c) {
+          val idx = catBufs(j)(r) - mnB(j)
+          val sl = dSlots(j)
+          val off = idx * catStride
+          if (dMark(j)(idx) != epoch) {
+            dMark(j)(idx) = epoch
+            dTouch(j)(dTc(j)) = idx; dTc(j) += 1
+            var z = 0
+            while (z < catStride) { sl(off + z) = 0.0; z += 1 }
+          }
+          sl(off) += 1.0
+          if (!p.nbMode) {
+            var i2 = 0
+            while (i2 < d) { sl(off + 1 + i2) += numBufs(i2)(r); i2 += 1 }
+          }
+          j += 1
+        }
+        if (!p.nbMode) {
+          j = 0
+          while (j < c) {
+            var k = j
+            while (k < c) {
+              val pi = Triple.pairIdx(j, k, c)
+              val pidx =
+                if (k == j) catBufs(j)(r) - mnB(j) // diagonal: span-sized table
+                else (catBufs(j)(r) - mnB(j)) * spanB(k) + (catBufs(k)(r) - mnB(k))
+              if (pMark(pi)(pidx) != epoch) {
+                pMark(pi)(pidx) = epoch
+                pTouch(pi)(pTc(pi)) = pidx; pTc(pi) += 1
+                pSlots(pi)(pidx) = 0.0
+              }
+              pSlots(pi)(pidx) += 1.0
+              k += 1
+            }
+            j += 1
+          }
+        }
+        r += 1
+      }
+      // flush touched slots into the certified maps (buf stays the one
+      // cross-batch source of truth; guard mirrors updateCats)
+      j = 0
+      while (j < c) {
+        val m = buf.catMaps(j)
+        val sl = dSlots(j)
+        var t = 0
+        while (t < dTc(j)) {
+          val idx = dTouch(j)(t)
+          val slot = m.getOrElseUpdate((mnB(j) + idx).toLong, new Array[Double](catStride))
+          var z = 0
+          while (z < catStride) { slot(z) += sl(idx * catStride + z); z += 1 }
+          t += 1
+        }
+        if (m.size > p.maxCategories)
+          throw new IllegalStateException(
+            s"cofactor: categorical column #$j exceeded ${p.maxCategories} distinct values — " +
+            "this looks like an ID, not a category (raise spark.graft.cofactor.maxCategories to override)")
+        j += 1
+      }
+      if (!p.nbMode) {
+        j = 0
+        while (j < c) {
+          var k = j
+          while (k < c) {
+            val pi = Triple.pairIdx(j, k, c)
+            val pm = buf.quadCat(pi)
+            var t = 0
+            while (t < pTc(pi)) {
+              val pidx = pTouch(pi)(t)
+              val c1 = if (k == j) mnB(j) + pidx else mnB(j) + pidx / spanB(k)
+              val c2 = if (k == j) c1 else mnB(k) + pidx % spanB(k)
+              pm.getOrElseUpdate(Triple.catKey(c1, c2), new Array[Double](1))(0) += pSlots(pi)(pidx)
+              t += 1
+            }
+            k += 1
+          }
+          j += 1
+        }
+      }
+      true
+    }
 
     private val utcTz = p.sessionTz == "UTC" || p.sessionTz == "Etc/UTC" ||
       p.sessionTz == "GMT" || p.sessionTz == "Z"
@@ -321,6 +639,8 @@ object ColumnarCofactor {
     def addBatch(batch: ColumnarBatch): Unit = {
       val nAll = batch.numRows()
       if (nAll == 0) return
+      rowsSeen += nAll
+      if (stage <= 1) return // profile: batch iteration only
       ensure(nAll)
 
       // every vector any spec reads — the NULL-skip semantics span all of them
@@ -369,6 +689,53 @@ object ColumnarCofactor {
         f(inArr, derBufs(di), n)
         di += 1
       }
+      if (stage == 2) return // profile: + numeric decode only
+
+      val d = p.numCols
+      var k = 0
+      if (!labelMode) {
+        // numeric block: vector loops over the materialized buffers
+        buf.n += n
+        k = 0
+        while (k < d) {
+          val a = numBufs(k)
+          var acc = 0.0
+          var r = 0
+          while (r < n) { acc += a(r); r += 1 }
+          buf.lin(k) += acc
+          k += 1
+        }
+        if (p.nbMode) {
+          k = 0
+          while (k < d) {
+            val a = numBufs(k)
+            var acc = 0.0
+            var r = 0
+            while (r < n) { val x = a(r); acc += x * x; r += 1 }
+            buf.quad(k) += acc
+            k += 1
+          }
+        } else {
+          var idx = 0
+          k = 0
+          while (k < d) {
+            val a = numBufs(k)
+            var kk = k
+            while (kk < d) {
+              val b = numBufs(kk)
+              var acc = 0.0
+              var r = 0
+              while (r < n) { acc += a(r) * b(r); r += 1 }
+              buf.quad(idx) += acc
+              idx += 1
+              kk += 1
+            }
+            k += 1
+          }
+        }
+      }
+      if (stage == 3) return // profile: + numeric moments
+
       j = 0
       while (j < p.catCols) {
         if (p.catKind(j) == 2) {
@@ -387,50 +754,29 @@ object ColumnarCofactor {
         } else fillCatInt(batch.column(p.catOrds(j)(0)), p.catT(j)(0), catBufs(j), s, n)
         j += 1
       }
+      if (stage == 4) return // profile: + cat decode
 
-      // numeric block: vector loops over the materialized buffers
-      buf.n += n
-      val d = p.numCols
-      var k = 0
-      while (k < d) {
-        val a = numBufs(k)
-        var acc = 0.0
+      if (labelMode) {
+        // per-class route: the last cat column is the label; everything
+        // else (including the full quad) accumulates into that class's
+        // buffer row-at-a-time — kernel arithmetic is free next to the
+        // scan (ColProfile), so the flat path's vectorized moments are
+        // not worth a per-class gather
+        val labels = catBufs(p.catCols - 1)
+        val cEff = p.catCols - 1
         var r = 0
-        while (r < n) { acc += a(r); r += 1 }
-        buf.lin(k) += acc
-        k += 1
-      }
-      if (p.nbMode) {
-        k = 0
-        while (k < d) {
-          val a = numBufs(k)
-          var acc = 0.0
-          var r = 0
-          while (r < n) { val x = a(r); acc += x * x; r += 1 }
-          buf.quad(k) += acc
-          k += 1
+        while (r < n) {
+          val b = classBuf(labels(r))
+          k = 0
+          while (k < d) { b.rowNum(k) = numBufs(k)(r); k += 1 }
+          j = 0
+          while (j < cEff) { b.rowCat(j) = catBufs(j)(r); j += 1 }
+          b.updateRow()
+          r += 1
         }
-      } else {
-        var idx = 0
-        k = 0
-        while (k < d) {
-          val a = numBufs(k)
-          var kk = k
-          while (kk < d) {
-            val b = numBufs(kk)
-            var acc = 0.0
-            var r = 0
-            while (r < n) { acc += a(r) * b(r); r += 1 }
-            buf.quad(idx) += acc
-            idx += 1
-            kk += 1
-          }
-          k += 1
-        }
-      }
-
-      // categorical block: per-row scratch + the shared certified update
-      if (p.catCols > 0) {
+      } else if (p.catCols > 0 && !denseCats(n)) {
+        // huge-span batch (ID-like keys): per-row scratch + the shared
+        // certified update — semantics identical, just map probes per row
         var r = 0
         while (r < n) {
           k = 0

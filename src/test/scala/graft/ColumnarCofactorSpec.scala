@@ -127,6 +127,78 @@ class ColumnarCofactorSpec extends AnyFunSuite {
     assert(t.approxEquals(ref, 1e-9))
   }
 
+  test("per-class columnar == groupBy(label) row aggregate, full quad per class") {
+    val got = ColumnarCofactor.cofactorPerClass(li,
+      Seq(NumCol("l_quantity"), NumCol("l_extendedprice")),
+      Seq(CatYear("l_shipdate")),
+      CatCol("l_linenumber")).get
+    val exp = li.withColumn("y", year(col("l_shipdate")))
+      .groupBy(col("l_linenumber"))
+      .agg(Graft.sumTriple(col("l_quantity"), col("l_extendedprice"), col("y")).as("t"))
+      .collect()
+      .map(r => r.getInt(0) -> Graft.tripleFromRow(r.getStruct(1)))
+      .sortBy(_._1).toSeq
+    assert(got.map(_._1) == exp.map(_._1))
+    got.zip(exp).foreach { case ((_, g), (_, e)) => assert(g.approxEquals(e, 1e-9)) }
+  }
+
+  test("per-class: NULL labels are dropped on both routes") {
+    val tmp = java.nio.file.Files.createTempDirectory("colpc").toString
+    Seq[(java.lang.Double, java.lang.Integer)](
+      (1.0, 1), (2.0, null), (3.0, 1), (4.0, 2), (5.0, null)
+    ).toDF("x", "lbl").write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
+    val colPath = ColumnarCofactor.cofactorPerClass(df, Seq(NumCol("x")), Nil, CatCol("lbl")).get
+    assert(colPath.map(_._1) == Seq(1, 2))
+    assert(colPath.map(_._2.n) == Seq(2L, 1L))
+    // force the row route (filter makes the plan non-harvestable)
+    val rowPath = Graft.cofactorPerClass(df.filter(col("x") > 0), Seq("x"), Seq(), "lbl")
+    assert(rowPath.sortBy(_._1) == colPath)
+  }
+
+  test("Graft.cofactorPerClass routes bare scans columnar; nb mode agrees too") {
+    val viaEntry = Graft.cofactorPerClass(li, Seq("l_quantity", "l_tax"), Seq(), "l_linenumber")
+    val forcedRow = Graft.cofactorPerClass(li.filter(col("l_quantity") > -1),
+      Seq("l_quantity", "l_tax"), Seq(), "l_linenumber")
+    assert(viaEntry.map(_._1).sorted == forcedRow.map(_._1).sorted)
+    val fm = forcedRow.toMap
+    viaEntry.foreach { case (k, t) => assert(t.approxEquals(fm(k), 1e-9)) }
+    val nbCol = Graft.cofactorPerClass(li, Seq("l_quantity"), Seq("l_linenumber"), "l_suppkey", nb = true)
+    val nbRow = Graft.cofactorPerClass(li.filter(col("l_quantity") > -1),
+      Seq("l_quantity"), Seq("l_linenumber"), "l_suppkey", nb = true)
+    val nbm = nbRow.toMap
+    assert(nbCol.size == nbRow.size)
+    nbCol.foreach { case (k, t) => assert(t.approxEquals(nbm(k), 1e-9)) }
+  }
+
+  test("huge-span categorical batches fall back to the map path with identical results") {
+    val tmp = java.nio.file.Files.createTempDirectory("colwide").toString
+    // keys span > 2^16 so denseCats refuses the window and the batch
+    // routes through updateCats — results must be identical either way
+    val rows = (0 until 5000).map(i => (i.toDouble, (i % 7) * 40000000))
+    rows.toDF("x", "c").write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
+    val t = ColumnarCofactor.cofactor(df, Seq(NumCol("x")), Seq(CatCol("c"))).get
+    val ref = Graft.tripleFromRow(
+      df.agg(Graft.sumTriple(col("x"), col("c")).as("t")).head.getStruct(0))
+    assert(t.approxEquals(ref, 1e-9))
+    assert(t.linCat(0).size == 7)
+  }
+
+  test("mid-cardinality pair routes through the per-column dense tier, identical results") {
+    val tmp = java.nio.file.Files.createTempDirectory("colmid").toString
+    // spans ~150 each: 150*150 > CombCap so the combined tier refuses,
+    // per-column dense (+cross-pair tables) takes the batch
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 8000).map(i => (rng.nextDouble() * 10, rng.nextInt(150), 1000 + rng.nextInt(150)))
+    rows.toDF("x", "c1", "c2").write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
+    val t = ColumnarCofactor.cofactor(df, Seq(NumCol("x")), Seq(CatCol("c1"), CatCol("c2"))).get
+    val ref = Graft.tripleFromRow(
+      df.agg(Graft.sumTriple(col("x"), col("c1"), col("c2")).as("t")).head.getStruct(0))
+    assert(t.approxEquals(ref, 1e-9))
+  }
+
   test("multi-byte CatPackedStrings value fails loudly, not silently collides") {
     val tmp = java.nio.file.Files.createTempDirectory("colcofs").toString
     Seq(("AB", 1.0), ("C", 2.0)).toDF("f", "x").write.mode("overwrite").parquet(tmp)
