@@ -95,10 +95,23 @@ object Bench {
         Seq(CatPackedStrings(Seq("l_returnflag", "l_linestatus"))))
       require(t.isDefined, "columnar harvest must engage on the bare lineitem scan")
     }
+    // q6-shaped filtered cofactor through the compiled-mask harvest —
+    // certifies per-round that a simple filter stays on the columnar path
+    def columnarCofactorFiltered(dir: String): Unit = {
+      import graft.agg.ColumnarCofactor._
+      val f = Tables.load(spark, dir, "lineitem").filter(
+        col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01" &&
+        col("l_quantity") < 30)
+      val t = cofactor(f,
+        Seq(NumCol("l_quantity"), NumCol("l_extendedprice"), NumCol("l_discount"), NumCol("l_tax")),
+        Seq(CatCol("l_linenumber"), CatYear("l_shipdate")))
+      require(t.isDefined, "columnar harvest must engage on the filtered lineitem scan")
+    }
 
     val benches: Seq[(String, () => Unit)] = Seq(
       "q01_pricing" -> (() => noop(SparkEntry.queries("q01_agg_pricing")(spark, sfDir))),
       "q01_columnar" -> (() => columnarPricing(sfDir)),
+      "cofactor_filtered" -> (() => columnarCofactorFiltered(sfDir)),
       "cofactor_full" -> { () =>
         noop(li.withColumn("shipyear", year(col("l_shipdate")))
           .agg(Graft.sumTriple(
@@ -421,6 +434,7 @@ object Bench {
           "sf100_q01_pricing" -> (() => noop(SparkEntry.queries("q01_agg_pricing")(spark, sf100Dir))),
           "sf100_q01_columnar" -> (() => columnarPricing(sf100Dir)),
           "sf100_cofactor_columnar" -> (() => columnarCofactorFull(sf100Dir)),
+          "sf100_cofactor_filtered" -> (() => columnarCofactorFiltered(sf100Dir)),
           "sf100_cofactor_full" -> { () =>
             noop(li100.withColumn("shipyear", year(col("l_shipdate")))
               .agg(Graft.sumTriple(

@@ -1688,6 +1688,42 @@ object SparkEntry {
         StructField("sum_qty", DoubleType), StructField("avg_price", DoubleType),
         StructField("avg_qty_price", DoubleType), StructField("n_years", LongType)))
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    },
+
+    // Filtered columnar cofactor: a TPC-H-q6-shaped predicate (timestamp
+    // range + double cuts) composed with OR / IN / string equality runs
+    // THROUGH the harvest — the kernel compiles the FilterExec condition
+    // to a per-batch selection mask (three-valued logic) instead of
+    // refusing the plan. DuckDB recomputes the same WHERE relationally;
+    // the harvest is ASSERTED engaged so a silent fallback cannot pass.
+    "q77_filtered_columnar" -> { (s, dir) =>
+      import graft.agg.ColumnarCofactor
+      import graft.agg.ColumnarCofactor._
+      import org.apache.spark.sql.functions.{col => c}
+      val filtered = li(s, dir).filter(
+        c("l_shipdate") >= "1996-01-01" && c("l_shipdate") < "1997-01-01" &&
+        c("l_discount") >= 0.02 && c("l_quantity") < 30 &&
+        (c("l_returnflag") === "R" || c("l_linenumber").isin(1, 2, 3)))
+      val t = ColumnarCofactor.cofactor(
+        filtered,
+        Seq(NumCol("l_quantity"), NumCol("l_extendedprice"),
+          NumDerived(Seq("l_extendedprice", "l_discount"), "disc_price", discPriceKernel)),
+        Seq(CatYear("l_shipdate"))
+      ).getOrElse(throw new IllegalStateException(
+        "q77: the columnar harvest must engage on the filtered scan — " +
+        "the oracle certifies the compiled filter mask"))
+      val n = t.n.toDouble
+      val row = Row(
+        t.n,
+        dround(t.lin(0), 2),          // sum_qty
+        dround(t.lin(1) / n, 2),      // avg_price
+        dround(t.lin(2), 2),          // revenue = Σ price·(1-disc)
+        t.linCat(0).size.toLong)      // n_years (should be 1: the range)
+      val schema = StructType(Seq(
+        StructField("n_rows", LongType), StructField("sum_qty", DoubleType),
+        StructField("avg_price", DoubleType), StructField("revenue", DoubleType),
+        StructField("n_years", LongType)))
+      s.createDataFrame(java.util.Arrays.asList(row), schema)
     }
   )
 
@@ -2889,6 +2925,18 @@ object SparkEntry {
         |       round(avg(l_extendedprice), 2) AS avg_price,
         |       round(avg(l_quantity * l_extendedprice), 2) AS avg_qty_price,
         |       count(DISTINCT year(l_shipdate)) AS n_years
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // filtered-scan ground truth: DuckDB applies the same WHERE the
+    // kernel's compiled mask evaluates per batch
+    "q77_filtered_columnar" ->
+      """SELECT count(*) AS n_rows,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(avg(l_extendedprice), 2) AS avg_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(DISTINCT year(l_shipdate)) AS n_years
+        |FROM lineitem
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |  AND l_discount >= 0.02 AND l_quantity < 30
+        |  AND (l_returnflag = 'R' OR l_linenumber IN (1, 2, 3))""".stripMargin
   )
 }

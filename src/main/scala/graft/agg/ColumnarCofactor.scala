@@ -2,11 +2,12 @@ package graft.agg
 
 import graft.ring.Triple
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.{ColumnarToRowExec, InputAdapter, ProjectExec, SparkPlan, WholeStageCodegenExec}
-import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.execution.{ColumnarToRowExec, FilterExec, InputAdapter, ProjectExec, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, ExprId, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Not, Or}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+import org.apache.spark.unsafe.types.UTF8String
 
 /**
  * Columnar-batch cofactor: computes the same triple as
@@ -37,10 +38,14 @@ import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
  * Scale: the harvested RDD is the scan's own — one task per parquet
  * split, no shuffle at all; the only data movement is one triple per
  * partition to the driver. This is strictly less traffic than the row
- * aggregate's partial/final exchange. The harvest REFUSES any plan that
- * is not a bare columnar scan (+ attribute-only projections), so a
- * filter or join can never be silently dropped — callers fall back to
- * the row aggregate (`None`).
+ * aggregate's partial/final exchange. The harvest accepts a bare
+ * columnar scan plus attribute-only projections and FILTERS it can
+ * compile itself (attr-vs-literal comparisons, IN, IS [NOT] NULL,
+ * AND/OR/NOT — evaluated per batch as a selection mask with SQL
+ * three-valued logic, see [[compilePred]]); it REFUSES anything else —
+ * a join, computed projection, or uncompilable predicate can never be
+ * silently dropped — and callers fall back to the row aggregate
+ * (`None`).
  */
 object ColumnarCofactor {
 
@@ -76,17 +81,288 @@ object ColumnarCofactor {
 
   // ---------------------------------------------------------------- harvest
 
-  /** The columnar leaf scan of `plan`, or None if anything other than
-    * row-conversion / codegen glue / attribute-only projection sits above
-    * it (a filter or join must force the fallback, never be dropped). */
-  private def leafColumnarScan(plan: SparkPlan): Option[SparkPlan] = plan match {
-    case w: WholeStageCodegenExec => leafColumnarScan(w.child)
-    case i: InputAdapter => leafColumnarScan(i.child)
-    case c: ColumnarToRowExec => leafColumnarScan(c.child)
+  /** The columnar leaf scan of `plan` plus every [[FilterExec]] condition
+    * met on the way down, or None if anything OTHER than row-conversion /
+    * codegen glue / attribute-only projection / filter sits above it (a
+    * join or non-trivial projection must force the fallback, never be
+    * dropped). Collected filters are compiled to batch-mask predicates by
+    * [[compilePred]]; an uncompilable condition refuses the harvest there,
+    * so a filter can never be silently dropped either way. */
+  private def leafScanAndFilters(plan: SparkPlan): Option[(SparkPlan, Seq[Expression])] = plan match {
+    case w: WholeStageCodegenExec => leafScanAndFilters(w.child)
+    case i: InputAdapter => leafScanAndFilters(i.child)
+    case c: ColumnarToRowExec => leafScanAndFilters(c.child)
     case p: ProjectExec if p.projectList.forall(_.isInstanceOf[AttributeReference]) =>
-      leafColumnarScan(p.child)
-    case s if s.supportsColumnar && s.children.isEmpty => Some(s)
+      leafScanAndFilters(p.child)
+    case f: FilterExec =>
+      leafScanAndFilters(f.child).map { case (s, fs) => (s, f.condition +: fs) }
+    case s if s.supportsColumnar && s.children.isEmpty => Some((s, Nil))
     case _ => None
+  }
+
+  // ------------------------------------------------- filter mask predicates
+  //
+  // A FilterExec above the scan is evaluated by the kernel itself: each
+  // supported condition compiles to a [[Pred]] that fills a per-batch
+  // mask with SQL three-valued logic (1 = true, 0 = false, 2 = unknown/
+  // NULL); only mask==1 rows survive, which is exactly FilterExec's
+  // "predicate is true" contract (unknown drops the row, and NOT(unknown)
+  // stays unknown, so negations keep the same semantics). Supported
+  // shapes: attr-vs-literal comparisons on integral/date/timestamp (long
+  // domain), float/double (java.lang.Double.compare — the NaN-largest,
+  // NaN==NaN ordering Spark uses), and string (UTF8String binary order);
+  // IN/INSET literal lists; IS [NOT] NULL; AND/OR/NOT; boolean literals.
+  // Anything else — casts, arithmetic, UDFs, subqueries — refuses the
+  // harvest and the caller falls back to the row aggregate.
+
+  private final val OP_EQ = 0; private final val OP_LT = 1; private final val OP_LE = 2
+  private final val OP_GT = 3; private final val OP_GE = 4
+
+  private def cmpOk(op: Int, c: Int): Boolean = op match {
+    case OP_EQ => c == 0
+    case OP_LT => c < 0
+    case OP_LE => c <= 0
+    case OP_GT => c > 0
+    case OP_GE => c >= 0
+  }
+
+  private sealed abstract class Pred extends Serializable {
+    def eval(b: ColumnarBatch, n: Int, out: Array[Byte]): Unit
+  }
+
+  private final class ConstP(v: Byte) extends Pred {
+    def eval(b: ColumnarBatch, n: Int, out: Array[Byte]): Unit =
+      java.util.Arrays.fill(out, 0, n, v)
+  }
+
+  private final class NullTestP(ord: Int, wantNull: Boolean) extends Pred {
+    def eval(b: ColumnarBatch, n: Int, out: Array[Byte]): Unit = {
+      val v = b.column(ord)
+      if (!v.hasNull) {
+        java.util.Arrays.fill(out, 0, n, if (wantNull) 0.toByte else 1.toByte)
+      } else {
+        var r = 0
+        while (r < n) { out(r) = if (v.isNullAt(r) == wantNull) 1 else 0; r += 1 }
+      }
+    }
+  }
+
+  /** Integral/date/timestamp comparison in the long domain (t selects the
+    * vector accessor; DateType days ride T_INT, timestamp micros T_LONG). */
+  private final class CmpLongP(ord: Int, t: Int, op: Int, lit: Long) extends Pred {
+    def eval(b: ColumnarBatch, n: Int, out: Array[Byte]): Unit = {
+      val v = b.column(ord)
+      val nulls = v.hasNull
+      var r = 0
+      while (r < n) {
+        if (nulls && v.isNullAt(r)) out(r) = 2
+        else {
+          val x: Long = t match {
+            case T_INT => v.getInt(r).toLong
+            case T_LONG | T_TS => v.getLong(r)
+            case T_SHORT => v.getShort(r).toLong
+            case T_BYTE => v.getByte(r).toLong
+          }
+          out(r) = if (cmpOk(op, java.lang.Long.compare(x, lit))) 1 else 0
+        }
+        r += 1
+      }
+    }
+  }
+
+  private final class CmpDoubleP(ord: Int, t: Int, op: Int, lit: Double) extends Pred {
+    def eval(b: ColumnarBatch, n: Int, out: Array[Byte]): Unit = {
+      val v = b.column(ord)
+      val nulls = v.hasNull
+      var r = 0
+      while (r < n) {
+        if (nulls && v.isNullAt(r)) out(r) = 2
+        else {
+          val x = if (t == T_FLOAT) v.getFloat(r).toDouble else v.getDouble(r)
+          out(r) = if (cmpOk(op, java.lang.Double.compare(x, lit))) 1 else 0
+        }
+        r += 1
+      }
+    }
+  }
+
+  private final class CmpStringP(ord: Int, op: Int, litBytes: Array[Byte]) extends Pred {
+    @transient private lazy val lit = UTF8String.fromBytes(litBytes)
+    def eval(b: ColumnarBatch, n: Int, out: Array[Byte]): Unit = {
+      val v = b.column(ord)
+      val nulls = v.hasNull
+      var r = 0
+      while (r < n) {
+        if (nulls && v.isNullAt(r)) out(r) = 2
+        else out(r) = if (cmpOk(op, v.getUTF8String(r).compareTo(lit))) 1 else 0
+        r += 1
+      }
+    }
+  }
+
+  private final class InLongP(ord: Int, t: Int, set0: Array[Long]) extends Pred {
+    private val set = { val a = set0.clone(); java.util.Arrays.sort(a); a }
+    def eval(b: ColumnarBatch, n: Int, out: Array[Byte]): Unit = {
+      val v = b.column(ord)
+      val nulls = v.hasNull
+      var r = 0
+      while (r < n) {
+        if (nulls && v.isNullAt(r)) out(r) = 2
+        else {
+          val x: Long = t match {
+            case T_INT => v.getInt(r).toLong
+            case T_LONG | T_TS => v.getLong(r)
+            case T_SHORT => v.getShort(r).toLong
+            case T_BYTE => v.getByte(r).toLong
+          }
+          out(r) = if (java.util.Arrays.binarySearch(set, x) >= 0) 1 else 0
+        }
+        r += 1
+      }
+    }
+  }
+
+  /** Double IN — linear probe with Double.compare after normalizing -0.0
+    * (x + 0.0), so NaN matches NaN and -0.0 matches 0.0 like Spark. */
+  private final class InDoubleP(ord: Int, t: Int, set0: Array[Double]) extends Pred {
+    private val set = set0.map(_ + 0.0)
+    def eval(b: ColumnarBatch, n: Int, out: Array[Byte]): Unit = {
+      val v = b.column(ord)
+      val nulls = v.hasNull
+      var r = 0
+      while (r < n) {
+        if (nulls && v.isNullAt(r)) out(r) = 2
+        else {
+          val x = (if (t == T_FLOAT) v.getFloat(r).toDouble else v.getDouble(r)) + 0.0
+          var hit = false
+          var i = 0
+          while (!hit && i < set.length) { if (java.lang.Double.compare(x, set(i)) == 0) hit = true; i += 1 }
+          out(r) = if (hit) 1 else 0
+        }
+        r += 1
+      }
+    }
+  }
+
+  private final class InStringP(ord: Int, set0: Array[Array[Byte]]) extends Pred {
+    @transient private lazy val set = set0.map(UTF8String.fromBytes)
+    def eval(b: ColumnarBatch, n: Int, out: Array[Byte]): Unit = {
+      val v = b.column(ord)
+      val nulls = v.hasNull
+      var r = 0
+      while (r < n) {
+        if (nulls && v.isNullAt(r)) out(r) = 2
+        else {
+          val x = v.getUTF8String(r)
+          var hit = false
+          var i = 0
+          while (!hit && i < set.length) { if (x.equals(set(i))) hit = true; i += 1 }
+          out(r) = if (hit) 1 else 0
+        }
+        r += 1
+      }
+    }
+  }
+
+  private final class NotP(p: Pred) extends Pred {
+    def eval(b: ColumnarBatch, n: Int, out: Array[Byte]): Unit = {
+      p.eval(b, n, out)
+      var r = 0
+      while (r < n) { val a = out(r); if (a != 2) out(r) = (1 - a).toByte; r += 1 }
+    }
+  }
+
+  private sealed abstract class BinMaskP(ps: Array[Pred]) extends Pred {
+    @transient private var tmp: Array[Byte] = _
+    protected def combine(a: Byte, c: Byte): Byte
+    def eval(b: ColumnarBatch, n: Int, out: Array[Byte]): Unit = {
+      ps(0).eval(b, n, out)
+      var i = 1
+      while (i < ps.length) {
+        if (tmp == null || tmp.length < n) tmp = new Array[Byte](math.max(n, 4096))
+        ps(i).eval(b, n, tmp)
+        var r = 0
+        while (r < n) { out(r) = combine(out(r), tmp(r)); r += 1 }
+        i += 1
+      }
+    }
+  }
+  private final class AndP(ps: Array[Pred]) extends BinMaskP(ps) {
+    protected def combine(a: Byte, c: Byte): Byte =
+      if (a == 0 || c == 0) 0 else if (a > c) a else c // false wins, else unknown wins
+  }
+  private final class OrP(ps: Array[Pred]) extends BinMaskP(ps) {
+    protected def combine(a: Byte, c: Byte): Byte =
+      if (a == 1 || c == 1) 1 else if (a > c) a else c // true wins, else unknown wins
+  }
+
+  /** Compile a FilterExec condition to a mask predicate, or None if any
+    * node falls outside the supported subset (harvest then refuses). */
+  private def compilePred(e: Expression, ordOf: Map[ExprId, Int]): Option[Pred] = {
+    def attr(x: Expression): Option[(Int, DataType)] = x match {
+      case a: AttributeReference => ordOf.get(a.exprId).map(i => (i, a.dataType))
+      case _ => None
+    }
+    def longVal(v: Any): Long = v match {
+      case b: Byte => b.toLong
+      case s: Short => s.toLong
+      case i: Int => i.toLong
+      case l: Long => l
+    }
+    def leaf(a: Expression, l: Literal, op: Int): Option[Pred] = attr(a).flatMap { case (i, dt) =>
+      if (l.value == null) Some(new ConstP(2))
+      else if (l.dataType != dt) None
+      else dt match {
+        case ByteType => Some(new CmpLongP(i, T_BYTE, op, longVal(l.value)))
+        case ShortType => Some(new CmpLongP(i, T_SHORT, op, longVal(l.value)))
+        case IntegerType | DateType => Some(new CmpLongP(i, T_INT, op, longVal(l.value)))
+        case LongType => Some(new CmpLongP(i, T_LONG, op, longVal(l.value)))
+        case TimestampType | TimestampNTZType => Some(new CmpLongP(i, T_TS, op, longVal(l.value)))
+        case FloatType => Some(new CmpDoubleP(i, T_FLOAT, op, l.value.asInstanceOf[Float].toDouble))
+        case DoubleType => Some(new CmpDoubleP(i, T_DOUBLE, op, l.value.asInstanceOf[Double]))
+        case StringType => Some(new CmpStringP(i, op, l.value.asInstanceOf[UTF8String].getBytes))
+        case _ => None
+      }
+    }
+    def inPred(a: Expression, vals: Seq[Any]): Option[Pred] = attr(a).flatMap { case (i, dt) =>
+      if (vals.exists(_ == null)) None // NULL in an IN list: keep the 3VL edge on the row path
+      else dt match {
+        case ByteType => Some(new InLongP(i, T_BYTE, vals.map(longVal).toArray))
+        case ShortType => Some(new InLongP(i, T_SHORT, vals.map(longVal).toArray))
+        case IntegerType | DateType => Some(new InLongP(i, T_INT, vals.map(longVal).toArray))
+        case LongType => Some(new InLongP(i, T_LONG, vals.map(longVal).toArray))
+        case TimestampType | TimestampNTZType => Some(new InLongP(i, T_TS, vals.map(longVal).toArray))
+        case FloatType => Some(new InDoubleP(i, T_FLOAT, vals.map(_.asInstanceOf[Float].toDouble).toArray))
+        case DoubleType => Some(new InDoubleP(i, T_DOUBLE, vals.map(_.asInstanceOf[Double]).toArray))
+        case StringType => Some(new InStringP(i, vals.map(_.asInstanceOf[UTF8String].getBytes).toArray))
+        case _ => None
+      }
+    }
+    e match {
+      case And(lhs, rhs) => for (a <- compilePred(lhs, ordOf); b <- compilePred(rhs, ordOf))
+        yield new AndP(Array(a, b))
+      case Or(lhs, rhs) => for (a <- compilePred(lhs, ordOf); b <- compilePred(rhs, ordOf))
+        yield new OrP(Array(a, b))
+      case Not(c) => compilePred(c, ordOf).map(new NotP(_))
+      case IsNull(a) => attr(a).map { case (i, _) => new NullTestP(i, wantNull = true) }
+      case IsNotNull(a) => attr(a).map { case (i, _) => new NullTestP(i, wantNull = false) }
+      case EqualTo(a: AttributeReference, l: Literal) => leaf(a, l, OP_EQ)
+      case EqualTo(l: Literal, a: AttributeReference) => leaf(a, l, OP_EQ)
+      case LessThan(a: AttributeReference, l: Literal) => leaf(a, l, OP_LT)
+      case LessThan(l: Literal, a: AttributeReference) => leaf(a, l, OP_GT)
+      case LessThanOrEqual(a: AttributeReference, l: Literal) => leaf(a, l, OP_LE)
+      case LessThanOrEqual(l: Literal, a: AttributeReference) => leaf(a, l, OP_GE)
+      case GreaterThan(a: AttributeReference, l: Literal) => leaf(a, l, OP_GT)
+      case GreaterThan(l: Literal, a: AttributeReference) => leaf(a, l, OP_LT)
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) => leaf(a, l, OP_GE)
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => leaf(a, l, OP_LE)
+      case In(a, list) if list.forall(_.isInstanceOf[Literal]) =>
+        inPred(a, list.map(_.asInstanceOf[Literal].value))
+      case InSet(a, hset) => inPred(a, hset.toSeq)
+      case Literal(v, BooleanType) =>
+        Some(new ConstP(if (v == null) 2 else if (v.asInstanceOf[Boolean]) 1 else 0))
+      case _ => None
+    }
   }
 
   // type codes for the per-batch materializers
@@ -115,7 +391,9 @@ object ColumnarCofactor {
       derived: Array[(Array[Int], (Array[Array[Double]], Array[Double], Int) => Unit)],
       // categorical specs: kind (0=col,1=year,2=packed), ordinals, type codes
       catKind: Array[Int], catOrds: Array[Array[Int]], catT: Array[Array[Int]],
-      sessionTz: String)
+      sessionTz: String,
+      // compiled FilterExec mask (null when the plan has no filter)
+      pred: Pred = null)
 
   /**
    * Compute the cofactor triple of `src` over the given continuous and
@@ -183,10 +461,22 @@ object ColumnarCofactor {
     require(nums.nonEmpty, "cofactor needs at least one continuous column")
     val inputNames = (nums.flatMap(_.inputs) ++ cats.flatMap(_.inputs)).distinct
     val pruned = src.select(inputNames.map(col): _*)
-    leafColumnarScan(pruned.queryExecution.executedPlan).flatMap { scan =>
+    leafScanAndFilters(pruned.queryExecution.executedPlan).flatMap { case (scan, filters) =>
       val ord = scan.output.map(_.name).zipWithIndex.toMap
       if (!inputNames.forall(ord.contains)) return None
       val dtOf = scan.output.map(a => a.name -> a.dataType).toMap
+
+      // compile every FilterExec condition to a batch mask, or refuse —
+      // a filter the kernel cannot evaluate must never be dropped
+      val pred: Pred =
+        if (filters.isEmpty) null
+        else {
+          val ordOf = scan.output.zipWithIndex.map { case (a, i) => a.exprId -> i }.toMap
+          val compiledPreds = filters.map(compilePred(_, ordOf))
+          if (compiledPreds.exists(_.isEmpty)) return None
+          val ps = compiledPreds.flatten.toArray
+          if (ps.length == 1) ps(0) else new AndP(ps)
+        }
 
       // unique raw double inputs (NumCol sources + NumDerived inputs)
       val rawNames = nums.flatMap(_.inputs).distinct
@@ -227,7 +517,7 @@ object ColumnarCofactor {
         nums.size, cats.size, nbMode, maxCategories,
         rawNames.map(ord).toArray, rawT, numFromRaw, derived,
         catKind, catOrds, catT,
-        src.sparkSession.sessionState.conf.sessionLocalTimeZone)
+        src.sparkSession.sessionState.conf.sessionLocalTimeZone, pred)
       Some((scan, compiled))
     }
   }
@@ -566,6 +856,7 @@ object ColumnarCofactor {
     private var numBufs: Array[Array[Double]] = _ // spec order, aliases raw/der
     private var catBufs: Array[Array[Int]] = _
     private var sel: Array[Int] = _
+    private var maskBuf: Array[Byte] = _
 
     private def ensure(n: Int): Unit = if (n > cap) {
       cap = math.max(n, 4096)
@@ -643,6 +934,14 @@ object ColumnarCofactor {
       if (stage <= 1) return // profile: batch iteration only
       ensure(nAll)
 
+      // compiled FilterExec mask (1/0/2 three-valued; only 1 survives)
+      var mask: Array[Byte] = null
+      if (p.pred != null) {
+        if (maskBuf == null || maskBuf.length < nAll) maskBuf = new Array[Byte](math.max(nAll, 4096))
+        p.pred.eval(batch, nAll, maskBuf)
+        mask = maskBuf
+      }
+
       // every vector any spec reads — the NULL-skip semantics span all of them
       var anyNull = false
       var i = 0
@@ -656,26 +955,31 @@ object ColumnarCofactor {
 
       var n = nAll
       var s: Array[Int] = null
-      if (anyNull) {
-        // compact to the rows with no NULL in any input (aggregate semantics)
+      if (anyNull || mask != null) {
+        // compact to the rows passing the filter with no NULL in any
+        // input (aggregate semantics)
         var keep = 0
         var r = 0
         while (r < nAll) {
-          var ok = true
-          i = 0
-          while (ok && i < nRaw) { if (batch.column(p.rawOrd(i)).isNullAt(r)) ok = false; i += 1 }
-          j = 0
-          while (ok && j < p.catCols) {
-            val os = p.catOrds(j); var q = 0
-            while (ok && q < os.length) { if (batch.column(os(q)).isNullAt(r)) ok = false; q += 1 }
-            j += 1
+          var ok = mask == null || mask(r) == 1
+          if (ok && anyNull) {
+            i = 0
+            while (ok && i < nRaw) { if (batch.column(p.rawOrd(i)).isNullAt(r)) ok = false; i += 1 }
+            j = 0
+            while (ok && j < p.catCols) {
+              val os = p.catOrds(j); var q = 0
+              while (ok && q < os.length) { if (batch.column(os(q)).isNullAt(r)) ok = false; q += 1 }
+              j += 1
+            }
           }
           if (ok) { sel(keep) = r; keep += 1 }
           r += 1
         }
-        n = keep
-        s = sel
-        if (n == 0) return
+        if (keep < nAll) {
+          n = keep
+          s = sel
+          if (n == 0) return
+        } // else: every row passed — keep the s == null direct-index path
       }
 
       i = 0

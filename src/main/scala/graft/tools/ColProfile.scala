@@ -70,6 +70,23 @@ object ColProfile {
         Seq(CatPackedStrings(Seq("l_returnflag", "l_linestatus"))))
         .getOrElse(sys.error("harvest must engage"))
     }
+
+    // filtered scan: compiled mask vs the row-path FilterExec + aggregate
+    graft.Graft.register(spark)
+    val filt = li.filter(
+      col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01" &&
+      col("l_quantity") < 30)
+    time("7 filtered-columnar") {
+      ColumnarCofactor.cofactor(filt, nums, Seq(CatCol("l_linenumber"), CatYear("l_shipdate")))
+        .getOrElse(sys.error("filtered harvest must engage"))
+    }
+    time("8 filtered-row-agg") {
+      graft.Graft.tripleFromRow(filt
+        .withColumn("y", year(col("l_shipdate")))
+        .agg(graft.Graft.sumTriple(
+          (numNames.map(col) :+ col("l_linenumber") :+ col("y")): _*).as("t"))
+        .head.getStruct(0))
+    }
     spark.stop()
   }
 }

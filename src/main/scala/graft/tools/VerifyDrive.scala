@@ -392,7 +392,7 @@ object VerifyDrive {
       println(s"star cofactor OK: N=${tChain.n} chain == adaptive == materialized 3-way")
     }
 
-    println("== [20] columnar-batch cofactor: harvested scan == row aggregate, refusal on filters ==")
+    println("== [20] columnar-batch cofactor: harvested scan == row aggregate, compiled filters, refusal ==")
     locally {
       import graft.agg.ColumnarCofactor
       import graft.agg.ColumnarCofactor._
@@ -406,16 +406,23 @@ object VerifyDrive {
           .agg(graft.Graft.sumTriple(col("l_quantity"), col("l_extendedprice"),
             col("l_linenumber"), col("shipyear")).as("t")).head.getStruct(0))
       assert(t.approxEquals(ref, 1e-9), "columnar cofactor != row aggregate")
-      // refusal: a filtered plan must NOT be harvested (the filter would
-      // be silently dropped) — production entry falls back row-based
-      assert(ColumnarCofactor.cofactor(li.filter(col("l_quantity") > 25),
-        Seq(NumCol("l_quantity"))).isEmpty, "filtered plan must refuse the harvest")
-      val filtered = graft.Graft.cofactor(li.filter(col("l_quantity") > 25), Seq("l_quantity"), Seq())
+      // a SIMPLE filter compiles to a per-batch mask and stays columnar
+      val simple = li.filter(col("l_quantity") > 25 && col("l_returnflag") === "N")
+      val tf = ColumnarCofactor.cofactor(simple, Seq(NumCol("l_quantity")))
+        .getOrElse(sys.error("simple filter must stay on the columnar path"))
+      val tfRef = graft.Graft.tripleFromRow(
+        simple.agg(graft.Graft.sumTriple(col("l_quantity")).as("t")).head.getStruct(0))
+      assert(tf.approxEquals(tfRef, 1e-9), "compiled filter mask != FilterExec")
+      // an UNCOMPILABLE predicate must refuse (it would otherwise be
+      // silently dropped) — production entry falls back row-based
+      assert(ColumnarCofactor.cofactor(li.filter(col("l_quantity") * 2 > 50),
+        Seq(NumCol("l_quantity"))).isEmpty, "uncompilable filter must refuse the harvest")
+      val filtered = graft.Graft.cofactor(li.filter(col("l_quantity") * 2 > 50), Seq("l_quantity"), Seq())
       val filteredRef = graft.Graft.tripleFromRow(
-        li.filter(col("l_quantity") > 25)
+        li.filter(col("l_quantity") * 2 > 50)
           .agg(graft.Graft.sumTriple(col("l_quantity")).as("t")).head.getStruct(0))
       assert(filtered.approxEquals(filteredRef, 1e-12), "fallback path broken")
-      println(s"columnar cofactor OK: N=${t.n} parity with row aggregate; filtered plan refused")
+      println(s"columnar cofactor OK: N=${t.n} parity; compiled filter N=${tf.n}; uncompilable refused")
     }
 
     spark.stop()

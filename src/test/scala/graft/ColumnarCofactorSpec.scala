@@ -92,9 +92,14 @@ class ColumnarCofactorSpec extends AnyFunSuite {
     assert(t.approxEquals(ref, 1e-12))
   }
 
-  test("harvest refuses filters, derived plans, and non-scan sources") {
+  test("harvest refuses uncompilable filters, derived plans, and non-scan sources") {
+    // arithmetic / function predicates fall outside the compiled subset
     assert(ColumnarCofactor.cofactor(
-      li.filter(col("l_quantity") > 10), Seq(NumCol("l_quantity"))).isEmpty)
+      li.filter(col("l_quantity") * 2 > 10), Seq(NumCol("l_quantity"))).isEmpty)
+    assert(ColumnarCofactor.cofactor(
+      li.filter(abs(col("l_discount")) > 0.01), Seq(NumCol("l_quantity"))).isEmpty)
+    assert(ColumnarCofactor.cofactor(
+      li.filter(col("l_returnflag").contains("R")), Seq(NumCol("l_quantity"))).isEmpty)
     assert(ColumnarCofactor.cofactor(
       li.withColumn("q2", col("l_quantity") * 2).select(col("q2").as("l_quantity")),
       Seq(NumCol("l_quantity"))).isEmpty)
@@ -102,7 +107,7 @@ class ColumnarCofactorSpec extends AnyFunSuite {
     assert(ColumnarCofactor.cofactor(local, Seq(NumCol("x")), Seq(CatCol("c"))).isEmpty)
   }
 
-  test("Graft.cofactor routes bare scans columnar and filtered frames to the row aggregate") {
+  test("Graft.cofactor routes bare AND simply-filtered scans columnar") {
     // both paths must agree — this is the production entry MICE's static
     // cofactor rides on
     val full = Graft.cofactor(li, Seq("l_quantity", "l_extendedprice"), Seq("l_linenumber"))
@@ -110,11 +115,60 @@ class ColumnarCofactorSpec extends AnyFunSuite {
       li.agg(Graft.sumTriple(col("l_quantity"), col("l_extendedprice"), col("l_linenumber")).as("t"))
         .head.getStruct(0))
     assert(full.approxEquals(refFull, 1e-9))
+    // a simple filter stays on the columnar path now (harvest engages)
+    assert(ColumnarCofactor.cofactor(
+      li.filter(col("l_linenumber") === 1), Seq(NumCol("l_quantity"))).isDefined)
     val filt = Graft.cofactor(li.filter(col("l_linenumber") === 1), Seq("l_quantity"), Seq())
     val refFilt = Graft.tripleFromRow(
       li.filter(col("l_linenumber") === 1)
         .agg(Graft.sumTriple(col("l_quantity")).as("t")).head.getStruct(0))
-    assert(filt.approxEquals(refFilt, 1e-12))
+    assert(filt.approxEquals(refFilt, 1e-9))
+  }
+
+  test("filtered harvest: comparison/AND/OR/IN/string/date predicates match the row aggregate") {
+    // the TPC-H q6 shape: date range + discount window + quantity cut
+    val q6 = li.filter(
+      col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01" &&
+      col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+    val t1 = ColumnarCofactor.cofactor(q6,
+      Seq(NumCol("l_extendedprice"), NumCol("l_discount")), Seq(CatCol("l_linenumber"))).get
+    val r1 = Graft.tripleFromRow(
+      q6.agg(Graft.sumTriple(col("l_extendedprice"), col("l_discount"), col("l_linenumber")).as("t"))
+        .head.getStruct(0))
+    assert(t1.n > 0 && t1.approxEquals(r1, 1e-9))
+
+    // OR + IN + string equality; filter columns NOT in the aggregate inputs
+    val mix = li.filter(
+      (col("l_returnflag") === "R" || col("l_linenumber").isin(1, 2)) && col("l_tax") > 0.01)
+    val t2 = ColumnarCofactor.cofactor(mix, Seq(NumCol("l_quantity"))).get
+    val r2 = Graft.tripleFromRow(
+      mix.agg(Graft.sumTriple(col("l_quantity")).as("t")).head.getStruct(0))
+    assert(t2.n > 0 && t2.approxEquals(r2, 1e-9))
+
+    // an all-false filter yields the empty triple, not an error
+    val none = ColumnarCofactor.cofactor(
+      li.filter(col("l_quantity") < -1), Seq(NumCol("l_quantity"))).get
+    assert(none.n == 0)
+  }
+
+  test("filtered harvest: NULL three-valued logic matches the row path under NOT") {
+    val tmp = java.nio.file.Files.createTempDirectory("colfilt").toString
+    Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 0.10), (2.0, null), (3.0, 0.01), (4.0, 0.20), (5.0, null)
+    ).toDF("x", "d").write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
+    // NOT(d > 0.05): rows with NULL d stay unknown and are dropped —
+    // same as FilterExec; x is never NULL so the null-skip can't hide a
+    // wrong mask
+    val f = df.filter(!(col("d") > 0.05))
+    val t = ColumnarCofactor.cofactor(f, Seq(NumCol("x"))).get
+    val ref = Graft.tripleFromRow(
+      f.agg(Graft.sumTriple(col("x")).as("t")).head.getStruct(0))
+    assert(t.n == 1 && t.approxEquals(ref, 1e-12)) // only (3.0, 0.01)
+    // IS NULL selects exactly the null-d rows
+    val g = df.filter(col("d").isNull)
+    val t2 = ColumnarCofactor.cofactor(g, Seq(NumCol("x"))).get
+    assert(t2.n == 2 && math.abs(t2.lin(0) - 7.0) < 1e-12)
   }
 
   test("nb mode: diagonal-only quad matches the row aggregate") {
