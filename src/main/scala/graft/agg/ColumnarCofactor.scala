@@ -135,6 +135,20 @@ object ColumnarCofactor {
       java.util.Arrays.fill(out, 0, n, v)
   }
 
+  /** A bare boolean column used as the predicate (the missingness-flag
+    * shape MICE's stratum scans filter on). */
+  private final class BoolAttrP(ord: Int) extends Pred {
+    def eval(b: ColumnarBatch, n: Int, out: Array[Byte]): Unit = {
+      val v = b.column(ord)
+      val nulls = v.hasNull
+      var r = 0
+      while (r < n) {
+        out(r) = if (nulls && v.isNullAt(r)) 2 else if (v.getBoolean(r)) 1 else 0
+        r += 1
+      }
+    }
+  }
+
   private final class NullTestP(ord: Int, wantNull: Boolean) extends Pred {
     def eval(b: ColumnarBatch, n: Int, out: Array[Byte]): Unit = {
       val v = b.column(ord)
@@ -361,6 +375,8 @@ object ColumnarCofactor {
       case InSet(a, hset) => inPred(a, hset.toSeq)
       case Literal(v, BooleanType) =>
         Some(new ConstP(if (v == null) 2 else if (v.asInstanceOf[Boolean]) 1 else 0))
+      case a: AttributeReference if a.dataType == BooleanType =>
+        ordOf.get(a.exprId).map(new BoolAttrP(_))
       case _ => None
     }
   }

@@ -80,6 +80,18 @@ object CoresProbe {
             .agg(graft.Graft.sumTriple(col("l_quantity"), col("l_extendedprice"),
               col("l_discount"), col("l_tax"), col("l_linenumber"), col("shipyear")).as("t")))
         },
+        // the columnar-batch kernel on the same moments: checks the
+        // per-partition-triples + driver-merge shape scales like the
+        // scan itself (the merge is KBs × partitions — if this curve
+        // ever flattens before the scan's, the driver merge is serial)
+        "cofactor_columnar" -> { () =>
+          import graft.agg.ColumnarCofactor._
+          graft.agg.ColumnarCofactor.cofactor(li,
+            Seq(NumCol("l_quantity"), NumCol("l_extendedprice"), NumCol("l_discount"), NumCol("l_tax")),
+            Seq(CatCol("l_linenumber"), CatYear("l_shipdate")))
+            .getOrElse(sys.error("columnar harvest must engage"))
+          ()
+        },
         "factorized_adaptive" -> { () =>
           graft.ml.Factorized.cofactorOverJoinAdaptive(
             li.select(col("l_orderkey").as("k"), col("l_quantity")),

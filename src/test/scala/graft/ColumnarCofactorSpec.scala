@@ -171,6 +171,17 @@ class ColumnarCofactorSpec extends AnyFunSuite {
     assert(t2.n == 2 && math.abs(t2.lin(0) - 7.0) < 1e-12)
   }
 
+  test("filtered harvest: bare boolean flag column (the MICE stratum shape)") {
+    val tmp = java.nio.file.Files.createTempDirectory("colflag").toString
+    Seq((1.0, true), (2.0, false), (3.0, true), (4.0, false), (5.0, true))
+      .toDF("x", "miss").write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
+    val t = ColumnarCofactor.cofactor(df.filter(!col("miss")), Seq(NumCol("x"))).get
+    assert(t.n == 2 && math.abs(t.lin(0) - 6.0) < 1e-12)
+    val t2 = ColumnarCofactor.cofactor(df.filter(col("miss")), Seq(NumCol("x"))).get
+    assert(t2.n == 3 && math.abs(t2.lin(0) - 9.0) < 1e-12)
+  }
+
   test("nb mode: diagonal-only quad matches the row aggregate") {
     val t = ColumnarCofactor.cofactor(li,
       Seq(NumCol("l_quantity"), NumCol("l_tax")), Seq(CatCol("l_linenumber")), nbMode = true).get
