@@ -33,6 +33,19 @@ queries = {
         (SELECT count(*) FROM (SELECT c1, count(*), sum(q), sum(e), sum(d), sum(x) FROM t GROUP BY c1)),
         (SELECT count(*) FROM (SELECT c2, count(*), sum(q), sum(e), sum(d), sum(x) FROM t GROUP BY c2)),
         (SELECT count(*) FROM (SELECT c1, c2, count(*) FROM t GROUP BY c1, c2))""",
+    # the filtered-cofactor bench row's WHERE over the same full-triple
+    # equivalent (graft: cofactor_filtered / sf100_cofactor_filtered)
+    "cofactor_filtered_equivalent": """
+      WITH t AS (SELECT l_quantity q, l_extendedprice e, l_discount d, l_tax x,
+                        l_linenumber c1, year(l_shipdate) c2 FROM lineitem
+                 WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+                   AND l_quantity < 30)
+      SELECT
+        (SELECT count(*) FROM t),
+        (SELECT sum(q*e + q*d + e*d + q*x) FROM t),
+        (SELECT count(*) FROM (SELECT c1, count(*), sum(q), sum(e), sum(d), sum(x) FROM t GROUP BY c1)),
+        (SELECT count(*) FROM (SELECT c2, count(*), sum(q), sum(e), sum(d), sum(x) FROM t GROUP BY c2)),
+        (SELECT count(*) FROM (SELECT c1, c2, count(*) FROM t GROUP BY c1, c2))""",
     "factorized_join": """
       SELECT count(*), sum(l_quantity), avg(o_totalprice), avg(l_quantity*o_totalprice)
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
