@@ -129,13 +129,14 @@ object Graft {
   def cofactor(df: DataFrame, num: Seq[String], cat: Seq[String], nb: Boolean = false): Triple = {
     register(df.sparkSession)
     // fast path: when `df` is a columnar scan (optionally under simple
-    // filters — attr-vs-literal comparisons, IN, IS [NOT] NULL,
-    // AND/OR/NOT, evaluated by the kernel as a per-batch mask) and every
-    // column is a plain supported type, consume the parquet batches
-    // directly (ColumnarCofactor) — identical semantics (null-skip,
-    // int→cat dispatch, cardinality guard), no ColumnarToRow, no agg
-    // exchange. A join, computed column, or uncompilable predicate makes
-    // the harvest refuse and we fall through to the row aggregate below.
+    // filters — attr-vs-literal comparisons, contains/startsWith/
+    // endsWith, IN, IS [NOT] NULL, bare boolean flags, AND/OR/NOT,
+    // evaluated by the kernel as a per-batch mask) and every column is
+    // a plain supported type, consume the parquet batches directly
+    // (ColumnarCofactor) — identical semantics (null-skip, int→cat
+    // dispatch, cardinality guard), no ColumnarToRow, no agg exchange.
+    // A join, computed column, or uncompilable predicate makes the
+    // harvest refuse and we fall through to the row aggregate below.
     graft.agg.ColumnarCofactor.cofactor(
       df,
       num.map(graft.agg.ColumnarCofactor.NumCol),

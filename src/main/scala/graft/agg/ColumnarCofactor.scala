@@ -3,7 +3,7 @@ package graft.agg
 import graft.ring.Triple
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.{ColumnarToRowExec, FilterExec, InputAdapter, ProjectExec, SparkPlan, WholeStageCodegenExec}
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, ExprId, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Not, Or}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Contains, EndsWith, EqualTo, ExprId, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Not, Or, StartsWith}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
@@ -30,8 +30,9 @@ import org.apache.spark.unsafe.types.UTF8String
  * Semantics match [[CofactorAggregate]] exactly: float/double columns
  * are continuous, integer columns categorical, rows with any NULL input
  * are skipped (partition.cpp:210-220 in the reference's MICE drivers),
- * and `CatYear` mirrors `year(timestamp_col)` under the session
- * timezone. Only floating-point summation ORDER differs (batched vs
+ * and `CatYear` mirrors `functions.year` — session-timezone calendar
+ * year on TIMESTAMP, tz-free on TIMESTAMP_NTZ (a wall-clock datetime)
+ * and DATE. Only floating-point summation ORDER differs (batched vs
  * row-at-a-time), i.e. last-ulp differences — the same caveat any
  * partial-aggregation plan already carries across partition counts.
  *
@@ -40,10 +41,11 @@ import org.apache.spark.unsafe.types.UTF8String
  * partition to the driver. This is strictly less traffic than the row
  * aggregate's partial/final exchange. The harvest accepts a bare
  * columnar scan plus attribute-only projections and FILTERS it can
- * compile itself (attr-vs-literal comparisons, IN, IS [NOT] NULL,
- * AND/OR/NOT — evaluated per batch as a selection mask with SQL
- * three-valued logic, see [[compilePred]]); it REFUSES anything else —
- * a join, computed projection, or uncompilable predicate can never be
+ * compile itself (attr-vs-literal comparisons, contains/startsWith/
+ * endsWith, IN, IS [NOT] NULL, bare boolean columns, AND/OR/NOT —
+ * evaluated per batch as a selection mask with SQL three-valued
+ * logic, see [[compilePred]]); it REFUSES anything else — a join,
+ * computed projection, or uncompilable predicate can never be
  * silently dropped — and callers fall back to the row aggregate
  * (`None`).
  */
@@ -62,8 +64,9 @@ object ColumnarCofactor {
   sealed trait CatSpec { def inputs: Seq[String] }
   /** Integer-typed categorical column (the aggregate's bind-time rule). */
   final case class CatCol(name: String) extends CatSpec { def inputs: Seq[String] = Seq(name) }
-  /** `year(timestamp_col)` as a categorical — session-timezone calendar
-    * year, matching `functions.year` on TIMESTAMP. */
+  /** `year(col)` as a categorical — session-timezone calendar year on
+    * TIMESTAMP, plain calendar year on DATE (epoch-days carry no tz),
+    * matching `functions.year` on both. */
   final case class CatYear(name: String) extends CatSpec { def inputs: Seq[String] = Seq(name) }
   /** 1–4 single-byte string columns packed into one int key (one byte
     * per column, first-listed in the high bits) — the TPC-H flag-column
@@ -111,9 +114,11 @@ object ColumnarCofactor {
   // shapes: attr-vs-literal comparisons on integral/date/timestamp (long
   // domain), float/double (java.lang.Double.compare — the NaN-largest,
   // NaN==NaN ordering Spark uses), and string (UTF8String binary order);
-  // IN/INSET literal lists; IS [NOT] NULL; AND/OR/NOT; boolean literals.
-  // Anything else — casts, arithmetic, UDFs, subqueries — refuses the
-  // harvest and the caller falls back to the row aggregate.
+  // contains/startsWith/endsWith on default-collation strings;
+  // IN/INSET literal lists; IS [NOT] NULL; bare boolean columns and
+  // boolean literals; AND/OR/NOT. Anything else — casts, arithmetic,
+  // UDFs, subqueries, collated strings — refuses the harvest and the
+  // caller falls back to the row aggregate.
 
   private final val OP_EQ = 0; private final val OP_LT = 1; private final val OP_LE = 2
   private final val OP_GT = 3; private final val OP_GE = 4
@@ -194,6 +199,30 @@ object ColumnarCofactor {
         else {
           val x = if (t == T_FLOAT) v.getFloat(r).toDouble else v.getDouble(r)
           out(r) = if (cmpOk(op, java.lang.Double.compare(x, lit))) 1 else 0
+        }
+        r += 1
+      }
+    }
+  }
+
+  /** contains / startsWith / endsWith on a string column (mode 0/1/2) —
+    * the text-pipeline filter shapes, via UTF8String's own methods. */
+  private final class StrMatchP(ord: Int, mode: Int, litBytes: Array[Byte]) extends Pred {
+    @transient private lazy val lit = UTF8String.fromBytes(litBytes)
+    def eval(b: ColumnarBatch, n: Int, out: Array[Byte]): Unit = {
+      val v = b.column(ord)
+      val nulls = v.hasNull
+      var r = 0
+      while (r < n) {
+        if (nulls && v.isNullAt(r)) out(r) = 2
+        else {
+          val x = v.getUTF8String(r)
+          val hit = mode match {
+            case 0 => x.contains(lit)
+            case 1 => x.startsWith(lit)
+            case 2 => x.endsWith(lit)
+          }
+          out(r) = if (hit) 1 else 0
         }
         r += 1
       }
@@ -370,6 +399,12 @@ object ColumnarCofactor {
       case GreaterThan(l: Literal, a: AttributeReference) => leaf(a, l, OP_LT)
       case GreaterThanOrEqual(a: AttributeReference, l: Literal) => leaf(a, l, OP_GE)
       case GreaterThanOrEqual(l: Literal, a: AttributeReference) => leaf(a, l, OP_LE)
+      case Contains(a: AttributeReference, Literal(v: UTF8String, StringType)) =>
+        attr(a).collect { case (i, StringType) => new StrMatchP(i, 0, v.getBytes) }
+      case StartsWith(a: AttributeReference, Literal(v: UTF8String, StringType)) =>
+        attr(a).collect { case (i, StringType) => new StrMatchP(i, 1, v.getBytes) }
+      case EndsWith(a: AttributeReference, Literal(v: UTF8String, StringType)) =>
+        attr(a).collect { case (i, StringType) => new StrMatchP(i, 2, v.getBytes) }
       case In(a, list) if list.forall(_.isInstanceOf[Literal]) =>
         inPred(a, list.map(_.asInstanceOf[Literal].value))
       case InSet(a, hset) => inPred(a, hset.toSeq)
@@ -386,6 +421,8 @@ object ColumnarCofactor {
   private final val T_INT = 2; private final val T_LONG = 3
   private final val T_SHORT = 4; private final val T_BYTE = 5
   private final val T_TS = 6; private final val T_STRING = 7
+  private final val T_DATE = 8 // int epoch-days; year is calendar-only, no tz
+  private final val T_TS_NTZ = 9 // micros as a LOCAL datetime: year takes no tz shift
 
   private def numTypeCode(dt: DataType): Option[Int] = dt match {
     case DoubleType => Some(T_DOUBLE)
@@ -520,7 +557,9 @@ object ColumnarCofactor {
         case CatYear(n) =>
           catKind(j) = 1; catOrds(j) = Array(ord(n))
           catT(j) = Array(dtOf(n) match {
-            case TimestampType | TimestampNTZType => T_TS
+            case TimestampType => T_TS // instant: session-tz calendar year
+            case TimestampNTZType => T_TS_NTZ // wall-clock: NO tz shift (year() takes none)
+            case DateType => T_DATE
             case _ => return None
           })
         case CatPackedStrings(names) =>
@@ -931,6 +970,12 @@ object ColumnarCofactor {
         case T_TS =>
           if (s == null) while (r < n) { out(r) = yearOfMicros(v.getLong(r)); r += 1 }
           else while (r < n) { out(r) = yearOfMicros(v.getLong(s(r))); r += 1 }
+        case T_DATE =>
+          if (s == null) while (r < n) { out(r) = civilYear(v.getInt(r).toLong); r += 1 }
+          else while (r < n) { out(r) = civilYear(v.getInt(s(r)).toLong); r += 1 }
+        case T_TS_NTZ =>
+          if (s == null) while (r < n) { out(r) = civilYear(Math.floorDiv(v.getLong(r), MicrosPerDay)); r += 1 }
+          else while (r < n) { out(r) = civilYear(Math.floorDiv(v.getLong(s(r)), MicrosPerDay)); r += 1 }
       }
     }
 

@@ -47,6 +47,18 @@ class ColumnarCofactorSpec extends AnyFunSuite {
     assert(ColumnarCofactor.civilYear(java.time.LocalDate.of(1969, 12, 31).toEpochDay) == 1969)
   }
 
+  test("CatYear on a DATE column matches year(date)") {
+    val tmp = java.nio.file.Files.createTempDirectory("coldate").toString
+    li.select(col("l_quantity"), to_date(col("l_shipdate")).as("d"))
+      .write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
+    val t = ColumnarCofactor.cofactor(df, Seq(NumCol("l_quantity")), Seq(CatYear("d"))).get
+    val ref = Graft.tripleFromRow(
+      df.withColumn("y", year(col("d")))
+        .agg(Graft.sumTriple(col("l_quantity"), col("y")).as("t")).head.getStruct(0))
+    assert(t.approxEquals(ref, 1e-9))
+  }
+
   test("NumDerived kernel matches the expression column") {
     val f: (Array[Array[Double]], Array[Double], Int) => Unit =
       (in, out, n) => { var r = 0; while (r < n) { out(r) = in(0)(r) * (1.0 - in(1)(r)); r += 1 } }
@@ -99,7 +111,9 @@ class ColumnarCofactorSpec extends AnyFunSuite {
     assert(ColumnarCofactor.cofactor(
       li.filter(abs(col("l_discount")) > 0.01), Seq(NumCol("l_quantity"))).isEmpty)
     assert(ColumnarCofactor.cofactor(
-      li.filter(col("l_returnflag").contains("R")), Seq(NumCol("l_quantity"))).isEmpty)
+      li.filter(upper(col("l_returnflag")) === "R"), Seq(NumCol("l_quantity"))).isEmpty)
+    assert(ColumnarCofactor.cofactor(
+      li.filter(col("l_returnflag").rlike("[RN]")), Seq(NumCol("l_quantity"))).isEmpty)
     assert(ColumnarCofactor.cofactor(
       li.withColumn("q2", col("l_quantity") * 2).select(col("q2").as("l_quantity")),
       Seq(NumCol("l_quantity"))).isEmpty)
@@ -169,6 +183,49 @@ class ColumnarCofactorSpec extends AnyFunSuite {
     val g = df.filter(col("d").isNull)
     val t2 = ColumnarCofactor.cofactor(g, Seq(NumCol("x"))).get
     assert(t2.n == 2 && math.abs(t2.lin(0) - 7.0) < 1e-12)
+  }
+
+  test("filtered harvest: contains/startsWith/endsWith match the row path") {
+    for (f <- Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+        _.contains("R"), _.startsWith("N"), _.endsWith("A"))) {
+      val d = li.filter(f(col("l_returnflag")))
+      val t = ColumnarCofactor.cofactor(d, Seq(NumCol("l_quantity"))).get
+      val ref = Graft.tripleFromRow(
+        d.agg(Graft.sumTriple(col("l_quantity")).as("t")).head.getStruct(0))
+      assert(t.approxEquals(ref, 1e-9))
+    }
+    // NULL strings are unknown, and NOT(unknown) stays unknown: a NULL-s
+    // row must be dropped by BOTH contains and its negation (the mask=2
+    // branch — x is non-null so the null-skip can't hide a wrong mask)
+    val tmp = java.nio.file.Files.createTempDirectory("colstr").toString
+    Seq[(java.lang.Double, String)]((1.0, "abc"), (2.0, null), (4.0, "xyz"))
+      .toDF("x", "s").write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
+    val pos = ColumnarCofactor.cofactor(df.filter(col("s").contains("b")), Seq(NumCol("x"))).get
+    assert(pos.n == 1 && math.abs(pos.lin(0) - 1.0) < 1e-12)
+    val neg = ColumnarCofactor.cofactor(df.filter(!col("s").contains("b")), Seq(NumCol("x"))).get
+    assert(neg.n == 1 && math.abs(neg.lin(0) - 4.0) < 1e-12) // NULL row stays dropped
+  }
+
+  test("CatYear on TIMESTAMP_NTZ takes no timezone shift, matching year()") {
+    // year() on NTZ reads the wall-clock datetime; a session tz must NOT
+    // shift it (an instant-style shift would bucket midnight Jan 1 into
+    // the previous year for any tz west of UTC)
+    val tmp = java.nio.file.Files.createTempDirectory("colntz").toString
+    li.select(col("l_quantity"),
+        col("l_shipdate").cast("timestamp_ntz").as("tntz"))
+      .write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
+    // a UTC session would mask an instant-style shift — pin a western tz
+    val saved = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      val t = ColumnarCofactor.cofactor(df, Seq(NumCol("l_quantity")), Seq(CatYear("tntz"))).get
+      val ref = Graft.tripleFromRow(
+        df.withColumn("y", year(col("tntz")))
+          .agg(Graft.sumTriple(col("l_quantity"), col("y")).as("t")).head.getStruct(0))
+      assert(t.approxEquals(ref, 1e-9))
+    } finally spark.conf.set("spark.sql.session.timeZone", saved)
   }
 
   test("filtered harvest: bare boolean flag column (the MICE stratum shape)") {
