@@ -46,8 +46,20 @@ object Graft {
       reg.createOrReplaceTempFunction("multiply_triple", es => MultiplyTriple(es(0), es(1)), "scala_udf")
       reg.createOrReplaceTempFunction("multiply_nb_agg", es => MultiplyTriple(es(0), es(1)), "scala_udf")
       reg.createOrReplaceTempFunction("simhash64", es => graft.functions.SimHash64(es.head), "scala_udf")
-      def intArg(es: Seq[org.apache.spark.sql.catalyst.expressions.Expression], i: Int): Int =
-        es(i).eval().asInstanceOf[Number].intValue()
+      // literal-int argument (k, shingle width, band count, …): fail with
+      // a usable message on a non-foldable or NULL argument instead of an
+      // opaque eval error mid-analysis
+      def intArg(es: Seq[org.apache.spark.sql.catalyst.expressions.Expression], i: Int): Int = {
+        if (!es(i).foldable)
+          throw new IllegalArgumentException(
+            s"argument #${i + 1} must be a literal integer, got ${es(i).sql}")
+        es(i).eval() match {
+          case n: Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"argument #${i + 1} must be a literal integer, got " +
+            (if (other == null) "NULL" else other.toString))
+        }
+      }
       reg.createOrReplaceTempFunction("shingle_hashes", es =>
         graft.functions.ShingleHashes(es(0), intArg(es, 1)), "scala_udf")
       reg.createOrReplaceTempFunction("minhash_signature", es =>

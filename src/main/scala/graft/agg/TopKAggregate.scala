@@ -25,14 +25,33 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
  * (the window's `DESC` default NULLS LAST), so a group with fewer than
  * k non-null candidates still pads its tail exactly like the window
  * path. NaN ranks above every finite score (Spark's NaN-greatest sort
- * order, matched by `java.lang.Double.compare`). Rows with a NULL id
- * are skipped.
+ * order, matched by `java.lang.Double.compare`); `-0.0` is normalized
+ * to `0.0` on entry so zero scores TIE (Spark's sort treats them
+ * equal and breaks on id — `Double.compare` alone would rank them).
+ * Rows with a NULL id are DROPPED — an id is a key, and this is the
+ * one deliberate deviation from the window formulation (Spark's
+ * `cId ASC` default is NULLS FIRST, which would let null-id rows
+ * consume rank slots); `Similarity.rankTopKWindow` filters null ids
+ * for the same contract.
+ *
+ * Arrays grow geometrically toward k, so a group with few candidates
+ * pays for what it holds, not for k.
  */
 final class TopKBuffer(val k: Int, cmpId: (Any, Any) => Int) {
-  val score = new Array[Double](k)
-  val isNul = new Array[Boolean](k)
-  val ids = new Array[Any](k)
+  private var cap = math.min(k, 16)
+  var score = new Array[Double](cap)
+  var isNul = new Array[Boolean](cap)
+  var ids = new Array[Any](cap)
   var size = 0
+
+  private def ensureCap(): Unit = if (size == cap && cap < k) {
+    cap = math.min(k, cap * 2)
+    score = java.util.Arrays.copyOf(score, cap)
+    isNul = java.util.Arrays.copyOf(isNul, cap)
+    val nids = new Array[Any](cap)
+    System.arraycopy(ids, 0, nids, 0, size)
+    ids = nids
+  }
 
   /** true iff entry a ranks strictly after entry b (a is worse). */
   private def ranksAfter(ca: Double, na: Boolean, ia: Any,
@@ -52,6 +71,7 @@ final class TopKBuffer(val k: Int, cmpId: (Any, Any) => Int) {
 
   def push(c: Double, isNull: Boolean, id: Any): Unit = {
     if (size < k) {
+      ensureCap()
       var i = size
       score(i) = c; isNul(i) = isNull; ids(i) = id
       size += 1
@@ -190,12 +210,16 @@ case class TopKByScore(
       if (v == null) isNull = true
       else c = if (scoreIsFloat) v.asInstanceOf[Float].toDouble else v.asInstanceOf[Double]
     }
+    c += 0.0 // normalize -0.0: Spark's sort ties it with 0.0, Double.compare would not
     if (!buffer.mightAccept(c, isNull)) return buffer
     val id = idChild.eval(input)
     if (id == null) return buffer // a null id is not rankable; skip the row
-    // UTF8String may alias the input row's buffer — copy before keeping
+    // UTF8String may alias the input row's buffer — copy before keeping;
+    // -0.0 ids normalize for the same tie parity as scores
     val kept = id match {
       case s: UTF8String => s.clone()
+      case d: java.lang.Double if d.doubleValue == 0.0 => java.lang.Double.valueOf(0.0)
+      case f: java.lang.Float if f.floatValue == 0.0f => java.lang.Float.valueOf(0.0f)
       case other => other
     }
     buffer.push(c, isNull, kept)

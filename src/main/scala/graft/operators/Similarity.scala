@@ -50,7 +50,10 @@ object Similarity {
     * compare against a k-heap root and ships one O(k) heap per
     * (query × task) through the shuffle. Identical output to the
     * window formulation, including NULL-cos candidates padding the
-    * tail when a query has fewer than k non-null scores. */
+    * tail when a query has fewer than k non-null scores; both
+    * formulations DROP null-cId rows (an id is a key — Spark's bare
+    * `cId ASC` default of NULLS FIRST would otherwise let them consume
+    * rank slots, which is never what a search caller wants). */
   private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     reg(scored)
     scored.groupBy(col("qId"))
@@ -72,7 +75,8 @@ object Similarity {
     * parity spec: same (cos desc, cId) order, rank = row_number. */
   private[operators] def rankTopKWindow(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qId")).orderBy(col("cos").desc, col("cId"))
-    scored.withColumn("rank", row_number().over(w))
+    scored.filter(col("cId").isNotNull) // shared contract: null ids are not rankable
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qId"), col("cId"), col("cos"), col("rank"))
   }

@@ -55,6 +55,35 @@ class TopKSpec extends AnyFunSuite {
     compare(rows, k = 5)
   }
 
+  test("-0.0 scores tie with 0.0 and break on cId, matching the window sort") {
+    // Spark's sort treats -0.0 == 0.0 (nanSafeCompareDoubles); a raw
+    // Double.compare heap would rank 0.0 above -0.0 and return cId=2
+    compare(Seq(
+      (0L, 2L, 0.0), (0L, 1L, -0.0), (0L, 3L, -0.5)
+    ), k = 1)
+    // and as an id type: -0.0 ids tie with 0.0 under ASC
+    val scored = Seq((0L, -0.0, 0.5), (0L, 0.0, 0.5), (0L, 7.0, 0.4))
+      .toDF("qId", "cId", "cos")
+    val got = Similarity.rankTopK(scored, 2).orderBy($"rank")
+      .collect().map(_.getDouble(1)).toSeq
+    val want = Similarity.rankTopKWindow(scored, 2).orderBy($"rank")
+      .collect().map(_.getDouble(1)).toSeq
+    assert(got.map(v => v + 0.0) == want.map(v => v + 0.0))
+  }
+
+  test("null cIds are dropped by BOTH formulations (the shared contract)") {
+    val scored = Seq[(java.lang.Long, java.lang.Long, java.lang.Double)](
+      (0L, null, 0.99), (0L, 7L, 0.5), (0L, 8L, 0.4),
+      (1L, null, 0.9) // a group of ONLY null ids vanishes entirely
+    ).toDF("qId", "cId", "cos")
+    val got = Similarity.rankTopK(scored, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val want = Similarity.rankTopKWindow(scored, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == want)
+    assert(got == Set((0L, 7L, 1), (0L, 8L, 2)))
+  }
+
   test("string ids rank by binary order on cos ties") {
     val scored = Seq(
       (0L, "b", 0.5), (0L, "a", 0.5), (0L, "c", 0.5), (0L, "d", 0.1)
