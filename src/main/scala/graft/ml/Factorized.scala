@@ -36,7 +36,9 @@ object Factorized {
     // sorting |keys| serialized triple buffers buys nothing. Size-guarded
     // (see hashJoinIfSafe): a non-spillable hash build over many keys'
     // triple buffers can exceed task memory just like a raw-row build.
-    val row = hashJoinIfSafe(a, b, Seq("__k"))
+    // buildKeysUnique: both sides are groupBy outputs, so the hot-key
+    // probe scan is skipped — max multiplicity is 1 by construction.
+    val row = hashJoinIfSafe(a, b, Seq("__k"), buildKeysUnique = true)
       .select(Graft.sumTripleOf(Graft.multiplyTriple(col("__A"), col("__B"))).as("t"))
       .head
     // empty join → sum_triple yields NULL; the cofactor of zero rows is
@@ -91,6 +93,13 @@ object Factorized {
     if (minRowsPerKey <= 0.0)
       return if (catsEmpty) cofactorOverJoinNumeric(left, right, key, leftNum, rightNum)
              else cofactorOverJoin(left, right, key, leftNum, leftCat, rightNum, rightCat)
+    // the documented FALLBACK pin (Double.MaxValue / +Inf): no probe
+    // scans either — symmetric with the star path's pin handling
+    if (minRowsPerKey == Double.MaxValue || minRowsPerKey.isPosInfinity) {
+      val joined = hashJoinIfSafe(left, right, Seq(key))
+      return if (catsEmpty) Graft.cofactorNumeric(joined, leftNum ++ rightNum)
+             else Graft.cofactor(joined, leftNum ++ rightNum, leftCat ++ rightCat)
+    }
     val (rightRows, rightRpk) = probe(right)
     if (rightRpk >= minRowsPerKey && probe(left)._2 >= minRowsPerKey) {
       // the factorized regime; with no categorical columns the numeric
@@ -121,8 +130,7 @@ object Factorized {
       // no categorical columns → the triple is just plain SUMs, which
       // fuse into the join's whole-stage pipeline instead of closing it
       // at an ObjectHashAggregate boundary (Graft.cofactorNumeric)
-      if (leftCat.isEmpty && rightCat.isEmpty)
-        Graft.cofactorNumeric(joined, leftNum ++ rightNum)
+      if (catsEmpty) Graft.cofactorNumeric(joined, leftNum ++ rightNum)
       else Graft.cofactor(joined, leftNum ++ rightNum, leftCat ++ rightCat)
     }
   }
@@ -276,15 +284,30 @@ object Factorized {
   private[graft] def hashJoinIfSafe(left: DataFrame, right: DataFrame,
                                     usingColumns: Seq[String],
                                     leftRows: Option[Long] = None,
-                                    rightRows: Option[Long] = None): DataFrame = {
+                                    rightRows: Option[Long] = None,
+                                    buildKeysUnique: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     val cap = spark.conf
       .get("spark.graft.shj.maxBuildPartitionBytes", (64L << 20).toString).toLong
     val confParts = math.max(1, spark.sessionState.conf.numShufflePartitions).toLong
+    // the size guard divides by the partition count the build will
+    // ACTUALLY run at: with AQE partition coalescing on (the default),
+    // post-shuffle partitions can merge down to the cluster parallelism
+    // (parallelismFirst), so dividing by a large configured count would
+    // admit a build that coalescing then concentrates past the cap —
+    // the non-spillable abort this guard exists to prevent. Explicit
+    // repartition(n, cols) below is NOT coalesced (user-specified
+    // numPartitions is respected), so only this tier needs the floor.
+    val coalesceOn = spark.conf.get("spark.sql.adaptive.enabled", "true").toBoolean &&
+      spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true").toBoolean
+    val effParts =
+      if (coalesceOn)
+        math.min(confParts, math.max(1, spark.sparkContext.defaultParallelism).toLong)
+      else confParts
     val l = buildBytes(left, leftRows)
     val r = buildBytes(right, rightRows)
     val build = l.min(r)
-    if (cap > 0 && build / confParts <= cap) {
+    if (cap > 0 && build / effParts <= cap) {
       if (l <= r) left.hint("shuffle_hash").join(right, usingColumns)
       else left.join(right.hint("shuffle_hash"), usingColumns)
     } else if (cap > 0 && build / cap + 1 <= 4096) {
@@ -316,7 +339,10 @@ object Factorized {
       val cols = usingColumns.map(col)
       val (bDf, pDf, bFirst) = if (l <= r) (left, right, true) else (right, left, false)
       val perRow = (8L + 8L * bDf.schema.size + 24L) * 2L
-      val maxCnt = maxKeyCount(bDf, usingColumns)
+      // a build side whose keys are unique BY CONSTRUCTION (a per-key
+      // aggregate — the factorized side-agg shape) has max multiplicity
+      // 1; skip the grouped-count probe scan entirely
+      val maxCnt = if (buildKeysUnique) 1L else maxKeyCount(bDf, usingColumns)
       // BUCKETED co-located tier, tried before any repartition: when both
       // sides scan tables bucketed with the SAME bucket count and each
       // bucket's build fits the cap, the scan itself already IS the hash
@@ -345,8 +371,15 @@ object Factorized {
               BigInt(maxCnt) * perRow <= cap =>
             val j = if (bFirst) left.hint("shuffle_hash").join(right, usingColumns)
                     else left.join(right.hint("shuffle_hash"), usingColumns)
-            if (j.queryExecution.executedPlan.toString.contains("Exchange")) None
-            else Some(j)
+            // reject only SHUFFLE exchanges: a BroadcastExchange means
+            // the planner chose a broadcast join, which is already
+            // shuffle-free — discarding it for a forced repartition of
+            // both sides would be strictly worse
+            val hasShuffle = j.queryExecution.executedPlan.exists {
+              case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+              case _ => false
+            }
+            if (hasShuffle) None else Some(j)
           case _ => None
         }
       if (bucketed.isDefined) bucketed.get
@@ -376,8 +409,11 @@ object Factorized {
     val cached = topKeyCache.get(ck)
     if (cached != null) cached
     else {
-      val rows = df.groupBy(keyCols.map(col): _*).count()
-        .orderBy(col("count").desc).limit(65).collect()
+      // aliased count: a user key column literally named "count" would
+      // make the bare groupBy(...).count() output ambiguous to order by
+      val rows = df.groupBy(keyCols.map(col): _*)
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("__graft_cnt"))
+        .orderBy(col("__graft_cnt").desc).limit(65).collect()
       topKeyCache.put(ck, rows)
       rows
     }
@@ -401,6 +437,11 @@ object Factorized {
   private def saltedHashJoin(bDf: DataFrame, pDf: DataFrame, key: String,
                              cap: Long, perRow: Long, parts: Int,
                              buildIsLeft: Boolean): Option[DataFrame] = {
+    // the salt columns are internal: an input that already carries them
+    // (e.g. an upstream salting stage's output) would be silently
+    // overwritten and then dropped — surrender to the spill-capable SMJ
+    if (Seq(bDf, pDf).exists(d => d.columns.contains("__salt") || d.columns.contains("__salts")))
+      return None
     // hot set from the same memoized top-key scan the SHJ veto used —
     // the count-descending order makes the qualifying set a prefix, so
     // a full 65-entry prefix proves >64 hot keys (degenerate)
@@ -565,15 +606,18 @@ object Factorized {
     if (dims.isEmpty)
       return if (catAll.isEmpty) Graft.cofactorNumeric(fact, numAll)
              else Graft.cofactor(fact, numAll, catAll)
+    // validate BEFORE the 1-dim delegation: a duplicate feature name
+    // would otherwise only crash on the probe-chosen fallback route
+    // (ambiguous column over the joined frame) — data-dependent failure
+    require(numAll.distinct.length == numAll.length &&
+      catAll.distinct.length == catAll.length,
+      "star feature names must be pairwise distinct across fact and dims")
     if (dims.length == 1)
       return cofactorOverJoinAdaptive(fact, dims.head.df, dims.head.key,
         factNum, factCat, dims.head.num, dims.head.cat, minRowsPerKey)
     val keys = dims.map(_.key)
     require(keys.distinct.length == keys.length,
       s"star dims must join on distinct fact keys, got $keys")
-    require(numAll.distinct.length == numAll.length &&
-      catAll.distinct.length == catAll.length,
-      "star feature names must be pairwise distinct across fact and dims")
 
     def rowsPerKey(df: DataFrame, keyCols: Seq[String]): (Long, Double) =
       probeRowsPerKey(df, keyCols)
@@ -610,6 +654,9 @@ object Factorized {
         val dimCols = d.num.map(c => col(c).cast("double")) ++
           d.cat.map(c => col(c).cast("int"))
         val dagg = d.df.groupBy(col(d.key)).agg(Graft.sumTriple(dimCols: _*).as("__D"))
+        // (dagg is unique-keyed, but `cur` — grouped by ALL agg-dim keys —
+        // is not unique on d.key alone and may be chosen as the build
+        // side, so the buildKeysUnique shortcut does not apply here)
         cur = hashJoinIfSafe(cur, dagg, Seq(d.key))
           .withColumn("__T", Graft.multiplyTriple(col("__T"), col("__D")))
           .drop("__D")

@@ -19,11 +19,17 @@ object Tables {
     * equi-joins/aggregations on `key` between tables bucketed the same
     * way are shuffle-free (co-located scan). The 100 TB pattern for fact
     * tables joined repeatedly on the same key (e.g. MICE over a join or
-    * repeated factorized training). */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write.mode("overwrite")
+    * repeated factorized training). Pre-shuffled to `buckets` partitions
+    * so each bucket lands in ONE file (repartition and bucketBy share
+    * Murmur3 `pmod` hashing) instead of #writeTasks × #buckets
+    * fragments. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartition(buckets, col(key))
+      .write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
+  }
 
   /** Bucketized EXTERNAL copy of `srcParquet` (projected to `cols`) at
     * `path`, registered as `table`. Bucket metadata lives in the session
@@ -41,7 +47,16 @@ object Tables {
     import org.apache.spark.sql.functions.col
     if (!spark.catalog.tableExists(table)) {
       val src = spark.read.parquet(srcParquet).select(cols.map(col): _*)
-      if (new java.io.File(path).exists()) {
+      // attach only to a COMPLETED write: check through the Hadoop
+      // filesystem (java.io.File is local-only — on HDFS/S3 it would
+      // silently re-pay the write every session) and require the
+      // _SUCCESS marker, so an interrupted write is redone rather than
+      // attached as silently-incomplete bucket data
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val completed = fs.exists(hPath) &&
+        fs.exists(new org.apache.hadoop.fs.Path(hPath, "_SUCCESS"))
+      if (completed) {
         spark.sql(s"""CREATE TABLE $table (${src.schema.toDDL})
           USING parquet CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
           LOCATION '$path'""")

@@ -358,6 +358,54 @@ class MlSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.shj.maxBuildPartitionBytes")
   }
 
+  test("skew tier guards: __salt-bearing inputs refuse salting; 'count' key column survives") {
+    spark.conf.set("spark.graft.shj.maxBuildPartitionBytes", "8192")
+    try {
+      // an input already carrying __salt must NOT be silently overwritten
+      // and dropped — the tier surrenders to the spill-capable join and
+      // the user's column survives with its values intact
+      val hotDim = (Seq.tabulate(2000)(i => (0, i * 0.01, i)) ++
+        Seq.tabulate(500)(i => (i + 1, i * 0.1, -i))).toDF("k", "dprice", "__salt")
+      val fact = Seq.tabulate(3000)(i => (i % 501, i * 1.0)).toDF("k", "y")
+      val joined = graft.ml.Factorized.hashJoinIfSafe(fact, hotDim, Seq("k"))
+      assert(joined.columns.contains("__salt"), "user __salt column must survive")
+      val got = joined.agg(sum(col("__salt"))).head.getLong(0)
+      val want = fact.join(hotDim, "k").agg(sum(col("__salt"))).head.getLong(0)
+      assert(got == want, s"__salt values corrupted: $got vs $want")
+      // a join-key column literally named "count" must not break the
+      // hot-key probe's grouped count
+      val cDim = (Seq.tabulate(2000)(i => (0, i * 0.01)) ++
+        Seq.tabulate(500)(i => (i + 1, i * 0.1))).toDF("count", "dprice")
+      val cFact = Seq.tabulate(3000)(i => (i % 501, i * 1.0)).toDF("count", "y")
+      val cJoined = graft.ml.Factorized.hashJoinIfSafe(cFact, cDim, Seq("count"))
+      val t = Graft.cofactorNumeric(cJoined, Seq("y", "dprice"))
+      val ref = Graft.cofactorNumeric(cFact.join(cDim, "count"), Seq("y", "dprice"))
+      assert(t.approxEquals(ref, 1e-9))
+    } finally spark.conf.unset("spark.graft.shj.maxBuildPartitionBytes")
+  }
+
+  test("adaptive pins: Double.MaxValue routes fallback with zero probe scans") {
+    graft.ml.Factorized.clearProbeCache()
+    val dim = Seq.tabulate(200)(i => (i, i * 0.1)).toDF("k", "d")
+    val fact = Seq.tabulate(1000)(i => (i % 200, i * 1.0)).toDF("k", "y")
+    val t = graft.ml.Factorized.cofactorOverJoinAdaptive(
+      fact, dim, "k", Seq("y"), Seq(), Seq("d"), Seq(), minRowsPerKey = Double.MaxValue)
+    val ref = Graft.cofactorNumeric(fact.join(dim, "k"), Seq("y", "d"))
+    assert(t.approxEquals(ref, 1e-9))
+    assert(graft.ml.Factorized.probeCacheSize == 0,
+      "the MaxValue pin must not run probe scans")
+  }
+
+  test("star: duplicate feature names rejected even on the 1-dim delegation") {
+    val dim = Seq.tabulate(50)(i => (i, i * 0.1)).toDF("k", "price")
+    val fact = Seq.tabulate(500)(i => (i % 50, i * 1.0)).toDF("k", "price")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ml.Factorized.cofactorOverStar(fact, Seq("price"), Seq(),
+        Seq(graft.ml.Factorized.StarDim(dim, "k", Seq("price"), Seq())))
+    }
+    assert(ex.getMessage.contains("distinct"))
+  }
+
   test("bucketed co-located tier: no exchange, exact parity, hot-key veto intact") {
     // cap tiny so tier 1 (build fits at the session's partition count)
     // fails and the UN-bucketed join would take the partition-to-fit
