@@ -198,7 +198,11 @@ object ColumnarCofactor {
         if (nulls && v.isNullAt(r)) out(r) = 2
         else {
           val x = if (t == T_FLOAT) v.getFloat(r).toDouble else v.getDouble(r)
-          out(r) = if (cmpOk(op, java.lang.Double.compare(x, lit))) 1 else 0
+          // Spark's SQLOrderingUtil.compareDoubles: primitive == first (so
+          // -0.0 equals 0.0), then Double.compare (so NaN is ordered) —
+          // raw Double.compare alone would drop -0.0 rows on `=== 0.0`
+          val c = if (x == lit) 0 else java.lang.Double.compare(x, lit)
+          out(r) = if (cmpOk(op, c)) 1 else 0
         }
         r += 1
       }
@@ -266,7 +270,12 @@ object ColumnarCofactor {
   }
 
   /** Double IN — linear probe with Double.compare after normalizing -0.0
-    * (x + 0.0), so NaN matches NaN and -0.0 matches 0.0 like Spark. */
+    * (x + 0.0), so NaN matches NaN and -0.0 matches 0.0. This holds for
+    * BOTH `In` and its optimized `InSet` form: since SPARK-32110 the
+    * optimizer wraps floating-point IN comparisons in NormalizeNaNAndZero,
+    * so the row path also treats -0.0 as 0.0 (parity pinned in the spec's
+    * In/InSet zero-semantics test — InSet.eval's raw boxed set alone would
+    * suggest otherwise, but it never sees a non-normalized -0.0). */
   private final class InDoubleP(ord: Int, t: Int, set0: Array[Double]) extends Pred {
     private val set = set0.map(_ + 0.0)
     def eval(b: ColumnarBatch, n: Int, out: Array[Byte]): Unit = {
@@ -420,7 +429,7 @@ object ColumnarCofactor {
   private final val T_DOUBLE = 0; private final val T_FLOAT = 1
   private final val T_INT = 2; private final val T_LONG = 3
   private final val T_SHORT = 4; private final val T_BYTE = 5
-  private final val T_TS = 6; private final val T_STRING = 7
+  private final val T_TS = 6
   private final val T_DATE = 8 // int epoch-days; year is calendar-only, no tz
   private final val T_TS_NTZ = 9 // micros as a LOCAL datetime: year takes no tz shift
 
@@ -511,7 +520,9 @@ object ColumnarCofactor {
   private def compile(src: DataFrame, nums: Seq[NumSpec], cats: Seq[CatSpec],
                nbMode: Boolean,
                maxCategories: Int): Option[(SparkPlan, Compiled)] = {
-    require(nums.nonEmpty, "cofactor needs at least one continuous column")
+    // categorical-only cofactors are a shape the ROW aggregate supports —
+    // refuse (None) so callers fall back, rather than crashing the call
+    if (nums.isEmpty) return None
     val inputNames = (nums.flatMap(_.inputs) ++ cats.flatMap(_.inputs)).distinct
     val pruned = src.select(inputNames.map(col): _*)
     leafScanAndFilters(pruned.queryExecution.executedPlan).flatMap { case (scan, filters) =>
@@ -565,7 +576,9 @@ object ColumnarCofactor {
         case CatPackedStrings(names) =>
           catKind(j) = 2; catOrds(j) = names.map(ord).toArray
           if (!names.forall(n => dtOf(n) == StringType)) return None
-          catT(j) = names.map(_ => T_STRING).toArray
+          // the packed-strings decode dispatches on catKind and calls
+          // packByte directly; it never reads a per-column type code
+          catT(j) = Array.empty[Int]
       }
 
       val compiled = Compiled(
@@ -952,6 +965,11 @@ object ColumnarCofactor {
       }
     }
 
+    private def longCat(l: Long): Int =
+      if (l == l.toInt) l.toInt
+      else throw new ArithmeticException(
+        s"categorical value $l overflows INT — same failure the row path's ANSI cast raises")
+
     private def fillCatInt(v: ColumnVector, t: Int, out: Array[Int], s: Array[Int], n: Int): Unit = {
       var r = 0
       t match {
@@ -959,8 +977,11 @@ object ColumnarCofactor {
           if (s == null) while (r < n) { out(r) = v.getInt(r); r += 1 }
           else while (r < n) { out(r) = v.getInt(s(r)); r += 1 }
         case T_LONG =>
-          if (s == null) while (r < n) { out(r) = v.getLong(r).toInt; r += 1 }
-          else while (r < n) { out(r) = v.getLong(s(r)).toInt; r += 1 }
+          // fail loudly on overflow like the row path's ANSI cast("int") —
+          // a silent .toInt would bit-truncate and MERGE categories that
+          // differ by multiples of 2^32
+          if (s == null) while (r < n) { out(r) = longCat(v.getLong(r)); r += 1 }
+          else while (r < n) { out(r) = longCat(v.getLong(s(r))); r += 1 }
         case T_SHORT =>
           if (s == null) while (r < n) { out(r) = v.getShort(r).toInt; r += 1 }
           else while (r < n) { out(r) = v.getShort(s(r)).toInt; r += 1 }

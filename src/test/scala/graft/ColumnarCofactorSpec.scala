@@ -165,6 +165,62 @@ class ColumnarCofactorSpec extends AnyFunSuite {
     assert(none.n == 0)
   }
 
+  test("filtered harvest: -0.0 comparison and In/InSet zero semantics match the row path") {
+    val tmp = java.nio.file.Files.createTempDirectory("colzero").toString
+    Seq((-0.0, 1.0), (0.0, 2.0), (1.0, 3.0), (-1.0, 4.0))
+      .toDF("d", "x").write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
+    // === 0.0 and < 0.0: Spark compares via SQLOrderingUtil (-0.0 == 0.0);
+    // a raw Double.compare kernel would drop the -0.0 row from the first
+    // and add it to the second
+    for (f <- Seq[org.apache.spark.sql.Column](
+        col("d") === 0.0, col("d") < 0.0, col("d") <= 0.0, col("d") > 0.0)) {
+      val q = df.filter(f)
+      val t = ColumnarCofactor.cofactor(q, Seq(NumCol("x"))).get
+      val ref = Graft.tripleFromRow(q.agg(Graft.sumTriple(col("x")).as("t")).head.getStruct(0))
+      assert(t.n == ref.n && t.approxEquals(ref, 1e-12), s"filter $f: ${t.n} vs ${ref.n}")
+    }
+    // In (≤10 literals) and InSet (>10 literals after OptimizeIn) both
+    // match -0.0 against 0.0 on the row path (SPARK-32110 normalization);
+    // the kernel's InDoubleP normalizes identically for both forms
+    val inQ = df.filter(col("d").isin(0.0, 9.0))
+    val inSetQ = df.filter(col("d").isin(0.0, 9.0, 10.0, 11.0, 12.0, 13.0, 14.0, 15.0, 16.0, 17.0, 18.0))
+    for (q <- Seq(inQ, inSetQ)) {
+      val t = ColumnarCofactor.cofactor(q, Seq(NumCol("x"))).get
+      val ref = Graft.tripleFromRow(q.agg(Graft.sumTriple(col("x")).as("t")).head.getStruct(0))
+      assert(t.n == ref.n && t.approxEquals(ref, 1e-12), s"${q.queryExecution.optimizedPlan}")
+    }
+    // both forms keep the -0.0 and 0.0 rows — pin that the row engine
+    // really normalizes in BOTH, so kernel always-normalize is the match
+    assert(inQ.count() == 2 && inSetQ.count() == 2)
+  }
+
+  test("categorical-only cofactor refuses the kernel and falls back to the row aggregate") {
+    assert(ColumnarCofactor.cofactor(li, Seq(), Seq(CatCol("l_linenumber"))).isEmpty)
+    val t = Graft.cofactor(li, Seq(), Seq("l_linenumber"))
+    assert(t.n == li.count() && t.lin.isEmpty)
+  }
+
+  test("LongType categorical: in-range values work, 2^32-aliased values fail loudly") {
+    val tmp = java.nio.file.Files.createTempDirectory("collong").toString
+    Seq((5L, 1.0), (7L, 2.0), (5L, 3.0)).toDF("c", "x").write.mode("overwrite").parquet(tmp)
+    val ok = ColumnarCofactor.cofactor(spark.read.parquet(tmp),
+      Seq(NumCol("x")), Seq(CatCol("c"))).get
+    val ref = Graft.tripleFromRow(spark.read.parquet(tmp)
+      .agg(Graft.sumTriple(col("x"), col("c").cast("int")).as("t")).head.getStruct(0))
+    assert(ok.approxEquals(ref, 1e-12))
+    // 2^32+5 truncates to the same Int as 5 — silent merge forbidden
+    val tmp2 = java.nio.file.Files.createTempDirectory("collong2").toString
+    Seq((5L, 1.0), ((1L << 32) + 5L, 2.0)).toDF("c", "x").write.mode("overwrite").parquet(tmp2)
+    val ex = intercept[Exception] {
+      ColumnarCofactor.cofactor(spark.read.parquet(tmp2), Seq(NumCol("x")), Seq(CatCol("c")))
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.isInstanceOf[ArithmeticException]),
+      s"expected ArithmeticException in cause chain, got $ex")
+  }
+
   test("filtered harvest: NULL three-valued logic matches the row path under NOT") {
     val tmp = java.nio.file.Files.createTempDirectory("colfilt").toString
     Seq[(java.lang.Double, java.lang.Double)](
