@@ -33,10 +33,20 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = { reg(); call_function("cosine_similarity", a, b) }
 
   /** Pairwise cosine from a precomputed norm per side: the per-pair work
-    * is a single fused dot. Bit-identical to [[cosine]] (same element
-    * order, same `dot/(√·√)` association). */
-  private def cosFromNorms(a: Column, b: Column, na: Column, nb: Column): Column =
-    dot(a, b) / (na * nb)
+    * is a single fused dot. Bit-identical to [[cosine]] for finite
+    * vectors with nonzero norms (same element order, same `dot/(√·√)`
+    * association); a zero or NaN DENOMINATOR (zero-norm vector, or a
+    * NaN/±Inf element poisoning the norm) yields NULL instead — NaN
+    * orders ABOVE every finite double under the `cos desc` rank, so one
+    * garbage corpus vector would otherwise take rank 1 for EVERY query
+    * and pass `cos >= threshold` near-dup filters. Same guard as the PQ
+    * paths' guardedCos (Pq.scala), so float and PQ search agree on
+    * degenerate rows: ranked last / filtered out, never first. */
+  private def cosFromNorms(a: Column, b: Column, na: Column, nb: Column): Column = {
+    val denom = na * nb
+    when(!isnan(denom) && denom =!= 0.0, dot(a, b) / denom)
+      .otherwise(lit(null).cast("double"))
+  }
 
   /** The shared ranking tail of every top-k search path: per-query
     * top-k under (cos desc NULLS LAST, cId asc) — ONE definition, so a
@@ -107,8 +117,14 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
   }
 
-  /** Sign-bucket of a vector under `nPlanes` seeded hyperplanes. */
+  /** Sign-bucket of a vector under `nPlanes` seeded hyperplanes.
+    * 1..63 planes: the bucket is a sum of distinct long bits, so plane
+    * 64's `1L << 64` would wrap onto plane 0's bit and carry-corrupt
+    * the bucket (unrelated vectors colliding silently), and 0 planes
+    * would crash an empty reduce — both rejected up front. */
   def lshBucket(vec: Column, dim: Int, nPlanes: Int = 8, seed: Long = 42L): Column = {
+    require(nPlanes >= 1 && nPlanes <= 63,
+      s"lshBucket needs 1..63 hyperplanes (distinct bits of one long), got $nPlanes")
     val ps = planes(dim, nPlanes, seed)
     ps.zipWithIndex.map { case (p, i) =>
       when(dot(vec, typedLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
@@ -123,8 +139,10 @@ object Similarity {
    */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               qId: String, qVec: String, cId: String, cVec: String,
-              k: Int, dim: Int, nPlanes: Int = 8, seed: Long = 42L): DataFrame =
-    lshTopKSeeds(queries, corpus, qId, qVec, cId, cVec, k, dim, nPlanes, Seq(seed))
+              k: Int, dim: Int, nPlanes: Int = 8, seed: Long = 42L,
+              excludeSelf: Boolean = true): DataFrame =
+    lshTopKSeeds(queries, corpus, qId, qVec, cId, cVec, k, dim, nPlanes, Seq(seed),
+      excludeSelf)
 
   /**
    * Multi-table LSH top-k: candidates are unioned across `seeds`
@@ -139,7 +157,8 @@ object Similarity {
   def lshTopKSeeds(queries: DataFrame, corpus: DataFrame,
                    qId: String, qVec: String, cId: String, cVec: String,
                    k: Int, dim: Int, nPlanes: Int = 8,
-                   seeds: Seq[Long] = Seq(42L, 43L, 44L)): DataFrame = {
+                   seeds: Seq[Long] = Seq(42L, 43L, 44L),
+                   excludeSelf: Boolean = true): DataFrame = {
     require(seeds.nonEmpty, "lshTopKSeeds needs at least one seed")
     reg(queries)
     def tables(vec: Column): Column = array(seeds.zipWithIndex.map { case (s, i) =>
@@ -150,8 +169,8 @@ object Similarity {
     val c = corpus.select(col(cId).as("cId"), col(cVec).as("__cv"))
       .withColumn("__cn", norm(col("__cv")))
       .select(col("cId"), col("__cv"), col("__cn"), explode(tables(col("__cv"))).as("__sb"))
-    val scored = c.join(q, "__sb")
-      .filter(col("qId") =!= col("cId"))
+    val joined = c.join(q, "__sb")
+    val scored = (if (excludeSelf) joined.filter(col("qId") =!= col("cId")) else joined)
       .withColumn("cos", cosFromNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
       .select(col("qId"), col("cId"), col("cos"))
     // multiplicity ≤ #seeds and the cos is bit-identical across tables —
@@ -195,15 +214,39 @@ object Similarity {
     // the fixed-point transform and an Inf to Long.MaxValue — silently
     // poisoning a centroid that residual IVFADC then bakes into every
     // score
+    // the seed folds in as an XOR over the id hash, diffused through the
+    // 64-bit murmur finalizer so a small seed delta flips HIGH bits too
+    // (a raw low-bit XOR would almost never change the sample ordering).
+    // fmix64(0) == 0, so the DEFAULT seed (42) XORs with 0 —
+    // bit-identical to the historical xxhash64(id) order, and the pinned
+    // recall goldens (q45/q57/q58/q63/q65) cannot move. The id tiebreak
+    // makes the sampled set deterministic even under duplicate ids or a
+    // hash collision (the Pq.train discipline).
+    def fmix64(z0: Long): Long = {
+      var z = z0
+      z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
+      z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
+      z ^ (z >>> 33)
+    }
     var cents = corpus.select(col(id), col(vec))
       .where(finiteVec(col(vec)))
-      .withColumn("__r", xxhash64(col(id)))
-      .orderBy(col("__r")).limit(nCentroids)
+      .withColumn("__r", xxhash64(col(id)).bitwiseXOR(lit(fmix64(seed ^ 42L))))
+      .orderBy(col("__r"), col(id)).limit(nCentroids)
       .collect().zipWithIndex
       // any fixed-width numeric element type (float embeddings, int8-
       // quantized corpora, …) — same acceptance as the scoring kernels
       .map { case (r, i) =>
         i -> r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toArray }
+    require(cents.nonEmpty,
+      "ivfBuild: no finite corpus vectors to sample centroids from " +
+        "(every row has a NULL vector or a NULL/NaN/Inf element)")
+    // one centroid dimension, established by the sample: a mixed-length
+    // corpus would misalign the flat codebook matrix (silent garbage
+    // assignments) — fail loudly here, and size-guard the Lloyd sums so
+    // a stray wrong-length row cannot feed __pos past the decode arrays
+    val dimC = cents.head._2.length
+    require(cents.forall(_._2.length == dimC),
+      s"ivfBuild: sampled vectors have mixed lengths (expected $dimC)")
     for (_ <- 1 to kmeansIters) {
       // the iteration's centroid matrix is superseded as soon as this
       // pass has collected — release its TorrentBroadcast explicitly
@@ -212,7 +255,8 @@ object Similarity {
       // driver BlockManager for the life of the context)
       val iterFlat = if (cents.length <= 32768) cents.sortBy(_._1).flatMap(_._2) else null
       val means = assignCentroidFlat(
-          corpus.where(finiteVec(col(vec))).select(col(vec).as("__v")), "__v", cents, iterFlat)
+          corpus.where(finiteVec(col(vec)) && size(col(vec)) === lit(dimC))
+            .select(col(vec).as("__v")), "__v", cents, iterFlat)
         // assignment in its OWN projection below the generate (inside
         // assignCentroid): a sibling expression beside a generator lands
         // in the Project ABOVE the Generate and re-evaluates once per
@@ -363,17 +407,20 @@ object Similarity {
    * dimension) are DROPPED by the probe stage, not emitted with a NULL cos — the
    * result can have fewer distinct qIds than `queries` has rows. (Same
    * for every IVF-probed path: [[Pq.ivfPqTopK]] and the residual
-   * variants.)
+   * variants.) `excludeSelf` (default true) drops candidates with
+   * cId == qId — pass false when queries and corpus are different
+   * datasets that share an id space.
    */
   def ivfTopK(index: IvfIndex, queries: DataFrame, qId: String, qVec: String,
-              cId: String, cVec: String, k: Int, nProbe: Int = 2): DataFrame = {
+              cId: String, cVec: String, k: Int, nProbe: Int = 2,
+              excludeSelf: Boolean = true): DataFrame = {
     reg(queries)
     val q = probeAssign(queries, qId, qVec, index, nProbe)
       .withColumn("__qn", norm(col("__qv")))
     val c = index.assigned.select(col(cId).as("cId"), col(cVec).as("__cv"), col("__cent"))
       .withColumn("__cn", norm(col("__cv")))
-    val scored = c.join(broadcast(q), "__cent")
-      .filter(col("qId") =!= col("cId"))
+    val joined = c.join(broadcast(q), "__cent")
+    val scored = (if (excludeSelf) joined.filter(col("qId") =!= col("cId")) else joined)
       .withColumn("cos", cosFromNorms(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
     rankTopK(scored, k)
   }

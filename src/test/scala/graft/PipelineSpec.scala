@@ -607,6 +607,72 @@ class PipelineSpec extends AnyFunSuite {
     assert(partial.nonEmpty)
   }
 
+  test("degenerate vectors rank LAST, never first: NaN corpus row + zero-norm query") {
+    // one corpus vector with a NaN element and one all-zero vector: an
+    // unguarded dot/(na*nb) scores them NaN, which `cos desc` orders
+    // ABOVE every finite cosine — rank 1 for EVERY query. The guard
+    // NULLs them (desc NULLS LAST) so they can only pad the tail.
+    val poisoned = vecDf.union(Seq(
+      (900L, Seq.tabulate(16)(j => if (j == 3) Float.NaN else 0.5f)),
+      (901L, Seq.fill(16)(0.0f))).toDF("vec_id", "embedding"))
+    val q = poisoned.filter($"vec_id" < 3)
+    val res = Similarity.bruteForceTopK(q, poisoned, "vec_id", "embedding",
+      "vec_id", "embedding", k = 3).collect()
+    assert(res.nonEmpty)
+    res.foreach(r => assert(r.getLong(1) < 900L,
+      s"degenerate corpus row ranked top-3: $r"))
+    // and the near-dup pair filter cannot pass a NaN cosine either
+    val pairs = Similarity.embeddingNearDupPairs(poisoned, "vec_id", "embedding",
+      threshold = 0.9, dim = 16, nPlanes = 0).collect()
+    pairs.foreach(r => assert(r.getLong(0) < 900L && r.getLong(1) < 900L,
+      s"degenerate pair passed the threshold: $r"))
+  }
+
+  test("excludeSelf=false keeps cId==qId pairs on the LSH and IVF paths") {
+    val q = vecDf.filter($"vec_id" < 5)
+    val lsh = Similarity.lshTopK(q, vecDf, "vec_id", "embedding", "vec_id", "embedding",
+      k = 3, dim = 16, nPlanes = 2, excludeSelf = false).collect()
+    // a vector's own row has cos 1.0 — with self included it must be rank 1
+    assert(lsh.filter(_.getInt(3) == 1).forall(r => r.getLong(0) == r.getLong(1)))
+    val index = Similarity.ivfBuild(vecDf, "vec_id", "embedding", nCentroids = 4)
+    val ivf = Similarity.ivfTopK(index, q, "vec_id", "embedding", "vec_id", "embedding",
+      k = 3, nProbe = 4, excludeSelf = false).collect()
+    assert(ivf.filter(_.getInt(3) == 1).forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
+  test("ivfBuild: seed is live (XOR-folded, default preserved), degenerate corpora fail loudly") {
+    // default seed must reproduce the historical xxhash64(id) sample
+    // order bit-for-bit (pinned recall goldens depend on it)
+    val a = Similarity.ivfBuild(vecDf, "vec_id", "embedding", nCentroids = 4, kmeansIters = 0)
+    val b = Similarity.ivfBuild(vecDf, "vec_id", "embedding", nCentroids = 4, seed = 42L, kmeansIters = 0)
+    assert(a.centroids.map(_._2.toSeq).toSeq == b.centroids.map(_._2.toSeq).toSeq)
+    // a different seed draws a different sample
+    val c = Similarity.ivfBuild(vecDf, "vec_id", "embedding", nCentroids = 4, seed = 7L, kmeansIters = 0)
+    assert(a.centroids.map(_._2.toSeq).toSeq != c.centroids.map(_._2.toSeq).toSeq)
+    // all-degenerate corpus: loud require, not a silent empty index
+    val bad = Seq((1L, null.asInstanceOf[Seq[Float]]),
+      (2L, Seq(Float.NaN, 1.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfBuild(bad, "vec_id", "embedding", nCentroids = 2)
+    }
+    assert(ex.getMessage.contains("no finite corpus vectors"))
+    // mixed vector lengths in the sample: loud require, not a
+    // misaligned flat matrix
+    val mixed = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.ivfBuild(mixed, "vec_id", "embedding", nCentroids = 2)
+    }
+    assert(ex2.getMessage.contains("mixed lengths"))
+  }
+
+  test("lshBucket rejects nPlanes outside 1..63") {
+    for (bad <- Seq(0, 64, -1)) {
+      intercept[IllegalArgumentException] {
+        Similarity.lshBucket($"embedding", dim = 16, nPlanes = bad)
+      }
+    }
+  }
+
   test("multi-table LSH: candidate superset of every single table, exact cosines, no dup ranks") {
     val q = vecDf.filter($"vec_id" < 5)
     val seeds = Seq(42L, 43L, 44L)
