@@ -50,44 +50,16 @@ object MiceJoin {
    * multi-column chained equations.
    *
    * Returns `fact`'s columns with `target` imputed (no dim columns).
+   * The 1-dim special case of [[imputeContOverStar]] (delegates; same
+   * adaptive routing, same fallback contract).
    */
   def imputeContOverJoin(fact: DataFrame, dim: DataFrame, key: String,
                          target: String, factNum: Seq[String], dimNum: Seq[String],
                          lambda: Double = 0.0, stochastic: Boolean = false,
                          seed: Long = 42L,
-                         tm: Mice.Timings = new Mice.Timings): DataFrame = {
-    val spark = fact.sparkSession
-    Graft.register(spark)
-    requireUniqueKey(dim, key)
-    val outCols = fact.columns.toSeq
-    val (observed, missing) = tm.time("partition")(
-      (fact.filter(col(target).isNotNull).localCheckpoint(),
-       fact.filter(col(target).isNull).localCheckpoint()))
-    // the factorized static cofactor: [target, factNum…, dimNum…] —
-    // per-key triples + ring product, the join never materialized
-    val triple = tm.time("cofactor_static")(Factorized.cofactorOverJoinAdaptive(
-      observed, dim, key, target +: factNum, Seq(), dimNum, Seq()))
-    // normalize: dimension features often live on wild scales (an order
-    // total is ~10⁴× a discount), and the raw moment matrix's condition
-    // number then exceeds the pinv's relative singular-value cut — the
-    // truncated directions silently zero the intercept. Standardizing in
-    // moment space costs nothing (the triple is already collected) and
-    // the coefficients fold back to raw scale.
-    val model = tm.time("train")(LinReg.train(triple, label = 0, lambda,
-      normalize = true))
-    // mean of the observed target straight from the triple (lin(0)/N) —
-    // the NULL-feature / no-dim-match fallback, no extra scan
-    val mean = if (triple.n == 0) 0.0 else triple.lin(0) / triple.n
-    val imputed = tm.time("impute_update") {
-      val pred = LinReg.predict(model, (factNum ++ dimNum).map(col), Seq(),
-        addNoise = stochastic, seed = seed)
-      missing.join(dim, Seq(key), "left")
-        .withColumn(target, coalesce(pred, lit(mean)))
-        .select(outCols.map(col): _*)
-        .localCheckpoint()
-    }
-    observed.unionByName(imputed)
-  }
+                         tm: Mice.Timings = new Mice.Timings): DataFrame =
+    imputeContOverStar(fact, Seq(Factorized.StarDim(dim, key, dimNum, Seq())),
+      target, factNum, lambda, stochastic, seed, tm = tm)
 
   /**
    * One factorized MICE round for a continuous fact-side column over a
@@ -101,8 +73,13 @@ object MiceJoin {
    * Every dim must be unique per its key (asserted, dim-sized probes) —
    * required here even though training alone would tolerate
    * multiplicity, because the imputation left-joins must not fan out
-   * fact rows. A missing-stratum row with no match in SOME dim (NULL
-   * features ⇒ NULL prediction) falls back to the observed-target mean.
+   * fact rows. A missing-stratum row with no match in SOME dim, or with
+   * any NULL dim feature, falls back to the observed-target mean — the
+   * fallback is an EXPLICIT null-feature test, not an accident of NULL
+   * propagation: a numeric NULL does null the prediction, but a
+   * categorical NULL would one-hot to a silent all-zero block
+   * (LinReg.predict's unseen-category coalesce), a configuration the
+   * model never trained on.
    */
   def imputeContOverStar(fact: DataFrame, dims: Seq[Factorized.StarDim],
                          target: String, factNum: Seq[String],
@@ -111,6 +88,10 @@ object MiceJoin {
                          tm: Mice.Timings = new Mice.Timings): DataFrame = {
     val spark = fact.sparkSession
     Graft.register(spark)
+    require(!factNum.contains(target),
+      s"'$target' must not also appear in factNum — the model would fit " +
+        "target ~ target and every missing row would silently get the mean " +
+        "(the chained API's convention is the opposite: imputeCont ⊆ factNum)")
     dims.foreach(d => requireUniqueKey(d.df, d.key))
     val dimNum = dims.flatMap(_.num)
     // categorical dim features ride the same star cofactor (their
@@ -134,12 +115,24 @@ object MiceJoin {
       val pred = LinReg.predict(model, (factNum ++ dimNum).map(col), dimCat.map(col),
         addNoise = stochastic, seed = seed)
       dims.foldLeft(missing)((acc, d) => acc.join(d.df, Seq(d.key), "left"))
-        .withColumn(target, coalesce(pred, lit(mean)))
+        .withColumn(target,
+          when(anyDimFeatureNull(dimCols), lit(mean))
+            .otherwise(coalesce(pred, lit(mean))))
         .select(outCols.map(col): _*)
         .localCheckpoint()
     }
     observed.unionByName(imputed)
   }
+
+  /** TRUE when any dim-contributed feature is NULL — the no-dim-match /
+    * NULL-feature detector both drivers' documented fallbacks key on.
+    * Must be explicit: NULL numeric features null the linear predictor,
+    * but NULL CATEGORICAL features do not (LinReg one-hots them to a
+    * zero block; Lda.predict tie-breaks all-NULL scores to the first
+    * class) — without this test a no-match row would silently get a
+    * prediction from a feature configuration training never saw. */
+  private def anyDimFeatureNull(dimCols: Seq[String]) =
+    dimCols.map(col(_).isNull).reduceOption(_ || _).getOrElse(lit(false))
 
   /**
    * Chained multi-column MICE over the join — [[Mice.baseline]]'s
@@ -163,11 +156,23 @@ object MiceJoin {
    * Semantics match [[Mice.baseline]] run on the MATERIALIZED join with
    * contCols = factNum ++ dimNum and catCols = factCat ++ dimCat
    * (categorical columns first, mean/mode init, per-column retrain on
-   * the rows where that column was originally observed), with one
-   * extension: a missing-stratum row with no dim match keeps its current
-   * value (baseline never faces that case). `MiceJoinSpec` pins the
-   * parity on a complete join and the fixed point of the non-stochastic
-   * chain.
+   * the rows where that column was originally observed), with two
+   * caveats: a missing-stratum row with no dim match (or a NULL dim
+   * feature) keeps its current value — baseline never faces that case —
+   * and the parity holds exactly at `normalize = false`, the baseline's
+   * fixed setting (the default `normalize = true` standardizes in
+   * moment space, a no-op for plain well-conditioned least squares but
+   * a different optimum under `lambda`/`shrinkage` — keep it `true` for
+   * wild-scale features unless baseline-exact output is the goal).
+   * `MiceJoinSpec` pins the parity on a complete join and the fixed
+   * point of the non-stochastic chain.
+   *
+   * `minRowsPerKey` is [[Factorized.cofactorOverStar]]'s routing
+   * threshold for every per-column training aggregate: the adaptive
+   * default materializes the star for near-unique dims (where chaining
+   * per-~1-row triples would cost more than it saves); pin 0.0 for the
+   * always-factorized chain or `Double.MaxValue` for the always-fused
+   * fallback, exactly as on [[imputeContOverStar]].
    *
    * Returns `fact`'s columns with the imputed values in place.
    */
@@ -178,7 +183,8 @@ object MiceJoin {
       iterations: Int = 5,
       lambda: Double = 0.0, shrinkage: Double = 0.0,
       normalize: Boolean = true,
-      stochastic: Boolean = false, seed: Long = 42L)
+      stochastic: Boolean = false, seed: Long = 42L,
+      minRowsPerKey: Double = 4.0)
 
   def imputeChainedOverJoin(fact: DataFrame, dim: DataFrame, key: String,
                             cfg: ChainConfig,
@@ -192,8 +198,10 @@ object MiceJoin {
    * full Flight/Retailer workload (multiple imputed fact columns,
    * continuous AND categorical, with features spread across SEVERAL
    * dimension tables joined on distinct keys). Each per-column training
-   * aggregate is [[Factorized.cofactorOverStar]]'s chained ring product
-   * (the wide star never materialized for training); each row-level
+   * aggregate is [[Factorized.cofactorOverStar]] — the chained ring
+   * product when the adaptive probe (or a `cfg.minRowsPerKey` pin)
+   * routes dims factorized, its size-guarded fused fallback for
+   * near-unique dims; each row-level
    * update left-joins every dim, restricted to the column's missing
    * stratum. Dim features come from the [[Factorized.StarDim]]s —
    * `cfg.dimNum`/`cfg.dimCat` must be empty in this overload. Semantics
@@ -238,7 +246,7 @@ object MiceJoin {
         // factCat ++ dim1.cat ++ …] — exactly Mice.baseline's column
         // order on the materialized star join)
         val triple = tm.time("cofactor")(Factorized.cofactorOverStar(
-          observed, cfg.factNum, cfg.factCat, dims))
+          observed, cfg.factNum, cfg.factCat, dims, cfg.minRowsPerKey))
         val isCont = cfg.imputeCont.contains(c)
         val pred = tm.time("train") {
           if (isCont) {
@@ -256,15 +264,26 @@ object MiceJoin {
           }
         }
         // row-level work touches ONLY the missing stratum; a row with no
-        // match in some dim (NULL features ⇒ NULL pred) keeps its value
+        // match in some dim (or a NULL dim feature) keeps its value —
+        // explicitly tested (anyDimFeatureNull), because only numeric
+        // NULLs propagate into a NULL pred; categorical NULLs would
+        // otherwise yield a silently-biased prediction (LinReg's zero
+        // one-hot block / Lda's first-class tiebreak over NULL scores)
         val updated = tm.time("impute_update") {
           dims.foldLeft(missing)((acc, d) => acc.join(d.df, Seq(d.key), "left"))
-            .withColumn(c, coalesce(pred, col(c)))
+            .withColumn(c,
+              when(anyDimFeatureNull(dimCols), col(c))
+                .otherwise(coalesce(pred, col(c))))
             .select(outCols.map(col): _*)
         }
-        cur = observed.unionByName(updated)
+        // checkpoint per COLUMN step, like the single-round drivers: the
+        // next column's filters and training cofactor would otherwise
+        // re-execute every previously stacked star join (O(k²) join
+        // executions per iteration) — the flat plan costs one action per
+        // column and keeps each step's work each step's own
+        cur = tm.time("impute_update")(
+          observed.unionByName(updated).localCheckpoint())
       }
-      cur = tm.time("impute_update")(cur.localCheckpoint())
     }
     cur.drop((cfg.imputeCont ++ cfg.imputeCat).map(Mice.flag): _*)
   }
@@ -275,7 +294,13 @@ object MiceJoin {
     * [[graft.operators.Multimodal.withTranscodeFallback]]). */
   private[graft] def requireUniqueKey(dim: DataFrame, key: String,
                                       caller: String = "MiceJoin"): Unit = {
-    val dup = dim.groupBy(col(key)).count().where(col("count") > 1).limit(1).collect()
+    // NULL keys are excluded: an equi-join can never match them, so
+    // multiple NULL-keyed rows cannot fan anything out — aborting on
+    // them would reject valid input. The count is aliased so a key
+    // column literally named "count" stays unambiguous.
+    val dup = dim.where(col(key).isNotNull)
+      .groupBy(col(key)).agg(count(lit(1)).as("__graft_cnt"))
+      .where(col("__graft_cnt") > 1).limit(1).collect()
     require(dup.isEmpty,
       s"$caller requires the joined side unique per '$key'; found duplicated key ${dup.head.get(0)} " +
         "(pre-aggregate or dropDuplicates that side explicitly before calling)")

@@ -253,4 +253,73 @@ class MiceJoinSpec extends AnyFunSuite {
     val got = done.filter($"id" === 999L).select($"y").head.getDouble(0)
     assert(math.abs(got - mean) < 1e-9, s"orphan row should get the observed mean, got $got vs $mean")
   }
+
+  test("orphan row with a CATEGORICAL dim feature gets the mean, not a silent class-0 block") {
+    import graft.ml.Factorized.StarDim
+    // target depends on a categorical dim feature; the orphan's key has
+    // no dim row, so its one-hot block is undefined — without the
+    // explicit null-feature fallback, LinReg's unseen-category coalesce
+    // would one-hot it to all-zero and impute a biased model value
+    val rng = new scala.util.Random(5)
+    val catDim = Seq.tabulate(40)(k => (k.toLong, k % 3)).toDF("k", "c")
+    val rows = Seq.tabulate(400) { i =>
+      val k = (i % 40).toLong
+      val x = rng.nextGaussian()
+      val y = 2.0 * x + Seq(0.0, 5.0, -3.0)((i % 40) % 3) + 10.0
+      (i.toLong, k, x, y, i % 5 == 0)
+    }
+    val f = rows.toDF("id", "k", "x1", "yTrue", "miss")
+      .withColumn("y", when($"miss", lit(null)).otherwise($"yTrue"))
+    val orphan = Seq((999L, 999L, 0.0, 0.0, true)).toDF("id", "k", "x1", "yTrue", "miss")
+      .withColumn("y", lit(null).cast("double"))
+    val done = MiceJoin.imputeContOverStar(f.unionByName(orphan),
+      Seq(StarDim(catDim, "k", Seq(), Seq("c"))),
+      target = "y", factNum = Seq("x1"))
+    val mean = f.filter(!$"miss").select(avg($"y")).head.getDouble(0)
+    val got = done.filter($"id" === 999L).select($"y").head.getDouble(0)
+    assert(math.abs(got - mean) < 1e-9,
+      s"orphan with categorical dim feature must fall back to the mean: $got vs $mean")
+  }
+
+  test("chained star: orphan row KEEPS its value instead of taking a class-0 prediction") {
+    import graft.ml.Factorized.StarDim
+    val rng = new scala.util.Random(11)
+    val catDim = Seq.tabulate(30)(k => (k.toLong, k % 2)).toDF("k", "c")
+    val rows = Seq.tabulate(300) { i =>
+      val k = (i % 30).toLong
+      val x = rng.nextGaussian()
+      (i.toLong, k, x, 3.0 * x + ((i % 30) % 2) * 4.0, i % 4 == 0)
+    }
+    val f = rows.toDF("id", "k", "x1", "yTrue", "miss")
+      .withColumn("y", when($"miss", lit(null)).otherwise($"yTrue"))
+      .select("id", "k", "x1", "y")
+    val orphan = Seq((999L, 999L, 0.25)).toDF("id", "k", "x1")
+      .withColumn("y", lit(null).cast("double"))
+    val done = MiceJoin.imputeChainedOverStar(f.unionByName(orphan),
+      Seq(StarDim(catDim, "k", Seq(), Seq("c"))),
+      MiceJoin.ChainConfig(factNum = Seq("x1", "y"), factCat = Seq(),
+        dimNum = Seq(), imputeCont = Seq("y"), iterations = 2))
+    // the orphan keeps its initialized value = the observed mean (the
+    // chained keep-your-value contract), never a class-0 model output
+    val mean = f.filter($"y".isNotNull).select(avg($"y")).head.getDouble(0)
+    val got = done.filter($"id" === 999L).select($"y").head.getDouble(0)
+    assert(math.abs(got - mean) < 1e-9,
+      s"chained orphan must keep its mean-initialized value: $got vs $mean")
+  }
+
+  test("target in factNum is rejected loudly; NULL-keyed dim rows do not abort the probe") {
+    val ex = intercept[IllegalArgumentException] {
+      MiceJoin.imputeContOverJoin(fact, dim, "k", target = "y",
+        factNum = Seq("y", "x1"), dimNum = Seq("x2"))
+    }
+    assert(ex.getMessage.contains("must not also appear in factNum"))
+    // two NULL-keyed dim rows: an equi-join can never match them, so the
+    // unique-key probe must not treat them as a duplicated key
+    val dimWithNulls = dim.unionByName(Seq(
+      (null.asInstanceOf[java.lang.Long], 1.0), (null.asInstanceOf[java.lang.Long], 2.0))
+      .toDF("k", "x2"))
+    val done = MiceJoin.imputeContOverJoin(fact, dimWithNulls, "k",
+      target = "y", factNum = Seq("x1"), dimNum = Seq("x2"))
+    assert(done.filter($"y".isNull).count() == 0)
+  }
 }
