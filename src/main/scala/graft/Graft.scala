@@ -210,8 +210,16 @@ object Graft {
     import org.apache.spark.sql.functions._
     register(df.sparkSession)
     val cols = num.map(c => col(c).cast("double")) ++ cat.map(c => col(c).cast("int"))
+    // content-derived salt: xxhash64 over every input column makes the
+    // stage DETERMINISTIC under task retry — a fetch failure re-runs one
+    // task, not the whole stage (monotonically_increasing_id depends on
+    // row position, so Spark must mark the stage indeterminate and
+    // recompute it wholesale). Duplicate rows share a salt bucket, which
+    // only narrows spreading on degenerate all-duplicate data; ring-add
+    // associativity means the result is unchanged either way.
+    val saltInputs = (keys ++ num ++ cat).map(col)
     val stage1 = df
-      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
+      .withColumn("__salt", pmod(xxhash64(saltInputs: _*), lit(saltBuckets.toLong)))
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg((if (nb) sumNbAgg(cols: _*) else sumTriple(cols: _*)).as("__t"))
     stage1.groupBy(keys.map(col): _*)

@@ -471,11 +471,18 @@ object ColumnarCofactor {
         val acc = new BatchAcc(compiled)
         batches.foreach(acc.addBatch)
         Iterator.single(acc.buf.toTriple)
-      }.collect()
-      if (partials.isEmpty) {
+      }
+      // executor-side combine: treeReduce folds the P per-partition
+      // triples in O(log P) rounds ON EXECUTORS, so the driver ever
+      // holds O(fan-in) triples — collect()+serial fold made the driver
+      // fetch P × map-size and was the kernel's only serial section
+      // (real at 100 TB split counts with near-maxCategories maps).
+      // Triple.add is associative/commutative (spec-pinned), so the
+      // tree shape cannot change the result.
+      if (partials.getNumPartitions == 0) {
         val b = new CofactorBuffer(nums.size, cats.size, nbMode)
         b.toTriple
-      } else partials.reduce(Triple.add)
+      } else partials.treeReduce(Triple.add, depth = 2)
     }
 
   /**
@@ -497,8 +504,12 @@ object ColumnarCofactor {
         val acc = new BatchAcc(compiled, labelMode = true)
         batches.foreach(acc.addBatch)
         Iterator.single(acc.perClassResult)
-      }.collect()
-      partials.foldLeft(Seq.empty[(Int, Triple)])(Triple.addPerClass)
+      }
+      // executor-side combine, same rationale as [[cofactor]]:
+      // addPerClass is associative/commutative and label-sorted, so the
+      // tree fold is order-insensitive.
+      if (partials.getNumPartitions == 0) Seq.empty[(Int, Triple)]
+      else partials.treeReduce(Triple.addPerClass, depth = 2)
     }
 
   /** Stage-truncated run for `tools.ColProfile` (1 = iterate only,
@@ -526,9 +537,17 @@ object ColumnarCofactor {
     val inputNames = (nums.flatMap(_.inputs) ++ cats.flatMap(_.inputs)).distinct
     val pruned = src.select(inputNames.map(col): _*)
     leafScanAndFilters(pruned.queryExecution.executedPlan).flatMap { case (scan, filters) =>
-      val ord = scan.output.map(_.name).zipWithIndex.toMap
-      if (!inputNames.forall(ord.contains)) return None
-      val dtOf = scan.output.map(a => a.name -> a.dataType).toMap
+      // resolve caller names against the scan schema per
+      // spark.sql.caseSensitive — the select() above already resolved
+      // case-insensitively, so an exact-match lookup here would refuse
+      // the harvest for 'L_QUANTITY' vs 'l_quantity' and silently drop
+      // to the row aggregate (a perf cliff, not a correctness fallback)
+      val caseSensitive = src.sparkSession.sessionState.conf.caseSensitiveAnalysis
+      def norm(n: String): String =
+        if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+      val ord = scan.output.map(a => norm(a.name)).zipWithIndex.toMap
+      if (!inputNames.forall(n => ord.contains(norm(n)))) return None
+      val dtOf = scan.output.map(a => norm(a.name) -> a.dataType).toMap
 
       // compile every FilterExec condition to a batch mask, or refuse —
       // a filter the kernel cannot evaluate must never be dropped
@@ -547,7 +566,7 @@ object ColumnarCofactor {
       val rawIdx = rawNames.zipWithIndex.toMap
       val rawT = new Array[Int](rawNames.size)
       for ((n, i) <- rawNames.zipWithIndex)
-        numTypeCode(dtOf(n)) match { case Some(t) => rawT(i) = t; case None => return None }
+        numTypeCode(dtOf(norm(n))) match { case Some(t) => rawT(i) = t; case None => return None }
 
       val numFromRaw = nums.map { case NumCol(n) => rawIdx(n); case _: NumDerived => -1 }.toArray
       val derived = nums.collect { case d: NumDerived =>
@@ -559,23 +578,23 @@ object ColumnarCofactor {
       val catT = new Array[Array[Int]](cats.size)
       for ((c, j) <- cats.zipWithIndex) c match {
         case CatCol(n) =>
-          catKind(j) = 0; catOrds(j) = Array(ord(n))
-          catT(j) = Array(dtOf(n) match {
+          catKind(j) = 0; catOrds(j) = Array(ord(norm(n)))
+          catT(j) = Array(dtOf(norm(n)) match {
             case IntegerType => T_INT; case LongType => T_LONG
             case ShortType => T_SHORT; case ByteType => T_BYTE
             case _ => return None
           })
         case CatYear(n) =>
-          catKind(j) = 1; catOrds(j) = Array(ord(n))
-          catT(j) = Array(dtOf(n) match {
+          catKind(j) = 1; catOrds(j) = Array(ord(norm(n)))
+          catT(j) = Array(dtOf(norm(n)) match {
             case TimestampType => T_TS // instant: session-tz calendar year
             case TimestampNTZType => T_TS_NTZ // wall-clock: NO tz shift (year() takes none)
             case DateType => T_DATE
             case _ => return None
           })
         case CatPackedStrings(names) =>
-          catKind(j) = 2; catOrds(j) = names.map(ord).toArray
-          if (!names.forall(n => dtOf(n) == StringType)) return None
+          catKind(j) = 2; catOrds(j) = names.map(n => ord(norm(n))).toArray
+          if (!names.forall(n => dtOf(norm(n)) == StringType)) return None
           // the packed-strings decode dispatches on catKind and calls
           // packByte directly; it never reads a per-column type code
           catT(j) = Array.empty[Int]
@@ -583,7 +602,7 @@ object ColumnarCofactor {
 
       val compiled = Compiled(
         nums.size, cats.size, nbMode, maxCategories,
-        rawNames.map(ord).toArray, rawT, numFromRaw, derived,
+        rawNames.map(n => ord(norm(n))).toArray, rawT, numFromRaw, derived,
         catKind, catOrds, catT,
         src.sparkSession.sessionState.conf.sessionLocalTimeZone, pred)
       Some((scan, compiled))

@@ -374,12 +374,13 @@ object Factorized {
             // reject only SHUFFLE exchanges: a BroadcastExchange means
             // the planner chose a broadcast join, which is already
             // shuffle-free — discarding it for a forced repartition of
-            // both sides would be strictly worse
-            val hasShuffle = j.queryExecution.executedPlan.exists {
-              case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
-              case _ => false
-            }
-            if (hasShuffle) None else Some(j)
+            // both sides would be strictly worse. With AQE on (Spark 4
+            // default) the executed plan is an AdaptiveSparkPlanExec
+            // LEAF whose real plan hangs off executedPlan, not children
+            // — a plain exists() never sees the exchange and would
+            // accept a join that actually shuffles (e.g. bucket columns
+            // != join key), so strip the wrapper first.
+            if (hasShuffleExchange(j.queryExecution.executedPlan)) None else Some(j)
           case _ => None
         }
       if (bucketed.isDefined) bucketed.get
@@ -393,6 +394,20 @@ object Factorized {
           .getOrElse(left.join(right, usingColumns))
       } else left.join(right, usingColumns)
     } else left.join(right, usingColumns)
+  }
+
+  /** True when the physical plan contains a shuffle exchange, looking
+    * THROUGH AdaptiveSparkPlanExec — under AQE the adaptive node is a
+    * LeafExecNode whose real plan hangs off `executedPlan` (before the
+    * first stage runs, that is the EnsureRequirements-inserted initial
+    * plan, exactly what the bucketed tier's no-exchange gate must
+    * inspect). Plain `plan.exists` never traverses into it. */
+  private[graft] def hasShuffleExchange(
+      p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      hasShuffleExchange(a.executedPlan)
+    case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+    case other => other.children.exists(hasShuffleExchange)
   }
 
   /** The 65 largest build-side key groups as (key cols…, count) rows,

@@ -388,4 +388,20 @@ class ColumnarCofactorSpec extends AnyFunSuite {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(ex).exists(_.contains("single-byte")))
   }
+
+  test("harvest engages for any name casing select() accepts") {
+    // spark.sql.caseSensitive=false (the default): select("L_QUANTITY")
+    // resolves, so the kernel's ordinal lookup must too — an exact-match
+    // refusal here silently drops to the row aggregate (a perf cliff
+    // Bench-style require(t.isDefined) callers would hit as a confusing
+    // failure)
+    val t = ColumnarCofactor.cofactor(li,
+      Seq(NumCol("L_QUANTITY"), NumCol("l_extendedprice")),
+      Seq(CatCol("L_LINENUMBER")))
+    assert(t.isDefined, "upper-cased names must still engage the harvest")
+    val ref = Graft.tripleFromRow(
+      li.agg(Graft.sumTriple(col("l_quantity"), col("l_extendedprice"), col("l_linenumber")).as("t"))
+        .head.getStruct(0))
+    assert(t.get.approxEquals(ref, 1e-9))
+  }
 }

@@ -503,6 +503,60 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed on a non-join column: the gate sees the shuffle through AQE and refuses") {
+    // both sides ARE bucketed (the tier's pre-qualifier passes) but on a
+    // column other than the join key, so EnsureRequirements inserts
+    // exchanges. Under AQE the executed plan is an AdaptiveSparkPlanExec
+    // LEAF — a plain plan.exists{case _: ShuffleExchangeLike => true}
+    // returns false (the trap, pinned below), while the tier's stripped
+    // gate must see the exchange and fall through to partition-to-fit.
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.graft.shj.maxBuildPartitionBytes", "4096")
+    try {
+      val liRaw = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select($"l_orderkey", $"l_quantity", $"l_partkey")
+      val ordRaw = spark.read.parquet(s"$dir/orders.parquet")
+        .select($"o_orderkey", $"o_totalprice", $"o_custkey")
+      graft.sources.Tables.writeBucketed(liRaw, "mis_li_bkt", "l_partkey", 16)
+      graft.sources.Tables.writeBucketed(ordRaw, "mis_ord_bkt", "o_custkey", 16)
+      val liB = spark.table("mis_li_bkt").select($"l_orderkey".as("k"), $"l_quantity")
+      val ordB = spark.table("mis_ord_bkt").select($"o_orderkey".as("k"), $"o_totalprice")
+
+      // the trap, pinned: the hinted join planned without repartition
+      // DOES shuffle, but an un-stripped exists() cannot see it
+      val probe = liB.hint("shuffle_hash").join(ordB, Seq("k"))
+      val ep = probe.queryExecution.executedPlan
+      assert(ep.isInstanceOf[org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec],
+        "AQE wrapper expected — if AQE is off this pin is vacuous")
+      val naive = ep.exists {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+        case _ => false
+      }
+      assert(!naive, "exists() now sees through AQE — the stripped gate may be redundant")
+      assert(graft.ml.Factorized.hasShuffleExchange(ep),
+        "the stripped gate must see the exchange behind the AQE wrapper")
+
+      // end to end: the tier refuses, the join still runs (repartition
+      // tier, exchanges present) and the numbers agree with a plain join
+      val j = graft.ml.Factorized.hashJoinIfSafe(liB, ordB, Seq("k"),
+        leftRows = Some(liRaw.count()), rightRows = Some(ordRaw.count()))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("Exchange"), s"mis-bucketed join cannot be co-located:\n$plan")
+      val viaTier = Graft.cofactorNumeric(j, Seq("l_quantity", "o_totalprice"))
+      val plain = Graft.cofactorNumeric(
+        liRaw.join(ordRaw, $"l_orderkey" === $"o_orderkey"),
+        Seq("l_quantity", "o_totalprice"))
+      assert(viaTier.approxEquals(plain, 1e-9),
+        s"mis-bucketed fall-through changed the cofactor: $viaTier vs $plain")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+      spark.conf.unset("spark.graft.shj.maxBuildPartitionBytes")
+      spark.sql("DROP TABLE IF EXISTS mis_li_bkt")
+      spark.sql("DROP TABLE IF EXISTS mis_ord_bkt")
+    }
+  }
+
   test("bucketed tier yields to the salted route when a bucket's hot key exceeds the cap") {
     // both sides bucketed, but one build key holds 2000 rows — its
     // bucket alone blows the cap no matter the bucket count, so the
