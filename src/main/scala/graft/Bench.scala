@@ -95,6 +95,17 @@ object Bench {
         Seq(CatPackedStrings(Seq("l_returnflag", "l_linestatus"))))
       require(t.isDefined, "columnar harvest must engage on the bare lineitem scan")
     }
+    // the grouped cofactor through the PUBLIC grouped API: the group
+    // key rides as the columnar kernel's per-class label. Route
+    // REQUIRED columnar — a silent fallback would time the wrong design
+    def columnarCofactorGrouped(dir: String): Unit = {
+      val g = Graft.cofactorGrouped(Tables.load(spark, dir, "lineitem"),
+        "l_linenumber",
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"), Seq())
+      require(Graft.lastGroupedRoute() == "columnar",
+        "grouped harvest must engage on the bare lineitem scan")
+      noop(g)
+    }
     // q6-shaped filtered cofactor through the compiled-mask harvest —
     // certifies per-round that a simple filter stays on the columnar path
     def columnarCofactorFiltered(dir: String): Unit = {
@@ -125,6 +136,7 @@ object Bench {
             col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"),
             col("l_linenumber")).as("t")))
       },
+      "cofactor_grouped_columnar" -> (() => columnarCofactorGrouped(sfDir)),
       "factorized_join" -> (() => noop(SparkEntry.queries("q09_factorized_join")(spark, sfDir))),
       // what the engine actually picks for this key profile: the
       // cardinality probe sees ~4 rows/key and falls back to the plain
@@ -434,6 +446,7 @@ object Bench {
           "sf100_q01_pricing" -> (() => noop(SparkEntry.queries("q01_agg_pricing")(spark, sf100Dir))),
           "sf100_q01_columnar" -> (() => columnarPricing(sf100Dir)),
           "sf100_cofactor_columnar" -> (() => columnarCofactorFull(sf100Dir)),
+          "sf100_cofactor_grouped_columnar" -> (() => columnarCofactorGrouped(sf100Dir)),
           "sf100_cofactor_filtered" -> (() => columnarCofactorFiltered(sf100Dir)),
           "sf100_cofactor_full" -> { () =>
             noop(li100.withColumn("shipyear", year(col("l_shipdate")))

@@ -226,6 +226,82 @@ object Graft {
       .agg(call_function(if (nb) "sum_nb_agg" else "sum_triple", col("__t")).as("t"))
   }
 
+  /** Route the last [[cofactorGrouped]] call on this thread took
+    * ("columnar" = batch-kernel harvest, "row" = grouped row aggregate).
+    * Set at the LIVE decision point; oracle rows and specs certify the
+    * routing through this (same discipline as
+    * [[graft.ml.Factorized.lastStarRouting]]). Thread-local: parallel
+    * suites and concurrent sessions don't race. */
+  private val lastGroupedRouteTL = new ThreadLocal[String] {
+    override def initialValue(): String = ""
+  }
+  def lastGroupedRoute(): String = lastGroupedRouteTL.get()
+
+  /** A [[Triple]] as an external Row matching
+    * [[graft.agg.TripleCodec.dataType]]; maps emitted in sorted key
+    * order, same as the aggregate's emission. */
+  def tripleToRow(t: Triple, nb: Boolean = false): Row = {
+    def si(m: Map[Int, Double]) = scala.collection.immutable.TreeMap(m.toSeq: _*)
+    def sl(m: Map[Long, Double]) = scala.collection.immutable.TreeMap(m.toSeq: _*)
+    if (nb) Row(t.n, t.lin.toSeq, t.quad.toSeq, t.linCat.toSeq.map(si))
+    else Row(t.n, t.lin.toSeq, t.quad.toSeq, t.linCat.toSeq.map(si),
+      t.quadNumCat.toSeq.map(si), t.quadCat.toSeq.map(sl))
+  }
+
+  /**
+   * Grouped cofactor — `GROUP BY key` with one full triple per group
+   * (the reference's grouped-aggregate shape; q03's query) as a
+   * `(key, t)` DataFrame. An integer-typed (int/long) key over a bare
+   * or simply-filtered scan routes through the columnar batch kernel,
+   * riding as the per-class label
+   * ([[graft.agg.ColumnarCofactor.cofactorPerClass]]) — the harvest's
+   * structural-refusal contract is inherited, so a join, computed
+   * column, non-int key, or uncompilable filter falls back to the
+   * grouped row aggregate below. NULL keys are dropped on BOTH routes
+   * (the kernel skips NULL-input rows; the row route filters
+   * explicitly — a NULL group whose key unboxes to 0 is never what a
+   * grouped moment wants). Group count is bounded by the cardinality
+   * guard, so the kernel route's driver-side result stays small and an
+   * ID-like key fails loudly instead of building a million triples.
+   */
+  def cofactorGrouped(df: DataFrame, key: String, num: Seq[String], cat: Seq[String],
+                      nb: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    register(df.sparkSession)
+    val resolver = df.sparkSession.sessionState.analyzer.resolver
+    val keyField = df.schema.find(f => resolver(f.name, key))
+    // int AND long keys ride the kernel (the label decode guards
+    // 2^32-aliased longs loudly); the key is emitted back in the
+    // column's ORIGINAL type so the output schema never depends on
+    // which route ran
+    val keyType = keyField.map(_.dataType)
+    val viaKernel =
+      if (!keyType.exists(t => t == IntegerType || t == LongType)) None
+      else graft.agg.ColumnarCofactor.cofactorPerClass(
+        df,
+        num.map(graft.agg.ColumnarCofactor.NumCol),
+        cat.map(graft.agg.ColumnarCofactor.CatCol),
+        graft.agg.ColumnarCofactor.CatCol(key), nbMode = nb)
+    viaKernel match {
+      case Some(groups) =>
+        lastGroupedRouteTL.set("columnar")
+        val schema = StructType(Seq(
+          StructField(keyField.get.name, keyType.get),
+          StructField("t", graft.agg.TripleCodec.dataType(nb))))
+        val rows: java.util.List[Row] = java.util.Arrays.asList(
+          groups.map { case (k, t) =>
+            Row(if (keyType.get == LongType) k.toLong else k, tripleToRow(t, nb))
+          }: _*)
+        df.sparkSession.createDataFrame(rows, schema)
+      case None =>
+        lastGroupedRouteTL.set("row")
+        val cols = num.map(c => col(c).cast("double")) ++ cat.map(c => col(c).cast("int"))
+        val agg = if (nb) sumNbAgg(cols: _*) else sumTriple(cols: _*)
+        df.filter(col(key).isNotNull).groupBy(col(key)).agg(agg.as("t"))
+    }
+  }
+
   /** Per-class cofactors: `GROUP BY label` aggregation collected as
     * (label value, triple) pairs (the QDA/NB training input). Rows with
     * a NULL label are dropped on BOTH routes (a SQL GROUP BY would form

@@ -1724,6 +1724,28 @@ object SparkEntry {
         StructField("avg_price", DoubleType), StructField("revenue", DoubleType),
         StructField("n_years", LongType)))
       s.createDataFrame(java.util.Arrays.asList(row), schema)
+    },
+
+    // Grouped cofactor through the PUBLIC grouped API
+    // (Graft.cofactorGrouped): the group key (a LONG column — the
+    // kernel's guarded long→int label decode) rides as the per-class
+    // label, and the route is asserted LIVE so a silent fallback to the
+    // row aggregate cannot pass. Per-group scalars AND a per-group
+    // categorical cardinality are read back out of the returned
+    // (key, t) DataFrame — the same downstream access pattern q03 uses
+    // on the row aggregate's output.
+    "q78_grouped_columnar" -> { (s, dir) =>
+      val g = Graft.cofactorGrouped(li(s, dir), "l_suppkey",
+        Seq("l_quantity", "l_extendedprice"), Seq("l_linenumber"))
+      require(Graft.lastGroupedRoute() == "columnar",
+        "q78: the grouped harvest must engage — the oracle certifies the grouped kernel route")
+      g.select(
+        col("l_suppkey"),
+        col("t.n").as("n_rows"),
+        round(col("t.lin")(0), 2).as("sum_qty"),
+        round(col("t.quad")(1) / col("t.n"), 2).as("avg_qty_price"),
+        size(col("t.lin_cat")(0)).cast("long").as("n_lines"))
+        .orderBy(col("l_suppkey"))
     }
   )
 
@@ -2937,6 +2959,14 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
         |  AND l_discount >= 0.02 AND l_quantity < 30
-        |  AND (l_returnflag = 'R' OR l_linenumber IN (1, 2, 3))""".stripMargin
+        |  AND (l_returnflag = 'R' OR l_linenumber IN (1, 2, 3))""".stripMargin,
+    // grouped ground truth for the public grouped API's kernel route:
+    // per-group moments + a per-group categorical cardinality
+    "q78_grouped_columnar" ->
+      """SELECT l_suppkey, count(*) AS n_rows,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(avg(l_quantity * l_extendedprice), 2) AS avg_qty_price,
+        |       count(DISTINCT l_linenumber) AS n_lines
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -389,6 +389,36 @@ class ColumnarCofactorSpec extends AnyFunSuite {
     assert(messages(ex).exists(_.contains("single-byte")))
   }
 
+  test("cofactorGrouped: kernel route == row aggregate, refusal falls back, NULL keys dropped") {
+    // long key on a bare scan → columnar (route pinned LIVE); the same
+    // call over a Union plan is not harvestable → row aggregate; both
+    // produce the same groups, triples, and (name, type) schema
+    val viaKernel = Graft.cofactorGrouped(li, "l_suppkey",
+      Seq("l_quantity", "l_extendedprice"), Seq("l_linenumber"))
+    assert(Graft.lastGroupedRoute() == "columnar", "bare scan must ride the kernel")
+    // (li.union(li.limit(0)) does NOT refuse: PropagateEmptyRelation
+    // collapses it back to the bare scan — the kernel engaging there is
+    // correct; an exchange is genuinely non-harvestable)
+    val viaRow = Graft.cofactorGrouped(li.repartition(4), "l_suppkey",
+      Seq("l_quantity", "l_extendedprice"), Seq("l_linenumber"))
+    assert(Graft.lastGroupedRoute() == "row", "an exchange plan must refuse the harvest")
+    assert(viaKernel.schema.map(f => (f.name, f.dataType.typeName)) ==
+      viaRow.schema.map(f => (f.name, f.dataType.typeName)),
+      "output schema must not depend on the route")
+    val a = viaKernel.collect().map(r => r.getLong(0) -> Graft.tripleFromRow(r.getStruct(1))).toMap
+    val b = viaRow.collect().map(r => r.getLong(0) -> Graft.tripleFromRow(r.getStruct(1))).toMap
+    assert(a.keySet == b.keySet && a.keySet.size >= 10)
+    a.keys.foreach(k => assert(a(k).approxEquals(b(k), 1e-9), s"group $k differs"))
+
+    // NULL keys are dropped, not folded into a 0 group (row route here;
+    // the kernel's NULL-label skip is pinned by the per-class spec)
+    val withNull = Seq((Option(1L), 1.0), (Option.empty[Long], 2.0), (Option(1L), 3.0))
+      .toDF("k", "x")
+    val g = Graft.cofactorGrouped(withNull, "k", Seq("x"), Seq()).collect()
+    assert(g.length == 1 && g(0).getLong(0) == 1L)
+    assert(Graft.tripleFromRow(g(0).getStruct(1)).n == 2L)
+  }
+
   test("harvest engages for any name casing select() accepts") {
     // spark.sql.caseSensitive=false (the default): select("L_QUANTITY")
     // resolves, so the kernel's ordinal lookup must too — an exact-match

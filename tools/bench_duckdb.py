@@ -46,6 +46,18 @@ queries = {
         (SELECT count(*) FROM (SELECT c1, count(*), sum(q), sum(e), sum(d), sum(x) FROM t GROUP BY c1)),
         (SELECT count(*) FROM (SELECT c2, count(*), sum(q), sum(e), sum(d), sum(x) FROM t GROUP BY c2)),
         (SELECT count(*) FROM (SELECT c1, c2, count(*) FROM t GROUP BY c1, c2))""",
+    # grouped full-quad cofactor by l_linenumber (graft:
+    # cofactor_grouped_columnar / sf100_cofactor_grouped_columnar):
+    # per-group count + 4 sums + 10 pairwise products
+    "cofactor_grouped_equivalent": """
+      SELECT l_linenumber, count(*),
+             sum(l_quantity), sum(l_extendedprice), sum(l_discount), sum(l_tax),
+             sum(l_quantity*l_quantity), sum(l_quantity*l_extendedprice),
+             sum(l_quantity*l_discount), sum(l_quantity*l_tax),
+             sum(l_extendedprice*l_extendedprice), sum(l_extendedprice*l_discount),
+             sum(l_extendedprice*l_tax), sum(l_discount*l_discount),
+             sum(l_discount*l_tax), sum(l_tax*l_tax)
+      FROM lineitem GROUP BY 1""",
     "factorized_join": """
       SELECT count(*), sum(l_quantity), avg(o_totalprice), avg(l_quantity*o_totalprice)
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
