@@ -341,8 +341,19 @@ object Factorized {
       val perRow = (8L + 8L * bDf.schema.size + 24L) * 2L
       // a build side whose keys are unique BY CONSTRUCTION (a per-key
       // aggregate — the factorized side-agg shape) has max multiplicity
-      // 1; skip the grouped-count probe scan entirely
-      val maxCnt = if (buildKeysUnique) 1L else maxKeyCount(bDf, usingColumns)
+      // 1; skip the probe scan entirely. Otherwise the shuffle-free
+      // hot-key detector answers "any key over the cap?" in one
+      // map-only pass (maxCnt below is only ever COMPARED to capRows,
+      // so "no hot keys" can report 1 without changing any decision);
+      // the full grouped-count scan remains the fallback for key
+      // shapes the detector refuses.
+      val capRows = cap / perRow + 1
+      val maxCnt =
+        if (buildKeysUnique) 1L
+        else hotKeyCounts(bDf, usingColumns, capRows) match {
+          case Some(h) => if (h.isEmpty) 1L else h.head.getLong(h.head.length - 1)
+          case None => maxKeyCount(bDf, usingColumns)
+        }
       // BUCKETED co-located tier, tried before any repartition: when both
       // sides scan tables bucketed with the SAME bucket count and each
       // bucket's build fits the cap, the scan itself already IS the hash
@@ -396,6 +407,78 @@ object Factorized {
     } else left.join(right, usingColumns)
   }
 
+  /** Fixed-capacity Misra-Gries heavy-hitter summary over long keys
+    * (Misra & Gries, Science of Computer Programming 1982): linear-probe
+    * open-addressing long arrays — no boxing, cache-resident, O(1)
+    * amortized add. When the summary is full, an arriving NEW key
+    * triggers one decrement-all sweep (zeros evicted, survivors
+    * compacted) and is itself dropped — the classic variant, so every
+    * key's counter ≥ trueLocalCount − sweeps. Built per partition inside
+    * [[hotKeyCounts]]'s pass 1; never serialized. */
+  private[graft] final class MgSummary(cap: Int) {
+    private val nSlots = Integer.highestOneBit(math.max(16, cap)) * 4 // ≥2× cap: load ≤ 0.5
+    private val mask = nSlots - 1
+    private val keys = new Array[Long](nSlots)
+    private val cnts = new Array[Long](nSlots) // 0 = empty slot
+    private val scratchK = new Array[Long](cap) // sweep compaction, allocated once
+    private val scratchC = new Array[Long](cap)
+    private var size = 0
+    private var sweeps = 0L
+
+    private def slotOf(k: Long): Int = {
+      var i = (scala.util.hashing.byteswap64(k) & mask).toInt
+      while (cnts(i) != 0 && keys(i) != k) i = (i + 1) & mask
+      i
+    }
+
+    def add(k: Long): Unit = {
+      val i = slotOf(k)
+      if (cnts(i) != 0) cnts(i) += 1
+      else if (size < cap) { keys(i) = k; cnts(i) = 1; size += 1 }
+      else sweep() // the new key is absorbed by the global decrement
+    }
+
+    private def sweep(): Unit = {
+      sweeps += 1
+      // evicted zeros would break linear-probe chains, so decrement
+      // into scratch and re-insert the survivors into cleared arrays
+      var i = 0; var n = 0
+      while (i < nSlots) {
+        if (cnts(i) > 1) { scratchK(n) = keys(i); scratchC(n) = cnts(i) - 1; n += 1 }
+        cnts(i) = 0
+        i += 1
+      }
+      size = n
+      i = 0
+      while (i < n) {
+        val j = slotOf(scratchK(i)) // all slots free: lands on an empty one
+        keys(j) = scratchK(i); cnts(j) = scratchC(i)
+        i += 1
+      }
+    }
+
+    /** Keys whose true local count COULD reach `thr` (counter + sweeps
+      * ≥ thr — sound because counter ≥ true − sweeps), or null when the
+      * summary cannot certify: sweeps ≥ thr means a hot key may have
+      * been decremented out entirely, and > maxOut qualifying keys
+      * means the exact pass would cost like the grouped scan. */
+    def candidateArray(thr: Long, maxOut: Int): Array[Long] = {
+      if (sweeps >= thr) return null
+      val out = Array.newBuilder[Long]
+      var emitted = 0
+      var i = 0
+      while (i < nSlots) {
+        if (cnts(i) != 0 && cnts(i) + sweeps >= thr) {
+          emitted += 1
+          if (emitted > maxOut) return null
+          out += keys(i)
+        }
+        i += 1
+      }
+      out.result()
+    }
+  }
+
   /** True when the physical plan contains a shuffle exchange, looking
     * THROUGH AdaptiveSparkPlanExec — under AQE the adaptive node is a
     * LeafExecNode whose real plan hangs off `executedPlan` (before the
@@ -441,6 +524,78 @@ object Factorized {
     if (top.isEmpty) 0L else top.head.getLong(top.head.length - 1)
   }
 
+  /** EXACT counts of the join keys whose row count reaches `capRows`
+    * (count-descending, ≤65 rows of (key, count)), without the full
+    * grouped-count shuffle [[topKeyCounts]] pays — at sf100 that scan
+    * is ~15 s over 150M near-unique keys, ~30% of a cold adaptive
+    * call, all spent proving the usual answer "no hot keys".
+    *
+    * Pass 1 is shuffle-FREE: per-partition open-coded counting over the
+    * scan's own InternalRows. A key with C total rows has ≥ ⌈C/P⌉ rows
+    * in at least one of its ≤P partitions, so every key with
+    * C ≥ capRows exceeds the local threshold capRows/P somewhere —
+    * emitting per-partition keys at ≥ capRows/P can miss no hot key
+    * (false candidates are fine). Pass 2 exact-counts ONLY the
+    * candidates (usually none → no second scan at all).
+    *
+    * Returns None — caller takes the grouped-scan route — for
+    * multi-column or non-integral keys, or when the detector output
+    * degenerates (tiny capRows → everything is a candidate). Memoized
+    * with the same (plan, key, fingerprint) discipline as the probes;
+    * capRows is folded into the key since the cap is configurable. */
+  private[graft] def hotKeyCounts(df: DataFrame, keyCols: Seq[String],
+                                  capRows: Long): Option[Array[Row]] = {
+    if (keyCols.length != 1 || capRows <= 0) return None
+    val key = keyCols.head
+    val resolver = df.sparkSession.sessionState.analyzer.resolver
+    val integral = df.schema.find(f => resolver(f.name, key)).exists(_.dataType match {
+      case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    })
+    if (!integral) return None
+    val ck = (df.queryExecution.analyzed.canonicalized,
+      s"hot:$key:$capRows", snapshotFingerprint(df))
+    val cached = topKeyCache.get(ck)
+    if (cached != null) return Some(cached)
+    val proj = df.select(col(key).cast("long").as("__graft_k"))
+    val rdd = proj.queryExecution.toRdd
+    val p = math.max(1, rdd.getNumPartitions)
+    val thrLocal = math.max(1L, capRows / p)
+    val perPart = rdd.mapPartitions { it =>
+      // fixed-capacity Misra-Gries heavy-hitter summary, not a full
+      // per-partition count map: over a near-unique key column the full
+      // map holds ~|partition| entries and its hashing/boxing costs as
+      // much as the grouped-count scan this detector replaces (measured
+      // sf100: 8.4 s vs 11.9 s — no win). MG keeps ≤8192 counters in
+      // two cache-resident long arrays: a key with true local count c
+      // survives with counter ≥ c − D (D = global decrement sweeps ≤
+      // rows/8192), so counter + D ≥ thrLocal can miss NO locally-hot
+      // key; false candidates are exact-counted away in pass 2. A
+      // partition where D reaches thrLocal (or a sea of qualifying
+      // keys) cannot certify anything and reports None — the caller
+      // then takes the grouped-scan route.
+      val m = new MgSummary(8192)
+      it.foreach { r =>
+        if (!r.isNullAt(0)) m.add(r.getLong(0)) // null keys never reach an equi-join build
+      }
+      Iterator.single(m.candidateArray(thrLocal, maxOut = 1024))
+    }.collect()
+    if (perPart.exists(_ == null)) return None
+    val candidates = perPart.flatMap(a => a: Array[Long]).distinct
+    // degenerate detector (capRows ≲ P, or a sea of locally-hot keys):
+    // the exact pass would cost like the grouped scan — surrender to it
+    if (candidates.length > 1024) return None
+    val exact: Array[Row] =
+      if (candidates.isEmpty) Array.empty
+      else df.filter(col(key).isin(candidates.map(Long.box).toSeq: _*))
+        .groupBy(col(key)).agg(count(lit(1)).as("__graft_cnt"))
+        .filter(col("__graft_cnt") >= capRows)
+        .orderBy(col("__graft_cnt").desc).limit(65).collect()
+    topKeyCache.put(ck, exact)
+    Some(exact)
+  }
+
   /** Skew-salted shuffled-hash join for a single-column equi-join whose
     * BUILD side has hot keys too large for one cap-bounded hash build.
     * Hot keys (per-key build bytes > cap) get their build rows salted
@@ -457,11 +612,14 @@ object Factorized {
     // overwritten and then dropped — surrender to the spill-capable SMJ
     if (Seq(bDf, pDf).exists(d => d.columns.contains("__salt") || d.columns.contains("__salts")))
       return None
-    // hot set from the same memoized top-key scan the SHJ veto used —
-    // the count-descending order makes the qualifying set a prefix, so
-    // a full 65-entry prefix proves >64 hot keys (degenerate)
-    val hot = topKeyCounts(bDf, Seq(key))
-      .filter(r => BigInt(r.getLong(1)) * perRow > cap)
+    // hot set from the same memoized detector scan the SHJ veto used
+    // (count ≥ cap/perRow + 1 ⇔ count·perRow > cap, exactly); the
+    // grouped top-65 scan is the fallback for detector-refused key
+    // shapes. Count-descending order makes the qualifying set a
+    // prefix, so a full 65-entry result proves >64 hot keys
+    val hot: Array[Row] = hotKeyCounts(bDf, Seq(key), cap / perRow + 1)
+      .getOrElse(topKeyCounts(bDf, Seq(key))
+        .filter(r => BigInt(r.getLong(1)) * perRow > cap))
     if (hot.length > 64) return None
     val maxCnt = hot.map(_.getLong(1)).max
     val rFactor = (BigInt(maxCnt) * perRow / cap + 1).toInt

@@ -43,6 +43,30 @@ object FactProfile {
     time("exchange_both")(noop(
       fact.repartition(32, col("k")).agg(sum(col("l_quantity"))).union(
         dim.repartition(32, col("k")).agg(sum(col("o_totalprice"))))))
+    // the COLD-call decision overhead, named: the rows-per-key probe
+    // (count + approx_count_distinct, one scan) and the hot-key guard
+    // (grouped count + top-65, one shuffle) — steady-state calls skip
+    // both via the memo, so these price the FIRST call on a fresh input
+    time("probe_acd_dim")(noop(
+      dim.agg(count(lit(1)), approx_count_distinct(col("k")))))
+    time("hotkey_grouped_dim") {
+      dim.groupBy(col("k")).agg(count(lit(1)).as("__graft_cnt"))
+        .orderBy(col("__graft_cnt").desc).limit(65).collect()
+      ()
+    }
+    // the shuffle-free replacement the SHJ guard actually runs now:
+    // per-partition counting + exact pass over candidates (none, here)
+    time("hotkey_detector_dim") {
+      graft.ml.Factorized.clearProbeCache()
+      val h = graft.ml.Factorized.hotKeyCounts(dim, Seq("k"), 700000L)
+      require(h.isDefined && h.get.isEmpty, s"unexpected hot keys: $h")
+    }
+    time("full_adaptive_cold") {
+      graft.ml.Factorized.clearProbeCache()
+      graft.ml.Factorized.cofactorOverJoinAdaptive(
+        fact, dim, "k", Seq("l_quantity"), Seq(), Seq("o_totalprice"), Seq())
+      ()
+    }
     time("join_count_shj")(noop(
       graft.ml.Factorized.hashJoinIfSafe(fact, dim, Seq("k")).agg(count(lit(1)))))
     time("join_count_smj")(noop(fact.join(dim, "k").agg(count(lit(1)))))

@@ -205,6 +205,28 @@ object ScaleProbe {
       }
       rep.unpersist()
     }
+
+    // --- columnar kernel partial merge: driver cost vs partition count ---
+    // (round 13: collect+serial-driver-fold → treeReduce). A fat
+    // categorical (l_partkey, 20k distinct at sf0.1) makes each
+    // per-partition triple a ~20k-entry map stack; shrinking
+    // maxPartitionBytes splits the SAME file into ~10×/~100× more scan
+    // partitions, multiplying the number of partials without changing
+    // the data. Near-flat wall-clock down the ladder = the merge is
+    // executor-side (O(log P) tree rounds), not a driver-serial fold
+    // over P map-sized triples.
+    for (mpb <- Seq("128m", "8m", "1m")) {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
+      val df = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      val parts = df.rdd.getNumPartitions
+      time(s"columnar cofactor fat-cat maxPartitionBytes=$mpb ($parts partitions)") {
+        graft.agg.ColumnarCofactor.cofactor(df,
+          Seq(graft.agg.ColumnarCofactor.NumCol("l_quantity"),
+            graft.agg.ColumnarCofactor.NumCol("l_extendedprice")),
+          Seq(graft.agg.ColumnarCofactor.CatCol("l_partkey"))).get.n
+      }
+    }
+    spark.conf.unset("spark.sql.files.maxPartitionBytes")
     spark.stop()
   }
 }

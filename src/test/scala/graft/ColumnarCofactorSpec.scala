@@ -389,6 +389,31 @@ class ColumnarCofactorSpec extends AnyFunSuite {
     assert(messages(ex).exists(_.contains("single-byte")))
   }
 
+  test("many small categoricals at width: Π-span overflow routes per-column dense, matches row aggregate") {
+    // 8 categorical columns of span 7..14: the combined-cell tier's
+    // Π-span (7·8·…·14 ≈ 1.2e8) blows CombCap, so the kernel must
+    // marginalize per column + per pair through the per-column dense
+    // tier instead — the wide-MICE shape the column-scalability
+    // experiment (reference column_scalability.h:6-8) runs at. Parity
+    // with the row aggregate certifies the routing at width.
+    val dir = java.nio.file.Files.createTempDirectory("colwidth").toFile.getAbsolutePath
+    spark.range(50000).select(
+      Seq(((col("id") % 97) * 31 % 1000).cast("double").as("x0"),
+        ((col("id") % 89) * 17 % 500).cast("double").as("x1")) ++
+      (0 until 8).map(j => ((col("id") + lit(j)) % (7 + j)).cast("int").as(s"c$j")): _*)
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val nums = Seq(NumCol("x0"), NumCol("x1"))
+    val cats = (0 until 8).map(j => CatCol(s"c$j"))
+    val t = ColumnarCofactor.cofactor(df, nums, cats)
+    assert(t.isDefined, "harvest must engage on the wide bare scan")
+    val ref = Graft.tripleFromRow(df.agg(Graft.sumTriple(
+      Seq("x0", "x1").map(col) ++ (0 until 8).map(j => col(s"c$j")): _*).as("t"))
+      .head.getStruct(0))
+    assert(t.get.n == ref.n)
+    assert(t.get.approxEquals(ref, 1e-9))
+  }
+
   test("cofactorGrouped: kernel route == row aggregate, refusal falls back, NULL keys dropped") {
     // long key on a bare scan → columnar (route pinned LIVE); the same
     // call over a Union plan is not harvestable → row aggregate; both

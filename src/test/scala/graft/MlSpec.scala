@@ -503,6 +503,42 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("hot-key detector: exact counts for planted hot keys, empty on near-unique, refusals") {
+    // planted hot key (3000 rows of k=7) among 2000 unique keys, spread
+    // over 8 partitions so the local threshold (capRows/P = 125) bites
+    val hotDf = (Seq.tabulate(3000)(i => (7L, i * 1.0)) ++
+      Seq.tabulate(2000)(i => (i + 100L, i * 1.0))).toDF("k", "v").repartition(8)
+    val h = graft.ml.Factorized.hotKeyCounts(hotDf, Seq("k"), 1000L)
+    assert(h.isDefined)
+    assert(h.get.length == 1 && h.get.head.getLong(0) == 7L && h.get.head.getLong(1) == 3000L,
+      s"expected exactly (7, 3000), got ${h.get.toSeq}")
+    // near-unique side: pass 1 finds no candidates, pass 2 never runs
+    val uniq = Seq.tabulate(5000)(i => (i.toLong, i * 1.0)).toDF("k", "v").repartition(8)
+    val h2 = graft.ml.Factorized.hotKeyCounts(uniq, Seq("k"), 1000L)
+    assert(h2.isDefined && h2.get.isEmpty)
+    // refusal shapes route the caller to the grouped top-65 scan
+    assert(graft.ml.Factorized.hotKeyCounts(hotDf, Seq("k", "v"), 1000L).isEmpty)
+    assert(graft.ml.Factorized.hotKeyCounts(
+      hotDf.withColumn("s", col("k").cast("string")), Seq("s"), 1000L).isEmpty)
+  }
+
+  test("MgSummary: heavy keys survive decrement sweeps with sound counters") {
+    // 20k unique keys force ~hundreds of decrement sweeps at cap 64; the
+    // planted heavy key (2000 adds) must still qualify at its true
+    // count, and the unique sea must NOT (counter + sweeps ≪ 2000)
+    val m = new graft.ml.Factorized.MgSummary(64)
+    var i = 0
+    while (i < 20000) {
+      m.add(1000000L + i)
+      if (i % 10 == 0) m.add(7L)
+      i += 1
+    }
+    val cand = m.candidateArray(2000L, maxOut = 1024)
+    assert(cand != null && cand.contains(7L),
+      s"heavy key must survive: ${if (cand == null) "null" else cand.toSeq}")
+    assert(cand.length <= 8, s"unique sea must not qualify: ${cand.toSeq}")
+  }
+
   test("bucketed on a non-join column: the gate sees the shuffle through AQE and refuses") {
     // both sides ARE bucketed (the tier's pre-qualifier passes) but on a
     // column other than the join key, so EnsureRequirements inserts
