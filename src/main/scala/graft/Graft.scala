@@ -328,7 +328,10 @@ object Graft {
         .map(r => r.getInt(0) -> tripleFromRow(r.getStruct(1))).toSeq
   } }
 
-  /** Decode a collected triple struct Row into a [[Triple]]. */
+  /** Decode a collected triple struct Row into a [[Triple]]. quad_cat
+    * decodes into a TreeMap: diagonal packed keys all share
+    * Long.hashCode 0 (hi^lo folds to zero), so building a HashMap from
+    * a big quad_cat map would be O(m²). */
   def tripleFromRow(r: Row): Triple = {
     val nb = r.length == 4
     Triple(
@@ -337,7 +340,9 @@ object Graft {
       r.getSeq[Double](2).toArray,
       r.getSeq[collection.Map[Int, Double]](3).map(_.toMap).toArray,
       if (nb) Array.empty else r.getSeq[collection.Map[Int, Double]](4).map(_.toMap).toArray,
-      if (nb) Array.empty else r.getSeq[collection.Map[Long, Double]](5).map(_.toMap).toArray
+      if (nb) Array.empty
+      else r.getSeq[collection.Map[Long, Double]](5)
+        .map(m => scala.collection.immutable.TreeMap.from(m)).toArray
     )
   }
 }

@@ -8,7 +8,78 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.types._
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
-import scala.collection.mutable
+
+/**
+ * Minimal open-addressing Long → slot-array map with a FULL-WIDTH
+ * multiplicative key mixer. Exists because
+ * `scala.collection.mutable.LongMap` indexes by
+ * murmur-finalizing the low 32 bits of `k ^ (k >>> 32)` — and every
+ * diagonal packed pair key `(v<<32)|v` ([[graft.ring.Triple.catKey]])
+ * xor-folds those bits to 0, collapsing the whole table to ONE probe
+ * chain: O(m²) aggregate merges, measured at 17–60 s for a single
+ * 600k-row cofactor over a 20k-category column. The golden-ratio
+ * multiply mixes all 64 key bits before folding, so correlated-halves
+ * keys spread like any others. Supports exactly what [[CofactorBuffer]]
+ * needs: getOrElseUpdate / put / foreach / iterator / size.
+ */
+final class KeyedSlots(initialCap: Int = 8) {
+  private var mask = Integer.highestOneBit(math.max(4, initialCap)) * 4 - 1
+  private var keys = new Array[Long](mask + 1)
+  private var vals = new Array[Array[Double]](mask + 1)
+  private var n = 0
+
+  @inline private def idx(k: Long): Int = {
+    val h = k * -0x61c8864680b583ebL // 2^64 / φ, odd
+    ((h ^ (h >>> 32)) & mask).toInt
+  }
+
+  def size: Int = n
+
+  def getOrElseUpdate(k: Long, default: => Array[Double]): Array[Double] = {
+    var i = idx(k)
+    while (vals(i) != null) {
+      if (keys(i) == k) return vals(i)
+      i = (i + 1) & mask
+    }
+    val v = default
+    keys(i) = k; vals(i) = v; n += 1
+    if (n * 2 > mask) grow()
+    v
+  }
+
+  /** Direct insert for codec reads (key known absent). */
+  def put(k: Long, v: Array[Double]): Unit = {
+    var i = idx(k)
+    while (vals(i) != null && keys(i) != k) i = (i + 1) & mask
+    if (vals(i) == null) n += 1
+    keys(i) = k; vals(i) = v
+    if (n * 2 > mask) grow()
+  }
+
+  def foreach(f: ((Long, Array[Double])) => Unit): Unit = {
+    var i = 0
+    while (i <= mask) { if (vals(i) != null) f((keys(i), vals(i))); i += 1 }
+  }
+
+  def iterator: Iterator[(Long, Array[Double])] =
+    (0 to mask).iterator.collect { case i if vals(i) != null => (keys(i), vals(i)) }
+
+  private def grow(): Unit = {
+    val ok = keys; val ov = vals
+    mask = mask * 2 + 1
+    keys = new Array[Long](mask + 1)
+    vals = new Array[Array[Double]](mask + 1)
+    var i = 0
+    while (i < ok.length) {
+      if (ov(i) != null) {
+        var j = idx(ok(i))
+        while (vals(j) != null) j = (j + 1) & mask
+        keys(j) = ok(i); vals(j) = ov(i)
+      }
+      i += 1
+    }
+  }
+}
 
 /**
  * Mutable aggregation state for the fused lift+sum cofactor aggregate.
@@ -21,13 +92,13 @@ final class CofactorBuffer(val numCols: Int, val catCols: Int, val nbMode: Boole
   var n: Long = 0L
   val lin = new Array[Double](numCols)
   val quad = new Array[Double](if (nbMode) numCols else numCols * (numCols + 1) / 2)
-  // LongMap: unboxed keys on the per-row hot path. Values are slot
-  // arrays mutated in place ([count, Σx_0 … Σx_{n-1}]; length-1 for the
-  // co-occurrence maps), so a hit costs one hash probe and no boxing.
-  val catMaps: Array[mutable.LongMap[Array[Double]]] =
-    Array.fill(catCols)(new mutable.LongMap[Array[Double]])
-  val quadCat: Array[mutable.LongMap[Array[Double]]] =
-    if (nbMode) Array.empty else Array.fill(catCols * (catCols + 1) / 2)(new mutable.LongMap[Array[Double]])
+  // KeyedSlots: unboxed mixed-hash keys on the per-row hot path (see its
+  // scaladoc for why mutable.LongMap is unusable on packed pair keys).
+  // Values are slot arrays mutated in place ([count, Σx_0 … Σx_{n-1}];
+  // length-1 for the co-occurrence maps): a hit is one probe, no boxing.
+  val catMaps: Array[KeyedSlots] = Array.fill(catCols)(new KeyedSlots)
+  val quadCat: Array[KeyedSlots] =
+    if (nbMode) Array.empty else Array.fill(catCols * (catCols + 1) / 2)(new KeyedSlots)
   // scratch row (avoids per-row allocation in update)
   val rowNum = new Array[Double](numCols)
   val rowCat = new Array[Int](catCols)
@@ -160,15 +231,20 @@ final class CofactorBuffer(val numCols: Int, val catCols: Int, val nbMode: Boole
     n,
     lin.clone(),
     quad.clone(),
-    Array.tabulate(catCols)(j => catMaps(j).map { case (k, v) => k.toInt -> v(0) }.toMap),
+    Array.tabulate(catCols)(j =>
+      catMaps(j).iterator.map { case (k, v) => k.toInt -> v(0) }.toMap),
     if (nbMode) Array.empty
     else Array.tabulate(numCols * catCols) { idx =>
       // canonical form (matches ring.Triple): exact-zero sums are dropped
       val i = idx / catCols; val j = idx % catCols
-      catMaps(j).toSeq.collect { case (k, v) if v(i + 1) != 0.0 => k.toInt -> v(i + 1) }.toMap
+      catMaps(j).iterator.collect { case (k, v) if v(i + 1) != 0.0 => k.toInt -> v(i + 1) }.toMap
     },
     if (nbMode) Array.empty
-    else Array.tabulate(quadCat.length)(j => quadCat(j).map { case (k, v) => k -> v(0) }.toMap)
+    // TreeMap, NOT HashMap: diagonal packed keys all share hashCode 0
+    // (see KeyedSlots), so even BUILDING a HashMap from them is O(m²)
+    else Array.tabulate(quadCat.length)(j =>
+      scala.collection.immutable.TreeMap.from(
+        quadCat(j).iterator.map { case (k, v) => k -> v(0) }))
   )
 }
 

@@ -78,7 +78,9 @@ object TripleCodec {
     Array.tabulate(a.numElements()) { i =>
       val m = a.getMap(i)
       val ks = m.keyArray(); val vs = m.valueArray()
-      val b = Map.newBuilder[Long, Double]
+      // TreeMap: diagonal packed keys all share Long.hashCode 0, so even
+      // BUILDING a HashMap from a big quad_cat map is O(m²)
+      val b = scala.collection.immutable.TreeMap.newBuilder[Long, Double]
       var j = 0
       while (j < m.numElements()) { b += ks.getLong(j) -> vs.getDouble(j); j += 1 }
       b.result()
@@ -167,7 +169,7 @@ object TripleCodec {
         val v = new Array[Double](catSlots)
         var s = 0
         while (s < catSlots) { v(s) = in.readDouble(); s += 1 }
-        m.update(k, v)
+        m.put(k, v)
         e += 1
       }
       j += 1
@@ -177,7 +179,7 @@ object TripleCodec {
       val sz = in.readInt()
       val m = b.quadCat(j)
       var e = 0
-      while (e < sz) { m.update(in.readLong(), Array(in.readDouble())); e += 1 }
+      while (e < sz) { m.put(in.readLong(), Array(in.readDouble())); e += 1 }
       j += 1
     }
     b
@@ -192,8 +194,8 @@ object TripleCodec {
       val s = in.readInt(); val b = Map.newBuilder[Int, Double]
       var i = 0; while (i < s) { b += in.readInt() -> in.readDouble(); i += 1 }; b.result()
     }
-    def rl(): Map[Long, Double] = {
-      val s = in.readInt(); val b = Map.newBuilder[Long, Double]
+    def rl(): Map[Long, Double] = { // TreeMap: see readLongMaps
+      val s = in.readInt(); val b = scala.collection.immutable.TreeMap.newBuilder[Long, Double]
       var i = 0; while (i < s) { b += in.readLong() -> in.readDouble(); i += 1 }; b.result()
     }
     Triple(n, lin, quad, Array.fill(cc)(ri()), Array.fill(nqnc)(ri()), Array.fill(nqc)(rl()))

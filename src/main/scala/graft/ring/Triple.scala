@@ -109,13 +109,22 @@ object Triple {
     Triple(1L, num.clone(), quad, linCat, quadNumCat, quadCat)
   }
 
-  private def mergeMaps[K](a: Map[K, Double], b: Map[K, Double], sign: Double): Map[K, Double] = {
-    var out = a.filter(_._2 != 0.0)
+  // Comparison-based merge, never hash-based: every diagonal packed
+  // pair key (v<<32)|v has Long.hashCode 0 (hi ^ lo folds to zero), so
+  // a HashMap holding them degenerates to ONE collision node and a
+  // per-entry getOrElse/updated fold goes O(m²) — measured at ~17 s for
+  // one 20k-category triple merge chain. A TreeMap only ever compares
+  // keys, so correlated key structure cannot slow it down; its sorted
+  // iteration is also exactly the documented map emission order.
+  private def mergeMaps[K: Ordering](a: Map[K, Double], b: Map[K, Double],
+                                     sign: Double): Map[K, Double] = {
+    val out = scala.collection.mutable.TreeMap.empty[K, Double]
+    a.foreach { case (k, v) => if (v != 0.0) out.update(k, v) }
     b.foreach { case (k, v) =>
       val nv = out.getOrElse(k, 0.0) + sign * v
-      out = if (nv == 0.0) out - k else out.updated(k, nv)
+      if (nv == 0.0) out.remove(k) else out.update(k, nv)
     }
-    out
+    scala.collection.immutable.TreeMap.from(out)
   }
 
   private def combine(a: Triple, b: Triple, sign: Double): Triple = {
@@ -184,8 +193,11 @@ object Triple {
       i += 1
     }
 
-    def scale[K](mp: Map[K, Double], s: Double): Map[K, Double] =
-      if (s == 0.0) Map.empty else mp.collect { case (k, v) if v * s != 0.0 => k -> v * s }
+    // TreeMap result for the same hash-degeneracy reason as mergeMaps
+    def scale[K: Ordering](mp: Map[K, Double], s: Double): Map[K, Double] =
+      if (s == 0.0) scala.collection.immutable.TreeMap.empty[K, Double]
+      else scala.collection.immutable.TreeMap.from(
+        mp.iterator.collect { case (k, v) if v * s != 0.0 => k -> v * s })
 
     val linCat = Array.tabulate(m) { j =>
       if (j < m1) scale(a.linCat(j), nb) else scale(b.linCat(j - m1), na)
@@ -211,7 +223,7 @@ object Triple {
           if (k < m1) scale(a.quadCat(pairIdx(j, k, m1)), nb)
           else if (j < m1) {
             // cross product of the two category histograms (mul.cpp:542-598)
-            val out = Map.newBuilder[Long, Double]
+            val out = scala.collection.immutable.TreeMap.newBuilder[Long, Double]
             a.linCat(j).foreach { case (c1, v1) =>
               b.linCat(k - m1).foreach { case (c2, v2) => out += catKey(c1, c2) -> v1 * v2 }
             }
@@ -254,9 +266,10 @@ object Triple {
         val (a, b) = (catPerm(j), catPerm(k))
         quadCat(pairIdx(j, k, m)) =
           if (a <= b) t.quadCat(pairIdx(a, b, m))
-          else t.quadCat(pairIdx(b, a, m)).map { case (key, v) =>
-            catKey(catKey2(key), catKey1(key)) -> v // pair order flips ⇒ swap keys
-          }
+          else scala.collection.immutable.TreeMap.from(
+            t.quadCat(pairIdx(b, a, m)).iterator.map { case (key, v) =>
+              catKey(catKey2(key), catKey1(key)) -> v // pair order flips ⇒ swap keys
+            })
         k += 1
       }
       j += 1
@@ -283,8 +296,10 @@ object Triple {
   /** NB ring product (mul_nb.cpp:20-268): no cross terms beyond scaling. */
   def multiplyNb(a: Triple, b: Triple): Triple = {
     val na = a.n.toDouble; val nb = b.n.toDouble
-    def scale[K](mp: Map[K, Double], s: Double): Map[K, Double] =
-      if (s == 0.0) Map.empty else mp.collect { case (k, v) if v * s != 0.0 => k -> v * s }
+    def scale[K: Ordering](mp: Map[K, Double], s: Double): Map[K, Double] =
+      if (s == 0.0) scala.collection.immutable.TreeMap.empty[K, Double]
+      else scala.collection.immutable.TreeMap.from(
+        mp.iterator.collect { case (k, v) if v * s != 0.0 => k -> v * s })
     Triple(
       a.n * b.n,
       (a.lin.map(_ * nb) ++ b.lin.map(_ * na)),

@@ -92,4 +92,42 @@ class TopKSpec extends AnyFunSuite {
       .orderBy($"rank").collect().map(_.getString(1)).toSeq
     assert(got == Seq("a", "b"))
   }
+
+  test("spill path: sort-based fallback with string ids at large k matches the window") {
+    // a fallbackThreshold of 2 forces ObjectHashAggregate into its
+    // sort-based path, which serialize()s every TopKBuffer into the
+    // external sorter and merges DESERIALIZED partials — the code path
+    // the in-memory runs above never hit. String ids + k larger than
+    // most groups exercise the variable-length buffer geometry under
+    // that round-trip.
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "2")
+    try {
+      graft.Graft.register(spark)
+      val rng = new scala.util.Random(13)
+      val rows = Seq.tabulate(6000) { i =>
+        val cos: java.lang.Double =
+          if (rng.nextInt(25) == 0) null
+          else math.round(rng.nextDouble() * 40) / 40.0 // coarse grid: frequent ties
+        ((i % 37).toLong, f"id_${rng.nextInt(800)}%04d", cos)
+      }
+      val scored = rows.toDF("qId", "cId", "cos").repartition(8)
+      val k = 200
+      val got = scored.groupBy($"qId")
+        .agg(expr(s"topk_by_score(cos, cId, $k)").as("top"))
+        .select($"qId", posexplode($"top").as(Seq("r", "s")))
+        .select($"qId", $"s.cId", $"s.cos", ($"r" + 1).cast("int").as("rank"))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          Option(r.get(2)).map(cosKey), r.getInt(3))).toSet
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"qId")
+        .orderBy($"cos".desc_nulls_last, $"cId".asc)
+      val want = scored.filter($"cId".isNotNull)
+        .withColumn("rank", row_number().over(w)).filter($"rank" <= k)
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          Option(r.get(2)).map(cosKey), r.getInt(3))).toSet
+      assert(got.nonEmpty && got == want,
+        s"spilled agg diverged from window: ${got.diff(want).take(5)} vs ${want.diff(got).take(5)}")
+    } finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+  }
 }
