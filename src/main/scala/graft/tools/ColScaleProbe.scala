@@ -32,6 +32,12 @@ object ColScaleProbe {
     val spark = graft.Graft.register(SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+      // parquet BATCH reading (supportBatch) is tied to codegen's field
+      // cap: a >100-column projection silently drops to the row-based
+      // reader and the columnar harvest refuses. Raising the cap is the
+      // operational knob for wide tables — part of what this probe
+      // documents.
+      .config("spark.sql.codegen.maxFields", "256")
       .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
