@@ -210,14 +210,17 @@ object Graft {
     import org.apache.spark.sql.functions._
     register(df.sparkSession)
     val cols = num.map(c => col(c).cast("double")) ++ cat.map(c => col(c).cast("int"))
-    // content-derived salt: xxhash64 over every input column makes the
+    // content-derived salt: xxhash64 over EVERY column of df (not just
+    // the aggregate's inputs — low-cardinality features would cap a hot
+    // group's spread at their distinct-combination count) makes the
     // stage DETERMINISTIC under task retry — a fetch failure re-runs one
     // task, not the whole stage (monotonically_increasing_id depends on
     // row position, so Spark must mark the stage indeterminate and
-    // recompute it wholesale). Duplicate rows share a salt bucket, which
-    // only narrows spreading on degenerate all-duplicate data; ring-add
-    // associativity means the result is unchanged either way.
-    val saltInputs = (keys ++ num ++ cat).map(col)
+    // recompute it wholesale). Spreading is bounded by the hot group's
+    // distinct FULL-row count; byte-identical duplicate rows share a
+    // bucket (interchangeable rows — the result is unchanged, only the
+    // spread degrades, by the duplicate multiplicity).
+    val saltInputs = df.columns.toSeq.map(col)
     val stage1 = df
       .withColumn("__salt", pmod(xxhash64(saltInputs: _*), lit(saltBuckets.toLong)))
       .groupBy((keys.map(col) :+ col("__salt")): _*)
@@ -239,12 +242,18 @@ object Graft {
 
   /** A [[Triple]] as an external Row matching
     * [[graft.agg.TripleCodec.dataType]]; maps emitted in sorted key
-    * order, same as the aggregate's emission. */
+    * order and lin/quad normalized `+ 0.0`, both mirroring
+    * `TripleCodec.toCatalyst` exactly — the aggregate route's output —
+    * so a downstream hash/dedup over the struct can never see
+    * route-dependent bytes (-0.0 vs +0.0). Map values need no
+    * normalization: the ring merge never stores exact zeros. */
   def tripleToRow(t: Triple, nb: Boolean = false): Row = {
     def si(m: Map[Int, Double]) = scala.collection.immutable.TreeMap(m.toSeq: _*)
     def sl(m: Map[Long, Double]) = scala.collection.immutable.TreeMap(m.toSeq: _*)
-    if (nb) Row(t.n, t.lin.toSeq, t.quad.toSeq, t.linCat.toSeq.map(si))
-    else Row(t.n, t.lin.toSeq, t.quad.toSeq, t.linCat.toSeq.map(si),
+    val lin = t.lin.toSeq.map(_ + 0.0)
+    val quad = t.quad.toSeq.map(_ + 0.0)
+    if (nb) Row(t.n, lin, quad, t.linCat.toSeq.map(si))
+    else Row(t.n, lin, quad, t.linCat.toSeq.map(si),
       t.quadNumCat.toSeq.map(si), t.quadCat.toSeq.map(sl))
   }
 
@@ -260,12 +269,16 @@ object Graft {
    * grouped row aggregate below. NULL keys are dropped on BOTH routes
    * (the kernel skips NULL-input rows; the row route filters
    * explicitly — a NULL group whose key unboxes to 0 is never what a
-   * grouped moment wants). Group count is bounded by the cardinality
-   * guard, so the kernel route's driver-side result stays small and an
-   * ID-like key fails loudly instead of building a million triples.
+   * grouped moment wants). The kernel route is gated on an
+   * `approx_count_distinct` group-cardinality probe (≤ `maxGroups`,
+   * default 4096): it builds one FULL buffer per group per partition
+   * and materializes every group driver-side — the right plan for
+   * dimension-like keys, an executor OOM for a fact-like key that is
+   * still under the 1M cardinality guard. High-cardinality keys route
+   * to the distributed row aggregate, which handles them natively.
    */
   def cofactorGrouped(df: DataFrame, key: String, num: Seq[String], cat: Seq[String],
-                      nb: Boolean = false): DataFrame = {
+                      nb: Boolean = false, maxGroups: Int = 4096): DataFrame = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
     register(df.sparkSession)
@@ -276,8 +289,16 @@ object Graft {
     // column's ORIGINAL type so the output schema never depends on
     // which route ran
     val keyType = keyField.map(_.dataType)
+    def underGroupCap: Boolean = {
+      // one cheap fixed-memory probe scan, MEMOIZED per (plan, key,
+      // file snapshot) via the shared probe cache; ±5% HLL error only
+      // softens the cap's edge (a few % more buffers), never its
+      // magnitude
+      val (rows, rpk) = graft.ml.Factorized.probeRowsPerKey(df, Seq(key))
+      rows / math.max(1.0, rpk) <= maxGroups.toDouble
+    }
     val viaKernel =
-      if (!keyType.exists(t => t == IntegerType || t == LongType)) None
+      if (!keyType.exists(t => t == IntegerType || t == LongType) || !underGroupCap) None
       else graft.agg.ColumnarCofactor.cofactorPerClass(
         df,
         num.map(graft.agg.ColumnarCofactor.NumCol),

@@ -543,6 +543,11 @@ object Factorized {
     * degenerates (tiny capRows → everything is a candidate). Memoized
     * with the same (plan, key, fingerprint) discipline as the probes;
     * capRows is folded into the key since the cap is configurable. */
+  /** Sentinel memo value for a POST-SCAN detector refusal — an empty
+    * array is a valid "no hot keys" result, so refusals need their own
+    * identity (compared with `eq`). */
+  private val DetectorRefused: Array[Row] = Array[Row](null)
+
   private[graft] def hotKeyCounts(df: DataFrame, keyCols: Seq[String],
                                   capRows: Long): Option[Array[Row]] = {
     if (keyCols.length != 1 || capRows <= 0) return None
@@ -557,7 +562,8 @@ object Factorized {
     val ck = (df.queryExecution.analyzed.canonicalized,
       s"hot:$key:$capRows", snapshotFingerprint(df))
     val cached = topKeyCache.get(ck)
-    if (cached != null) return Some(cached)
+    if (cached != null)
+      return if (cached eq DetectorRefused) None else Some(cached)
     val proj = df.select(col(key).cast("long").as("__graft_k"))
     val rdd = proj.queryExecution.toRdd
     val p = math.max(1, rdd.getNumPartitions)
@@ -581,11 +587,16 @@ object Factorized {
       }
       Iterator.single(m.candidateArray(thrLocal, maxOut = 1024))
     }.collect()
-    if (perPart.exists(_ == null)) return None
+    // post-scan refusals are MEMOIZED (sentinel entry): the salted tier
+    // re-asks right after the cap veto, and re-paying the full pass-1
+    // scan just to refuse again would double-scan exactly the large
+    // skewed inputs this path exists for
+    def refuse(): Option[Array[Row]] = { topKeyCache.put(ck, DetectorRefused); None }
+    if (perPart.exists(_ == null)) return refuse()
     val candidates = perPart.flatMap(a => a: Array[Long]).distinct
     // degenerate detector (capRows ≲ P, or a sea of locally-hot keys):
     // the exact pass would cost like the grouped scan — surrender to it
-    if (candidates.length > 1024) return None
+    if (candidates.length > 1024) return refuse()
     val exact: Array[Row] =
       if (candidates.isEmpty) Array.empty
       else df.filter(col(key).isin(candidates.map(Long.box).toSeq: _*))
@@ -862,7 +873,7 @@ object Factorized {
   /** Memoized (rows, rows-per-key) probe shared by the adaptive
     * single-join and star paths; composite keys probe
     * `approx_count_distinct(struct(keys))`. */
-  private def probeRowsPerKey(df: DataFrame, keyCols: Seq[String]): (Long, Double) = {
+  private[graft] def probeRowsPerKey(df: DataFrame, keyCols: Seq[String]): (Long, Double) = {
     val ck = (df.queryExecution.analyzed.canonicalized,
       "rpk:" + keyCols.mkString("\u0001"), snapshotFingerprint(df))
     val cached = probeCache.get(ck)

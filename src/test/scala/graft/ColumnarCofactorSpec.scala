@@ -442,6 +442,27 @@ class ColumnarCofactorSpec extends AnyFunSuite {
     val g = Graft.cofactorGrouped(withNull, "k", Seq("x"), Seq()).collect()
     assert(g.length == 1 && g(0).getLong(0) == 1L)
     assert(Graft.tripleFromRow(g(0).getStruct(1)).n == 2L)
+
+    // group-cardinality gate: a fact-like key over the maxGroups cap
+    // takes the distributed row aggregate (the kernel route would build
+    // one full buffer PER GROUP per partition), with identical results
+    val viaCapped = Graft.cofactorGrouped(li, "l_suppkey",
+      Seq("l_quantity", "l_extendedprice"), Seq("l_linenumber"), maxGroups = 3)
+    assert(Graft.lastGroupedRoute() == "row", "over-cap key must take the row aggregate")
+    val c = viaCapped.collect().map(r => r.getLong(0) -> Graft.tripleFromRow(r.getStruct(1))).toMap
+    assert(c.keySet == a.keySet)
+    c.keys.foreach(k => assert(c(k).approxEquals(a(k), 1e-9), s"capped group $k differs"))
+  }
+
+  test("tripleToRow normalizes -0.0 like the aggregate's catalyst emission") {
+    // a group whose sum is IEEE -0.0 must emit +0.0 on BOTH routes —
+    // TripleCodec.toCatalyst does `d + 0.0`; the kernel route's
+    // external Row must match at the bit level (hash/dedup parity)
+    val t = graft.ring.Triple(2L, Array(-0.0), Array(-0.0),
+      Array(Map(1 -> 2.0)), Array(Map.empty[Int, Double]), Array(Map.empty[Long, Double]))
+    val row = Graft.tripleToRow(t)
+    assert(java.lang.Double.doubleToRawLongBits(row.getSeq[Double](1).head) == 0L)
+    assert(java.lang.Double.doubleToRawLongBits(row.getSeq[Double](2).head) == 0L)
   }
 
   test("harvest engages for any name casing select() accepts") {

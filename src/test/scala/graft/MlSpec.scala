@@ -520,6 +520,11 @@ class MlSpec extends AnyFunSuite {
     assert(graft.ml.Factorized.hotKeyCounts(hotDf, Seq("k", "v"), 1000L).isEmpty)
     assert(graft.ml.Factorized.hotKeyCounts(
       hotDf.withColumn("s", col("k").cast("string")), Seq("s"), 1000L).isEmpty)
+    // post-scan refusal (5000 uniques all pass thrLocal=1 → candidate
+    // flood): None, and STABLY None on the memoized re-ask — the salted
+    // tier re-asks right after the cap veto
+    assert(graft.ml.Factorized.hotKeyCounts(uniq, Seq("k"), 1L).isEmpty)
+    assert(graft.ml.Factorized.hotKeyCounts(uniq, Seq("k"), 1L).isEmpty)
   }
 
   test("MgSummary: heavy keys survive decrement sweeps with sound counters") {
