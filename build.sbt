@@ -29,5 +29,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // default sized for this 128 GiB box: local[32] at the sf100 tier
+  // peaks ~32 concurrent SHJ builds + shuffle fetch + lingering
+  // checkpoint blocks — an 8g heap OOM-killed the executor threads when
+  // the sf0.1 main tier ran first (round-13 stress repro); 24g holds
+  // with wide margin and is still <20% of RAM
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -315,6 +315,19 @@ object Bench {
     // the generated data exists; names are sf1_-prefixed so the
     // cross-run drift regex can never confuse tiers.
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/testdata-sf1")
+    // Between tiers: drop every lingering cached/localCheckpoint block
+    // (mice rounds checkpoint the working set; the references are gone
+    // but the ContextCleaner frees blocks asynchronously). A 15 GB
+    // tier's shuffles competing with stale storage blocks is exactly
+    // the transient memory pressure that failed one round-13 check run
+    // (factorized rows threw under an sf0.1 main tier + sf100 combo;
+    // clean in isolation).
+    def dropStaleCaches(): Unit = {
+      spark.sqlContext.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+
+    dropStaleCaches()
     val sf1Results: Seq[(String, Double, Boolean, Boolean)] =
       if (!new java.io.File(sf1Dir + "/lineitem.parquet").exists()) Seq.empty
       else {
@@ -414,6 +427,7 @@ object Bench {
           iterations = 1), tm))
       System.err.println(s"[bench] mice_star phases: $tm")
     }
+    dropStaleCaches()
     val sf10Results: Seq[(String, Double, Boolean, Boolean)] =
       if (!new java.io.File(sf10Dir + "/lineitem.parquet").exists()) Seq.empty
       else timeSuite(Seq(
@@ -460,6 +474,7 @@ object Bench {
     // certifies the uncontended number no matter how inflated the
     // contended passes are. Runs only when the tier exists.
     val sf100Dir = sys.env.getOrElse("SPARK_GRAFT_SF100_DIR", "/root/repo/testdata-sf100")
+    dropStaleCaches()
     val sf100Results: Seq[(String, Double, Boolean, Boolean)] =
       if (!new java.io.File(sf100Dir + "/lineitem.parquet").exists()) Seq.empty
       else {
