@@ -426,6 +426,12 @@ object Bench {
           dimNum = Seq("o_totalprice"), imputeCont = Seq("x_missing"),
           iterations = 1), tm))
       System.err.println(s"[bench] mice_star phases: $tm")
+      // drop this pass's 60M-row checkpoint blocks SYNCHRONOUSLY before
+      // the next timed pass — lingering blocks made later prepare
+      // phases evict/contend (70% spread measured before this)
+      liB.sparkSession.sqlContext.clearCache()
+      liB.sparkSession.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
     }
     dropStaleCaches()
     val sf10Results: Seq[(String, Double, Boolean, Boolean)] =
