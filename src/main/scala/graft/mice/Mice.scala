@@ -128,9 +128,25 @@ object Mice {
     cur.withColumn(c, when(col(flag(c)), pred).otherwise(col(c)))
   }
 
+  /** Deterministically free a SUPERSEDED `localCheckpoint`'s storage
+    * blocks. The MICE loops replace their working-set checkpoint every
+    * iteration (or column step); relying on the async ContextCleaner
+    * lets columns × iterations copies of the fact accumulate in
+    * executor storage at scale before GC notices. Callers pass the
+    * BARE superseded checkpoint frame (plan = one LogicalRDD) only
+    * after its replacement has materialized (localCheckpoint is
+    * eager), so nothing can still read the dropped blocks. */
+  private[graft] def dropCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Baseline MICE (imputation_base.cpp): full filtered rescan per column. */
   def baseline(df: DataFrame, cfg: Config, tm: Timings = noTimings): DataFrame = {
     var cur = tm.time("prepare")(prepare(df, cfg).localCheckpoint())
+    var lastCp = cur
     val order = cfg.imputeCat ++ cfg.imputeCont // categorical first (imputation_base.cpp:19,89)
     for (iter <- 1 to cfg.iterations) {
       for (c <- order) {
@@ -145,6 +161,8 @@ object Mice {
         cur = imputeColumn(cur, cfg, c, observed, nbPc, iter, tm)
       }
       cur = tm.time("impute_update")(cur.localCheckpoint()) // bound lineage + per-column job cost
+      dropCheckpoint(lastCp) // superseded: cur materialized eagerly above
+      lastCp = cur
     }
     cur.drop((cfg.imputeCont ++ cfg.imputeCat).map(flag): _*)
   }
@@ -163,6 +181,7 @@ object Mice {
       (prepared.filter(!anyNull).localCheckpoint(),
        prepared.filter(anyNull).localCheckpoint()))
     var incomplete = incomplete0
+    var lastCp = incomplete0
 
     // static cofactor over the never-changing stratum (imputation_high.cpp:20-35)
     val staticTriple = tm.time("cofactor_static")(
@@ -209,7 +228,10 @@ object Mice {
           Graft.cofactor(incomplete.filter(col(flag(c))), cfg.contCols, cfg.catCols))
         full = Triple.add(observed, newDelta)
       }
-      incomplete = tm.time("impute_update")(incomplete.localCheckpoint())
+      val next = tm.time("impute_update")(incomplete.localCheckpoint())
+      dropCheckpoint(lastCp) // the previous iteration's incomplete blocks
+      lastCp = next
+      incomplete = next
     }
     complete.unionByName(incomplete).drop(imputed.map(flag): _*)
   }

@@ -280,9 +280,14 @@ object MiceJoin {
         // next column's filters and training cofactor would otherwise
         // re-execute every previously stacked star join (O(k²) join
         // executions per iteration) — the flat plan costs one action per
-        // column and keeps each step's work each step's own
-        cur = tm.time("impute_update")(
+        // column and keeps each step's work each step's own. The
+        // superseded checkpoint's blocks are freed deterministically
+        // (columns × iterations fact copies otherwise sit in storage
+        // until the async cleaner runs).
+        val next = tm.time("impute_update")(
           observed.unionByName(updated).localCheckpoint())
+        Mice.dropCheckpoint(cur)
+        cur = next
       }
     }
     cur.drop((cfg.imputeCont ++ cfg.imputeCat).map(Mice.flag): _*)

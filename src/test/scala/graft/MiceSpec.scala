@@ -102,4 +102,19 @@ class MiceSpec extends AnyFunSuite {
     // noisy but still far better than mean imputation (sd(b) ~ 7)
     assert(rmse < 3.0, s"stochastic rmse $rmse")
   }
+
+  test("dropCheckpoint unpersists exactly the plan's checkpoint RDD") {
+    // the MICE loops free each superseded working-set checkpoint
+    // deterministically — columns × iterations copies of the fact would
+    // otherwise sit in executor storage until the async cleaner runs
+    val df = Seq(1, 2, 3).toDF("a").localCheckpoint()
+    val id = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.head
+    assert(spark.sparkContext.getPersistentRDDs.contains(id),
+      "localCheckpoint must register a persistent RDD")
+    Mice.dropCheckpoint(df)
+    assert(!spark.sparkContext.getPersistentRDDs.contains(id),
+      "dropCheckpoint must unregister the checkpoint's RDD")
+  }
 }
