@@ -465,6 +465,34 @@ class ColumnarCofactorSpec extends AnyFunSuite {
     assert(java.lang.Double.doubleToRawLongBits(row.getSeq[Double](2).head) == 0L)
   }
 
+  test("fuzz: columnar == row aggregate on hostile shapes (negative cats, fat spans, extremes)") {
+    // negative category values (window offsets), a 40k-span column
+    // (pair tables over cap → per-row fallback mid-stream), magnitudes
+    // from -0.0 to 1e12 — the adversarial-input class that surfaced the
+    // diagonal-key hash degeneracy
+    val rng = new scala.util.Random(99)
+    val rows = Seq.tabulate(20000) { _ =>
+      val x = rng.nextInt(6) match {
+        case 0 => rng.nextDouble() * 1e12
+        case 1 => -rng.nextDouble()
+        case 2 => 0.0
+        case 3 => -0.0
+        case _ => rng.nextGaussian()
+      }
+      (x, rng.nextGaussian() * 100, rng.nextInt(2001) - 1000, rng.nextInt(40000) - 20000)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("fuzzcol").toFile.getAbsolutePath
+    rows.toDF("x", "y", "c1", "c2").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val t = ColumnarCofactor.cofactor(df,
+      Seq(NumCol("x"), NumCol("y")), Seq(CatCol("c1"), CatCol("c2")))
+    assert(t.isDefined)
+    val ref = Graft.tripleFromRow(df.agg(Graft.sumTriple(
+      col("x"), col("y"), col("c1"), col("c2")).as("t")).head.getStruct(0))
+    assert(t.get.n == ref.n)
+    assert(t.get.approxEquals(ref, 1e-9))
+  }
+
   test("harvest engages for any name casing select() accepts") {
     // spark.sql.caseSensitive=false (the default): select("L_QUANTITY")
     // resolves, so the kernel's ordinal lookup must too — an exact-match
