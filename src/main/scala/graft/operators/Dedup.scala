@@ -256,11 +256,26 @@ object Dedup {
     while (changed && iter < maxIters) {
       val viaNeighbor = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("component"))
-      val next = labels.unionByName(viaNeighbor)
+      val propagated = labels.unionByName(viaNeighbor)
         .groupBy("id").agg(min(col("component")).as("component"))
+      // pointer halving: follow the adopted label's OWN label once per
+      // round (component values are node ids, so they appear in the
+      // label table) — effective propagation distance doubles each
+      // round and convergence is O(log diameter) instead of
+      // O(diameter). A chain-shaped component (iteratively edited
+      // documents near-duplicate their neighbors) of ANY realistic
+      // length now converges inside the default 20 rounds, where plain
+      // min-propagation silently returned inconsistent labels past
+      // diameter 20.
+      val parents = propagated
+        .select(col("id").as("__pid"), col("component").as("__pcomp"))
+      val next = propagated
+        .join(parents, propagated("component") === parents("__pid"), "left")
+        .select(propagated("id"), coalesce(col("__pcomp"), col("component")).as("component"))
         .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("component", "__old"), "id")
         .filter(col("component") =!= col("__old")).limit(1).count() > 0
+      graft.mice.Mice.dropCheckpoint(labels) // superseded round's label blocks
       labels = next
       iter += 1
     }

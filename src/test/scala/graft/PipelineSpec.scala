@@ -538,6 +538,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(c2.values.toSet == Set(10L), s"chain not collapsed: $c2")
   }
 
+  test("connected components: a 300-link chain converges inside default rounds (pointer halving)") {
+    // iteratively-edited documents near-duplicate their NEIGHBORS, so a
+    // chain-shaped component is the realistic worst case. Diameter 300
+    // needs 300 rounds of plain min-propagation (the default cap is 20
+    // — the old code silently returned inconsistent labels here);
+    // pointer halving doubles propagation distance per round, so it
+    // converges in ~O(log d) rounds.
+    val pairs = Seq.tabulate(300)(i => (i.toLong, i + 1L)).toDF("idA", "idB")
+    val labels = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 301)
+    assert(labels.values.forall(_ == 0L),
+      s"chain must collapse to component 0; wrong: ${labels.filter(_._2 != 0L).take(5)}")
+  }
+
   test("simhash: identical fingerprints for dups, banded pairs verified by hamming") {
     Graft.register(spark)
     val fps = docs.select($"doc_id",
