@@ -419,19 +419,20 @@ object Bench {
         when(pmod(col("k"), lit(7)) === 0, lit(null).cast("double"))
           .otherwise(col("l_quantity") * 0.5))
       val tm = new graft.mice.Mice.Timings
-      noop(graft.mice.MiceJoin.imputeChainedOverJoin(
+      val done = graft.mice.MiceJoin.imputeChainedOverJoin(
         fact, ordB, "k",
         graft.mice.MiceJoin.ChainConfig(
           factNum = Seq("l_quantity", "x_missing"), factCat = Seq(),
           dimNum = Seq("o_totalprice"), imputeCont = Seq("x_missing"),
-          iterations = 1), tm))
+          iterations = 1), tm)
+      noop(done)
       System.err.println(s"[bench] mice_star phases: $tm")
-      // drop this pass's 60M-row checkpoint blocks SYNCHRONOUSLY before
-      // the next timed pass — lingering blocks made later prepare
-      // phases evict/contend (70% spread measured before this)
-      liB.sparkSession.sqlContext.clearCache()
-      liB.sparkSession.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
+      // free the pass's FINAL 60M-row checkpoint (the chain drops its
+      // intermediates deterministically) so it cannot contend with the
+      // next pass — one-RDD unpersist, microseconds, unlike the earlier
+      // clearCache + blocking full unpersist which measured storage
+      // teardown INTO the timed row
+      graft.Graft.dropCheckpoint(done)
     }
     dropStaleCaches()
     val sf10Results: Seq[(String, Double, Boolean, Boolean)] =

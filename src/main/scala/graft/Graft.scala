@@ -210,17 +210,28 @@ object Graft {
     import org.apache.spark.sql.functions._
     register(df.sparkSession)
     val cols = num.map(c => col(c).cast("double")) ++ cat.map(c => col(c).cast("int"))
-    // content-derived salt: xxhash64 over EVERY column of df (not just
-    // the aggregate's inputs — low-cardinality features would cap a hot
-    // group's spread at their distinct-combination count) makes the
-    // stage DETERMINISTIC under task retry — a fetch failure re-runs one
-    // task, not the whole stage (monotonically_increasing_id depends on
-    // row position, so Spark must mark the stage indeterminate and
-    // recompute it wholesale). Spreading is bounded by the hot group's
-    // distinct FULL-row count; byte-identical duplicate rows share a
-    // bucket (interchangeable rows — the result is unchanged, only the
-    // spread degrades, by the duplicate multiplicity).
-    val saltInputs = df.columns.toSeq.map(col)
+    // content-derived salt: xxhash64 over every HASHABLE column of df
+    // (not just the aggregate's inputs — low-cardinality features would
+    // cap a hot group's spread at their distinct-combination count)
+    // makes the stage DETERMINISTIC under task retry — a fetch failure
+    // re-runs one task, not the whole stage (monotonically_increasing_id
+    // depends on row position, so Spark must mark the stage
+    // indeterminate and recompute it wholesale). MapType-bearing columns
+    // are excluded (xxhash64 rejects them at analysis); keys/num/cat are
+    // primitive, so the salt inputs are never empty. Spreading is
+    // bounded by the hot group's distinct hashable-row count;
+    // byte-identical duplicate rows share a bucket (interchangeable
+    // rows — the result is unchanged, only the spread degrades, by the
+    // duplicate multiplicity).
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val saltInputs = df.schema.fields.toSeq.collect {
+      case f if hashable(f.dataType) => col(f.name)
+    }
     val stage1 = df
       .withColumn("__salt", pmod(xxhash64(saltInputs: _*), lit(saltBuckets.toLong)))
       .groupBy((keys.map(col) :+ col("__salt")): _*)
@@ -228,6 +239,21 @@ object Graft {
     stage1.groupBy(keys.map(col): _*)
       .agg(call_function(if (nb) "sum_nb_agg" else "sum_triple", col("__t")).as("t"))
   }
+
+  /** Deterministically free a SUPERSEDED `localCheckpoint`'s storage
+    * blocks. Iterative operators (MICE loops, connected components)
+    * replace their working-set checkpoint every round; relying on the
+    * async ContextCleaner lets rounds × working-set copies accumulate
+    * in executor storage at scale before driver GC notices. Callers
+    * pass the BARE superseded checkpoint frame (plan = one LogicalRDD)
+    * only after its replacement has materialized (localCheckpoint is
+    * eager), so nothing can still read the dropped blocks. */
+  private[graft] def dropCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Route the last [[cofactorGrouped]] call on this thread took
     * ("columnar" = batch-kernel harvest, "row" = grouped row aggregate).
@@ -270,15 +296,20 @@ object Graft {
    * (the kernel skips NULL-input rows; the row route filters
    * explicitly — a NULL group whose key unboxes to 0 is never what a
    * grouped moment wants). The kernel route is gated on an
-   * `approx_count_distinct` group-cardinality probe (≤ `maxGroups`,
-   * default 4096): it builds one FULL buffer per group per partition
-   * and materializes every group driver-side — the right plan for
-   * dimension-like keys, an executor OOM for a fact-like key that is
-   * still under the 1M cardinality guard. High-cardinality keys route
-   * to the distributed row aggregate, which handles them natively.
+   * `approx_count_distinct` group-cardinality probe: it builds one FULL
+   * buffer per group per partition and materializes every group
+   * driver-side — the right plan for dimension-like keys, an executor
+   * OOM for a fact-like key that is still under the 1M cardinality
+   * guard. The default cap (`maxGroups` ≤ 0) scales with the per-group
+   * buffer size — ~64 MB of buffers per partition, the SHJ guard's
+   * budget — so narrow aggregates allow ~100k groups while a 100-column
+   * quad caps near 1.6k; pass `maxGroups > 0` to pin it. Over-cap keys
+   * route to the distributed row aggregate, which handles them
+   * natively. The probe runs only on structurally harvestable plans
+   * (plan-shape refusal is checked first, without any scan).
    */
   def cofactorGrouped(df: DataFrame, key: String, num: Seq[String], cat: Seq[String],
-                      nb: Boolean = false, maxGroups: Int = 4096): DataFrame = {
+                      nb: Boolean = false, maxGroups: Int = -1): DataFrame = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
     register(df.sparkSession)
@@ -289,21 +320,37 @@ object Graft {
     // column's ORIGINAL type so the output schema never depends on
     // which route ran
     val keyType = keyField.map(_.dataType)
+    val numSpecs = num.map(graft.agg.ColumnarCofactor.NumCol)
+    val catSpecs = cat.map(graft.agg.ColumnarCofactor.CatCol)
+    val labelSpec = graft.agg.ColumnarCofactor.CatCol(key)
+    // auto cap: ~64 MB of per-group buffers per partition (the SHJ
+    // guard's budget); per-group ≈ packed quad + lin + a per-cat map
+    // allowance. Order-of-magnitude gate, not an exact bound.
+    val groupCap: Long =
+      if (maxGroups > 0) maxGroups.toLong
+      else {
+        val d = num.size.toLong
+        val bufBytes = 8L * (1L + d + (if (nb) d else d * (d + 1) / 2)) +
+          256L * (cat.size + 1L)
+        math.max(256L, math.min(1L << 20, (64L << 20) / math.max(1L, bufBytes)))
+      }
     def underGroupCap: Boolean = {
       // one cheap fixed-memory probe scan, MEMOIZED per (plan, key,
       // file snapshot) via the shared probe cache; ±5% HLL error only
       // softens the cap's edge (a few % more buffers), never its
       // magnitude
       val (rows, rpk) = graft.ml.Factorized.probeRowsPerKey(df, Seq(key))
-      rows / math.max(1.0, rpk) <= maxGroups.toDouble
+      rows / math.max(1.0, rpk) <= groupCap.toDouble
     }
     val viaKernel =
-      if (!keyType.exists(t => t == IntegerType || t == LongType) || !underGroupCap) None
+      if (!keyType.exists(t => t == IntegerType || t == LongType)) None
+      // plan-shape refusal first: it is driver-only, while the
+      // cardinality probe scans — never pay a scan for a plan the
+      // kernel was never going to take
+      else if (!graft.agg.ColumnarCofactor.canHarvest(df, numSpecs, catSpecs :+ labelSpec)) None
+      else if (!underGroupCap) None
       else graft.agg.ColumnarCofactor.cofactorPerClass(
-        df,
-        num.map(graft.agg.ColumnarCofactor.NumCol),
-        cat.map(graft.agg.ColumnarCofactor.CatCol),
-        graft.agg.ColumnarCofactor.CatCol(key), nbMode = nb)
+        df, numSpecs, catSpecs, labelSpec, nbMode = nb)
     viaKernel match {
       case Some(groups) =>
         lastGroupedRouteTL.set("columnar")

@@ -528,6 +528,16 @@ object ColumnarCofactor {
     }.collect().sum
   }
 
+  /** Driver-only structural pre-check: would the harvest engage on this
+    * plan? Plans the pruned query but runs NO jobs — callers can order
+    * cheap plan checks ahead of probe scans (Graft.cofactorGrouped's
+    * group-cardinality probe would otherwise pay a full scan for plans
+    * the kernel was never going to take). */
+  private[graft] def canHarvest(src: DataFrame, nums: Seq[NumSpec],
+                                cats: Seq[CatSpec]): Boolean =
+    compile(src, nums, cats, nbMode = false,
+      CofactorAggregate.confMaxCategories()).isDefined
+
   private def compile(src: DataFrame, nums: Seq[NumSpec], cats: Seq[CatSpec],
                nbMode: Boolean,
                maxCategories: Int): Option[(SparkPlan, Compiled)] = {

@@ -128,20 +128,10 @@ object Mice {
     cur.withColumn(c, when(col(flag(c)), pred).otherwise(col(c)))
   }
 
-  /** Deterministically free a SUPERSEDED `localCheckpoint`'s storage
-    * blocks. The MICE loops replace their working-set checkpoint every
-    * iteration (or column step); relying on the async ContextCleaner
-    * lets columns × iterations copies of the fact accumulate in
-    * executor storage at scale before GC notices. Callers pass the
-    * BARE superseded checkpoint frame (plan = one LogicalRDD) only
-    * after its replacement has materialized (localCheckpoint is
-    * eager), so nothing can still read the dropped blocks. */
+  /** See [[graft.Graft.dropCheckpoint]] — shared infrastructure, kept
+    * here as a forwarding alias for the MICE loops' call sites. */
   private[graft] def dropCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    Graft.dropCheckpoint(df)
 
   /** Baseline MICE (imputation_base.cpp): full filtered rescan per column. */
   def baseline(df: DataFrame, cfg: Config, tm: Timings = noTimings): DataFrame = {

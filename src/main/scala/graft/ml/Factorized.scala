@@ -524,6 +524,11 @@ object Factorized {
     if (top.isEmpty) 0L else top.head.getLong(top.head.length - 1)
   }
 
+  /** Sentinel memo value for a POST-SCAN detector refusal — an empty
+    * array is a valid "no hot keys" result, so refusals need their own
+    * identity (compared with `eq`). */
+  private val DetectorRefused: Array[Row] = Array[Row](null)
+
   /** EXACT counts of the join keys whose row count reaches `capRows`
     * (count-descending, ≤65 rows of (key, count)), without the full
     * grouped-count shuffle [[topKeyCounts]] pays — at sf100 that scan
@@ -543,11 +548,6 @@ object Factorized {
     * degenerates (tiny capRows → everything is a candidate). Memoized
     * with the same (plan, key, fingerprint) discipline as the probes;
     * capRows is folded into the key since the cap is configurable. */
-  /** Sentinel memo value for a POST-SCAN detector refusal — an empty
-    * array is a valid "no hot keys" result, so refusals need their own
-    * identity (compared with `eq`). */
-  private val DetectorRefused: Array[Row] = Array[Row](null)
-
   private[graft] def hotKeyCounts(df: DataFrame, keyCols: Seq[String],
                                   capRows: Long): Option[Array[Row]] = {
     if (keyCols.length != 1 || capRows <= 0) return None

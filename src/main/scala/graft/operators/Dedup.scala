@@ -256,8 +256,12 @@ object Dedup {
     while (changed && iter < maxIters) {
       val viaNeighbor = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("component"))
+      // checkpointed: the halving join below references this plan on
+      // BOTH sides — unmaterialized, the edges join + min-aggregate
+      // would plan and execute twice per round
       val propagated = labels.unionByName(viaNeighbor)
         .groupBy("id").agg(min(col("component")).as("component"))
+        .localCheckpoint()
       // pointer halving: follow the adopted label's OWN label once per
       // round (component values are node ids, so they appear in the
       // label table) — effective propagation distance doubles each
@@ -275,7 +279,8 @@ object Dedup {
         .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("component", "__old"), "id")
         .filter(col("component") =!= col("__old")).limit(1).count() > 0
-      graft.mice.Mice.dropCheckpoint(labels) // superseded round's label blocks
+      graft.Graft.dropCheckpoint(labels) // superseded round's label blocks
+      graft.Graft.dropCheckpoint(propagated) // folded into next
       labels = next
       iter += 1
     }

@@ -454,6 +454,20 @@ class ColumnarCofactorSpec extends AnyFunSuite {
     c.keys.foreach(k => assert(c(k).approxEquals(a(k), 1e-9), s"capped group $k differs"))
   }
 
+  test("grouped auto cap: 10k dimension-like groups still ride the kernel") {
+    // the cap scales with per-group buffer size (~64 MB/partition
+    // budget): a narrow aggregate admits ~100k groups, so a 10k-key
+    // dimension — which a fixed 4096 cap would have silently rerouted
+    // to the row aggregate, breaking route-asserting callers as data
+    // grows — stays columnar
+    val dir = java.nio.file.Files.createTempDirectory("gcap").toFile.getAbsolutePath
+    spark.range(40000).select((col("id") % 10000).cast("int").as("k"),
+      (col("id") % 97).cast("double").as("x")).write.mode("overwrite").parquet(dir)
+    val g = Graft.cofactorGrouped(spark.read.parquet(dir), "k", Seq("x"), Seq())
+    assert(Graft.lastGroupedRoute() == "columnar", "10k groups must stay under the auto cap")
+    assert(g.count() == 10000)
+  }
+
   test("tripleToRow normalizes -0.0 like the aggregate's catalyst emission") {
     // a group whose sum is IEEE -0.0 must emit +0.0 on BOTH routes —
     // TripleCodec.toCatalyst does `d + 0.0`; the kernel route's
