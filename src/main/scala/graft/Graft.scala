@@ -247,11 +247,15 @@ object Graft {
     * in executor storage at scale before driver GC notices. Callers
     * pass the BARE superseded checkpoint frame (plan = one LogicalRDD)
     * only after its replacement has materialized (localCheckpoint is
-    * eager), so nothing can still read the dropped blocks. */
+    * eager), so nothing can still read the dropped blocks. BLOCKING:
+    * an async unpersist lets 2–3 working-set generations coexist and
+    * churn the storage pool (sf10 mice_star measured 9–30 s spread
+    * from exactly that); the synchronous removal costs one RPC
+    * round-trip per step against gigabytes of eviction pressure. */
   private[graft] def dropCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false)
+        l.rdd.unpersist(blocking = true)
       case _ => ()
     }
 
