@@ -215,7 +215,15 @@ object Bench {
           catCols = Seq("l_linenumber"),
           imputeCont = Seq("l_discount"), imputeCat = Seq(), iterations = 1)
         val tm = new graft.mice.Mice.Timings
-        noop(graft.mice.Mice.partitioned(base, cfg, tm))
+        val done = graft.mice.Mice.partitioned(base, cfg, tm)
+        noop(done)
+        // free this pass's FINAL checkpoint synchronously, same as the
+        // mice_star rows: the chain releases its INTERMEDIATE
+        // checkpoints deterministically (cba0d1d), but the result's own
+        // blocks otherwise linger into the next pass via the async
+        // cleaner — the remaining inter-pass jitter source behind the
+        // round-13 `mice_1round` unstable flag
+        graft.Graft.dropCheckpoint(done)
         // phase decomposition comparable to the reference's timers (stderr,
         // not part of the one-line JSON contract)
         System.err.println(s"[bench] mice phases: $tm")
@@ -438,6 +446,15 @@ object Bench {
     val sf10Results: Seq[(String, Double, Boolean, Boolean)] =
       if (!new java.io.File(sf10Dir + "/lineitem.parquet").exists()) Seq.empty
       else timeSuite(Seq(
+        // asof FIRST in the tier: round 13's driver run measured this row
+        // at 11.3 s (+801%, self-flagged unstable) sitting immediately
+        // after the 60M-row mice_star working set; the same query was
+        // 0.42 s at sf0.1 and 0.56 s at sf1 in the same run and no as-of
+        // code had changed. Running it before any heavy row (and moving
+        // the bucketed/mice rows to the END of the tier) removes the
+        // storage-pool interference by construction instead of trying to
+        // flush it away between rows.
+        "sf10_asof_join" -> (() => noop(SparkEntry.queries("q44_asof_join")(spark, sf10Dir))),
         "sf10_text_stats" -> (() => noop(SparkEntry.queries("q10_token_stats")(spark, sf10Dir))),
         // the factorized family at sf10, both physical designs: the
         // probe-routed adaptive over raw parquet (two exchanges) vs the
@@ -452,11 +469,7 @@ object Bench {
               .select(col("o_orderkey").as("k"), col("o_totalprice")),
             "k", Seq("l_quantity"), Seq(), Seq("o_totalprice"), Seq())
           ()
-        }) ++
-        bucketedPair(sf10Dir, "sf10", 32).map(p => Seq(
-          "sf10_factorized_bucketed" -> (() => factorizedBucketed(p)),
-          "sf10_mice_star_round" -> (() => miceStarRound(p)))).toSeq.flatten ++ Seq(
-        "sf10_asof_join" -> (() => noop(SparkEntry.queries("q44_asof_join")(spark, sf10Dir))),
+        },
         "sf10_knn_bruteforce" -> (() => noop(SparkEntry.queries("q16_knn_bruteforce")(spark, sf10Dir))),
         "sf10_knn_int8" -> { () =>
           val emb = Tables.load(spark, sf10Dir, "embeddings")
@@ -464,8 +477,11 @@ object Bench {
               graft.operators.Quantize.quantizeInt8(col("embedding")).getField("q").as("q8"))
           noop(graft.operators.Similarity.bruteForceTopK(
             emb.filter(col("vec_id") < 20), emb, "vec_id", "q8", "vec_id", "q8", k = 3))
-        }
-      ))
+        }) ++
+        bucketedPair(sf10Dir, "sf10", 32).map(p => Seq(
+          "sf10_factorized_bucketed" -> (() => factorizedBucketed(p)),
+          "sf10_mice_star_round" -> (() => miceStarRound(p)))).toSeq.flatten
+      )
     // sf100 tier (600M-row lineitem, relational tables only — the
     // gen_sf1.py machinery at rep=1000, see tools/Sf100Probe): the
     // scan-aggregate ENDPOINT the vs-DuckDB story rests on (q01 2.5×,
@@ -510,9 +526,17 @@ object Bench {
           // the exchange-free design at the endpoint scale: the same
           // operator over 256-bucket tables — the 150M-row build takes
           // the bucketed co-located tier (per-bucket build ≤ cap)
-          // instead of partition-to-fit's two full-tier re-shuffles
-          bucketedPair(sf100Dir, "sf100", 256).map(p =>
-            "sf100_factorized_bucketed" -> (() => factorizedBucketed(p))).toSeq,
+          // instead of partition-to-fit's two full-tier re-shuffles.
+          // mice_star is the reference's Flight workload
+          // (train_flight.h:5-13) at the ENDPOINT scale — the
+          // bucketize-once amortization claim is load-bearing exactly
+          // here (600M-row fact, per-column cofactor + impute join each
+          // round). LAST in the tier so its multi-GB checkpoint working
+          // set cannot contaminate the scan-aggregate rows (the sf10
+          // ordering lesson, round 13).
+          bucketedPair(sf100Dir, "sf100", 256).map(p => Seq(
+            "sf100_factorized_bucketed" -> (() => factorizedBucketed(p)),
+            "sf100_mice_star_round" -> (() => miceStarRound(p)))).toSeq.flatten,
           repsOverride = Some(3), warmupOverride = Some(1),
            maxRepsOverride = Some(6), statMin = true)
       }
@@ -533,8 +557,15 @@ object Bench {
       // setup/drift failure must not abort the bench before the artifact
       // is written, and a malformed env value is exactly such a failure
       val driftAbs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DRIFT_ABS", "0.08").toDouble
-      val txt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(refPath)),
+      val raw = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(refPath)),
         java.nio.charset.StandardCharsets.UTF_8)
+      // the driver's per-round snapshot (BENCH_r{N}.json) is a WRAPPER
+      // object whose bench line lives in a "tail" STRING field with
+      // escaped quotes (\"q01_pricing\":0.365) — the bare-quote regex
+      // below matched nothing against it, so round-over-round drift
+      // reported an empty rows:{} in a round where a tier total doubled
+      // (round-13 finding). Unescaping first makes both formats scan.
+      val txt = raw.replace("\\\"", "\"")
       // ALL tiers: sf1/sf10 names are prefixed so the per-name regex
       // can never confuse a tier with its main-tier namesake
       (results ++ sf1Results ++ sf10Results ++ sf100Results).collect { case (k, v, _, false) =>

@@ -290,71 +290,107 @@ object Graft {
   /**
    * Grouped cofactor — `GROUP BY key` with one full triple per group
    * (the reference's grouped-aggregate shape; q03's query) as a
-   * `(key, t)` DataFrame. An integer-typed (int/long) key over a bare
+   * `(key, t)` DataFrame. An integer-typed (int/long) or SINGLE-BYTE
+   * string key (flag/status columns — probed, see below) over a bare
    * or simply-filtered scan routes through the columnar batch kernel,
    * riding as the per-class label
    * ([[graft.agg.ColumnarCofactor.cofactorPerClass]]) — the harvest's
    * structural-refusal contract is inherited, so a join, computed
-   * column, non-int key, or uncompilable filter falls back to the
-   * grouped row aggregate below. NULL keys are dropped on BOTH routes
-   * (the kernel skips NULL-input rows; the row route filters
+   * column, unsupported key type, or uncompilable filter falls back to
+   * the grouped row aggregate below. NULL keys are dropped on BOTH
+   * routes (the kernel skips NULL-input rows; the row route filters
    * explicitly — a NULL group whose key unboxes to 0 is never what a
-   * grouped moment wants). The kernel route is gated on an
-   * `approx_count_distinct` group-cardinality probe: it builds one FULL
-   * buffer per group per partition and materializes every group
-   * driver-side — the right plan for dimension-like keys, an executor
-   * OOM for a fact-like key that is still under the 1M cardinality
-   * guard. The default cap (`maxGroups` ≤ 0) scales with the per-group
-   * buffer size — ~64 MB of buffers per partition, the SHJ guard's
-   * budget — so narrow aggregates allow ~100k groups while a 100-column
-   * quad caps near 1.6k; pass `maxGroups > 0` to pin it. Over-cap keys
-   * route to the distributed row aggregate, which handles them
-   * natively. The probe runs only on structurally harvestable plans
+   * grouped moment wants). The kernel route is gated on ONE memoized
+   * probe scan ([[graft.ml.Factorized.probeGroupedShape]]): it builds
+   * one FULL buffer per group per partition and materializes every
+   * group driver-side — the right plan for dimension-like keys, an
+   * executor OOM for a fact-like key that is still under the 1M
+   * cardinality guard. The default cap (`maxGroups` ≤ 0) is
+   * BYTE-BASED: per-group buffer bytes are estimated from the probe's
+   * MEASURED cat-column cardinalities (each per-group map holds at
+   * most min(column cardinality, rows/group) entries — a 10k-category
+   * column costs ~80 KB/group, not a flat allowance), against ~64 MB
+   * of buffers per partition (the SHJ guard's budget); pass
+   * `maxGroups > 0` to pin it (clamped to the kernel's cardinality
+   * guard). Over-cap keys route to the distributed row aggregate,
+   * which handles them natively. String keys additionally require the
+   * probe's exact max byte width to be 1 — a wider key routes to the
+   * row aggregate UP FRONT rather than hitting CatPackedStrings'
+   * mid-job fail-loud throw (that contract is for cat COLUMNS a user
+   * pinned explicitly; a public GROUP BY must not crash on data
+   * shape). The probe runs only on structurally harvestable plans
    * (plan-shape refusal is checked first, without any scan).
    */
   def cofactorGrouped(df: DataFrame, key: String, num: Seq[String], cat: Seq[String],
                       nb: Boolean = false, maxGroups: Int = -1): DataFrame = {
     import org.apache.spark.sql.functions.col
-    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
     register(df.sparkSession)
     val resolver = df.sparkSession.sessionState.analyzer.resolver
     val keyField = df.schema.find(f => resolver(f.name, key))
     // int AND long keys ride the kernel (the label decode guards
-    // 2^32-aliased longs loudly); the key is emitted back in the
-    // column's ORIGINAL type so the output schema never depends on
-    // which route ran
+    // 2^32-aliased longs loudly); single-byte strings pack through
+    // CatPackedStrings; the key is emitted back in the column's
+    // ORIGINAL form so the output schema never depends on which route
+    // ran
     val keyType = keyField.map(_.dataType)
+    val isStrKey = keyType.contains(StringType)
     val numSpecs = num.map(graft.agg.ColumnarCofactor.NumCol)
     val catSpecs = cat.map(graft.agg.ColumnarCofactor.CatCol)
-    val labelSpec = graft.agg.ColumnarCofactor.CatCol(key)
-    // auto cap: ~64 MB of per-group buffers per partition (the SHJ
-    // guard's budget); per-group ≈ packed quad + lin + a per-cat map
-    // allowance. Order-of-magnitude gate, not an exact bound.
-    val groupCap: Long =
-      if (maxGroups > 0) maxGroups.toLong
-      else {
-        val d = num.size.toLong
-        val bufBytes = 8L * (1L + d + (if (nb) d else d * (d + 1) / 2)) +
-          256L * (cat.size + 1L)
-        math.max(256L, math.min(1L << 20, (64L << 20) / math.max(1L, bufBytes)))
-      }
-    def underGroupCap: Boolean = {
-      // one cheap fixed-memory probe scan, MEMOIZED per (plan, key,
-      // file snapshot) via the shared probe cache; ±5% HLL error only
-      // softens the cap's edge (a few % more buffers), never its
-      // magnitude
-      val (rows, rpk) = graft.ml.Factorized.probeRowsPerKey(df, Seq(key))
-      rows / math.max(1.0, rpk) <= groupCap.toDouble
+    val labelSpec: Option[graft.agg.ColumnarCofactor.CatSpec] =
+      if (keyType.exists(t => t == IntegerType || t == LongType))
+        Some(graft.agg.ColumnarCofactor.CatCol(key))
+      else if (isStrKey) Some(graft.agg.ColumnarCofactor.CatPackedStrings(Seq(key)))
+      else None
+    val viaKernel = labelSpec match {
+      case None => None
+      // plan-shape refusal first: it is driver-only, while the shape
+      // probe scans — never pay a scan for a plan the kernel was never
+      // going to take
+      case Some(ls) if !graft.agg.ColumnarCofactor.canHarvest(df, numSpecs, catSpecs :+ ls) =>
+        None
+      case Some(ls) =>
+        // one cheap fixed-memory probe scan, MEMOIZED per (plan, key,
+        // cats, file snapshot); ±5% HLL error only softens the cap's
+        // edge (a few % more buffers), never its magnitude. Key width
+        // is exact (max over the scan), so the string gate is hard.
+        val (rows, keyCard, keyWidth, catCards) =
+          graft.ml.Factorized.probeGroupedShape(df, key, cat, isStrKey)
+        val rpk = rows.toDouble / math.max(1L, keyCard)
+        // measured per-group buffer estimate: packed quad + lin fixed
+        // part, plus per-cat maps bounded by min(cardinality, rows per
+        // group) entries — a map slot is a (d+1)-double array plus
+        // entry overhead (~64 B), and non-NB cat pairs add one counter
+        // per co-occurring value pair, bounded by both the cardinality
+        // product and the group's row count. Order-of-magnitude gate
+        // with measured inputs, not an exact bound.
+        val d = num.size
+        val ePerCat = catCards.map(c => math.min(c.toDouble, rpk))
+        val catBytes = ePerCat.map(_ * (64.0 + 8.0 * (d + 1))).sum +
+          (if (nb) 0.0
+           else (for { i <- ePerCat.indices; j <- i until ePerCat.size }
+             yield math.min(ePerCat(i) * ePerCat(j), rpk) * 56.0).sum)
+        val bufBytes = 8.0 * (1 + d + (if (nb) d else d * (d + 1) / 2)) + catBytes
+        val groupCap: Long =
+          // a pinned cap is clamped to the kernel's own label-cardinality
+          // guard: a pin above it would pass this gate and then throw
+          // IllegalStateException MID-JOB inside the kernel instead of
+          // routing to the row aggregate (which handles any cardinality)
+          // no floor: the old flat-allowance gate kept max(256, …) so a
+          // mis-estimate could not starve narrow aggregates, but with
+          // MEASURED cat cardinalities a floor would re-admit up to 256
+          // groups × multi-MB buffers — the per-partition OOM this gate
+          // exists to stop. A refused tiny-group case merely takes the
+          // (always-correct) row aggregate.
+          if (maxGroups > 0)
+            math.min(maxGroups.toLong, CofactorAggregate.confMaxCategories().toLong)
+          else math.min(1L << 20,
+            ((64L << 20) / math.max(1.0, bufBytes)).toLong)
+        if (isStrKey && keyWidth != 1) None
+        else if (keyCard > groupCap) None
+        else graft.agg.ColumnarCofactor.cofactorPerClass(
+          df, numSpecs, catSpecs, ls, nbMode = nb)
     }
-    val viaKernel =
-      if (!keyType.exists(t => t == IntegerType || t == LongType)) None
-      // plan-shape refusal first: it is driver-only, while the
-      // cardinality probe scans — never pay a scan for a plan the
-      // kernel was never going to take
-      else if (!graft.agg.ColumnarCofactor.canHarvest(df, numSpecs, catSpecs :+ labelSpec)) None
-      else if (!underGroupCap) None
-      else graft.agg.ColumnarCofactor.cofactorPerClass(
-        df, numSpecs, catSpecs, labelSpec, nbMode = nb)
     viaKernel match {
       case Some(groups) =>
         lastGroupedRouteTL.set("columnar")
@@ -363,7 +399,11 @@ object Graft {
           StructField("t", graft.agg.TripleCodec.dataType(nb))))
         val rows: java.util.List[Row] = java.util.Arrays.asList(
           groups.map { case (k, t) =>
-            Row(if (keyType.get == LongType) k.toLong else k, tripleToRow(t, nb))
+            val kv: Any =
+              if (isStrKey) graft.agg.ColumnarCofactor.unpackStrings(k, 1).head
+              else if (keyType.get == LongType) k.toLong
+              else k
+            Row(kv, tripleToRow(t, nb))
           }: _*)
         df.sparkSession.createDataFrame(rows, schema)
       case None =>

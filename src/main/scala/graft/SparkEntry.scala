@@ -1746,6 +1746,23 @@ object SparkEntry {
         round(col("t.quad")(1) / col("t.n"), 2).as("avg_qty_price"),
         size(col("t.lin_cat")(0)).cast("long").as("n_lines"))
         .orderBy(col("l_suppkey"))
+    },
+    // q78's discipline for a STRING dimension key: l_returnflag rides
+    // the kernel as a CatPackedStrings label (the shape probe verifies
+    // max key width 1 before routing), and the route is ASSERTED so a
+    // silent fallback to the row aggregate cannot pass as green
+    "q79_grouped_string" -> { (s, dir) =>
+      val g = Graft.cofactorGrouped(li(s, dir), "l_returnflag",
+        Seq("l_quantity", "l_extendedprice"), Seq("l_linenumber"))
+      require(Graft.lastGroupedRoute() == "columnar",
+        "q79: the string-keyed grouped harvest must engage — the oracle certifies the packed-label route")
+      g.select(
+        col("l_returnflag"),
+        col("t.n").as("n_rows"),
+        round(col("t.lin")(0), 2).as("sum_qty"),
+        round(col("t.quad")(1) / col("t.n"), 2).as("avg_qty_price"),
+        size(col("t.lin_cat")(0)).cast("long").as("n_lines"))
+        .orderBy(col("l_returnflag"))
     }
   )
 
@@ -2964,6 +2981,12 @@ object SparkEntry {
     // per-group moments + a per-group categorical cardinality
     "q78_grouped_columnar" ->
       """SELECT l_suppkey, count(*) AS n_rows,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(avg(l_quantity * l_extendedprice), 2) AS avg_qty_price,
+        |       count(DISTINCT l_linenumber) AS n_lines
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q79_grouped_string" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
         |       round(sum(l_quantity), 2) AS sum_qty,
         |       round(avg(l_quantity * l_extendedprice), 2) AS avg_qty_price,
         |       count(DISTINCT l_linenumber) AS n_lines

@@ -555,7 +555,15 @@ object ColumnarCofactor {
       val caseSensitive = src.sparkSession.sessionState.conf.caseSensitiveAnalysis
       def norm(n: String): String =
         if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
-      val ord = scan.output.map(a => norm(a.name)).zipWithIndex.toMap
+      // Locale.ROOT lowercase is not identical to the resolver's
+      // equalsIgnoreCase for exotic Unicode (U+0130 vs 'i' + combining
+      // dot): two scan columns Spark treats as DISTINCT could collide in
+      // the map below and last-wins-bind a spec to the wrong ordinal.
+      // Refuse the harvest on any normalized collision — the row
+      // aggregate resolves names with the engine's own rules.
+      val normedNames = scan.output.map(a => norm(a.name))
+      if (normedNames.distinct.size != normedNames.size) return None
+      val ord = normedNames.zipWithIndex.toMap
       if (!inputNames.forall(n => ord.contains(norm(n)))) return None
       val dtOf = scan.output.map(a => norm(a.name) -> a.dataType).toMap
 

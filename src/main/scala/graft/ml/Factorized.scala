@@ -88,6 +88,7 @@ object Factorized {
     // adaptive wall-clock; the probe reads one column, so it was never
     // the dominant term)
     val catsEmpty = leftCat.isEmpty && rightCat.isEmpty
+    adviseBucketizeOnRepeat(left, right, key)
     // the documented probe-free pin: no scans at all, straight to the
     // factorized regime (numeric flavor when no categorical columns)
     if (minRowsPerKey <= 0.0)
@@ -508,8 +509,14 @@ object Factorized {
     if (cached != null) cached
     else {
       // aliased count: a user key column literally named "count" would
-      // make the bare groupBy(...).count() output ambiguous to order by
-      val rows = df.groupBy(keyCols.map(col): _*)
+      // make the bare groupBy(...).count() output ambiguous to order by.
+      // NULL keys are excluded to match hotKeyCounts (both feed inner
+      // equi-join build decisions, where NULL build keys never match a
+      // probe row) — without the filter a NULL-dominated build side
+      // would veto the SHJ only when the detector refused, making the
+      // routing depend on which probe happened to answer.
+      val rows = df.filter(keyCols.map(c => col(c).isNotNull).reduce(_ && _))
+        .groupBy(keyCols.map(col): _*)
         .agg(org.apache.spark.sql.functions.count(lit(1)).as("__graft_cnt"))
         .orderBy(col("__graft_cnt").desc).limit(65).collect()
       topKeyCache.put(ck, rows)
@@ -632,6 +639,12 @@ object Factorized {
       .getOrElse(topKeyCounts(bDf, Seq(key))
         .filter(r => BigInt(r.getLong(1)) * perRow > cap))
     if (hot.length > 64) return None
+    // an empty hot set means this call's detector answer diverged from
+    // the one that vetoed plain SHJ (possible across a cache eviction or
+    // snapshot change with the data rewritten in between) — there is
+    // nothing to salt, so surrender to the spill-capable SMJ rather than
+    // crash on max() of an empty set
+    if (hot.isEmpty) return None
     val maxCnt = hot.map(_.getLong(1)).max
     val rFactor = (BigInt(maxCnt) * perRow / cap + 1).toInt
     if (rFactor > 256) return None
@@ -689,6 +702,89 @@ object Factorized {
             Array[Row]]): Boolean = size() > 256
     })
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Repeat-call counter behind [[adviseBucketizeOnRepeat]]; the
+    * 256-entry LRU is the usual leak bound. */
+  private val repeatJoinCounts = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String), Integer](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+            org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String), Integer]): Boolean =
+        size() > 256
+    })
+
+  /** One-line advisory for the 100 TB repeated-join pattern. The
+    * raw-parquet adaptive join sits AT the platform's bare-join floor
+    * (FactProfile sf100: bare hinted-SHJ/SMJ 23–25 s vs 22.8 s for the
+    * whole operator — the decision overhead is ~6%); that floor is the
+    * cost of shuffling both raw sides and cannot be coded away. The
+    * same operator over bucketed tables runs ~5× faster (sf100 4.4 s,
+    * zero exchanges), paying one bucketed write that amortizes over
+    * every subsequent run. So on the SECOND adaptive call over the
+    * same un-bucketed logical inputs and key — the retraining / MICE
+    * column-loop / scheduled-job pattern, exactly where bucketize-once
+    * amortizes — log the recommendation once. */
+  private def adviseBucketizeOnRepeat(left: DataFrame, right: DataFrame, key: String): Unit = {
+    if (bucketSpecOf(left).nonEmpty && bucketSpecOf(right).nonEmpty) return
+    val ck = (left.queryExecution.analyzed.canonicalized,
+      right.queryExecution.analyzed.canonicalized, key)
+    val n = Option(repeatJoinCounts.get(ck)).fold(1)(_.intValue + 1)
+    repeatJoinCounts.put(ck, n)
+    if (n == 2)
+      log.warn(s"cofactorOverJoinAdaptive: repeat run over the same UN-BUCKETED inputs on key '$key'" +
+        " — this plan re-shuffles both sides on every call and sits at the bare-join floor at scale." +
+        " Bucketize both tables once on the join key (graft.sources.Tables.writeBucketed /" +
+        " attachOrWriteBucketed) and subsequent runs take the zero-exchange co-located tier" +
+        " (~5x measured at sf100; see BENCH_CONTEXT 'raw adaptive floor').")
+  }
+
+  /** [[probeGroupedShape]]'s memo — (rows, key cardinality, max key
+    * bytes, per-cat-column cardinality). Values are a few dozen bytes;
+    * the 256-entry bound is the same leak bound as the other caches. */
+  private val shapeCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Long),
+      (Long, Long, Int, Seq[Long])](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Long),
+            (Long, Long, Int, Seq[Long])]): Boolean = size() > 256
+    })
+
+  /** Grouped-route shape probe (`Graft.cofactorGrouped`'s gate), ONE
+    * fixed-memory scan computing everything the byte-based group cap
+    * needs: row count, approx distinct group keys, the exact max key
+    * byte width (string keys only; -1 otherwise — decides CatPackedStrings
+    * eligibility without risking its mid-job fail-loud throw), and
+    * approx distinct count per categorical column (bounds each
+    * per-group cat map). Memoized with the same (plan, tag, file
+    * fingerprint) discipline as the other probes. An all-NULL string
+    * key reports width Int.MaxValue so callers route to the row
+    * aggregate (both routes produce the same empty grouping). */
+  private[graft] def probeGroupedShape(df: DataFrame, key: String, cats: Seq[String],
+                                       keyIsString: Boolean): (Long, Long, Int, Seq[Long]) = {
+    val ck = (df.queryExecution.analyzed.canonicalized,
+      "gshape:" + (key +: cats).mkString("") + ":" + keyIsString,
+      snapshotFingerprint(df))
+    val cached = shapeCache.get(ck)
+    if (cached != null) cached
+    else {
+      val aggs = Seq(count(lit(1)).as("__graft_n"),
+          approx_count_distinct(col(key)).as("__graft_k")) ++
+        (if (keyIsString) Seq(max(octet_length(col(key))).as("__graft_w")) else Nil) ++
+        cats.map(c => approx_count_distinct(col(c)))
+      val r = df.agg(aggs.head, aggs.tail: _*).head
+      val base = if (keyIsString) 3 else 2
+      val w = if (!keyIsString) -1
+              else if (r.isNullAt(2)) Int.MaxValue
+              else r.getInt(2)
+      val v = (r.getLong(0), r.getLong(1), w,
+        cats.indices.map(i => r.getLong(base + i)).toVector)
+      shapeCache.put(ck, v)
+      v
+    }
+  }
+
   /** Cheap file-snapshot fingerprint folded into the probe-memo key:
     * canonicalized plans compare by rootPaths, so a table rewritten or
     * appended IN PLACE would otherwise silently replay a stale row
@@ -712,7 +808,7 @@ object Factorized {
     * file count or total bytes invalidate automatically (see
     * [[snapshotFingerprint]]); call this after a byte-identical-size
     * in-place rewrite, the one case the fingerprint can alias. */
-  def clearProbeCache(): Unit = { probeCache.clear(); topKeyCache.clear() }
+  def clearProbeCache(): Unit = { probeCache.clear(); topKeyCache.clear(); shapeCache.clear() }
 
   private[graft] def probeCacheSize: Int = probeCache.size()
 

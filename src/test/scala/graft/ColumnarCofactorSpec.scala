@@ -454,6 +454,59 @@ class ColumnarCofactorSpec extends AnyFunSuite {
     c.keys.foreach(k => assert(c(k).approxEquals(a(k), 1e-9), s"capped group $k differs"))
   }
 
+  test("cofactorGrouped: 1-byte string key rides the kernel; multi-byte routes to the row aggregate") {
+    // l_returnflag is a single-char flag: the shape probe reports exact
+    // max width 1 and the key packs through CatPackedStrings as the
+    // per-class label — route ASSERTED, results vs the row aggregate
+    val viaKernel = Graft.cofactorGrouped(li, "l_returnflag",
+      Seq("l_quantity", "l_extendedprice"), Seq("l_linenumber"))
+    assert(Graft.lastGroupedRoute() == "columnar", "1-byte string key must ride the kernel")
+    assert(viaKernel.schema.head.dataType == org.apache.spark.sql.types.StringType,
+      "the key must come back in its original type")
+    val viaRow = Graft.cofactorGrouped(li.repartition(4), "l_returnflag",
+      Seq("l_quantity", "l_extendedprice"), Seq("l_linenumber"))
+    assert(Graft.lastGroupedRoute() == "row")
+    val a = viaKernel.collect().map(r => r.getString(0) -> Graft.tripleFromRow(r.getStruct(1))).toMap
+    val b = viaRow.collect().map(r => r.getString(0) -> Graft.tripleFromRow(r.getStruct(1))).toMap
+    assert(a.keySet == b.keySet && a.nonEmpty)
+    a.keys.foreach(k => assert(a(k).approxEquals(b(k), 1e-9), s"group $k differs"))
+
+    // a multi-byte key must be rerouted UP FRONT by the probe's exact
+    // width check — no mid-job CatPackedStrings throw — with identical
+    // grouping from the row aggregate
+    val tmp = java.nio.file.Files.createTempDirectory("gstr").toFile.getAbsolutePath
+    spark.range(5000).select(
+      concat(lit("grp"), (col("id") % 7).cast("string")).as("k"),
+      (col("id") % 97).cast("double").as("x")).write.mode("overwrite").parquet(tmp)
+    val wide = Graft.cofactorGrouped(spark.read.parquet(tmp), "k", Seq("x"), Seq())
+    assert(Graft.lastGroupedRoute() == "row", "a multi-byte string key must take the row aggregate")
+    assert(wide.count() == 7)
+  }
+
+  test("grouped byte gate: a high-cardinality cat column under a small key routes to the row aggregate") {
+    // 800 groups whose cat maps the probe bounds at ~1000 entries each
+    // (min(column cardinality 10k, rows/group 1k)) ≈ >100 MB of
+    // per-partition buffers: the MEASURED estimate must refuse the
+    // kernel — the old flat 256 B/cat allowance admitted exactly this
+    // shape. A pinned cap bypasses the byte gate (documented), so the
+    // same call pinned proves the reroute lossless via parity.
+    val tmp = java.nio.file.Files.createTempDirectory("ggate").toFile.getAbsolutePath
+    spark.range(800000).select(
+      (col("id") % 800).cast("int").as("k"),
+      (col("id") % 10000).cast("int").as("c"),
+      (col("id") % 97).cast("double").as("x")).write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
+    val byGate = Graft.cofactorGrouped(df, "k", Seq("x"), Seq("c"))
+    assert(Graft.lastGroupedRoute() == "row",
+      "measured cat-map bytes over the 64 MB budget must take the row aggregate")
+    val pinned = Graft.cofactorGrouped(df, "k", Seq("x"), Seq("c"), maxGroups = 1000)
+    assert(Graft.lastGroupedRoute() == "columnar", "a pinned cap bypasses the byte gate")
+    val a = byGate.collect().map(r => r.getInt(0) -> Graft.tripleFromRow(r.getStruct(1))).toMap
+    val b = pinned.collect().map(r => r.getInt(0) -> Graft.tripleFromRow(r.getStruct(1))).toMap
+    assert(a.keySet == b.keySet && a.keySet.size == 800)
+    a.keys.foreach(k => assert(a(k).approxEquals(b(k), 1e-9), s"group $k differs"))
+  }
+
   test("grouped auto cap: 10k dimension-like groups still ride the kernel") {
     // the cap scales with per-group buffer size (~64 MB/partition
     // budget): a narrow aggregate admits ~100k groups, so a 10k-key
