@@ -17,6 +17,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // serialized checkpoint blocks (Graft.checkpoint) LZ4-compress on
+      // heap and disk with this on — the sf100 MICE working set shrinks
+      // several-fold, keeping two 600M-row generations inside scratch
+      .config("spark.rdd.compress", "true")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -259,6 +259,27 @@ object Graft {
       case _ => ()
     }
 
+  /** Working-set checkpoint for iterative operators: eager
+    * `localCheckpoint` at a SERIALIZED storage level
+    * (`MEMORY_AND_DISK_SER` unless `spark.graft.checkpoint.storageLevel`
+    * overrides). Deserialized blocks store one Java object graph per
+    * row — at a 600M-row working set that is tens of GB a GENERATION,
+    * and an iterative operator holds two generations at the handoff
+    * (previous + replacement, released by [[dropCheckpoint]]), which
+    * overflowed a 60 GB scratch disk in the sf100 MICE bench.
+    * Serialized blocks are compact Tungsten bytes, and with
+    * `spark.rdd.compress=true` (recommended; set in Bench/Verify and
+    * the test session) they LZ4-compress on both heap and disk —
+    * several × smaller on training-shaped data (near-sequential keys,
+    * low-entropy measures). The deser CPU on re-read is amortized
+    * against the scan/join each iteration performs anyway. */
+  private[graft] def checkpoint(df: DataFrame): DataFrame = {
+    val lvl = df.sparkSession.conf
+      .get("spark.graft.checkpoint.storageLevel", "MEMORY_AND_DISK_SER")
+    df.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.fromString(lvl))
+  }
+
   /** Route the last [[cofactorGrouped]] call on this thread took
     * ("columnar" = batch-kernel harvest, "row" = grouped row aggregate).
     * Set at the LIVE decision point; oracle rows and specs certify the
@@ -314,12 +335,14 @@ object Graft {
    * `maxGroups > 0` to pin it (clamped to the kernel's cardinality
    * guard). Over-cap keys route to the distributed row aggregate,
    * which handles them natively. String keys additionally require the
-   * probe's exact max byte width to be 1 — a wider key routes to the
-   * row aggregate UP FRONT rather than hitting CatPackedStrings'
-   * mid-job fail-loud throw (that contract is for cat COLUMNS a user
-   * pinned explicitly; a public GROUP BY must not crash on data
-   * shape). The probe runs only on structurally harvestable plans
-   * (plan-shape refusal is checked first, without any scan).
+   * probe's exact max PACKABLE byte width to be ≤ 4 (base-256 into the
+   * int label; the probe reports unpackable when any value is wider or
+   * embeds a NUL byte) — a wider key routes to the row aggregate UP
+   * FRONT rather than hitting CatShortString's mid-job fail-loud throw
+   * (that contract is for cat COLUMNS a user pinned explicitly; a
+   * public GROUP BY must not crash on data shape). The probe runs only
+   * on structurally harvestable plans (plan-shape refusal is checked
+   * first, without any scan).
    */
   def cofactorGrouped(df: DataFrame, key: String, num: Seq[String], cat: Seq[String],
                       nb: Boolean = false, maxGroups: Int = -1): DataFrame = {
@@ -329,10 +352,10 @@ object Graft {
     val resolver = df.sparkSession.sessionState.analyzer.resolver
     val keyField = df.schema.find(f => resolver(f.name, key))
     // int AND long keys ride the kernel (the label decode guards
-    // 2^32-aliased longs loudly); single-byte strings pack through
-    // CatPackedStrings; the key is emitted back in the column's
-    // ORIGINAL form so the output schema never depends on which route
-    // ran
+    // 2^32-aliased longs loudly); strings of ≤4 UTF-8 bytes pack
+    // through CatShortString (flag, lang, country, short status
+    // codes); the key is emitted back in the column's ORIGINAL form so
+    // the output schema never depends on which route ran
     val keyType = keyField.map(_.dataType)
     val isStrKey = keyType.contains(StringType)
     val numSpecs = num.map(graft.agg.ColumnarCofactor.NumCol)
@@ -340,7 +363,7 @@ object Graft {
     val labelSpec: Option[graft.agg.ColumnarCofactor.CatSpec] =
       if (keyType.exists(t => t == IntegerType || t == LongType))
         Some(graft.agg.ColumnarCofactor.CatCol(key))
-      else if (isStrKey) Some(graft.agg.ColumnarCofactor.CatPackedStrings(Seq(key)))
+      else if (isStrKey) Some(graft.agg.ColumnarCofactor.CatShortString(key))
       else None
     val viaKernel = labelSpec match {
       case None => None
@@ -386,7 +409,7 @@ object Graft {
             math.min(maxGroups.toLong, CofactorAggregate.confMaxCategories().toLong)
           else math.min(1L << 20,
             ((64L << 20) / math.max(1.0, bufBytes)).toLong)
-        if (isStrKey && keyWidth != 1) None
+        if (isStrKey && keyWidth > 4) None
         else if (keyCard > groupCap) None
         else graft.agg.ColumnarCofactor.cofactorPerClass(
           df, numSpecs, catSpecs, ls, nbMode = nb)
@@ -400,7 +423,7 @@ object Graft {
         val rows: java.util.List[Row] = java.util.Arrays.asList(
           groups.map { case (k, t) =>
             val kv: Any =
-              if (isStrKey) graft.agg.ColumnarCofactor.unpackStrings(k, 1).head
+              if (isStrKey) graft.agg.ColumnarCofactor.unpackShortString(k)
               else if (keyType.get == LongType) k.toLong
               else k
             Row(kv, tripleToRow(t, nb))

@@ -1748,8 +1748,8 @@ object SparkEntry {
         .orderBy(col("l_suppkey"))
     },
     // q78's discipline for a STRING dimension key: l_returnflag rides
-    // the kernel as a CatPackedStrings label (the shape probe verifies
-    // max key width 1 before routing), and the route is ASSERTED so a
+    // the kernel as a CatShortString label (the shape probe verifies
+    // max packable key width ≤ 4 before routing), and the route is ASSERTED so a
     // silent fallback to the row aggregate cannot pass as green
     "q79_grouped_string" -> { (s, dir) =>
       val g = Graft.cofactorGrouped(li(s, dir), "l_returnflag",

@@ -77,10 +77,34 @@ object ColumnarCofactor {
     require(names.nonEmpty && names.size <= 4, "CatPackedStrings takes 1-4 columns")
     def inputs: Seq[String] = names
   }
+  /** ONE string column of 1–4-byte values packed base-256 into the int
+    * key (raw UTF-8 bytes, first byte in the high position) — the
+    * short-code dimension shape (`lang` 'en', country 'US', 4-char
+    * status/mode codes). Injective over NUL-free values: with no 0x00
+    * byte allowed, the integer uniquely determines both length and
+    * bytes ('A' = 0x41 can only collide with "\u0000A" = 0x0041, which
+    * is refused). Wider values or embedded NULs throw — callers that
+    * must not crash on data shape (`Graft.cofactorGrouped`) gate on the
+    * probe's exact max width + NUL scan first. */
+  final case class CatShortString(name: String) extends CatSpec {
+    def inputs: Seq[String] = Seq(name)
+  }
 
   /** Recover the packed strings of a [[CatPackedStrings]] key. */
   def unpackStrings(key: Int, nCols: Int): Seq[String] =
     (0 until nCols).map(i => ((key >>> (8 * (nCols - 1 - i))) & 0xff).toChar.toString)
+
+  /** Recover the string of a [[CatShortString]] key: significant bytes
+    * MSB-first, decoded as UTF-8 (multi-byte chars round-trip — the
+    * pack is raw bytes, not chars). Key 0 is the empty string. */
+  def unpackShortString(key: Int): String = {
+    var n = 4
+    while (n > 0 && (key >>> (8 * (n - 1))) == 0) n -= 1
+    val bs = new Array[Byte](n)
+    var i = 0
+    while (i < n) { bs(i) = ((key >>> (8 * (n - 1 - i))) & 0xff).toByte; i += 1 }
+    new String(bs, java.nio.charset.StandardCharsets.UTF_8)
+  }
 
   // ---------------------------------------------------------------- harvest
 
@@ -616,6 +640,10 @@ object ColumnarCofactor {
           // the packed-strings decode dispatches on catKind and calls
           // packByte directly; it never reads a per-column type code
           catT(j) = Array.empty[Int]
+        case CatShortString(n) =>
+          catKind(j) = 3; catOrds(j) = Array(ord(norm(n)))
+          if (dtOf(norm(n)) != StringType) return None
+          catT(j) = Array.empty[Int]
       }
 
       val compiled = Compiled(
@@ -1046,6 +1074,27 @@ object ColumnarCofactor {
       u.getByte(0) & 0xff
     }
 
+    private def packShort(v: ColumnVector, row: Int, colName: => String): Int = {
+      val u = v.getUTF8String(row)
+      val nb = u.numBytes
+      if (nb > 4)
+        throw new IllegalArgumentException(
+          s"CatShortString: column $colName has a $nb-byte value ('$u') — " +
+          "only values up to 4 UTF-8 bytes pack; dictionary-encode wider strings to an int column")
+      var key = 0
+      var i = 0
+      while (i < nb) {
+        val b = u.getByte(i) & 0xff
+        if (b == 0)
+          throw new IllegalArgumentException(
+            s"CatShortString: column $colName has a value with an embedded NUL byte — " +
+            "base-256 packing cannot distinguish it from a shorter value")
+        key = (key << 8) | b
+        i += 1
+      }
+      key
+    }
+
     def addBatch(batch: ColumnarBatch): Unit = {
       val nAll = batch.numRows()
       if (nAll == 0) return
@@ -1174,6 +1223,12 @@ object ColumnarCofactor {
             while (q < os.length) { key = (key << 8) | packByte(batch.column(os(q)), s(r), s"#${os(q)}"); q += 1 }
             out(r) = key; r += 1
           }
+        } else if (p.catKind(j) == 3) {
+          val o = p.catOrds(j)(0)
+          val out = catBufs(j)
+          var r = 0
+          if (s == null) while (r < n) { out(r) = packShort(batch.column(o), r, s"#$o"); r += 1 }
+          else while (r < n) { out(r) = packShort(batch.column(o), s(r), s"#$o"); r += 1 }
         } else fillCatInt(batch.column(p.catOrds(j)(0)), p.catT(j)(0), catBufs(j), s, n)
         j += 1
       }

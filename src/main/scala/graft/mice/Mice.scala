@@ -135,7 +135,7 @@ object Mice {
 
   /** Baseline MICE (imputation_base.cpp): full filtered rescan per column. */
   def baseline(df: DataFrame, cfg: Config, tm: Timings = noTimings): DataFrame = {
-    var cur = tm.time("prepare")(prepare(df, cfg).localCheckpoint())
+    var cur = tm.time("prepare")(prepare(df, cfg).transform(Graft.checkpoint))
     var lastCp = cur
     val order = cfg.imputeCat ++ cfg.imputeCont // categorical first (imputation_base.cpp:19,89)
     for (iter <- 1 to cfg.iterations) {
@@ -150,7 +150,7 @@ object Mice {
           else None
         cur = imputeColumn(cur, cfg, c, observed, nbPc, iter, tm)
       }
-      cur = tm.time("impute_update")(cur.localCheckpoint()) // bound lineage + per-column job cost
+      cur = tm.time("impute_update")(cur.transform(Graft.checkpoint)) // bound lineage + per-column job cost
       dropCheckpoint(lastCp) // superseded: cur materialized eagerly above
       lastCp = cur
     }
@@ -168,8 +168,8 @@ object Mice {
     val anyNull = imputed.map(c => col(flag(c))).reduce(_ || _)
 
     val (complete, incomplete0) = tm.time("partition")(
-      (prepared.filter(!anyNull).localCheckpoint(),
-       prepared.filter(anyNull).localCheckpoint()))
+      (prepared.filter(!anyNull).transform(Graft.checkpoint),
+       prepared.filter(anyNull).transform(Graft.checkpoint)))
     var incomplete = incomplete0
     var lastCp = incomplete0
 
@@ -218,7 +218,7 @@ object Mice {
           Graft.cofactor(incomplete.filter(col(flag(c))), cfg.contCols, cfg.catCols))
         full = Triple.add(observed, newDelta)
       }
-      val next = tm.time("impute_update")(incomplete.localCheckpoint())
+      val next = tm.time("impute_update")(incomplete.transform(Graft.checkpoint))
       dropCheckpoint(lastCp) // the previous iteration's incomplete blocks
       lastCp = next
       incomplete = next

@@ -104,8 +104,8 @@ object MiceJoin {
       s"dim feature names must be disjoint from fact's: ${dimCols.intersect(fact.columns.toSeq)}")
     val outCols = fact.columns.toSeq
     val (observed, missing) = tm.time("partition")(
-      (fact.filter(col(target).isNotNull).localCheckpoint(),
-       fact.filter(col(target).isNull).localCheckpoint()))
+      (fact.filter(col(target).isNotNull).transform(Graft.checkpoint),
+       fact.filter(col(target).isNull).transform(Graft.checkpoint)))
     val triple = tm.time("cofactor_static")(Factorized.cofactorOverStar(
       observed, target +: factNum, Seq(), dims, minRowsPerKey))
     val model = tm.time("train")(LinReg.train(triple, label = 0, lambda,
@@ -119,7 +119,7 @@ object MiceJoin {
           when(anyDimFeatureNull(dimCols), lit(mean))
             .otherwise(coalesce(pred, lit(mean))))
         .select(outCols.map(col): _*)
-        .localCheckpoint()
+        .transform(Graft.checkpoint)
     }
     observed.unionByName(imputed)
   }
@@ -232,7 +232,7 @@ object MiceJoin {
       imputeCont = cfg.imputeCont, imputeCat = cfg.imputeCat,
       iterations = cfg.iterations, lambda = cfg.lambda, shrinkage = cfg.shrinkage,
       stochastic = cfg.stochastic, seed = cfg.seed)
-    var cur = tm.time("prepare")(Mice.prepare(fact, miceCfg).localCheckpoint())
+    var cur = tm.time("prepare")(Mice.prepare(fact, miceCfg).transform(Graft.checkpoint))
     val outCols = cur.columns.toSeq
     val numAll = cfg.factNum ++ dimNumAll
     val catAll = cfg.factCat ++ dimCatAll
@@ -285,7 +285,7 @@ object MiceJoin {
         // (columns × iterations fact copies otherwise sit in storage
         // until the async cleaner runs).
         val next = tm.time("impute_update")(
-          observed.unionByName(updated).localCheckpoint())
+          observed.unionByName(updated).transform(Graft.checkpoint))
         Mice.dropCheckpoint(cur)
         cur = next
       }

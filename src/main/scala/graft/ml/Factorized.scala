@@ -753,14 +753,15 @@ object Factorized {
 
   /** Grouped-route shape probe (`Graft.cofactorGrouped`'s gate), ONE
     * fixed-memory scan computing everything the byte-based group cap
-    * needs: row count, approx distinct group keys, the exact max key
-    * byte width (string keys only; -1 otherwise — decides CatPackedStrings
-    * eligibility without risking its mid-job fail-loud throw), and
-    * approx distinct count per categorical column (bounds each
-    * per-group cat map). Memoized with the same (plan, tag, file
-    * fingerprint) discipline as the other probes. An all-NULL string
-    * key reports width Int.MaxValue so callers route to the row
-    * aggregate (both routes produce the same empty grouping). */
+    * needs: row count, approx distinct group keys, the exact max
+    * PACKABLE key byte width (string keys only; -1 otherwise — decides
+    * [[graft.agg.ColumnarCofactor.CatShortString]] eligibility without
+    * risking its mid-job fail-loud throw; Int.MaxValue when the key is
+    * all-NULL or any value embeds a NUL byte, the one shape base-256
+    * packing cannot keep injective), and approx distinct count per
+    * categorical column (bounds each per-group cat map). Memoized with
+    * the same (plan, tag, file fingerprint) discipline as the other
+    * probes. */
   private[graft] def probeGroupedShape(df: DataFrame, key: String, cats: Seq[String],
                                        keyIsString: Boolean): (Long, Long, Int, Seq[Long]) = {
     val ck = (df.queryExecution.analyzed.canonicalized,
@@ -771,12 +772,18 @@ object Factorized {
     else {
       val aggs = Seq(count(lit(1)).as("__graft_n"),
           approx_count_distinct(col(key)).as("__graft_k")) ++
-        (if (keyIsString) Seq(max(octet_length(col(key))).as("__graft_w")) else Nil) ++
+        (if (keyIsString)
+           Seq(max(octet_length(col(key))).as("__graft_w"),
+             // locate is 0 when absent, so max > 0 = some value embeds
+             // a NUL byte — the one shape base-256 packing cannot keep
+             // injective ('A' vs "<NUL>A"); reported as unpackable
+             max(locate(0.toChar.toString, col(key))).as("__graft_nul"))
+         else Nil) ++
         cats.map(c => approx_count_distinct(col(c)))
       val r = df.agg(aggs.head, aggs.tail: _*).head
-      val base = if (keyIsString) 3 else 2
+      val base = if (keyIsString) 4 else 2
       val w = if (!keyIsString) -1
-              else if (r.isNullAt(2)) Int.MaxValue
+              else if (r.isNullAt(2) || r.getInt(3) > 0) Int.MaxValue
               else r.getInt(2)
       val v = (r.getLong(0), r.getLong(1), w,
         cats.indices.map(i => r.getLong(base + i)).toVector)

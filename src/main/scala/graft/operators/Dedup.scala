@@ -230,7 +230,7 @@ object Dedup {
   def dedupNear(df: DataFrame, idCol: String, textCol: String,
                 threshold: Double = 0.8): DataFrame = {
     val (pairs, release) = nearDuplicatePairsReleasable(df, idCol, textCol, threshold)
-    val drops = pairs.select(col("idB").as(idCol)).distinct().localCheckpoint()
+    val drops = pairs.select(col("idB").as(idCol)).distinct().transform(graft.Graft.checkpoint)
     release()
     df.join(drops, Seq(idCol), "left_anti")
   }
@@ -248,9 +248,9 @@ object Dedup {
     val a = col(idA); val b = col(idB)
     val edges = pairs.select(a.as("src"), b.as("dst"))
       .unionByName(pairs.select(b.as("src"), a.as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().transform(graft.Graft.checkpoint)
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")).localCheckpoint()
+      .withColumn("component", col("id")).transform(graft.Graft.checkpoint)
     var changed = true
     var iter = 0
     while (changed && iter < maxIters) {
@@ -261,7 +261,7 @@ object Dedup {
       // would plan and execute twice per round
       val propagated = labels.unionByName(viaNeighbor)
         .groupBy("id").agg(min(col("component")).as("component"))
-        .localCheckpoint()
+        .transform(graft.Graft.checkpoint)
       // pointer halving: follow the adopted label's OWN label once per
       // round (component values are node ids, so they appear in the
       // label table) — effective propagation distance doubles each
@@ -276,7 +276,7 @@ object Dedup {
       val next = propagated
         .join(parents, propagated("component") === parents("__pid"), "left")
         .select(propagated("id"), coalesce(col("__pcomp"), col("component")).as("component"))
-        .localCheckpoint()
+        .transform(graft.Graft.checkpoint)
       changed = next.join(labels.withColumnRenamed("component", "__old"), "id")
         .filter(col("component") =!= col("__old")).limit(1).count() > 0
       graft.Graft.dropCheckpoint(labels) // superseded round's label blocks

@@ -454,10 +454,10 @@ class ColumnarCofactorSpec extends AnyFunSuite {
     c.keys.foreach(k => assert(c(k).approxEquals(a(k), 1e-9), s"capped group $k differs"))
   }
 
-  test("cofactorGrouped: 1-byte string key rides the kernel; multi-byte routes to the row aggregate") {
+  test("cofactorGrouped: short string keys (1-4 bytes) ride the kernel; wider routes to the row aggregate") {
     // l_returnflag is a single-char flag: the shape probe reports exact
-    // max width 1 and the key packs through CatPackedStrings as the
-    // per-class label — route ASSERTED, results vs the row aggregate
+    // max packable width 1 and the key packs through CatShortString as
+    // the per-class label — route ASSERTED, results vs the row aggregate
     val viaKernel = Graft.cofactorGrouped(li, "l_returnflag",
       Seq("l_quantity", "l_extendedprice"), Seq("l_linenumber"))
     assert(Graft.lastGroupedRoute() == "columnar", "1-byte string key must ride the kernel")
@@ -471,16 +471,49 @@ class ColumnarCofactorSpec extends AnyFunSuite {
     assert(a.keySet == b.keySet && a.nonEmpty)
     a.keys.foreach(k => assert(a(k).approxEquals(b(k), 1e-9), s"group $k differs"))
 
-    // a multi-byte key must be rerouted UP FRONT by the probe's exact
-    // width check — no mid-job CatPackedStrings throw — with identical
+    // 4-byte keys of MIXED lengths ("g0".."g6", "gr10".."gr13", a
+    // 2-byte UTF-8 char, the empty string) pack base-256 and still ride
+    // the kernel — injective across lengths (no NUL), original strings
+    // recovered; NULL keys dropped on both routes
+    val tmp4 = java.nio.file.Files.createTempDirectory("gstr4").toFile.getAbsolutePath
+    spark.range(6000).select(
+      when(col("id") % 13 === 0, lit(null).cast("string"))
+        .when(col("id") % 17 === 0, lit(""))
+        .when(col("id") % 5 === 0, lit("é")) // 2 UTF-8 bytes
+        .when(col("id") % 2 === 0, concat(lit("g"), (col("id") % 7).cast("string")))
+        .otherwise(concat(lit("gr1"), (col("id") % 4).cast("string"))).as("k"),
+      (col("id") % 97).cast("double").as("x")).write.mode("overwrite").parquet(tmp4)
+    val df4 = spark.read.parquet(tmp4)
+    val short4 = Graft.cofactorGrouped(df4, "k", Seq("x"), Seq())
+    assert(Graft.lastGroupedRoute() == "columnar", "keys up to 4 bytes must ride the kernel")
+    val row4 = Graft.cofactorGrouped(df4.repartition(4), "k", Seq("x"), Seq())
+    assert(Graft.lastGroupedRoute() == "row")
+    val a4 = short4.collect().map(r => r.getString(0) -> Graft.tripleFromRow(r.getStruct(1))).toMap
+    val b4 = row4.collect().map(r => r.getString(0) -> Graft.tripleFromRow(r.getStruct(1))).toMap
+    assert(a4.keySet == b4.keySet, s"kernel keys ${a4.keySet} vs row keys ${b4.keySet}")
+    assert(a4.contains("") && a4.contains("é") && !a4.keySet.exists(_ == null))
+    a4.keys.foreach(k => assert(a4(k).approxEquals(b4(k), 1e-9), s"group '$k' differs"))
+
+    // a >4-byte key must be rerouted UP FRONT by the probe's exact
+    // width check — no mid-job CatShortString throw — with identical
     // grouping from the row aggregate
     val tmp = java.nio.file.Files.createTempDirectory("gstr").toFile.getAbsolutePath
     spark.range(5000).select(
-      concat(lit("grp"), (col("id") % 7).cast("string")).as("k"),
+      concat(lit("group"), (col("id") % 7).cast("string")).as("k"),
       (col("id") % 97).cast("double").as("x")).write.mode("overwrite").parquet(tmp)
     val wide = Graft.cofactorGrouped(spark.read.parquet(tmp), "k", Seq("x"), Seq())
-    assert(Graft.lastGroupedRoute() == "row", "a multi-byte string key must take the row aggregate")
+    assert(Graft.lastGroupedRoute() == "row", "a >4-byte string key must take the row aggregate")
     assert(wide.count() == 7)
+
+    // an embedded NUL byte defeats base-256 injectivity ("A" vs NUL+"A")
+    // — the probe's NUL scan must reroute to the row aggregate up front
+    val tmpN = java.nio.file.Files.createTempDirectory("gstrN").toFile.getAbsolutePath
+    spark.range(1000).select(
+      when(col("id") % 2 === 0, lit("A")).otherwise(lit(0.toChar + "A")).as("k"),
+      (col("id") % 97).cast("double").as("x")).write.mode("overwrite").parquet(tmpN)
+    val nul = Graft.cofactorGrouped(spark.read.parquet(tmpN), "k", Seq("x"), Seq())
+    assert(Graft.lastGroupedRoute() == "row", "a NUL-bearing key must take the row aggregate")
+    assert(nul.count() == 2, "both NUL-distinguished groups must survive")
   }
 
   test("grouped byte gate: a high-cardinality cat column under a small key routes to the row aggregate") {

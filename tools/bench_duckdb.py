@@ -58,6 +58,35 @@ queries = {
              sum(l_extendedprice*l_tax), sum(l_discount*l_discount),
              sum(l_discount*l_tax), sum(l_tax*l_tax)
       FROM lineitem GROUP BY 1""",
+    # grouped FULL MIXED triple by l_linenumber (graft:
+    # tools.GroupedMixedProbe — 4 numerics + 2 categoricals riding the
+    # columnar kernel in ONE scan). The honest SQL equivalent needs FOUR
+    # grouped aggregations over the fact: the flat 15 sums per group,
+    # count+4 sums per (group, cat) for EACH cat column (the triple's
+    # lin_cat + num-cat blocks), and cross counts per (group, c1, c2)
+    # (the cat-cat quad block). cofactor_grouped_equivalent above is
+    # DuckDB's best case; this is the operator's actual workload.
+    "cofactor_grouped_mixed_equivalent": """
+      WITH t AS (SELECT l_linenumber k, l_quantity q, l_extendedprice e,
+                        l_discount d, l_tax x,
+                        l_returnflag c1, year(l_shipdate) c2 FROM lineitem),
+      flat AS (SELECT k, count(*) n, sum(q) s1, sum(e) s2, sum(d) s3, sum(x) s4,
+                      sum(q*q) p1, sum(q*e) p2, sum(q*d) p3, sum(q*x) p4,
+                      sum(e*e) p5, sum(e*d) p6, sum(e*x) p7,
+                      sum(d*d) p8, sum(d*x) p9, sum(x*x) p10
+               FROM t GROUP BY k),
+      m1 AS (SELECT k, c1, count(*) n, sum(q) s1, sum(e) s2, sum(d) s3, sum(x) s4
+             FROM t GROUP BY k, c1),
+      m2 AS (SELECT k, c2, count(*) n, sum(q) s1, sum(e) s2, sum(d) s3, sum(x) s4
+             FROM t GROUP BY k, c2),
+      p12 AS (SELECT k, c1, c2, count(*) n FROM t GROUP BY k, c1, c2)
+      SELECT flat.k, flat.n, flat.s1 + flat.p2,
+             (SELECT count(*) FROM m1 WHERE m1.k = flat.k),
+             (SELECT sum(s1 + n) FROM m1 WHERE m1.k = flat.k),
+             (SELECT count(*) FROM m2 WHERE m2.k = flat.k),
+             (SELECT sum(s1 + n) FROM m2 WHERE m2.k = flat.k),
+             (SELECT sum(n) FROM p12 WHERE p12.k = flat.k)
+      FROM flat ORDER BY flat.k""",
     "factorized_join": """
       SELECT count(*), sum(l_quantity), avg(o_totalprice), avg(l_quantity*o_totalprice)
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
