@@ -259,6 +259,22 @@ object Graft {
       case _ => ()
     }
 
+  /** True when `df`'s analyzed plan is leaf + NARROW operators only
+    * (projections, filters, unions — no joins, aggregates, windows,
+    * generators, sorts): re-executing it costs one scan, so iterative
+    * operators skip the input checkpoint and keep the scan's bucketed
+    * co-location alive downstream (a LogicalRDD checkpoint erases
+    * bucket metadata and re-introduces an exchange under every join
+    * and grouped aggregate over the data). */
+  private[graft] def isNarrowPlan(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    !df.queryExecution.analyzed.exists {
+      case _: Join | _: Aggregate | _: Window | _: Generate | _: Sort |
+           _: GlobalLimit | _: Distinct | _: Intersect | _: Except => true
+      case _ => false
+    }
+  }
+
   /** Working-set checkpoint for iterative operators: eager
     * `localCheckpoint` at a SERIALIZED storage level
     * (`MEMORY_AND_DISK_SER` unless `spark.graft.checkpoint.storageLevel`

@@ -150,9 +150,16 @@ object Mice {
           else None
         cur = imputeColumn(cur, cfg, c, observed, nbPc, iter, tm)
       }
-      cur = tm.time("impute_update")(cur.transform(Graft.checkpoint)) // bound lineage + per-column job cost
-      dropCheckpoint(lastCp) // superseded: cur materialized eagerly above
-      lastCp = cur
+      // bound lineage + per-column job cost — except after the LAST
+      // iteration, whose generation is returned un-materialized (the
+      // caller's single consumption pays the pass; the prior
+      // generation's blocks stay live inside the returned plan and are
+      // released by the caller's traversal-based dropCheckpoint)
+      if (iter < cfg.iterations) {
+        cur = tm.time("impute_update")(cur.transform(Graft.checkpoint))
+        dropCheckpoint(lastCp) // superseded: cur materialized eagerly above
+        lastCp = cur
+      }
     }
     cur.drop((cfg.imputeCont ++ cfg.imputeCat).map(flag): _*)
   }

@@ -103,9 +103,18 @@ object MiceJoin {
     require(dimCols.intersect(fact.columns.toSeq).isEmpty,
       s"dim feature names must be disjoint from fact's: ${dimCols.intersect(fact.columns.toSeq)}")
     val outCols = fact.columns.toSeq
-    val (observed, missing) = tm.time("partition")(
-      (fact.filter(col(target).isNotNull).transform(Graft.checkpoint),
-       fact.filter(col(target).isNull).transform(Graft.checkpoint)))
+    // a NARROW fact keeps both strata on the live scan: the filters
+    // re-read one columnar scan apiece, and the scan's bucketed layout
+    // survives into the training groupBy(key) and the missing ⋈ dim
+    // update join (zero-exchange when fact and dims share the bucket
+    // key) — a checkpoint here erases bucket metadata and re-shuffles
+    // both joins (see imputeChainedOverStar)
+    val narrow = Graft.isNarrowPlan(fact)
+    val (observed, missing) = tm.time("partition") {
+      if (narrow) (fact.filter(col(target).isNotNull), fact.filter(col(target).isNull))
+      else (fact.filter(col(target).isNotNull).transform(Graft.checkpoint),
+            fact.filter(col(target).isNull).transform(Graft.checkpoint))
+    }
     val triple = tm.time("cofactor_static")(Factorized.cofactorOverStar(
       observed, target +: factNum, Seq(), dims, minRowsPerKey))
     val model = tm.time("train")(LinReg.train(triple, label = 0, lambda,
@@ -119,8 +128,11 @@ object MiceJoin {
           when(anyDimFeatureNull(dimCols), lit(mean))
             .otherwise(coalesce(pred, lit(mean))))
         .select(outCols.map(col): _*)
-        .transform(Graft.checkpoint)
     }
+    // the result is consumed once by the caller — no checkpoint; any
+    // stratum blocks (wide-fact path) stay live inside the returned
+    // plan and are released by the caller's traversal-based
+    // dropCheckpoint
     observed.unionByName(imputed)
   }
 
@@ -232,7 +244,23 @@ object MiceJoin {
       imputeCont = cfg.imputeCont, imputeCat = cfg.imputeCat,
       iterations = cfg.iterations, lambda = cfg.lambda, shrinkage = cfg.shrinkage,
       stochastic = cfg.stochastic, seed = cfg.seed)
-    var cur = tm.time("prepare")(Mice.prepare(fact, miceCfg).transform(Graft.checkpoint))
+    // A NARROW fact plan (scan/checkpoint leaf + projections/filters
+    // only — no joins, aggregates, windows) stays UN-materialized: each
+    // re-read is one cheap columnar scan, and — decisively at scale —
+    // the scan's bucketed layout survives into the per-column work, so
+    // the training aggregate's groupBy(key) and the missing-stratum ⋈
+    // dim update join run ZERO-EXCHANGE on co-located tables. A
+    // checkpoint here would trade three cheap scans for a 600M-row
+    // materialization AND re-shuffle both sides of every downstream
+    // join (LogicalRDD has no bucket metadata) — measured 277 s → 87 s
+    // on the sf100 star round. Wide fact plans keep the checkpoint:
+    // re-executing an upstream join per re-read is the worse deal.
+    // Mice.prepare is recompute-safe — its mean/mode aggregate runs
+    // once eagerly and lands in the plan as literals.
+    val prepared = tm.time("prepare")(Mice.prepare(fact, miceCfg))
+    var cur =
+      if (Graft.isNarrowPlan(fact)) prepared
+      else tm.time("prepare")(prepared.transform(Graft.checkpoint))
     val outCols = cur.columns.toSeq
     val numAll = cfg.factNum ++ dimNumAll
     val catAll = cfg.factCat ++ dimCatAll
@@ -283,11 +311,20 @@ object MiceJoin {
         // column and keeps each step's work each step's own. The
         // superseded checkpoint's blocks are freed deterministically
         // (columns × iterations fact copies otherwise sit in storage
-        // until the async cleaner runs).
-        val next = tm.time("impute_update")(
-          observed.unionByName(updated).transform(Graft.checkpoint))
-        Mice.dropCheckpoint(cur)
-        cur = next
+        // until the async cleaner runs). The FINAL step has no next
+        // column to shield: its generation is returned un-materialized
+        // (the caller's single consumption pays the one pass a
+        // checkpoint would have pre-paid), and the surviving prior
+        // generation's blocks stay live inside the returned plan —
+        // Graft.dropCheckpoint(result) releases them by traversal.
+        val isFinal = iter == cfg.iterations && c == order.last
+        if (isFinal) cur = observed.unionByName(updated)
+        else {
+          val next = tm.time("impute_update")(
+            observed.unionByName(updated).transform(Graft.checkpoint))
+          Mice.dropCheckpoint(cur)
+          cur = next
+        }
       }
     }
     cur.drop((cfg.imputeCont ++ cfg.imputeCat).map(Mice.flag): _*)
