@@ -6,8 +6,12 @@ import sys, time, json, duckdb
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 con = duckdb.connect()
+import os
 for t in ["lineitem", "orders", "documents", "embeddings", "events"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    # scale dirs generated for the heavy tiers carry only the fact/dim
+    # tables — attach what exists; a filtered run only needs its own views
+    if os.path.exists(f"{sf}/{t}.parquet"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
 queries = {
     "q01_pricing": """
@@ -141,8 +145,11 @@ queries = {
       GROUP BY err.event_id""",
 }
 
+only = set(sys.argv[2:])  # optional query-name filter: time just these rows
 out = {}
 for name, sql in queries.items():
+    if only and name not in only:
+        continue
     times = []
     for _ in range(3):
         t0 = time.time()
