@@ -288,12 +288,26 @@ object Graft {
     * the test session) they LZ4-compress on both heap and disk —
     * several × smaller on training-shaped data (near-sequential keys,
     * low-entropy measures). The deser CPU on re-read is amortized
-    * against the scan/join each iteration performs anyway. */
+    * against the scan/join each iteration performs anyway.
+    *
+    * The level is SIZE-ADAPTIVE: below ~1 GB estimated (Catalyst plan
+    * stats) the generation stores DESERIALIZED (`MEMORY_AND_DISK`) —
+    * at small working sets the ser+LZ4 round trip is pure overhead
+    * (measured +66% on the sf0.1 `mice_1round` bench row when every
+    * level was serialized), while the object-graph blowup it guards
+    * against is bounded by the same small size. Unknown stats (a
+    * LogicalRDD leaf without origin stats reports the session default,
+    * effectively ∞) err to SERIALIZED — the safe direction at scale.
+    * `spark.graft.checkpoint.storageLevel` pins either explicitly. */
   private[graft] def checkpoint(df: DataFrame): DataFrame = {
-    val lvl = df.sparkSession.conf
-      .get("spark.graft.checkpoint.storageLevel", "MEMORY_AND_DISK_SER")
-    df.localCheckpoint(true,
-      org.apache.spark.storage.StorageLevel.fromString(lvl))
+    import org.apache.spark.storage.StorageLevel
+    val pinned = df.sparkSession.conf.get("spark.graft.checkpoint.storageLevel", "")
+    val lvl =
+      if (pinned.nonEmpty) StorageLevel.fromString(pinned)
+      else if (df.queryExecution.optimizedPlan.stats.sizeInBytes < (1L << 30))
+        StorageLevel.MEMORY_AND_DISK
+      else StorageLevel.MEMORY_AND_DISK_SER
+    df.localCheckpoint(true, lvl)
   }
 
   /** Route the last [[cofactorGrouped]] call on this thread took
