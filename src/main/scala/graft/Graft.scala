@@ -307,7 +307,26 @@ object Graft {
       else if (df.queryExecution.optimizedPlan.stats.sizeInBytes < (1L << 30))
         StorageLevel.MEMORY_AND_DISK
       else StorageLevel.MEMORY_AND_DISK_SER
-    df.localCheckpoint(true, lvl)
+    // LAYOUT-PRESERVING, unlike the public `localCheckpoint` API: the
+    // stored generation is rebuilt through `LogicalRDD.fromDataset`,
+    // which rewrites the executed plan's outputPartitioning/ordering
+    // onto the new leaf — `localCheckpoint` discards both (the
+    // LogicalRDD reports UnknownPartitioning, certified by
+    // tools/CheckpointPartitioningProbe), so every downstream join or
+    // grouped aggregate on an already-clustered key paid a fresh
+    // exchange. An iterative operator whose generation ends
+    // hash-clustered (a groupBy, an explicit repartition(key)) now
+    // hands that clustering to the next iteration for free. Blocks are
+    // plain-persisted, not lineage-truncated: on eviction a partition
+    // recomputes from the frozen physical plan — deterministic, and
+    // strictly safer than localCheckpoint's unrecoverable-block
+    // failure mode.
+    // toRdd's UnsafeRows are reused per partition iterator — copy
+    // before storing, exactly as the public checkpoint path does
+    val internal = df.queryExecution.toRdd.map(_.copy())
+    internal.persist(lvl)
+    internal.count() // eager: materialize before the caller drops the previous generation
+    org.apache.spark.sql.graft.ColumnBridge.datasetOverRdd(df, internal)
   }
 
   /** Route the last [[cofactorGrouped]] call on this thread took

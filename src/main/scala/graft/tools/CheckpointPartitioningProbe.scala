@@ -75,6 +75,45 @@ object CheckpointPartitioningProbe {
     println(s"live-scan groupBy exchanges: ${exchanges(liveAgg)}")
     println(s"checkpointed groupBy exchanges: ${exchanges(cpAgg)}")
 
+    // the union-generation shape: union(observed stratum, updated
+    // stratum ⋈ dim) + explicit repartition(key)+sortWithinPartitions
+    // before the checkpoint (the chained-MICE per-column handoff).
+    // DOCUMENTS A KNOWN AQE BOUNDARY, not a win: Spark's UnionExec
+    // reports the children's common hash partitioning (zipped union)
+    // over the bucketed branches, so EnsureRequirements elides the
+    // "redundant" user repartition — and DisableUnnecessaryBucketedScan
+    // then disables the bucketed scans, because nothing INSIDE the
+    // checkpointed sub-query requires the distribution (the consumers
+    // live beyond the checkpoint boundary, invisible to the planner).
+    // The stored generation reports UnknownPartitioning and the
+    // downstream join/groupBy pay one exchange each. Expected: 1 and 1
+    // below — if a Spark upgrade ever prints 0s, the chained-MICE
+    // generation handoff can drop its per-iteration exchanges too.
+    val updated = fact.filter(col("x_missing").isNull).join(ord, Seq("k"), "left")
+      .withColumn("x_missing", coalesce(col("o_totalprice") * 0.001, lit(0.0)))
+      .select(fact.columns.map(col): _*)
+    val gen = graft.Graft.checkpoint(
+      fact.filter(col("x_missing").isNotNull).unionByName(updated)
+        .repartition(buckets, col("k")).sortWithinPartitions(col("k")))
+    println(s"repartitioned-generation logical partitioning: " +
+      gen.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.outputPartitioning.toString
+      }.getOrElse("<none>"))
+    val genJoin = gen.filter(col("x_missing").isNull).join(ord, Seq("k"), "left")
+    println(s"repartitioned-generation join exchanges: ${exchanges(genJoin)}")
+    val genAgg = gen.groupBy("k").agg(sum("l_quantity"))
+    println(s"repartitioned-generation groupBy exchanges: ${exchanges(genAgg)}")
+
+    // ... and a generation that ENDS in a grouped aggregate (the dedup
+    // connected-components round shape): the aggregate leaves data
+    // hash-clustered on the group key; the checkpoint must keep it
+    val agg = graft.Graft.checkpoint(
+      fact.groupBy("k").agg(sum("l_quantity").as("q")))
+    val aggJoin = agg.join(ord, Seq("k"), "left")
+    println(s"aggregate-generation join exchanges: ${exchanges(aggJoin)}")
+
+    graft.Graft.dropCheckpoint(gen)
+    graft.Graft.dropCheckpoint(agg)
     graft.Graft.dropCheckpoint(cp)
     spark.stop()
   }

@@ -15,4 +15,40 @@ object ColumnBridge {
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** Rebuild `origin` as a DataFrame over an already-materialized
+    * internal-row RDD, CARRYING the executed plan's
+    * `outputPartitioning`/ordering (via the `private[sql]`
+    * `LogicalRDD.fromDataset` rewrite) — the layout-preserving
+    * checkpoint for `graft.Graft.checkpoint`. The public
+    * `localCheckpoint` API discards both (its LogicalRDD reports
+    * `UnknownPartitioning`; see
+    * `graft.tools.CheckpointPartitioningProbe`). */
+  def datasetOverRdd(origin: org.apache.spark.sql.DataFrame,
+                     rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, PartitioningCollection}
+    import org.apache.spark.sql.execution.LogicalRDD
+    val cds = origin.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    val qe = cds.queryExecution
+    // `LogicalRDD.fromDataset` reads `executedPlan.outputPartitioning`
+    // directly — under AQE that is the `AdaptiveSparkPlanExec` WRAPPER,
+    // which does not override outputPartitioning and reports
+    // `UnknownPartitioning` even when its (post-execution, final) inner
+    // plan is hash-clustered. Strip the wrapper first; the caller has
+    // already executed the plan, so the inner plan is final.
+    val physical = qe.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def firstLeaf(p: Partitioning): Partitioning = p match {
+      case c: PartitioningCollection => firstLeaf(c.partitionings.head)
+      case other => other
+    }
+    val (stats, constraints) =
+      LogicalRDD.rewriteStatsAndConstraints(cds.logicalPlan, qe.optimizedPlan)
+    org.apache.spark.sql.classic.Dataset.ofRows(cds.sparkSession,
+      LogicalRDD(cds.logicalPlan.output, rdd,
+        firstLeaf(physical.outputPartitioning), physical.outputOrdering,
+        isStreaming = false)(cds.sparkSession, stats, constraints))
+  }
 }
