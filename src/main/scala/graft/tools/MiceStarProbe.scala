@@ -12,13 +12,19 @@ import org.apache.spark.sql.functions._
   * the serialized+LZ4 checkpoint level (`Graft.checkpoint` +
   * `spark.rdd.compress`) keeps the working set inside it.
   *
-  * Usage: runMain graft.tools.MiceStarProbe [dir] [buckets] [passes]
+  * Usage: runMain graft.tools.MiceStarProbe [dir] [buckets] [passes] [iterations]
+  * `iterations` > 1 measures the generation-handoff cost: iteration 1
+  * rides the live bucketed scan (zero-exchange), every later iteration
+  * reads a checkpointed generation whose layout the AQE checkpoint
+  * boundary erases (CheckpointPartitioningProbe) — the per-iteration
+  * delta IS that boundary's price at 600M rows.
   */
 object MiceStarProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/repo/testdata-sf100")
     val buckets = if (args.length > 1) args(1).toInt else 256
     val passes = if (args.length > 2) args(2).toInt else 3
+    val iterations = if (args.length > 3) args(3).toInt else 1
     val spark = graft.Graft.register(SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.rdd.compress", "true")
@@ -50,7 +56,7 @@ object MiceStarProbe {
         graft.mice.MiceJoin.ChainConfig(
           factNum = Seq("l_quantity", "x_missing"), factCat = Seq(),
           dimNum = Seq("o_totalprice"), imputeCont = Seq("x_missing"),
-          iterations = 1), tm)
+          iterations = iterations), tm)
       done.write.format("noop").mode("overwrite").save()
       val hw = scratchBytes
       graft.Graft.dropCheckpoint(done)
