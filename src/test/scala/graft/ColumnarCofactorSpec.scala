@@ -593,6 +593,39 @@ class ColumnarCofactorSpec extends AnyFunSuite {
     assert(t.get.approxEquals(ref, 1e-9))
   }
 
+  test("fuzz: grouped short-string keys — random 0-4-byte UTF-8 keys, kernel == row aggregate") {
+    // the CatShortString pack is injective iff NUL-free; fuzz the whole
+    // eligible space (random byte lengths 0-4 incl. multi-byte UTF-8
+    // chars and the empty string, NULLs sprinkled) and pin kernel≡row
+    // parity on keys AND triples — the adversarial class for a base-256
+    // packing is length/prefix aliasing ("A" vs "AA" vs "A ")
+    val rng = new scala.util.Random(1234)
+    val alphabet = Seq("a", "Z", "9", "_", "é", "ß", "√") // 1-3 UTF-8 bytes each
+    def key(): String = {
+      var s = ""
+      while (s.getBytes("UTF-8").length < 4 && rng.nextInt(3) > 0) {
+        val c = alphabet(rng.nextInt(alphabet.size))
+        if ((s + c).getBytes("UTF-8").length <= 4) s += c else return s
+      }
+      s
+    }
+    val rows = Seq.tabulate(8000) { _ =>
+      (if (rng.nextInt(17) == 0) null else key(), rng.nextGaussian() * 50, rng.nextInt(9))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("fuzzgstr").toFile.getAbsolutePath
+    rows.toDF("k", "x", "c").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val viaKernel = Graft.cofactorGrouped(df, "k", Seq("x"), Seq("c"))
+    assert(Graft.lastGroupedRoute() == "columnar", "fuzzed <=4-byte keys must ride the kernel")
+    val viaRow = Graft.cofactorGrouped(df.repartition(4), "k", Seq("x"), Seq("c"))
+    assert(Graft.lastGroupedRoute() == "row")
+    val a = viaKernel.collect().map(r => r.getString(0) -> Graft.tripleFromRow(r.getStruct(1))).toMap
+    val b = viaRow.collect().map(r => r.getString(0) -> Graft.tripleFromRow(r.getStruct(1))).toMap
+    assert(a.keySet == b.keySet, s"kernel keys ${a.keySet.toSeq.sorted} vs row ${b.keySet.toSeq.sorted}")
+    assert(a.nonEmpty && !a.keySet.exists(_ == null))
+    a.keys.foreach(k => assert(a(k).approxEquals(b(k), 1e-9), s"group '$k' differs"))
+  }
+
   test("harvest engages for any name casing select() accepts") {
     // spark.sql.caseSensitive=false (the default): select("L_QUANTITY")
     // resolves, so the kernel's ordinal lookup must too — an exact-match
