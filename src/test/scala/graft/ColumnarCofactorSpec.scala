@@ -598,7 +598,7 @@ class ColumnarCofactorSpec extends AnyFunSuite {
     // eligible space (random byte lengths 0-4 incl. multi-byte UTF-8
     // chars and the empty string, NULLs sprinkled) and pin kernel≡row
     // parity on keys AND triples — the adversarial class for a base-256
-    // packing is length/prefix aliasing ("A" vs "AA" vs "A ")
+    // packing is length/prefix aliasing ("A" vs "AA" vs "A" + NUL)
     val rng = new scala.util.Random(1234)
     val alphabet = Seq("a", "Z", "9", "_", "é", "ß", "√") // 1-3 UTF-8 bytes each
     def key(): String = {
