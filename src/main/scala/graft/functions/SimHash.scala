@@ -88,10 +88,141 @@ private[functions] object Shingling {
 
   val tokensType: DataType = ArrayType(StringType)
   def checkTokens(name: String, dt: DataType) = dt match {
-    case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case StringType | ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"$name expects ARRAY<STRING> tokens, got $other")
+      s"$name expects STRING text or ARRAY<STRING> tokens, got $other")
   }
+
+  /** Per-thread scratch for [[foreachShingleHashText]] (the expression
+    * objects are shared across local-mode task threads). */
+  private[functions] final class TextScratch {
+    var buf = new Array[Byte](4096)   // lowered ASCII bytes
+    var offs = new Array[Int](256)    // token start offsets into the byte view
+    var lens = new Array[Int](256)    // token byte lengths
+  }
+  private val textScratch = new ThreadLocal[TextScratch] {
+    override def initialValue(): TextScratch = new TextScratch
+  }
+
+  /** Mirror of `Lower`'s collation dispatch for the non-ASCII fallback:
+    * default-collation strings are UTF8_BINARY, and the ICU flag is the
+    * same lazily-read conf `Lower` captures. */
+  private val lowerCollationId =
+    org.apache.spark.sql.catalyst.util.CollationFactory.UTF8_BINARY_COLLATION_ID
+  private lazy val lowerUseICU: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get.getConf(
+      org.apache.spark.sql.internal.SQLConf.ICU_CASE_MAPPINGS_ENABLED)
+
+  /** Byte-level twin of [[foreachShingleHash]] over the RAW text: emits
+    * the exact hashes of `foreachShingleHash(tokens(lower(text)))`
+    * without decoding to java Strings, without the regex split, and
+    * without materializing the token array (the dominant per-row cost of
+    * every shingle consumer — BENCH_CONTEXT round 14). Parity is by
+    * construction plus the ShinglingTextSpec fuzz:
+    *
+    *  - `lower`: full-ASCII inputs get the same per-byte 'A'..'Z'+32 map
+    *    `UTF8String.toLowerCaseAscii` applies; anything else falls back
+    *    to `CollationSupport.Lower.exec(u, UTF8_BINARY, icuCaseMappings)`
+    *    — the EXACT call Spark's `Lower` makes — and proceeds on ITS
+    *    bytes. (NOT `UTF8String.toLowerCase`: with the default
+    *    `spark.sql.icu.caseMappings.enabled=true` Spark lowers via ICU
+    *    code-point mapping, so final sigma Σ→σ everywhere, while the
+    *    JDK path lowers contextually Σ→ς at word ends — the
+    *    ShinglingTextSpec fuzz caught the one-codepoint divergence.)
+    *  - `trim`: ASCII 0x20 strip at both ends (Spark's trim()).
+    *  - `split(trimmed, "\\s+")` with Spark's default limit -1: Java
+    *    regex `\s` without UNICODE_CHARACTER_CLASS is exactly
+    *    {0x09..0x0D, 0x20}, none of which can be a UTF-8 continuation
+    *    byte, so byte-run splitting is exact — including the leading
+    *    empty token after a non-space-whitespace head and the single
+    *    trailing empty token after a whitespace tail.
+    *  - `tokens()`'s empty guard: whitespace-only text is an EMPTY token
+    *    array, which [[foreachShingleHash]] maps to the one
+    *    zero-token shingle (the finalized FNV basis) — reproduced.
+    */
+  @inline def foreachShingleHashText(u: UTF8String, shingleSize: Int)(f: Long => Unit): Unit = {
+    val sc = textScratch.get()
+    val n = u.numBytes
+    // lowered byte view
+    var a: Array[Byte] = null
+    var end0 = 0
+    if (u.isFullAscii) {
+      if (sc.buf.length < n) sc.buf = new Array[Byte](java.lang.Integer.highestOneBit(n) * 2)
+      a = sc.buf
+      var i = 0
+      while (i < n) {
+        val b = u.getByte(i)
+        a(i) = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+        i += 1
+      }
+      end0 = n
+    } else {
+      a = org.apache.spark.sql.catalyst.util.CollationSupport.Lower
+        .exec(u, lowerCollationId, lowerUseICU).getBytes
+      end0 = a.length
+    }
+    // trim: ASCII space only
+    var b0 = 0
+    var e0 = end0
+    while (b0 < e0 && a(b0) == 0x20) b0 += 1
+    while (e0 > b0 && a(e0 - 1) == 0x20) e0 -= 1
+    // tokenize with split(…, -1) semantics into (offs, lens)
+    var offs = sc.offs
+    var lens = sc.lens
+    var nTok = 0
+    @inline def push(off: Int, len: Int): Unit = {
+      if (nTok == offs.length) {
+        offs = java.util.Arrays.copyOf(offs, nTok * 2); sc.offs = offs
+        lens = java.util.Arrays.copyOf(lens, nTok * 2); sc.lens = lens
+      }
+      offs(nTok) = off; lens(nTok) = len; nTok += 1
+    }
+    @inline def isWs(x: Byte): Boolean = x == 0x20 || (x >= 0x09 && x <= 0x0D)
+    if (b0 < e0) { // empty after trim ⇒ tokens() yields an EMPTY array
+      var i = b0
+      if (isWs(a(i))) { // leading whitespace run → leading empty token
+        push(i, 0)
+        while (i < e0 && isWs(a(i))) i += 1
+        if (i == e0) push(i, 0) // all-whitespace: split("\t", -1) == ["", ""]
+      }
+      while (i < e0) {
+        val st = i
+        while (i < e0 && !isWs(a(i))) i += 1
+        push(st, i - st)
+        if (i < e0) {
+          while (i < e0 && isWs(a(i))) i += 1
+          if (i == e0) push(i, 0) // trailing empty under limit -1
+        }
+      }
+    }
+    // shingle walk — the same arithmetic as foreachShingleHash
+    val nSh = math.max(1, nTok - shingleSize + 1)
+    var s = 0
+    while (s < nSh) {
+      var h = 0xcbf29ce484222325L
+      val end = math.min(s + shingleSize, nTok)
+      var t = s
+      while (t < end) {
+        if (t > s) { h ^= 0x20L; h *= 0x100000001b3L }
+        var i = offs(t)
+        val e = i + lens(t)
+        while (i < e) { h ^= (a(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+        t += 1
+      }
+      h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
+      h ^= h >>> 27; h *= 0x94d049bb133111ebL
+      f(h ^ (h >>> 31))
+      s += 1
+    }
+  }
+
+  /** Dispatch on the (analysis-checked) input type: raw STRING text goes
+    * through the byte-level path, a pre-tokenized ARRAY<STRING> through
+    * the token-array walk. */
+  @inline def foreachShingleHashInput(v: Any, isText: Boolean, shingleSize: Int)(f: Long => Unit): Unit =
+    if (isText) foreachShingleHashText(v.asInstanceOf[UTF8String], shingleSize)(f)
+    else foreachShingleHash(v.asInstanceOf[ArrayData], shingleSize)(f)
 }
 
 /** All word-shingle hashes of a token array (the exact-Jaccard input). */
@@ -99,11 +230,11 @@ case class ShingleHashes(child: Expression, shingleSize: Int)
   extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes() = Shingling.checkTokens(prettyName, child.dataType)
+  @transient private lazy val isText = child.dataType == StringType
 
   override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val out = new scala.collection.mutable.ArrayBuffer[Long](math.max(1, arr.numElements()))
-    Shingling.foreachShingleHash(arr, shingleSize)(out += _)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](16)
+    Shingling.foreachShingleHashInput(v, isText, shingleSize)(out += _)
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
@@ -131,11 +262,11 @@ case class MinHashSignature(child: Expression, numHashes: Int,
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes() = Shingling.checkTokens(prettyName, child.dataType)
+  @transient private lazy val isText = child.dataType == StringType
 
   override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
     val sig = Array.fill(numHashes)(Long.MaxValue)
-    Shingling.foreachShingleHash(arr, shingleSize) { h =>
+    Shingling.foreachShingleHashInput(v, isText, shingleSize) { h =>
       var k = 0
       while (k < numHashes) {
         // splitmix64 remix of (shingle ^ golden-ratio seed k)
@@ -198,12 +329,12 @@ case class MinHashPrepare(child: Expression, numHashes: Int,
     org.apache.spark.sql.types.StructField("bands", ArrayType(LongType, containsNull = false), nullable = false),
     org.apache.spark.sql.types.StructField("sh", ArrayType(LongType, containsNull = false), nullable = false)))
   override def checkInputDataTypes() = Shingling.checkTokens(prettyName, child.dataType)
+  @transient private lazy val isText = child.dataType == StringType
 
   override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
     val sig = Array.fill(numHashes)(Long.MaxValue)
-    val sh = new scala.collection.mutable.ArrayBuffer[Long](math.max(1, arr.numElements()))
-    Shingling.foreachShingleHash(arr, shingleSize) { h =>
+    val sh = new scala.collection.mutable.ArrayBuffer[Long](16)
+    Shingling.foreachShingleHashInput(v, isText, shingleSize) { h =>
       sh += h
       var k = 0
       while (k < numHashes) {
@@ -272,13 +403,13 @@ case class RepetitionScore(child: Expression, shingleSize: Int)
 
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes() = Shingling.checkTokens(prettyName, child.dataType)
+  @transient private lazy val isText = child.dataType == StringType
 
   override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
     val counts = new scala.collection.mutable.LongMap[Int](64)
     var total = 0
     var best = 0
-    Shingling.foreachShingleHash(arr, shingleSize) { h =>
+    Shingling.foreachShingleHashInput(v, isText, shingleSize) { h =>
       val c = counts.getOrElse(h, 0) + 1
       counts.update(h, c)
       if (c > best) best = c

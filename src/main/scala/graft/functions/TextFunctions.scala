@@ -116,7 +116,10 @@ object TextFunctions {
   /** Shingle hashes over the lowered, whitespace-tokenized text. */
   def shingleHashes(text: Column, n: Int = 3): Column = {
     graft.Graft.register(org.apache.spark.sql.SparkSession.active)
-    call_function("shingle_hashes", tokens(lower(text)), lit(n))
+    // raw text: the expression's byte-level path reproduces
+    // tokens(lower(text)) bit-exactly (ShinglingTextSpec fuzz) without
+    // the lowercase copy, regex split, or token-array materialization
+    call_function("shingle_hashes", text, lit(n))
   }
 
   /** PII patterns shared with the DuckDB oracle — kept to syntax that
@@ -144,7 +147,7 @@ object TextFunctions {
     * expression ([[RepetitionScore]]), no shuffle. */
   def repetitionScore(text: Column, n: Int = 2): Column = {
     graft.Graft.register(org.apache.spark.sql.SparkSession.active)
-    call_function("repetition_score", tokens(lower(text)), lit(n))
+    call_function("repetition_score", text, lit(n))
   }
 
   /** Jaccard similarity of the two texts' n-gram shingle-hash sets. */

@@ -45,8 +45,10 @@ object Dedup {
     * token array. */
   def minhashSignature(text: Column, numHashes: Int = 64, shingleSize: Int = 3): Column = {
     graft.Graft.register(org.apache.spark.sql.SparkSession.active)
-    call_function("minhash_signature",
-      TextFunctions.tokens(lower(text)), lit(numHashes), lit(shingleSize))
+    // raw text: the expression's byte-level path reproduces
+    // tokens(lower(text)) exactly without the lowercase copy, the regex
+    // split, or the token-array materialization (ShinglingTextSpec fuzz)
+    call_function("minhash_signature", text, lit(numHashes), lit(shingleSize))
   }
 
   /** LSH band hashes (ARRAY<BIGINT>, length `bands`) fused into the same
@@ -54,8 +56,7 @@ object Dedup {
   def minhashBands(text: Column, numHashes: Int = 64, shingleSize: Int = 3,
                    bands: Int = 16): Column = {
     graft.Graft.register(org.apache.spark.sql.SparkSession.active)
-    call_function("minhash_bands",
-      TextFunctions.tokens(lower(text)), lit(numHashes), lit(shingleSize), lit(bands))
+    call_function("minhash_bands", text, lit(numHashes), lit(shingleSize), lit(bands))
   }
 
   /** Both LSH artifacts — band hashes AND the distinct shingle-hash set —
@@ -65,8 +66,7 @@ object Dedup {
   def minhashPrepare(text: Column, numHashes: Int = 64, shingleSize: Int = 3,
                      bands: Int = 16): Column = {
     graft.Graft.register(org.apache.spark.sql.SparkSession.active)
-    call_function("minhash_prepare",
-      TextFunctions.tokens(lower(text)), lit(numHashes), lit(shingleSize), lit(bands))
+    call_function("minhash_prepare", text, lit(numHashes), lit(shingleSize), lit(bands))
   }
 
   /**
