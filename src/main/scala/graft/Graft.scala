@@ -72,6 +72,10 @@ object Graft {
         graft.functions.RepetitionScore(es(0), intArg(es, 1)), "scala_udf")
       reg.createOrReplaceTempFunction("token_stats", es =>
         graft.functions.TokenStats(es.head), "scala_udf")
+      reg.createOrReplaceTempFunction("lang_id", es =>
+        graft.functions.LangId(es.head), "scala_udf")
+      reg.createOrReplaceTempFunction("stopword_ratio", es =>
+        graft.functions.StopwordRatio(es(0), es(1)), "scala_udf")
       // bounded top-k (score DESC NULLS LAST, id ASC) — the map-side
       // ranking tail of every similarity search (see TopKAggregate)
       reg.createOrReplaceTempFunction("topk_by_score", es =>

@@ -94,12 +94,17 @@ private[functions] object Shingling {
       s"$name expects STRING text or ARRAY<STRING> tokens, got $other")
   }
 
-  /** Per-thread scratch for [[foreachShingleHashText]] (the expression
-    * objects are shared across local-mode task threads). */
+  /** Per-thread scratch for [[lowerAndTokenize]] (the expression
+    * objects are shared across local-mode task threads). After a
+    * `lowerAndTokenize(u)` call: `view` holds the lowered bytes,
+    * `offs(i)/lens(i)` for i < nTok delimit the tokens of
+    * `tokens(lower(text))`. */
   private[functions] final class TextScratch {
     var buf = new Array[Byte](4096)   // lowered ASCII bytes
     var offs = new Array[Int](256)    // token start offsets into the byte view
     var lens = new Array[Int](256)    // token byte lengths
+    var view: Array[Byte] = null      // lowered byte view of the LAST call
+    var nTok = 0
   }
   private val textScratch = new ThreadLocal[TextScratch] {
     override def initialValue(): TextScratch = new TextScratch
@@ -141,7 +146,11 @@ private[functions] object Shingling {
     *    array, which [[foreachShingleHash]] maps to the one
     *    zero-token shingle (the finalized FNV basis) — reproduced.
     */
-  @inline def foreachShingleHashText(u: UTF8String, shingleSize: Int)(f: Long => Unit): Unit = {
+  /** Fill the thread scratch with the lowered byte view and the token
+    * boundaries of `tokens(lower(text))` — Spark's exact semantics, no
+    * String decode, no regex, no array materialization (see
+    * [[foreachShingleHashText]] for the parity argument). */
+  private[functions] def lowerAndTokenize(u: UTF8String): TextScratch = {
     val sc = textScratch.get()
     val n = u.numBytes
     // lowered byte view
@@ -162,6 +171,7 @@ private[functions] object Shingling {
         .exec(u, lowerCollationId, lowerUseICU).getBytes
       end0 = a.length
     }
+    sc.view = a
     // trim: ASCII space only
     var b0 = 0
     var e0 = end0
@@ -196,6 +206,16 @@ private[functions] object Shingling {
         }
       }
     }
+    sc.nTok = nTok
+    sc
+  }
+
+  @inline def foreachShingleHashText(u: UTF8String, shingleSize: Int)(f: Long => Unit): Unit = {
+    val sc = lowerAndTokenize(u)
+    val a = sc.view
+    val offs = sc.offs
+    val lens = sc.lens
+    val nTok = sc.nTok
     // shingle walk — the same arithmetic as foreachShingleHash
     val nSh = math.max(1, nTok - shingleSize + 1)
     var s = 0

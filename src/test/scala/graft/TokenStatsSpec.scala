@@ -15,13 +15,15 @@ class TokenStatsSpec extends AnyFunSuite {
 
   private def bothWays(df: org.apache.spark.sql.DataFrame) = {
     val fused = df.withColumn("__ts", TextFunctions.tokenStats($"text"))
-      .select($"id", $"__ts.n_tokens".as("a"), $"__ts.n_distinct".as("b"), $"__ts.n_chars".as("c"))
+      .select($"id", $"__ts.n_tokens".as("a"), $"__ts.n_distinct".as("b"), $"__ts.n_chars".as("c"),
+        $"__ts.n_punct".as("d"))
     val unfused = df.select($"id",
       TextFunctions.tokenCount($"text").as("a"),
       size(array_distinct(TextFunctions.tokens($"text"))).as("b"),
-      length($"text").as("c"))
-    (fused.collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap,
-     unfused.collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap)
+      length($"text").as("c"),
+      size(regexp_extract_all($"text", lit("[^A-Za-z0-9\\s]"), lit(0))).as("d"))
+    (fused.collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap,
+     unfused.collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap)
   }
 
   test("fused == unfused on adversarial strings") {
