@@ -104,7 +104,13 @@ private[functions] object Shingling {
     var offs = new Array[Int](256)    // token start offsets into the byte view
     var lens = new Array[Int](256)    // token byte lengths
     var view: Array[Byte] = null      // lowered byte view of the LAST call
+    var viewLen = 0                   // valid bytes in `view`
     var nTok = 0
+    var out = new Array[Byte](4096)   // normalized-output buffer (fingerprints)
+    def ensureOut(n: Int): Array[Byte] = {
+      if (out.length < n) out = new Array[Byte](java.lang.Integer.highestOneBit(math.max(n, 1)) * 2)
+      out
+    }
   }
   private val textScratch = new ThreadLocal[TextScratch] {
     override def initialValue(): TextScratch = new TextScratch
@@ -150,28 +156,37 @@ private[functions] object Shingling {
     * boundaries of `tokens(lower(text))` — Spark's exact semantics, no
     * String decode, no regex, no array materialization (see
     * [[foreachShingleHashText]] for the parity argument). */
-  private[functions] def lowerAndTokenize(u: UTF8String): TextScratch = {
+  /** Fill the thread scratch's `view`/`viewLen` with the lowered byte
+    * view of the text — `lower(text)`'s exact bytes (ASCII fast path;
+    * `CollationSupport.Lower.exec`, the call Spark's `Lower` makes,
+    * otherwise). */
+  private[functions] def lowerView(u: UTF8String): TextScratch = {
     val sc = textScratch.get()
     val n = u.numBytes
-    // lowered byte view
-    var a: Array[Byte] = null
-    var end0 = 0
     if (u.isFullAscii) {
-      if (sc.buf.length < n) sc.buf = new Array[Byte](java.lang.Integer.highestOneBit(n) * 2)
-      a = sc.buf
+      if (sc.buf.length < n) sc.buf = new Array[Byte](java.lang.Integer.highestOneBit(math.max(n, 1)) * 2)
+      val a = sc.buf
       var i = 0
       while (i < n) {
         val b = u.getByte(i)
         a(i) = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
         i += 1
       }
-      end0 = n
+      sc.view = a
+      sc.viewLen = n
     } else {
-      a = org.apache.spark.sql.catalyst.util.CollationSupport.Lower
+      val a = org.apache.spark.sql.catalyst.util.CollationSupport.Lower
         .exec(u, lowerCollationId, lowerUseICU).getBytes
-      end0 = a.length
+      sc.view = a
+      sc.viewLen = a.length
     }
-    sc.view = a
+    sc
+  }
+
+  private[functions] def lowerAndTokenize(u: UTF8String): TextScratch = {
+    val sc = lowerView(u)
+    val a = sc.view
+    val end0 = sc.viewLen
     // trim: ASCII space only
     var b0 = 0
     var e0 = end0
