@@ -388,8 +388,9 @@ object Graft {
    * `maxGroups > 0` to pin it (clamped to the kernel's cardinality
    * guard). Over-cap keys route to the distributed row aggregate,
    * which handles them natively. String keys additionally require the
-   * probe's exact max PACKABLE byte width to be ≤ 4 (base-256 into the
-   * int label; the probe reports unpackable when any value is wider or
+   * probe's exact max PACKABLE byte width to be ≤ 8 (base-256 into the
+   * LONG label channel — `en-US` locales and 8-char SKUs ride the
+   * kernel; the probe reports unpackable when any value is wider or
    * embeds a NUL byte) — a wider key routes to the row aggregate UP
    * FRONT rather than hitting CatShortString's mid-job fail-loud throw
    * (that contract is for cat COLUMNS a user pinned explicitly; a
@@ -404,11 +405,12 @@ object Graft {
     register(df.sparkSession)
     val resolver = df.sparkSession.sessionState.analyzer.resolver
     val keyField = df.schema.find(f => resolver(f.name, key))
-    // int AND long keys ride the kernel (the label decode guards
-    // 2^32-aliased longs loudly); strings of ≤4 UTF-8 bytes pack
-    // through CatShortString (flag, lang, country, short status
-    // codes); the key is emitted back in the column's ORIGINAL form so
-    // the output schema never depends on which route ran
+    // int AND long keys ride the kernel's LONG label channel
+    // (full-range longs, no 2^32 aliasing possible); strings of ≤8
+    // UTF-8 bytes pack through CatShortString (flag, lang, country,
+    // locale, SKU codes); the key is emitted back in the column's
+    // ORIGINAL form so the output schema never depends on which route
+    // ran
     val keyType = keyField.map(_.dataType)
     val isStrKey = keyType.contains(StringType)
     val numSpecs = num.map(graft.agg.ColumnarCofactor.NumCol)
@@ -462,9 +464,9 @@ object Graft {
             math.min(maxGroups.toLong, CofactorAggregate.confMaxCategories().toLong)
           else math.min(1L << 20,
             ((64L << 20) / math.max(1.0, bufBytes)).toLong)
-        if (isStrKey && keyWidth > 4) None
+        if (isStrKey && keyWidth > 8) None
         else if (keyCard > groupCap) None
-        else graft.agg.ColumnarCofactor.cofactorPerClass(
+        else graft.agg.ColumnarCofactor.cofactorPerClassLong(
           df, numSpecs, catSpecs, ls, nbMode = nb)
     }
     viaKernel match {
@@ -477,8 +479,8 @@ object Graft {
           groups.map { case (k, t) =>
             val kv: Any =
               if (isStrKey) graft.agg.ColumnarCofactor.unpackShortString(k)
-              else if (keyType.get == LongType) k.toLong
-              else k
+              else if (keyType.get == LongType) k
+              else k.toInt
             Row(kv, tripleToRow(t, nb))
           }: _*)
         df.sparkSession.createDataFrame(rows, schema)

@@ -1763,6 +1763,23 @@ object SparkEntry {
         round(col("t.quad")(1) / col("t.n"), 2).as("avg_qty_price"),
         size(col("t.lin_cat")(0)).cast("long").as("n_lines"))
         .orderBy(col("l_returnflag"))
+    },
+    // q79's discipline at the WIDE string width: documents.source holds
+    // 4- AND 5-byte keys (src0..src19), past the old 4-byte int-label
+    // gate — the key packs into the kernel's LONG label channel
+    // (CatShortString in label position, ≤8 UTF-8 bytes), and the route
+    // is ASSERTED so a silent fallback to the row aggregate cannot pass
+    "q80_grouped_string_wide" -> { (s, dir) =>
+      val g = Graft.cofactorGrouped(
+        Tables.load(s, dir, "documents"), "source", Seq("n_chars"), Seq())
+      require(Graft.lastGroupedRoute() == "columnar",
+        "q80: the wide-string grouped harvest must engage — the oracle certifies the Long-label route")
+      g.select(
+        col("source"),
+        col("t.n").as("n_rows"),
+        round(col("t.lin")(0), 2).as("sum_chars"),
+        round(col("t.quad")(0) / col("t.n"), 2).as("avg_sq_chars"))
+        .orderBy(col("source"))
     }
   )
 
@@ -2990,6 +3007,11 @@ object SparkEntry {
         |       round(sum(l_quantity), 2) AS sum_qty,
         |       round(avg(l_quantity * l_extendedprice), 2) AS avg_qty_price,
         |       count(DISTINCT l_linenumber) AS n_lines
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q80_grouped_string_wide" ->
+      """SELECT source, count(*) AS n_rows,
+        |       round(CAST(sum(n_chars) AS DOUBLE), 2) AS sum_chars,
+        |       round(CAST(avg(n_chars * n_chars) AS DOUBLE), 2) AS avg_sq_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

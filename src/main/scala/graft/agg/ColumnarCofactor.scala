@@ -77,13 +77,16 @@ object ColumnarCofactor {
     require(names.nonEmpty && names.size <= 4, "CatPackedStrings takes 1-4 columns")
     def inputs: Seq[String] = names
   }
-  /** ONE string column of 1–4-byte values packed base-256 into the int
+  /** ONE string column of short values packed base-256 into the class
     * key (raw UTF-8 bytes, first byte in the high position) — the
-    * short-code dimension shape (`lang` 'en', country 'US', 4-char
-    * status/mode codes). Injective over NUL-free values: with no 0x00
-    * byte allowed, the integer uniquely determines both length and
-    * bytes ('A' = 0x41 can only collide with "\u0000A" = 0x0041, which
-    * is refused). Wider values or embedded NULs throw — callers that
+    * short-code dimension shape (`lang` 'en', country 'US', locale
+    * 'en-US', 8-char SKUs). As a CAT COLUMN the key is an int, so 1–4
+    * bytes pack; in LABEL position ([[cofactorPerClassLong]]) the key
+    * is a LONG, so 1–8 bytes pack. Injective over NUL-free values
+    * either way: with no 0x00 byte allowed, the integer uniquely
+    * determines both length and bytes ('A' = 0x41 can only collide
+    * with "\u0000A" = 0x0041, which is refused). Wider values or
+    * embedded NULs throw — callers that
     * must not crash on data shape (`Graft.cofactorGrouped`) gate on the
     * probe's exact max width + NUL scan first. */
   final case class CatShortString(name: String) extends CatSpec {
@@ -97,8 +100,11 @@ object ColumnarCofactor {
   /** Recover the string of a [[CatShortString]] key: significant bytes
     * MSB-first, decoded as UTF-8 (multi-byte chars round-trip — the
     * pack is raw bytes, not chars). Key 0 is the empty string. */
-  def unpackShortString(key: Int): String = {
-    var n = 4
+  def unpackShortString(key: Int): String = unpackShortString(key & 0xffffffffL)
+
+  /** [[unpackShortString]] for a LONG label key (1–8 packed bytes). */
+  def unpackShortString(key: Long): String = {
+    var n = 8
     while (n > 0 && (key >>> (8 * (n - 1))) == 0) n -= 1
     val bs = new Array[Byte](n)
     var i = 0
@@ -523,6 +529,25 @@ object ColumnarCofactor {
   def cofactorPerClass(src: DataFrame, nums: Seq[NumSpec], cats: Seq[CatSpec],
                        label: CatSpec, nbMode: Boolean = false,
                        maxCategories: Int = CofactorAggregate.confMaxCategories()): Option[Seq[(Int, Triple)]] =
+    cofactorPerClassLong(src, nums, cats, label, nbMode, maxCategories).map(_.map {
+      case (k, t) =>
+        // the Int-keyed ML surface (QDA/LDA/NB class ids): a label
+        // outside int range fails loudly, same contract as the row
+        // path's ANSI cast — silent truncation would MERGE classes
+        // that differ by multiples of 2^32
+        if (k != k.toInt) throw new ArithmeticException(
+          s"categorical value $k overflows INT — same failure the row path's ANSI cast raises")
+        (k.toInt, t)
+    })
+
+  /** [[cofactorPerClass]] with a LONG class key: the label channel
+    * decodes into a Long, so full-range long keys (no 2^32 guard) and
+    * [[CatShortString]] labels up to 8 packed UTF-8 bytes ride the
+    * kernel — `Graft.cofactorGrouped`'s route for `en-US`-shaped and
+    * long-id group keys. */
+  def cofactorPerClassLong(src: DataFrame, nums: Seq[NumSpec], cats: Seq[CatSpec],
+                       label: CatSpec, nbMode: Boolean = false,
+                       maxCategories: Int = CofactorAggregate.confMaxCategories()): Option[Seq[(Long, Triple)]] =
     compile(src, nums, cats :+ label, nbMode, maxCategories).map { case (scan, compiled) =>
       val partials = scan.executeColumnar().mapPartitions { batches =>
         val acc = new BatchAcc(compiled, labelMode = true)
@@ -532,8 +557,8 @@ object ColumnarCofactor {
       // executor-side combine, same rationale as [[cofactor]]:
       // addPerClass is associative/commutative and label-sorted, so the
       // tree fold is order-insensitive.
-      if (partials.getNumPartitions == 0) Seq.empty[(Int, Triple)]
-      else partials.treeReduce(Triple.addPerClass, depth = 2)
+      if (partials.getNumPartitions == 0) Seq.empty[(Long, Triple)]
+      else partials.treeReduce(Triple.addPerClass[Long], depth = 2)
     }
 
   /** Stage-truncated run for `tools.ColProfile` (1 = iterate only,
@@ -682,9 +707,9 @@ object ColumnarCofactor {
     // full CofactorBuffer per class, fed row-at-a-time (updateRow —
     // the ladder showed kernel arithmetic is free next to the scan)
     private val byClass = new scala.collection.mutable.LongMap[CofactorBuffer]
-    private def classBuf(label: Int): CofactorBuffer = {
+    private def classBuf(label: Long): CofactorBuffer = {
       val before = byClass.size
-      val b = byClass.getOrElseUpdate(label.toLong, {
+      val b = byClass.getOrElseUpdate(label, {
         val nb = new CofactorBuffer(p.numCols, p.catCols - 1, p.nbMode)
         nb.maxCategories = p.maxCategories
         nb
@@ -695,8 +720,8 @@ object ColumnarCofactor {
           "this looks like an ID, not a label (raise spark.graft.cofactor.maxCategories to override)")
       b
     }
-    def perClassResult: Seq[(Int, Triple)] =
-      byClass.toSeq.map { case (k, b) => (k.toInt, b.toTriple) }.sortBy(_._1)
+    def perClassResult: Seq[(Long, Triple)] =
+      byClass.toSeq.map { case (k, b) => (k, b.toTriple) }.sortBy(_._1)
 
     // ---- dense categorical fast path (flat mode) -------------------
     // The ladder (tools/ColProfile) shows the per-row LongMap probes of
@@ -988,6 +1013,7 @@ object ColumnarCofactor {
     private var derBufs: Array[Array[Double]] = _
     private var numBufs: Array[Array[Double]] = _ // spec order, aliases raw/der
     private var catBufs: Array[Array[Int]] = _
+    private var labelBuf: Array[Long] = _ // labelMode: the class-key channel
     private var sel: Array[Int] = _
     private var maskBuf: Array[Byte] = _
 
@@ -1002,7 +1028,10 @@ object ColumnarCofactor {
         else { numBufs(k) = derBufs(di); di += 1 }
         k += 1
       }
-      catBufs = Array.fill(p.catCols)(new Array[Int](cap))
+      // labelMode: the last cat spec decodes into labelBuf, so its int
+      // slot is never read — don't allocate it
+      catBufs = Array.fill(if (labelMode) p.catCols - 1 else p.catCols)(new Array[Int](cap))
+      if (labelMode) labelBuf = new Array[Long](cap)
       sel = new Array[Int](cap)
     }
 
@@ -1093,6 +1122,84 @@ object ColumnarCofactor {
         i += 1
       }
       key
+    }
+
+    /** [[packShort]] into the LONG label channel: 1–8 UTF-8 bytes. */
+    private def packShortWide(v: ColumnVector, row: Int, colName: => String): Long = {
+      val u = v.getUTF8String(row)
+      val nb = u.numBytes
+      if (nb > 8)
+        throw new IllegalArgumentException(
+          s"CatShortString label: column $colName has a $nb-byte value ('$u') — " +
+          "only values up to 8 UTF-8 bytes pack; dictionary-encode wider strings to an int column")
+      var key = 0L
+      var i = 0
+      while (i < nb) {
+        val b = u.getByte(i) & 0xff
+        if (b == 0)
+          throw new IllegalArgumentException(
+            s"CatShortString label: column $colName has a value with an embedded NUL byte — " +
+            "base-256 packing cannot distinguish it from a shorter value")
+        key = (key << 8) | b
+        i += 1
+      }
+      key
+    }
+
+    /** Decode the label column (the LAST compiled cat spec) into the
+      * Long channel: full-range long keys need no 2^32 guard, and
+      * [[CatShortString]] packs up to 8 bytes here. Every kind the
+      * int cat decode supports is covered, so any spec is usable in
+      * label position. */
+    private def fillLabelLong(kind: Int, ords: Array[Int], ts: Array[Int],
+                              batch: ColumnarBatch, out: Array[Long],
+                              s: Array[Int], n: Int): Unit = {
+      var r = 0
+      kind match {
+        case 0 =>
+          val v = batch.column(ords(0))
+          ts(0) match {
+            case T_INT =>
+              if (s == null) while (r < n) { out(r) = v.getInt(r).toLong; r += 1 }
+              else while (r < n) { out(r) = v.getInt(s(r)).toLong; r += 1 }
+            case T_LONG =>
+              if (s == null) while (r < n) { out(r) = v.getLong(r); r += 1 }
+              else while (r < n) { out(r) = v.getLong(s(r)); r += 1 }
+            case T_SHORT =>
+              if (s == null) while (r < n) { out(r) = v.getShort(r).toLong; r += 1 }
+              else while (r < n) { out(r) = v.getShort(s(r)).toLong; r += 1 }
+            case T_BYTE =>
+              if (s == null) while (r < n) { out(r) = v.getByte(r).toLong; r += 1 }
+              else while (r < n) { out(r) = v.getByte(s(r)).toLong; r += 1 }
+          }
+        case 1 =>
+          val v = batch.column(ords(0))
+          ts(0) match {
+            case T_TS =>
+              if (s == null) while (r < n) { out(r) = yearOfMicros(v.getLong(r)).toLong; r += 1 }
+              else while (r < n) { out(r) = yearOfMicros(v.getLong(s(r))).toLong; r += 1 }
+            case T_DATE =>
+              if (s == null) while (r < n) { out(r) = civilYear(v.getInt(r).toLong).toLong; r += 1 }
+              else while (r < n) { out(r) = civilYear(v.getInt(s(r)).toLong).toLong; r += 1 }
+            case T_TS_NTZ =>
+              if (s == null) while (r < n) { out(r) = civilYear(Math.floorDiv(v.getLong(r), MicrosPerDay)).toLong; r += 1 }
+              else while (r < n) { out(r) = civilYear(Math.floorDiv(v.getLong(s(r)), MicrosPerDay)).toLong; r += 1 }
+          }
+        case 2 =>
+          if (s == null) while (r < n) {
+            var key = 0L; var q = 0
+            while (q < ords.length) { key = (key << 8) | packByte(batch.column(ords(q)), r, s"#${ords(q)}"); q += 1 }
+            out(r) = key; r += 1
+          } else while (r < n) {
+            var key = 0L; var q = 0
+            while (q < ords.length) { key = (key << 8) | packByte(batch.column(ords(q)), s(r), s"#${ords(q)}"); q += 1 }
+            out(r) = key; r += 1
+          }
+        case 3 =>
+          val o = ords(0)
+          if (s == null) while (r < n) { out(r) = packShortWide(batch.column(o), r, s"#$o"); r += 1 }
+          else while (r < n) { out(r) = packShortWide(batch.column(o), s(r), s"#$o"); r += 1 }
+      }
     }
 
     def addBatch(batch: ColumnarBatch): Unit = {
@@ -1208,8 +1315,14 @@ object ColumnarCofactor {
       }
       if (stage == 3) return // profile: + numeric moments
 
+      // labelMode: the LAST compiled cat spec is the class key and
+      // decodes into the LONG channel instead of the int cat buffers
+      val nIntCats = if (labelMode) p.catCols - 1 else p.catCols
+      if (labelMode)
+        fillLabelLong(p.catKind(p.catCols - 1), p.catOrds(p.catCols - 1),
+          p.catT(p.catCols - 1), batch, labelBuf, s, n)
       j = 0
-      while (j < p.catCols) {
+      while (j < nIntCats) {
         if (p.catKind(j) == 2) {
           val os = p.catOrds(j)
           val out = catBufs(j)
@@ -1240,7 +1353,7 @@ object ColumnarCofactor {
         // buffer row-at-a-time — kernel arithmetic is free next to the
         // scan (ColProfile), so the flat path's vectorized moments are
         // not worth a per-class gather
-        val labels = catBufs(p.catCols - 1)
+        val labels = labelBuf
         val cEff = p.catCols - 1
         var r = 0
         while (r < n) {

@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -124,8 +125,11 @@ private[graft] object TextQuality {
 
 /** `lang_id(text)` → 'de'|'en'|'es'|'fr'|'it'|'und' — the stopword-hit
   * language heuristic as ONE byte-level pass (81 s → scan-floor at
-  * sf10; the q13 oracle replicates the tables and tie-break in SQL). */
-case class LangId(child: Expression) extends UnaryExpression with CodegenFallback {
+  * sf10; the q13 oracle replicates the tables and tie-break in SQL).
+  * Codegen emits one instance-method call (the TokenStats pattern), so
+  * a projection mixing this with other expressions keeps whole-stage
+  * codegen — the kernel itself is the same tight byte walk either way. */
+case class LangId(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   // NULL text → 'und', NOT NULL: the Column formulation this replaces
   // ends in when(best.score > 0, lang).otherwise('und'), and a NULL
@@ -135,11 +139,31 @@ case class LangId(child: Expression) extends UnaryExpression with CodegenFallbac
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got ${child.dataType}")
 
+  /** The interpreted and generated paths share this kernel entry. */
+  def evalLang(u: UTF8String): UTF8String = {
+    val (counts, _) = TextQuality.countHits(u)
+    TextQuality.bestLang(counts)
+  }
+  def undValue(): UTF8String = TextQuality.und
+
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
-    if (v == null) return TextQuality.und
-    val (counts, _) = TextQuality.countHits(v.asInstanceOf[UTF8String])
-    TextQuality.bestLang(counts)
+    if (v == null) TextQuality.und else evalLang(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = classOf[LangId].getName
+    val ref = ctx.addReferenceObj("langId", this, cls)
+    val childGen = child.genCode(ctx)
+    // non-nullable output: a NULL input maps to 'und', so the result
+    // carries no isNull flag of its own
+    val resultCode =
+      s"""
+         |${childGen.code}
+         |UTF8String ${ev.value} = ${childGen.isNull}
+         |  ? (($cls) $ref).undValue() : (($cls) $ref).evalLang(${childGen.value});
+       """.stripMargin
+    ev.copy(code = code"$resultCode", isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): LangId =
@@ -148,9 +172,11 @@ case class LangId(child: Expression) extends UnaryExpression with CodegenFallbac
 }
 
 /** `stopword_ratio(text, 'en')` → stopword hits / token count (0.0 for
-  * an empty token array) — same one-pass kernel, one language. */
+  * an empty token array) — same one-pass kernel, one language. Codegen
+  * emits one instance-method call, keeping mixed projections inside
+  * whole-stage codegen. */
 case class StopwordRatio(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -170,9 +196,21 @@ case class StopwordRatio(left: Expression, right: Expression)
   @transient private lazy val langIdx: Int =
     TextQuality.langs.indexOf(right.eval().toString)
 
-  override def nullSafeEval(t: Any, l: Any): Any = {
-    val (counts, nTok) = TextQuality.countHits(t.asInstanceOf[UTF8String])
+  /** The interpreted and generated paths share this kernel entry. */
+  def evalRatio(t: UTF8String): Double = {
+    val (counts, nTok) = TextQuality.countHits(t)
     if (nTok == 0) 0.0 else counts(langIdx).toDouble / nTok
+  }
+
+  override def nullSafeEval(t: Any, l: Any): Any =
+    evalRatio(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = classOf[StopwordRatio].getName
+    val ref = ctx.addReferenceObj("stopwordRatio", this, cls)
+    // the language operand is a validated foldable literal (analysis
+    // rejects anything else); only the text child feeds the kernel
+    nullSafeCodeGen(ctx, ev, (t, _) => s"${ev.value} = (($cls) $ref).evalRatio($t);")
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): StopwordRatio =

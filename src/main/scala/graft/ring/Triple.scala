@@ -150,8 +150,11 @@ object Triple {
 
   /** Per-class ring addition of two (label, triple) sets: matching labels
     * are [[add]]ed, labels present on only one side pass through (a class
-    * can live entirely in one stratum). Sorted by label. */
-  def addPerClass(a: Seq[(Int, Triple)], b: Seq[(Int, Triple)]): Seq[(Int, Triple)] = {
+    * can live entirely in one stratum). Sorted by label. Generic over the
+    * label type so the Int-keyed ML surface and the Long-keyed grouped
+    * kernel (wide string / long group keys) share one merge. */
+  def addPerClass[K](a: Seq[(K, Triple)], b: Seq[(K, Triple)])
+                    (implicit ord: Ordering[K]): Seq[(K, Triple)] = {
     val am = a.toMap; val bm = b.toMap
     (am.keySet ++ bm.keySet).toSeq.sorted.map { k =>
       (am.get(k), bm.get(k)) match {

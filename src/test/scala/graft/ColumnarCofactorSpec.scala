@@ -454,6 +454,35 @@ class ColumnarCofactorSpec extends AnyFunSuite {
     c.keys.foreach(k => assert(c(k).approxEquals(a(k), 1e-9), s"capped group $k differs"))
   }
 
+  test("cofactorGrouped: full-range LONG keys (past 2^32) ride the kernel's Long label channel") {
+    // group ids that alias modulo 2^32 ((1<<32)+5 vs 5) must form
+    // DISTINCT groups on the kernel route — the old int label either
+    // threw or merged; the Long channel carries them natively
+    val tmp = java.nio.file.Files.createTempDirectory("glong").toString
+    Seq((5L, 1.0), ((1L << 32) + 5L, 2.0), (5L, 3.0), ((1L << 40) - 1L, 4.0))
+      .toDF("k", "x").write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
+    val viaKernel = Graft.cofactorGrouped(df, "k", Seq("x"), Seq())
+    assert(Graft.lastGroupedRoute() == "columnar", "long keys must ride the kernel")
+    val viaRow = Graft.cofactorGrouped(df.repartition(2), "k", Seq("x"), Seq())
+    assert(Graft.lastGroupedRoute() == "row")
+    val a = viaKernel.collect().map(r => r.getLong(0) -> Graft.tripleFromRow(r.getStruct(1))).toMap
+    val b = viaRow.collect().map(r => r.getLong(0) -> Graft.tripleFromRow(r.getStruct(1))).toMap
+    assert(a.keySet == Set(5L, (1L << 32) + 5L, (1L << 40) - 1L))
+    assert(a.keySet == b.keySet)
+    a.keys.foreach(k => assert(a(k).approxEquals(b(k), 1e-9), s"group $k differs"))
+
+    // the INT-keyed ML surface keeps its fail-loud contract: a label
+    // outside int range raises ArithmeticException instead of truncating
+    val ex = intercept[Exception] {
+      ColumnarCofactor.cofactorPerClass(df, Seq(NumCol("x")), Nil, CatCol("k"))
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.isInstanceOf[ArithmeticException]),
+      s"expected ArithmeticException in cause chain, got $ex")
+  }
+
   test("cofactorGrouped: short string keys (1-4 bytes) ride the kernel; wider routes to the row aggregate") {
     // l_returnflag is a single-char flag: the shape probe reports exact
     // max packable width 1 and the key packs through CatShortString as
@@ -494,16 +523,34 @@ class ColumnarCofactorSpec extends AnyFunSuite {
     assert(a4.contains("") && a4.contains("é") && !a4.keySet.exists(_ == null))
     a4.keys.foreach(k => assert(a4(k).approxEquals(b4(k), 1e-9), s"group '$k' differs"))
 
-    // a >4-byte key must be rerouted UP FRONT by the probe's exact
-    // width check — no mid-job CatShortString throw — with identical
-    // grouping from the row aggregate
+    // 5–8-byte keys ("group0".."group6", 6 bytes — the en-US/SKU width
+    // past the int label) pack into the kernel's LONG label channel —
+    // route asserted, parity vs the row aggregate
     val tmp = java.nio.file.Files.createTempDirectory("gstr").toFile.getAbsolutePath
     spark.range(5000).select(
       concat(lit("group"), (col("id") % 7).cast("string")).as("k"),
       (col("id") % 97).cast("double").as("x")).write.mode("overwrite").parquet(tmp)
-    val wide = Graft.cofactorGrouped(spark.read.parquet(tmp), "k", Seq("x"), Seq())
-    assert(Graft.lastGroupedRoute() == "row", "a >4-byte string key must take the row aggregate")
-    assert(wide.count() == 7)
+    val df6 = spark.read.parquet(tmp)
+    val wide = Graft.cofactorGrouped(df6, "k", Seq("x"), Seq())
+    assert(Graft.lastGroupedRoute() == "columnar",
+      "5-8-byte string keys must ride the kernel's Long label channel")
+    val wideRow = Graft.cofactorGrouped(df6.repartition(4), "k", Seq("x"), Seq())
+    assert(Graft.lastGroupedRoute() == "row")
+    val a6 = wide.collect().map(r => r.getString(0) -> Graft.tripleFromRow(r.getStruct(1))).toMap
+    val b6 = wideRow.collect().map(r => r.getString(0) -> Graft.tripleFromRow(r.getStruct(1))).toMap
+    assert(a6.keySet == b6.keySet && a6.keySet.size == 7)
+    a6.keys.foreach(k => assert(a6(k).approxEquals(b6(k), 1e-9), s"group '$k' differs"))
+
+    // a >8-byte key must be rerouted UP FRONT by the probe's exact
+    // width check — no mid-job CatShortString throw — with identical
+    // grouping from the row aggregate
+    val tmp9 = java.nio.file.Files.createTempDirectory("gstr9").toFile.getAbsolutePath
+    spark.range(5000).select(
+      concat(lit("verywide"), (col("id") % 7).cast("string")).as("k"), // 9 bytes
+      (col("id") % 97).cast("double").as("x")).write.mode("overwrite").parquet(tmp9)
+    val tooWide = Graft.cofactorGrouped(spark.read.parquet(tmp9), "k", Seq("x"), Seq())
+    assert(Graft.lastGroupedRoute() == "row", "a >8-byte string key must take the row aggregate")
+    assert(tooWide.count() == 7)
 
     // an embedded NUL byte defeats base-256 injectivity ("A" vs NUL+"A")
     // — the probe's NUL scan must reroute to the row aggregate up front

@@ -134,4 +134,22 @@ class TextQualitySpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("unsupported language"))
   }
+
+  test("lang_id/stopword_ratio stay inside whole-stage codegen in a mixed projection") {
+    // the TokenStats doGenCode pattern: one instance-method call, so a
+    // projection mixing these with other expressions keeps WSCG for
+    // everything in the stage (the old CodegenFallback dropped the
+    // whole projection to interpreted eval). Non-foldable source needed
+    // (a local relation constant-folds to LocalTableScan).
+    val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(
+        TextFunctions.langId(col("text")).as("lid"),
+        TextFunctions.stopwordRatio(col("text"), "en").as("sw"),
+        (length(col("text")) * 2).as("other"))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("lang_id")),
+      s"lang_id must not break WSCG:\n$plan")
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("stopword_ratio")),
+      s"stopword_ratio must not break WSCG:\n$plan")
+  }
 }

@@ -127,6 +127,39 @@ queries = {
       SELECT doc_id, len(string_split_regex(trim(text), '\\s+')),
              len(list_distinct(string_split_regex(trim(text), '\\s+'))), length(text)
       FROM documents""",
+    # the fused byte-level text kernels (graft: sf10_lang_id /
+    # sf10_quality_score — q13/q12's oracle SQL, the honest DuckDB
+    # formulation of the same heuristics). minhash_prepare has no SQL
+    # equivalent (signature+band arrays), so that row is graft-only.
+    "lang_id": """
+      WITH langs(lang, words) AS (VALUES
+        ('de', ['der','die','das','und','ist','nicht','ein','eine','mit','für','auf','von']),
+        ('en', ['the','a','of','and','to','in','is','it','that','for','on','with','as']),
+        ('es', ['el','la','los','las','y','es','un','una','para','en','que','de']),
+        ('fr', ['le','la','les','et','est','un','une','pour','dans','que','des','du']),
+        ('it', ['il','lo','la','e','è','un','una','per','che','di','non','con'])),
+      tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+              FROM documents),
+      scored AS (SELECT doc_id, lang,
+                        len(list_filter(ts, t -> list_contains(words, t))) AS score
+                 FROM tok, langs),
+      best AS (SELECT doc_id, lang, score,
+                      row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, lang DESC) AS rn
+               FROM scored)
+      SELECT CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
+             count(*) AS cnt
+      FROM best WHERE rn = 1
+      GROUP BY 1 ORDER BY lang_pred""",
+    "quality_score": """
+      SELECT doc_id,
+             floor(least(1.0, length(text) / 500.0)
+                   * (len(list_distinct(string_split_regex(trim(text), '\\s+')))::DOUBLE
+                      / len(string_split_regex(trim(text), '\\s+')))
+                   * greatest(0.0, 1.0 - (len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
+                                          / length(text)) * 4.0)
+                   * 10000 + 0.5) / 10000 AS quality
+      FROM documents ORDER BY doc_id""",
     # DuckDB's NATIVE asof / inequality joins (graft: q44 / q46)
     "asof_join": """
       WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t FROM events),
