@@ -415,25 +415,73 @@ object Graft {
     val isStrKey = keyType.contains(StringType)
     val numSpecs = num.map(graft.agg.ColumnarCofactor.NumCol)
     val catSpecs = cat.map(graft.agg.ColumnarCofactor.CatCol)
+    val viaKernel = groupedKernelGate(df, key, num, cat, nb, maxGroups,
+        requireNoNulls = false)
+      .flatMap(ls => graft.agg.ColumnarCofactor.cofactorPerClassLong(
+        df, numSpecs, catSpecs, ls, nbMode = nb))
+    viaKernel match {
+      case Some(groups) =>
+        lastGroupedRouteTL.set("columnar")
+        val schema = StructType(Seq(
+          StructField(keyField.get.name, keyType.get),
+          StructField("t", graft.agg.TripleCodec.dataType(nb))))
+        val rows: java.util.List[Row] = java.util.Arrays.asList(
+          groups.map { case (k, t) =>
+            val kv: Any =
+              if (isStrKey) graft.agg.ColumnarCofactor.unpackShortString(k)
+              else if (keyType.get == LongType) k
+              else k.toInt
+            Row(kv, tripleToRow(t, nb))
+          }: _*)
+        df.sparkSession.createDataFrame(rows, schema)
+      case None =>
+        lastGroupedRouteTL.set("row")
+        val cols = num.map(c => col(c).cast("double")) ++ cat.map(c => col(c).cast("int"))
+        val agg = if (nb) sumNbAgg(cols: _*) else sumTriple(cols: _*)
+        df.filter(col(key).isNotNull).groupBy(col(key)).agg(agg.as("t"))
+    }
+  }
+
+  /** Kernel-route eligibility for a single-key grouped cofactor — the
+    * shared gate behind [[cofactorGrouped]] and the SQL planner strategy
+    * ([[graft.plans.GroupedCofactorStrategy]]). Ordered cheapest-first:
+    * key-type check and plan-shape refusal are driver-only; the shape
+    * probe (ONE memoized fixed-memory scan) runs only on structurally
+    * harvestable plans. Returns the label spec when every gate passes.
+    * `requireNoNulls` additionally demands zero NULLs in the key AND
+    * every aggregated column — the SQL surface keeps default-aggregate
+    * semantics exactly (a NULL group survives; a group whose rows all
+    * carry a NULL input still appears with an empty triple), both shapes
+    * the kernel's skip-any-NULL-row contract cannot reproduce. */
+  private[graft] def groupedKernelGate(df: DataFrame, key: String,
+      num: Seq[String], cat: Seq[String], nb: Boolean, maxGroups: Int,
+      requireNoNulls: Boolean): Option[graft.agg.ColumnarCofactor.CatSpec] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    val resolver = df.sparkSession.sessionState.analyzer.resolver
+    val keyType = df.schema.find(f => resolver(f.name, key)).map(_.dataType)
+    val isStrKey = keyType.contains(StringType)
+    val numSpecs = num.map(graft.agg.ColumnarCofactor.NumCol)
+    val catSpecs = cat.map(graft.agg.ColumnarCofactor.CatCol)
     val labelSpec: Option[graft.agg.ColumnarCofactor.CatSpec] =
       if (keyType.exists(t => t == IntegerType || t == LongType))
         Some(graft.agg.ColumnarCofactor.CatCol(key))
       else if (isStrKey) Some(graft.agg.ColumnarCofactor.CatShortString(key))
       else None
-    val viaKernel = labelSpec match {
+    labelSpec match {
       case None => None
       // plan-shape refusal first: it is driver-only, while the shape
       // probe scans — never pay a scan for a plan the kernel was never
       // going to take
       case Some(ls) if !graft.agg.ColumnarCofactor.canHarvest(df, numSpecs, catSpecs :+ ls) =>
         None
-      case Some(ls) =>
+      case some @ Some(_) =>
         // one cheap fixed-memory probe scan, MEMOIZED per (plan, key,
         // cats, file snapshot); ±5% HLL error only softens the cap's
         // edge (a few % more buffers), never its magnitude. Key width
         // is exact (max over the scan), so the string gate is hard.
-        val (rows, keyCard, keyWidth, catCards) =
-          graft.ml.Factorized.probeGroupedShape(df, key, cat, isStrKey)
+        val (rows, keyCard, keyWidth, catCards, anyNull) =
+          graft.ml.Factorized.probeGroupedShape(df, key, cat, isStrKey,
+            nullCols = if (requireNoNulls) (key +: num) ++ cat else Seq())
         val rpk = rows.toDouble / math.max(1L, keyCard)
         // measured per-group buffer estimate: packed quad + lin fixed
         // part, plus per-cat maps bounded by min(cardinality, rows per
@@ -466,29 +514,8 @@ object Graft {
             ((64L << 20) / math.max(1.0, bufBytes)).toLong)
         if (isStrKey && keyWidth > 8) None
         else if (keyCard > groupCap) None
-        else graft.agg.ColumnarCofactor.cofactorPerClassLong(
-          df, numSpecs, catSpecs, ls, nbMode = nb)
-    }
-    viaKernel match {
-      case Some(groups) =>
-        lastGroupedRouteTL.set("columnar")
-        val schema = StructType(Seq(
-          StructField(keyField.get.name, keyType.get),
-          StructField("t", graft.agg.TripleCodec.dataType(nb))))
-        val rows: java.util.List[Row] = java.util.Arrays.asList(
-          groups.map { case (k, t) =>
-            val kv: Any =
-              if (isStrKey) graft.agg.ColumnarCofactor.unpackShortString(k)
-              else if (keyType.get == LongType) k
-              else k.toInt
-            Row(kv, tripleToRow(t, nb))
-          }: _*)
-        df.sparkSession.createDataFrame(rows, schema)
-      case None =>
-        lastGroupedRouteTL.set("row")
-        val cols = num.map(c => col(c).cast("double")) ++ cat.map(c => col(c).cast("int"))
-        val agg = if (nb) sumNbAgg(cols: _*) else sumTriple(cols: _*)
-        df.filter(col(key).isNotNull).groupBy(col(key)).agg(agg.as("t"))
+        else if (requireNoNulls && anyNull) None
+        else some
     }
   }
 

@@ -1780,6 +1780,38 @@ object SparkEntry {
         round(col("t.lin")(0), 2).as("sum_chars"),
         round(col("t.quad")(0) / col("t.n"), 2).as("avg_sq_chars"))
         .orderBy(col("source"))
+    },
+    // the SQL surface on the grouped kernel: spark.sql GROUP BY +
+    // sum_to_triple plans as GroupedCofactorKernelExec through the
+    // opt-in planner strategy (GroupedCofactorStrategy — installed via
+    // experimental.extraStrategies, the q67 convention), giving SQL the
+    // same columnar route the Scala API (q78/q79) rides. The plan is
+    // ASSERTED to carry the kernel exec node, and rows are COLLECTED
+    // while the strategy is installed so the driver hashes the kernel's
+    // own output (the q67 lesson: a later re-planning without the
+    // strategy would silently certify the default plan).
+    "q81_grouped_sql_kernel" -> { (s, dir) =>
+      Graft.register(s)
+      li(s, dir).createOrReplaceTempView("lineitem_q81")
+      val saved = s.experimental.extraStrategies
+      s.experimental.extraStrategies = saved :+ graft.plans.GroupedCofactorStrategy(s)
+      try {
+        val q = s.sql(
+          """SELECT l_suppkey,
+            |       sum_to_triple(l_quantity, l_extendedprice, l_linenumber) AS t
+            |FROM lineitem_q81 GROUP BY l_suppkey""".stripMargin)
+        require(q.queryExecution.executedPlan.toString.contains("GroupedCofactorKernel"),
+          "q81: the SQL grouped aggregate must plan through the kernel strategy")
+        val out = q.select(
+          col("l_suppkey"),
+          col("t.n").as("n_rows"),
+          round(col("t.lin")(0), 2).as("sum_qty"),
+          round(col("t.quad")(1) / col("t.n"), 2).as("avg_qty_price"),
+          size(col("t.lin_cat")(0)).cast("long").as("n_lines"))
+          .orderBy(col("l_suppkey"))
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally s.experimental.extraStrategies = saved
     }
   )
 
@@ -3012,6 +3044,12 @@ object SparkEntry {
       """SELECT source, count(*) AS n_rows,
         |       round(CAST(sum(n_chars) AS DOUBLE), 2) AS sum_chars,
         |       round(CAST(avg(n_chars * n_chars) AS DOUBLE), 2) AS avg_sq_chars
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q81_grouped_sql_kernel" ->
+      """SELECT l_suppkey, count(*) AS n_rows,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(avg(l_quantity * l_extendedprice), 2) AS avg_qty_price,
+        |       count(DISTINCT l_linenumber) AS n_lines
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -745,10 +745,10 @@ object Factorized {
     * the 256-entry bound is the same leak bound as the other caches. */
   private val shapeCache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Long),
-      (Long, Long, Int, Seq[Long])](16, 0.75f, true) {
+      (Long, Long, Int, Seq[Long], Boolean)](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Long),
-            (Long, Long, Int, Seq[Long])]): Boolean = size() > 256
+            (Long, Long, Int, Seq[Long], Boolean)]): Boolean = size() > 256
     })
 
   /** Grouped-route shape probe (`Graft.cofactorGrouped`'s gate), ONE
@@ -763,9 +763,11 @@ object Factorized {
     * the same (plan, tag, file fingerprint) discipline as the other
     * probes. */
   private[graft] def probeGroupedShape(df: DataFrame, key: String, cats: Seq[String],
-                                       keyIsString: Boolean): (Long, Long, Int, Seq[Long]) = {
+                                       keyIsString: Boolean,
+                                       nullCols: Seq[String] = Seq()): (Long, Long, Int, Seq[Long], Boolean) = {
     val ck = (df.queryExecution.analyzed.canonicalized,
-      "gshape:" + (key +: cats).mkString("") + ":" + keyIsString,
+      "gshape:" + (key +: cats).mkString("") + ":" + keyIsString +
+        ":" + nullCols.mkString(""),
       snapshotFingerprint(df))
     val cached = shapeCache.get(ck)
     if (cached != null) cached
@@ -779,14 +781,22 @@ object Factorized {
              // injective ('A' vs "<NUL>A"); reported as unpackable
              max(locate(0.toChar.toString, col(key))).as("__graft_nul"))
          else Nil) ++
-        cats.map(c => approx_count_distinct(col(c)))
+        cats.map(c => approx_count_distinct(col(c))) ++
+        // count(col) < count(*) iff the column holds a NULL: callers
+        // with keep-every-row semantics (the SQL grouped-kernel
+        // strategy, where a NULL group and null-skipped rows must match
+        // the default aggregate exactly) gate on any-null-anywhere
+        nullCols.map(c => count(col(c)))
       val r = df.agg(aggs.head, aggs.tail: _*).head
       val base = if (keyIsString) 4 else 2
       val w = if (!keyIsString) -1
               else if (r.isNullAt(2) || r.getInt(3) > 0) Int.MaxValue
               else r.getInt(2)
-      val v = (r.getLong(0), r.getLong(1), w,
-        cats.indices.map(i => r.getLong(base + i)).toVector)
+      val rows = r.getLong(0)
+      val nullBase = base + cats.size
+      val anyNull = nullCols.indices.exists(i => r.getLong(nullBase + i) < rows)
+      val v = (rows, r.getLong(1), w,
+        cats.indices.map(i => r.getLong(base + i)).toVector, anyNull)
       shapeCache.put(ck, v)
       v
     }

@@ -16,6 +16,16 @@ object ColumnBridge {
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** DataFrame over an already-analyzed logical plan (`private[sql]`
+    * `Dataset.ofRows`) — the planner-strategy path needs to hand a
+    * matched Aggregate's CHILD back to library entry points that take
+    * DataFrames ([[graft.Graft.groupedKernelGate]], the columnar
+    * kernel), and there is no public constructor from a LogicalPlan. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Rebuild `origin` as a DataFrame over an already-materialized
     * internal-row RDD, CARRYING the executed plan's
     * `outputPartitioning`/ordering (via the `private[sql]`

@@ -263,4 +263,60 @@ class PlansSpec extends AnyFunSuite {
     assert(coarse.toString.contains("multiply_triple"),
       s"rule should fire on a coarse key:\n$coarse")
   }
+
+  test("SQL grouped-kernel strategy: engages on the clean shape, matches the default plan, declines edge shapes") {
+    Graft.register(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("gsql").toFile.getAbsolutePath
+    spark.range(6000).select(
+      (col("id") % 7).cast("int").as("k"),
+      (col("id") % 97).cast("double").as("x"),
+      (col("id") % 13).cast("double").as("y"),
+      (col("id") % 3).cast("int").as("c")).write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).createOrReplaceTempView("gsql_t")
+    val sql = "SELECT k, sum_to_triple(x, y, c) AS t FROM gsql_t GROUP BY k"
+    // reference result: the DEFAULT plan (no strategy installed)
+    val expected = spark.sql(sql).collect()
+      .map(r => r.getInt(0) -> Graft.tripleFromRow(r.getStruct(1))).toMap
+    val saved = spark.experimental.extraStrategies
+    spark.experimental.extraStrategies = saved :+ graft.plans.GroupedCofactorStrategy(spark)
+    try {
+      val q = spark.sql(sql)
+      assert(q.queryExecution.executedPlan.toString.contains("GroupedCofactorKernel"),
+        s"strategy must plan the kernel exec:\n${q.queryExecution.executedPlan}")
+      val got = q.collect().map(r => r.getInt(0) -> Graft.tripleFromRow(r.getStruct(1))).toMap
+      assert(got.keySet == expected.keySet && got.nonEmpty)
+      got.keys.foreach(k => assert(got(k).approxEquals(expected(k), 1e-9), s"group $k differs"))
+
+      // aliased key + reversed projection order still routes and aligns columns
+      val q2 = spark.sql("SELECT sum_to_triple(x, y) AS t, k AS grp FROM gsql_t GROUP BY k")
+      assert(q2.queryExecution.executedPlan.toString.contains("GroupedCofactorKernel"))
+      val got2 = q2.collect().map(r => r.getInt(1) -> Graft.tripleFromRow(r.getStruct(0))).toMap
+      assert(got2.keySet == expected.keySet)
+      got2.keys.foreach(k => assert(got2(k).n == expected(k).n, s"q2 group $k row count differs"))
+
+      // DECLINES (default plan, no kernel node): two grouping keys
+      val twoKeys = spark.sql("SELECT k, c, sum_to_triple(x) AS t FROM gsql_t GROUP BY k, c")
+      assert(!twoKeys.queryExecution.executedPlan.toString.contains("GroupedCofactorKernel"))
+      assert(twoKeys.count() == 21)
+
+      // NULL-bearing key: SQL keeps the NULL group — the strategy's
+      // no-nulls probe must refuse, and the default plan must deliver
+      // the NULL group intact
+      val tmpN = java.nio.file.Files.createTempDirectory("gsqlN").toFile.getAbsolutePath
+      spark.range(100).select(
+        when(col("id") % 10 === 0, lit(null).cast("int"))
+          .otherwise((col("id") % 5).cast("int")).as("k"),
+        col("id").cast("double").as("x")).write.mode("overwrite").parquet(tmpN)
+      spark.read.parquet(tmpN).createOrReplaceTempView("gsql_n")
+      val qn = spark.sql("SELECT k, sum_to_triple(x) AS t FROM gsql_n GROUP BY k")
+      assert(!qn.queryExecution.executedPlan.toString.contains("GroupedCofactorKernel"),
+        "NULL-bearing key must refuse the kernel route (SQL keeps the NULL group)")
+      assert(qn.count() == 6, "5 non-null groups + the NULL group")
+
+      // non-harvestable child (exchange) declines
+      val qx = spark.sql(
+        "SELECT k, sum_to_triple(x) AS t FROM (SELECT DISTINCT k, x FROM gsql_t) GROUP BY k")
+      assert(!qx.queryExecution.executedPlan.toString.contains("GroupedCofactorKernel"))
+    } finally spark.experimental.extraStrategies = saved
+  }
 }
