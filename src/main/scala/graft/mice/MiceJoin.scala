@@ -258,23 +258,79 @@ object MiceJoin {
     // Mice.prepare is recompute-safe — its mean/mode aggregate runs
     // once eagerly and lands in the plan as literals.
     val prepared = tm.time("prepare")(Mice.prepare(fact, miceCfg))
-    var cur =
+    val base =
       if (Graft.isNarrowPlan(fact)) prepared
       else tm.time("prepare")(prepared.transform(Graft.checkpoint))
-    val outCols = cur.columns.toSeq
+    val outCols = base.columns.toSeq
     val numAll = cfg.factNum ++ dimNumAll
     val catAll = cfg.factCat ++ dimCatAll
     val order = cfg.imputeCat ++ cfg.imputeCont // categorical first, the baseline order
+
+    // The generation lives as DISJOINT BRANCHES whose union is the
+    // current completed dataset, instead of one frame re-materialized
+    // whole per column step. The round-15 sf100 measurement that forced
+    // this: at 3 iterations the old whole-generation checkpoint cost
+    // 212 s of 600M-row materializations per run (the observed ~86%
+    // never changed that step) and the checkpointed UNION carried no
+    // partitioning, so every post-round-1 training aggregate re-paid a
+    // full exchange the bucketed layout had made free (cofactor 5.3 →
+    // 65 s). Branches fix both at once:
+    //  - only each step's UPDATED stratum (the missing fraction) is
+    //    checkpointed, layout-preserved per SOURCE branch — the
+    //    missing ⋈ dim join output is co-partitioned on the key, and
+    //    Graft.checkpoint keeps that, so next iteration's update join
+    //    is again zero-exchange;
+    //  - the observed remainder of every branch stays a LAZY filter
+    //    over its own cheap leaf (the bucketed scan or an existing
+    //    checkpoint), so the training cofactor runs per branch on
+    //    well-partitioned inputs and the triples RING-ADD (disjoint
+    //    row sets — Triple.add is exactly the union of row sets).
+    // Flag-derived pruning keeps the branch count at ~k+1 for k imputed
+    // columns: `allFlag` marks columns every row of the branch has
+    // flagged (an updated stratum for c is all-flag_c by construction —
+    // its observed part for c is EMPTY, skip without a scan), `noFlag`
+    // the columns no row has flagged (an observed remainder — its
+    // missing part for c is empty likewise). Flags are immutable
+    // (originally-missing markers), so the sets are exact, not
+    // heuristic. A pathological multi-column chain could still fragment
+    // the generation; past 12 branches the step coalesces back to one
+    // whole-generation checkpoint — the old behavior as safety valve.
+    final case class Gen(df: DataFrame, allFlag: Set[String], noFlag: Set[String],
+                         isCkpt: Boolean)
+    var branches: Seq[Gen] = Seq(Gen(base, Set.empty, Set.empty, isCkpt = !Graft.isNarrowPlan(fact)))
+    // Run-scoped training-triple memo, keyed by the observed part's
+    // CANONICALIZED plan: branch data is immutable within the run (the
+    // base scan, materialized checkpoints), so a plan-identical observed
+    // part across iterations carries the identical triple — for a
+    // single imputed column the whole observed stratum is loop-invariant
+    // and iterations 2..n retrain for free; for k columns every base-
+    // branch stratum repeats per iteration likewise. Scoped to this
+    // call: no global cache, no staleness surface beyond the in-run
+    // file-rewrite case every memoized probe already documents.
+    val tripleMemo = scala.collection.mutable.HashMap[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, graft.ring.Triple]()
+
     for (iter <- 1 to cfg.iterations) {
       for (c <- order) {
-        val observed = cur.filter(!col(Mice.flag(c)))
-        val missing = cur.filter(col(Mice.flag(c)))
+        val fl = Mice.flag(c)
         // the training cofactor sees the WHOLE star through chained
         // per-key triples (block layout [factNum ++ dim1.num ++ …,
         // factCat ++ dim1.cat ++ …] — exactly Mice.baseline's column
-        // order on the materialized star join)
-        val triple = tm.time("cofactor")(Factorized.cofactorOverStar(
-          observed, cfg.factNum, cfg.factCat, dims, cfg.minRowsPerKey))
+        // order on the materialized star join); summed over branches
+        val observedParts: Seq[DataFrame] = branches.flatMap { b =>
+          if (b.allFlag.contains(c)) None
+          else if (b.noFlag.contains(c)) Some(b.df)
+          else Some(b.df.filter(!col(fl)))
+        }
+        val triple = tm.time("cofactor") {
+          observedParts
+            .map(p => tripleMemo.getOrElseUpdate(
+              p.queryExecution.analyzed.canonicalized,
+              Factorized.cofactorOverStar(p, cfg.factNum, cfg.factCat,
+                dims, cfg.minRowsPerKey)))
+            .reduceOption(graft.ring.Triple.add)
+            .getOrElse(graft.ring.Triple.zero(numAll.size, catAll.size))
+        }
         val isCont = cfg.imputeCont.contains(c)
         val pred = tm.time("train") {
           if (isCont) {
@@ -297,37 +353,61 @@ object MiceJoin {
         // NULLs propagate into a NULL pred; categorical NULLs would
         // otherwise yield a silently-biased prediction (LinReg's zero
         // one-hot block / Lda's first-class tiebreak over NULL scores)
-        val updated = tm.time("impute_update") {
-          dims.foldLeft(missing)((acc, d) => acc.join(d.df, Seq(d.key), "left"))
+        def updatePart(part: DataFrame): DataFrame =
+          dims.foldLeft(part)((acc, d) => acc.join(d.df, Seq(d.key), "left"))
             .withColumn(c,
               when(anyDimFeatureNull(dimCols), col(c))
                 .otherwise(coalesce(pred, col(c))))
             .select(outCols.map(col): _*)
-        }
-        // checkpoint per COLUMN step, like the single-round drivers: the
-        // next column's filters and training cofactor would otherwise
-        // re-execute every previously stacked star join (O(k²) join
-        // executions per iteration) — the flat plan costs one action per
-        // column and keeps each step's work each step's own. The
-        // superseded checkpoint's blocks are freed deterministically
-        // (columns × iterations fact copies otherwise sit in storage
-        // until the async cleaner runs). The FINAL step has no next
-        // column to shield: its generation is returned un-materialized
-        // (the caller's single consumption pays the one pass a
-        // checkpoint would have pre-paid), and the surviving prior
-        // generation's blocks stay live inside the returned plan —
-        // Graft.dropCheckpoint(result) releases them by traversal.
+        // The FINAL step has no next step to shield: its updated parts
+        // are returned un-materialized (the caller's single consumption
+        // pays the one pass a checkpoint would have pre-paid), and
+        // surviving checkpoint blocks stay live inside the returned
+        // plan — Graft.dropCheckpoint(result) releases them by
+        // traversal. Non-final steps checkpoint each updated part
+        // (EAGER inside Graft.checkpoint) so the next step's filters
+        // and training cofactor never re-execute this step's join, and
+        // a branch fully consumed by this step frees its blocks
+        // deterministically once its replacement is materialized.
         val isFinal = iter == cfg.iterations && c == order.last
-        if (isFinal) cur = observed.unionByName(updated)
-        else {
-          val next = tm.time("impute_update")(
-            observed.unionByName(updated).transform(Graft.checkpoint))
-          Mice.dropCheckpoint(cur)
-          cur = next
+        val next = tm.time("impute_update") {
+          val remainders = branches.flatMap { b =>
+            if (b.allFlag.contains(c)) None // fully consumed below
+            else if (b.noFlag.contains(c)) Some(b) // untouched: no flagged rows
+            else Some(Gen(b.df.filter(!col(fl)), b.allFlag, b.noFlag + c, b.isCkpt))
+          }
+          val updatedParts = branches.flatMap { b =>
+            if (b.noFlag.contains(c)) None
+            else {
+              val part = if (b.allFlag.contains(c)) b.df else b.df.filter(col(fl))
+              val upd = updatePart(part)
+              Some(Gen(if (isFinal) upd else upd.transform(Graft.checkpoint),
+                b.allFlag + c, b.noFlag, isCkpt = !isFinal))
+            }
+          }
+          // free branches this step consumed whole (their replacement
+          // checkpoints are already materialized — Graft.checkpoint is
+          // eager); split branches keep their blocks referenced by the
+          // observed remainder and drain over subsequent steps
+          branches.foreach { b =>
+            if (b.isCkpt && b.allFlag.contains(c)) Mice.dropCheckpoint(b.df)
+          }
+          remainders ++ updatedParts
         }
+        branches =
+          if (next.size <= 12 || isFinal) next
+          else {
+            // safety valve: re-coalesce a fragmented generation to one
+            // whole checkpoint (the pre-branch behavior)
+            val whole = tm.time("impute_update")(
+              next.map(_.df).reduce(_.unionByName(_)).transform(Graft.checkpoint))
+            next.foreach(b => if (b.isCkpt) Mice.dropCheckpoint(b.df))
+            Seq(Gen(whole, Set.empty, Set.empty, isCkpt = true))
+          }
       }
     }
-    cur.drop((cfg.imputeCont ++ cfg.imputeCat).map(Mice.flag): _*)
+    branches.map(_.df).reduce(_.unionByName(_))
+      .drop((cfg.imputeCont ++ cfg.imputeCat).map(Mice.flag): _*)
   }
 
   /** Fail loudly on a duplicated dim key (see the contract above): one

@@ -241,6 +241,47 @@ class MiceJoinSpec extends AnyFunSuite {
     assert(d < 1e-8, s"chain had not converged by iteration 6: extra-iteration delta $d")
   }
 
+  test("chained 4-column MICE (overlapping strata) == baseline — exercises branch fragmentation + the coalesce valve") {
+    // four imputed columns with OVERLAPPING missing patterns fragment
+    // the branch representation toward its 2^k worst case (rows missing
+    // in several columns form joint strata), driving the generation
+    // past the 12-branch safety valve so the whole-checkpoint coalesce
+    // path is exercised under the parity gate, not just the fast path
+    val dim2 = Seq.tabulate(30)(k => (k.toLong, k * 0.7 - 9.0)).toDF("k", "d1")
+    val rng = new scala.util.Random(17)
+    val base = Seq.tabulate(900) { i =>
+      val k = i % 30
+      val x = rng.nextGaussian() * 2
+      val d1 = k * 0.7 - 9.0
+      val y = 1.0 + 1.2 * x + 0.5 * d1 + rng.nextGaussian() * 0.05
+      val z = -2.0 + 0.7 * y + rng.nextGaussian() * 0.05
+      val w = 0.3 * x - 0.2 * z + rng.nextGaussian() * 0.05
+      val v = 0.9 - 0.4 * w + 0.1 * y + rng.nextGaussian() * 0.05
+      (i.toLong, k.toLong, x, y, z, w, v,
+        i % 5 == 0, i % 7 == 0, i % 6 == 0, i % 11 == 0)
+    }.toDF("id", "k", "x", "yT", "zT", "wT", "vT", "mY", "mZ", "mW", "mV")
+      .withColumn("y", when($"mY", lit(null)).otherwise($"yT"))
+      .withColumn("z", when($"mZ", lit(null)).otherwise($"zT"))
+      .withColumn("w", when($"mW", lit(null)).otherwise($"wT"))
+      .withColumn("v", when($"mV", lit(null)).otherwise($"vT"))
+      .select($"id", $"k", $"x", $"y", $"z", $"w", $"v")
+    val chained = MiceJoin.imputeChainedOverJoin(base, dim2, "k",
+      MiceJoin.ChainConfig(factNum = Seq("y", "z", "w", "v", "x"), factCat = Seq(),
+        dimNum = Seq("d1"), imputeCont = Seq("y", "z", "w", "v"),
+        iterations = 3, normalize = false))
+    val bCfg = Mice.Config(
+      contCols = Seq("y", "z", "w", "v", "x", "d1"), catCols = Seq(),
+      imputeCont = Seq("y", "z", "w", "v"), imputeCat = Seq(), iterations = 3)
+    val baseline = Mice.baseline(base.join(dim2, "k"), bCfg)
+    val joined = chained.select($"id", $"y".as("yJ"), $"z".as("zJ"), $"w".as("wJ"), $"v".as("vJ"))
+      .join(baseline.select($"id", $"y".as("yB"), $"z".as("zB"), $"w".as("wB"), $"v".as("vB")), "id")
+    assert(joined.count() == 900)
+    val maxD = joined.select(max(
+      abs($"yJ" - $"yB") + abs($"zJ" - $"zB") + abs($"wJ" - $"wB") + abs($"vJ" - $"vB")
+    )).head.getDouble(0)
+    assert(maxD < 1e-6, s"4-column chain diverged from baseline: max Σ|Δ| = $maxD")
+  }
+
   test("missing row without a dim match falls back to the observed mean") {
     val orphan = Seq((999L, 999L, 1.0, null.asInstanceOf[java.lang.Double], true))
       .toDF("id", "k", "x1", "yTrue", "miss")
