@@ -759,6 +759,21 @@ object Bench {
     drifted.foreach { case (k, pct) =>
       System.err.println(f"[bench] $k: DRIFT ${pct * 100}%+.0f%% vs committed $driftRef")
     }
+    // Box-level slowdown diagnosis: when MOST rows sit over the
+    // committed baseline AND every auto-recertified row stayed slow in
+    // its own single-row fresh JVM, the cause is the machine, not a
+    // code change — name it in the artifact so a slow day stops
+    // reading as thirty independent regressions (the exact forensic
+    // conclusion rounds 12-15 each had to reach by hand).
+    val posDrift = drifted.filter(_._2 > 0).map(_._1)
+    val okRows = allRows.count(r => !r._4)
+    val driftNote =
+      if (fork && posDrift.size >= 8 && posDrift.size * 2 >= okRows &&
+          recertified.nonEmpty && recertified.forall(posDrift.contains)) {
+        System.err.println(s"[bench] drift diagnosis: ${posDrift.size}/$okRows rows over the " +
+          "committed baseline and every isolated re-run stayed slow — box-level environment")
+        s""","drift_note":"uniform: ${posDrift.size}/$okRows rows over the committed baseline and every single-row isolated re-run stayed slow - box-level environment, not a code regression""""
+      } else ""
     // Second, IMMUTABLE reference: the latest per-round snapshot
     // (BENCH_r{N}.json, committed once by the driver and never rewritten).
     // The committed-file guard above resets whenever BENCH_RESULT.json is
@@ -812,7 +827,7 @@ object Bench {
     val sf100Json = tierJson("sf100", sf100Dir, sf100Results, Some("min"))
     val recertJson = recertified.map("\"" + _ + "\"").mkString("[", ",", "]")
     val isolatedJson = if (fork) "true" else "false"
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median","tier_isolation":$isolatedJson,"recertified":$recertJson,"unstable":$flagged,"failed":$broken,"drift":$driftJson$driftPrevJson$sf1Json$sf10Json$sf100Json}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median","tier_isolation":$isolatedJson,"recertified":$recertJson$driftNote,"unstable":$flagged,"failed":$broken,"drift":$driftJson$driftPrevJson$sf1Json$sf10Json$sf100Json}"""
     println(json)
     // belt-and-braces: sbt's logger can prefix stdout lines ("[info] ..."),
     // which broke round-1 parsing — also drop the line in a results file

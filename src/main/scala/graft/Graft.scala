@@ -442,6 +442,21 @@ object Graft {
     }
   }
 
+  /** Install [[graft.plans.GroupedCofactorStrategy]] on the session's
+    * experimental strategies (idempotent): SQL/DataFrame single-key
+    * `GROUP BY` + `sum_to_triple`/`sum_to_nb_agg` over harvestable
+    * scans then plans through the grouped columnar kernel. Opt-in by
+    * design — the library's own row-aggregate parity tests and bench
+    * rows construct exactly that shape on purpose; sessions created
+    * with `spark.sql.extensions=graft.plans.GraftExtensions` get it
+    * automatically. */
+  def enableSqlGroupedKernel(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.exists(_.isInstanceOf[graft.plans.GroupedCofactorStrategy]))
+      spark.experimental.extraStrategies =
+        cur :+ graft.plans.GroupedCofactorStrategy(spark)
+  }
+
   /** Kernel-route eligibility for a single-key grouped cofactor — the
     * shared gate behind [[cofactorGrouped]] and the SQL planner strategy
     * ([[graft.plans.GroupedCofactorStrategy]]). Ordered cheapest-first:

@@ -243,5 +243,9 @@ object FactorizeCofactorRule extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => FactorizeCofactorRule)
+    // the SQL-surface grouped-cofactor kernel route rides along for
+    // sessions that opted into the extensions (per-session installs go
+    // through Graft.enableSqlGroupedKernel instead)
+    e.injectPlannerStrategy(session => GroupedCofactorStrategy(session))
   }
 }

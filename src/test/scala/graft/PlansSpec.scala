@@ -319,4 +319,24 @@ class PlansSpec extends AnyFunSuite {
       assert(!qx.queryExecution.executedPlan.toString.contains("GroupedCofactorKernel"))
     } finally spark.experimental.extraStrategies = saved
   }
+
+  test("Graft.enableSqlGroupedKernel installs the strategy idempotently") {
+    Graft.register(spark)
+    val saved = spark.experimental.extraStrategies
+    try {
+      Graft.enableSqlGroupedKernel(spark)
+      Graft.enableSqlGroupedKernel(spark)
+      assert(spark.experimental.extraStrategies
+        .count(_.isInstanceOf[graft.plans.GroupedCofactorStrategy]) == 1,
+        "double-enable must not stack a second strategy")
+      val tmp = java.nio.file.Files.createTempDirectory("gsqlE").toFile.getAbsolutePath
+      spark.range(2000).select(
+        (col("id") % 5).cast("int").as("k"),
+        (col("id") % 97).cast("double").as("x")).write.mode("overwrite").parquet(tmp)
+      spark.read.parquet(tmp).createOrReplaceTempView("gsql_e")
+      val q = spark.sql("SELECT k, sum_to_triple(x) AS t FROM gsql_e GROUP BY k")
+      assert(q.queryExecution.executedPlan.toString.contains("GroupedCofactorKernel"))
+      assert(q.count() == 5)
+    } finally spark.experimental.extraStrategies = saved
+  }
 }
