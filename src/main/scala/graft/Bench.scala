@@ -397,6 +397,14 @@ object Bench {
       // LangId/StopwordRatio/TokenStats byte walks breaks these rows
       "sf10_lang_id" -> (() => noop(SparkEntry.queries("q13_langid_counts")(spark, sf10Dir))),
       "sf10_quality_score" -> (() => noop(SparkEntry.queries("q12_quality_score")(spark, sf10Dir))),
+      // token-budget chunking of the 550k-doc tier (64-token windows,
+      // 8-token overlap — the context-window prep pass)
+      "sf10_chunk_text" -> { () =>
+        val docs = Tables.load(spark, sf10Dir, "documents")
+        noop(docs.select(col("doc_id"),
+            posexplode(graft.functions.TextFunctions.chunkText(col("text"), 64, 8)))
+          .select(col("doc_id"), col("pos"), length(col("col")).as("n_chars")))
+      },
       // the LSH prepare phase alone (one tokenize+shingle byte walk →
       // signatures + bands + shingle set): the dominant per-row cost of
       // minhash dedup, isolated from the candidate join so prepare

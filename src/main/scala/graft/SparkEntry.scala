@@ -1812,6 +1812,25 @@ object SparkEntry {
         val rows = out.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       } finally s.experimental.extraStrategies = saved
+    },
+    // token-budget document chunking (context-window prep): 64-token
+    // windows overlapping by 8, each re-joined with single spaces —
+    // the oracle recomputes every window verbatim via list_slice +
+    // array_to_string over the same trim/split-\s+ tokens, so chunk
+    // text, index, and coverage-stop rule are all hash-checked. The
+    // chunking expression rides ALONE under posexplode (the
+    // generator-sibling lesson: a sibling lands in the Project above
+    // the Generate and re-runs per element).
+    "q82_chunk_text" -> { (s, dir) =>
+      Graft.register(s)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.functions.TextFunctions.chunkText(col("text"), 64, 8)))
+        .select(col("doc_id"),
+          col("pos").cast("long").as("chunk_idx"),
+          col("col").as("chunk"),
+          length(col("col")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
     }
   )
 
@@ -3050,6 +3069,22 @@ object SparkEntry {
         |       round(sum(l_quantity), 2) AS sum_qty,
         |       round(avg(l_quantity * l_extendedprice), 2) AS avg_qty_price,
         |       count(DISTINCT l_linenumber) AS n_lines
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // chunking: starts are 1, 57, 113, … (step = 64 − 8 = 56); a start
+    // past the previous window's end (s + 64 − 56 − 1 = s + 7 ≥ len)
+    // would emit a window fully contained in it — the WHERE's
+    // coverage-stop rule mirrors ChunkText's
+    "q82_chunk_text" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |chunks AS (
+        |  SELECT doc_id,
+        |         CAST((s - 1) / 56 AS BIGINT) AS chunk_idx,
+        |         array_to_string(list_slice(ts, CAST(s AS BIGINT), least(s + 63, len(ts))), ' ') AS chunk
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1, 56)) AS s FROM tok)
+        |  WHERE s = 1 OR s + 7 < len(ts))
+        |SELECT doc_id, chunk_idx, chunk, CAST(length(chunk) AS BIGINT) AS n_chars
+        |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
   )
 }

@@ -112,6 +112,16 @@ object TextFunctions {
     call_function("lang_id", text)
   }
 
+  /** Token-budget document chunking — ≤`maxTokens`-token windows
+    * overlapping by `overlap` tokens, each window's tokens re-joined
+    * with single spaces ([[ChunkText]]; `posexplode` the result for
+    * (chunk_idx, chunk) rows). The context-window prep step of a
+    * training-data pipeline, as one byte-level pass per document. */
+  def chunkText(text: Column, maxTokens: Int, overlap: Int = 0): Column = {
+    graft.Graft.register(org.apache.spark.sql.SparkSession.active)
+    call_function("chunk_text", text, lit(maxTokens), lit(overlap))
+  }
+
   /** Content fingerprint: 64-bit hash of the normalized text (lowered,
     * punctuation stripped, whitespace collapsed). */
   def fingerprint(text: Column): Column =

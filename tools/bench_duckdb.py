@@ -151,6 +151,19 @@ queries = {
              count(*) AS cnt
       FROM best WHERE rn = 1
       GROUP BY 1 ORDER BY lang_pred""",
+    # token-budget chunking (graft: sf10_chunk_text — q82's oracle shape
+    # minus the ORDER BY, the same verbatim window recompute)
+    "chunk_text": """
+      WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+        FROM documents WHERE length(trim(text)) > 0),
+      chunks AS (
+        SELECT doc_id,
+               CAST((s - 1) / 56 AS BIGINT) AS chunk_idx,
+               array_to_string(list_slice(ts, CAST(s AS BIGINT), least(s + 63, len(ts))), ' ') AS chunk
+        FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1, 56)) AS s FROM tok)
+        WHERE s = 1 OR s + 7 < len(ts))
+      SELECT doc_id, chunk_idx, length(chunk) FROM chunks""",
     "quality_score": """
       SELECT doc_id,
              floor(least(1.0, length(text) / 500.0)
