@@ -673,6 +673,42 @@ class ColumnarCofactorSpec extends AnyFunSuite {
     a.keys.foreach(k => assert(a(k).approxEquals(b(k), 1e-9), s"group '$k' differs"))
   }
 
+  test("fuzz: grouped WIDE string keys — random 0-8-byte UTF-8 keys, Long label channel == row aggregate") {
+    // the Long label extends the base-256 pack to 8 bytes: fuzz the full
+    // eligible width range (multi-byte UTF-8, empty string, NULLs) and
+    // pin kernel≡row parity on keys AND triples — the adversarial class
+    // is again length/prefix aliasing, now across the int/long boundary
+    // (keys of exactly 4 vs 5 bytes share no packing space)
+    val rng = new scala.util.Random(987654)
+    val alphabet = Seq("a", "Z", "9", "-", "é", "ß", "√") // 1-3 UTF-8 bytes each
+    def key(): String = {
+      var s = ""
+      while (s.getBytes("UTF-8").length < 8 && rng.nextInt(8) > 0) {
+        val c = alphabet(rng.nextInt(alphabet.size))
+        if ((s + c).getBytes("UTF-8").length <= 8) s += c else return s
+      }
+      s
+    }
+    val rows = Seq.tabulate(8000) { _ =>
+      (if (rng.nextInt(17) == 0) null else key(), rng.nextGaussian() * 50, rng.nextInt(9))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("fuzzgwide").toFile.getAbsolutePath
+    rows.toDF("k", "x", "c").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    // the fuzz must actually cover the wide range: require some key > 4 bytes
+    assert(rows.exists(r => r._1 != null && r._1.getBytes("UTF-8").length > 4),
+      "fuzz generator must produce 5-8-byte keys")
+    val viaKernel = Graft.cofactorGrouped(df, "k", Seq("x"), Seq("c"))
+    assert(Graft.lastGroupedRoute() == "columnar", "fuzzed <=8-byte keys must ride the kernel")
+    val viaRow = Graft.cofactorGrouped(df.repartition(4), "k", Seq("x"), Seq("c"))
+    assert(Graft.lastGroupedRoute() == "row")
+    val a = viaKernel.collect().map(r => r.getString(0) -> Graft.tripleFromRow(r.getStruct(1))).toMap
+    val b = viaRow.collect().map(r => r.getString(0) -> Graft.tripleFromRow(r.getStruct(1))).toMap
+    assert(a.keySet == b.keySet, s"kernel keys ${a.keySet.toSeq.sorted} vs row ${b.keySet.toSeq.sorted}")
+    assert(a.nonEmpty && !a.keySet.exists(_ == null))
+    a.keys.foreach(k => assert(a(k).approxEquals(b(k), 1e-9), s"group '$k' differs"))
+  }
+
   test("harvest engages for any name casing select() accepts") {
     // spark.sql.caseSensitive=false (the default): select("L_QUANTITY")
     // resolves, so the kernel's ordinal lookup must too — an exact-match
