@@ -87,6 +87,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size == 40 && streamed == batch)
   }
 
+  test("chunk_text is streaming-safe: stream-chunked windows == batch windows") {
+    // the ingest shape for context-window prep: documents arrive as a
+    // stream and are chunked statelessly — stream and batch outputs
+    // must be identical row sets (chunk text AND index)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, posexplode}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    Graft.register(spark)
+    val docs = (0 until 30).map(i =>
+      (i.toLong, ((1 to (i * 7) % 40 + 1).map(t => s"w$t").mkString(" "))))
+    def chunked(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"),
+        posexplode(graft.functions.TextFunctions.chunkText(col("text"), 8, 2)))
+    val input = MemoryStream[(Long, String)]
+    val q = chunked(input.toDF.toDF("id", "text"))
+      .writeStream.format("memory").queryName("chunk_stream").start()
+    input.addData(docs: _*)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("chunk_stream").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val batch = chunked(docs.toDF("id", "text")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming curation: quality gate + language tag + watermark-bounded dedup") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
