@@ -3073,10 +3073,13 @@ object SparkEntry {
     // chunking: starts are 1, 57, 113, … (step = 64 − 8 = 56); a start
     // past the previous window's end (s + 64 − 56 − 1 = s + 7 ≥ len)
     // would emit a window fully contained in it — the WHERE's
-    // coverage-stop rule mirrors ChunkText's
+    // coverage-stop rule mirrors ChunkText's. The split class is
+    // spelled out because RE2's \s is [\t\n\f\r ] while the library's
+    // pinned contract (Java \s, ChunkText.isWs) also includes vertical
+    // tab 0x0B — a VT-bearing document must tokenize identically here
     "q82_chunk_text" ->
       """WITH tok AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |  SELECT doc_id, string_split_regex(trim(text), '[\t\n\x0B\f\r ]+') AS ts
         |  FROM documents WHERE length(trim(text)) > 0),
         |chunks AS (
         |  SELECT doc_id,

@@ -531,13 +531,27 @@ object ColumnarCofactor {
                        maxCategories: Int = CofactorAggregate.confMaxCategories()): Option[Seq[(Int, Triple)]] =
     cofactorPerClassLong(src, nums, cats, label, nbMode, maxCategories).map(_.map {
       case (k, t) =>
-        // the Int-keyed ML surface (QDA/LDA/NB class ids): a label
-        // outside int range fails loudly, same contract as the row
-        // path's ANSI cast — silent truncation would MERGE classes
-        // that differ by multiples of 2^32
-        if (k != k.toInt) throw new ArithmeticException(
-          s"categorical value $k overflows INT — same failure the row path's ANSI cast raises")
-        (k.toInt, t)
+        label match {
+          case _: CatShortString | _: CatPackedStrings =>
+            // string labels pack raw bytes, so a 4-byte key with a
+            // high first byte (one 4-byte UTF-8 char, or 4 packed
+            // columns) zero-extends past Int.MaxValue in the Long
+            // channel but is still the old (negative) Int encoding —
+            // unpackShortString/unpackStrings re-zero-extend it, so
+            // map it back instead of rejecting a valid label
+            if ((k & 0xFFFFFFFFL) != k) throw new ArithmeticException(
+              s"string label packs ${unpackShortString(k).getBytes("UTF-8").length} bytes — " +
+                "more than the 4 the Int-keyed surface holds; use cofactorPerClassLong")
+            (k.toInt, t)
+          case _ =>
+            // numeric class ids: a label outside int range fails
+            // loudly, same contract as the row path's ANSI cast —
+            // silent truncation would MERGE classes that differ by
+            // multiples of 2^32
+            if (k != k.toInt) throw new ArithmeticException(
+              s"categorical value $k overflows INT — same failure the row path's ANSI cast raises")
+            (k.toInt, t)
+        }
     })
 
   /** [[cofactorPerClass]] with a LONG class key: the label channel

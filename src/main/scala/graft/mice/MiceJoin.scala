@@ -388,9 +388,16 @@ object MiceJoin {
           // free branches this step consumed whole (their replacement
           // checkpoints are already materialized — Graft.checkpoint is
           // eager); split branches keep their blocks referenced by the
-          // observed remainder and drain over subsequent steps
+          // observed remainder and drain over subsequent steps. At the
+          // FINAL step the replacement is intentionally NOT
+          // checkpointed, so the consumed branch's blocks are still the
+          // only materialized form of its update-join chain — they must
+          // stay live inside the returned lazy plan (the caller's
+          // traversal-based Graft.dropCheckpoint releases them), else
+          // the caller's single consumption recomputes the chain
+          // through every previously dropped generation
           branches.foreach { b =>
-            if (b.isCkpt && b.allFlag.contains(c)) Mice.dropCheckpoint(b.df)
+            if (!isFinal && b.isCkpt && b.allFlag.contains(c)) Mice.dropCheckpoint(b.df)
           }
           remainders ++ updatedParts
         }

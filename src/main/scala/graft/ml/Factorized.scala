@@ -766,8 +766,8 @@ object Factorized {
                                        keyIsString: Boolean,
                                        nullCols: Seq[String] = Seq()): (Long, Long, Int, Seq[Long], Boolean) = {
     val ck = (df.queryExecution.analyzed.canonicalized,
-      "gshape:" + (key +: cats).mkString("") + ":" + keyIsString +
-        ":" + nullCols.mkString(""),
+      "gshape:" + (key +: cats).mkString("\u0001") + ":" + keyIsString +
+        ":" + nullCols.mkString("\u0001"),
       snapshotFingerprint(df))
     val cached = shapeCache.get(ck)
     if (cached != null) cached

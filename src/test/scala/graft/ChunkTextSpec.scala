@@ -51,6 +51,7 @@ class ChunkTextSpec extends AnyFunSuite {
     "", "   ", "\n\n", " \t ", "one",
     "\n\nleading nonspace whitespace", "trailing run\n\n",
     "  spaces around\ttabs\nand newlines  ",
+    "vertical\u000Btab is\u000B\u000Bwhitespace too",
     "über straße naïve éclair — multi byte tokens",
     ("tok " * 200).trim, ("w " * 64).trim, ("w " * 65).trim,
     ("x " * 56).trim, ("x " * 57).trim, ("x " * 120).trim, ("x " * 121).trim,
@@ -70,7 +71,7 @@ class ChunkTextSpec extends AnyFunSuite {
 
   test("chunk_text == reference on seeded fuzz (300 docs)") {
     val rng = new scala.util.Random(0xC0FFEE)
-    val ws = " \t\n\f\r"
+    val ws = " \t\n\u000B\f\r" // VT spelled out: Java \\s covers 0x0B, RE2 \\s does not
     val docs = Seq.tabulate(300) { _ =>
       val n = rng.nextInt(160)
       val sb = new StringBuilder

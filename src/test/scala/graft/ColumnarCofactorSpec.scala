@@ -523,6 +523,25 @@ class ColumnarCofactorSpec extends AnyFunSuite {
     assert(a4.contains("") && a4.contains("é") && !a4.keySet.exists(_ == null))
     a4.keys.foreach(k => assert(a4(k).approxEquals(b4(k), 1e-9), s"group '$k' differs"))
 
+    // a 4-byte label whose FIRST byte is >= 0x80 (one 4-byte UTF-8 char,
+    // e.g. a musical clef) zero-extends past Int.MaxValue in the Long
+    // label channel but is still a valid Int-surface key — it must map
+    // back to the old (negative) Int encoding, not trip the overflow
+    // guard; unpackShortString(int) re-zero-extends, so the original
+    // string round-trips
+    val tmpHi = java.nio.file.Files.createTempDirectory("gstrhi").toFile.getAbsolutePath
+    spark.range(400).select(
+      when(col("id") % 2 === 0, lit("𝄞")) // U+1D11E, 4 UTF-8 bytes F0 9D 84 9E
+        .otherwise(lit("ab")).as("lbl"),
+      (col("id") % 11).cast("double").as("x")).write.mode("overwrite").parquet(tmpHi)
+    val dfHi = spark.read.parquet(tmpHi)
+    val perClassHi = ColumnarCofactor.cofactorPerClass(
+      dfHi, Seq(NumCol("x")), Nil, CatShortString("lbl")).get
+    assert(perClassHi.exists(_._1 < 0), "the 4-byte high-bit label must keep the negative-Int encoding")
+    assert(perClassHi.map { case (k, _) => ColumnarCofactor.unpackShortString(k) }.toSet
+      == Set("𝄞", "ab"))
+    assert(perClassHi.map(_._2.n).sum == 400L)
+
     // 5–8-byte keys ("group0".."group6", 6 bytes — the en-US/SKU width
     // past the int label) pack into the kernel's LONG label channel —
     // route asserted, parity vs the row aggregate

@@ -363,4 +363,44 @@ class MiceJoinSpec extends AnyFunSuite {
       target = "y", factNum = Seq("x1"), dimNum = Seq("x2"))
     assert(done.filter($"y".isNull).count() == 0)
   }
+
+  test("final-step consumed checkpoints stay live until the caller releases the returned plan") {
+    // The FINAL step's updated parts are intentionally NOT checkpointed:
+    // the branches they read (iter-1 checkpoints whose allFlag already
+    // contains the last column) must therefore stay persisted inside the
+    // returned lazy plan — unpersisting them at the final step would make
+    // the caller's single consumption recompute each consumed branch's
+    // update-join chain through every previously dropped generation.
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.storage.StorageLevel
+    val rng = new scala.util.Random(7)
+    val dim2 = Seq.tabulate(30)(k => (k.toLong, k * 0.7 - 9.0)).toDF("k", "d1")
+    val base = Seq.tabulate(600) { i =>
+      val k = i % 30
+      val x = rng.nextGaussian() * 2
+      val y = 1.5 + 2.0 * x + 0.8 * (k * 0.7 - 9.0) + rng.nextGaussian() * 0.1
+      val c = if (y > 1.5) 1 else 0
+      (i.toLong, k.toLong, x, y, c, i % 7 == 0, i % 11 == 3)
+    }.toDF("id", "k", "x", "yT", "cT", "missY", "missC")
+      .withColumn("y", when($"missY", lit(null)).otherwise($"yT"))
+      .withColumn("c", when($"missC", lit(null)).otherwise($"cT"))
+      .repartition(4)
+    val chained = MiceJoin.imputeChainedOverJoin(base, dim2, "k",
+      MiceJoin.ChainConfig(factNum = Seq("y", "x"), factCat = Seq("c"),
+        dimNum = Seq("d1"), imputeCont = Seq("y"), imputeCat = Seq("c"),
+        iterations = 2, normalize = false))
+    val leaves = chained.queryExecution.analyzed.collect { case l: LogicalRDD => l }
+    assert(leaves.nonEmpty, "the chained plan must reference checkpointed generations")
+    leaves.foreach { l =>
+      assert(l.rdd.getStorageLevel != StorageLevel.NONE,
+        s"generation RDD ${l.rdd.id} was unpersisted before the caller consumed the plan")
+    }
+    assert(chained.count() == 600)
+    // ... and the caller's traversal-based release frees exactly those blocks
+    Graft.dropCheckpoint(chained)
+    leaves.foreach { l =>
+      assert(l.rdd.getStorageLevel == StorageLevel.NONE,
+        s"Graft.dropCheckpoint(result) must release generation RDD ${l.rdd.id}")
+    }
+  }
 }

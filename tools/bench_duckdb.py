@@ -124,8 +124,8 @@ queries = {
         FROM lineitem WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber))
       WHERE rn <= 3""",
     "text_stats": """
-      SELECT doc_id, len(string_split_regex(trim(text), '\\s+')),
-             len(list_distinct(string_split_regex(trim(text), '\\s+'))), length(text)
+      SELECT doc_id, len(string_split_regex(trim(text), '[\\t\\n\\x0B\\f\\r ]+')),
+             len(list_distinct(string_split_regex(trim(text), '[\\t\\n\\x0B\\f\\r ]+'))), length(text)
       FROM documents""",
     # the fused byte-level text kernels (graft: sf10_lang_id /
     # sf10_quality_score — q13/q12's oracle SQL, the honest DuckDB
@@ -138,7 +138,7 @@ queries = {
         ('es', ['el','la','los','las','y','es','un','una','para','en','que','de']),
         ('fr', ['le','la','les','et','est','un','une','pour','dans','que','des','du']),
         ('it', ['il','lo','la','e','è','un','una','per','che','di','non','con'])),
-      tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+      tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '[\\t\\n\\x0B\\f\\r ]+') AS ts
               FROM documents),
       scored AS (SELECT doc_id, lang,
                         len(list_filter(ts, t -> list_contains(words, t))) AS score
@@ -155,7 +155,7 @@ queries = {
     # minus the ORDER BY, the same verbatim window recompute)
     "chunk_text": """
       WITH tok AS (
-        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+        SELECT doc_id, string_split_regex(trim(text), '[\\t\\n\\x0B\\f\\r ]+') AS ts
         FROM documents WHERE length(trim(text)) > 0),
       chunks AS (
         SELECT doc_id,
@@ -167,8 +167,8 @@ queries = {
     "quality_score": """
       SELECT doc_id,
              floor(least(1.0, length(text) / 500.0)
-                   * (len(list_distinct(string_split_regex(trim(text), '\\s+')))::DOUBLE
-                      / len(string_split_regex(trim(text), '\\s+')))
+                   * (len(list_distinct(string_split_regex(trim(text), '[\\t\\n\\x0B\\f\\r ]+')))::DOUBLE
+                      / len(string_split_regex(trim(text), '[\\t\\n\\x0B\\f\\r ]+')))
                    * greatest(0.0, 1.0 - (len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
                                           / length(text)) * 4.0)
                    * 10000 + 0.5) / 10000 AS quality
