@@ -1831,6 +1831,44 @@ object SparkEntry {
           col("col").as("chunk"),
           length(col("col")).cast("long").as("n_chars"))
         .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    // NULL-bearing data on the SQL grouped-kernel route: ~2.7% NULL
+    // keys + ~2.4% NULL inputs (injected deterministically, written
+    // to a scratch parquet so the scan is harvestable). The strategy
+    // keeps the kernel for the clean rows and ring-merges a
+    // row-aggregate SIDE CHANNEL over exactly the NULL-bearing
+    // remainder — the NULL-key group and null-skipped rows must match
+    // plain SQL semantics byte-for-byte. Route REQUIRED in-query.
+    "q83_grouped_sql_nulls" -> { (s, dir) =>
+      Graft.register(s)
+      val scratch = java.nio.file.Files.createTempDirectory("q83").toFile.getAbsolutePath
+      li(s, dir).select(
+        when(col("l_orderkey") % 37 === 0, lit(null).cast("long"))
+          .otherwise(col("l_suppkey")).as("k"),
+        when(col("l_partkey") % 41 === 0, lit(null).cast("double"))
+          .otherwise(col("l_quantity").cast("double")).as("x"))
+        .write.mode("overwrite").parquet(scratch)
+      s.read.parquet(scratch).createOrReplaceTempView("lineitem_q83")
+      val saved = s.experimental.extraStrategies
+      s.experimental.extraStrategies = saved :+ graft.plans.GroupedCofactorStrategy(s)
+      try {
+        val q = s.sql("SELECT k, sum_to_triple(x) AS t FROM lineitem_q83 GROUP BY k")
+        require(q.queryExecution.executedPlan.toString.contains("GroupedCofactorKernel"),
+          "q83: NULL-bearing data within the bound must keep the kernel route")
+        // the NULL-key group is presented as the -1 sentinel: a NULL
+        // in a key column round-trips as NaN through the driver's
+        // pandas-tuple compare, where NaN != NaN would flag identical
+        // results as a mismatch; the group itself still flows through
+        // the side channel (k >= 0 everywhere else, so -1 is unique)
+        val out = q.select(
+          coalesce(col("k"), lit(-1L)).as("k"),
+          col("t.n").as("n_rows"),
+          round(col("t.lin")(0), 2).as("sum_qty"),
+          round(col("t.quad")(0), 2).as("sum_sq"))
+          .orderBy(col("k"))
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally s.experimental.extraStrategies = saved
     }
   )
 
@@ -3088,6 +3126,21 @@ object SparkEntry {
         |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1, 56)) AS s FROM tok)
         |  WHERE s = 1 OR s + 7 < len(ts))
         |SELECT doc_id, chunk_idx, chunk, CAST(length(chunk) AS BIGINT) AS n_chars
-        |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
+        |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin,
+    // mirrors q83's deterministic NULL injection; count(x)/sum skip the
+    // NULL inputs exactly as the triple's skip-any-NULL-row contract
+    // does, the NULL-key group survives GROUP BY on both engines, and
+    // coalesce(…, 0) matches the triple's zero moments should a group
+    // ever consist of NULL inputs only
+    "q83_grouped_sql_nulls" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN l_orderkey % 37 = 0 THEN NULL ELSE l_suppkey END AS k,
+        |         CASE WHEN l_partkey % 41 = 0 THEN NULL
+        |              ELSE CAST(l_quantity AS DOUBLE) END AS x
+        |  FROM lineitem)
+        |SELECT coalesce(k, -1) AS k, count(x) AS n_rows,
+        |       coalesce(round(sum(x), 2), 0) AS sum_qty,
+        |       coalesce(round(sum(x * x), 2), 0) AS sum_sq
+        |FROM t GROUP BY t.k ORDER BY 1""".stripMargin
   )
 }

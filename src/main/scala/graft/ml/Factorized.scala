@@ -740,15 +740,25 @@ object Factorized {
         " (~5x measured at sf100; see BENCH_CONTEXT 'raw adaptive floor').")
   }
 
-  /** [[probeGroupedShape]]'s memo — (rows, key cardinality, max key
-    * bytes, per-cat-column cardinality). Values are a few dozen bytes;
-    * the 256-entry bound is the same leak bound as the other caches. */
+  /** Per-key shape from [[probeGroupedShape]]: `width` is the exact max
+    * packable UTF-8 byte width for a string key (Int.MaxValue when the
+    * key is all-NULL or a value embeds a NUL byte; -1 for numeric
+    * keys), `lo`/`hi` the exact value range for a numeric key (0/-1,
+    * i.e. an empty range, when the key is all-NULL; 0/0 placeholders
+    * for string keys) — the range decides how many bytes a numeric
+    * sub-key needs inside the packed multi-key label. */
+  final case class KeyShape(width: Int, lo: Long, hi: Long)
+
+  /** [[probeGroupedShape]]'s memo — (rows, combined key cardinality,
+    * per-key shape, per-cat-column cardinality, null-row upper bound).
+    * Values are a few dozen bytes; the 256-entry bound is the same leak
+    * bound as the other caches. */
   private val shapeCache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Long),
-      (Long, Long, Int, Seq[Long], Boolean)](16, 0.75f, true) {
+      (Long, Long, Seq[KeyShape], Seq[Long], Long)](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Long),
-            (Long, Long, Int, Seq[Long], Boolean)]): Boolean = size() > 256
+            (Long, Long, Seq[KeyShape], Seq[Long], Long)]): Boolean = size() > 256
     })
 
   /** Grouped-route shape probe (`Graft.cofactorGrouped`'s gate), ONE
@@ -762,41 +772,58 @@ object Factorized {
     * categorical column (bounds each per-group cat map). Memoized with
     * the same (plan, tag, file fingerprint) discipline as the other
     * probes. */
-  private[graft] def probeGroupedShape(df: DataFrame, key: String, cats: Seq[String],
-                                       keyIsString: Boolean,
-                                       nullCols: Seq[String] = Seq()): (Long, Long, Int, Seq[Long], Boolean) = {
+  private[graft] def probeGroupedShape(df: DataFrame, keys: Seq[String], cats: Seq[String],
+                                       keyIsString: Seq[Boolean],
+                                       nullCols: Seq[String] = Seq()): (Long, Long, Seq[KeyShape], Seq[Long], Long) = {
     val ck = (df.queryExecution.analyzed.canonicalized,
-      "gshape:" + (key +: cats).mkString("\u0001") + ":" + keyIsString +
+      "gshape:" + (keys ++ cats).mkString("\u0001") + ":" + keyIsString.mkString(",") +
         ":" + nullCols.mkString("\u0001"),
       snapshotFingerprint(df))
     val cached = shapeCache.get(ck)
     if (cached != null) cached
     else {
-      val aggs = Seq(count(lit(1)).as("__graft_n"),
-          approx_count_distinct(col(key)).as("__graft_k")) ++
-        (if (keyIsString)
-           Seq(max(octet_length(col(key))).as("__graft_w"),
-             // locate is 0 when absent, so max > 0 = some value embeds
-             // a NUL byte — the one shape base-256 packing cannot keep
-             // injective ('A' vs "<NUL>A"); reported as unpackable
-             max(locate(0.toChar.toString, col(key))).as("__graft_nul"))
-         else Nil) ++
+      // combined cardinality over ALL keys (one group per distinct
+      // tuple); per-key shape: exact max packable byte width + embedded
+      // NUL probe for strings, exact value range for numerics (decides
+      // the byte budget of each sub-key inside a packed multi-key label)
+      val keyCardCol =
+        if (keys.size == 1) approx_count_distinct(col(keys.head))
+        else approx_count_distinct(struct(keys.map(col): _*))
+      val aggs = Seq(count(lit(1)).as("__graft_n"), keyCardCol.as("__graft_k")) ++
+        keys.zip(keyIsString).flatMap { case (k, isStr) =>
+          if (isStr)
+            Seq(max(octet_length(col(k))),
+              // locate is 0 when absent, so max > 0 = some value embeds
+              // a NUL byte — the one shape base-256 packing cannot keep
+              // injective ('A' vs "<NUL>A"); reported as unpackable
+              max(locate(0.toChar.toString, col(k))))
+          else Seq(min(col(k)).cast("long"), max(col(k)).cast("long"))
+        } ++
         cats.map(c => approx_count_distinct(col(c))) ++
         // count(col) < count(*) iff the column holds a NULL: callers
         // with keep-every-row semantics (the SQL grouped-kernel
         // strategy, where a NULL group and null-skipped rows must match
-        // the default aggregate exactly) gate on any-null-anywhere
+        // the default aggregate exactly) size the side-channel from this
         nullCols.map(c => count(col(c)))
       val r = df.agg(aggs.head, aggs.tail: _*).head
-      val base = if (keyIsString) 4 else 2
-      val w = if (!keyIsString) -1
-              else if (r.isNullAt(2) || r.getInt(3) > 0) Int.MaxValue
-              else r.getInt(2)
       val rows = r.getLong(0)
-      val nullBase = base + cats.size
-      val anyNull = nullCols.indices.exists(i => r.getLong(nullBase + i) < rows)
-      val v = (rows, r.getLong(1), w,
-        cats.indices.map(i => r.getLong(base + i)).toVector, anyNull)
+      val shapes = keys.indices.map { i =>
+        val base = 2 + 2 * i
+        if (keyIsString(i)) {
+          val w = if (r.isNullAt(base) || r.getInt(base + 1) > 0) Int.MaxValue
+                  else r.getInt(base)
+          KeyShape(w, 0L, 0L)
+        } else if (r.isNullAt(base)) KeyShape(-1, 0L, -1L) // all-NULL: empty range
+        else KeyShape(-1, r.getLong(base), r.getLong(base + 1))
+      }.toVector
+      val catBase = 2 + 2 * keys.size
+      val nullBase = catBase + cats.size
+      // upper bound on rows carrying any NULL (a row with several NULL
+      // columns is counted once per column — still a sound bound for
+      // the side-channel fraction gate)
+      val nullUB = nullCols.indices.map(i => rows - r.getLong(nullBase + i)).sum
+      val v = (rows, r.getLong(1), shapes,
+        cats.indices.map(i => r.getLong(catBase + i)).toVector, nullUB)
       shapeCache.put(ck, v)
       v
     }

@@ -1,6 +1,7 @@
 package graft.plans
 
 import graft.agg.{CofactorAggregate, TripleCodec}
+import graft.ring.Triple
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
@@ -8,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -36,12 +38,21 @@ import org.apache.spark.unsafe.types.UTF8String
  *    DISTINCT, no FILTER);
  *  - child output names are unambiguous (the kernel binds by name);
  *  - [[graft.Graft.groupedKernelGate]] accepts: harvestable bare/
- *    filtered scan, key width/cardinality/buffer-byte caps, and — the
- *    SQL-only requirement — ZERO NULLs in the key and every aggregated
- *    column. SQL keeps a NULL-key group and emits empty-triple groups
- *    whose rows all carry a NULL input; the kernel's skip-any-NULL-row
- *    contract cannot reproduce either, so the probe (one memoized scan)
- *    must prove the data null-free before the route is taken.
+ *    filtered scan, key width/cardinality/buffer-byte caps, and a
+ *    probed NULL-row bound ≤ ~10% of the table.
+ *
+ * NULL-bearing data keeps the fast route via a row-aggregate SIDE
+ * CHANNEL: SQL keeps a NULL-key group, and a group whose rows all carry
+ * a NULL input still appears with an empty triple — both shapes the
+ * kernel's skip-any-NULL-row contract drops. But those are EXACTLY the
+ * rows the kernel skips, so the remainder `key IS NULL OR any input IS
+ * NULL` is aggregated by the (always-correct) row aggregate — a
+ * filter-pushed scan over the small NULL-bearing fraction — and
+ * ring-merged with the kernel groups driver-side (`Triple.add`; a
+ * NULL-input row contributes nothing to any triple on either path, so
+ * the two partitions of the data are disjoint and the merge is exact).
+ * Past the gate's ~10% bound the side channel is no longer a remainder
+ * and the default plan wins.
  *
  * The probe job runs at PLANNING time (first action or explain); it is
  * fixed-memory, one scan, and memoized per (plan, columns, file
@@ -78,7 +89,7 @@ case class GroupedCofactorStrategy(session: SparkSession) extends SparkStrategy 
       val (num, cat) = (numAttrs.map(_.name), catAttrs.map(_.name))
       val df = ColumnBridge.ofRows(session, child)
       graft.Graft.groupedKernelGate(df, k.name, num, cat, cof.nbMode,
-          maxGroups = -1, requireNoNulls = true) match {
+          maxGroups = -1, probeNulls = true) match {
         case Some(_) =>
           GroupedCofactorKernelExec(agg.output, projList.map(isPlainCofactor),
             k.name, num, cat, cof.nbMode, k.dataType)(child, session) :: Nil
@@ -104,7 +115,8 @@ case class GroupedCofactorStrategy(session: SparkSession) extends SparkStrategy 
  * grouped columnar kernel over the child plan (its own columnar scan +
  * executor-side tree merge — the heavy work is fully distributed; only
  * the ≤`maxCategories` kilobyte-sized group triples land on the driver,
- * the same materialization contract as `Graft.cofactorGrouped`) and
+ * the same materialization contract as `Graft.cofactorGrouped`), merge
+ * in the NULL-remainder side channel when the probe saw NULLs, and
  * return the groups as a single-partition RDD. `tripleSlots(i)` marks
  * which output column carries the triple (the rest is the group key),
  * so any projection order SQL produces is honored.
@@ -128,8 +140,8 @@ case class GroupedCofactorKernelExec(
     // the gate re-runs (memoized probe — no extra scan) so a data
     // rewrite between planning and execution fails loudly instead of
     // silently diverging from SQL semantics
-    val ls = graft.Graft.groupedKernelGate(df, key, num, cat, nb,
-        maxGroups = -1, requireNoNulls = true)
+    val (ls, nullUB) = graft.Graft.groupedKernelGate(df, key, num, cat, nb,
+        maxGroups = -1, probeNulls = true)
       .getOrElse(throw new IllegalStateException(
         "grouped-cofactor kernel route regressed between planning and execution " +
         "(input rewritten in place?) — re-run the query to re-plan"))
@@ -137,16 +149,45 @@ case class GroupedCofactorKernelExec(
         num.map(ColumnarCofactor.NumCol), cat.map(ColumnarCofactor.CatCol), ls, nbMode = nb)
       .getOrElse(throw new IllegalStateException(
         "grouped-cofactor kernel harvest refused a plan the gate accepted"))
-    val proj = UnsafeProjection.create(output.map(_.dataType).toArray)
-    val rows = groups.map { case (kv, t) =>
+    // merge in the ORIGINAL key-value space: kernel keys unpack first,
+    // then the side channel's groups ring-add (disjoint row sets — a
+    // key in both means a group with clean AND null-bearing rows, whose
+    // null-bearing side contributes the empty triple add is identity on)
+    val merged = scala.collection.mutable.LinkedHashMap[Any, Triple]()
+    groups.foreach { case (kv, t) =>
       val keyVal: Any = keyType match {
-        case StringType => UTF8String.fromString(ColumnarCofactor.unpackShortString(kv))
+        case StringType => ColumnarCofactor.unpackShortString(kv)
         case LongType => kv
         case _ => kv.toInt
       }
+      merged(keyVal) = t
+    }
+    if (nullUB > 0) {
+      // the NULL remainder: exactly the rows the kernel skipped. The
+      // filter pushes to the scan, so this reads the small NULL-bearing
+      // fraction; group count is bounded by the same gate cap.
+      val nullCond = ((key +: num) ++ cat).map(c => col(c).isNull).reduce(_ || _)
+      val cols = num.map(c => col(c).cast("double")) ++ cat.map(c => col(c).cast("int"))
+      val aggCol = if (nb) graft.Graft.sumNbAgg(cols: _*) else graft.Graft.sumTriple(cols: _*)
+      df.filter(nullCond).groupBy(col(key)).agg(aggCol.as("__t")).collect().foreach { r =>
+        val kAny: Any = if (r.isNullAt(0)) null else r.get(0)
+        // an all-skipped group comes back with a NULL triple struct —
+        // the empty triple of this arity (the kernel would have dropped
+        // the group; SQL keeps it)
+        val t = if (r.isNullAt(1)) new graft.agg.CofactorBuffer(num.size, cat.size, nb).toTriple
+                else graft.Graft.tripleFromRow(r.getStruct(1))
+        merged(kAny) = merged.get(kAny).map(Triple.add(_, t)).getOrElse(t)
+      }
+    }
+    val proj = UnsafeProjection.create(output.map(_.dataType).toArray)
+    val rows = merged.iterator.map { case (kAny, t) =>
+      val keyVal: Any = kAny match {
+        case s: String => UTF8String.fromString(s)
+        case other => other // Int / Long / null pass through
+      }
       val triple = TripleCodec.toCatalyst(t, nb)
       proj(InternalRow.fromSeq(tripleSlots.map(isT => if (isT) triple else keyVal))).copy()
-    }
+    }.toSeq
     sparkContext.parallelize(rows, 1)
   }
 }

@@ -299,19 +299,49 @@ class PlansSpec extends AnyFunSuite {
       assert(!twoKeys.queryExecution.executedPlan.toString.contains("GroupedCofactorKernel"))
       assert(twoKeys.count() == 21)
 
-      // NULL-bearing key: SQL keeps the NULL group — the strategy's
-      // no-nulls probe must refuse, and the default plan must deliver
-      // the NULL group intact
+      // NULL-bearing data ≤ the ~10% bound KEEPS the kernel route via
+      // the row-aggregate side channel: the NULL-key group, groups
+      // whose rows all carry a NULL input (empty triple), and partially
+      // NULL groups must all match the default plan exactly
       val tmpN = java.nio.file.Files.createTempDirectory("gsqlN").toFile.getAbsolutePath
-      spark.range(100).select(
-        when(col("id") % 10 === 0, lit(null).cast("int"))
+      spark.range(200).select(
+        when(col("id") % 20 === 0, lit(null).cast("int")) // 5% NULL keys
+          .when(col("id") >= 197, lit(9).cast("int")) // group 9: 3 rows, all x NULL
           .otherwise((col("id") % 5).cast("int")).as("k"),
-        col("id").cast("double").as("x")).write.mode("overwrite").parquet(tmpN)
+        when(col("id") % 29 === 0, lit(null).cast("double"))
+          .when(col("id") >= 197, lit(null).cast("double"))
+          .otherwise(col("id").cast("double")).as("x")).write.mode("overwrite").parquet(tmpN)
       spark.read.parquet(tmpN).createOrReplaceTempView("gsql_n")
-      val qn = spark.sql("SELECT k, sum_to_triple(x) AS t FROM gsql_n GROUP BY k")
-      assert(!qn.queryExecution.executedPlan.toString.contains("GroupedCofactorKernel"),
-        "NULL-bearing key must refuse the kernel route (SQL keeps the NULL group)")
-      assert(qn.count() == 6, "5 non-null groups + the NULL group")
+      val sqlN = "SELECT k, sum_to_triple(x) AS t FROM gsql_n GROUP BY k"
+      // default-plan reference: pop the strategy for one run
+      spark.experimental.extraStrategies = saved
+      val expN = spark.sql(sqlN).collect().map { r =>
+        (if (r.isNullAt(0)) None else Some(r.getInt(0))) -> Graft.tripleFromRow(r.getStruct(1))
+      }.toMap
+      spark.experimental.extraStrategies = saved :+ graft.plans.GroupedCofactorStrategy(spark)
+      val qn = spark.sql(sqlN)
+      assert(qn.queryExecution.executedPlan.toString.contains("GroupedCofactorKernel"),
+        "NULL-bearing data within the bound must keep the kernel route (side channel)")
+      val gotN = qn.collect().map { r =>
+        (if (r.isNullAt(0)) None else Some(r.getInt(0))) -> Graft.tripleFromRow(r.getStruct(1))
+      }.toMap
+      assert(gotN.keySet == expN.keySet, s"groups ${gotN.keySet} vs default ${expN.keySet}")
+      assert(gotN.contains(None), "the NULL-key group must survive the kernel route")
+      assert(gotN(Some(9)).n == 0L, "an all-NULL-input group appears with the empty triple")
+      gotN.keys.foreach(k => assert(gotN(k).approxEquals(expN(k), 1e-9), s"group $k differs"))
+
+      // past the bound (30% NULL keys) the side channel is no longer a
+      // remainder — the default plan must run
+      val tmpN2 = java.nio.file.Files.createTempDirectory("gsqlN2").toFile.getAbsolutePath
+      spark.range(100).select(
+        when(col("id") % 3 === 0, lit(null).cast("int"))
+          .otherwise((col("id") % 5).cast("int")).as("k"),
+        col("id").cast("double").as("x")).write.mode("overwrite").parquet(tmpN2)
+      spark.read.parquet(tmpN2).createOrReplaceTempView("gsql_n2")
+      val qn2 = spark.sql("SELECT k, sum_to_triple(x) AS t FROM gsql_n2 GROUP BY k")
+      assert(!qn2.queryExecution.executedPlan.toString.contains("GroupedCofactorKernel"),
+        "NULL fraction past the bound must refuse the kernel route")
+      assert(qn2.count() == 6, "5 non-null groups + the NULL group")
 
       // non-harvestable child (exchange) declines
       val qx = spark.sql(
