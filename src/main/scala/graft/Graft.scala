@@ -418,9 +418,9 @@ object Graft {
     val numSpecs = num.map(graft.agg.ColumnarCofactor.NumCol)
     val catSpecs = cat.map(graft.agg.ColumnarCofactor.CatCol)
     val viaKernel = groupedKernelGate(df, key, num, cat, nb, maxGroups,
-        requireNoNulls = false)
-      .flatMap(ls => graft.agg.ColumnarCofactor.cofactorPerClassLong(
-        df, numSpecs, catSpecs, ls, nbMode = nb))
+        probeNulls = false)
+      .flatMap { case (ls, _) => graft.agg.ColumnarCofactor.cofactorPerClassLong(
+        df, numSpecs, catSpecs, ls, nbMode = nb) }
     viaKernel match {
       case Some(groups) =>
         lastGroupedRouteTL.set("columnar")
@@ -444,6 +444,133 @@ object Graft {
     }
   }
 
+  /**
+   * Multi-key grouped cofactor — `GROUP BY k1, k2[, k3, k4]` with one
+   * full triple per key TUPLE (the `source × language` curation-cut
+   * shape). The kernel route packs every key into the ONE Long label
+   * channel with a fixed per-key byte budget measured by the shape
+   * probe ([[graft.agg.ColumnarCofactor.CatPackedKeys]]): a string key
+   * owns its exact max UTF-8 width, an int-typed key the bytes its
+   * probed [0, max] range needs — ≤ 8 bytes TOTAL rides the kernel
+   * (e.g. 4-byte source × 2-byte lang × a small int tier), anything
+   * wider, any negative int key, NUL-embedded or >8-byte strings, or
+   * an unharvestable plan falls back to the grouped row aggregate.
+   * Rows with a NULL in ANY key are dropped on both routes (same
+   * contract as the single-key surface). Output columns carry the
+   * ORIGINAL key types, so the schema never depends on the route.
+   */
+  def cofactorGroupedMulti(df: DataFrame, keys: Seq[String], num: Seq[String], cat: Seq[String],
+                           nb: Boolean = false, maxGroups: Int = -1): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
+    require(keys.nonEmpty, "cofactorGroupedMulti needs at least one key")
+    if (keys.size == 1) return cofactorGrouped(df, keys.head, num, cat, nb, maxGroups)
+    register(df.sparkSession)
+    val resolver = df.sparkSession.sessionState.analyzer.resolver
+    val keyFields = keys.map(k => df.schema.find(f => resolver(f.name, k))
+      .getOrElse(throw new IllegalArgumentException(s"key column $k not found")))
+    val numSpecs = num.map(graft.agg.ColumnarCofactor.NumCol)
+    val catSpecs = cat.map(graft.agg.ColumnarCofactor.CatCol)
+    val viaKernel = groupedKernelGateMulti(df, keys, num, cat, nb, maxGroups)
+      .flatMap { case (ls, _) => graft.agg.ColumnarCofactor.cofactorPerClassLong(
+        df, numSpecs, catSpecs, ls, nbMode = nb).map(gs => (ls, gs)) }
+    viaKernel match {
+      case Some((ls, groups)) =>
+        lastGroupedRouteTL.set("columnar")
+        val schema = StructType(
+          keyFields.map(f => StructField(f.name, f.dataType)) :+
+            StructField("t", graft.agg.TripleCodec.dataType(nb)))
+        val rows: java.util.List[Row] = java.util.Arrays.asList(
+          groups.map { case (k, t) =>
+            val fields = graft.agg.ColumnarCofactor.unpackPackedKeys(k, ls.widths)
+            val kvs = keyFields.zip(fields).map { case (f, v) =>
+              f.dataType match {
+                case StringType => graft.agg.ColumnarCofactor.unpackShortString(v)
+                case LongType => v
+                case IntegerType => v.toInt
+                case ShortType => v.toShort
+                case ByteType => v.toByte
+                case other => throw new IllegalStateException(s"unreachable key type $other")
+              }
+            }
+            Row.fromSeq(kvs :+ tripleToRow(t, nb))
+          }: _*)
+        df.sparkSession.createDataFrame(rows, schema)
+      case None =>
+        lastGroupedRouteTL.set("row")
+        val cols = num.map(c => col(c).cast("double")) ++ cat.map(c => col(c).cast("int"))
+        val agg = if (nb) sumNbAgg(cols: _*) else sumTriple(cols: _*)
+        df.filter(keys.map(k => col(k).isNotNull).reduce(_ && _))
+          .groupBy(keys.map(col): _*).agg(agg.as("t"))
+    }
+  }
+
+  /** [[groupedKernelGate]] for `GROUP BY k1, k2[, …]`: every key must
+    * be int-typed or string, the probe's exact per-key shapes must
+    * pack into ≤ 8 bytes total ([[graft.agg.ColumnarCofactor.CatPackedKeys]]
+    * byte budgets — a string key owns its max UTF-8 width, an int key
+    * the bytes of its non-negative range), and the COMBINED key-tuple
+    * cardinality passes the same byte-based group cap. Returns the
+    * packed label spec plus the probed NULL-row bound. */
+  private[graft] def groupedKernelGateMulti(df: DataFrame, keys: Seq[String],
+      num: Seq[String], cat: Seq[String], nb: Boolean, maxGroups: Int,
+      probeNulls: Boolean = false): Option[(graft.agg.ColumnarCofactor.CatPackedKeys, Long)] = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    val resolver = df.sparkSession.sessionState.analyzer.resolver
+    if (keys.size < 2 || keys.size > 4) return None
+    val keyTypes = keys.map(k => df.schema.find(f => resolver(f.name, k)).map(_.dataType))
+    if (keyTypes.exists(_.isEmpty)) return None
+    val isStr = keyTypes.map(_.contains(StringType))
+    val intOk = keyTypes.forall(_.exists {
+      case StringType | IntegerType | LongType | ShortType | ByteType => true
+      case _ => false
+    })
+    if (!intOk) return None
+    val numSpecs = num.map(graft.agg.ColumnarCofactor.NumCol)
+    val catSpecs = cat.map(graft.agg.ColumnarCofactor.CatCol)
+    // plan-shape refusal first (driver-only, no scan); widths don't
+    // affect harvestability, so probe-independent placeholders suffice
+    val probeSpec = graft.agg.ColumnarCofactor.CatPackedKeys(keys, Seq.fill(keys.size)(1))
+    if (!graft.agg.ColumnarCofactor.canHarvest(df, numSpecs, catSpecs :+ probeSpec)) return None
+    val (rows, keyCard, keyShapes, catCards, nullUB) =
+      graft.ml.Factorized.probeGroupedShape(df, keys, cat, isStr,
+        nullCols = if (probeNulls) (keys ++ num) ++ cat else Seq())
+    // exact per-key byte budgets from the probe
+    val widths = keys.indices.map { i =>
+      val sh = keyShapes(i)
+      if (isStr(i)) {
+        if (sh.width > 8) return None // too wide / NUL / all-NULL
+        math.max(1, sh.width) // an all-empty string key still owns a byte
+      } else {
+        if (sh.lo < 0) return None // negative int keys don't zero-pack
+        if (sh.hi < sh.lo) 1 // all-NULL key: every row is dropped anyway
+        else {
+          var w = 1
+          while (w < 8 && sh.hi >= (1L << (8 * w))) w += 1
+          w
+        }
+      }
+    }
+    if (widths.sum > 8) return None
+    // same byte-based group cap as the single-key gate, with the
+    // COMBINED tuple cardinality
+    val rpk = rows.toDouble / math.max(1L, keyCard)
+    val d = num.size
+    val ePerCat = catCards.map(c => math.min(c.toDouble, rpk))
+    val catBytes = ePerCat.map(_ * (64.0 + 8.0 * (d + 1))).sum +
+      (if (nb) 0.0
+       else (for { i <- ePerCat.indices; j <- i until ePerCat.size }
+         yield math.min(ePerCat(i) * ePerCat(j), rpk) * 56.0).sum)
+    val bufBytes = 8.0 * (1 + d + (if (nb) d else d * (d + 1) / 2)) + catBytes
+    val groupCap: Long =
+      if (maxGroups > 0)
+        math.min(maxGroups.toLong, CofactorAggregate.confMaxCategories().toLong)
+      else math.min(1L << 20, ((64L << 20) / math.max(1.0, bufBytes)).toLong)
+    if (keyCard > groupCap) None
+    else if (probeNulls && nullUB > rows / 10) None
+    else Some((graft.agg.ColumnarCofactor.CatPackedKeys(keys, widths), nullUB))
+  }
+
   /** Install [[graft.plans.GroupedCofactorStrategy]] on the session's
     * experimental strategies (idempotent): SQL/DataFrame single-key
     * `GROUP BY` + `sum_to_triple`/`sum_to_nb_agg` over harvestable
@@ -464,15 +591,22 @@ object Graft {
     * ([[graft.plans.GroupedCofactorStrategy]]). Ordered cheapest-first:
     * key-type check and plan-shape refusal are driver-only; the shape
     * probe (ONE memoized fixed-memory scan) runs only on structurally
-    * harvestable plans. Returns the label spec when every gate passes.
-    * `requireNoNulls` additionally demands zero NULLs in the key AND
-    * every aggregated column — the SQL surface keeps default-aggregate
+    * harvestable plans. Returns the label spec plus the probed NULL-row
+    * upper bound when every gate passes.
+    *
+    * `probeNulls` (the SQL surface) additionally counts NULLs in the
+    * key AND every aggregated column: SQL keeps default-aggregate
     * semantics exactly (a NULL group survives; a group whose rows all
-    * carry a NULL input still appears with an empty triple), both shapes
-    * the kernel's skip-any-NULL-row contract cannot reproduce. */
+    * carry a NULL input still appears with an empty triple), both
+    * shapes the kernel's skip-any-NULL-row contract cannot reproduce
+    * alone — the caller routes those rows through a row-aggregate SIDE
+    * CHANNEL and ring-merges. The gate refuses only when the probed
+    * NULL-row bound exceeds ~10% of the table: past that the side
+    * channel is no longer a remainder and the default plan is the
+    * honest choice. */
   private[graft] def groupedKernelGate(df: DataFrame, key: String,
       num: Seq[String], cat: Seq[String], nb: Boolean, maxGroups: Int,
-      requireNoNulls: Boolean): Option[graft.agg.ColumnarCofactor.CatSpec] = {
+      probeNulls: Boolean): Option[(graft.agg.ColumnarCofactor.CatSpec, Long)] = {
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
     val resolver = df.sparkSession.sessionState.analyzer.resolver
     val keyType = df.schema.find(f => resolver(f.name, key)).map(_.dataType)
@@ -491,14 +625,15 @@ object Graft {
       // going to take
       case Some(ls) if !graft.agg.ColumnarCofactor.canHarvest(df, numSpecs, catSpecs :+ ls) =>
         None
-      case some @ Some(_) =>
+      case Some(ls) =>
         // one cheap fixed-memory probe scan, MEMOIZED per (plan, key,
         // cats, file snapshot); ±5% HLL error only softens the cap's
         // edge (a few % more buffers), never its magnitude. Key width
         // is exact (max over the scan), so the string gate is hard.
-        val (rows, keyCard, keyWidth, catCards, anyNull) =
-          graft.ml.Factorized.probeGroupedShape(df, key, cat, isStrKey,
-            nullCols = if (requireNoNulls) (key +: num) ++ cat else Seq())
+        val (rows, keyCard, keyShapes, catCards, nullUB) =
+          graft.ml.Factorized.probeGroupedShape(df, Seq(key), cat, Seq(isStrKey),
+            nullCols = if (probeNulls) (key +: num) ++ cat else Seq())
+        val keyWidth = keyShapes.head.width
         val rpk = rows.toDouble / math.max(1L, keyCard)
         // measured per-group buffer estimate: packed quad + lin fixed
         // part, plus per-cat maps bounded by min(cardinality, rows per
@@ -531,8 +666,10 @@ object Graft {
             ((64L << 20) / math.max(1.0, bufBytes)).toLong)
         if (isStrKey && keyWidth > 8) None
         else if (keyCard > groupCap) None
-        else if (requireNoNulls && anyNull) None
-        else some
+        // past ~10% NULL-bearing rows the side channel stops being a
+        // remainder — the default plan is the honest choice
+        else if (probeNulls && nullUB > rows / 10) None
+        else Some((ls, nullUB))
     }
   }
 

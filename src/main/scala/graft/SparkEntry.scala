@@ -1869,6 +1869,51 @@ object SparkEntry {
         val rows = out.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       } finally s.experimental.extraStrategies = saved
+    },
+    // GROUP BY k1, k2 on the SQL surface: both 1-byte flag columns pack
+    // into the kernel's Long label channel with probed byte budgets
+    // (CatPackedKeys) — the same zero-shuffle scan+treeReduce physical
+    // route as the single-key strategy. Route REQUIRED in-query.
+    "q84_grouped_sql_twokeys" -> { (s, dir) =>
+      Graft.register(s)
+      li(s, dir).createOrReplaceTempView("lineitem_q84")
+      val saved = s.experimental.extraStrategies
+      s.experimental.extraStrategies = saved :+ graft.plans.GroupedCofactorStrategy(s)
+      try {
+        val q = s.sql(
+          """SELECT l_returnflag, l_linestatus,
+            |       sum_to_triple(l_quantity, l_extendedprice, l_linenumber) AS t
+            |FROM lineitem_q84 GROUP BY l_returnflag, l_linestatus""".stripMargin)
+        require(q.queryExecution.executedPlan.toString.contains("GroupedCofactorKernel"),
+          "q84: GROUP BY k1, k2 must plan through the packed-label kernel strategy")
+        val out = q.select(
+          col("l_returnflag"), col("l_linestatus"),
+          col("t.n").as("n_rows"),
+          round(col("t.lin")(0), 2).as("sum_qty"),
+          round(col("t.quad")(1) / col("t.n"), 2).as("avg_qty_price"),
+          size(col("t.lin_cat")(0)).cast("long").as("n_lines"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally s.experimental.extraStrategies = saved
+    },
+    // the curation cut itself — GROUP BY source, lang over documents on
+    // the DataFrame surface (cofactorGroupedMulti): probed widths 5 + 2
+    // pack into one Long label, one columnar scan, no shuffle. Route
+    // REQUIRED after the call (lastGroupedRoute).
+    "q85_grouped_multi_docs" -> { (s, dir) =>
+      Graft.register(s)
+      val docs = Tables.load(s, dir, "documents")
+      val grouped = Graft.cofactorGroupedMulti(docs, Seq("source", "lang"),
+        Seq("n_chars"), Seq())
+      require(Graft.lastGroupedRoute() == "columnar",
+        "q85: source × lang must ride the packed-label kernel")
+      grouped.select(
+        col("source"), col("lang"),
+        col("t.n").as("n_rows"),
+        round(col("t.lin")(0), 2).as("sum_chars"),
+        round(col("t.quad")(0), 2).as("sum_sq_chars"))
+        .orderBy(col("source"), col("lang"))
     }
   )
 
@@ -3141,6 +3186,17 @@ object SparkEntry {
         |SELECT coalesce(k, -1) AS k, count(x) AS n_rows,
         |       coalesce(round(sum(x), 2), 0) AS sum_qty,
         |       coalesce(round(sum(x * x), 2), 0) AS sum_sq
-        |FROM t GROUP BY t.k ORDER BY 1""".stripMargin
+        |FROM t GROUP BY t.k ORDER BY 1""".stripMargin,
+    "q84_grouped_sql_twokeys" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(avg(l_quantity * l_extendedprice), 2) AS avg_qty_price,
+        |       count(DISTINCT l_linenumber) AS n_lines
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q85_grouped_multi_docs" ->
+      """SELECT source, lang, count(*) AS n_rows,
+        |       round(CAST(sum(n_chars) AS DOUBLE), 2) AS sum_chars,
+        |       round(CAST(sum(CAST(n_chars AS DOUBLE) * n_chars) AS DOUBLE), 2) AS sum_sq_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

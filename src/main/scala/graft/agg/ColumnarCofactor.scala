@@ -92,6 +92,27 @@ object ColumnarCofactor {
   final case class CatShortString(name: String) extends CatSpec {
     def inputs: Seq[String] = Seq(name)
   }
+  /** LABEL-ONLY spec: 2–4 group-key columns packed into the ONE Long
+    * label channel, key i occupying exactly `widths(i)` bytes
+    * (first-listed in the high bits; Σ widths ≤ 8) — the `GROUP BY
+    * source, lang` curation-cut shape riding the same kernel as a
+    * single key. A string sub-key packs ≤ width raw UTF-8 bytes
+    * base-256 (NUL-free, like [[CatShortString]]); an int-typed
+    * sub-key must be non-negative and < 2^(8·width). Both are probed
+    * EXACTLY by the gate (`Graft.groupedKernelGate`) before this spec
+    * is constructed, and re-checked fail-loud per row so an in-place
+    * data rewrite can never silently alias two groups. Fixed widths
+    * keep the packing injective: each field owns its byte range, so
+    * (a,bc) and (ab,c) land in different cells by construction. Only
+    * valid in label position ([[cofactorPerClassLong]]'s last spec) —
+    * [[compile]] refuses it anywhere else. */
+  final case class CatPackedKeys(names: Seq[String], widths: Seq[Int]) extends CatSpec {
+    require(names.size >= 2 && names.size <= 4 && names.size == widths.size,
+      "CatPackedKeys packs 2-4 key columns")
+    require(widths.forall(w => w >= 1 && w <= 8) && widths.sum <= 8,
+      "CatPackedKeys widths must be 1-8 bytes each, 8 total")
+    def inputs: Seq[String] = names
+  }
 
   /** Recover the packed strings of a [[CatPackedStrings]] key. */
   def unpackStrings(key: Int, nCols: Int): Seq[String] =
@@ -101,6 +122,23 @@ object ColumnarCofactor {
     * MSB-first, decoded as UTF-8 (multi-byte chars round-trip — the
     * pack is raw bytes, not chars). Key 0 is the empty string. */
   def unpackShortString(key: Int): String = unpackShortString(key & 0xffffffffL)
+
+  /** Split a [[CatPackedKeys]] label back into its per-key raw fields
+    * (first-listed key first). String fields decode further via
+    * [[unpackShortString]]; int-typed fields ARE the value. */
+  def unpackPackedKeys(key: Long, widths: Seq[Int]): Seq[Long] = {
+    var shift = 0
+    val out = new Array[Long](widths.size)
+    var i = widths.size - 1
+    while (i >= 0) {
+      val w = widths(i)
+      val mask = if (w >= 8) -1L else (1L << (8 * w)) - 1L
+      out(i) = (key >>> shift) & mask
+      shift += 8 * w
+      i -= 1
+    }
+    out.toSeq
+  }
 
   /** [[unpackShortString]] for a LONG label key (1–8 packed bytes). */
   def unpackShortString(key: Long): String = {
@@ -683,6 +721,23 @@ object ColumnarCofactor {
           catKind(j) = 3; catOrds(j) = Array(ord(norm(n)))
           if (dtOf(norm(n)) != StringType) return None
           catT(j) = Array.empty[Int]
+        case CatPackedKeys(names, widths) =>
+          // label-only: the int cat decode has no kind-4 path, and the
+          // per-class label is always the LAST compiled spec
+          if (j != cats.size - 1) return None
+          catKind(j) = 4; catOrds(j) = names.map(n => ord(norm(n))).toArray
+          // per sub-key: (type code | -1 for string, byte width)
+          val enc = new Array[Int](2 * names.size)
+          for ((n, q) <- names.zipWithIndex) {
+            enc(2 * q) = dtOf(norm(n)) match {
+              case StringType => -1
+              case IntegerType => T_INT; case LongType => T_LONG
+              case ShortType => T_SHORT; case ByteType => T_BYTE
+              case _ => return None
+            }
+            enc(2 * q + 1) = widths(q)
+          }
+          catT(j) = enc
       }
 
       val compiled = Compiled(
@@ -713,6 +768,11 @@ object ColumnarCofactor {
   private final val MicrosPerDay = 86400000000L
 
   private final class BatchAcc(p: Compiled, stage: Int = 5, labelMode: Boolean = false) {
+    // CatPackedKeys decodes only in the Long label channel — the int
+    // cat path has no kind-4 decode, so a flat-mode use must fail
+    // loudly here rather than silently misread the column
+    require(labelMode || !p.catKind.contains(4),
+      "CatPackedKeys is label-only: use cofactorPerClassLong")
     val buf = new CofactorBuffer(p.numCols, if (labelMode) 0 else p.catCols, p.nbMode)
     buf.maxCategories = p.maxCategories
     var rowsSeen = 0L // profile stages < 3 don't touch buf.n
@@ -1138,6 +1198,31 @@ object ColumnarCofactor {
       key
     }
 
+    /** [[packShortWide]] bounded to a [[CatPackedKeys]] field width:
+      * the gate probed the exact max byte width, so a wider value here
+      * means the data was rewritten in place — fail loudly rather than
+      * bleed into the neighbouring key's byte range. */
+    private def packShortBounded(v: ColumnVector, row: Int, w: Int, colName: => String): Long = {
+      val u = v.getUTF8String(row)
+      val nb = u.numBytes
+      if (nb > w)
+        throw new IllegalArgumentException(
+          s"CatPackedKeys: column $colName has a $nb-byte value ('$u') wider than its " +
+          s"probed $w-byte field — was the input rewritten in place?")
+      var key = 0L
+      var i = 0
+      while (i < nb) {
+        val b = u.getByte(i) & 0xff
+        if (b == 0)
+          throw new IllegalArgumentException(
+            s"CatPackedKeys: column $colName has a value with an embedded NUL byte — " +
+            "base-256 packing cannot distinguish it from a shorter value")
+        key = (key << 8) | b
+        i += 1
+      }
+      key
+    }
+
     /** [[packShort]] into the LONG label channel: 1–8 UTF-8 bytes. */
     private def packShortWide(v: ColumnVector, row: Int, colName: => String): Long = {
       val u = v.getUTF8String(row)
@@ -1213,6 +1298,38 @@ object ColumnarCofactor {
           val o = ords(0)
           if (s == null) while (r < n) { out(r) = packShortWide(batch.column(o), r, s"#$o"); r += 1 }
           else while (r < n) { out(r) = packShortWide(batch.column(o), s(r), s"#$o"); r += 1 }
+        case 4 =>
+          // multi-key label: each sub-key owns ts(2q+1) bytes, packed
+          // MSB-first; int-typed sub-keys re-check the gate's probed
+          // range per row (an in-place rewrite must fail, not alias)
+          while (r < n) {
+            val row = if (s == null) r else s(r)
+            var key = 0L
+            var q = 0
+            while (q < ords.length) {
+              val w = ts(2 * q + 1)
+              val t = ts(2 * q)
+              val v: Long =
+                if (t == -1) packShortBounded(batch.column(ords(q)), row, w, s"#${ords(q)}")
+                else {
+                  val x = t match {
+                    case T_INT => batch.column(ords(q)).getInt(row).toLong
+                    case T_LONG => batch.column(ords(q)).getLong(row)
+                    case T_SHORT => batch.column(ords(q)).getShort(row).toLong
+                    case _ => batch.column(ords(q)).getByte(row).toLong
+                  }
+                  if (x < 0 || (w < 8 && x >= (1L << (8 * w))))
+                    throw new IllegalArgumentException(
+                      s"CatPackedKeys: column #${ords(q)} value $x outside its probed " +
+                      s"$w-byte field — was the input rewritten in place?")
+                  x
+                }
+              key = (key << (8 * w)) | v
+              q += 1
+            }
+            out(r) = key
+            r += 1
+          }
       }
     }
 

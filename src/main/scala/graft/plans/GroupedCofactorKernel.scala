@@ -11,11 +11,11 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
- * Planner strategy routing a SQL/DataFrame single-key `GROUP BY` +
+ * Planner strategy routing a SQL/DataFrame `GROUP BY` +
  * `sum_to_triple`/`sum_to_nb_agg` through the grouped columnar kernel —
  * the same physical path `Graft.cofactorGrouped` takes (one columnar
  * scan, per-class buffers, executor-side tree merge; measured 0.82× of
@@ -23,7 +23,9 @@ import org.apache.spark.unsafe.types.UTF8String
  * SQL surface previously always paid the default plan; with this
  * strategy installed, `spark.sql("SELECT k, sum_to_triple(x, y, c) FROM
  * t GROUP BY k")` plans as [[GroupedCofactorKernelExec]] when every
- * gate passes.
+ * gate passes. Two to four keys (`GROUP BY source, lang` — the standard
+ * curation cut) ride the same Long label channel with probed per-key
+ * byte budgets ([[graft.agg.ColumnarCofactor.CatPackedKeys]]).
  *
  * Opt-in via `spark.experimental.extraStrategies`, the same per-session
  * convention as [[FactorizeCofactorRule]] — NOT registered globally by
@@ -32,21 +34,22 @@ import org.apache.spark.unsafe.types.UTF8String
  * exactly this shape on purpose and must keep planning the default.
  *
  * Gates (any failure returns Nil — the default aggregation plans):
- *  - exactly ONE grouping expression, a plain int/long/string attribute;
- *  - the aggregate list is the group key (possibly aliased) plus exactly
- *    one plain [[CofactorAggregate]] over attribute children (no
- *    DISTINCT, no FILTER);
+ *  - 1–4 grouping expressions, all plain int/long/string attributes;
+ *  - the aggregate list is group keys (possibly aliased, possibly a
+ *    subset) plus exactly one plain [[CofactorAggregate]] over
+ *    attribute children (no DISTINCT, no FILTER);
  *  - child output names are unambiguous (the kernel binds by name);
- *  - [[graft.Graft.groupedKernelGate]] accepts: harvestable bare/
- *    filtered scan, key width/cardinality/buffer-byte caps, and a
- *    probed NULL-row bound ≤ ~10% of the table.
+ *  - [[graft.Graft.groupedKernelGate]] (one key) /
+ *    [[graft.Graft.groupedKernelGateMulti]] (2–4 keys) accepts:
+ *    harvestable bare/filtered scan, key width/cardinality/buffer-byte
+ *    caps, and a probed NULL-row bound ≤ ~10% of the table.
  *
  * NULL-bearing data keeps the fast route via a row-aggregate SIDE
  * CHANNEL: SQL keeps a NULL-key group, and a group whose rows all carry
  * a NULL input still appears with an empty triple — both shapes the
  * kernel's skip-any-NULL-row contract drops. But those are EXACTLY the
- * rows the kernel skips, so the remainder `key IS NULL OR any input IS
- * NULL` is aggregated by the (always-correct) row aggregate — a
+ * rows the kernel skips, so the remainder `any key IS NULL OR any input
+ * IS NULL` is aggregated by the (always-correct) row aggregate — a
  * filter-pushed scan over the small NULL-bearing fraction — and
  * ring-merged with the kernel groups driver-side (`Triple.add`; a
  * NULL-input row contributes nothing to any triple on either path, so
@@ -61,9 +64,13 @@ import org.apache.spark.unsafe.types.UTF8String
 case class GroupedCofactorStrategy(session: SparkSession) extends SparkStrategy {
 
   def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case agg @ Aggregate(Seq(k: AttributeReference), projList, child, _)
-        if projList.count(isPlainCofactor) == 1 &&
-          projList.forall(e => isPlainCofactor(e) || isGroupRef(e, k)) =>
+    case agg @ Aggregate(groupExprs, projList, child, _)
+        if groupExprs.nonEmpty && groupExprs.size <= 4 &&
+          groupExprs.forall(_.isInstanceOf[AttributeReference]) &&
+          projList.count(isPlainCofactor) == 1 &&
+          projList.forall(e => isPlainCofactor(e) ||
+            groupExprs.exists(k => isGroupRef(e, k.asInstanceOf[AttributeReference]))) =>
+      val keys = groupExprs.map(_.asInstanceOf[AttributeReference])
       val ae = projList.collectFirst {
         case Alias(a @ AggregateExpression(_: CofactorAggregate, _, false, None, _), _) => a
       }.get
@@ -71,11 +78,12 @@ case class GroupedCofactorStrategy(session: SparkSession) extends SparkStrategy 
       // attribute-only children, split by the aggregate's own num/cat
       // rule so the kernel computes the identical triple layout
       if (!cof.children.forall(_.isInstanceOf[AttributeReference])) return Nil
-      val keyOk = k.dataType match {
-        case org.apache.spark.sql.types.IntegerType | LongType | StringType => true
+      val keysOk = keys.forall(_.dataType match {
+        case IntegerType | LongType | StringType => true
+        case ShortType | ByteType => keys.size > 1 // packed fields only
         case _ => false
-      }
-      if (!keyOk) return Nil
+      })
+      if (!keysOk) return Nil
       // name-unambiguous child: the kernel entry points bind by name
       val names = child.output.map(_.name.toLowerCase(java.util.Locale.ROOT))
       if (names.distinct.size != names.size) return Nil
@@ -88,13 +96,21 @@ case class GroupedCofactorStrategy(session: SparkSession) extends SparkStrategy 
         })
       val (num, cat) = (numAttrs.map(_.name), catAttrs.map(_.name))
       val df = ColumnBridge.ofRows(session, child)
-      graft.Graft.groupedKernelGate(df, k.name, num, cat, cof.nbMode,
-          maxGroups = -1, probeNulls = true) match {
-        case Some(_) =>
-          GroupedCofactorKernelExec(agg.output, projList.map(isPlainCofactor),
-            k.name, num, cat, cof.nbMode, k.dataType)(child, session) :: Nil
-        case None => Nil
+      val gated =
+        if (keys.size == 1)
+          graft.Graft.groupedKernelGate(df, keys.head.name, num, cat, cof.nbMode,
+            maxGroups = -1, probeNulls = true).isDefined
+        else
+          graft.Graft.groupedKernelGateMulti(df, keys.map(_.name), num, cat, cof.nbMode,
+            maxGroups = -1, probeNulls = true).isDefined
+      if (!gated) return Nil
+      // output slot → key index (or -1 for the triple column)
+      val slotKey = projList.map { ne =>
+        if (isPlainCofactor(ne)) -1
+        else keys.indexWhere(k => isGroupRef(ne, k))
       }
+      GroupedCofactorKernelExec(agg.output, slotKey,
+        keys.map(_.name), num, cat, cof.nbMode, keys.map(_.dataType))(child, session) :: Nil
     case _ => Nil
   }
 
@@ -117,14 +133,14 @@ case class GroupedCofactorStrategy(session: SparkSession) extends SparkStrategy 
  * the ≤`maxCategories` kilobyte-sized group triples land on the driver,
  * the same materialization contract as `Graft.cofactorGrouped`), merge
  * in the NULL-remainder side channel when the probe saw NULLs, and
- * return the groups as a single-partition RDD. `tripleSlots(i)` marks
- * which output column carries the triple (the rest is the group key),
- * so any projection order SQL produces is honored.
+ * return the groups as a single-partition RDD. `slotKey(i)` maps each
+ * output column to its key index (-1 = the triple), so any projection
+ * order or key subset SQL produces is honored.
  */
 case class GroupedCofactorKernelExec(
-    output: Seq[Attribute], tripleSlots: Seq[Boolean],
-    key: String, num: Seq[String], cat: Seq[String], nb: Boolean,
-    keyType: DataType)(
+    output: Seq[Attribute], slotKey: Seq[Int],
+    keys: Seq[String], num: Seq[String], cat: Seq[String], nb: Boolean,
+    keyTypes: Seq[DataType])(
     // both transient and OUTSIDE the product: the physical tree is
     // serialized into task closures by parent stages, and a LogicalPlan
     // drags a non-serializable file index along — the kernel only needs
@@ -140,11 +156,16 @@ case class GroupedCofactorKernelExec(
     // the gate re-runs (memoized probe — no extra scan) so a data
     // rewrite between planning and execution fails loudly instead of
     // silently diverging from SQL semantics
-    val (ls, nullUB) = graft.Graft.groupedKernelGate(df, key, num, cat, nb,
-        maxGroups = -1, probeNulls = true)
-      .getOrElse(throw new IllegalStateException(
-        "grouped-cofactor kernel route regressed between planning and execution " +
-        "(input rewritten in place?) — re-run the query to re-plan"))
+    def regressed = throw new IllegalStateException(
+      "grouped-cofactor kernel route regressed between planning and execution " +
+      "(input rewritten in place?) — re-run the query to re-plan")
+    val (ls, nullUB): (ColumnarCofactor.CatSpec, Long) =
+      if (keys.size == 1)
+        graft.Graft.groupedKernelGate(df, keys.head, num, cat, nb,
+          maxGroups = -1, probeNulls = true).getOrElse(regressed)
+      else
+        graft.Graft.groupedKernelGateMulti(df, keys, num, cat, nb,
+          maxGroups = -1, probeNulls = true).getOrElse(regressed)
     val groups = ColumnarCofactor.cofactorPerClassLong(df,
         num.map(ColumnarCofactor.NumCol), cat.map(ColumnarCofactor.CatCol), ls, nbMode = nb)
       .getOrElse(throw new IllegalStateException(
@@ -153,40 +174,53 @@ case class GroupedCofactorKernelExec(
     // then the side channel's groups ring-add (disjoint row sets — a
     // key in both means a group with clean AND null-bearing rows, whose
     // null-bearing side contributes the empty triple add is identity on)
-    val merged = scala.collection.mutable.LinkedHashMap[Any, Triple]()
-    groups.foreach { case (kv, t) =>
-      val keyVal: Any = keyType match {
-        case StringType => ColumnarCofactor.unpackShortString(kv)
-        case LongType => kv
-        case _ => kv.toInt
-      }
-      merged(keyVal) = t
+    def toOriginal(v: Long, dt: DataType): Any = dt match {
+      case StringType => ColumnarCofactor.unpackShortString(v)
+      case LongType => v
+      case ShortType => v.toShort
+      case ByteType => v.toByte
+      case _ => v.toInt
+    }
+    val merged = scala.collection.mutable.LinkedHashMap[Seq[Any], Triple]()
+    ls match {
+      case pk: ColumnarCofactor.CatPackedKeys =>
+        groups.foreach { case (kv, t) =>
+          val fields = ColumnarCofactor.unpackPackedKeys(kv, pk.widths)
+          merged(fields.zip(keyTypes).map { case (f, dt) => toOriginal(f, dt) }) = t
+        }
+      case _ =>
+        groups.foreach { case (kv, t) => merged(Seq(toOriginal(kv, keyTypes.head))) = t }
     }
     if (nullUB > 0) {
       // the NULL remainder: exactly the rows the kernel skipped. The
       // filter pushes to the scan, so this reads the small NULL-bearing
       // fraction; group count is bounded by the same gate cap.
-      val nullCond = ((key +: num) ++ cat).map(c => col(c).isNull).reduce(_ || _)
+      val nullCond = ((keys ++ num) ++ cat).map(c => col(c).isNull).reduce(_ || _)
       val cols = num.map(c => col(c).cast("double")) ++ cat.map(c => col(c).cast("int"))
       val aggCol = if (nb) graft.Graft.sumNbAgg(cols: _*) else graft.Graft.sumTriple(cols: _*)
-      df.filter(nullCond).groupBy(col(key)).agg(aggCol.as("__t")).collect().foreach { r =>
-        val kAny: Any = if (r.isNullAt(0)) null else r.get(0)
-        // an all-skipped group comes back with a NULL triple struct —
-        // the empty triple of this arity (the kernel would have dropped
-        // the group; SQL keeps it)
-        val t = if (r.isNullAt(1)) new graft.agg.CofactorBuffer(num.size, cat.size, nb).toTriple
-                else graft.Graft.tripleFromRow(r.getStruct(1))
-        merged(kAny) = merged.get(kAny).map(Triple.add(_, t)).getOrElse(t)
-      }
+      df.filter(nullCond).groupBy(keys.map(col): _*).agg(aggCol.as("__t"))
+        .collect().foreach { r =>
+          val kvs: Seq[Any] = keys.indices.map(i => if (r.isNullAt(i)) null else r.get(i))
+          // an all-skipped group comes back with a NULL triple struct —
+          // the empty triple of this arity (the kernel would have
+          // dropped the group; SQL keeps it)
+          val t = if (r.isNullAt(keys.size))
+                    new graft.agg.CofactorBuffer(num.size, cat.size, nb).toTriple
+                  else graft.Graft.tripleFromRow(r.getStruct(keys.size))
+          merged(kvs) = merged.get(kvs).map(Triple.add(_, t)).getOrElse(t)
+        }
     }
     val proj = UnsafeProjection.create(output.map(_.dataType).toArray)
-    val rows = merged.iterator.map { case (kAny, t) =>
-      val keyVal: Any = kAny match {
-        case s: String => UTF8String.fromString(s)
-        case other => other // Int / Long / null pass through
-      }
+    val rows = merged.iterator.map { case (kvs, t) =>
       val triple = TripleCodec.toCatalyst(t, nb)
-      proj(InternalRow.fromSeq(tripleSlots.map(isT => if (isT) triple else keyVal))).copy()
+      val vals = slotKey.map { s =>
+        if (s == -1) triple
+        else kvs(s) match {
+          case str: String => UTF8String.fromString(str)
+          case other => other // Int / Long / Short / Byte / null pass through
+        }
+      }
+      proj(InternalRow.fromSeq(vals)).copy()
     }.toSeq
     sparkContext.parallelize(rows, 1)
   }

@@ -582,6 +582,91 @@ class ColumnarCofactorSpec extends AnyFunSuite {
     assert(nul.count() == 2, "both NUL-distinguished groups must survive")
   }
 
+  test("cofactorGroupedMulti: GROUP BY k1, k2 packs into the Long label; mixed types, refusals, NULL drops") {
+    // string × string (the source × language curation cut): probed
+    // widths 2 + 5 = 7 bytes → kernel; parity vs the row aggregate
+    val tmp = java.nio.file.Files.createTempDirectory("gmk").toFile.getAbsolutePath
+    spark.range(8000).select(
+      concat(lit("s"), (col("id") % 3).cast("string")).as("src"), // 2 bytes
+      concat(lit("lang"), (col("id") % 5).cast("string")).as("lang"), // 5 bytes
+      (col("id") % 11).cast("int").as("tier"),
+      when(col("id") % 50 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("s"), (col("id") % 3).cast("string"))).as("srcN"),
+      (col("id") % 97).cast("double").as("x"),
+      (col("id") % 13).cast("double").as("y"),
+      (col("id") % 7).cast("int").as("c")).write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
+    def collectBy2(out: org.apache.spark.sql.DataFrame): Map[(Any, Any), graft.ring.Triple] =
+      out.collect().map(r => ((r.get(0), r.get(1)) -> Graft.tripleFromRow(r.getStruct(2)))).toMap
+    val viaKernel = Graft.cofactorGroupedMulti(df, Seq("src", "lang"), Seq("x", "y"), Seq("c"))
+    assert(Graft.lastGroupedRoute() == "columnar", "2 short string keys must ride the kernel")
+    assert(viaKernel.schema.map(_.name) == Seq("src", "lang", "t"))
+    val viaRow = Graft.cofactorGroupedMulti(df.repartition(4), Seq("src", "lang"), Seq("x", "y"), Seq("c"))
+    assert(Graft.lastGroupedRoute() == "row")
+    val a = collectBy2(viaKernel); val b = collectBy2(viaRow)
+    assert(a.keySet == b.keySet && a.size == 15)
+    a.keys.foreach(k => assert(a(k).approxEquals(b(k), 1e-9), s"group $k differs"))
+
+    // int × string mixed key: tier ∈ [0,10] owns 1 byte
+    val aM = collectBy2(Graft.cofactorGroupedMulti(df, Seq("tier", "lang"), Seq("x"), Seq()))
+    assert(Graft.lastGroupedRoute() == "columnar", "int × string must ride the kernel")
+    val bM = collectBy2(Graft.cofactorGroupedMulti(df.repartition(4), Seq("tier", "lang"), Seq("x"), Seq()))
+    assert(aM.keySet == bM.keySet && aM.size == 55)
+    assert(aM.keySet.forall { case (t, l) => t.isInstanceOf[Int] && l.isInstanceOf[String] },
+      "key columns must come back in their ORIGINAL types")
+    aM.keys.foreach(k => assert(aM(k).approxEquals(bM(k), 1e-9), s"group $k differs"))
+
+    // a NULL in EITHER key drops the row on both routes
+    val aN = collectBy2(Graft.cofactorGroupedMulti(df, Seq("srcN", "lang"), Seq("x"), Seq()))
+    assert(Graft.lastGroupedRoute() == "columnar")
+    val bN = collectBy2(Graft.cofactorGroupedMulti(df.repartition(4), Seq("srcN", "lang"), Seq("x"), Seq()))
+    assert(aN.keySet == bN.keySet && !aN.keySet.exists { case (s, _) => s == null })
+    assert(aN.values.map(_.n).sum == bN.values.map(_.n).sum)
+    aN.keys.foreach(k => assert(aN(k).approxEquals(bN(k), 1e-9), s"group $k differs"))
+
+    // refusals fall back to the row aggregate up front: negative int
+    // keys don't zero-pack; Σ widths > 8 bytes
+    val tmpR = java.nio.file.Files.createTempDirectory("gmkR").toFile.getAbsolutePath
+    spark.range(2000).select(
+      ((col("id") % 7) - 3).cast("int").as("neg"),
+      concat(lit("verywide"), (col("id") % 3).cast("string")).as("wide"), // 9 bytes
+      concat(lit("lang"), (col("id") % 5).cast("string")).as("lang"),
+      (col("id") % 97).cast("double").as("x")).write.mode("overwrite").parquet(tmpR)
+    val dfR = spark.read.parquet(tmpR)
+    val neg = Graft.cofactorGroupedMulti(dfR, Seq("neg", "lang"), Seq("x"), Seq())
+    assert(Graft.lastGroupedRoute() == "row", "negative int keys must take the row aggregate")
+    assert(neg.count() == 35)
+    val wide2 = Graft.cofactorGroupedMulti(dfR, Seq("wide", "lang"), Seq("x"), Seq())
+    assert(Graft.lastGroupedRoute() == "row", "9 + 5 bytes cannot pack — row aggregate")
+    assert(wide2.count() == 15)
+  }
+
+  test("cofactorGroupedMulti fuzz: kernel == row aggregate across random key shapes (seeded)") {
+    val rng = new scala.util.Random(0xBEEF16)
+    for (round <- 0 until 3) {
+      // random per-round shape: value ranges chosen so widths vary
+      // across the 1/2/3-byte boundaries, incl. boundary values 255/256
+      val kMax = Seq(7, 255, 256, 65535, 70000)(rng.nextInt(5))
+      val sLen = 1 + rng.nextInt(4)
+      val n = 3000 + rng.nextInt(3000)
+      val tmp = java.nio.file.Files.createTempDirectory(s"gmkF$round").toFile.getAbsolutePath
+      spark.range(n).select(
+        (col("id") % (kMax + 1)).cast("long").as("ki"),
+        concat(lit("x" * (sLen - 1)), (col("id") % 4).cast("string")).as("ks"),
+        (col("id") % 89).cast("double").as("x"),
+        (col("id") % 5).cast("int").as("c")).write.mode("overwrite").parquet(tmp)
+      val df = spark.read.parquet(tmp)
+      val viaK = Graft.cofactorGroupedMulti(df, Seq("ki", "ks"), Seq("x"), Seq("c"))
+      assert(Graft.lastGroupedRoute() == "columnar", s"round $round (kMax=$kMax, sLen=$sLen)")
+      val viaR = Graft.cofactorGroupedMulti(df.repartition(3), Seq("ki", "ks"), Seq("x"), Seq("c"))
+      assert(Graft.lastGroupedRoute() == "row")
+      val a = viaK.collect().map(r => ((r.getLong(0), r.getString(1)) -> Graft.tripleFromRow(r.getStruct(2)))).toMap
+      val b = viaR.collect().map(r => ((r.getLong(0), r.getString(1)) -> Graft.tripleFromRow(r.getStruct(2)))).toMap
+      assert(a.keySet == b.keySet, s"round $round: ${a.keySet.size} vs ${b.keySet.size} groups")
+      a.keys.foreach(k => assert(a(k).approxEquals(b(k), 1e-9), s"round $round group $k differs"))
+    }
+  }
+
   test("grouped byte gate: a high-cardinality cat column under a small key routes to the row aggregate") {
     // 800 groups whose cat maps the probe bounds at ~1000 entries each
     // (min(column cardinality 10k, rows/group 1k)) ≈ >100 MB of

@@ -294,10 +294,25 @@ class PlansSpec extends AnyFunSuite {
       assert(got2.keySet == expected.keySet)
       got2.keys.foreach(k => assert(got2(k).n == expected(k).n, s"q2 group $k row count differs"))
 
-      // DECLINES (default plan, no kernel node): two grouping keys
-      val twoKeys = spark.sql("SELECT k, c, sum_to_triple(x) AS t FROM gsql_t GROUP BY k, c")
-      assert(!twoKeys.queryExecution.executedPlan.toString.contains("GroupedCofactorKernel"))
-      assert(twoKeys.count() == 21)
+      // TWO grouping keys pack into the Long label channel and ride
+      // the same kernel — parity vs the default plan, key subset and
+      // projection order honored
+      val sql2 = "SELECT k, c, sum_to_triple(x, y) AS t FROM gsql_t GROUP BY k, c"
+      spark.experimental.extraStrategies = saved
+      val exp2 = spark.sql(sql2).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> Graft.tripleFromRow(r.getStruct(2))).toMap
+      spark.experimental.extraStrategies = saved :+ graft.plans.GroupedCofactorStrategy(spark)
+      val twoKeys = spark.sql(sql2)
+      assert(twoKeys.queryExecution.executedPlan.toString.contains("GroupedCofactorKernel"),
+        "GROUP BY k1, k2 must ride the packed-label kernel route")
+      val got2k = twoKeys.collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> Graft.tripleFromRow(r.getStruct(2))).toMap
+      assert(got2k.keySet == exp2.keySet && got2k.size == 21)
+      got2k.keys.foreach(k => assert(got2k(k).approxEquals(exp2(k), 1e-9), s"group $k differs"))
+      // reversed projection + key subset: (triple, c) only
+      val subset = spark.sql("SELECT sum_to_triple(x) AS t, c FROM gsql_t GROUP BY k, c")
+      assert(subset.queryExecution.executedPlan.toString.contains("GroupedCofactorKernel"))
+      assert(subset.count() == 21, "a projected-out key still groups")
 
       // NULL-bearing data ≤ the ~10% bound KEEPS the kernel route via
       // the row-aggregate side channel: the NULL-key group, groups
