@@ -112,6 +112,18 @@ object Bench {
       "grouped harvest must engage on the bare lineitem scan")
     noop(g)
   }
+  // the multi-key curation cut (GROUP BY flag, status → CatPackedKeys
+  // Long label) on the same scan+treeReduce route — route required, so
+  // a gate/probe regression that silently demotes to the row aggregate
+  // fails the bench rather than recording a slower number
+  private def columnarCofactorGroupedMulti(spark: SparkSession, dir: String): Unit = {
+    val g = Graft.cofactorGroupedMulti(Tables.load(spark, dir, "lineitem"),
+      Seq("l_returnflag", "l_linestatus"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"), Seq())
+    require(Graft.lastGroupedRoute() == "columnar",
+      "multi-key grouped harvest must engage on the bare lineitem scan")
+    noop(g)
+  }
   // q6-shaped filtered cofactor through the compiled-mask harvest —
   // certifies per-round that a simple filter stays on the columnar path
   private def columnarCofactorFiltered(spark: SparkSession, dir: String): Unit = {
@@ -208,6 +220,35 @@ object Bench {
     // teardown INTO the timed row
     graft.Graft.dropCheckpoint(done)
   }
+  // MULTI-column chain — the reference's real workload iterates ALL
+  // nullable columns (imputation_base.cpp:19,89), so the branch-based
+  // generation's fragmentation cost must be measured where it can
+  // hurt: two OVERLAPPING missing strata (k%7==0 and k%11==3 intersect
+  // every 77th key) × `iterations` rounds = 2·iterations steps over the
+  // 600M-row fact, branch count bounded by the k+1 pruning claim
+  // (k = 2 columns ⇒ ≤ 3 live branches) with the >12 coalesce valve as
+  // backstop. Phase decomposition prints like the single-column row's.
+  private def miceStarMulti(pair: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame),
+                            iterations: Int = 3): Unit = {
+    val (liB, ordB) = pair
+    val fact = liB
+      .withColumn("x_missing",
+        when(pmod(col("k"), lit(7)) === 0, lit(null).cast("double"))
+          .otherwise(col("l_quantity") * 0.5))
+      .withColumn("y_missing",
+        when(pmod(col("k"), lit(11)) === 3, lit(null).cast("double"))
+          .otherwise(col("l_quantity") * 1.5 + lit(2.0)))
+    val tm = new graft.mice.Mice.Timings
+    val done = graft.mice.MiceJoin.imputeChainedOverJoin(
+      fact, ordB, "k",
+      graft.mice.MiceJoin.ChainConfig(
+        factNum = Seq("l_quantity", "x_missing", "y_missing"), factCat = Seq(),
+        dimNum = Seq("o_totalprice"), imputeCont = Seq("x_missing", "y_missing"),
+        iterations = iterations), tm)
+    noop(done)
+    System.err.println(s"[bench] mice_star_multi($iterations) phases: $tm")
+    graft.Graft.dropCheckpoint(done)
+  }
 
   // -------------------------------------------------------------- tiers
   private final case class Tier(name: String,
@@ -274,6 +315,7 @@ object Bench {
             col("l_linenumber")).as("t")))
       },
       "cofactor_grouped_columnar" -> (() => columnarCofactorGrouped(spark, sfDir)),
+      "cofactor_grouped_multikey" -> (() => columnarCofactorGroupedMulti(spark, sfDir)),
       "factorized_join" -> (() => noop(SparkEntry.queries("q09_factorized_join")(spark, sfDir))),
       // what the engine actually picks for this key profile: the
       // cardinality probe sees ~4 rows/key and falls back to the plain
@@ -445,6 +487,7 @@ object Bench {
       "sf100_q01_columnar" -> (() => columnarPricing(spark, sf100Dir)),
       "sf100_cofactor_columnar" -> (() => columnarCofactorFull(spark, sf100Dir)),
       "sf100_cofactor_grouped_columnar" -> (() => columnarCofactorGrouped(spark, sf100Dir)),
+      "sf100_cofactor_grouped_multikey" -> (() => columnarCofactorGroupedMulti(spark, sf100Dir)),
       "sf100_cofactor_filtered" -> (() => columnarCofactorFiltered(spark, sf100Dir)),
       "sf100_cofactor_full" -> { () =>
         noop(li100.withColumn("shipyear", year(col("l_shipdate")))
@@ -469,7 +512,10 @@ object Bench {
       bucketedPair(spark, sf100Dir, "sf100", 256).map(p => Seq(
         "sf100_factorized_bucketed" -> (() => factorizedBucketed(p)),
         "sf100_mice_star_round" -> (() => miceStarRound(p)),
-        "sf100_mice_star_3round" -> (() => miceStarRound(p, iterations = 3)))).toSeq.flatten,
+        "sf100_mice_star_3round" -> (() => miceStarRound(p, iterations = 3)),
+        // 2 overlapping columns × 3 rounds: the branch-fragmentation
+        // cost of the multi-column chain at the endpoint scale
+        "sf100_mice_star_multi3" -> (() => miceStarMulti(p, iterations = 3)))).toSeq.flatten,
       repsOverride = Some(3), warmupOverride = Some(1),
       maxRepsOverride = Some(6), statMin = true)
   }

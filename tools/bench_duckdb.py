@@ -62,6 +62,19 @@ queries = {
              sum(l_extendedprice*l_tax), sum(l_discount*l_discount),
              sum(l_discount*l_tax), sum(l_tax*l_tax)
       FROM lineitem GROUP BY 1""",
+    # multi-key grouped cofactor by (l_returnflag, l_linestatus)
+    # (graft: cofactor_grouped_multikey / sf100_cofactor_grouped_multikey):
+    # the same 15 sums per KEY PAIR — DuckDB's perfect-hash grouped
+    # aggregate on two low-cardinality keys, its best case
+    "cofactor_grouped_multikey_equivalent": """
+      SELECT l_returnflag, l_linestatus, count(*),
+             sum(l_quantity), sum(l_extendedprice), sum(l_discount), sum(l_tax),
+             sum(l_quantity*l_quantity), sum(l_quantity*l_extendedprice),
+             sum(l_quantity*l_discount), sum(l_quantity*l_tax),
+             sum(l_extendedprice*l_extendedprice), sum(l_extendedprice*l_discount),
+             sum(l_extendedprice*l_tax), sum(l_discount*l_discount),
+             sum(l_discount*l_tax), sum(l_tax*l_tax)
+      FROM lineitem GROUP BY 1, 2""",
     # grouped FULL MIXED triple by l_linenumber (graft:
     # tools.GroupedMixedProbe — 4 numerics + 2 categoricals riding the
     # columnar kernel in ONE scan). The honest SQL equivalent needs FOUR
