@@ -1914,6 +1914,19 @@ object SparkEntry {
         round(col("t.lin")(0), 2).as("sum_chars"),
         round(col("t.quad")(0), 2).as("sum_sq_chars"))
         .orderBy(col("source"), col("lang"))
+    },
+    // deterministic engine-portable split assignment (train/val/test):
+    // the pinned plain-arithmetic hash spec is recomputed verbatim by
+    // DuckDB over HUGEINT, so every per-row bucket is hash-checked —
+    // the reproducibility contract (same row, same split, any engine)
+    // IS the thing under test
+    "q86_stable_split" -> { (s, dir) =>
+      Graft.register(s)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.StableSplit.stableSplit(col("doc_id"), Seq(0.8, 0.1, 0.1))
+            .cast("long").as("split"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -3197,6 +3210,29 @@ object SparkEntry {
       """SELECT source, lang, count(*) AS n_rows,
         |       round(CAST(sum(n_chars) AS DOUBLE), 2) AS sum_chars,
         |       round(CAST(sum(CAST(n_chars AS DOUBLE) * n_chars) AS DOUBLE), 2) AS sum_sq_chars
-        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the pinned StableSplit hash spec in plain DuckDB arithmetic:
+    // HUGEINT keeps the two multiplications exact, xor/>> match the
+    // sub-2^32 Long ops bit-for-bit; thresholds are the same
+    // round(cum * 2^32) integers the Column builds
+    "q86_stable_split" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         CAST(xor(h2, h2 >> 13) AS BIGINT) AS hash
+        |  FROM (
+        |    SELECT doc_id,
+        |           CAST((CAST(xor(h1, h1 >> 16) AS HUGEINT) * 2246822519)
+        |                % 4294967296 AS BIGINT) AS h2
+        |    FROM (
+        |      SELECT doc_id,
+        |             CAST((((CAST(doc_id AS HUGEINT) % 4294967296) + 4294967296)
+        |                    % 4294967296 * 2654435761)
+        |                  % 4294967296 AS BIGINT) AS h1
+        |      FROM documents)))
+        |SELECT doc_id,
+        |       CASE WHEN hash < 3435973837 THEN 0
+        |            WHEN hash < 3865470566 THEN 1
+        |            ELSE 2 END AS split
+        |FROM h ORDER BY doc_id""".stripMargin
   )
 }
