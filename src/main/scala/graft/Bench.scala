@@ -447,6 +447,14 @@ object Bench {
             posexplode(graft.functions.TextFunctions.chunkText(col("text"), 64, 8)))
           .select(col("doc_id"), col("pos"), length(col("col")).as("n_chars")))
       },
+      // BM25 corpus mining over the 550k-doc tier (3-term query): one
+      // stats scan + explode-filtered tf pass — the decontamination
+      // probe's keyword stage, DuckDB twin `bm25` in tools/bench_duckdb
+      "sf10_bm25" -> { () =>
+        val docs = Tables.load(spark, sf10Dir, "documents")
+        noop(graft.operators.TextRank.bm25(docs, "doc_id", "text",
+          Seq("hash", "join", "vector")))
+      },
       // the LSH prepare phase alone (one tokenize+shingle byte walk →
       // signatures + bands + shingle set): the dominant per-row cost of
       // minhash dedup, isolated from the candidate join so prepare

@@ -1927,6 +1927,19 @@ object SparkEntry {
           graft.operators.StableSplit.stableSplit(col("doc_id"), Seq(0.8, 0.1, 0.1))
             .cast("long").as("split"))
         .orderBy(col("doc_id"))
+    },
+    // Okapi BM25 keyword scoring (corpus mining / decontamination
+    // probe): the oracle recomputes the full formula — N, avgdl, per-
+    // (doc, term) tf, df, idf, saturated sum — from the same pinned
+    // token contract; scores rounded to 4 decimals on both engines to
+    // absorb summation-order ulps
+    "q87_bm25_scores" -> { (s, dir) =>
+      Graft.register(s)
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.TextRank.bm25(docs, "doc_id", "text",
+          Seq("hash", "join", "vector"), k1 = 1.2, b = 0.75)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -3233,6 +3246,28 @@ object SparkEntry {
         |       CASE WHEN hash < 3435973837 THEN 0
         |            WHEN hash < 3865470566 THEN 1
         |            ELSE 2 END AS split
-        |FROM h ORDER BY doc_id""".stripMargin
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "q87_bm25_scores" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '[	
+
+ ]+'),
+        |                     x -> x <> '') AS ts
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(ts) AS dl, ts FROM d),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(ts) AS term FROM dl)
+        |  WHERE term IN ('hash', 'join', 'vector') GROUP BY 1, 2, 3),
+        |idf AS (
+        |  SELECT term, ln((stats.n - dft + 0.5) / (dft + 0.5) + 1) AS idf
+        |  FROM (SELECT term, count(DISTINCT doc_id) AS dft FROM tf GROUP BY 1), stats)
+        |SELECT tf.doc_id,
+        |       round(sum(idf.idf * tf.tf * 2.2
+        |                 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))), 4) AS score
+        |FROM tf JOIN idf USING (term), stats
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.functions.TermCounts
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+/**
+ * BM25 keyword scoring over a document table — the retrieval primitive
+ * a training-data pipeline uses for corpus mining, quality probes, and
+ * decontamination sweeps (find the documents that *keyword-match* an
+ * eval set before the n-gram pass). Okapi BM25 (Robertson et al.):
+ *
+ *   score(d, q) = Σ_{t ∈ q} idf(t) · tf(t,d)·(k1+1) /
+ *                             (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+ *   idf(t) = ln((N − df(t) + 0.5) / (df(t) + 0.5) + 1)
+ *
+ * Spark-first shape, sized for the 100 TB corpus — TWO codegen'd scans
+ * and ZERO shuffles:
+ *  1. stats scan: [[graft.functions.TermCounts]] fuses the per-document
+ *     token count and every per-term occurrence count into ONE byte
+ *     walk (no token array, no explode); N, avgdl, and df(t) fall out
+ *     of a single agg — |terms| + 2 scalars to the driver.
+ *  2. score scan: a pure projection computes each matching document's
+ *     score directly from its count vector (idf ships as literals) —
+ *     no (doc, term) rows ever exist, so there is nothing to shuffle.
+ * The compositional form (split → explode → isin → two groupBys)
+ * measured 30.2 s on the 550k-doc sf10 tier; DuckDB 9.4 s.
+ *
+ * Tokenization: maximal non-whitespace byte runs under the library's
+ * pinned Java-`\s` set, empty tokens dropped — term statistics must
+ * not count padding. Scoring is case-sensitive by design:
+ * engine-portable case folding is locale-dependent, so callers who
+ * want folding apply `lower()` to BOTH sides explicitly.
+ */
+object TextRank {
+
+  /** BM25 scores of `query` over `docs`. Returns `(idCol, score)` for
+    * every document matching at least one query term; non-matching
+    * documents score 0 and are omitted (the caller left-joins if it
+    * needs explicit zeros). NULL/empty documents never match. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String, query: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "bm25 needs at least one query term")
+    require(query.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
+      "query terms must be non-empty single tokens")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"invalid BM25 parameters k1=$k1 b=$b")
+    val terms = query.distinct
+    val nT = terms.size
+    val tc = ColumnBridge.column(TermCounts(
+      ColumnBridge.expression(col(textCol)), terms))
+    val base = docs.select(col(idCol).as("__id"), tc.as("__c"))
+    // scan 1: N, avgdl, df(t) — one agg over the fused count vector
+    // (element_at is 1-based; slot nT+1 is the document token count)
+    val statAggs =
+      count(lit(1)).as("__n") +:
+      avg(element_at(col("__c"), nT + 1)).as("__avgdl") +:
+      terms.indices.map(i =>
+        sum(when(element_at(col("__c"), i + 1) > 0, 1L).otherwise(0L)).as(s"__df$i"))
+    val st = base.agg(statAggs.head, statAggs.tail: _*).head
+    val n = st.getLong(0)
+    val avgdl = if (st.isNullAt(1)) 0.0 else st.getDouble(1)
+    if (n == 0L || avgdl == 0.0)
+      return docs.sparkSession.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(idCol, docs.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType))))
+    val idf = terms.indices.map(i => math.log((n - st.getLong(2 + i) + 0.5) /
+      (st.getLong(2 + i) + 0.5) + 1.0))
+    // scan 2: a pure projection — per matching document, the saturated
+    // per-term parts sum in FIXED term order (deterministic, unlike a
+    // shuffled aggregate), then the non-matching rows drop
+    val dl = element_at(col("__c"), nT + 1).cast("double")
+    val denomTail = lit(k1) * (lit(1.0 - b) + lit(b) * dl / lit(avgdl))
+    val score = terms.indices.map { i =>
+      val tf = element_at(col("__c"), i + 1).cast("double")
+      when(tf > 0, lit(idf(i)) * tf * lit(k1 + 1.0) / (tf + denomTail)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val anyHit = terms.indices.map(i => element_at(col("__c"), i + 1) > 0).reduce(_ || _)
+    base.filter(anyHit)
+      .select(col("__id").as(idCol), score.as("score"))
+  }
+}

@@ -164,6 +164,28 @@ queries = {
              count(*) AS cnt
       FROM best WHERE rn = 1
       GROUP BY 1 ORDER BY lang_pred""",
+    # Okapi BM25 3-term scoring (graft: sf10_bm25 — q87's oracle shape
+    # over the full tier)
+    "bm25": """
+      WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '[\t\n\x0B\f\r ]+'),
+                           x -> x <> '') AS ts
+        FROM documents),
+      dl AS (SELECT doc_id, len(ts) AS dl, ts FROM d),
+      stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+      tf AS (
+        SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, dl, unnest(ts) AS term FROM dl)
+        WHERE term IN ('hash', 'join', 'vector') GROUP BY 1, 2, 3),
+      idf AS (
+        SELECT term, ln((stats.n - dft + 0.5) / (dft + 0.5) + 1) AS idf
+        FROM (SELECT term, count(DISTINCT doc_id) AS dft FROM tf GROUP BY 1), stats)
+      SELECT count(*), sum(s) FROM (
+        SELECT tf.doc_id,
+               sum(idf.idf * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))) AS s
+        FROM tf JOIN idf USING (term), stats GROUP BY 1)""",
     # token-budget chunking (graft: sf10_chunk_text — q82's oracle shape
     # minus the ORDER BY, the same verbatim window recompute)
     "chunk_text": """
