@@ -74,6 +74,23 @@ object Graft {
         graft.functions.RepetitionScore(es(0), intArg(es, 1)), "scala_udf")
       reg.createOrReplaceTempFunction("token_stats", es =>
         graft.functions.TokenStats(es.head), "scala_udf")
+      // term_counts(text, 'term1', 'term2', …) — the fused BM25 input
+      // kernel; terms must be literal strings (the byte tables compile
+      // once per expression, not per row)
+      reg.createOrReplaceTempFunction("term_counts", es => {
+        val terms = es.drop(1).zipWithIndex.map { case (e, i) =>
+          if (!e.foldable)
+            throw new IllegalArgumentException(
+              s"term_counts: term #${i + 1} must be a literal string, got ${e.sql}")
+          e.eval() match {
+            case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+            case other => throw new IllegalArgumentException(
+              s"term_counts: term #${i + 1} must be a literal string, got " +
+              (if (other == null) "NULL" else other.toString))
+          }
+        }
+        graft.functions.TermCounts(es.head, terms)
+      }, "scala_udf")
       reg.createOrReplaceTempFunction("lang_id", es =>
         graft.functions.LangId(es.head), "scala_udf")
       reg.createOrReplaceTempFunction("stopword_ratio", es =>

@@ -79,6 +79,18 @@ class TextRankSpec extends AnyFunSuite {
     assert(plan.contains("*("), s"score pass must ride whole-stage codegen:\n$plan")
   }
 
+  test("term_counts SQL surface: counts + total, literal-term validation") {
+    Graft.register(spark)
+    val got = spark.sql(
+      "SELECT term_counts('hash join hash scan', 'hash', 'scan', 'nope') AS c")
+      .head.getSeq[Int](0)
+    assert(got == Seq(2, 1, 0, 4), s"got $got")
+    val ex = intercept[Exception] {
+      spark.sql("SELECT term_counts(text, text) FROM VALUES ('a') AS t(text)").collect()
+    }
+    assert(ex.getMessage.contains("literal string"), s"got: ${ex.getMessage}")
+  }
+
   test("NULL text never matches and never breaks corpus stats") {
     val docs = Seq[(java.lang.Long, String)]((1L, "hash it"), (2L, null), (3L, "no match"))
       .toDF("doc_id", "text")
