@@ -1940,6 +1940,31 @@ object SparkEntry {
           Seq("hash", "join", "vector"), k1 = 1.2, b = 0.75)
         .select(col("doc_id"), round(col("score"), 4).as("score"))
         .orderBy(col("doc_id"))
+    },
+    // THREE grouping keys on the SQL surface (flag 1B + status 1B +
+    // linenumber 1B pack into 3 of the Long label's 8 bytes) — the
+    // deepest curation cut still rides the one-scan kernel route
+    "q88_grouped_sql_threekeys" -> { (s, dir) =>
+      Graft.register(s)
+      li(s, dir).createOrReplaceTempView("lineitem_q88")
+      val saved = s.experimental.extraStrategies
+      s.experimental.extraStrategies = saved :+ graft.plans.GroupedCofactorStrategy(s)
+      try {
+        val q = s.sql(
+          """SELECT l_returnflag, l_linestatus, l_linenumber,
+            |       sum_to_triple(l_quantity, l_extendedprice) AS t
+            |FROM lineitem_q88 GROUP BY l_returnflag, l_linestatus, l_linenumber""".stripMargin)
+        require(q.queryExecution.executedPlan.toString.contains("GroupedCofactorKernel"),
+          "q88: GROUP BY k1, k2, k3 must plan through the packed-label kernel strategy")
+        val out = q.select(
+          col("l_returnflag"), col("l_linestatus"), col("l_linenumber"),
+          col("t.n").as("n_rows"),
+          round(col("t.lin")(0), 2).as("sum_qty"),
+          round(col("t.quad")(1) / col("t.n"), 2).as("avg_qty_price"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"), col("l_linenumber"))
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally s.experimental.extraStrategies = saved
     }
   )
 
@@ -3268,6 +3293,11 @@ object SparkEntry {
         |       round(sum(idf.idf * tf.tf * 2.2
         |                 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))), 4) AS score
         |FROM tf JOIN idf USING (term), stats
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q88_grouped_sql_threekeys" ->
+      """SELECT l_returnflag, l_linestatus, l_linenumber, count(*) AS n_rows,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(avg(l_quantity * l_extendedprice), 2) AS avg_qty_price
+        |FROM lineitem GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   )
 }

@@ -639,6 +639,19 @@ class ColumnarCofactorSpec extends AnyFunSuite {
     val wide2 = Graft.cofactorGroupedMulti(dfR, Seq("wide", "lang"), Seq("x"), Seq())
     assert(Graft.lastGroupedRoute() == "row", "9 + 5 bytes cannot pack — row aggregate")
     assert(wide2.count() == 15)
+
+    // THREE keys, mixed types (string 2B + string 5B + int 1B = 8 bytes
+    // exactly — the full Long): kernel route, parity, original types
+    val a3 = Graft.cofactorGroupedMulti(df, Seq("src", "lang", "tier"), Seq("x"), Seq())
+      .collect().map(r => ((r.getString(0), r.getString(1), r.getInt(2))
+        -> Graft.tripleFromRow(r.getStruct(3)))).toMap
+    assert(Graft.lastGroupedRoute() == "columnar", "2+5+1 bytes must pack into the Long label")
+    val b3 = Graft.cofactorGroupedMulti(df.repartition(4), Seq("src", "lang", "tier"), Seq("x"), Seq())
+      .collect().map(r => ((r.getString(0), r.getString(1), r.getInt(2))
+        -> Graft.tripleFromRow(r.getStruct(3)))).toMap
+    assert(Graft.lastGroupedRoute() == "row")
+    assert(a3.keySet == b3.keySet && a3.size == 165) // 3 src × 5 lang × 11 tier
+    a3.keys.foreach(k => assert(a3(k).approxEquals(b3(k), 1e-9), s"group $k differs"))
   }
 
   test("cofactorGroupedMulti fuzz: kernel == row aggregate across random key shapes (seeded)") {
