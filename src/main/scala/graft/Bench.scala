@@ -455,6 +455,16 @@ object Bench {
         noop(graft.operators.TextRank.bm25(docs, "doc_id", "text",
           Seq("hash", "join", "vector")))
       },
+      // blocklist filtering with a 2000-term set: O(1)-per-token hashed
+      // membership, one byte walk — DuckDB twin `blocklist` joins the
+      // unnested tokens against the same generated list
+      "sf10_blocklist" -> { () =>
+        val terms = (0 until 2000).map(i => s"term${i}x${i % 7}") ++
+          Seq("hash", "join", "slow", "customer")
+        val docs = Tables.load(spark, sf10Dir, "documents")
+        noop(docs.select(col("doc_id"),
+          graft.functions.TextFunctions.blocklistStats(col("text"), terms).as("b")))
+      },
       // the LSH prepare phase alone (one tokenize+shingle byte walk →
       // signatures + bands + shingle set): the dominant per-row cost of
       // minhash dedup, isolated from the candidate join so prepare

@@ -91,6 +91,22 @@ object Graft {
         }
         graft.functions.TermCounts(es.head, terms)
       }, "scala_udf")
+      // blocklist_stats(text, 'a', 'b', …) — hashed term-SET membership
+      // per token (the filter-list kernel; same literal-terms contract)
+      reg.createOrReplaceTempFunction("blocklist_stats", es => {
+        val terms = es.drop(1).zipWithIndex.map { case (e, i) =>
+          if (!e.foldable)
+            throw new IllegalArgumentException(
+              s"blocklist_stats: term #${i + 1} must be a literal string, got ${e.sql}")
+          e.eval() match {
+            case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+            case other => throw new IllegalArgumentException(
+              s"blocklist_stats: term #${i + 1} must be a literal string, got " +
+              (if (other == null) "NULL" else other.toString))
+          }
+        }
+        graft.functions.BlocklistStats(es.head, terms)
+      }, "scala_udf")
       reg.createOrReplaceTempFunction("lang_id", es =>
         graft.functions.LangId(es.head), "scala_udf")
       reg.createOrReplaceTempFunction("stopword_ratio", es =>

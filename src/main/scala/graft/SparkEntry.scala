@@ -1965,6 +1965,21 @@ object SparkEntry {
         val rows = out.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       } finally s.experimental.extraStrategies = saved
+    },
+    // blocklist filtering (the filter-list pass): hashed term-SET
+    // membership per token, one byte walk — every per-document
+    // (n_matched, n_tokens) pair hash-checked against DuckDB's
+    // list_filter + list_contains recompute
+    "q89_blocklist_stats" -> { (s, dir) =>
+      Graft.register(s)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.blocklistStats(col("text"),
+            Seq("hash", "join", "slow", "customer", "zzz_never")).as("b"))
+        .select(col("doc_id"),
+          col("b.n_matched").cast("long").as("n_matched"),
+          col("b.n_tokens").cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -3298,6 +3313,18 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, l_linenumber, count(*) AS n_rows,
         |       round(sum(l_quantity), 2) AS sum_qty,
         |       round(avg(l_quantity * l_extendedprice), 2) AS avg_qty_price
-        |FROM lineitem GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+        |FROM lineitem GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q89_blocklist_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '[	
+ ]+'),
+        |                     x -> x <> '') AS ts
+        |  FROM documents)
+        |SELECT doc_id,
+        |       len(list_filter(ts, t -> list_contains(
+        |         ['hash', 'join', 'slow', 'customer', 'zzz_never'], t))) AS n_matched,
+        |       len(ts) AS n_tokens
+        |FROM d ORDER BY doc_id""".stripMargin
   )
 }

@@ -122,6 +122,15 @@ object TextFunctions {
     call_function("chunk_text", text, lit(maxTokens), lit(overlap))
   }
 
+  /** Blocklist statistics — `(n_matched, n_tokens)` of whitespace
+    * tokens hitting the term SET, one byte walk per document at O(1)
+    * per token regardless of list size ([[BlocklistStats]]; thousands
+    * of terms compile into one hashed table per expression). Filter on
+    * `n_matched > 0` or threshold the ratio (obscenity density). */
+  def blocklistStats(text: Column, terms: Seq[String]): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      BlocklistStats(org.apache.spark.sql.graft.ColumnBridge.expression(text), terms))
+
   /** Content fingerprint: 64-bit hash of the normalized text (lowered,
     * punctuation stripped, whitespace collapsed). */
   def fingerprint(text: Column): Column =

@@ -164,6 +164,20 @@ queries = {
              count(*) AS cnt
       FROM best WHERE rn = 1
       GROUP BY 1 ORDER BY lang_pred""",
+    # 2004-term blocklist stats (graft: sf10_blocklist): DuckDB's
+    # natural plan for a large term set — unnest + hash join against
+    # the generated list, then per-doc re-aggregate
+    "blocklist": """
+      WITH bl AS (
+        SELECT 'term' || i || 'x' || (i % 7) AS term FROM range(2000) t(i)
+        UNION ALL SELECT unnest(['hash', 'join', 'slow', 'customer'])),
+      tok AS (
+        SELECT doc_id, unnest(list_filter(
+          string_split_regex(text, '[\t\n\x0B\f\r ]+'), x -> x <> '')) AS term
+        FROM documents)
+      SELECT count(*), sum(m) FROM (
+        SELECT tok.doc_id, count(bl.term) AS m
+        FROM tok LEFT JOIN bl USING (term) GROUP BY 1)""",
     # Okapi BM25 3-term scoring (graft: sf10_bm25 — q87's oracle shape
     # over the full tier)
     "bm25": """
