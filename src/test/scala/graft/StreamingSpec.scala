@@ -112,6 +112,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("blocklist_stats is streaming-safe: stream counts == batch counts") {
+    // the filter-list gate runs statelessly inside the ingest stream —
+    // stream and batch (n_matched, n_tokens) must be identical
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    Graft.register(spark)
+    val terms = Seq("w3", "w17", "bad")
+    val docs = (0 until 25).map(i =>
+      (i.toLong, (1 to (i * 5) % 30 + 1).map(t => s"w$t").mkString(" ") +
+        (if (i % 4 == 0) " bad" else "")))
+    def stats(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"),
+        graft.functions.TextFunctions.blocklistStats(col("text"), terms).as("b"))
+        .select(col("id"), col("b.n_matched"), col("b.n_tokens"))
+    val input = MemoryStream[(Long, String)]
+    val q = stats(input.toDF.toDF("id", "text"))
+      .writeStream.format("memory").queryName("blocklist_stream").start()
+    input.addData(docs: _*)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("blocklist_stream").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val batch = stats(docs.toDF("id", "text")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+    assert(streamed.exists(_._2 > 0), "some docs must actually match")
+  }
+
   test("streaming curation: quality gate + language tag + watermark-bounded dedup") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
