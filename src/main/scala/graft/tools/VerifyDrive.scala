@@ -425,6 +425,40 @@ object VerifyDrive {
       println(s"columnar cofactor OK: N=${t.n} parity; compiled filter N=${tf.n}; uncompilable refused")
     }
 
+    println("== [21] curation trio: multi-key grouped cut, stable split, BM25 + blocklist ==")
+    locally {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      // multi-key grouped cofactor over the source × lang cut: kernel
+      // route REQUIRED, totals cross-checked against plain SQL
+      val cut = graft.Graft.cofactorGroupedMulti(docs, Seq("source", "lang"), Seq("n_chars"), Seq())
+      assert(graft.Graft.lastGroupedRoute() == "columnar", "source × lang must ride the kernel")
+      val viaSql = docs.groupBy("source", "lang").count().count()
+      assert(cut.count() == viaSql, "multi-key group count != SQL GROUP BY")
+      // stable split: deterministic, fraction-tracking, re-derivable
+      val splitDf = docs.select(col("doc_id"),
+        graft.operators.StableSplit.stableSplit(col("doc_id"), Seq(0.8, 0.1, 0.1)).as("s"))
+      val counts = splitDf.groupBy("s").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(counts.keySet == Set(0, 1, 2) && counts(0) > counts(1), s"split skew: $counts")
+      // BM25: scores positive, ranked doc set == docs containing a term
+      val scored = graft.operators.TextRank.bm25(docs, "doc_id", "text", Seq("hash", "join"))
+      val viaSqlMatch = docs.filter(col("text").rlike("(^| )hash( |$)|(^| )join( |$)")).count()
+      assert(scored.count() == viaSqlMatch, "bm25 matched-doc set != regex recount")
+      assert(scored.filter(col("score") <= 0).count() == 0, "scores must be positive")
+      // blocklist: density column == the unfused token-intersection count
+      val bl = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.blocklistStats(col("text"), Seq("hash", "join")).as("b"))
+      val viaHof = docs.select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"),
+          t => t === "hash" || t === "join")).as("m"))
+      val joined = bl.select(col("doc_id"), col("b.n_matched").as("m1")).join(viaHof, "doc_id")
+      assert(joined.filter(col("m1") =!= col("m")).count() == 0, "blocklist != HOF recount")
+      // error paths stay loud
+      try { graft.operators.StableSplit.stableSplit(col("doc_id"), Seq(0.5)); sys.error("unreachable") }
+      catch { case e: IllegalArgumentException => assert(e.getMessage.contains("at least two")) }
+      println(s"curation trio OK: ${cut.count()} group cells, split $counts, " +
+        s"${scored.count()} bm25 matches == regex recount")
+    }
+
     spark.stop()
   }
 }
