@@ -362,6 +362,18 @@ class PlansSpec extends AnyFunSuite {
       val qx = spark.sql(
         "SELECT k, sum_to_triple(x) AS t FROM (SELECT DISTINCT k, x FROM gsql_t) GROUP BY k")
       assert(!qx.queryExecution.executedPlan.toString.contains("GroupedCofactorKernel"))
+
+      // HAVING and ORDER BY compose ABOVE the kernel exec: the strategy
+      // plans the Aggregate, Spark stacks Filter/Sort on its output
+      val qh = spark.sql(
+        """SELECT k, sum_to_triple(x, y) AS t FROM gsql_t
+          |GROUP BY k HAVING t.n > 857 ORDER BY k DESC""".stripMargin)
+      assert(qh.queryExecution.executedPlan.toString.contains("GroupedCofactorKernel"),
+        "HAVING/ORDER BY must not knock the aggregate off the kernel route")
+      val hRows = qh.collect()
+      val hExp = expected.filter(_._2.n > 857).keys.toSeq.sorted.reverse
+      assert(hRows.map(_.getInt(0)).toSeq == hExp, "HAVING filter or DESC order broken")
+      hRows.foreach(r => assert(Graft.tripleFromRow(r.getStruct(1)).n > 857))
     } finally spark.experimental.extraStrategies = saved
   }
 
