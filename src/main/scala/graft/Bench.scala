@@ -455,6 +455,12 @@ object Bench {
         noop(graft.operators.TextRank.bm25(docs, "doc_id", "text",
           Seq("hash", "join", "vector")))
       },
+      // vocabulary mining: top-100 corpus tokens (explode → map-side
+      // partial count → TakeOrdered heap; DuckDB twin `top_terms`)
+      "sf10_top_terms" -> { () =>
+        noop(graft.operators.TextRank.topTerms(
+          Tables.load(spark, sf10Dir, "documents"), "text", 100))
+      },
       // blocklist filtering with a 2000-term set: O(1)-per-token hashed
       // membership, one byte walk — DuckDB twin `blocklist` joins the
       // unnested tokens against the same generated list

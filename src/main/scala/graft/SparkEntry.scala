@@ -1980,6 +1980,13 @@ object SparkEntry {
           col("b.n_matched").cast("long").as("n_matched"),
           col("b.n_tokens").cast("long").as("n_tokens"))
         .orderBy(col("doc_id"))
+    },
+    // vocabulary mining: top-25 corpus tokens with the deterministic
+    // (count DESC, term ASC) tie-break — plans as TakeOrderedAndProject
+    // (bounded heap per partition), recomputed by DuckDB verbatim
+    "q90_top_terms" -> { (s, dir) =>
+      Graft.register(s)
+      graft.operators.TextRank.topTerms(Tables.load(s, dir, "documents"), "text", 25)
     }
   )
 
@@ -3318,13 +3325,21 @@ object SparkEntry {
       """WITH d AS (
         |  SELECT doc_id,
         |         list_filter(string_split_regex(text, '[	
- ]+'),
+
+ ]+'),
         |                     x -> x <> '') AS ts
         |  FROM documents)
         |SELECT doc_id,
         |       len(list_filter(ts, t -> list_contains(
         |         ['hash', 'join', 'slow', 'customer', 'zzz_never'], t))) AS n_matched,
         |       len(ts) AS n_tokens
-        |FROM d ORDER BY doc_id""".stripMargin
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q90_top_terms" ->
+      """SELECT term, count(*) AS n FROM (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(text, '[	
+ ]+'), x -> x <> '')) AS term
+        |  FROM documents)
+        |GROUP BY 1 ORDER BY n DESC, term ASC LIMIT 25""".stripMargin
   )
 }

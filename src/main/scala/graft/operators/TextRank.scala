@@ -81,4 +81,51 @@ object TextRank {
     base.filter(anyHit)
       .select(col("__id").as(idCol), score.as("score"))
   }
+
+  /** Corpus vocabulary mining: the `k` most frequent tokens as
+    * `(term, n)` with a DETERMINISTIC tie-break (count DESC, term ASC
+    * — a top-k without one is not reproducible, and reproducibility is
+    * the point of a vocab snapshot).
+    *
+    * The counting pass is a per-partition vocabulary map
+    * (`mapPartitions` — the documented last-resort tier, earned here):
+    * the compositional explode form materializes a token array AND an
+    * UnsafeRow per token just so the hash aggregate can immediately
+    * collapse them again (measured 9.2 s on the 550k-doc sf10 tier vs
+    * DuckDB's 6.5 s). Walking each document once into a local
+    * HashMap emits one row per partition-DISTINCT term instead — the
+    * shuffle then carries |partitions|·|vocab| rows, not |tokens|.
+    * The final ordered limit plans as `TakeOrderedAndProject`, a
+    * bounded k-heap per partition, never a full sort of the
+    * vocabulary. Token contract: Java-`\s` runs, empties dropped. */
+  def topTerms(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, "topTerms needs k > 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    @inline def isWs(c: Char): Boolean =
+      c == ' ' || (c >= '\t' && c <= '\r') // Java ASCII \s: 0x09-0x0D, 0x20
+    val partial = docs.select(col(textCol)).na.drop().as[String]
+      .mapPartitions { it =>
+        val m = new java.util.HashMap[String, Array[Long]]()
+        it.foreach { t =>
+          var i = 0
+          val n = t.length
+          while (i < n) {
+            while (i < n && isWs(t.charAt(i))) i += 1
+            if (i < n) {
+              val s0 = i
+              while (i < n && !isWs(t.charAt(i))) i += 1
+              val term = t.substring(s0, i)
+              val slot = m.get(term)
+              if (slot == null) m.put(term, Array(1L)) else slot(0) += 1L
+            }
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        m.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue()(0)))
+      }.toDF("term", "n_part")
+    partial.groupBy(col("term")).agg(sum(col("n_part")).as("n"))
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(k)
+  }
 }

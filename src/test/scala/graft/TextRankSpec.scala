@@ -91,6 +91,19 @@ class TextRankSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("literal string"), s"got: ${ex.getMessage}")
   }
 
+  test("topTerms: deterministic top-k with tie-break, TakeOrdered plan") {
+    val docs = corpus.toDF("doc_id", "text")
+    val top = TextRank.topTerms(docs, "text", 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // "hash" x3, "join" x3 tie -> term ASC; then a 2-count term
+    assert(top.take(2) == Seq(("hash", 3L), ("join", 3L)), s"got $top")
+    assert(top(2)._2 == 2L)
+    val plan = TextRank.topTerms(docs, "text", 3).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must plan as a bounded heap, not a full vocab sort:\n$plan")
+    intercept[IllegalArgumentException](TextRank.topTerms(docs, "text", 0))
+  }
+
   test("NULL text never matches and never breaks corpus stats") {
     val docs = Seq[(java.lang.Long, String)]((1L, "hash it"), (2L, null), (3L, "no match"))
       .toDF("doc_id", "text")

@@ -164,6 +164,13 @@ queries = {
              count(*) AS cnt
       FROM best WHERE rn = 1
       GROUP BY 1 ORDER BY lang_pred""",
+    # top-100 vocabulary (graft: sf10_top_terms)
+    "top_terms": """
+      SELECT term, count(*) AS n FROM (
+        SELECT unnest(list_filter(
+          string_split_regex(text, '[\t\n\x0B\f\r ]+'), x -> x <> '')) AS term
+        FROM documents)
+      GROUP BY 1 ORDER BY n DESC, term ASC LIMIT 100""",
     # 2004-term blocklist stats (graft: sf10_blocklist): DuckDB's
     # natural plan for a large term set — unnest + hash join against
     # the generated list, then per-doc re-aggregate
