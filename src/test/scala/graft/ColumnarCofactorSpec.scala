@@ -652,6 +652,31 @@ class ColumnarCofactorSpec extends AnyFunSuite {
     assert(Graft.lastGroupedRoute() == "row")
     assert(a3.keySet == b3.keySet && a3.size == 165) // 3 src × 5 lang × 11 tier
     a3.keys.foreach(k => assert(a3(k).approxEquals(b3(k), 1e-9), s"group $k differs"))
+
+    // FOUR keys (2+3+1+1 = 7 bytes — the strategy's 4-key arity cap
+    // exercised end-to-end; lang at 5 bytes would overflow: 2+5+1+1 = 9
+    // correctly refuses, asserted below)
+    val tmp4 = java.nio.file.Files.createTempDirectory("gmk4").toFile.getAbsolutePath
+    df.select(col("src"), col("lang"), col("tier"), col("x"),
+        concat(lit("g"), (col("tier") % 5).cast("string")).as("lg"), // 2 bytes
+        (col("tier") % 2).cast("int").as("flag"))
+      .write.mode("overwrite").parquet(tmp4)
+    val df4 = spark.read.parquet(tmp4)
+    def collectBy4(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => ((r.getString(0), r.getString(1), r.getInt(2), r.getInt(3))
+        -> Graft.tripleFromRow(r.getStruct(4)))).toMap
+    val a4k = collectBy4(Graft.cofactorGroupedMulti(df4,
+      Seq("src", "lg", "tier", "flag"), Seq("x"), Seq()))
+    assert(Graft.lastGroupedRoute() == "columnar", "2+2+1+1 bytes pack into the Long")
+    val b4k = collectBy4(Graft.cofactorGroupedMulti(df4.repartition(4),
+      Seq("src", "lg", "tier", "flag"), Seq("x"), Seq()))
+    assert(a4k.keySet == b4k.keySet && a4k.size == 33) // lg, flag tier-determined
+    a4k.keys.foreach(k => assert(a4k(k).approxEquals(b4k(k), 1e-9), s"group $k differs"))
+    // Σ widths past 8 (2+5+1+1 = 9 with the 5-byte lang) refuses up front
+    val over = Graft.cofactorGroupedMulti(df4, Seq("src", "lang", "tier", "flag"),
+      Seq("x"), Seq())
+    assert(Graft.lastGroupedRoute() == "row", "9 packed bytes must take the row aggregate")
+    assert(over.count() == 165)
   }
 
   test("cofactorGroupedMulti fuzz: kernel == row aggregate across random key shapes (seeded)") {
