@@ -107,6 +107,26 @@ object Graft {
         }
         graft.functions.BlocklistStats(es.head, terms)
       }, "scala_udf")
+      // the engine-portable split on the SQL surface: both are thin
+      // wrappers over the Column implementations (pure built-in
+      // arithmetic, codegen'd); weights must be literal doubles
+      reg.createOrReplaceTempFunction("stable_hash32", es =>
+        graft.operators.StableSplit.stableHash32Expr(es.head), "scala_udf")
+      reg.createOrReplaceTempFunction("stable_split", es => {
+        val ws = es.drop(1).zipWithIndex.map { case (e, i) =>
+          if (!e.foldable)
+            throw new IllegalArgumentException(
+              s"stable_split: weight #${i + 1} must be a literal number, got ${e.sql}")
+          e.eval() match {
+            case n: Number => n.doubleValue()
+            case d: org.apache.spark.sql.types.Decimal => d.toDouble // SQL 0.8 is DECIMAL
+            case other => throw new IllegalArgumentException(
+              s"stable_split: weight #${i + 1} must be a literal number, got " +
+              (if (other == null) "NULL" else other.toString))
+          }
+        }
+        graft.operators.StableSplit.stableSplitExpr(es.head, ws)
+      }, "scala_udf")
       reg.createOrReplaceTempFunction("lang_id", es =>
         graft.functions.LangId(es.head), "scala_udf")
       reg.createOrReplaceTempFunction("stopword_ratio", es =>

@@ -75,4 +75,48 @@ object StableSplit {
     }
     when(key.isNull, lit(null)).otherwise(assigned).cast("int")
   }
+
+  // --- Catalyst-native forms for the SQL registry -------------------
+  // A Column round-trip through createOrReplaceTempFunction leaves an
+  // unconvertible ColumnNode leaf in the plan (the Column API wrapper
+  // is for the Dataset path), so the SQL surface builds the identical
+  // tree from catalyst expressions directly. Every product stays below
+  // 2^48 (the same 16-bit-halves trick), so ANSI mode never overflows.
+  import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseAnd, BitwiseXor, Cast, CaseWhen, Expression, If, IsNull, LessThan, Literal, Multiply, Pmod, ShiftRightUnsigned}
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+
+  private def mulMod32Expr(a: Expression, k: Long): Expression = {
+    val aHi = ShiftRightUnsigned(a, Literal(16))
+    val aLo = BitwiseAnd(a, Literal(0xFFFFL))
+    Pmod(Add(Multiply(aLo, Literal(k)),
+      Multiply(Pmod(Multiply(aHi, Literal(k)), Literal(65536L)), Literal(65536L))), Literal(M))
+  }
+
+  /** [[stableHash32]] as a catalyst Expression (the `stable_hash32`
+    * SQL function). */
+  def stableHash32Expr(key: Expression): Expression = {
+    val a = Pmod(Cast(key, LongType), Literal(M))
+    val h1 = mulMod32Expr(a, 2654435761L)
+    val x1 = BitwiseXor(h1, ShiftRightUnsigned(h1, Literal(16)))
+    val h2 = mulMod32Expr(x1, 2246822519L)
+    BitwiseXor(h2, ShiftRightUnsigned(h2, Literal(13)))
+  }
+
+  /** [[stableSplit]] as a catalyst Expression (the `stable_split` SQL
+    * function; same weight validation). */
+  def stableSplitExpr(key: Expression, weights: Seq[Double]): Expression = {
+    require(weights.size >= 2, "stableSplit needs at least two splits")
+    require(weights.forall(_ > 0), "split weights must be positive")
+    require(math.abs(weights.sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${weights.sum}")
+    val thresholds = weights.scanLeft(0.0)(_ + _).tail.dropRight(1)
+      .map(c => math.round(c * M.toDouble))
+    val h = stableHash32Expr(key)
+    val assigned = CaseWhen(
+      thresholds.zipWithIndex.map { case (t, i) =>
+        (LessThan(h, Literal(t)), Literal(i)): (Expression, Expression)
+      },
+      Some(Literal(weights.size - 1)))
+    If(IsNull(key), Literal(null, IntegerType), Cast(assigned, IntegerType))
+  }
 }

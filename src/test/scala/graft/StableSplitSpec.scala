@@ -64,6 +64,19 @@ class StableSplitSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](StableSplit.stableSplit(col("k"), Seq(0.5, -0.5, 1.0)))
   }
 
+  test("SQL surface: stable_hash32 / stable_split match the Column forms; literal weights enforced") {
+    Graft.register(spark)
+    val r = spark.sql("SELECT stable_hash32(42L) AS h, stable_split(42L, 0.8, 0.1, 0.1) AS s").head
+    assert(r.getLong(0) == refHash(42L))
+    val viaCol = Seq(42L).toDF("k")
+      .select(StableSplit.stableSplit(col("k"), Seq(0.8, 0.1, 0.1))).head.getInt(0)
+    assert(r.getInt(1) == viaCol)
+    val ex = intercept[Exception] {
+      spark.sql("SELECT stable_split(k, k, 0.5) FROM VALUES (1L) AS t(k)").collect()
+    }
+    assert(ex.getMessage.contains("literal number"), ex.getMessage)
+  }
+
   test("the assignment stays inside whole-stage codegen (pure projection, no shuffle)") {
     val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(StableSplit.stableSplit(col("doc_id"), Seq(0.9, 0.05, 0.05)).as("s"))
