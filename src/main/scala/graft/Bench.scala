@@ -20,14 +20,17 @@ import org.apache.spark.sql.functions._
   * sf10 / sf100) in a FRESH forked JVM, so no tier's checkpoint blocks,
   * storage pools, or JIT state can leak into another, and any row that
   * lands >tolerance over the committed baseline is automatically
-  * re-timed ONCE in a single-row isolated JVM before the artifact is
-  * written (`recertified` in the JSON). Modes, selected by env:
+  * re-timed in an isolated JVM before the artifact is written
+  * (`recertified` in the JSON) — ALL flagged rows, batched one fork
+  * per tier, so no row is ever left unverified by a cap. Modes,
+  * selected by env:
   *   - parent (default): forks one child per existing tier, merges
   *     fragments, drift-scans, recertifies, writes the one-line JSON.
   *   - SPARK_GRAFT_BENCH_TIER=<main|sf1|sf10|sf100>: child — run ONE
   *     tier in this JVM, write a TSV fragment to SPARK_GRAFT_BENCH_FRAG.
-  *   - SPARK_GRAFT_BENCH_ONLY=<row>: child, restricted to one row
-  *     (the recertify probe; tier setup still runs, timing is fresh).
+  *   - SPARK_GRAFT_BENCH_ONLY=<row>[,<row>…]: child, restricted to the
+  *     listed rows (the recertify probe; tier setup still runs, timing
+  *     is fresh).
   *   - SPARK_GRAFT_BENCH_FORK=0: legacy single-JVM run of all tiers
   *     (the fallback when forking is unavailable). */
 object Bench {
@@ -592,7 +595,9 @@ object Bench {
   /** (name, seconds, noisy, failed) per row. */
   private def timeTier(t: Tier, only: Option[String]): Seq[(String, Double, Boolean, Boolean)] = {
     val suite = only match {
-      case Some(row) => t.rows.filter(_._1 == row)
+      case Some(rows) =>
+        val want = rows.split(',').map(_.trim).filter(_.nonEmpty).toSet
+        t.rows.filter(r => want(r._1))
       case None => t.rows
     }
     suite.map { case (name, fn) =>
@@ -679,7 +684,10 @@ object Bench {
         .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent")
           || a.startsWith("-Xrunjdwp"))
       val cp = System.getProperty("java.class.path")
-      val tag = only.fold(tierName)(r => s"$tierName.$r")
+      // the row list can be long (batched recertify) — keep the temp
+      // fragment name bounded and filename-safe
+      val tag = only.fold(tierName)(r =>
+        s"$tierName.${r.replaceAll("[^A-Za-z0-9_]", "-").take(48)}")
       val frag = java.nio.file.Files.createTempFile(s"graft_bench_$tag", ".tsv")
       java.nio.file.Files.delete(frag)
       val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava
@@ -794,34 +802,42 @@ object Bench {
       }.flatten
     } catch { case _: Throwable => Seq.empty })
 
-    // AUTO-RECERTIFY (the round-14 instrument fix): any row that lands
-    // >tolerance over the committed reference gets ONE fresh-JVM
-    // single-row re-run before the artifact is written. Contention only
-    // adds time, so min(original, isolated) is the honest value; a row
-    // that stays slow in isolation is a real regression and keeps its
-    // drift flag. Bounded to 6 rows per run (a fully-contended run
-    // re-certifying everything would double the bench — log what was
-    // skipped, never truncate silently).
+    // AUTO-RECERTIFY (round-14 instrument fix, batched in round 17):
+    // every row that lands >tolerance over the committed reference gets
+    // a fresh-JVM isolated re-run before the artifact is written.
+    // Contention only adds time, so min(original, isolated) is the
+    // honest value; a row that stays slow in isolation is a real
+    // regression and keeps its drift flag. Rows are batched into ONE
+    // fork per tier (the JVM + session + tier setup is what a per-row
+    // fork pays over and over), so the former 6-row cap — which could
+    // leave a real regression uncertified on a slow-box day — is gone:
+    // every flagged row is either recertified or individually logged.
     var recertified: Seq[String] = Seq.empty
     if (fork) {
       val slowRows = driftScan(driftRef).filter(_._2 > 0).map(_._1)
-      val (toCheck, skipped) = slowRows.splitAt(6)
-      if (skipped.nonEmpty)
-        System.err.println(s"[bench] recertify cap: ${skipped.mkString(",")} left unverified (>6 slow rows)")
-      toCheck.foreach { row =>
-        val tier = tierNames.find(t => t != "main" && row.startsWith(t + "_")).getOrElse("main")
-        forkTier(tier, Some(row)).flatMap(_.headOption) match {
-          case Some((_, v2, noisy2, false)) =>
+      val byRecertTier = slowRows.groupBy(row =>
+        tierNames.find(t => t != "main" && row.startsWith(t + "_")).getOrElse("main"))
+      tierNames.filter(byRecertTier.contains).foreach { tier =>
+        val rows = byRecertTier(tier)
+        forkTier(tier, Some(rows.mkString(","))) match {
+          case Some(frag) =>
+            val iso = frag.collect { case (n, v2, noisy2, false) => n -> (v2, noisy2) }.toMap
             byTier = byTier.updatedWith(tier)(_.map(_.map {
-              case (n, v1, noisy1, f1) if n == row =>
+              case (n, v1, noisy1, f1) if iso.contains(n) =>
+                val (v2, noisy2) = iso(n)
                 val better = math.min(v1, v2)
-                System.err.println(f"[bench] recertified $row: run $v1%.3f s, isolated $v2%.3f s -> $better%.3f s")
+                System.err.println(f"[bench] recertified $n: run $v1%.3f s, isolated $v2%.3f s -> $better%.3f s")
                 (n, better, noisy1 && noisy2, f1)
               case other => other
             }))
-            recertified :+= row
-          case _ =>
-            System.err.println(s"[bench] recertify($row): isolated re-run unavailable — row keeps its flags")
+            recertified ++= rows.filter(iso.contains)
+            rows.filterNot(iso.contains).foreach { n =>
+              System.err.println(s"[bench] recertify($n): isolated re-run failed or missing — row keeps its flags")
+            }
+          case None =>
+            rows.foreach { n =>
+              System.err.println(s"[bench] recertify($n): isolated re-run unavailable — row keeps its flags")
+            }
         }
       }
     }

@@ -493,7 +493,13 @@ object Graft {
         lastGroupedRouteTL.set("row")
         val cols = num.map(c => col(c).cast("double")) ++ cat.map(c => col(c).cast("int"))
         val agg = if (nb) sumNbAgg(cols: _*) else sumTriple(cols: _*)
-        df.filter(col(key).isNotNull).groupBy(col(key)).agg(agg.as("t"))
+        // rows with any NULL input are skipped by BOTH the row
+        // aggregate and the kernel, but a group whose rows ALL carry a
+        // NULL input would survive here as an empty (n=0) triple while
+        // the kernel drops it — pre-filter so the two routes return
+        // the same group set
+        val nonNull = (key +: (num ++ cat)).map(c => col(c).isNotNull).reduce(_ && _)
+        df.filter(nonNull).groupBy(col(key)).agg(agg.as("t"))
     }
   }
 
@@ -508,9 +514,11 @@ object Graft {
    * (e.g. 4-byte source × 2-byte lang × a small int tier), anything
    * wider, any negative int key, NUL-embedded or >8-byte strings, or
    * an unharvestable plan falls back to the grouped row aggregate.
-   * Rows with a NULL in ANY key are dropped on both routes (same
-   * contract as the single-key surface). Output columns carry the
-   * ORIGINAL key types, so the schema never depends on the route.
+   * Rows with a NULL in ANY key OR any num/cat input are dropped on
+   * both routes (same contract as the single-key surface) — a group
+   * whose rows all carry a NULL input therefore does not appear at
+   * all, on either route. Output columns carry the ORIGINAL key
+   * types, so the schema never depends on the route.
    */
   def cofactorGroupedMulti(df: DataFrame, keys: Seq[String], num: Seq[String], cat: Seq[String],
                            nb: Boolean = false, maxGroups: Int = -1): DataFrame = {
@@ -553,8 +561,11 @@ object Graft {
         lastGroupedRouteTL.set("row")
         val cols = num.map(c => col(c).cast("double")) ++ cat.map(c => col(c).cast("int"))
         val agg = if (nb) sumNbAgg(cols: _*) else sumTriple(cols: _*)
-        df.filter(keys.map(k => col(k).isNotNull).reduce(_ && _))
-          .groupBy(keys.map(col): _*).agg(agg.as("t"))
+        // same all-NULL-input-group pre-filter as the single-key
+        // fallback: keep the kernel and row routes returning the same
+        // group SET, not just the same triples on shared groups
+        val nonNull = (keys ++ num ++ cat).map(c => col(c).isNotNull).reduce(_ && _)
+        df.filter(nonNull).groupBy(keys.map(col): _*).agg(agg.as("t"))
     }
   }
 

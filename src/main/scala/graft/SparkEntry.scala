@@ -1841,7 +1841,13 @@ object SparkEntry {
     // plain SQL semantics byte-for-byte. Route REQUIRED in-query.
     "q83_grouped_sql_nulls" -> { (s, dir) =>
       Graft.register(s)
-      val scratch = java.nio.file.Files.createTempDirectory("q83").toFile.getAbsolutePath
+      // FIXED per-user scratch path + overwrite, not a fresh temp dir
+      // per invocation: repeated bench/correctness runs would
+      // otherwise accumulate full lineitem copies in /tmp (tens of GB
+      // per run at sf100)
+      val scratch = new java.io.File(
+        new java.io.File(System.getProperty("java.io.tmpdir")),
+        s"graft_q83_scratch_${System.getProperty("user.name", "u")}").getAbsolutePath
       li(s, dir).select(
         when(col("l_orderkey") % 37 === 0, lit(null).cast("long"))
           .otherwise(col("l_suppkey")).as("k"),
@@ -3297,9 +3303,7 @@ object SparkEntry {
     "q87_bm25_scores" ->
       """WITH d AS (
         |  SELECT doc_id,
-        |         list_filter(string_split_regex(text, '[	
-
- ]+'),
+        |         list_filter(string_split_regex(text, '[\t\n\x0B\f\r ]+'),
         |                     x -> x <> '') AS ts
         |  FROM documents),
         |dl AS (SELECT doc_id, len(ts) AS dl, ts FROM d),
@@ -3324,9 +3328,7 @@ object SparkEntry {
     "q89_blocklist_stats" ->
       """WITH d AS (
         |  SELECT doc_id,
-        |         list_filter(string_split_regex(text, '[	
-
- ]+'),
+        |         list_filter(string_split_regex(text, '[\t\n\x0B\f\r ]+'),
         |                     x -> x <> '') AS ts
         |  FROM documents)
         |SELECT doc_id,

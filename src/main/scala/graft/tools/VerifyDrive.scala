@@ -441,7 +441,10 @@ object VerifyDrive {
       assert(counts.keySet == Set(0, 1, 2) && counts(0) > counts(1), s"split skew: $counts")
       // BM25: scores positive, ranked doc set == docs containing a term
       val scored = graft.operators.TextRank.bm25(docs, "doc_id", "text", Seq("hash", "join"))
-      val viaSqlMatch = docs.filter(col("text").rlike("(^| )hash( |$)|(^| )join( |$)")).count()
+      // \s boundaries, not bare spaces: bm25 tokenizes on the full
+      // Java \s set, so a term adjacent to a tab/newline must count
+      val viaSqlMatch = docs.filter(
+        col("text").rlike("(^|\\s)hash(\\s|$)|(^|\\s)join(\\s|$)")).count()
       assert(scored.count() == viaSqlMatch, "bm25 matched-doc set != regex recount")
       assert(scored.filter(col("score") <= 0).count() == 0, "scores must be positive")
       // blocklist: density column == the unfused token-intersection count

@@ -679,6 +679,40 @@ class ColumnarCofactorSpec extends AnyFunSuite {
     assert(over.count() == 165)
   }
 
+  test("grouped routes agree on a group whose rows ALL carry a NULL input") {
+    // the kernel skips any row with a NULL num/cat input, so a group
+    // made ENTIRELY of such rows never appears on the kernel route; the
+    // row-aggregate fallback used to keep it as an empty (n=0) triple —
+    // both routes must now return the same group SET
+    val tmp = java.nio.file.Files.createTempDirectory("gnull").toFile.getAbsolutePath
+    spark.range(900).select(
+      (col("id") % 3).cast("int").as("k"),
+      concat(lit("g"), (col("id") % 3).cast("string")).as("ks"),
+      // group k=2 (and ks="g2") is ALL-NULL in x; k=1 is half-NULL
+      when(col("id") % 3 === 2, lit(null).cast("double"))
+        .when(col("id") % 3 === 1 && col("id") % 2 === 0, lit(null).cast("double"))
+        .otherwise(col("id").cast("double")).as("x"))
+      .write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
+    // single-key surface
+    val k1 = Graft.cofactorGrouped(df, "k", Seq("x"), Seq())
+    assert(Graft.lastGroupedRoute() == "columnar")
+    val r1 = Graft.cofactorGrouped(df.repartition(4), "k", Seq("x"), Seq())
+    assert(Graft.lastGroupedRoute() == "row")
+    val kSet = k1.collect().map(_.getInt(0)).toSet
+    assert(kSet == Set(0, 1), s"all-NULL-x group must vanish on the kernel route: $kSet")
+    assert(r1.collect().map(_.getInt(0)).toSet == kSet,
+      "row fallback must drop the all-NULL-input group too")
+    // multi-key surface
+    val k2 = Graft.cofactorGroupedMulti(df, Seq("k", "ks"), Seq("x"), Seq())
+    assert(Graft.lastGroupedRoute() == "columnar")
+    val r2 = Graft.cofactorGroupedMulti(df.repartition(4), Seq("k", "ks"), Seq("x"), Seq())
+    assert(Graft.lastGroupedRoute() == "row")
+    val k2Set = k2.collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(k2Set == Set((0, "g0"), (1, "g1")))
+    assert(r2.collect().map(r => (r.getInt(0), r.getString(1))).toSet == k2Set)
+  }
+
   test("cofactorGroupedMulti fuzz: kernel == row aggregate across random key shapes (seeded)") {
     val rng = new scala.util.Random(0xBEEF16)
     for (round <- 0 until 3) {
