@@ -474,6 +474,13 @@ object Bench {
         noop(docs.select(col("doc_id"),
           graft.functions.TextFunctions.blocklistStats(col("text"), terms).as("b")))
       },
+      // duplicated 3-gram mining over the 550k-doc tier (boilerplate
+      // survey): one fused distinct-grams byte walk per doc feeding the
+      // spill-safe hash aggregate — DuckDB twin `dup_ngrams`
+      "sf10_dup_ngrams" -> { () =>
+        noop(graft.operators.TextRank.duplicatedNgrams(
+          Tables.load(spark, sf10Dir, "documents"), "text", n = 3, minDocs = 2L, k = 100))
+      },
       // the LSH prepare phase alone (one tokenize+shingle byte walk →
       // signatures + bands + shingle set): the dominant per-row cost of
       // minhash dedup, isolated from the candidate join so prepare

@@ -70,6 +70,8 @@ object Graft {
         graft.functions.MinHashPrepare(es(0), intArg(es, 1), intArg(es, 2), intArg(es, 3)), "scala_udf")
       reg.createOrReplaceTempFunction("chunk_text", es =>
         graft.functions.ChunkText(es(0), intArg(es, 1), intArg(es, 2)), "scala_udf")
+      reg.createOrReplaceTempFunction("distinct_ngrams", es =>
+        graft.functions.DistinctNgrams(es(0), intArg(es, 1)), "scala_udf")
       reg.createOrReplaceTempFunction("repetition_score", es =>
         graft.functions.RepetitionScore(es(0), intArg(es, 1)), "scala_udf")
       reg.createOrReplaceTempFunction("token_stats", es =>

@@ -1993,6 +1993,46 @@ object SparkEntry {
     "q90_top_terms" -> { (s, dir) =>
       Graft.register(s)
       graft.operators.TextRank.topTerms(Tables.load(s, dir, "documents"), "text", 25)
+    },
+
+    // the real training-data flow COMPOSED over chunks, not docs:
+    // chunk_text → exact dedup of the chunk text (the corpus has many
+    // duplicate docs, so their chunks collapse; earliest
+    // (doc_id, chunk_idx) survives) → pack_sequences over the
+    // SURVIVORS per language at a 256-token budget. Pins chunk_idx
+    // stability under the dedup shuffle and the token counts the
+    // packer sees. The chunking expression rides alone under
+    // posexplode (generator-sibling rule, see q82).
+    "q91_chunk_pipeline" -> { (s, dir) =>
+      Graft.register(s)
+      val chunks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          posexplode(graft.functions.TextFunctions.chunkText(col("text"), 64, 8)))
+        .select(col("doc_id"), col("lang"),
+          col("pos").cast("long").as("chunk_idx"), col("col").as("chunk"))
+      // one arithmetic order key: chunk_idx < 1e6 at every SF (56-token
+      // stride over ≤ a few hundred tokens/doc), so the key is unique
+      val ord = col("doc_id") * lit(1000000L) + col("chunk_idx")
+      val uniq = graft.operators.Dedup.exact(chunks, Seq(col("chunk")), ord)
+      val withTc = uniq.withColumn("n_tokens",
+        graft.functions.TextFunctions.tokenCount(col("chunk")).cast("long"))
+      graft.operators.Pack.assign(withTc, col("lang"),
+          col("doc_id") * lit(1000000L) + col("chunk_idx"), col("n_tokens"), budget = 256L)
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"), col("pack"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // duplicated n-gram mining (the boilerplate survey): 3-grams in
+    // ≥ 2 documents, top 50 by document frequency, gram-ASC tie-break
+    // (the total order is unique, so the LIMIT boundary is stable).
+    // One fused byte walk per doc (distinct_ngrams) feeding the
+    // spill-safe hash aggregate — no token arrays, no per-partition
+    // vocabulary map (the n-gram space is corpus-sized, not
+    // vocab-sized).
+    "q92_dup_ngrams" -> { (s, dir) =>
+      Graft.register(s)
+      graft.operators.TextRank.duplicatedNgrams(
+        Tables.load(s, dir, "documents"), "text", n = 3, minDocs = 2L, k = 50)
     }
   )
 
@@ -3342,6 +3382,48 @@ object SparkEntry {
         |    string_split_regex(text, '[	
  ]+'), x -> x <> '')) AS term
         |  FROM documents)
-        |GROUP BY 1 ORDER BY n DESC, term ASC LIMIT 25""".stripMargin
+        |GROUP BY 1 ORDER BY n DESC, term ASC LIMIT 25""".stripMargin,
+    // q82's verbatim chunk recompute, then dedup (row_number over the
+    // same (doc_id, chunk_idx) order the Spark side's min_by key
+    // encodes) and the q52 running-sum pack formulation over survivors
+    "q91_chunk_pipeline" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '[\t\n\x0B\f\r ]+') AS ts
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |chunks AS (
+        |  SELECT doc_id, lang,
+        |         CAST((s - 1) / 56 AS BIGINT) AS chunk_idx,
+        |         array_to_string(list_slice(ts, CAST(s AS BIGINT), least(s + 63, len(ts))), ' ') AS chunk
+        |  FROM (SELECT doc_id, lang, ts, unnest(range(1, len(ts) + 1, 56)) AS s FROM tok)
+        |  WHERE s = 1 OR s + 7 < len(ts)),
+        |uniq AS (
+        |  SELECT doc_id, lang, chunk_idx, chunk FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY chunk
+        |                                 ORDER BY doc_id, chunk_idx) AS rn
+        |    FROM chunks) WHERE rn = 1),
+        |tc AS (SELECT doc_id, lang, chunk_idx,
+        |              CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens
+        |       FROM uniq)
+        |SELECT doc_id, chunk_idx, n_tokens,
+        |       CAST((sum(n_tokens) OVER (PARTITION BY lang
+        |                  ORDER BY doc_id, chunk_idx
+        |                  ROWS UNBOUNDED PRECEDING) - n_tokens) // 256 AS BIGINT) AS pack
+        |FROM tc ORDER BY doc_id, chunk_idx""".stripMargin,
+    // q51's shingle construction kept as TEXT: per-doc distinct
+    // 3-grams (short docs → one whole-sequence gram, the Shingling
+    // rule), doc-frequency count, ≥2 filter, deterministic top-50
+    "q92_dup_ngrams" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[\t\n\x0B\f\r ]+'),
+        |                             x -> x <> '') AS ts
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(ts) - 2, 1) + 1),
+        |    i -> array_to_string(ts[i:least(i + 2, len(ts))], ' ')))) AS ngram
+        |  FROM tok WHERE len(ts) > 0)
+        |SELECT ngram, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM g GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY n_docs DESC, ngram ASC LIMIT 50""".stripMargin
   )
 }

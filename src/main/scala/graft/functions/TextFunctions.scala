@@ -122,6 +122,15 @@ object TextFunctions {
     call_function("chunk_text", text, lit(maxTokens), lit(overlap))
   }
 
+  /** Distinct word `n`-grams of the document (space-joined,
+    * first-occurrence order), one byte walk ([[DistinctNgrams]]) —
+    * the per-document input of cross-corpus duplicated n-gram mining
+    * (see [[graft.operators.TextRank.duplicatedNgrams]]). */
+  def distinctNgrams(text: Column, n: Int): Column = {
+    graft.Graft.register(org.apache.spark.sql.SparkSession.active)
+    call_function("distinct_ngrams", text, lit(n))
+  }
+
   /** Blocklist statistics — `(n_matched, n_tokens)` of whitespace
     * tokens hitting the term SET, one byte walk per document at O(1)
     * per token regardless of list size ([[BlocklistStats]]; thousands

@@ -128,4 +128,36 @@ object TextRank {
       .orderBy(col("n").desc, col("term").asc)
       .limit(k)
   }
+
+  /** Cross-corpus duplicated n-gram mining: the `k` word `n`-grams
+    * appearing in the most DOCUMENTS (ties broken gram ASC), restricted
+    * to grams in ≥ `minDocs` documents — the boilerplate/contamination
+    * survey behind exact-substring dedup and blocklist construction
+    * (the duplicated-sequence analysis of Lee et al., ACL 2022, at
+    * n-gram granularity).
+    *
+    * Unlike [[topTerms]]'s bounded vocabulary, the n-gram space grows
+    * with the corpus, so a per-partition HashMap would be an unbounded
+    * executor-memory bet. Instead [[graft.functions.DistinctNgrams]]
+    * fuses tokenize + gram assembly + per-document dedup into one byte
+    * walk, and the explode feeds Spark's spill-safe hash aggregate:
+    * the map-side partial combine collapses the duplicated grams (the
+    * ones this operator is FOR) before the shuffle, singleton grams
+    * cross once and die at the `minDocs` filter, and the ordered limit
+    * plans as `TakeOrderedAndProject` (bounded k-heap per partition).
+    * Short documents (1 ≤ tokens < n) contribute their whole token
+    * sequence as one gram — the library's `Shingling` rule, so short
+    * duplicates still surface. */
+  def duplicatedNgrams(docs: DataFrame, textCol: String, n: Int,
+                       minDocs: Long = 2L, k: Int = 100): DataFrame = {
+    require(n > 0, "duplicatedNgrams needs n > 0")
+    require(minDocs > 0, "duplicatedNgrams needs minDocs > 0")
+    require(k > 0, "duplicatedNgrams needs k > 0")
+    docs.select(explode(
+        graft.functions.TextFunctions.distinctNgrams(col(textCol), n)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("ngram").asc)
+      .limit(k)
+  }
 }

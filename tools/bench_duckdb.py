@@ -207,6 +207,21 @@ queries = {
                sum(idf.idf * tf.tf * 2.2
                    / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))) AS s
         FROM tf JOIN idf USING (term), stats GROUP BY 1)""",
+    # duplicated 3-gram mining (graft: sf10_dup_ngrams — q92's oracle
+    # shape at top-100): per-doc distinct 3-grams, doc-frequency count
+    "dup_ngrams": """
+      WITH tok AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '[\t\n\x0B\f\r ]+'),
+                                   x -> x <> '') AS ts
+        FROM documents),
+      g AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, greatest(len(ts) - 2, 1) + 1),
+          i -> array_to_string(ts[i:least(i + 2, len(ts))], ' ')))) AS ngram
+        FROM tok WHERE len(ts) > 0)
+      SELECT ngram, count(*) AS n_docs
+      FROM g GROUP BY 1 HAVING count(*) >= 2
+      ORDER BY n_docs DESC, ngram ASC LIMIT 100""",
     # token-budget chunking (graft: sf10_chunk_text — q82's oracle shape
     # minus the ORDER BY, the same verbatim window recompute)
     "chunk_text": """
