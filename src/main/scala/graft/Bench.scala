@@ -516,6 +516,37 @@ object Bench {
   private def sf100Tier(spark: SparkSession): Tier = {
     def li100 = Tables.load(spark, sf100Dir, "lineitem")
     li100.count() // warm the scan cache path (file listing, footers)
+
+    // Endpoint-scale vector corpus: 3.2M × 64d (10× the sf10 corpus —
+    // the vector family's claims are 100 TB-framed but its largest
+    // measured corpus was 320k vectors). Two-level near-dup structure
+    // (tools/BigAnn: 256 coarse cells × 200k 16-member fine groups),
+    // generated ONCE into the tier dir (~850 MB parquet) and reused.
+    // Setup is LAZY — codebook train, IVF build, and the corpus encode
+    // run inside the first vector row's warmup pass (discarded), so a
+    // single-row probe of a relational row never pays them. A failure
+    // condemns only the vector rows (per-query failure contract).
+    case class BigVecSetup(emb: org.apache.spark.sql.DataFrame,
+                           cb: graft.operators.Pq.PqCodebook,
+                           idx: graft.operators.Similarity.IvfIndex,
+                           codes: org.apache.spark.sql.DataFrame)
+    lazy val bigVec: Either[Throwable, BigVecSetup] = try {
+      val emb = graft.tools.BigAnn.ensureCorpus(spark, sf100Dir)
+      val cb = graft.operators.Pq.train(emb, "vec_id", "embedding",
+        dim = 64, m = 16, ksub = 128, iters = 2)
+      val idx = graft.operators.Similarity.ivfBuild(emb, "vec_id", "embedding",
+        nCentroids = 64, kmeansIters = 2)
+      val codes = graft.operators.Pq.ivfPqEncode(idx, "vec_id", "embedding", cb).cache()
+      codes.count()
+      Right(BigVecSetup(emb, cb, idx, codes))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] big-vector setup failed — vector rows report failed: $e")
+        Left(e)
+    }
+    def withBigVec(f: BigVecSetup => Unit): () => Unit =
+      () => bigVec.fold(e => throw e, f)
+
     Tier("sf100", Seq(
       "sf100_q01_pricing" -> (() => noop(SparkEntry.queries("q01_agg_pricing")(spark, sf100Dir))),
       "sf100_q01_columnar" -> (() => columnarPricing(spark, sf100Dir)),
@@ -529,7 +560,22 @@ object Bench {
             col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"),
             col("l_linenumber"), col("shipyear")).as("t")))
       },
-      "sf100_factorized_adaptive" -> (() => factorizedAdaptiveRaw(spark, sf100Dir))) ++
+      "sf100_factorized_adaptive" -> (() => factorizedAdaptiveRaw(spark, sf100Dir)),
+      // the vector family at the endpoint scale (3.2M × 64d, 20
+      // queries, k=10): brute force is the honest O(N·d) floor;
+      // IVFADC searches the same corpus over 16-byte codes with an
+      // 8/64-cell coarse prune — the "coarse prune + O(m) ADC"
+      // scaling claim measured at 10× the previous largest corpus
+      // (recall@10 vs brute force pinned by tools/BigAnnProbe,
+      // recorded in BENCH_CONTEXT.md)
+      "sf100_knn_bruteforce" -> withBigVec(s =>
+        noop(graft.operators.Similarity.bruteForceTopK(
+          s.emb.filter(col("vec_id") < 20), s.emb,
+          "vec_id", "embedding", "vec_id", "embedding", k = 10))),
+      "sf100_ivfadc_topk" -> withBigVec(s =>
+        noop(graft.operators.Pq.ivfPqTopKEncoded(
+          s.idx, s.codes, s.emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 10, s.cb, nProbe = 8)))) ++
       // the exchange-free design at the endpoint scale: the same
       // operator over 256-bucket tables — the 150M-row build takes
       // the bucketed co-located tier (per-bucket build ≤ cap)
