@@ -2033,6 +2033,28 @@ object SparkEntry {
       Graft.register(s)
       graft.operators.TextRank.duplicatedNgrams(
         Tables.load(s, dir, "documents"), "text", n = 3, minDocs = 2L, k = 50)
+    },
+
+    // deterministic downsampling, fixed-rate AND quality-weighted: the
+    // kept sets are re-derived bit-for-bit by DuckDB from the pinned
+    // plain-arithmetic hash (q86's recipe). keep10 ⊂ keep50 by
+    // construction (same hash, bigger threshold) — rerunning with a
+    // larger budget only ADDS documents; keep_w uses a token-count
+    // quality weight both engines compute from the text.
+    "q93_stable_sample" -> { (s, dir) =>
+      Graft.register(s)
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("double").as("tc"))
+      val w = least(lit(1.0), col("tc") / 256.0)
+      val out = d.select(col("doc_id"),
+          graft.operators.StableSplit.stableSample(col("doc_id"), 0.1).as("keep10"),
+          graft.operators.StableSplit.stableSample(col("doc_id"), 0.5).as("keep50"),
+          graft.operators.StableSplit.stableSampleWeighted(col("doc_id"), w).as("keep_w"))
+        .orderBy(col("doc_id"))
+      // the budget-growth subset law, asserted in-query
+      require(out.filter(col("keep10") && !col("keep50")).count() == 0,
+        "q93: the 10% sample must be a subset of the 50% sample")
+      out
     }
   )
 
@@ -3424,6 +3446,33 @@ object SparkEntry {
         |  FROM tok WHERE len(ts) > 0)
         |SELECT ngram, CAST(count(*) AS BIGINT) AS n_docs
         |FROM g GROUP BY 1 HAVING count(*) >= 2
-        |ORDER BY n_docs DESC, ngram ASC LIMIT 50""".stripMargin
+        |ORDER BY n_docs DESC, ngram ASC LIMIT 50""".stripMargin,
+    // q86's HUGEINT hash recompute, then the three keep rules: fixed
+    // integer thresholds (round(f·2^32)) and the weighted double
+    // comparison (hash < 2^32 is double-exact; both engines evaluate
+    // w·2^32 in IEEE doubles)
+    "q93_stable_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split_regex(trim(text), '[\t\n\x0B\f\r ]+')) AS DOUBLE) AS tc
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, tc,
+        |         CAST(xor(h2, h2 >> 13) AS BIGINT) AS hash
+        |  FROM (
+        |    SELECT doc_id, tc,
+        |           CAST((CAST(xor(h1, h1 >> 16) AS HUGEINT) * 2246822519)
+        |                % 4294967296 AS BIGINT) AS h2
+        |    FROM (
+        |      SELECT doc_id, tc,
+        |             CAST((((CAST(doc_id AS HUGEINT) % 4294967296) + 4294967296)
+        |                    % 4294967296 * 2654435761)
+        |                  % 4294967296 AS BIGINT) AS h1
+        |      FROM t)))
+        |SELECT doc_id,
+        |       hash < 429496730 AS keep10,
+        |       hash < 2147483648 AS keep50,
+        |       CAST(hash AS DOUBLE) < least(1.0, tc / 256.0) * 4294967296.0 AS keep_w
+        |FROM h ORDER BY doc_id""".stripMargin
   )
 }

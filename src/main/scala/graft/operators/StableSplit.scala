@@ -76,6 +76,32 @@ object StableSplit {
     when(key.isNull, lit(null)).otherwise(assigned).cast("int")
   }
 
+  /** Deterministic downsampling at a fixed `fraction`: keep a row iff
+    * its [[stableHash32]] falls below `round(fraction · 2^32)` — the
+    * same exact-integer threshold rule as [[stableSplit]], so the kept
+    * set is re-derivable on any engine and STABLE UNDER `fraction`
+    * growth (the 10% sample is a subset of the 20% sample — rerunning
+    * a pipeline with a bigger budget only ADDS documents). NULL key →
+    * NULL (caller decides). Returns a BOOLEAN Column. */
+  def stableSample(key: Column, fraction: Double): Column = {
+    require(fraction > 0 && fraction < 1,
+      s"sampling fraction must be in (0, 1), got $fraction")
+    when(key.isNull, lit(null))
+      .otherwise(stableHash32(key) < lit(math.round(fraction * M.toDouble)))
+  }
+
+  /** Per-row-probability downsampling: keep a row iff
+    * `hash/2^32 < weight` — quality-weighted corpus sampling (weight =
+    * a quality score in [0, 1]; a 0.9-quality document keeps with p ≈
+    * 0.9, junk with its junk score), deterministic per key and
+    * engine-portable (the hash is < 2^32 so its double cast is exact,
+    * and both sides evaluate `weight · 2^32` in IEEE doubles). Weights
+    * ≤ 0 never keep, ≥ 1 always keep; NULL key or weight → NULL. */
+  def stableSampleWeighted(key: Column, weight: Column): Column =
+    when(key.isNull || weight.isNull, lit(null))
+      .otherwise(stableHash32(key).cast("double") <
+        weight.cast("double") * lit(M.toDouble))
+
   // --- Catalyst-native forms for the SQL registry -------------------
   // A Column round-trip through createOrReplaceTempFunction leaves an
   // unconvertible ColumnNode leaf in the plan (the Column API wrapper

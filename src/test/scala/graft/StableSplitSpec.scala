@@ -77,6 +77,46 @@ class StableSplitSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("literal number"), ex.getMessage)
   }
 
+  test("stableSample: fraction tracked, subset law under budget growth, NULL and bounds") {
+    val keys = spark.range(20000).toDF("k")
+    val s = keys.select(col("k"),
+      StableSplit.stableSample(col("k"), 0.1).as("s10"),
+      StableSplit.stableSample(col("k"), 0.5).as("s50")).cache()
+    val n10 = s.filter(col("s10")).count().toDouble / 20000
+    val n50 = s.filter(col("s50")).count().toDouble / 20000
+    assert(math.abs(n10 - 0.1) < 0.02, s"10% sample came out at $n10")
+    assert(math.abs(n50 - 0.5) < 0.02, s"50% sample came out at $n50")
+    // the subset law: growing the budget only ADDS rows
+    assert(s.filter(col("s10") && !col("s50")).count() == 0)
+    // determinism: same key, same verdict, any run
+    val again = keys.select(StableSplit.stableSample(col("k"), 0.1)).collect()
+    assert(s.select(col("s10")).collect().map(_.getBoolean(0)).toSeq ==
+      again.map(_.getBoolean(0)).toSeq)
+    assert(Seq(Option.empty[java.lang.Long]).toDF("k")
+      .select(StableSplit.stableSample(col("k"), 0.5)).head.isNullAt(0),
+      "NULL key must sample NULL")
+    intercept[IllegalArgumentException](StableSplit.stableSample(col("k"), 0.0))
+    intercept[IllegalArgumentException](StableSplit.stableSample(col("k"), 1.0))
+  }
+
+  test("stableSampleWeighted: keep rate tracks the weight; 0/1 weights are absolute") {
+    val d = spark.range(30000).toDF("k")
+      .withColumn("w", (col("k") % 10).cast("double") / 10.0)
+    val kept = d.select(col("w"),
+        StableSplit.stableSampleWeighted(col("k"), col("w")).as("keep"))
+      .groupBy("w").agg(avg(col("keep").cast("double")).as("rate"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(kept(0.0) == 0.0, "weight 0 must never keep")
+    Seq(0.2, 0.5, 0.9).foreach { w =>
+      assert(math.abs(kept(w) - w) < 0.05, s"weight $w kept at ${kept(w)}")
+    }
+    assert(d.select(StableSplit.stableSampleWeighted(col("k"), lit(1.0)).as("a"))
+      .filter(!col("a")).count() == 0, "weight 1 must always keep")
+    assert(Seq(1L).toDF("k")
+      .select(StableSplit.stableSampleWeighted(col("k"), lit(null).cast("double")))
+      .head.isNullAt(0), "NULL weight must sample NULL")
+  }
+
   test("the assignment stays inside whole-stage codegen (pure projection, no shuffle)") {
     val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(StableSplit.stableSplit(col("doc_id"), Seq(0.9, 0.05, 0.05)).as("s"))
