@@ -2055,6 +2055,21 @@ object SparkEntry {
       require(out.filter(col("keep10") && !col("keep50")).count() == 0,
         "q93: the 10% sample must be a subset of the 50% sample")
       out
+    },
+
+    // exact-substring dedup, REMOVAL step (Lee et al. ACL 2022 at
+    // 3-gram granularity): mine every 3-gram in ≥2 documents (q92's
+    // counting pass without the top-k), broadcast the set, and strip
+    // every covered token in one byte walk per document. DuckDB
+    // recomputes the whole pipeline — mining, window coverage with
+    // overlap union, and the space-rejoined rebuild — verbatim.
+    "q94_dup_span_removal" -> { (s, dir) =>
+      Graft.register(s)
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.operators.TextRank.removeDuplicatedSpans(docs, "text", n = 3, minDocs = 2L)
+        .select(col("doc_id"), col("text").as("clean_text"),
+          col("n_removed_tokens"), col("n_tokens"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -3473,6 +3488,53 @@ object SparkEntry {
         |       hash < 429496730 AS keep10,
         |       hash < 2147483648 AS keep50,
         |       CAST(hash AS DOUBLE) < least(1.0, tc / 256.0) * 4294967296.0 AS keep_w
-        |FROM h ORDER BY doc_id""".stripMargin
+        |FROM h ORDER BY doc_id""".stripMargin,
+    // q92's mining pass (no top-k), then window coverage: every token
+    // position inside an occurrence of a duplicated gram is covered
+    // (DISTINCT unions the overlaps), survivors rejoin with single
+    // spaces in token order. NULL text propagates NULL; a fully-covered
+    // or empty document rebuilds to ''.
+    "q94_dup_span_removal" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[\t\n\x0B\f\r ]+'),
+        |                             x -> x <> '') AS ts
+        |  FROM documents WHERE text IS NOT NULL),
+        |dup AS (
+        |  SELECT ngram FROM (
+        |    SELECT doc_id, unnest(list_distinct(list_transform(
+        |      range(1, greatest(len(ts) - 2, 1) + 1),
+        |      i -> array_to_string(ts[i:least(i + 2, len(ts))], ' ')))) AS ngram
+        |    FROM tok WHERE len(ts) > 0)
+        |  GROUP BY 1 HAVING count(*) >= 2),
+        |w AS (
+        |  SELECT doc_id, i, least(i + 2, len(ts)) AS e,
+        |         array_to_string(ts[i:least(i + 2, len(ts))], ' ') AS ngram
+        |  FROM (SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 2, 1) + 1)) AS i
+        |        FROM tok WHERE len(ts) > 0)),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos FROM (
+        |    SELECT w.doc_id, unnest(range(w.i, w.e + 1)) AS pos
+        |    FROM w JOIN dup USING (ngram))),
+        |pos AS (
+        |  SELECT doc_id, pos, ts[pos] AS tok
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS pos
+        |        FROM tok WHERE len(ts) > 0)),
+        |clean AS (
+        |  SELECT p.doc_id,
+        |         coalesce(string_agg(CASE WHEN c.pos IS NULL THEN p.tok END,
+        |                             ' ' ORDER BY p.pos), '') AS clean_text,
+        |         CAST(count(c.pos) AS INT) AS n_removed_tokens,
+        |         CAST(count(*) AS INT) AS n_tokens
+        |  FROM pos p LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.pos = c.pos
+        |  GROUP BY p.doc_id)
+        |SELECT d.doc_id,
+        |       CASE WHEN d.text IS NULL THEN NULL
+        |            ELSE coalesce(c.clean_text, '') END AS clean_text,
+        |       CASE WHEN d.text IS NULL THEN NULL
+        |            ELSE coalesce(c.n_removed_tokens, 0) END AS n_removed_tokens,
+        |       CASE WHEN d.text IS NULL THEN NULL
+        |            ELSE coalesce(c.n_tokens, 0) END AS n_tokens
+        |FROM documents d LEFT JOIN clean c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -160,4 +160,59 @@ object TextRank {
       .orderBy(col("n_docs").desc, col("ngram").asc)
       .limit(k)
   }
+
+  /** Remove every token covered by an occurrence of one of `grams`
+    * (word `n`-grams in [[graft.functions.DistinctNgrams]]'s byte
+    * form) from `textCol`: the text column is REPLACED by the
+    * space-rejoined survivors — removal is the point of the pass — and
+    * `n_removed_tokens` / `n_tokens` append the per-document audit
+    * trail. One projection scan, zero shuffles: the gram set ships as
+    * a broadcast and [[graft.functions.RemoveDupSpans]] does one byte
+    * walk per document. NULL text stays NULL (with NULL counters). */
+  def removeSpans(docs: DataFrame, textCol: String, n: Int,
+                  grams: Array[String]): DataFrame = {
+    require(n > 0, "removeSpans needs n > 0")
+    // sorted for a deterministic broadcast payload (the set is a set —
+    // order only affects probe-table layout, pinned for reproducibility)
+    val bytes = grams.distinct.sorted
+      .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val bc = docs.sparkSession.sparkContext.broadcast(bytes)
+    val rds = ColumnBridge.column(graft.functions.RemoveDupSpans(
+      ColumnBridge.expression(col(textCol)), n, bc))
+    val keep = docs.columns.map { c =>
+      if (c == textCol) col("__rds.text").as(textCol) else col(c)
+    }
+    docs.withColumn("__rds", rds)
+      .select(keep :+ col("__rds.n_removed").as("n_removed_tokens")
+                   :+ col("__rds.n_tokens").as("n_tokens"): _*)
+  }
+
+  /** End-to-end exact-substring dedup at n-gram granularity (the Lee
+    * et al. ACL 2022 pipeline shape): mine EVERY word `n`-gram
+    * appearing in ≥ `minDocs` documents ([[duplicatedNgrams]]'s
+    * counting pass without the top-k — removal needs the whole set),
+    * then [[removeSpans]] them. The mined set must fit a broadcast:
+    * more than `maxGrams` duplicated grams fails LOUDLY (raise
+    * `minDocs` or `maxGrams` — at corpus scale the honest alternative
+    * is an explode + anti-join pass, a deliberate non-goal while the
+    * duplicated-gram sets of real corpora stay head-heavy and
+    * broadcastable). Cost: one explode + partial-agg shuffle (mining,
+    * map-side combine collapses each document's distinct grams) + one
+    * scan (removal). */
+  def removeDuplicatedSpans(docs: DataFrame, textCol: String, n: Int,
+                            minDocs: Long = 2L, maxGrams: Int = 1 << 20): DataFrame = {
+    require(minDocs > 1, "removeDuplicatedSpans needs minDocs > 1 — at 1 it removes everything")
+    require(maxGrams > 0, "removeDuplicatedSpans needs maxGrams > 0")
+    val mined = docs.select(explode(
+        graft.functions.TextFunctions.distinctNgrams(col(textCol), n)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("ngram"))
+      .take(maxGrams + 1)
+    if (mined.length > maxGrams)
+      throw new IllegalStateException(
+        s"removeDuplicatedSpans: more than $maxGrams duplicated $n-grams at minDocs=$minDocs — " +
+        "the set no longer fits a broadcast; raise minDocs (or maxGrams if memory allows)")
+    removeSpans(docs, textCol, n, mined.map(_.getString(0)))
+  }
 }
