@@ -127,6 +127,17 @@ object Bench {
       "multi-key grouped harvest must engage on the bare lineitem scan")
     noop(g)
   }
+  // the DICTIONARY label route (round-17): o_orderpriority is 15 bytes,
+  // past the Long label's 8, so the kernel rides a broadcast value↔index
+  // dictionary — route required, one distinct scan + one harvest scan;
+  // DuckDB twin `cofactor_grouped_dict_equivalent`
+  private def columnarCofactorGroupedDict(spark: SparkSession, dir: String): Unit = {
+    val g = Graft.cofactorGrouped(Tables.load(spark, dir, "orders"),
+      "o_orderpriority", Seq("o_totalprice", "o_custkey"), Seq())
+    require(Graft.lastGroupedRoute() == "columnar-dict",
+      "wide string key must ride the dictionary kernel route")
+    noop(g)
+  }
   // q6-shaped filtered cofactor through the compiled-mask harvest —
   // certifies per-round that a simple filter stays on the columnar path
   private def columnarCofactorFiltered(spark: SparkSession, dir: String): Unit = {
@@ -319,6 +330,7 @@ object Bench {
       },
       "cofactor_grouped_columnar" -> (() => columnarCofactorGrouped(spark, sfDir)),
       "cofactor_grouped_multikey" -> (() => columnarCofactorGroupedMulti(spark, sfDir)),
+      "cofactor_grouped_dict" -> (() => columnarCofactorGroupedDict(spark, sfDir)),
       "factorized_join" -> (() => noop(SparkEntry.queries("q09_factorized_join")(spark, sfDir))),
       // what the engine actually picks for this key profile: the
       // cardinality probe sees ~4 rows/key and falls back to the plain
@@ -481,6 +493,15 @@ object Bench {
         noop(graft.operators.TextRank.duplicatedNgrams(
           Tables.load(spark, sf10Dir, "documents"), "text", n = 3, minDocs = 2L, k = 100))
       },
+      // exact-substring dedup END TO END (Lee et al. shape): mine every
+      // duplicated 3-gram (minDocs=8 keeps the set broadcastable on
+      // this deliberately-repetitive synthetic corpus), broadcast, one
+      // removal byte walk per doc — DuckDB twin `dup_span_removal`
+      "sf10_dup_span_removal" -> { () =>
+        val docs = Tables.load(spark, sf10Dir, "documents").select(col("doc_id"), col("text"))
+        noop(graft.operators.TextRank.removeDuplicatedSpans(docs, "text",
+          n = 3, minDocs = 8L, maxGrams = 4 << 20))
+      },
       // the LSH prepare phase alone (one tokenize+shingle byte walk →
       // signatures + bands + shingle set): the dominant per-row cost of
       // minhash dedup, isolated from the candidate join so prepare
@@ -553,6 +574,7 @@ object Bench {
       "sf100_cofactor_columnar" -> (() => columnarCofactorFull(spark, sf100Dir)),
       "sf100_cofactor_grouped_columnar" -> (() => columnarCofactorGrouped(spark, sf100Dir)),
       "sf100_cofactor_grouped_multikey" -> (() => columnarCofactorGroupedMulti(spark, sf100Dir)),
+      "sf100_cofactor_grouped_dict" -> (() => columnarCofactorGroupedDict(spark, sf100Dir)),
       "sf100_cofactor_filtered" -> (() => columnarCofactorFiltered(spark, sf100Dir)),
       "sf100_cofactor_full" -> { () =>
         noop(li100.withColumn("shipyear", year(col("l_shipdate")))

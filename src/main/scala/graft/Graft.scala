@@ -444,15 +444,18 @@ object Graft {
    * of buffers per partition (the SHJ guard's budget); pass
    * `maxGroups > 0` to pin it (clamped to the kernel's cardinality
    * guard). Over-cap keys route to the distributed row aggregate,
-   * which handles them natively. String keys additionally require the
-   * probe's exact max PACKABLE byte width to be ≤ 8 (base-256 into the
-   * LONG label channel — `en-US` locales and 8-char SKUs ride the
-   * kernel; the probe reports unpackable when any value is wider or
-   * embeds a NUL byte) — a wider key routes to the row aggregate UP
-   * FRONT rather than hitting CatShortString's mid-job fail-loud throw
-   * (that contract is for cat COLUMNS a user pinned explicitly; a
-   * public GROUP BY must not crash on data shape). The probe runs only
-   * on structurally harvestable plans (plan-shape refusal is checked
+   * which handles them natively. String keys whose probed exact max
+   * byte width is ≤ 8 (NUL-free) pack base-256 into the LONG label
+   * channel (`en-US` locales, 8-char SKUs; route `"columnar"`); WIDER
+   * or NUL-embedded string keys under the group cap ride the kernel
+   * through a DICTIONARY label instead (route `"columnar-dict"`: one
+   * memoized distinct scan builds a broadcast value↔index map, each
+   * row pays one hash probe — URLs, dataset names, full locales), so
+   * the only string keys left to the row aggregate are genuinely
+   * over-cap ones. CatShortString's mid-job fail-loud throw stays
+   * reserved for cat COLUMNS a user pinned explicitly; a public GROUP
+   * BY never crashes on data shape. The probe runs only on
+   * structurally harvestable plans (plan-shape refusal is checked
    * first, without any scan).
    */
   def cofactorGrouped(df: DataFrame, key: String, num: Seq[String], cat: Seq[String],
@@ -475,17 +478,23 @@ object Graft {
     val viaKernel = groupedKernelGate(df, key, num, cat, nb, maxGroups,
         probeNulls = false)
       .flatMap { case (ls, _) => graft.agg.ColumnarCofactor.cofactorPerClassLong(
-        df, numSpecs, catSpecs, ls, nbMode = nb) }
+        df, numSpecs, catSpecs, ls, nbMode = nb).map(gs => (ls, gs)) }
     viaKernel match {
-      case Some(groups) =>
-        lastGroupedRouteTL.set("columnar")
+      case Some((ls, groups)) =>
+        val dictStrings = ls match {
+          case ds: graft.agg.ColumnarCofactor.CatDictString =>
+            ds.dict.value.map(new String(_, java.nio.charset.StandardCharsets.UTF_8))
+          case _ => null
+        }
+        lastGroupedRouteTL.set(if (dictStrings != null) "columnar-dict" else "columnar")
         val schema = StructType(Seq(
           StructField(keyField.get.name, keyType.get),
           StructField("t", graft.agg.TripleCodec.dataType(nb))))
         val rows: java.util.List[Row] = java.util.Arrays.asList(
           groups.map { case (k, t) =>
             val kv: Any =
-              if (isStrKey) graft.agg.ColumnarCofactor.unpackShortString(k)
+              if (dictStrings != null) dictStrings(k.toInt)
+              else if (isStrKey) graft.agg.ColumnarCofactor.unpackShortString(k)
               else if (keyType.get == LongType) k
               else k.toInt
             Row(kv, tripleToRow(t, nb))
@@ -730,13 +739,62 @@ object Graft {
             math.min(maxGroups.toLong, CofactorAggregate.confMaxCategories().toLong)
           else math.min(1L << 20,
             ((64L << 20) / math.max(1.0, bufBytes)).toLong)
-        if (isStrKey && keyWidth > 8) None
-        else if (keyCard > groupCap) None
+        if (keyCard > groupCap) None
         // past ~10% NULL-bearing rows the side channel stops being a
         // remainder — the default plan is the honest choice
         else if (probeNulls && nullUB > rows / 10) None
+        else if (isStrKey && keyWidth > 8)
+          // too wide / NUL-embedded for base-256 packing, but the group
+          // cardinality fits every kernel cap: DICTIONARY-encode the key
+          // (one memoized distinct scan, broadcast ≤ cap strings) and
+          // ride the kernel with the dictionary index as the label —
+          // the route that removes the row-aggregate perf cliff for
+          // real-world cut keys (URLs, dataset names, 'en_US.UTF-8'
+          // locales). Falls through to the row aggregate only when the
+          // EXACT distinct count lands over the cap the ±5% probe
+          // admitted.
+          groupDict(df, key, groupCap)
+            .map(bc => (graft.agg.ColumnarCofactor.CatDictString(key, bc), nullUB))
         else Some((ls, nullUB))
     }
+  }
+
+  /** The sorted distinct values of string key column `key` as a
+    * broadcast of UTF-8 byte arrays — [[groupedKernelGate]]'s
+    * dictionary for the [[graft.agg.ColumnarCofactor.CatDictString]]
+    * label route. Returns None when the exact distinct count exceeds
+    * `cap` (the HLL probe under-estimated — the caller falls back to
+    * the row aggregate, which handles any cardinality). Memoized with
+    * the probes' (plan, tag, file-snapshot) discipline so the SQL
+    * strategy's plan-time gate and execute-time re-gate share ONE
+    * distinct scan and ONE broadcast; evicted entries unpersist their
+    * broadcast. */
+  private val dictCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Long),
+        org.apache.spark.broadcast.Broadcast[Array[Array[Byte]]]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Long),
+            org.apache.spark.broadcast.Broadcast[Array[Array[Byte]]]]): Boolean = {
+        val evict = size() > 64
+        if (evict) e.getValue.unpersist(false)
+        evict
+      }
+    })
+  private def groupDict(df: DataFrame, key: String, cap: Long):
+      Option[org.apache.spark.broadcast.Broadcast[Array[Array[Byte]]]] = {
+    import org.apache.spark.sql.functions.col
+    val ck = (df.queryExecution.analyzed.canonicalized, "gdict:" + key,
+      graft.ml.Factorized.snapshotFingerprint(df))
+    val cached = dictCache.get(ck)
+    if (cached != null) return Some(cached)
+    val capInt = math.min(cap, Int.MaxValue - 2L).toInt
+    val vals = df.select(col(key)).na.drop().distinct().take(capInt + 1)
+    if (vals.length > capInt) return None
+    val bytes = vals.map(_.getString(0)).sorted
+      .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val bc = df.sparkSession.sparkContext.broadcast(bytes)
+    dictCache.put(ck, bc)
+    Some(bc)
   }
 
   /** Per-class cofactors: `GROUP BY label` aggregation collected as

@@ -2070,6 +2070,27 @@ object SparkEntry {
         .select(col("doc_id"), col("text").as("clean_text"),
           col("n_removed_tokens"), col("n_tokens"))
         .orderBy(col("doc_id"))
+    },
+
+    // q80's discipline for a string key TOO WIDE to base-256 pack:
+    // c_mktsegment is 10 bytes ('AUTOMOBILE'), past the Long label's 8,
+    // so the kernel rides the DICTIONARY label (one memoized distinct
+    // scan → broadcast value↔index map, one hash probe per row) — the
+    // route that removes the row-aggregate cliff for URL/dataset-name
+    // cut keys. Route ASSERTED as 'columnar-dict' so neither a silent
+    // row fallback NOR an impossible packed route can pass as green.
+    "q95_grouped_dict" -> { (s, dir) =>
+      val g = Graft.cofactorGrouped(Tables.load(s, dir, "customer"),
+        "c_mktsegment", Seq("c_acctbal"), Seq("c_nationkey"))
+      require(Graft.lastGroupedRoute() == "columnar-dict",
+        "q95: the wide-string key must ride the dictionary kernel route")
+      g.select(
+        col("c_mktsegment"),
+        col("t.n").as("n_rows"),
+        round(col("t.lin")(0), 2).as("sum_bal"),
+        round(col("t.quad")(0) / col("t.n"), 2).as("avg_sq_bal"),
+        size(col("t.lin_cat")(0)).cast("long").as("n_nations"))
+        .orderBy(col("c_mktsegment"))
     }
   )
 
@@ -3535,6 +3556,12 @@ object SparkEntry {
         |       CASE WHEN d.text IS NULL THEN NULL
         |            ELSE coalesce(c.n_tokens, 0) END AS n_tokens
         |FROM documents d LEFT JOIN clean c USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+    "q95_grouped_dict" ->
+      """SELECT c_mktsegment, count(*) AS n_rows,
+        |       round(sum(c_acctbal), 2) AS sum_bal,
+        |       round(avg(c_acctbal * c_acctbal), 2) AS avg_sq_bal,
+        |       count(DISTINCT c_nationkey) AS n_nations
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -113,6 +113,23 @@ object ColumnarCofactor {
       "CatPackedKeys widths must be 1-8 bytes each, 8 total")
     def inputs: Seq[String] = names
   }
+  /** LABEL-ONLY spec: a string group key DICTIONARY-ENCODED into the
+    * Long label channel — the route for keys base-256 packing cannot
+    * carry (wider than 8 UTF-8 bytes, or NUL-embedded): `dict` is the
+    * broadcast sorted distinct key bytes (built by
+    * `Graft.groupedKernelGate` from its own distinct scan, bounded by
+    * the same byte-based group cap as every other kernel route), and
+    * each row pays one hash probe into an executor-cached FNV table
+    * instead of a byte pack. The label is the key's index in `dict`,
+    * so the driver recovers the string as `dict(label)`. A key value
+    * ABSENT from the dictionary means the data changed between the
+    * dictionary scan and the aggregate — fail loudly, never fold the
+    * row into a wrong group (same in-place-rewrite contract as
+    * [[CatPackedKeys]]). Only valid in label position. */
+  final case class CatDictString(name: String,
+      dict: org.apache.spark.broadcast.Broadcast[Array[Array[Byte]]]) extends CatSpec {
+    def inputs: Seq[String] = Seq(name)
+  }
 
   /** Recover the packed strings of a [[CatPackedStrings]] key. */
   def unpackStrings(key: Int, nCols: Int): Seq[String] =
@@ -148,6 +165,69 @@ object ColumnarCofactor {
     var i = 0
     while (i < n) { bs(i) = ((key >>> (8 * (n - 1 - i))) & 0xff).toByte; i += 1 }
     new String(bs, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** [[CatDictString]]'s executor-side probe table: FNV-1a open
+    * addressing over the broadcast's sorted key bytes, value = the
+    * key's dictionary index (the kernel label). */
+  private[graft] final class DictTable(dict: Array[Array[Byte]]) {
+    private val (slots, hashes, ids, mask) = {
+      var cap = 16
+      while (cap < dict.length * 2) cap <<= 1
+      val sl = new Array[Array[Byte]](cap)
+      val hs = new Array[Int](cap)
+      val id = new Array[Int](cap)
+      val m = cap - 1
+      var i = 0
+      while (i < dict.length) {
+        val kb = dict(i)
+        var h = -2128831035
+        var j = 0
+        while (j < kb.length) { h = (h ^ (kb(j) & 0xff)) * 16777619; j += 1 }
+        var s = h & m
+        while (sl(s) != null) s = (s + 1) & m // keys are distinct by construction
+        sl(s) = kb; hs(s) = h; id(s) = i
+        i += 1
+      }
+      (sl, hs, id, m)
+    }
+    def lookup(u: UTF8String): Long = {
+      val n = u.numBytes
+      var h = -2128831035
+      var i = 0
+      while (i < n) { h = (h ^ (u.getByte(i) & 0xff)) * 16777619; i += 1 }
+      var p = h & mask
+      while (true) {
+        val kb = slots(p)
+        if (kb == null)
+          throw new IllegalStateException(
+            s"CatDictString: key value '$u' is not in the group dictionary — " +
+            "the data changed between the dictionary scan and the aggregate " +
+            "(in-place rewrite?); re-run the query")
+        if (hashes(p) == h && kb.length == n) {
+          var j = 0
+          while (j < n && kb(j) == u.getByte(j)) j += 1
+          if (j == n) return ids(p).toLong
+        }
+        p = (p + 1) & mask
+      }
+      0L // unreachable
+    }
+  }
+
+  // executor-lifetime dict-table cache keyed by broadcast id
+  // (SoftReference values — reclaimable under memory pressure; a fresh
+  // per-task build would pay O(|dict|) per task)
+  private val dictTables =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.lang.ref.SoftReference[DictTable]]()
+  private def dictTableFor(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Byte]]]): DictTable = {
+    val ref = dictTables.get(bc.id)
+    val hit = if (ref == null) null else ref.get()
+    if (hit != null) return hit
+    val built = new DictTable(bc.value)
+    dictTables.put(bc.id, new java.lang.ref.SoftReference(built))
+    built
   }
 
   // ---------------------------------------------------------------- harvest
@@ -523,7 +603,11 @@ object ColumnarCofactor {
       catKind: Array[Int], catOrds: Array[Array[Int]], catT: Array[Array[Int]],
       sessionTz: String,
       // compiled FilterExec mask (null when the plan has no filter)
-      pred: Pred = null)
+      pred: Pred = null,
+      // CatDictString label: broadcast sorted distinct key bytes (null
+      // otherwise) — a task serializes the ~100-byte handle, never the
+      // dictionary
+      labelDict: org.apache.spark.broadcast.Broadcast[Array[Array[Byte]]] = null)
 
   /**
    * Compute the cofactor triple of `src` over the given continuous and
@@ -721,6 +805,12 @@ object ColumnarCofactor {
           catKind(j) = 3; catOrds(j) = Array(ord(norm(n)))
           if (dtOf(norm(n)) != StringType) return None
           catT(j) = Array.empty[Int]
+        case CatDictString(n, _) =>
+          // label-only, like kind 4 below
+          if (j != cats.size - 1) return None
+          catKind(j) = 5; catOrds(j) = Array(ord(norm(n)))
+          if (dtOf(norm(n)) != StringType) return None
+          catT(j) = Array.empty[Int]
         case CatPackedKeys(names, widths) =>
           // label-only: the int cat decode has no kind-4 path, and the
           // per-class label is always the LAST compiled spec
@@ -744,7 +834,8 @@ object ColumnarCofactor {
         nums.size, cats.size, nbMode, maxCategories,
         rawNames.map(n => ord(norm(n))).toArray, rawT, numFromRaw, derived,
         catKind, catOrds, catT,
-        src.sparkSession.sessionState.conf.sessionLocalTimeZone, pred)
+        src.sparkSession.sessionState.conf.sessionLocalTimeZone, pred,
+        labelDict = cats.collectFirst { case CatDictString(_, d) => d }.orNull)
       Some((scan, compiled))
     }
   }
@@ -768,11 +859,11 @@ object ColumnarCofactor {
   private final val MicrosPerDay = 86400000000L
 
   private final class BatchAcc(p: Compiled, stage: Int = 5, labelMode: Boolean = false) {
-    // CatPackedKeys decodes only in the Long label channel — the int
-    // cat path has no kind-4 decode, so a flat-mode use must fail
-    // loudly here rather than silently misread the column
-    require(labelMode || !p.catKind.contains(4),
-      "CatPackedKeys is label-only: use cofactorPerClassLong")
+    // CatPackedKeys / CatDictString decode only in the Long label
+    // channel — the int cat path has no kind-4/5 decode, so a flat-mode
+    // use must fail loudly here rather than silently misread the column
+    require(labelMode || !p.catKind.exists(k => k == 4 || k == 5),
+      "CatPackedKeys/CatDictString are label-only: use cofactorPerClassLong")
     val buf = new CofactorBuffer(p.numCols, if (labelMode) 0 else p.catCols, p.nbMode)
     buf.maxCategories = p.maxCategories
     var rowsSeen = 0L // profile stages < 3 don't touch buf.n
@@ -1298,6 +1389,16 @@ object ColumnarCofactor {
           val o = ords(0)
           if (s == null) while (r < n) { out(r) = packShortWide(batch.column(o), r, s"#$o"); r += 1 }
           else while (r < n) { out(r) = packShortWide(batch.column(o), s(r), s"#$o"); r += 1 }
+        case 5 =>
+          // dictionary label: one FNV probe per row into the
+          // executor-cached table; label = the key's dictionary index
+          val t = dictTableFor(p.labelDict)
+          val o = ords(0)
+          while (r < n) {
+            val row = if (s == null) r else s(r)
+            out(r) = t.lookup(batch.column(o).getUTF8String(row))
+            r += 1
+          }
         case 4 =>
           // multi-key label: each sub-key owns ts(2q+1) bytes, packed
           // MSB-first; int-typed sub-keys re-check the gate's probed

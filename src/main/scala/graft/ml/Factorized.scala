@@ -839,7 +839,7 @@ object Factorized {
     * without scanning anything (driver-side listing metadata only). A
     * same-size same-count in-place rewrite can still alias — that needs
     * the documented [[clearProbeCache]]. */
-  private def snapshotFingerprint(df: DataFrame): Long = {
+  private[graft] def snapshotFingerprint(df: DataFrame): Long = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     df.queryExecution.analyzed.collectLeaves().foldLeft(17L) {
       case (h, LogicalRelation(fs: HadoopFsRelation, _, _, _, _)) =>

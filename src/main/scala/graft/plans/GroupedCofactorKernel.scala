@@ -188,6 +188,12 @@ case class GroupedCofactorKernelExec(
           val fields = ColumnarCofactor.unpackPackedKeys(kv, pk.widths)
           merged(fields.zip(keyTypes).map { case (f, dt) => toOriginal(f, dt) }) = t
         }
+      case ds: ColumnarCofactor.CatDictString =>
+        // dictionary label: the key is its index into the broadcast
+        val d = ds.dict.value
+        groups.foreach { case (kv, t) =>
+          merged(Seq(new String(d(kv.toInt), java.nio.charset.StandardCharsets.UTF_8))) = t
+        }
       case _ =>
         groups.foreach { case (kv, t) => merged(Seq(toOriginal(kv, keyTypes.head))) = t }
     }

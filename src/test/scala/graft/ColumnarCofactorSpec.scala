@@ -483,7 +483,7 @@ class ColumnarCofactorSpec extends AnyFunSuite {
       s"expected ArithmeticException in cause chain, got $ex")
   }
 
-  test("cofactorGrouped: short string keys (1-4 bytes) ride the kernel; wider routes to the row aggregate") {
+  test("cofactorGrouped: string keys ride the kernel — packed to 8 bytes, dictionary-encoded past that") {
     // l_returnflag is a single-char flag: the shape probe reports exact
     // max packable width 1 and the key packs through CatShortString as
     // the per-class label — route ASSERTED, results vs the row aggregate
@@ -560,26 +560,83 @@ class ColumnarCofactorSpec extends AnyFunSuite {
     assert(a6.keySet == b6.keySet && a6.keySet.size == 7)
     a6.keys.foreach(k => assert(a6(k).approxEquals(b6(k), 1e-9), s"group '$k' differs"))
 
-    // a >8-byte key must be rerouted UP FRONT by the probe's exact
-    // width check — no mid-job CatShortString throw — with identical
-    // grouping from the row aggregate
+    // a >8-byte key cannot base-256 pack, but under the group cap it
+    // STAYS on the kernel via the dictionary label (one distinct scan
+    // → broadcast value↔index map) — route asserted, parity vs the row
+    // aggregate, keys back as their original strings
     val tmp9 = java.nio.file.Files.createTempDirectory("gstr9").toFile.getAbsolutePath
     spark.range(5000).select(
       concat(lit("verywide"), (col("id") % 7).cast("string")).as("k"), // 9 bytes
+      when(col("id") % 41 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("verywide"), (col("id") % 7).cast("string"))).as("kN"),
       (col("id") % 97).cast("double").as("x")).write.mode("overwrite").parquet(tmp9)
-    val tooWide = Graft.cofactorGrouped(spark.read.parquet(tmp9), "k", Seq("x"), Seq())
-    assert(Graft.lastGroupedRoute() == "row", "a >8-byte string key must take the row aggregate")
-    assert(tooWide.count() == 7)
+    val df9 = spark.read.parquet(tmp9)
+    val viaDict = Graft.cofactorGrouped(df9, "k", Seq("x"), Seq())
+    assert(Graft.lastGroupedRoute() == "columnar-dict",
+      "a >8-byte string key under the cap must ride the dictionary kernel route")
+    val viaRow9 = Graft.cofactorGrouped(df9.repartition(4), "k", Seq("x"), Seq())
+    assert(Graft.lastGroupedRoute() == "row")
+    val a9 = viaDict.collect().map(r => r.getString(0) -> Graft.tripleFromRow(r.getStruct(1))).toMap
+    val b9 = viaRow9.collect().map(r => r.getString(0) -> Graft.tripleFromRow(r.getStruct(1))).toMap
+    assert(a9.keySet == b9.keySet && a9.keySet.size == 7 &&
+      a9.keySet.forall(_.startsWith("verywide")))
+    a9.keys.foreach(k => assert(a9(k).approxEquals(b9(k), 1e-9), s"group '$k' differs"))
+    // NULL keys drop on the dict route like every other kernel route
+    val a9N = Graft.cofactorGrouped(df9, "kN", Seq("x"), Seq())
+    assert(Graft.lastGroupedRoute() == "columnar-dict")
+    val b9N = Graft.cofactorGrouped(df9.repartition(4), "kN", Seq("x"), Seq())
+    assert(a9N.collect().map(r => r.getString(0) -> Graft.tripleFromRow(r.getStruct(1))).toMap
+      .map { case (k, t) => k -> t.n }
+      == b9N.collect().map(r => r.getString(0) -> Graft.tripleFromRow(r.getStruct(1))).toMap
+      .map { case (k, t) => k -> t.n })
+    // a pinned cap below the key cardinality refuses the dict route too
+    val capped9 = Graft.cofactorGrouped(df9, "k", Seq("x"), Seq(), maxGroups = 3)
+    assert(Graft.lastGroupedRoute() == "row", "over-cap wide key must take the row aggregate")
+    assert(capped9.count() == 7)
 
     // an embedded NUL byte defeats base-256 injectivity ("A" vs NUL+"A")
-    // — the probe's NUL scan must reroute to the row aggregate up front
+    // — the dictionary label is injective by construction, so both
+    // groups survive ON THE KERNEL now
     val tmpN = java.nio.file.Files.createTempDirectory("gstrN").toFile.getAbsolutePath
     spark.range(1000).select(
       when(col("id") % 2 === 0, lit("A")).otherwise(lit(0.toChar + "A")).as("k"),
       (col("id") % 97).cast("double").as("x")).write.mode("overwrite").parquet(tmpN)
     val nul = Graft.cofactorGrouped(spark.read.parquet(tmpN), "k", Seq("x"), Seq())
-    assert(Graft.lastGroupedRoute() == "row", "a NUL-bearing key must take the row aggregate")
+    assert(Graft.lastGroupedRoute() == "columnar-dict",
+      "a NUL-bearing key rides the dictionary route (base-256 cannot hold it)")
     assert(nul.count() == 2, "both NUL-distinguished groups must survive")
+    assert(nul.collect().map(_.getString(0)).toSet == Set("A", 0.toChar + "A"))
+  }
+
+  test("CatDictString: a key value missing from the dictionary fails loudly mid-job") {
+    // the dict route's in-place-rewrite contract: direct kernel call
+    // with a dictionary that does NOT contain one of the data's key
+    // values — the row must never fold into a wrong group
+    val tmp = java.nio.file.Files.createTempDirectory("gdictmiss").toFile.getAbsolutePath
+    spark.range(100).select(
+      concat(lit("categoryA"), (col("id") % 2).cast("string")).as("k"),
+      col("id").cast("double").as("x")).write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
+    val partial = df.sparkSession.sparkContext.broadcast(
+      Array("categoryA0".getBytes("UTF-8"))) // categoryA1 missing
+    val ex = intercept[Exception] {
+      ColumnarCofactor.cofactorPerClassLong(df, Seq(NumCol("x")), Nil,
+        ColumnarCofactor.CatDictString("k", partial))
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => c.getMessage != null &&
+      c.getMessage.contains("not in the group dictionary")), s"got $ex")
+    // and the complete dictionary matches the row aggregate exactly
+    val full = df.sparkSession.sparkContext.broadcast(
+      Array("categoryA0".getBytes("UTF-8"), "categoryA1".getBytes("UTF-8")))
+    val viaKernel = ColumnarCofactor.cofactorPerClassLong(df, Seq(NumCol("x")), Nil,
+      ColumnarCofactor.CatDictString("k", full)).get.toMap
+    val viaRow = df.groupBy("k").agg(Graft.sumTriple(col("x")).as("t")).collect()
+      .map(r => r.getString(0) -> Graft.tripleFromRow(r.getStruct(1))).toMap
+    assert(viaKernel.keySet == Set(0L, 1L))
+    assert(viaKernel(0L).approxEquals(viaRow("categoryA0"), 1e-9))
+    assert(viaKernel(1L).approxEquals(viaRow("categoryA1"), 1e-9))
   }
 
   test("cofactorGroupedMulti: GROUP BY k1, k2 packs into the Long label; mixed types, refusals, NULL drops") {

@@ -377,6 +377,31 @@ class PlansSpec extends AnyFunSuite {
     } finally spark.experimental.extraStrategies = saved
   }
 
+  test("SQL grouped-kernel strategy: >8-byte string keys ride the dictionary label") {
+    Graft.register(spark)
+    val saved = spark.experimental.extraStrategies
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("gsqlD").toFile.getAbsolutePath
+      spark.range(3000).select(
+        concat(lit("priority-"), (col("id") % 6).cast("string")).as("k"), // 10 bytes
+        (col("id") % 97).cast("double").as("x"),
+        (col("id") % 7).cast("int").as("c")).write.mode("overwrite").parquet(tmp)
+      spark.read.parquet(tmp).createOrReplaceTempView("gsql_d")
+      val sql = "SELECT k, sum_to_triple(x, c) AS t FROM gsql_d GROUP BY k"
+      spark.experimental.extraStrategies = saved
+      val exp = spark.sql(sql).collect()
+        .map(r => r.getString(0) -> Graft.tripleFromRow(r.getStruct(1))).toMap
+      spark.experimental.extraStrategies = saved :+ graft.plans.GroupedCofactorStrategy(spark)
+      val q = spark.sql(sql)
+      assert(q.queryExecution.executedPlan.toString.contains("GroupedCofactorKernel"),
+        "a wide string key under the cap must plan through the dictionary kernel route")
+      val got = q.collect().map(r => r.getString(0) -> Graft.tripleFromRow(r.getStruct(1))).toMap
+      assert(got.keySet == exp.keySet && got.size == 6 &&
+        got.keySet.forall(_.startsWith("priority-")))
+      got.keys.foreach(k => assert(got(k).approxEquals(exp(k), 1e-9), s"group '$k' differs"))
+    } finally spark.experimental.extraStrategies = saved
+  }
+
   test("Graft.enableSqlGroupedKernel installs the strategy idempotently") {
     Graft.register(spark)
     val saved = spark.experimental.extraStrategies

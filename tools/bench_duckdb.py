@@ -62,6 +62,16 @@ queries = {
              sum(l_extendedprice*l_tax), sum(l_discount*l_discount),
              sum(l_discount*l_tax), sum(l_tax*l_tax)
       FROM lineitem GROUP BY 1""",
+    # grouped cofactor by the WIDE string key o_orderpriority (graft:
+    # cofactor_grouped_dict / sf100_cofactor_grouped_dict — the
+    # dictionary-label kernel route): count + 2 sums + 3 pairwise
+    # products per group over orders
+    "cofactor_grouped_dict_equivalent": """
+      SELECT o_orderpriority, count(*),
+             sum(o_totalprice), sum(o_custkey),
+             sum(o_totalprice*o_totalprice), sum(o_totalprice*o_custkey),
+             sum(CAST(o_custkey AS DOUBLE)*o_custkey)
+      FROM orders GROUP BY 1""",
     # multi-key grouped cofactor by (l_returnflag, l_linestatus)
     # (graft: cofactor_grouped_multikey / sf100_cofactor_grouped_multikey):
     # the same 15 sums per KEY PAIR — DuckDB's perfect-hash grouped
@@ -222,6 +232,43 @@ queries = {
       SELECT ngram, count(*) AS n_docs
       FROM g GROUP BY 1 HAVING count(*) >= 2
       ORDER BY n_docs DESC, ngram ASC LIMIT 100""",
+    # exact-substring dedup end to end (graft: sf10_dup_span_removal —
+    # q94's oracle shape at minDocs=8): mine duplicated 3-grams, cover
+    # every occurrence, rebuild survivors
+    "dup_span_removal": """
+      WITH tok AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '[\t\n\x0B\f\r ]+'),
+                                   x -> x <> '') AS ts
+        FROM documents WHERE text IS NOT NULL),
+      dup AS (
+        SELECT ngram FROM (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(len(ts) - 2, 1) + 1),
+            i -> array_to_string(ts[i:least(i + 2, len(ts))], ' ')))) AS ngram
+          FROM tok WHERE len(ts) > 0)
+        GROUP BY 1 HAVING count(*) >= 8),
+      w AS (
+        SELECT doc_id, i, least(i + 2, len(ts)) AS e,
+               array_to_string(ts[i:least(i + 2, len(ts))], ' ') AS ngram
+        FROM (SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 2, 1) + 1)) AS i
+              FROM tok WHERE len(ts) > 0)),
+      cov AS (
+        SELECT DISTINCT doc_id, pos FROM (
+          SELECT w.doc_id, unnest(range(w.i, w.e + 1)) AS pos
+          FROM w JOIN dup USING (ngram))),
+      pos AS (
+        SELECT doc_id, pos, ts[pos] AS tok
+        FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS pos
+              FROM tok WHERE len(ts) > 0)),
+      clean AS (
+        SELECT p.doc_id,
+               coalesce(string_agg(CASE WHEN c.pos IS NULL THEN p.tok END,
+                                   ' ' ORDER BY p.pos), '') AS clean_text,
+               count(c.pos) AS n_removed, count(*) AS n_tokens
+        FROM pos p LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.pos = c.pos
+        GROUP BY p.doc_id)
+      SELECT count(*), sum(n_removed), sum(n_tokens), sum(length(clean_text))
+      FROM clean""",
     # token-budget chunking (graft: sf10_chunk_text — q82's oracle shape
     # minus the ORDER BY, the same verbatim window recompute)
     "chunk_text": """
