@@ -511,6 +511,46 @@ object Bench {
         noop(docs.select(col("doc_id"),
           graft.operators.Dedup.minhashPrepare(col("text")).as("p")))
       },
+      // bigram-LM quality END TO END (train the add-1 model on the
+      // 550k-doc corpus — unigram map pass + bigram explode-agg — then
+      // one scoring byte walk per doc; DuckDB twin `lm_score` retrains
+      // in SQL and scores via the bigram join)
+      "sf10_lm_score" -> { () =>
+        val docs = Tables.load(spark, sf10Dir, "documents")
+        val (scored, lm) = graft.operators.LmQuality.scoreCorpus(docs, "text")
+        try noop(scored.select(col("doc_id"), col("lm_score")))
+        finally lm.release()
+      },
+      // C4 line filter over the 4-token-chunk derived corpus (q97's
+      // shape at 550k docs): derive lines, count corpus-wide, strip
+      // freq≥2 lines, rebuild — the join form, unbounded duplicated
+      // set; DuckDB twin `dedup_lines`
+      "sf10_dedup_lines" -> { () =>
+        val corpus = Tables.load(spark, sf10Dir, "documents")
+          .select(col("doc_id"),
+            array_join(graft.functions.TextFunctions.chunkText(col("text"), 4, 0), "\n").as("text"))
+        noop(graft.operators.Dedup.dedupLines(corpus, "doc_id", "text", 2L))
+      },
+      // Gopher word-rule stats + keep decision, one byte walk per doc;
+      // DuckDB twin `gopher_rules` recomputes compositionally
+      "sf10_gopher_rules" -> { () =>
+        val docs = Tables.load(spark, sf10Dir, "documents")
+        noop(docs.select(col("doc_id"),
+          graft.functions.TextFunctions.gopherStats(col("text")).as("g"),
+          graft.functions.TextFunctions.gopherKeep(col("text"),
+            minWords = 10, minStopHits = 1).as("keep")))
+      },
+      // deterministic mixture composition (2.5/1.0/0.25 epochs over
+      // three sources + the global-shuffle key): pure projection —
+      // explode, literal-map lookups, pinned hash; DuckDB twin
+      // `corpus_mix` re-derives via HUGEINT
+      "sf10_corpus_mix" -> { () =>
+        val docs = Tables.load(spark, sf10Dir, "documents").select(col("doc_id"), col("source"))
+        val mixed = graft.operators.CorpusMix.compose(docs, "source", "doc_id",
+          Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25))
+        noop(mixed.select(col("doc_id"), col("epoch"),
+          graft.operators.CorpusMix.mixKey(col("doc_id"), col("epoch")).as("k")))
+      },
       // the factorized family at sf10, both physical designs: the
       // probe-routed adaptive over raw parquet (two exchanges) vs the
       // same operator over bucketized tables (zero exchanges) — the

@@ -72,6 +72,10 @@ object Graft {
         graft.functions.ChunkText(es(0), intArg(es, 1), intArg(es, 2)), "scala_udf")
       reg.createOrReplaceTempFunction("distinct_ngrams", es =>
         graft.functions.DistinctNgrams(es(0), intArg(es, 1)), "scala_udf")
+      reg.createOrReplaceTempFunction("all_ngrams", es =>
+        graft.functions.AllNgrams(es(0), intArg(es, 1)), "scala_udf")
+      reg.createOrReplaceTempFunction("gopher_stats", es =>
+        graft.functions.GopherStats(es.head), "scala_udf")
       reg.createOrReplaceTempFunction("repetition_score", es =>
         graft.functions.RepetitionScore(es(0), intArg(es, 1)), "scala_udf")
       reg.createOrReplaceTempFunction("token_stats", es =>

@@ -2091,6 +2091,76 @@ object SparkEntry {
         round(col("t.quad")(0) / col("t.n"), 2).as("avg_sq_bal"),
         size(col("t.lin_cat")(0)).cast("long").as("n_nations"))
         .orderBy(col("c_mktsegment"))
+    },
+
+    // deterministic source-weighted mixture composition (the data-mixing
+    // step of a training run): src0 ×2.5, src1 ×1.0, src2 ×0.25 — full
+    // epochs + the fractional-hash epoch, all re-derived bit-for-bit by
+    // DuckDB from the q86 pinned-hash recipe; unlisted sources drop.
+    // mix_key is the companion deterministic global-shuffle key.
+    "q96_corpus_mix" -> { (s, dir) =>
+      graft.operators.CorpusMix.compose(
+          Tables.load(s, dir, "documents").select(col("doc_id"), col("source")),
+          "source", "doc_id",
+          Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25))
+        .select(col("doc_id"), col("source"), col("epoch"),
+          graft.operators.CorpusMix.mixKey(col("doc_id"), col("epoch")).as("mix_key"))
+        .orderBy(col("doc_id"), col("epoch"))
+    },
+
+    // line-level corpus dedup (the C4 line filter) over a DERIVED
+    // multi-line corpus: each document becomes its 4-token chunks
+    // newline-joined (the synthetic docs have no newlines), then every
+    // line appearing ≥2 times corpus-wide strips and the documents
+    // rebuild in order with audit counters. DuckDB recomputes the
+    // derivation (q82's chunk recipe at width 4, overlap 0) AND the
+    // whole dedup pipeline.
+    "q97_dedup_lines" -> { (s, dir) =>
+      Graft.register(s)
+      val corpus = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          array_join(graft.functions.TextFunctions.chunkText(col("text"), 4, 0), "\n").as("text"))
+      graft.operators.Dedup.dedupLines(corpus, "doc_id", "text", minCount = 2L)
+        .orderBy(col("doc_id"))
+    },
+
+    // corpus-trained bigram-LM quality score (the CCNet signal, n-gram
+    // model in place of its KenLM): train add-1 statistics on the whole
+    // documents table, score every document by negative mean bigram
+    // log-likelihood. DuckDB retrains the identical model in SQL; both
+    // sides grid-round (floor(s·10⁴ + 0.5)/10⁴ — q12's cross-engine
+    // float discipline) because ln() may differ in the last ulp.
+    "q98_lm_score" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val lm = graft.operators.LmQuality.train(docs, "text")
+      docs.select(col("doc_id"),
+          floor(graft.operators.LmQuality.score(lm, col("text")) * 10000.0 + 0.5) / 10000.0)
+        .toDF("doc_id", "lm_score")
+        .orderBy(col("doc_id"))
+    },
+
+    // Gopher word-level quality rules (Rae et al. 2021 Table A1), the
+    // fused one-byte-walk kernel: raw metrics + the composed keep
+    // decision at thresholds fitted to the synthetic corpus (minWords
+    // 10, minStopHits 1 — the word-soup vocabulary carries 'the').
+    "q99_gopher_rules" -> { (s, dir) =>
+      Graft.register(s)
+      val g = graft.functions.TextFunctions.gopherStats(col("text"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), g.as("g"),
+          graft.functions.TextFunctions.gopherKeep(col("text"),
+            minWords = 10, maxWords = 100000, minMeanLen = 3.0, maxMeanLen = 10.0,
+            maxSymbolRatio = 0.1, minAlphaRatio = 0.8, minStopHits = 1).as("keep"))
+        .select(col("doc_id"),
+          col("g.n_tokens").as("n_tokens"),
+          floor(col("g.n_token_chars").cast("double") / col("g.n_tokens").cast("double") * 10000.0 + 0.5) / 10000.0,
+          floor(col("g.n_alpha_tokens").cast("double") / col("g.n_tokens").cast("double") * 10000.0 + 0.5) / 10000.0,
+          col("g.n_stop_hits").as("n_stop_hits"),
+          col("g.n_symbols").as("n_symbols"),
+          col("keep"))
+        .toDF("doc_id", "n_tokens", "mean_word_len", "alpha_ratio",
+          "n_stop_hits", "n_symbols", "keep")
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -3562,6 +3632,146 @@ object SparkEntry {
         |       round(sum(c_acctbal), 2) AS sum_bal,
         |       round(avg(c_acctbal * c_acctbal), 2) AS avg_sq_bal,
         |       count(DISTINCT c_nationkey) AS n_nations
-        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the q86 HUGEINT hash recompute + the mixture rule: per-source
+    // floor epochs from a VALUES join, epoch list via range(fl + 1),
+    // the last (fractional) epoch kept iff hash < round(frac·2^32);
+    // mix_key re-derives the same hash of doc_id XOR (epoch+1)·PRIME
+    "q96_corpus_mix" ->
+      """WITH w AS (
+        |  SELECT * FROM (VALUES ('src0', 2, 2147483648),
+        |                        ('src1', 1, 0),
+        |                        ('src2', 0, 1073741824)) AS t(source, fl, th)),
+        |h AS (
+        |  SELECT doc_id, source, CAST(xor(h2, h2 >> 13) AS BIGINT) AS hash
+        |  FROM (
+        |    SELECT doc_id, source,
+        |           CAST((CAST(xor(h1, h1 >> 16) AS HUGEINT) * 2246822519)
+        |                % 4294967296 AS BIGINT) AS h2
+        |    FROM (
+        |      SELECT doc_id, source,
+        |             CAST((((CAST(doc_id AS HUGEINT) % 4294967296) + 4294967296)
+        |                    % 4294967296 * 2654435761)
+        |                  % 4294967296 AS BIGINT) AS h1
+        |      FROM documents))),
+        |e AS (
+        |  SELECT h.doc_id, h.source, ep.epoch, w.fl, w.th, h.hash
+        |  FROM h JOIN w USING (source)
+        |  JOIN (SELECT CAST(unnest([0, 1, 2]) AS INT) AS epoch) ep
+        |    ON ep.epoch <= w.fl),
+        |kept AS (
+        |  SELECT doc_id, source, epoch,
+        |         xor(doc_id, (CAST(epoch AS BIGINT) + 1) * 2654435761) AS mk
+        |  FROM e WHERE epoch < fl OR hash < th)
+        |SELECT doc_id, source, epoch,
+        |       CAST(xor(k2, k2 >> 13) AS BIGINT) AS mix_key
+        |FROM (
+        |  SELECT doc_id, source, epoch,
+        |         CAST((CAST(xor(k1, k1 >> 16) AS HUGEINT) * 2246822519)
+        |              % 4294967296 AS BIGINT) AS k2
+        |  FROM (
+        |    SELECT doc_id, source, epoch,
+        |           CAST((((CAST(mk AS HUGEINT) % 4294967296) + 4294967296)
+        |                  % 4294967296 * 2654435761)
+        |                % 4294967296 AS BIGINT) AS k1
+        |    FROM kept))
+        |ORDER BY doc_id, epoch""".stripMargin,
+    // derive the multi-line corpus (q82's chunk recipe, width 4 overlap
+    // 0, newline-joined), then the C4 line filter: count every line
+    // corpus-wide, strip lines with count >= 2, rebuild in line order
+    // with the audit counters
+    "q97_dedup_lines" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[\t\n\x0B\f\r ]+'),
+        |                             x -> x <> '') AS ts
+        |  FROM documents WHERE text IS NOT NULL),
+        |lines AS (
+        |  SELECT doc_id, CAST((s - 1) / 4 AS BIGINT) AS pos,
+        |         array_to_string(list_slice(ts, CAST(s AS BIGINT), least(s + 3, len(ts))), ' ') AS line
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1, 4)) AS s
+        |        FROM tok WHERE len(ts) > 0)
+        |  UNION ALL
+        |  SELECT doc_id, 0 AS pos, '' AS line FROM tok WHERE len(ts) = 0),
+        |dup AS (
+        |  SELECT line FROM lines GROUP BY 1 HAVING count(*) >= 2),
+        |agg AS (
+        |  SELECT l.doc_id,
+        |         coalesce(string_agg(CASE WHEN d.line IS NULL THEN l.line END,
+        |                             chr(10) ORDER BY l.pos), '') AS clean,
+        |         CAST(count(d.line) AS INT) AS n_removed,
+        |         CAST(count(*) AS INT) AS n_lines
+        |  FROM lines l LEFT JOIN dup d USING (line)
+        |  GROUP BY l.doc_id)
+        |SELECT doc.doc_id,
+        |       CASE WHEN doc.text IS NULL THEN NULL ELSE a.clean END AS text,
+        |       CASE WHEN doc.text IS NULL THEN NULL ELSE a.n_removed END AS n_removed_lines,
+        |       CASE WHEN doc.text IS NULL THEN NULL ELSE a.n_lines END AS n_lines
+        |FROM documents doc LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc.doc_id""".stripMargin,
+    // retrain the identical add-1 bigram model in SQL (full-vocab V,
+    // no pruning) and score: -avg ln((c(big)+1)/(c(prev)+V)); both
+    // engines grid-round (floor(s·10⁴ + 0.5)/10⁴) — ln() ulp discipline
+    "q98_lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[\t\n\x0B\f\r ]+'),
+        |                             x -> x <> '') AS ts
+        |  FROM documents WHERE text IS NOT NULL),
+        |uni AS (
+        |  SELECT t AS w, count(*) AS c
+        |  FROM (SELECT unnest(ts) AS t FROM tok) GROUP BY 1),
+        |v AS (SELECT CAST(count(*) AS DOUBLE) AS nv FROM uni),
+        |pairs AS (
+        |  SELECT doc_id, ts[i] AS pw, ts[i + 1] AS w
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+        |        FROM tok WHERE len(ts) >= 2)),
+        |big AS (
+        |  SELECT pw, w, count(*) AS c FROM pairs GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT p.doc_id,
+        |         avg(-ln((coalesce(b.c, 0) + 1.0) / (u.c + v.nv))) AS s
+        |  FROM pairs p
+        |  JOIN uni u ON u.w = p.pw
+        |  LEFT JOIN big b ON b.pw = p.pw AND b.w = p.w
+        |  CROSS JOIN v
+        |  GROUP BY p.doc_id)
+        |SELECT d.doc_id,
+        |       CASE WHEN d.text IS NULL THEN NULL
+        |            ELSE floor(sc.s * 10000.0 + 0.5) / 10000.0 END AS lm_score
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // the Gopher word rules recomputed compositionally: strlen-based
+    // byte counts (the kernel counts bytes), distinct stop-octet
+    // membership, '#' + non-overlapping '...' via replace-recount, and
+    // the composed keep at the q99 thresholds
+    "q99_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split_regex(text, '[\t\n\x0B\f\r ]+'),
+        |                     x -> x <> '') AS ts
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, text,
+        |         len(ts) AS n_tokens,
+        |         CAST(coalesce(list_sum(list_transform(ts, x -> strlen(x))), 0) AS INT) AS n_chars,
+        |         CAST(coalesce(list_sum(list_transform(ts,
+        |           x -> CASE WHEN regexp_matches(x, '[A-Za-z]') THEN 1 ELSE 0 END)), 0) AS INT) AS n_alpha,
+        |         CAST(len(list_intersect(list_distinct(ts),
+        |           ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS INT) AS n_stop,
+        |         CAST((strlen(text) - strlen(replace(text, '#', '')))
+        |              + (strlen(text) - strlen(replace(text, '...', ''))) / 3 AS INT) AS n_sym
+        |  FROM t)
+        |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |       floor(CAST(n_chars AS DOUBLE) / n_tokens * 10000.0 + 0.5) / 10000.0 AS mean_word_len,
+        |       floor(CAST(n_alpha AS DOUBLE) / n_tokens * 10000.0 + 0.5) / 10000.0 AS alpha_ratio,
+        |       n_stop AS n_stop_hits,
+        |       n_sym AS n_symbols,
+        |       CASE WHEN text IS NULL THEN NULL ELSE
+        |         n_tokens >= 10 AND n_tokens <= 100000 AND n_tokens > 0
+        |         AND CAST(n_chars AS DOUBLE) / n_tokens >= 3.0
+        |         AND CAST(n_chars AS DOUBLE) / n_tokens <= 10.0
+        |         AND CAST(n_sym AS DOUBLE) / n_tokens < 0.1
+        |         AND CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8
+        |         AND n_stop >= 1 END AS keep
+        |FROM m ORDER BY doc_id""".stripMargin
   )
 }

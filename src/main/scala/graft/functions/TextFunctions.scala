@@ -140,6 +140,49 @@ object TextFunctions {
     org.apache.spark.sql.graft.ColumnBridge.column(
       BlocklistStats(org.apache.spark.sql.graft.ColumnBridge.expression(text), terms))
 
+  /** Every word `n`-gram WITH multiplicity (document order), one byte
+    * walk ([[AllNgrams]]) — the training-side counting input of
+    * [[graft.operators.LmQuality]]; documents with < n tokens yield an
+    * empty array (no short-document rule — a model statistic needs n
+    * tokens, unlike the mining walker). */
+  def allNgrams(text: Column, n: Int): Column = {
+    graft.Graft.register(org.apache.spark.sql.SparkSession.active)
+    call_function("all_ngrams", text, lit(n))
+  }
+
+  /** The Gopher word-level quality-rule inputs in one byte walk
+    * ([[GopherStats]]): `(n_tokens, n_token_chars, n_alpha_tokens,
+    * n_stop_hits, n_symbols)`. */
+  def gopherStats(text: Column): Column = {
+    graft.Graft.register(org.apache.spark.sql.SparkSession.active)
+    call_function("gopher_stats", text)
+  }
+
+  /** The composed Gopher keep decision (Rae et al. 2021, Table A1 word
+    * rules) as a pure BOOLEAN Column over [[gopherStats]]: word count
+    * in `[minWords, maxWords]`, mean word length in `[minMeanLen,
+    * maxMeanLen]`, symbol-to-word ratio below `maxSymbolRatio`, at
+    * least `minAlphaRatio` of words containing an alphabetic
+    * character, and at least `minStopHits` distinct canonical
+    * stopwords. Defaults are the paper's; the line-shaped rules
+    * (bullet/ellipsis line fractions) live at line granularity with
+    * the line operators. A 0-token document never keeps; NULL text →
+    * NULL (the caller's policy). */
+  def gopherKeep(text: Column, minWords: Int = 50, maxWords: Int = 100000,
+                 minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                 maxSymbolRatio: Double = 0.1, minAlphaRatio: Double = 0.8,
+                 minStopHits: Int = 2): Column = {
+    val g = gopherStats(text)
+    val nt = g("n_tokens").cast("double")
+    val mean = g("n_token_chars").cast("double") / nt
+    when(text.isNull, lit(null)).otherwise(
+      g("n_tokens") >= minWords && g("n_tokens") <= maxWords &&
+      nt > 0 && mean >= minMeanLen && mean <= maxMeanLen &&
+      g("n_symbols").cast("double") / nt < maxSymbolRatio &&
+      g("n_alpha_tokens").cast("double") / nt >= minAlphaRatio &&
+      g("n_stop_hits") >= minStopHits)
+  }
+
   /** Content fingerprint: 64-bit hash of the normalized text (lowered,
     * punctuation stripped, whitespace collapsed). */
   def fingerprint(text: Column): Column =

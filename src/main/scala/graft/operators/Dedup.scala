@@ -327,4 +327,67 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .distinct()
   }
+
+  /** Line-level corpus deduplication (the C4 / RefinedWeb line filter):
+    * remove EVERY occurrence of any line appearing at least `minCount`
+    * times across the whole corpus, rebuild each document from its
+    * surviving lines in original order, and append the audit counters
+    * `n_removed_lines` / `n_lines`. Boilerplate lives at line
+    * granularity — navigation bars, cookie banners, license footers —
+    * which document-level MinHash can't see (the document is unique;
+    * its third line is on ten million pages) and n-gram span removal
+    * over-cuts (a span has no line discipline). Blank lines are lines:
+    * any blank appearing `minCount`+ times is stripped, the C4 rule.
+    *
+    * Unlike [[graft.operators.TextRank.removeDuplicatedSpans]]'s
+    * broadcast-bound removal, this is the JOIN form, sized for an
+    * UNBOUNDED duplicated set: explode lines with positions (one
+    * shuffle-free projection), count them (one shuffle, map-side
+    * combine collapses the duplicates — the rows this operator is FOR),
+    * join the flags back (AQE broadcasts the duplicated set when it is
+    * small, shuffles honestly when it is not), and regroup per document
+    * (one shuffle). Line identity is EXACT BYTES between separators —
+    * no trimming, no folding; `split` keeps trailing empties, so the
+    * line list is the document, always rebuildable.
+    *
+    * NULL text → NULL text with NULL counters; a fully-duplicated
+    * document rebuilds to `""` (its row survives — dropping documents
+    * is the caller's policy, applied on the counters).
+    *
+    * Reference scope note: the reference engine has no text pipeline —
+    * this operator is part of the library's LLM-curation extension. */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+                 minCount: Long = 2L, sep: String = "\n"): DataFrame = {
+    require(minCount > 1, "dedupLines needs minCount > 1 — at 1 it removes every line")
+    require(sep.nonEmpty, "dedupLines needs a non-empty line separator")
+    val sepPattern = java.util.regex.Pattern.quote(sep)
+    val lines = docs
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), sepPattern)).as(Seq("__pos", "__line")))
+    val dups = lines.groupBy(col("__line"))
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minCount)
+      .select(col("__line"), lit(true).as("__dup"))
+    val rebuilt = lines.join(dups, Seq("__line"), "left")
+      .groupBy(col("__id"))
+      .agg(
+        count(lit(1)).cast("int").as("__n_lines"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).cast("int").as("__n_removed"),
+        // survivors rebuild in position order; collect_list skips the
+        // NULL the `when` leaves on removed lines, array_sort orders by
+        // the struct's leading __pos (unique per document)
+        array_join(transform(
+          array_sort(collect_list(when(col("__dup").isNull,
+            struct(col("__pos"), col("__line"))))),
+          x => x("__line")), sep).as("__clean"))
+    val keep = docs.columns.map { c =>
+      if (c == textCol)
+        when(col(textCol).isNull, lit(null)).otherwise(col("__clean")).as(textCol)
+      else col(c)
+    }
+    docs.join(rebuilt, docs(idCol) === rebuilt("__id"), "left")
+      .select(keep
+        :+ when(col(textCol).isNull, lit(null)).otherwise(col("__n_removed")).as("n_removed_lines")
+        :+ when(col(textCol).isNull, lit(null)).otherwise(col("__n_lines")).as("n_lines"): _*)
+  }
 }

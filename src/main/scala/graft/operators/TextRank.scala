@@ -100,6 +100,17 @@ object TextRank {
     * vocabulary. Token contract: Java-`\s` runs, empties dropped. */
   def topTerms(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k > 0, "topTerms needs k > 0")
+    termCounts(docs, textCol)
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(k)
+  }
+
+  /** The full corpus term-count pass behind [[topTerms]] (and the
+    * unigram side of [[LmQuality.train]]): `(term, n)` for EVERY
+    * distinct token, via the per-partition vocabulary map described
+    * there — the shuffle carries |partitions|·|vocab| partial rows,
+    * not |tokens|. */
+  def termCounts(docs: DataFrame, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     @inline def isWs(c: Char): Boolean =
@@ -125,8 +136,6 @@ object TextRank {
         m.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue()(0)))
       }.toDF("term", "n_part")
     partial.groupBy(col("term")).agg(sum(col("n_part")).as("n"))
-      .orderBy(col("n").desc, col("term").asc)
-      .limit(k)
   }
 
   /** Cross-corpus duplicated n-gram mining: the `k` word `n`-grams

@@ -497,6 +497,77 @@ object VerifyDrive {
         s"across $touched docs; dup mass $before -> $after")
     }
 
+    println("== [23] mixture, line dedup, LM score, Gopher rules ==")
+    locally {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      // mixture: per-source copy totals == the floor+fractional-hash
+      // rule recounted from the stable hash column directly
+      val w = Map("src0" -> 1.5, "src1" -> 0.25)
+      val mixed = graft.operators.CorpusMix.compose(docs, "source", "doc_id", w)
+      val gotBySrc = mixed.groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      w.foreach { case (src, ww) =>
+        val th = math.round((ww - math.floor(ww)) * 4294967296.0)
+        val base = docs.filter(col("source") === src)
+        val want = math.floor(ww).toLong * base.count() +
+          base.filter(graft.operators.StableSplit.stableHash32(col("doc_id")) < th).count()
+        assert(gotBySrc.getOrElse(src, 0L) == want, s"$src: ${gotBySrc.get(src)} vs $want")
+      }
+      assert(gotBySrc.keySet == w.keySet, "unlisted sources must drop")
+      // line dedup over the 4-token-chunk derived corpus: accounting
+      // plus "no non-empty duplicated line survives"
+      val corpus = docs.select(col("doc_id"),
+        array_join(graft.functions.TextFunctions.chunkText(col("text"), 4, 0), "\n").as("text"))
+      val deduped = graft.operators.Dedup.dedupLines(corpus, "doc_id", "text", 2L)
+      val acct = deduped.agg(
+        sum(col("n_removed_lines")).as("rm"), sum(col("n_lines")).as("all"),
+        sum(when(col("text") === "", 0).otherwise(size(split(col("text"), "\n")))).as("kept")).head
+      assert(acct.getLong(0) == acct.getLong(1) - acct.getLong(2),
+        s"line accounting broke: ${acct.getLong(0)} != ${acct.getLong(1)} - ${acct.getLong(2)}")
+      assert(acct.getLong(0) > 0, "synthetic docs share 4-grams — removal must fire")
+      val survivorDups = deduped.filter(col("text") =!= "")
+        .select(explode(split(col("text"), "\n")).as("line")).filter(col("line") =!= "")
+        .groupBy("line").count().filter(col("count") >= 2)
+        .join(corpus.select(explode(split(col("text"), "\n")).as("line"))
+          .groupBy("line").agg(count(lit(1)).as("c0")), "line")
+        .filter(col("c0") >= 2).count()
+      assert(survivorDups == 0, s"$survivorDups originally-duplicated lines survived")
+      // LM score: in-distribution text scores lower than shuffled soup,
+      // and the scoring plan is shuffle-free
+      val (scored, lm) = graft.operators.LmQuality.scoreCorpus(docs, "text")
+      val plan = scored.queryExecution.executedPlan.toString
+      assert(!plan.toLowerCase.contains("exchange"), "LM scoring must not shuffle")
+      val mean = scored.agg(avg(col("lm_score"))).head.getDouble(0)
+      // a fully out-of-vocabulary probe scores the uniform floor ln(V)
+      // exactly, and the uniform floor is the corpus's worst case
+      val oov = docs.limit(1).select(
+        graft.operators.LmQuality.score(lm, lit("zzzz qqqq wwww")).as("s")).head.getDouble(0)
+      assert(math.abs(oov - math.log(lm.vocab.toDouble)) < 1e-12,
+        s"OOV probe $oov != ln(V)=${math.log(lm.vocab.toDouble)}")
+      assert(mean < oov, s"in-distribution mean $mean must beat the uniform floor $oov")
+      lm.release()
+      // Gopher rules: kernel metrics == compositional HOF recount
+      val g = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.gopherStats(col("text")).as("g"))
+      val hof = docs.select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), t => t =!= "")).as("nt"),
+        // octet_length, not length: the kernel counts BYTES and the
+        // corpus has multi-byte zh tokens
+        aggregate(filter(split(col("text"), "\\s+"), t => t =!= ""),
+          lit(0), (acc, t) => acc + octet_length(t)).as("nc"),
+        size(array_intersect(array_distinct(filter(split(col("text"), "\\s+"), t => t =!= "")),
+          array(graft.functions.GopherStats.stopwords.map(lit): _*))).as("ns"))
+      val mism = g.select(col("doc_id"), col("g.n_tokens").as("a1"),
+          col("g.n_token_chars").as("a2"), col("g.n_stop_hits").as("a3"))
+        .join(hof, "doc_id")
+        .filter(col("a1") =!= col("nt") || col("a2") =!= col("nc") || col("a3") =!= col("ns"))
+        .count()
+      assert(mism == 0, s"$mism gopher_stats rows differ from the HOF recount")
+      println(s"mix/lines/LM/gopher OK: mix=${mixed.count()} rows, " +
+        s"${acct.getLong(0)} of ${acct.getLong(1)} lines removed, " +
+        s"lm mean $mean vs uniform floor $oov")
+    }
+
     spark.stop()
   }
 }

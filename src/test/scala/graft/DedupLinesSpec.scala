@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.Dedup
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[graft.operators.Dedup.dedupLines]]: the C4-style line-level corpus
+  * filter. Line identity is exact bytes, removal is corpus-global at
+  * `minCount`, documents rebuild in original line order, and the NULL /
+  * fully-duplicated / blank-line contracts hold. */
+class DedupLinesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def run(docs: Seq[(Long, String)], minCount: Long = 2L) =
+    Dedup.dedupLines(docs.toDF("id", "text"), "id", "text", minCount)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3))).sortBy(_._1)
+
+  test("corpus-global duplicated lines are removed everywhere; order preserved") {
+    val docs = Seq(
+      1L -> "alpha\ncookie banner\nbravo",
+      2L -> "cookie banner\ncharlie",
+      3L -> "delta\necho")
+    val got = run(docs)
+    assert(got(0) == ((1L, "alpha\nbravo", 1, 3)))
+    assert(got(1) == ((2L, "charlie", 1, 2)))
+    assert(got(2) == ((3L, "delta\necho", 0, 2)))
+  }
+
+  test("blank lines are lines: duplicated blanks strip (the C4 rule)") {
+    val docs = Seq(
+      1L -> "a\n\nb",
+      2L -> "c\n\nd")
+    val got = run(docs)
+    assert(got(0) == ((1L, "a\nb", 1, 3)))
+    assert(got(1) == ((2L, "c\nd", 1, 3)))
+  }
+
+  test("line identity is exact bytes — no trim, case-sensitive") {
+    val docs = Seq(
+      1L -> "Same\nsame \nsame",
+      2L -> "Same\nsame\nsame ")
+    // "Same" dup; "same " dup; "same" dup — all three variants are
+    // distinct lines, each duplicated across the two docs
+    val got = run(docs)
+    assert(got(0) == ((1L, "", 3, 3)))
+    assert(got(1) == ((2L, "", 3, 3)))
+  }
+
+  test("minCount thresholds; single-line docs; NULL text") {
+    val docs = Seq(
+      1L -> "x\ny",
+      2L -> "x\nz",
+      3L -> "x\nw",
+      4L -> null.asInstanceOf[String])
+    val at2 = run(docs)
+    assert(at2(0) == ((1L, "y", 1, 2)))
+    assert(at2(3) == ((4L, null, -1, -1)))
+    val at4 = run(docs, minCount = 4L)
+    assert(at4(0) == ((1L, "x\ny", 0, 2)))
+    require(at4(3)._2 == null)
+  }
+
+  test("a fully-duplicated document rebuilds to empty, row survives") {
+    val docs = Seq(1L -> "only", 2L -> "only", 3L -> "only\nmore")
+    val got = run(docs)
+    assert(got(0) == ((1L, "", 1, 1)))
+    assert(got(1) == ((2L, "", 1, 1)))
+    assert(got(2) == ((3L, "more", 1, 2)))
+  }
+
+  test("layout-independent and custom separator") {
+    val docs = (0 until 200).map(i => (i.toLong, s"common|unique$i|${if (i % 2 == 0) "even" else "odd"}"))
+    val df = docs.toDF("id", "text")
+    val a = Dedup.dedupLines(df, "id", "text", 2L, "|")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = Dedup.dedupLines(df.repartition(17, $"text"), "id", "text", 2L, "|")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b)
+    val five = a.find(_._1 == 5L).get._2
+    // "common" (200×) strips; "odd"/"even" (100× each) strip; unique stays
+    assert(five == "unique5")
+  }
+}

@@ -307,6 +307,111 @@ queries = {
       FROM err LEFT JOIN c
         ON c.user_id = err.user_id AND c.t BETWEEN err.t - 300000000 AND err.t
       GROUP BY err.event_id""",
+    # bigram-LM quality scoring end to end (graft: sf10_lm_score —
+    # q98's shape minus ORDER BY: retrain the add-1 model in SQL, score
+    # via the pairs ⋈ counts join)
+    "lm_score": """
+      WITH tok AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '[\t\n\x0B\f\r ]+'),
+                                   x -> x <> '') AS ts
+        FROM documents WHERE text IS NOT NULL),
+      uni AS (
+        SELECT t AS w, count(*) AS c
+        FROM (SELECT unnest(ts) AS t FROM tok) GROUP BY 1),
+      v AS (SELECT CAST(count(*) AS DOUBLE) AS nv FROM uni),
+      pairs AS (
+        SELECT doc_id, ts[i] AS pw, ts[i + 1] AS w
+        FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+              FROM tok WHERE len(ts) >= 2)),
+      big AS (SELECT pw, w, count(*) AS c FROM pairs GROUP BY 1, 2)
+      SELECT count(*), sum(s) FROM (
+        SELECT p.doc_id, avg(-ln((coalesce(b.c, 0) + 1.0) / (u.c + v.nv))) AS s
+        FROM pairs p
+        JOIN uni u ON u.w = p.pw
+        LEFT JOIN big b ON b.pw = p.pw AND b.w = p.w
+        CROSS JOIN v GROUP BY p.doc_id)""",
+    # C4 line filter over the 4-token-chunk derived corpus (graft:
+    # sf10_dedup_lines — q97's shape minus ORDER BY)
+    "dedup_lines": """
+      WITH tok AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '[\t\n\x0B\f\r ]+'),
+                                   x -> x <> '') AS ts
+        FROM documents WHERE text IS NOT NULL),
+      lines AS (
+        SELECT doc_id, CAST((s - 1) / 4 AS BIGINT) AS pos,
+               array_to_string(list_slice(ts, CAST(s AS BIGINT), least(s + 3, len(ts))), ' ') AS line
+        FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1, 4)) AS s
+              FROM tok WHERE len(ts) > 0)),
+      dup AS (SELECT line FROM lines GROUP BY 1 HAVING count(*) >= 2),
+      agg AS (
+        SELECT l.doc_id,
+               coalesce(string_agg(CASE WHEN d.line IS NULL THEN l.line END,
+                                   chr(10) ORDER BY l.pos), '') AS clean,
+               count(d.line) AS n_removed, count(*) AS n_lines
+        FROM lines l LEFT JOIN dup d USING (line) GROUP BY l.doc_id)
+      SELECT count(*), sum(n_removed), sum(n_lines), sum(length(clean)) FROM agg""",
+    # Gopher word rules (graft: sf10_gopher_rules — q99's shape minus
+    # ORDER BY, metrics + composed keep)
+    "gopher_rules": """
+      WITH t AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(text, '[\t\n\x0B\f\r ]+'),
+                           x -> x <> '') AS ts
+        FROM documents),
+      m AS (
+        SELECT doc_id, len(ts) AS n_tokens,
+               coalesce(list_sum(list_transform(ts, x -> strlen(x))), 0) AS n_chars,
+               coalesce(list_sum(list_transform(ts,
+                 x -> CASE WHEN regexp_matches(x, '[A-Za-z]') THEN 1 ELSE 0 END)), 0) AS n_alpha,
+               len(list_intersect(list_distinct(ts),
+                 ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS n_stop,
+               (strlen(text) - strlen(replace(text, '#', '')))
+               + (strlen(text) - strlen(replace(text, '...', ''))) / 3 AS n_sym
+        FROM t)
+      SELECT count(*), sum(CASE WHEN
+               n_tokens >= 10 AND n_tokens <= 100000
+               AND CAST(n_chars AS DOUBLE) / n_tokens >= 3.0
+               AND CAST(n_chars AS DOUBLE) / n_tokens <= 10.0
+               AND CAST(n_sym AS DOUBLE) / n_tokens < 0.1
+               AND CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8
+               AND n_stop >= 1 THEN 1 ELSE 0 END)
+      FROM m""",
+    # deterministic mixture composition (graft: sf10_corpus_mix —
+    # q96's shape minus ORDER BY, incl. the mix_key re-derive)
+    "corpus_mix": """
+      WITH w AS (
+        SELECT * FROM (VALUES ('src0', 2, 2147483648),
+                              ('src1', 1, 0),
+                              ('src2', 0, 1073741824)) AS t(source, fl, th)),
+      h AS (
+        SELECT doc_id, source, CAST(xor(h2, h2 >> 13) AS BIGINT) AS hash
+        FROM (
+          SELECT doc_id, source,
+                 CAST((CAST(xor(h1, h1 >> 16) AS HUGEINT) * 2246822519)
+                      % 4294967296 AS BIGINT) AS h2
+          FROM (
+            SELECT doc_id, source,
+                   CAST((((CAST(doc_id AS HUGEINT) % 4294967296) + 4294967296)
+                          % 4294967296 * 2654435761)
+                        % 4294967296 AS BIGINT) AS h1
+            FROM documents))),
+      kept AS (
+        SELECT h.doc_id, h.source, ep.epoch,
+               xor(h.doc_id, (CAST(ep.epoch AS BIGINT) + 1) * 2654435761) AS mk
+        FROM h JOIN w USING (source)
+        JOIN (SELECT CAST(unnest([0, 1, 2]) AS INT) AS epoch) ep
+          ON ep.epoch <= w.fl
+        WHERE ep.epoch < w.fl OR h.hash < w.th)
+      SELECT count(*), sum(mix_key) FROM (
+        SELECT CAST(xor(k2, k2 >> 13) AS BIGINT) AS mix_key
+        FROM (
+          SELECT CAST((CAST(xor(k1, k1 >> 16) AS HUGEINT) * 2246822519)
+                      % 4294967296 AS BIGINT) AS k2
+          FROM (
+            SELECT CAST((((CAST(mk AS HUGEINT) % 4294967296) + 4294967296)
+                          % 4294967296 * 2654435761)
+                        % 4294967296 AS BIGINT) AS k1
+            FROM kept)))""",
 }
 
 only = set(sys.argv[2:])  # optional query-name filter: time just these rows
