@@ -536,9 +536,10 @@ object Bench {
       "sf10_gopher_rules" -> { () =>
         val docs = Tables.load(spark, sf10Dir, "documents")
         noop(docs.select(col("doc_id"),
-          graft.functions.TextFunctions.gopherStats(col("text")).as("g"),
-          graft.functions.TextFunctions.gopherKeep(col("text"),
-            minWords = 10, minStopHits = 1).as("keep")))
+            graft.functions.TextFunctions.gopherStats(col("text")).as("g"))
+          .select(col("doc_id"), col("g"),
+            graft.functions.TextFunctions.gopherKeepFromStats(col("g"),
+              minWords = 10, minStopHits = 1).as("keep")))
       },
       // deterministic mixture composition (2.5/1.0/0.25 epochs over
       // three sources + the global-shuffle key): pure projection —

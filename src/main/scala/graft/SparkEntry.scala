@@ -2145,10 +2145,13 @@ object SparkEntry {
     // 10, minStopHits 1 — the word-soup vocabulary carries 'the').
     "q99_gopher_rules" -> { (s, dir) =>
       Graft.register(s)
-      val g = graft.functions.TextFunctions.gopherStats(col("text"))
+      // one byte walk: the keep decision derives from the projected
+      // struct (gopherKeepFromStats), never a second gopher_stats
       Tables.load(s, dir, "documents")
-        .select(col("doc_id"), g.as("g"),
-          graft.functions.TextFunctions.gopherKeep(col("text"),
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.gopherStats(col("text")).as("g"))
+        .select(col("doc_id"), col("g"),
+          graft.functions.TextFunctions.gopherKeepFromStats(col("g"),
             minWords = 10, maxWords = 100000, minMeanLen = 3.0, maxMeanLen = 10.0,
             maxSymbolRatio = 0.1, minAlphaRatio = 0.8, minStopHits = 1).as("keep"))
         .select(col("doc_id"),

@@ -171,11 +171,21 @@ object TextFunctions {
   def gopherKeep(text: Column, minWords: Int = 50, maxWords: Int = 100000,
                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
                  maxSymbolRatio: Double = 0.1, minAlphaRatio: Double = 0.8,
-                 minStopHits: Int = 2): Column = {
-    val g = gopherStats(text)
+                 minStopHits: Int = 2): Column =
+    gopherKeepFromStats(gopherStats(text), minWords, maxWords, minMeanLen,
+      maxMeanLen, maxSymbolRatio, minAlphaRatio, minStopHits)
+
+  /** [[gopherKeep]] over an ALREADY-COMPUTED [[gopherStats]] struct —
+    * callers projecting both the metrics and the decision pay ONE byte
+    * walk (the struct is NULL exactly when the text was, so the NULL
+    * contract carries). */
+  def gopherKeepFromStats(g: Column, minWords: Int = 50, maxWords: Int = 100000,
+                          minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                          maxSymbolRatio: Double = 0.1, minAlphaRatio: Double = 0.8,
+                          minStopHits: Int = 2): Column = {
     val nt = g("n_tokens").cast("double")
     val mean = g("n_token_chars").cast("double") / nt
-    when(text.isNull, lit(null)).otherwise(
+    when(g.isNull, lit(null)).otherwise(
       g("n_tokens") >= minWords && g("n_tokens") <= maxWords &&
       nt > 0 && mean >= minMeanLen && mean <= maxMeanLen &&
       g("n_symbols").cast("double") / nt < maxSymbolRatio &&
