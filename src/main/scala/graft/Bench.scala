@@ -624,6 +624,34 @@ object Bench {
             col("l_linenumber"), col("shipyear")).as("t")))
       },
       "sf100_factorized_adaptive" -> (() => factorizedAdaptiveRaw(spark, sf100Dir)),
+      // the text family at the endpoint scale (5M docs ≈ 1.5 GB,
+      // tools/gen_sf100_docs.py — 10× the 550k-doc sf10 ceiling the
+      // text wins were previously measured at, the same grounding move
+      // round 16 made for ANN): the fused byte kernels, the LM
+      // train+score pipeline, and the line filter's three-shuffle join
+      // form all at 10× corpus. DuckDB twins in tools/bench_duckdb.py.
+      "sf100_text_stats" -> (() => noop(SparkEntry.queries("q10_token_stats")(spark, sf100Dir))),
+      "sf100_lang_id" -> (() => noop(SparkEntry.queries("q13_langid_counts")(spark, sf100Dir))),
+      "sf100_gopher_rules" -> { () =>
+        val docs = Tables.load(spark, sf100Dir, "documents")
+        noop(docs.select(col("doc_id"),
+            graft.functions.TextFunctions.gopherStats(col("text")).as("g"))
+          .select(col("doc_id"), col("g"),
+            graft.functions.TextFunctions.gopherKeepFromStats(col("g"),
+              minWords = 10, minStopHits = 1).as("keep")))
+      },
+      "sf100_lm_score" -> { () =>
+        val docs = Tables.load(spark, sf100Dir, "documents")
+        val (scored, lm) = graft.operators.LmQuality.scoreCorpus(docs, "text")
+        try noop(scored.select(col("doc_id"), col("lm_score")))
+        finally lm.release()
+      },
+      "sf100_dedup_lines" -> { () =>
+        val corpus = Tables.load(spark, sf100Dir, "documents")
+          .select(col("doc_id"),
+            array_join(graft.functions.TextFunctions.chunkText(col("text"), 4, 0), "\n").as("text"))
+        noop(graft.operators.Dedup.dedupLines(corpus, "doc_id", "text", 2L))
+      },
       // the vector family at the endpoint scale (3.2M × 64d, 20
       // queries, k=10): brute force is the honest O(N·d) floor;
       // IVFADC searches the same corpus over 16-byte codes with an

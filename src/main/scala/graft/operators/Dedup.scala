@@ -368,18 +368,51 @@ object Dedup {
       .agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") >= minCount)
       .select(col("__line"), lit(true).as("__dup"))
-    val rebuilt = lines.join(dups, Seq("__line"), "left")
-      .groupBy(col("__id"))
-      .agg(
-        count(lit(1)).cast("int").as("__n_lines"),
-        sum(when(col("__dup"), 1L).otherwise(0L)).cast("int").as("__n_removed"),
-        // survivors rebuild in position order; collect_list skips the
-        // NULL the `when` leaves on removed lines, array_sort orders by
-        // the struct's leading __pos (unique per document)
-        array_join(transform(
-          array_sort(collect_list(when(col("__dup").isNull,
-            struct(col("__pos"), col("__line"))))),
-          x => x("__line")), sep).as("__clean"))
+    // rebuild via repartition + spillable within-partition sort + a
+    // streaming per-document concat (mapPartitions — the documented
+    // last-resort tier, earned here): the collect_list formulation
+    // holds one line-array buffer PER GROUP in the hash aggregate, and
+    // at 5M docs × ~10 lines the partial-aggregate maps OOM'd a 24 GB
+    // heap (measured, sf100 tier). The sorted stream touches one
+    // document at a time — O(longest document) memory, any corpus size.
+    val joined = lines.join(dups, Seq("__line"), "left")
+      .select(col("__id"), col("__pos"), col("__line"), col("__dup"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__id",
+        joined.schema("__id").dataType, nullable = true),
+      org.apache.spark.sql.types.StructField("__clean",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("__n_removed",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("__n_lines",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val rebuilt = joined
+      .repartition(col("__id"))
+      .sortWithinPartitions(col("__id"), col("__pos"))
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[org.apache.spark.sql.Row] {
+          override def hasNext: Boolean = buf.hasNext
+          override def next(): org.apache.spark.sql.Row = {
+            val id = buf.head.get(0)
+            val sb = new java.lang.StringBuilder
+            var nRemoved = 0
+            var nAll = 0
+            var kept = 0
+            while (buf.hasNext && java.util.Objects.equals(buf.head.get(0), id)) {
+              val r = buf.next()
+              nAll += 1
+              if (!r.isNullAt(3)) nRemoved += 1
+              else {
+                if (kept > 0) sb.append(sep)
+                sb.append(r.getString(2))
+                kept += 1
+              }
+            }
+            org.apache.spark.sql.Row(id, sb.toString, nRemoved, nAll)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
     val keep = docs.columns.map { c =>
       if (c == textCol)
         when(col(textCol).isNull, lit(null)).otherwise(col("__clean")).as(textCol)

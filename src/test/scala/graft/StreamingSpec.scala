@@ -357,4 +357,41 @@ class StreamingSpec extends AnyFunSuite {
         s"got $got")
     } finally q.stop()
   }
+
+  test("curation quartet stateless stages are streaming-safe: gopher + LM score + mixture") {
+    // the realistic ingest shape: the LM trains OFFLINE on a reference
+    // corpus (broadcast), then gopher gate + LM score + mixture epochs
+    // all run statelessly inside the stream — stream == batch row sets
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, floor}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    Graft.register(spark)
+    val reference = Seq("the cat sat on the mat", "the dog sat on the rug",
+      "a cat and a dog").toDF("text")
+    val lm = graft.operators.LmQuality.train(reference, "text")
+    val docs = (0 until 40).map(i =>
+      (i.toLong, (1 to i % 7 + 2).map(t => s"w${(t * i) % 9}").mkString(" ") +
+        " the cat sat", if (i % 2 == 0) "web" else "wiki"))
+    def staged(df: org.apache.spark.sql.DataFrame) = {
+      val g = graft.operators.CorpusMix.compose(df, "source", "id",
+        Map("web" -> 1.5, "wiki" -> 0.5))
+      g.select(col("id"), col("epoch"),
+        floor(graft.operators.LmQuality.score(lm, col("text")) * 1e6).as("s"),
+        graft.functions.TextFunctions.gopherKeepFromStats(
+          graft.functions.TextFunctions.gopherStats(col("text")),
+          minWords = 3, minMeanLen = 1.0, minAlphaRatio = 0.5, minStopHits = 1).as("keep"))
+    }
+    val input = MemoryStream[(Long, String, String)]
+    val q = staged(input.toDF.toDF("id", "text", "source"))
+      .writeStream.format("memory").queryName("curation_quartet_stream").start()
+    input.addData(docs: _*)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("curation_quartet_stream").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3))).toSet
+    val batch = staged(docs.toDF("id", "text", "source")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+    assert(streamed.exists(_._2 == 1), "full epochs must appear in the stream")
+    lm.release()
+  }
 }
