@@ -7,6 +7,9 @@ import sys, time, json, duckdb
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 con = duckdb.connect()
 import os
+# an in-memory connection cannot spill without a temp dir — the sf100
+# text twins (185M-pair LM join, 46M-line string_agg) OOM'd without it
+con.execute(f"PRAGMA temp_directory='{os.environ.get('TMPDIR', '/tmp')}/duckdb_bench_spill'")
 for t in ["lineitem", "orders", "documents", "embeddings", "events"]:
     # scale dirs generated for the heavy tiers carry only the fact/dim
     # tables — attach what exists; a filtered run only needs its own views

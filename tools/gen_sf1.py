@@ -99,7 +99,11 @@ for r in range(REP):
         rows["lang"].append(lang)
         rows["source"].append(source)
         rows["n_chars"].append(len(t))
-pq.write_table(pa.table(rows), f"{out}/documents.parquet")
+# bounded row groups: a single-group file is ONE Spark input split and
+# ONE DuckDB scan thread — the whole text tier would serialize onto a
+# single core on both engines (measured round 17: the 1000-group sf100
+# file scanned 10x the data in 1/3 the time of the 1-group sf10 file)
+pq.write_table(pa.table(rows), f"{out}/documents.parquet", row_group_size=8192)
 print(f"documents: {len(rows['doc_id'])} rows", flush=True)
 
 # embeddings: cluster-preserving noisy replicas
@@ -124,6 +128,6 @@ tbl = pa.table({
     "embedding": pa.array(list(allv), pa.list_(pa.float32())),
     "label": pa.array(labels),
 })
-pq.write_table(tbl, f"{out}/embeddings.parquet")
+pq.write_table(tbl, f"{out}/embeddings.parquet", row_group_size=8192)
 print(f"embeddings: {len(ids)} rows", flush=True)
 print("done", flush=True)
