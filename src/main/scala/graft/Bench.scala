@@ -552,6 +552,25 @@ object Bench {
         noop(mixed.select(col("doc_id"), col("epoch"),
           graft.operators.CorpusMix.mixKey(col("doc_id"), col("epoch")).as("k")))
       },
+      // incremental-ingest dedup (q100's shape at tier scale): a 215k-doc
+      // derived batch (verbatim / truncated / reversed thirds) flags
+      // against the 500k-doc corpus through the asymmetric exact-hash +
+      // banded-LSH passes. No DuckDB twin: the honest single-node
+      // equivalent is the exhaustive 215k × 500k jaccard recompute the
+      // q100 oracle runs at sf0.01 — quadratic by construction.
+      "sf10_dedup_incremental" -> { () =>
+        val corpus = Tables.load(spark, sf10Dir, "documents").select(col("doc_id"), col("text"))
+        val newBatch = corpus.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + lit(900000000L)).as("doc_id"), col("text"))
+          .unionByName(corpus.filter(col("doc_id") % 7 === 1)
+            .select((col("doc_id") + lit(900000000L)).as("doc_id"),
+              regexp_replace(col("text"), "\\s+\\S+\\s*$", "").as("text")))
+          .unionByName(corpus.filter(col("doc_id") % 7 === 2)
+            .select((col("doc_id") + lit(900000000L)).as("doc_id"),
+              concat_ws(" ", reverse(split(col("text"), " "))).as("text")))
+        noop(graft.operators.Dedup.dedupAgainstCorpus(newBatch, corpus,
+          "doc_id", "text", threshold = 0.8))
+      },
       // the factorized family at sf10, both physical designs: the
       // probe-routed adaptive over raw parquet (two exchanges) vs the
       // same operator over bucketized tables (zero exchanges) — the

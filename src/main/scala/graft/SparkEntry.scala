@@ -2164,6 +2164,32 @@ object SparkEntry {
         .toDF("doc_id", "n_tokens", "mean_word_len", "alpha_ratio",
           "n_stop_hits", "n_symbols", "keep")
         .orderBy(col("doc_id"))
+    },
+
+    // incremental-ingest dedup (today's crawl vs all of history): a
+    // derived new batch of verbatim copies (%7=0), last-word-truncated
+    // near-dups (%7=1, jaccard ≈ (n-3)/(n-2)), and word-reversed fresh
+    // docs (%7=2, shared ordered trigrams ≈ none) flags against the
+    // corpus through the asymmetric exact-hash + banded-LSH passes.
+    // DuckDB recomputes ground truth EXHAUSTIVELY (all new × corpus
+    // string-shingle jaccard) — the oracle row therefore also pins the
+    // 64-hash/32-band S-curve at full recall on this corpus, q14's
+    // discipline for the asymmetric path.
+    "q100_dedup_incremental" -> { (s, dir) =>
+      Graft.register(s)
+      val corpus = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val newBatch = corpus.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+        .unionByName(corpus.filter(col("doc_id") % 7 === 1)
+          .select((col("doc_id") + 20000000L).as("doc_id"),
+            regexp_replace(col("text"), "\\s+\\S+\\s*$", "").as("text")))
+        .unionByName(corpus.filter(col("doc_id") % 7 === 2)
+          .select((col("doc_id") + 20000000L).as("doc_id"),
+            concat_ws(" ", reverse(split(col("text"), " "))).as("text")))
+      graft.operators.Dedup.dedupAgainstCorpus(newBatch, corpus, "doc_id", "text",
+          threshold = 0.8)
+        .select(col("doc_id"), col("dup_exact"), col("dup_near"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -3775,6 +3801,44 @@ object SparkEntry {
         |         AND CAST(n_sym AS DOUBLE) / n_tokens < 0.1
         |         AND CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8
         |         AND n_stop >= 1 END AS keep
-        |FROM m ORDER BY doc_id""".stripMargin
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // the same derived batch, then GROUND-TRUTH flags: exact via a text
+    // equi-join, near via exhaustive new × corpus string-shingle
+    // jaccard at the library's shingle semantics (lower + trim, token
+    // 3-grams, whole-sequence short-doc rule) — q14's truth recipe,
+    // asymmetric
+    "q100_dedup_incremental" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents),
+        |newb AS (
+        |  SELECT doc_id + 20000000 AS doc_id, text FROM corpus WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000000, regexp_replace(text, '\s+\S+\s*$', '')
+        |  FROM corpus WHERE doc_id % 7 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 20000000, array_to_string(list_reverse(string_split(text, ' ')), ' ')
+        |  FROM corpus WHERE doc_id % 7 = 2),
+        |csh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(generate_series(1, len(t) - 2),
+        |                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM corpus)),
+        |nsh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(generate_series(1, len(t) - 2),
+        |                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM newb)),
+        |near AS (
+        |  SELECT DISTINCT n.doc_id FROM nsh n, csh c
+        |  WHERE (CASE WHEN len(list_distinct(list_concat(n.s, c.s))) = 0 THEN 0.0
+        |         ELSE len(list_intersect(n.s, c.s))::DOUBLE
+        |              / len(list_distinct(list_concat(n.s, c.s)))::DOUBLE END) >= 0.8),
+        |exact AS (SELECT DISTINCT n.doc_id FROM newb n JOIN corpus c ON n.text = c.text)
+        |SELECT n.doc_id,
+        |       e.doc_id IS NOT NULL AS dup_exact,
+        |       r.doc_id IS NOT NULL AS dup_near
+        |FROM newb n
+        |LEFT JOIN exact e USING (doc_id)
+        |LEFT JOIN near r ON n.doc_id = r.doc_id
+        |ORDER BY n.doc_id""".stripMargin
   )
 }

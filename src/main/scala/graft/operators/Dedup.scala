@@ -328,6 +328,81 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental-ingest deduplication: flag every NEW document that
+    * exactly or nearly duplicates the REFERENCE corpus — the
+    * continuous-crawl shape (today's batch dedups against all of
+    * history, history is never re-paired with itself). Returns
+    * `newDocs` + `dup_exact` / `dup_near` BOOLEAN columns; filtering is
+    * the caller's policy, flags are the audit trail.
+    *
+    * 100 TB shape, both passes asymmetric:
+    *  - exact: one distinct content-hash set from the corpus + one
+    *    join — text never joins text;
+    *  - near: MinHash band buckets on BOTH sides, candidates are the
+    *    NEW × CORPUS pairs inside a shared (band, bucket) only —
+    *    never corpus × corpus, never all-pairs — then every candidate
+    *    is verified by exact shingle Jaccard ≥ `threshold`, so a band
+    *    collision can never flag a clean document. Degenerate corpus
+    *    buckets (> `maxBucketSize` members) are dropped LOUDLY via the
+    *    observed-metric warner, the symmetric path's contract.
+    *
+    * NULL-text rows are never duplicates (hash and signature are NULL).
+    * Near recall follows the (numHashes, bands) S-curve; at the default
+    * 64/32 a true 0.8-Jaccard pair is missed with P ≈ 1e-14. */
+  def dedupAgainstCorpus(newDocs: DataFrame, corpus: DataFrame,
+                         idCol: String, textCol: String, threshold: Double = 0.8,
+                         numHashes: Int = 64, shingleSize: Int = 3, bands: Int = 32,
+                         maxBucketSize: Int = 200): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
+    installWarner(newDocs.sparkSession)
+    // exact pass: corpus content-hash set, one join
+    val keys = corpus.select(md5(col(textCol)).as("__k")).distinct()
+      .withColumn("__ex", lit(true))
+    val withExact = newDocs.withColumn("__k", md5(col(textCol)))
+      .join(keys, Seq("__k"), "left")
+    // near pass: asymmetric banded candidates, Jaccard-verified. The
+    // shingle sets are computed ONCE per document and joined back to
+    // the DEDUPED (new, corpus) candidate pairs — the naive form
+    // (carry both texts through the band join, re-shingle per
+    // candidate row) re-paid the tokenize+hash walk up to 2 × bands
+    // times per true pair and measured 45 s on the 215k × 500k sf10
+    // row; this shape verifies each pair once from two array handles.
+    val nsh = newDocs.select(col(idCol).as("__nid"),
+      array_distinct(TextFunctions.shingleHashes(col(textCol), shingleSize)).as("__nsh"),
+      minhashBands(col(textCol), numHashes, shingleSize, bands).as("__nbands"))
+    // corpus docs key by content hash: duplicates collapse (one
+    // representative is enough to flag), and the join back to the
+    // shingle set needs no caller-supplied corpus id
+    val csh = corpus.select(md5(col(textCol)).as("__cid"),
+        array_distinct(TextFunctions.shingleHashes(col(textCol), shingleSize)).as("__csh"),
+        minhashBands(col(textCol), numHashes, shingleSize, bands).as("__cbands"))
+      .dropDuplicates("__cid")
+    val cbx = csh.select(col("__cid"),
+      posexplode(col("__cbands")).as(Seq("__band", "__bucket")))
+    val sizes = cbx.groupBy("__band", "__bucket").agg(count(lit(1)).as("__n"))
+      .observe(DroppedMetricPrefix + metricSeq.incrementAndGet(),
+        count(when(col("__n") > maxBucketSize, true)).as("dropped"),
+        max(lit(maxBucketSize)).as("cap"))
+    val sane = sizes.filter(col("__n") <= maxBucketSize)
+      .select(col("__band"), col("__bucket"))
+    val cand = nsh.select(col("__nid"),
+        posexplode(col("__nbands")).as(Seq("__band", "__bucket")))
+      .join(cbx.join(sane, Seq("__band", "__bucket")), Seq("__band", "__bucket"))
+      .select(col("__nid"), col("__cid")).distinct()
+    val inter = size(array_intersect(col("__nsh"), col("__csh"))).cast("double")
+    val union = size(array_union(col("__nsh"), col("__csh"))).cast("double")
+    val nearIds = cand
+      .join(nsh.select(col("__nid"), col("__nsh")), Seq("__nid"))
+      .join(csh.select(col("__cid"), col("__csh")), Seq("__cid"))
+      .filter(when(union === 0, lit(0.0)).otherwise(inter / union) >= threshold)
+      .select(col("__nid")).distinct()
+      .withColumn("__nr", lit(true))
+    withExact.join(nearIds, withExact(idCol) === nearIds("__nid"), "left")
+      .select(newDocs.columns.map(col)
+        :+ coalesce(col("__ex"), lit(false)).as("dup_exact")
+        :+ coalesce(col("__nr"), lit(false)).as("dup_near"): _*)
+  }
+
   /** Line-level corpus deduplication (the C4 / RefinedWeb line filter):
     * remove EVERY occurrence of any line appearing at least `minCount`
     * times across the whole corpus, rebuild each document from its
