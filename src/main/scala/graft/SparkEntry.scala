@@ -2190,6 +2190,45 @@ object SparkEntry {
           threshold = 0.8)
         .select(col("doc_id"), col("dup_exact"), col("dup_near"))
         .orderBy(col("doc_id"))
+    },
+
+    // the two halves of the library composed: the cofactor RING trains
+    // an LDA quality classifier over TEXT-KERNEL features (word count
+    // and token character mass from one gopher_stats byte walk),
+    // labeled by the Gopher keep decision — the FastText/fineweb-edu
+    // "model-based quality filter" shape with the reference's factorized
+    // training math. One scan lifts features straight into the triple;
+    // DuckDB retrains the closed-form 2-feature LDA from scratch
+    // (q27's oracle algebra over q99's feature algebra). Feature choice
+    // is numeric-deliberate: integer-backed counts with real within-
+    // class variance — the ratio features (mean length, alpha ratio)
+    // and the stopword count are class-determined or near-constant on
+    // this corpus, and a near-singular pooled
+    // covariance diverges between the library's SVD pinv (regularizes)
+    // and a closed-form SQL inverse (explodes).
+    "q101_quality_classifier" -> { (s, dir) =>
+      Graft.register(s)
+      val g = graft.functions.TextFunctions.gopherStats(col("text"))
+      val feats = Tables.load(s, dir, "documents")
+        .select(g.as("g"))
+        .select(
+          col("g.n_tokens").cast("double").as("f1"),
+          col("g.n_token_chars").cast("double").as("f2"),
+          graft.functions.TextFunctions.gopherKeepFromStats(col("g"),
+            minWords = 10, maxWords = 100000, minMeanLen = 3.0, maxMeanLen = 10.0,
+            maxSymbolRatio = 0.1, minAlphaRatio = 0.8, minStopHits = 1)
+            .cast("int").as("cls"))
+      val t = Graft.cofactor(feats, Seq("f1", "f2"), Seq("cls"))
+      val m = graft.ml.Lda.train(t, label = 0)
+      import s.implicits._
+      m.classes.indices.map(i =>
+          (m.classes(i), m.coef(i)(0), m.coef(i)(1), m.intercepts(i)))
+        .toDF("class", "coef_len", "coef_chars", "icpt")
+        .select(col("class"),
+          round(col("coef_len"), 5).as("coef_len"),
+          round(col("coef_chars"), 5).as("coef_chars"),
+          round(col("icpt"), 5).as("icpt"))
+        .orderBy(col("class"))
     }
   )
 
@@ -3537,7 +3576,8 @@ object SparkEntry {
       """SELECT term, count(*) AS n FROM (
         |  SELECT unnest(list_filter(
         |    string_split_regex(text, '[	
- ]+'), x -> x <> '')) AS term
+
+ ]+'), x -> x <> '')) AS term
         |  FROM documents)
         |GROUP BY 1 ORDER BY n DESC, term ASC LIMIT 25""".stripMargin,
     // q82's verbatim chunk recompute, then dedup (row_number over the
@@ -3839,6 +3879,55 @@ object SparkEntry {
         |FROM newb n
         |LEFT JOIN exact e USING (doc_id)
         |LEFT JOIN near r ON n.doc_id = r.doc_id
-        |ORDER BY n.doc_id""".stripMargin
+        |ORDER BY n.doc_id""".stripMargin,
+    // q99's feature algebra feeding q27's closed-form 2-feature LDA:
+    // features (mean word length, alpha-token ratio) and the keep label
+    // recomputed compositionally, then class means / pooled covariance
+    // inverse / coefficients from scratch
+    "q101_quality_classifier" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split_regex(text, '[\t\n\x0B\f\r ]+'),
+        |                     x -> x <> '') AS ts, text
+        |  FROM documents),
+        |m AS (
+        |  SELECT len(ts) AS n_tokens,
+        |         coalesce(list_sum(list_transform(ts, x -> strlen(x))), 0) AS n_chars,
+        |         coalesce(list_sum(list_transform(ts,
+        |           x -> CASE WHEN regexp_matches(x, '[A-Za-z]') THEN 1 ELSE 0 END)), 0) AS n_alpha,
+        |         len(list_intersect(list_distinct(ts),
+        |           ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS n_stop,
+        |         (strlen(text) - strlen(replace(text, '#', '')))
+        |         + (strlen(text) - strlen(replace(text, '...', ''))) / 3 AS n_sym
+        |  FROM t),
+        |f AS (
+        |  SELECT CAST(n_tokens AS DOUBLE) AS f1,
+        |         CAST(n_chars AS DOUBLE) AS f2,
+        |         CASE WHEN n_tokens >= 10 AND n_tokens <= 100000
+        |               AND CAST(n_chars AS DOUBLE) / n_tokens >= 3.0
+        |               AND CAST(n_chars AS DOUBLE) / n_tokens <= 10.0
+        |               AND CAST(n_sym AS DOUBLE) / n_tokens < 0.1
+        |               AND CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8
+        |               AND n_stop >= 1 THEN 1 ELSE 0 END AS cls
+        |  FROM m),
+        |cls AS (
+        |  SELECT cls AS class, count(*)::DOUBLE AS nc,
+        |         sum(f1) AS s1, sum(f2) AS s2
+        |  FROM f GROUP BY 1),
+        |tot AS (
+        |  SELECT (SELECT count(*)::DOUBLE FROM f) AS n,
+        |         (SELECT sum(f1*f1) FROM f) AS q11,
+        |         (SELECT sum(f1*f2) FROM f) AS q12,
+        |         (SELECT sum(f2*f2) FROM f) AS q22,
+        |         sum(s1*s1/nc) AS w11, sum(s1*s2/nc) AS w12, sum(s2*s2/nc) AS w22
+        |  FROM cls),
+        |sm AS (SELECT n, (q11-w11)/n AS v11, (q12-w12)/n AS v12, (q22-w22)/n AS v22 FROM tot),
+        |inv AS (SELECT n, v22/(v11*v22-v12*v12) AS i11, -v12/(v11*v22-v12*v12) AS i12,
+        |               v11/(v11*v22-v12*v12) AS i22 FROM sm)
+        |SELECT cls.class,
+        |       round(i11*(s1/nc) + i12*(s2/nc), 5) AS coef_len,
+        |       round(i12*(s1/nc) + i22*(s2/nc), 5) AS coef_chars,
+        |       round(-0.5*((s1/nc)*(i11*(s1/nc)+i12*(s2/nc))
+        |                   + (s2/nc)*(i12*(s1/nc)+i22*(s2/nc))) + ln(nc/n), 5) AS icpt
+        |FROM cls, inv ORDER BY class""".stripMargin
   )
 }

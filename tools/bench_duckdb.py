@@ -423,9 +423,15 @@ for name, sql in queries.items():
     if only and name not in only:
         continue
     times = []
-    for _ in range(3):
-        t0 = time.time()
-        con.execute(sql).fetchall()
-        times.append(time.time() - t0)
-    out[name] = round(sorted(times)[1], 3)
+    try:
+        for _ in range(3):
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            times.append(time.time() - t0)
+        out[name] = round(sorted(times)[1], 3)
+    except Exception as e:
+        # one pathological row (e.g. an OOM at a scale the engine can't
+        # hold) must not erase the rest of the run's numbers
+        out[name] = f"FAILED: {type(e).__name__}"
+        print(f"[duckdb-bench] {name} failed: {e}", file=sys.stderr)
 print(json.dumps({"engine": "duckdb-" + duckdb.__version__, "sf": sf, "queries": out}))
