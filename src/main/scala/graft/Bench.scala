@@ -671,6 +671,13 @@ object Bench {
             array_join(graft.functions.TextFunctions.chunkText(col("text"), 4, 0), "\n").as("text"))
         noop(graft.operators.Dedup.dedupLines(corpus, "doc_id", "text", 2L))
       },
+      "sf100_corpus_mix" -> { () =>
+        val docs = Tables.load(spark, sf100Dir, "documents").select(col("doc_id"), col("source"))
+        val mixed = graft.operators.CorpusMix.compose(docs, "source", "doc_id",
+          Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25))
+        noop(mixed.select(col("doc_id"), col("epoch"),
+          graft.operators.CorpusMix.mixKey(col("doc_id"), col("epoch")).as("k")))
+      },
       // the vector family at the endpoint scale (3.2M × 64d, 20
       // queries, k=10): brute force is the honest O(N·d) floor;
       // IVFADC searches the same corpus over 16-byte codes with an

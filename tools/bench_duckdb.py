@@ -5,16 +5,29 @@ parquet, for BENCH_CONTEXT.md. Usage: bench_duckdb.py [sf_dir]"""
 import sys, time, json, duckdb
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-con = duckdb.connect()
 import os
-# an in-memory connection cannot spill without a temp dir — the sf100
-# text twins (185M-pair LM join, 46M-line string_agg) OOM'd without it
-con.execute(f"PRAGMA temp_directory='{os.environ.get('TMPDIR', '/tmp')}/duckdb_bench_spill'")
-for t in ["lineitem", "orders", "documents", "embeddings", "events"]:
-    # scale dirs generated for the heavy tiers carry only the fact/dim
-    # tables — attach what exists; a filtered run only needs its own views
-    if os.path.exists(f"{sf}/{t}.parquet"):
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+def fresh_connection():
+    c = duckdb.connect()
+    # an in-memory connection cannot spill without a temp dir — the sf100
+    # text twins (185M-pair LM join, 46M-line string_agg) OOM'd without
+    # it — and the dir must EXIST or spilling silently fails back to OOM
+    spill = os.environ.get("TMPDIR", "/tmp") + "/duckdb_bench_spill"
+    os.makedirs(spill, exist_ok=True)
+    c.execute(f"PRAGMA temp_directory='{spill}'")
+    # the big unnest/list pipelines hold per-thread ordered buffers that
+    # neither spill nor shrink; dropping insertion-order preservation is
+    # DuckDB's documented memory valve (results are aggregates or carry
+    # their own ORDER BY, so output is unaffected)
+    c.execute("PRAGMA preserve_insertion_order=false")
+    for t in ["lineitem", "orders", "documents", "embeddings", "events"]:
+        # scale dirs generated for the heavy tiers carry only the fact/dim
+        # tables — attach what exists; a filtered run only needs its own views
+        if os.path.exists(f"{sf}/{t}.parquet"):
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    return c
+
+con = fresh_connection()
 
 queries = {
     "q01_pricing": """
@@ -431,7 +444,15 @@ for name, sql in queries.items():
         out[name] = round(sorted(times)[1], 3)
     except Exception as e:
         # one pathological row (e.g. an OOM at a scale the engine can't
-        # hold) must not erase the rest of the run's numbers
+        # hold) must not erase the rest of the run's numbers — and a real
+        # OOM poisons the connection, so rebuild it for the next row
         out[name] = f"FAILED: {type(e).__name__}"
         print(f"[duckdb-bench] {name} failed: {e}", file=sys.stderr)
+        try:
+            con.close()
+        except Exception:
+            pass
+        import gc
+        gc.collect()  # the dead instance's buffers must release first
+        con = fresh_connection()
 print(json.dumps({"engine": "duckdb-" + duckdb.__version__, "sf": sf, "queries": out}))
