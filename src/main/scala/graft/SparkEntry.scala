@@ -2229,6 +2229,20 @@ object SparkEntry {
           round(col("coef_chars"), 5).as("coef_chars"),
           round(col("icpt"), 5).as("icpt"))
         .orderBy(col("class"))
+    },
+
+    // q97's pipeline under C4's EXACT rule (keepFirst): remove all but
+    // one occurrence of each duplicated line — the canonical survivor
+    // is the globally smallest (doc_id, pos). DuckDB re-derives the
+    // canonical pick with a row_number window over the same order.
+    "q102_dedup_lines_keepone" -> { (s, dir) =>
+      Graft.register(s)
+      val corpus = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          array_join(graft.functions.TextFunctions.chunkText(col("text"), 4, 0), "\n").as("text"))
+      graft.operators.Dedup.dedupLines(corpus, "doc_id", "text",
+          minCount = 2L, keepFirst = true)
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -3928,6 +3942,40 @@ object SparkEntry {
         |       round(i12*(s1/nc) + i22*(s2/nc), 5) AS coef_chars,
         |       round(-0.5*((s1/nc)*(i11*(s1/nc)+i12*(s2/nc))
         |                   + (s2/nc)*(i12*(s1/nc)+i22*(s2/nc))) + ln(nc/n), 5) AS icpt
-        |FROM cls, inv ORDER BY class""".stripMargin
+        |FROM cls, inv ORDER BY class""".stripMargin,
+    // q97's derivation + window-numbered removal: a duplicated line's
+    // occurrences remove EXCEPT the row_number-1 canonical (ordered by
+    // doc_id, pos — the same global order the operator's min(struct)
+    // picks)
+    "q102_dedup_lines_keepone" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[\t\n\x0B\f\r ]+'),
+        |                             x -> x <> '') AS ts
+        |  FROM documents WHERE text IS NOT NULL),
+        |lines AS (
+        |  SELECT doc_id, CAST((s - 1) / 4 AS BIGINT) AS pos,
+        |         array_to_string(list_slice(ts, CAST(s AS BIGINT), least(s + 3, len(ts))), ' ') AS line
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1, 4)) AS s
+        |        FROM tok WHERE len(ts) > 0)
+        |  UNION ALL
+        |  SELECT doc_id, 0 AS pos, '' AS line FROM tok WHERE len(ts) = 0),
+        |w AS (
+        |  SELECT doc_id, pos, line,
+        |         count(*) OVER (PARTITION BY line) AS cnt,
+        |         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        |  FROM lines),
+        |agg AS (
+        |  SELECT doc_id,
+        |         coalesce(string_agg(CASE WHEN cnt < 2 OR rn = 1 THEN line END,
+        |                             chr(10) ORDER BY pos), '') AS clean,
+        |         CAST(sum(CASE WHEN cnt >= 2 AND rn > 1 THEN 1 ELSE 0 END) AS INT) AS n_removed,
+        |         CAST(count(*) AS INT) AS n_lines
+        |  FROM w GROUP BY doc_id)
+        |SELECT doc.doc_id,
+        |       CASE WHEN doc.text IS NULL THEN NULL ELSE a.clean END AS text,
+        |       CASE WHEN doc.text IS NULL THEN NULL ELSE a.n_removed END AS n_removed_lines,
+        |       CASE WHEN doc.text IS NULL THEN NULL ELSE a.n_lines END AS n_lines
+        |FROM documents doc LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc.doc_id""".stripMargin
   )
 }

@@ -429,10 +429,18 @@ object Dedup {
     * document rebuilds to `""` (its row survives — dropping documents
     * is the caller's policy, applied on the counters).
     *
+    * `keepFirst = true` switches to C4's exact rule — remove all BUT
+    * ONE occurrence of each duplicated line, the one at the globally
+    * smallest `(id, pos)` (deterministic: positions are unique within
+    * a document and the id column must be orderable). The canonical
+    * occurrence costs one `min(struct(id, pos))` in the same counting
+    * aggregate — no extra shuffle.
+    *
     * Reference scope note: the reference engine has no text pipeline —
     * this operator is part of the library's LLM-curation extension. */
   def dedupLines(docs: DataFrame, idCol: String, textCol: String,
-                 minCount: Long = 2L, sep: String = "\n"): DataFrame = {
+                 minCount: Long = 2L, sep: String = "\n",
+                 keepFirst: Boolean = false): DataFrame = {
     require(minCount > 1, "dedupLines needs minCount > 1 — at 1 it removes every line")
     require(sep.nonEmpty, "dedupLines needs a non-empty line separator")
     val sepPattern = java.util.regex.Pattern.quote(sep)
@@ -440,9 +448,10 @@ object Dedup {
       .select(col(idCol).as("__id"),
         posexplode(split(col(textCol), sepPattern)).as(Seq("__pos", "__line")))
     val dups = lines.groupBy(col("__line"))
-      .agg(count(lit(1)).as("__cnt"))
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col("__id"), col("__pos"))).as("__first"))
       .filter(col("__cnt") >= minCount)
-      .select(col("__line"), lit(true).as("__dup"))
+      .select(col("__line"), lit(true).as("__dup"), col("__first"))
     // rebuild via repartition + spillable within-partition sort + a
     // streaming per-document concat (mapPartitions — the documented
     // last-resort tier, earned here): the collect_list formulation
@@ -450,8 +459,14 @@ object Dedup {
     // at 5M docs × ~10 lines the partial-aggregate maps OOM'd a 24 GB
     // heap (measured, sf100 tier). The sorted stream touches one
     // document at a time — O(longest document) memory, any corpus size.
+    val removed =
+      if (keepFirst)
+        col("__dup").isNotNull &&
+          !(struct(col("__id"), col("__pos")) === col("__first"))
+      else col("__dup").isNotNull
     val joined = lines.join(dups, Seq("__line"), "left")
-      .select(col("__id"), col("__pos"), col("__line"), col("__dup"))
+      .select(col("__id"), col("__pos"), col("__line"),
+        when(removed, lit(true)).as("__rm"))
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("__id",
         joined.schema("__id").dataType, nullable = true),

@@ -93,4 +93,45 @@ object LmQuality {
     val lm = train(docs, textCol, minCount, maxModel, alpha)
     (docs.withColumn("lm_score", score(lm, col(textCol))), lm)
   }
+
+  /** Persist a trained model as parquet — train once on the reference
+    * corpus, score every future ingest job from the artifact (the
+    * deployment shape; retraining per job re-reads the whole reference).
+    * Layout: one row per gram, `(kind 'b'|'u', gram STRING, n LONG)`,
+    * plus one `kind = 'm'` metadata row carrying (vocab, alpha·1e6 as
+    * n). Grams round-trip through UTF-8 strings — they came from text,
+    * so the encoding is lossless. */
+  def save(lm: BigramLm, spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val m = lm.bc.value
+    def rows(kind: String, ks: Array[Array[Byte]], ns: Array[Long]) =
+      ks.indices.map(i => (kind,
+        new String(ks(i), java.nio.charset.StandardCharsets.UTF_8), ns(i)))
+    val meta = Seq(("m", "", m.vocab)) ++
+      Seq(("a", "", math.round(lm.alpha * 1e6)))
+    (rows("b", m.bigramKeys, m.bigramCounts) ++
+     rows("u", m.unigramKeys, m.unigramCounts) ++ meta)
+      .toDF("kind", "gram", "n")
+      .coalesce(1) // KB-to-MB scale artifact: one tidy file
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a model persisted by [[save]] and re-broadcast it. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): BigramLm = {
+    val rows = spark.read.parquet(path)
+      .select(col("kind"), col("gram"), col("n")).collect()
+    def utf8(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val big = rows.filter(_.getString(0) == "b")
+    val uni = rows.filter(_.getString(0) == "u")
+    val vocab = rows.find(_.getString(0) == "m")
+      .getOrElse(throw new IllegalStateException(s"$path: not an LmQuality model (no meta row)"))
+      .getLong(2)
+    val alpha = rows.find(_.getString(0) == "a")
+      .map(_.getLong(2) / 1e6)
+      .getOrElse(throw new IllegalStateException(s"$path: not an LmQuality model (no alpha row)"))
+    val model = new LmModel(
+      big.map(r => utf8(r.getString(1))), big.map(_.getLong(2)),
+      uni.map(r => utf8(r.getString(1))), uni.map(_.getLong(2)), vocab)
+    BigramLm(spark.sparkContext.broadcast(model), alpha)
+  }
 }

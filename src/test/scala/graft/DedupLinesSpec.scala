@@ -71,6 +71,25 @@ class DedupLinesSpec extends AnyFunSuite {
     assert(got(2) == ((3L, "more", 1, 2)))
   }
 
+  test("keepFirst: C4's exact rule — one canonical occurrence survives") {
+    val docs = Seq(
+      1L -> "banner\nalpha",
+      2L -> "bravo\nbanner",
+      3L -> "banner\ncharlie")
+    val got = Dedup.dedupLines(docs.toDF("id", "text"), "id", "text",
+        minCount = 2L, keepFirst = true)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sortBy(_._1)
+    // the globally smallest (id, pos) = (1, 0) keeps its banner
+    assert(got(0) == ((1L, "banner\nalpha", 0)))
+    assert(got(1) == ((2L, "bravo", 1)))
+    assert(got(2) == ((3L, "charlie", 1)))
+    // layout independence of the canonical pick
+    val b = Dedup.dedupLines(docs.toDF("id", "text").repartition(7), "id", "text",
+        minCount = 2L, keepFirst = true)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sortBy(_._1)
+    assert(got.toSeq == b.toSeq)
+  }
+
   test("layout-independent and custom separator") {
     val docs = (0 until 200).map(i => (i.toLong, s"common|unique$i|${if (i % 2 == 0) "even" else "odd"}"))
     val df = docs.toDF("id", "text")

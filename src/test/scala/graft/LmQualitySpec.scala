@@ -111,6 +111,27 @@ class LmQualitySpec extends AnyFunSuite {
     assert(tri == Seq("p q r", "q r s"))
   }
 
+  test("save/load round-trip: the loaded model scores bit-identically") {
+    val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val lm = LmQuality.train(df, "text", alpha = 0.25)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm").toString + "/model"
+    LmQuality.save(lm, spark, dir)
+    val loaded = LmQuality.load(spark, dir)
+    assert(loaded.vocab == lm.vocab && loaded.bigrams == lm.bigrams
+      && math.abs(loaded.alpha - 0.25) < 1e-12)
+    val probe = Seq((0L, "the cat sat on the mat"), (1L, "zzz qqq www")).toDF("id", "text")
+    def scores(m: LmQuality.BigramLm) = probe
+      .select($"id", LmQuality.score(m, $"text").as("s")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(lm) == scores(loaded)) // exact double equality
+    lm.release(); loaded.release()
+    intercept[IllegalStateException] {
+      val empty = java.nio.file.Files.createTempDirectory("graft_lm2").toString + "/m"
+      Seq(("x", "y", 1L)).toDF("kind", "gram", "n").write.parquet(empty)
+      LmQuality.load(spark, empty)
+    }
+  }
+
   test("scoreCorpus self-scores and the scoring plan is a pure projection") {
     val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
     val (scored, lm) = LmQuality.scoreCorpus(df, "text")
