@@ -447,11 +447,18 @@ object Dedup {
     val lines = docs
       .select(col(idCol).as("__id"),
         posexplode(split(col(textCol), sepPattern)).as(Seq("__pos", "__line")))
-    val dups = lines.groupBy(col("__line"))
-      .agg(count(lit(1)).as("__cnt"),
-        min(struct(col("__id"), col("__pos"))).as("__first"))
-      .filter(col("__cnt") >= minCount)
-      .select(col("__line"), lit(true).as("__dup"), col("__first"))
+    val dups =
+      if (keepFirst)
+        lines.groupBy(col("__line"))
+          .agg(count(lit(1)).as("__cnt"),
+            min(struct(col("__id"), col("__pos"))).as("__first"))
+          .filter(col("__cnt") >= minCount)
+          .select(col("__line"), lit(true).as("__dup"), col("__first"))
+      else // the remove-all rule never reads the canonical pick — don't aggregate it
+        lines.groupBy(col("__line"))
+          .agg(count(lit(1)).as("__cnt"))
+          .filter(col("__cnt") >= minCount)
+          .select(col("__line"), lit(true).as("__dup"))
     // rebuild via repartition + spillable within-partition sort + a
     // streaming per-document concat (mapPartitions — the documented
     // last-resort tier, earned here): the collect_list formulation
