@@ -367,9 +367,14 @@ object Dedup {
     // candidate row) re-paid the tokenize+hash walk up to 2 × bands
     // times per true pair and measured 45 s on the 215k × 500k sf10
     // row; this shape verifies each pair once from two array handles.
+    // both sides checkpoint (layout-preserving, eviction-recomputable):
+    // each feeds TWO consumers — the band explode and the verify join —
+    // and without the checkpoint the tokenize+shingle+minhash walk runs
+    // twice per side (4 corpus walks per call, measured)
     val nsh = newDocs.select(col(idCol).as("__nid"),
-      array_distinct(TextFunctions.shingleHashes(col(textCol), shingleSize)).as("__nsh"),
-      minhashBands(col(textCol), numHashes, shingleSize, bands).as("__nbands"))
+        array_distinct(TextFunctions.shingleHashes(col(textCol), shingleSize)).as("__nsh"),
+        minhashBands(col(textCol), numHashes, shingleSize, bands).as("__nbands"))
+      .transform(graft.Graft.checkpoint)
     // corpus docs key by content hash: duplicates collapse (one
     // representative is enough to flag), and the join back to the
     // shingle set needs no caller-supplied corpus id
@@ -377,6 +382,7 @@ object Dedup {
         array_distinct(TextFunctions.shingleHashes(col(textCol), shingleSize)).as("__csh"),
         minhashBands(col(textCol), numHashes, shingleSize, bands).as("__cbands"))
       .dropDuplicates("__cid")
+      .transform(graft.Graft.checkpoint)
     val cbx = csh.select(col("__cid"),
       posexplode(col("__cbands")).as(Seq("__band", "__bucket")))
     val sizes = cbx.groupBy("__band", "__bucket").agg(count(lit(1)).as("__n"))
