@@ -2243,6 +2243,23 @@ object SparkEntry {
       graft.operators.Dedup.dedupLines(corpus, "doc_id", "text",
           minCount = 2L, keepFirst = true)
         .orderBy(col("doc_id"))
+    },
+
+    // per-source document cap (the "≤ N pages per domain" curation
+    // rule): survivors = the cap smallest (stableHash32(doc_id),
+    // doc_id) per source, ranked by the bounded map-side k-heap, ids
+    // semi-joined back. DuckDB re-derives the identical survivor set
+    // from the HUGEINT hash recompute + a row_number window; the
+    // budget subset law (cap=3 ⊂ cap=7) is asserted in-query.
+    "q103_source_cap" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val out = graft.operators.CorpusMix.capPerSource(docs, "source", "doc_id", 7)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+      val tight = graft.operators.CorpusMix.capPerSource(docs, "source", "doc_id", 3)
+      require(tight.join(out, Seq("doc_id"), "left_anti").count() == 0,
+        "q103: the cap=3 survivors must be a subset of the cap=7 survivors")
+      out
     }
   )
 
@@ -3976,6 +3993,29 @@ object SparkEntry {
         |       CASE WHEN doc.text IS NULL THEN NULL ELSE a.n_removed END AS n_removed_lines,
         |       CASE WHEN doc.text IS NULL THEN NULL ELSE a.n_lines END AS n_lines
         |FROM documents doc LEFT JOIN agg a USING (doc_id)
-        |ORDER BY doc.doc_id""".stripMargin
+        |ORDER BY doc.doc_id""".stripMargin,
+    // the q86/q93 HUGEINT recompute of the pinned stable hash, then the
+    // window formulation of the per-source cap: rank by (hash, doc_id)
+    // within each source, keep rank ≤ 7.
+    "q103_source_cap" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, n_chars,
+        |         CAST(xor(h2, h2 >> 13) AS BIGINT) AS hash
+        |  FROM (
+        |    SELECT doc_id, source, n_chars,
+        |           CAST((CAST(xor(h1, h1 >> 16) AS HUGEINT) * 2246822519)
+        |                % 4294967296 AS BIGINT) AS h2
+        |    FROM (
+        |      SELECT doc_id, source, n_chars,
+        |             CAST((((CAST(doc_id AS HUGEINT) % 4294967296) + 4294967296)
+        |                    % 4294967296 * 2654435761)
+        |                  % 4294967296 AS BIGINT) AS h1
+        |      FROM documents))),
+        |r AS (
+        |  SELECT doc_id, source, n_chars,
+        |         row_number() OVER (PARTITION BY source ORDER BY hash, doc_id) AS rn
+        |  FROM h)
+        |SELECT doc_id, source, n_chars FROM r WHERE rn <= 7
+        |ORDER BY doc_id""".stripMargin
   )
 }

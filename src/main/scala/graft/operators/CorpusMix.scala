@@ -74,6 +74,49 @@ object CorpusMix {
       .drop("__full", "__epoch")
   }
 
+  /** Per-source document cap — the "no more than N pages per domain"
+    * curation rule (C4 caps extremely over-represented hosts; a mixture
+    * policy caps any one crawl source from dominating the corpus).
+    * Keeps, for every `sourceCol` value, the `cap` rows with the
+    * SMALLEST `(stableHash32(id), id)` — a deterministic pseudo-random
+    * survivor pick, engine-re-derivable from the same pinned hash the
+    * split/sample/mixture family uses (no `rand()`, no first-N-in-file
+    * bias toward whatever order the crawl was written in). Survivors
+    * are subset-stable in `cap`: `cap=5` survivors ⊂ `cap=50`
+    * survivors, so tightening a domain budget never rotates which
+    * documents the smaller corpus contained.
+    *
+    * 100 TB shape: the rank is a bounded map-side k-heap per source
+    * ([[graft.agg.TopKByScore]]) over a 3-column projection — each task
+    * ships one O(cap) heap per source through the shuffle, NOT every
+    * row — followed by one equi-join of the survivor ids back against
+    * the corpus (survivors ≤ #sources · cap rows, which AQE broadcasts
+    * in any realistic mixture). A window `row_number() OVER (PARTITION
+    * BY source ORDER BY hash)` would shuffle AND sort the full corpus,
+    * and a single mega-source (web crawl at 90% of rows) would sort
+    * ~everything on one reducer; the heap form caps that reducer's
+    * input at #tasks · cap entries.
+    *
+    * NULL-`idCol` rows are dropped (an id is a key — the same contract
+    * as every top-k path); NULL `sourceCol` rows form their OWN group,
+    * matching SQL's `PARTITION BY` null-bucketing, so an unattributed
+    * stratum is capped too rather than passed through unbounded. */
+  def capPerSource(docs: DataFrame, sourceCol: String, idCol: String,
+                   cap: Int): DataFrame = {
+    require(cap > 0, s"capPerSource needs a positive cap, got $cap")
+    graft.Graft.register(docs.sparkSession)
+    // smallest hash first under a DESC-ranked aggregate: negate. The
+    // hash is < 2^32, exact in a double, so the negation is lossless.
+    val survivors = docs
+      .select(col(sourceCol).as("__src"), col(idCol).as("__id"))
+      .withColumn("__score", -StableSplit.stableHash32(col("__id")).cast("double"))
+      .groupBy(col("__src"))
+      .agg(call_function("topk_by_score", col("__score"), col("__id"), lit(cap)).as("__top"))
+      .select(explode(col("__top")).as("__e"))
+      .select(col("__e").getField("cId").as("__keep_id"))
+    docs.join(survivors, col(idCol) === col("__keep_id"), "left_semi")
+  }
+
   /** The deterministic global-shuffle key for a composed mixture row:
     * `stableHash32(id XOR (epoch+1)·PRIME)` with the golden-ratio
     * 32-bit prime, so copies of one document from different epochs

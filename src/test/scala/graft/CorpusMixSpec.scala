@@ -88,6 +88,45 @@ class CorpusMixSpec extends AnyFunSuite {
     }
   }
 
+  test("capPerSource ≡ the window formulation, subset-stable in cap, layout-independent") {
+    val docs = corpus(300)
+    val got = CorpusMix.capPerSource(docs, "source", "id", 7)
+      .select($"id").as[Long].collect().toSet
+    // driver reference: per source, the 7 smallest (hash, id)
+    val want = (0 until 300).map { i =>
+      val src = if (i % 3 == 0) "web" else if (i % 3 == 1) "wiki" else "code"
+      (src, refHash(i.toLong), i.toLong)
+    }.groupBy(_._1).values.flatMap(_.sortBy(t => (t._2, t._3)).take(7).map(_._3)).toSet
+    assert(got == want)
+    assert(got.size == 21)
+    // subset law: tightening the budget never rotates survivors
+    val tight = CorpusMix.capPerSource(docs, "source", "id", 3)
+      .select($"id").as[Long].collect().toSet
+    assert(tight.subsetOf(got) && tight.size == 9)
+    // layout independence
+    val relaid = CorpusMix.capPerSource(docs.repartition(17, $"text"), "source", "id", 7)
+      .select($"id").as[Long].collect().toSet
+    assert(relaid == got)
+    // cap ≥ group size keeps the whole group; NULL source is its own
+    // capped group; NULL ids drop
+    val all = CorpusMix.capPerSource(docs, "source", "id", 1000)
+    assert(all.count() == 300)
+    val withNulls = Seq(
+      (java.lang.Long.valueOf(1L), "a", "web"),
+      (java.lang.Long.valueOf(2L), "b", null.asInstanceOf[String]),
+      (java.lang.Long.valueOf(3L), "c", null.asInstanceOf[String]),
+      (java.lang.Long.valueOf(4L), "d", null.asInstanceOf[String]),
+      (null.asInstanceOf[java.lang.Long], "e", "web"))
+      .toDF("id", "text", "source")
+    val nw = CorpusMix.capPerSource(withNulls, "source", "id", 2)
+      .select($"text").as[String].collect().toSet
+    assert(nw.contains("a") && !nw.contains("e"))
+    assert(nw.count(Set("b", "c", "d")) == 2)
+    intercept[IllegalArgumentException] {
+      CorpusMix.capPerSource(docs, "source", "id", 0)
+    }
+  }
+
   test("mixKey matches the driver reference and scatters epochs of one doc") {
     val out = CorpusMix.compose(corpus(60), "source", "id", Map("wiki" -> 3.0))
       .select($"id", $"epoch",
