@@ -2260,6 +2260,25 @@ object SparkEntry {
       require(tight.join(out, Seq("doc_id"), "left_anti").count() == 0,
         "q103: the cap=3 survivors must be a subset of the cap=7 survivors")
       out
+    },
+
+    // exact top-fraction quality cut without a global sort: the
+    // threshold is the rank n−ceil(0.1·n)+1 element found by 4 radix
+    // histogram passes over the order-preserving double bit key
+    // (Quantiles.keepTopFraction); survivors = score ≥ threshold, ties
+    // included. DuckDB re-derives the identical cut from a window rank.
+    "q104_quantile_filter" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val score = col("n_chars").cast("double")
+      // the discrete-quantile contract itself, pinned in-query against
+      // the selection's own count-free rank rule
+      val th = graft.operators.Quantiles.topFractionThreshold(docs, score, 0.1)
+      val out = graft.operators.Quantiles.keepTopFraction(docs, score, 0.1)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+      require(out.filter(col("n_chars").cast("double") < th).count() == 0,
+        "q104: every survivor must clear the threshold")
+      out
     }
   )
 
@@ -4016,6 +4035,20 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY source ORDER BY hash, doc_id) AS rn
         |  FROM h)
         |SELECT doc_id, source, n_chars FROM r WHERE rn <= 7
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // the top-10% cut re-derived by a window rank: threshold = the
+    // rank n − ceil(0.1·n) + 1 value ascending, survivors ≥ threshold
+    // (ties on the threshold included — same contract both sides).
+    "q104_quantile_filter" ->
+      """WITH r AS (
+        |  SELECT n_chars,
+        |         row_number() OVER (ORDER BY n_chars) AS rn,
+        |         count(*) OVER () AS c
+        |  FROM documents),
+        |t AS (
+        |  SELECT n_chars AS th FROM r
+        |  WHERE rn = c - CAST(ceil(0.1 * c) AS BIGINT) + 1)
+        |SELECT doc_id, n_chars FROM documents, t
+        |WHERE n_chars >= th ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.functions.{DoubleBits, DoubleBitsOrdered}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+/**
+ * EXACT distributed order statistics without a global sort — the
+ * "keep the best X% of the corpus by quality score" primitive. Spark's
+ * built-in `approxQuantile` is approximate (a dataset card can't state
+ * "top 10% by LM score" off an ε-sketch and have anyone re-derive it),
+ * and the exact alternatives — `ORDER BY … LIMIT`, a window rank —
+ * total-sort 100 TB to read one number.
+ *
+ * Method: radix selection over the order-preserving bit key
+ * ([[graft.functions.DoubleBitsOrdered]]). Four passes, each a
+ * histogram over the next 16-bit digit of the key: `groupBy(digit)` is
+ * a map-side partial aggregate into ≤65 536 cells, so each pass ships
+ * at most 65 536 rows per task through the shuffle — the DATA never
+ * shuffles, never sorts. The driver walks the ≤65 536-row histogram,
+ * picks the digit containing the k-th element, and the next pass
+ * filters to that prefix (a pushable integer comparison that prunes
+ * most rows at the scan). Exactly 4 scans for a 64-bit key, any n.
+ *
+ * NULL scores are ignored (SQL aggregate semantics); NaN keys above
+ * +Inf (Spark's sort order), so a NaN-polluted column surfaces NaN at
+ * the top quantiles instead of silently skewing a threshold; `-0.0`
+ * keys below `0.0` (bit-exact selection — the returned value is the
+ * element's own bits, never a recomputed one).
+ */
+object Quantiles {
+
+  private def keyed(df: DataFrame, value: Column): DataFrame =
+    df.filter(value.isNotNull)
+      .select(ColumnBridge.column(
+          DoubleBitsOrdered(ColumnBridge.expression(value.cast("double"))))
+        // unsigned form: digits of (key XOR MIN_VALUE) ascend with the
+        // double order under LOGICAL shifts, so every pass below can
+        // bucket with shiftrightunsigned + mask and walk buckets 0..2^16
+        .bitwiseXOR(lit(Long.MinValue)).as("__u"))
+
+  /** The k-th SMALLEST (1-based) non-null value, and the non-null count
+    * piggybacked off the first pass's histogram (no separate count
+    * scan). `k` may depend on n via `kOf`; throws if the resolved k is
+    * out of [1, n]. */
+  private def select(df: DataFrame, value: Column, kOf: Long => Long): (Double, Long) = {
+    val u = keyed(df, value)
+    var prefix = 0L
+    var remaining = 0L
+    var n = 0L
+    var level = 1
+    while (level <= 4) {
+      val shift = 64 - 16 * level
+      val cur = if (level == 1) u
+        else u.filter(shiftrightunsigned(col("__u"), shift + 16) === lit(prefix))
+      val hist = cur
+        .groupBy(shiftrightunsigned(col("__u"), shift).bitwiseAND(lit(0xFFFFL)).as("__d"))
+        .count()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      if (level == 1) {
+        n = hist.map(_._2).sum
+        remaining = kOf(n)
+        require(remaining >= 1 && remaining <= n,
+          s"selection rank $remaining out of range [1, $n]")
+      }
+      var acc = 0L
+      var chosen = -1L
+      hist.foreach { case (d, c) =>
+        if (chosen < 0) {
+          if (acc + c >= remaining) { chosen = d; remaining -= acc }
+          else acc += c
+        }
+      }
+      assert(chosen >= 0, s"radix level $level lost rank $remaining — histogram drifted")
+      prefix = (prefix << 16) | chosen
+      level += 1
+    }
+    (DoubleBits.fromOrdered(prefix ^ Long.MinValue), n)
+  }
+
+  /** The k-th smallest (1-based) non-null value of `value`. */
+  def kthSmallest(df: DataFrame, value: Column, k: Long): Double = {
+    require(k >= 1, s"kthSmallest needs k ≥ 1, got $k")
+    select(df, value, _ => k)._1
+  }
+
+  /** Exact discrete quantile — DuckDB's `quantile_disc(x, q)` contract:
+    * the element at rank `ceil(q·n)` of the non-null values ascending.
+    * 4 scans, no sort. */
+  def quantileDisc(df: DataFrame, value: Column, q: Double): Double = {
+    require(q > 0.0 && q <= 1.0, s"quantileDisc needs q in (0, 1], got $q")
+    select(df, value, n => math.ceil(q * n).toLong)._1
+  }
+
+  /** The threshold for keeping the top `frac` of rows by `value`: the
+    * rank `n − ceil(frac·n) + 1` element, so `value ≥ threshold` admits
+    * exactly `ceil(frac·n)` rows plus any ties ON the threshold. */
+  def topFractionThreshold(df: DataFrame, value: Column, frac: Double): Double = {
+    require(frac > 0.0 && frac <= 1.0, s"topFraction needs frac in (0, 1], got $frac")
+    select(df, value, n => n - math.ceil(frac * n).toLong + 1)._1
+  }
+
+  /** Keep the top `frac` of rows by `value` — `ceil(frac·n)` rows plus
+    * ties on the threshold value (the cut is engine-re-derivable from
+    * the data alone; pair with [[StableSplit.stableSample]] when an
+    * EXACT budget matters more than a clean score cut). Rows with a
+    * NULL score never pass. 100 TB shape: 4 histogram scans to find the
+    * threshold, then one pushable `≥ literal` filter. */
+  def keepTopFraction(df: DataFrame, value: Column, frac: Double): DataFrame = {
+    val t = topFractionThreshold(df, value, frac)
+    df.filter(value.cast("double") >= lit(t))
+  }
+}

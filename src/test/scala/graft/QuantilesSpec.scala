@@ -1,0 +1,91 @@
+package graft
+
+import graft.functions.DoubleBits
+import graft.operators.Quantiles
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[graft.operators.Quantiles]]: exact radix selection must equal a
+  * full sort on every rank, across signs, ties, subnormals, infinities,
+  * and partition layouts — and never sort or shuffle the data. */
+class QuantilesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def hostile: Seq[Double] = {
+    val rnd = new scala.util.Random(7)
+    val base = Seq(0.0, -0.0, 1.5, -1.5, Double.MinPositiveValue,
+      -Double.MinPositiveValue, Double.MaxValue, Double.MinValue,
+      Double.PositiveInfinity, Double.NegativeInfinity, 42.0, 42.0, 42.0)
+    base ++ (1 to 500).map(_ => rnd.nextGaussian() * math.pow(10, rnd.nextInt(8) - 4)) ++
+      (1 to 50).map(_ => 42.0) // a fat tie block
+  }
+
+  test("bit key is order-preserving and self-inverse on hostile doubles") {
+    val vs = hostile.sorted
+    val keys = vs.map(DoubleBits.ordered)
+    assert(keys == keys.sorted, "keys must ascend with the double order")
+    vs.foreach { v =>
+      val back = DoubleBits.fromOrdered(DoubleBits.ordered(v))
+      assert(java.lang.Double.doubleToLongBits(back) ==
+        java.lang.Double.doubleToLongBits(v), s"round-trip of $v")
+    }
+    // -0.0 keys strictly below 0.0; NaN above +Inf
+    assert(DoubleBits.ordered(-0.0) < DoubleBits.ordered(0.0))
+    assert(DoubleBits.ordered(Double.NaN) > DoubleBits.ordered(Double.PositiveInfinity))
+  }
+
+  test("kthSmallest equals the sorted array at every rank (hostile values, ties, layouts)") {
+    val vs = hostile
+    val sorted = vs.sorted
+    val df = vs.toDF("x").repartition(7)
+    Seq(1, 2, 13, vs.size / 2, vs.size - 1, vs.size).foreach { k =>
+      val got = Quantiles.kthSmallest(df, col("x"), k)
+      assert(java.lang.Double.doubleToLongBits(got) ==
+        java.lang.Double.doubleToLongBits(sorted(k - 1)),
+        s"rank $k: $got vs ${sorted(k - 1)}")
+    }
+    // layout independence
+    val re = Quantiles.kthSmallest(vs.toDF("x").repartition(31, col("x")), col("x"), 17)
+    assert(re == sorted(16))
+  }
+
+  test("quantileDisc pins the DuckDB contract ceil(q·n); NULLs ignored; bad ranks throw") {
+    val df = Seq[java.lang.Double](1.0, 2.0, 3.0, 4.0, null).toDF("x")
+    assert(Quantiles.quantileDisc(df, col("x"), 0.9) == 4.0)  // ceil(3.6) = 4
+    assert(Quantiles.quantileDisc(df, col("x"), 0.5) == 2.0)  // ceil(2.0) = 2
+    assert(Quantiles.quantileDisc(df, col("x"), 0.25) == 1.0) // ceil(1.0) = 1
+    intercept[IllegalArgumentException] { Quantiles.quantileDisc(df, col("x"), 0.0) }
+    intercept[IllegalArgumentException] { Quantiles.kthSmallest(df, col("x"), 5) } // only 4 non-null
+    intercept[IllegalArgumentException] { Quantiles.kthSmallest(df, col("x"), 0) }
+  }
+
+  test("keepTopFraction keeps ceil(frac·n) rows plus threshold ties, re-derivable") {
+    val vs = (1 to 200).map(_.toDouble)
+    val df = vs.toDF("x")
+    val kept = Quantiles.keepTopFraction(df, col("x"), 0.1).as[Double].collect().sorted
+    assert(kept.toSeq == (181 to 200).map(_.toDouble)) // exactly the top 20
+    assert(Quantiles.topFractionThreshold(df, col("x"), 0.1) == 181.0)
+    // ties on the threshold are all kept
+    val tied = (Seq.fill(10)(5.0) ++ Seq(1.0, 2.0, 3.0)).toDF("x")
+    val keptTied = Quantiles.keepTopFraction(tied, col("x"), 0.1).count()
+    assert(keptTied == 10) // ceil(0.1·13)=2 ranks, but the 5.0 block ties
+  }
+
+  test("the selection plan aggregates — it never sorts or exchanges the data rows") {
+    val df = (1 to 100).map(_.toDouble).toDF("x")
+    val u = df.select(ColumnBridgeProbe.key(col("x")).as("__u"))
+    val plan = u.groupBy(shiftrightunsigned(col("__u"), 48).bitwiseAND(lit(0xFFFFL)))
+      .count().queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort"), s"radix pass must not sort:\n$plan")
+    assert(plan.contains("HashAggregate"), s"radix pass must hash-aggregate:\n$plan")
+  }
+}
+
+private object ColumnBridgeProbe {
+  def key(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.DoubleBitsOrdered(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c.cast("double"))))
+      .bitwiseXOR(lit(Long.MinValue))
+}
