@@ -2279,8 +2279,89 @@ object SparkEntry {
       require(out.filter(col("n_chars").cast("double") < th).count() == 0,
         "q104: every survivor must clear the threshold")
       out
+    },
+
+    // BPE tokenizer TRAINING (Sennrich ACL 2016): distributed word
+    // counts (one shuffle), then the exact driver merge loop with
+    // incremental pair counts. Output = the 8-merge table with counts.
+    // DuckDB replays training verbatim: 8 unrolled rounds, each
+    // counting symbol pairs over the dict and applying the argmax via
+    // a boundary-anchored replace (ties by count DESC, pair ASC in
+    // binary collation — the trainer pins UTF-8 byte order to match).
+    "q105_bpe_train" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val model = graft.operators.Bpe.train(docs, "text", 8)
+      import s.implicits._
+      model.merges.zipWithIndex.map { case ((l, r), i) =>
+        (i + 1, l, r, model.counts(i))
+      }.toDF("rank", "left", "right", "cnt").orderBy(col("rank"))
+    },
+
+    // BPE ENCODING with the same-corpus 8-merge model: every word
+    // replays the merge list in rank order (left-to-right
+    // non-overlapping passes), token arrays concatenate in word order.
+    // DuckDB re-derives the model AND the per-document token sequence
+    // (joined by 0x01) — a byte-exact oracle over the full tokenizer.
+    "q106_bpe_encode" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val model = graft.operators.Bpe.train(docs, "text", 8)
+      val enc = graft.operators.Bpe.encode(docs, "text", model)
+      enc.select(col("doc_id"),
+          when(col("tokens").isNull, lit(null).cast("string"))
+            .otherwise(array_join(col("tokens"), "\u0001")).as("tokens_str"), // 0x01 joiner = the oracle's chr(1)
+          when(col("tokens").isNull, lit(null).cast("int"))
+            .otherwise(size(col("tokens"))).as("n_tokens"))
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** The q105/q106 BPE oracle's unrolled training rounds. `words` must
+    * already be bound (word, cnt). Representation: a word's symbols
+    * joined by DOUBLED 0x01 separators and wrapped in one more pair —
+    * `replace(sp, chr(1)·a·chr(1)chr(1)·b·chr(1), chr(1)·ab·chr(1))`
+    * is then exactly a left-to-right non-overlapping merge pass (the
+    * single anchor seps keep symbol boundaries exact, the doubled
+    * interior means consuming one sep never starves the next match —
+    * `a a a a` → `aa aa`, not `aa a a`). Round r: count symbol pairs
+    * over w(r−1), argmax by (count DESC, a, b) in binary collation,
+    * apply. */
+  private def bpeOracleRounds(rounds: Int, carryWord: Boolean): String = {
+    val wordSel = if (carryWord) "word, " else ""
+    val w0 =
+      s"""w0 AS (
+         |  SELECT ${wordSel}cnt,
+         |         chr(1)||chr(1) || array_to_string(string_split(word, ''), chr(1)||chr(1)) || chr(1)||chr(1) AS sp
+         |  FROM words)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT pr[1] AS a, pr[2] AS b, CAST(sum(cnt) AS BIGINT) AS c FROM (
+         |    SELECT cnt, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS pr
+         |    FROM (SELECT cnt, list_filter(string_split(sp, chr(1)), x -> x <> '') AS syms FROM w${r - 1})
+         |    WHERE len(syms) >= 2)
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
+         |w$r AS (
+         |  SELECT ${wordSel}cnt,
+         |         replace(sp, chr(1)||a||chr(1)||chr(1)||b||chr(1), chr(1)||a||b||chr(1)) AS sp
+         |  FROM w${r - 1}, b$r)""".stripMargin
+    }
+    (w0 +: rs).mkString(",\n")
+  }
+
+  /** The pinned whitespace class as LITERAL backslashes (this is a
+    * plain triple-quote, not an interpolator — `\t` here is two
+    * characters for DuckDB's regex engine, never a real tab). */
+  private val bpeWsClass: String = """[\t\n\x0B\f\r ]+"""
+
+  /** Shared words CTE for the BPE oracles: whitespace-split word
+    * counts over non-NULL documents (the trainer's exact contract). */
+  private val bpeWordsCte: String =
+    """words AS (
+      |  SELECT word, count(*) AS cnt FROM (
+      |    SELECT unnest(list_filter(string_split_regex(text, '[\t\n\x0B\f\r ]+'),
+      |                              x -> x <> '')) AS word
+      |    FROM documents WHERE text IS NOT NULL)
+      |  GROUP BY word)""".stripMargin
 
   /** `out(r) = price(r) * (1 - discount(r))` — the shared derived-column
     * kernel for the columnar cofactor oracle rows. */
@@ -4049,6 +4130,50 @@ object SparkEntry {
         |  SELECT n_chars AS th FROM r
         |  WHERE rn = c - CAST(ceil(0.1 * c) AS BIGINT) + 1)
         |SELECT doc_id, n_chars FROM documents, t
-        |WHERE n_chars >= th ORDER BY doc_id""".stripMargin
+        |WHERE n_chars >= th ORDER BY doc_id""".stripMargin,
+    // full BPE training replay: 8 unrolled rounds over the word dict
+    // (see bpeOracleRounds for the replace-as-merge-pass scheme).
+    "q105_bpe_train" -> {
+      val unions = (1 to 8).map { r =>
+        s"""SELECT $r AS rank, a AS "left", b AS "right", c AS cnt FROM b$r"""
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $bpeWordsCte,
+         |${bpeOracleRounds(8, carryWord = false)}
+         |SELECT rank, "left", "right", cnt FROM (
+         |  $unions)
+         |ORDER BY rank""".stripMargin
+    },
+    // full tokenizer replay: the same 8 training rounds carrying the
+    // word through, so w8 IS the dict's encoded end state (encode =
+    // replay merges in rank order = training's final spaced form);
+    // per document, words join their final symbol lists in order.
+    "q106_bpe_encode" -> {
+      s"""WITH $bpeWordsCte,
+         |${bpeOracleRounds(8, carryWord = true)},
+         |final AS (
+         |  SELECT word, list_filter(string_split(sp, chr(1)), x -> x <> '') AS syms
+         |  FROM w8),
+         |tok AS (
+         |  SELECT doc_id, list_filter(string_split_regex(text, '$bpeWsClass'),
+         |                             x -> x <> '') AS ws
+         |  FROM documents WHERE text IS NOT NULL),
+         |docw AS (
+         |  SELECT doc_id, pos, ws[pos] AS word
+         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS pos
+         |        FROM tok WHERE len(ws) > 0)),
+         |agg AS (
+         |  SELECT d.doc_id,
+         |         string_agg(array_to_string(f.syms, chr(1)), chr(1) ORDER BY d.pos) AS tokens_str,
+         |         CAST(sum(len(f.syms)) AS INT) AS n_tokens
+         |  FROM docw d JOIN final f USING (word)
+         |  GROUP BY d.doc_id)
+         |SELECT doc.doc_id,
+         |       CASE WHEN doc.text IS NULL THEN NULL
+         |            ELSE coalesce(a.tokens_str, '') END AS tokens_str,
+         |       CASE WHEN doc.text IS NULL THEN NULL
+         |            ELSE coalesce(a.n_tokens, 0) END AS n_tokens
+         |FROM documents doc LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc.doc_id""".stripMargin
+    }
   )
 }
