@@ -2312,6 +2312,20 @@ object SparkEntry {
           when(col("tokens").isNull, lit(null).cast("int"))
             .otherwise(size(col("tokens"))).as("n_tokens"))
         .orderBy(col("doc_id"))
+    },
+
+    // per-group exact quantile cut (the FineWeb per-language threshold
+    // shape): every source keeps its own top 20% by length — all 20
+    // groups selected in the SAME 4 radix passes (histograms keyed by
+    // (group, digit), prefixes applied through one literal map).
+    // DuckDB re-derives each group's threshold with a partitioned
+    // window rank.
+    "q107_group_quantile_cut" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.Quantiles.keepTopFractionByGroup(
+          docs, col("source"), col("n_chars").cast("double"), 0.2)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -4174,6 +4188,21 @@ object SparkEntry {
          |            ELSE coalesce(a.n_tokens, 0) END AS n_tokens
          |FROM documents doc LEFT JOIN agg a USING (doc_id)
          |ORDER BY doc.doc_id""".stripMargin
-    }
+    },
+    // per-source top-20% cut re-derived with a partitioned window:
+    // threshold(g) = the rank n_g − ceil(0.2·n_g) + 1 value ascending
+    // within source g, survivors ≥ their own source's threshold.
+    "q107_group_quantile_cut" ->
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |         row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        |         count(*) OVER (PARTITION BY source) AS c
+        |  FROM documents),
+        |t AS (
+        |  SELECT source, n_chars AS th FROM r
+        |  WHERE rn = c - CAST(ceil(0.2 * c) AS BIGINT) + 1)
+        |SELECT d.doc_id, d.source, d.n_chars
+        |FROM documents d JOIN t USING (source)
+        |WHERE d.n_chars >= t.th ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -111,4 +111,92 @@ object Quantiles {
     val t = topFractionThreshold(df, value, frac)
     df.filter(value.cast("double") >= lit(t))
   }
+
+  // ---- per-group selection (the per-language threshold shape) ----
+
+  /** Per-group radix selection: every group runs the same 4 passes AT
+    * ONCE — pass L histograms `groupBy(group, digit)` (map-side
+    * partial, ≤ #groups·2^16 cells, sparse in practice) and filters to
+    * each group's OWN prefix through one literal `map(group → prefix)`
+    * lookup, so a 50-language corpus still costs exactly 4 scans, not
+    * 4·50. Returns group → (selected value, non-null count); groups
+    * whose every score is NULL are absent. NULL group keys are dropped
+    * (a threshold needs an owner); `maxGroups` bounds the literal map
+    * and the collected histogram, loudly. */
+  private def selectByGroup(df: DataFrame, group: Column, value: Column,
+                            kOf: Long => Long, maxGroups: Int): Map[String, (Double, Long)] = {
+    val u = df.filter(value.isNotNull && group.isNotNull)
+      .select(group.cast("string").as("__g"),
+        ColumnBridge.column(
+            DoubleBitsOrdered(ColumnBridge.expression(value.cast("double"))))
+          .bitwiseXOR(lit(Long.MinValue)).as("__u"))
+    var prefix = Map.empty[String, Long]   // group → accepted key prefix
+    var remaining = Map.empty[String, Long]
+    var n = Map.empty[String, Long]
+    var level = 1
+    while (level <= 4) {
+      val shift = 64 - 16 * level
+      val cur = if (level == 1) u else {
+        val m = map(prefix.toSeq.sortBy(_._1)
+          .flatMap { case (g, p) => Seq(lit(g), lit(p)) }: _*)
+        u.filter(shiftrightunsigned(col("__u"), shift + 16) === element_at(m, col("__g")))
+      }
+      val hist = cur
+        .groupBy(col("__g"),
+          shiftrightunsigned(col("__u"), shift).bitwiseAND(lit(0xFFFFL)).as("__d"))
+        .count()
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1)
+      if (level == 1) {
+        require(hist.size <= maxGroups,
+          s"quantile group count ${hist.size} > maxGroups=$maxGroups — " +
+            "a near-unique group key would collect an unbounded histogram")
+        n = hist.view.mapValues(_.map(_._3).sum).toMap
+        remaining = n.map { case (g, ng) =>
+          val k = kOf(ng)
+          require(k >= 1 && k <= ng, s"group '$g': selection rank $k out of range [1, $ng]")
+          (g, k)
+        }
+      }
+      val chosen = hist.map { case (g, rows) =>
+        var acc = 0L
+        var pick = -1L
+        rows.sortBy(_._2).foreach { case (_, d, c) =>
+          if (pick < 0) { if (acc + c >= remaining(g)) pick = d else acc += c }
+        }
+        assert(pick >= 0, s"group '$g': radix level $level lost rank ${remaining(g)}")
+        (g, pick, acc)
+      }
+      prefix = chosen.map { case (g, d, _) => (g, (prefix.getOrElse(g, 0L) << 16) | d) }.toMap
+      remaining = chosen.map { case (g, _, acc) => (g, remaining(g) - acc) }.toMap
+      level += 1
+    }
+    prefix.map { case (g, p) => (g, (DoubleBits.fromOrdered(p ^ Long.MinValue), n(g))) }
+  }
+
+  /** Exact per-group discrete quantile (`quantile_disc(x, q) … GROUP BY
+    * g` with the same ceil(q·n) contract): group → value. */
+  def quantileDiscByGroup(df: DataFrame, group: Column, value: Column, q: Double,
+                          maxGroups: Int = 100000): Map[String, Double] = {
+    require(q > 0.0 && q <= 1.0, s"quantileDiscByGroup needs q in (0, 1], got $q")
+    selectByGroup(df, group, value, ng => math.ceil(q * ng).toLong, maxGroups)
+      .view.mapValues(_._1).toMap
+  }
+
+  /** Keep the top `frac` of every group's rows by `value` — the
+    * per-language quality cut: each group gets its OWN threshold
+    * (rank n_g − ceil(frac·n_g) + 1), so a high-scoring language never
+    * starves a low-scoring one. Survivors = value ≥ threshold(group),
+    * ties included; the thresholds apply through one literal-map
+    * lookup (still a pushable scan filter). NULL groups and NULL
+    * scores drop. */
+  def keepTopFractionByGroup(df: DataFrame, group: Column, value: Column,
+                             frac: Double, maxGroups: Int = 100000): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"topFraction needs frac in (0, 1], got $frac")
+    val th = selectByGroup(df, group, value,
+      ng => ng - math.ceil(frac * ng).toLong + 1, maxGroups)
+    val m = map(th.toSeq.sortBy(_._1)
+      .flatMap { case (g, (t, _)) => Seq(lit(g), lit(t)) }: _*)
+    df.filter(value.cast("double") >= element_at(m, group.cast("string")))
+  }
 }

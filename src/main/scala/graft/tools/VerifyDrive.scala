@@ -568,6 +568,53 @@ object VerifyDrive {
         s"lm mean $mean vs uniform floor $oov")
     }
 
+    println("== [24] source caps, exact quantile cuts, BPE tokenizer ==")
+    locally {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      // per-source cap: aggregate form == window formulation, recounted
+      val capped = graft.operators.CorpusMix.capPerSource(docs, "source", "doc_id", 3)
+      val wantIds = docs.select(col("source"), col("doc_id"),
+          graft.operators.StableSplit.stableHash32(col("doc_id")).as("h"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+            .orderBy(col("h"), col("doc_id"))))
+        .filter(col("rn") <= 3).select("doc_id").collect().map(_.getLong(0)).toSet
+      val gotIds = capped.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(gotIds == wantIds, "cap survivors must equal the window formulation")
+      // global + per-group quantile cuts recounted against sorts
+      val score = col("n_chars").cast("double")
+      val th = graft.operators.Quantiles.topFractionThreshold(docs, score, 0.25)
+      val sortedN = docs.select(score.as("s")).collect().map(_.getDouble(0)).sorted
+      assert(th == sortedN(sortedN.length - math.ceil(0.25 * sortedN.length).toInt),
+        "global threshold must equal the sorted-array rank")
+      val byGroup = graft.operators.Quantiles.quantileDiscByGroup(
+        docs, col("source"), score, 0.5)
+      val oneSrc = docs.filter(col("source") === "src0")
+        .select(score.as("s")).collect().map(_.getDouble(0)).sorted
+      assert(byGroup("src0") == oneSrc(math.ceil(0.5 * oneSrc.length).toInt - 1),
+        "per-group median must equal that group's sorted rank")
+      // BPE: train end-to-end, encode round-trips the normalized text
+      val model = graft.operators.Bpe.train(docs, "text", 16)
+      assert(model.merges.length == 16, "training must produce 16 merges")
+      assert(model.counts.forall(_ >= 1), "every merge must have a positive count")
+      val enc = graft.operators.Bpe.encode(docs, "text", model)
+      val bad = enc.select(col("text"), col("tokens"))
+        .withColumn("rebuilt", concat_ws("", col("tokens")))
+        .withColumn("norm", concat_ws("", filter(split(col("text"), "\\s+"), t => t =!= "")))
+        .filter(col("rebuilt") =!= col("norm")).count()
+      assert(bad == 0, s"$bad docs whose concatenated tokens differ from their words")
+      val nTok = enc.agg(sum(size(col("tokens")))).head.getLong(0)
+      val nWords = docs.select(explode(split(col("text"), "\\s+")).as("w"))
+        .filter(col("w") =!= "").count()
+      val nChars = enc.agg(sum(aggregate(col("tokens"), lit(0),
+        (acc, t) => acc + length(t)))).head.getLong(0)
+      assert(nTok <= nChars && nTok >= nWords,
+        s"token count $nTok must sit between words $nWords and chars $nChars")
+      println(s"caps/quantiles/bpe OK: ${gotIds.size} cap survivors, " +
+        s"global th=$th, ${byGroup.size} group medians, " +
+        s"$nTok tokens over $nWords words after 16 merges")
+    }
+
     spark.stop()
   }
 }

@@ -72,6 +72,38 @@ class QuantilesSpec extends AnyFunSuite {
     assert(keptTied == 10) // ceil(0.1·13)=2 ranks, but the 5.0 block ties
   }
 
+  test("per-group quantiles equal a per-group sort; group cut matches the window form") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 400).map { i =>
+      (s"g${i % 5}", rnd.nextGaussian() * math.pow(10, rnd.nextInt(6) - 3))
+    } ++ Seq(("g0", -0.0), ("g1", 0.0), ("g2", 42.0), ("g2", 42.0))
+    val df = rows.toDF("g", "x").repartition(9)
+    Seq(0.1, 0.5, 0.9).foreach { q =>
+      val got = Quantiles.quantileDiscByGroup(df, col("g"), col("x"), q)
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        val s = rs.map(_._2).sorted
+        (g, s(math.ceil(q * s.size).toInt - 1))
+      }
+      assert(got == want, s"q=$q")
+    }
+    // per-group top-30% cut ≡ the window formulation
+    val kept = Quantiles.keepTopFractionByGroup(df, col("g"), col("x"), 0.3)
+      .as[(String, Double)].collect().toSet
+    val wantKept = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      val s = rs.map(_._2).sorted
+      val th = s(s.size - math.ceil(0.3 * s.size).toInt)
+      rs.filter(_._2 >= th)
+    }.toSet
+    assert(kept == wantKept)
+    // NULL group / NULL score drop; maxGroups fails loudly
+    val withNull = (rows :+ (null.asInstanceOf[String], 1.0)).toDF("g", "x")
+    assert(Quantiles.quantileDiscByGroup(withNull, col("g"), col("x"), 0.5).keySet ==
+      Set("g0", "g1", "g2", "g3", "g4"))
+    intercept[IllegalArgumentException] {
+      Quantiles.quantileDiscByGroup(df, col("g"), col("x"), 0.5, maxGroups = 2)
+    }
+  }
+
   test("the selection plan aggregates — it never sorts or exchanges the data rows") {
     val df = (1 to 100).map(_.toDouble).toDF("x")
     val u = df.select(ColumnBridgeProbe.key(col("x")).as("__u"))
