@@ -2326,6 +2326,23 @@ object SparkEntry {
           docs, col("source"), col("n_chars").cast("double"), 0.2)
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
+    },
+
+    // the full tokenize → pack flow: BPE token counts (the q106 model)
+    // feed per-language sequence packing — pack k = the documents
+    // whose cumulative BPE token count lands in [k·256, (k+1)·256).
+    // DuckDB replays the tokenizer for the counts, then the window
+    // cumsum integer-division.
+    "q108_bpe_pack" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val model = graft.operators.Bpe.train(docs, "text", 8)
+      val enc = graft.operators.Bpe.encode(docs, "text", model)
+        .select(col("doc_id"), col("lang"),
+          // a NULL-text doc packs as 0 tokens (it still occupies a row)
+          coalesce(size(col("tokens")).cast("long"), lit(0L)).as("n_tokens"))
+      graft.operators.Pack.assign(enc, col("lang"), col("doc_id"),
+          col("n_tokens"), budget = 256L)
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -4203,6 +4220,35 @@ object SparkEntry {
         |  WHERE rn = c - CAST(ceil(0.2 * c) AS BIGINT) + 1)
         |SELECT d.doc_id, d.source, d.n_chars
         |FROM documents d JOIN t USING (source)
-        |WHERE d.n_chars >= t.th ORDER BY d.doc_id""".stripMargin
+        |WHERE d.n_chars >= t.th ORDER BY d.doc_id""".stripMargin,
+    // q106's tokenizer replay for per-doc BPE token counts, then q52's
+    // cumsum-div packing window per language.
+    "q108_bpe_pack" -> {
+      s"""WITH $bpeWordsCte,
+         |${bpeOracleRounds(8, carryWord = true)},
+         |final AS (
+         |  SELECT word, len(list_filter(string_split(sp, chr(1)), x -> x <> '')) AS ntok
+         |  FROM w8),
+         |tok AS (
+         |  SELECT doc_id, list_filter(string_split_regex(text, '$bpeWsClass'),
+         |                             x -> x <> '') AS ws
+         |  FROM documents WHERE text IS NOT NULL),
+         |docw AS (
+         |  SELECT doc_id, ws[pos] AS word
+         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS pos
+         |        FROM tok WHERE len(ws) > 0)),
+         |counts AS (
+         |  SELECT doc.doc_id, doc.lang,
+         |         coalesce(CAST(sum(t.ntok) AS BIGINT), 0) AS n_tokens
+         |  FROM documents doc
+         |  LEFT JOIN (SELECT dw.doc_id, f.ntok
+         |             FROM docw dw JOIN final f USING (word)) t
+         |    ON doc.doc_id = t.doc_id
+         |  GROUP BY doc.doc_id, doc.lang)
+         |SELECT doc_id, lang, n_tokens,
+         |       CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |                      ROWS UNBOUNDED PRECEDING) - n_tokens) // 256 AS BIGINT) AS pack
+         |FROM counts ORDER BY doc_id""".stripMargin
+    }
   )
 }
