@@ -629,6 +629,9 @@ object Bench {
   private def sf100Tier(spark: SparkSession): Tier = {
     def li100 = Tables.load(spark, sf100Dir, "lineitem")
     li100.count() // warm the scan cache path (file listing, footers)
+    // shared by the sf100 bpe_encode row (training is its own row)
+    lazy val bpeModel256Sf100 = graft.operators.Bpe.train(
+      Tables.load(spark, sf100Dir, "documents"), "text", 256, minCount = 2L)
 
     // Endpoint-scale vector corpus: 3.2M × 64d (10× the sf10 corpus —
     // the vector family's claims are 100 TB-framed but its largest
@@ -709,6 +712,34 @@ object Bench {
           Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25))
         noop(mixed.select(col("doc_id"), col("epoch"),
           graft.operators.CorpusMix.mixKey(col("doc_id"), col("epoch")).as("k")))
+      },
+      // exact top-10% cut at 5M docs: 4 radix histogram passes + the
+      // literal-threshold filter — the no-sort selection's endpoint
+      // measurement (DuckDB twin `quantile_cut`)
+      "sf100_quantile_cut" -> { () =>
+        val docs = Tables.load(spark, sf100Dir, "documents")
+        noop(graft.operators.Quantiles.keepTopFraction(
+          docs, col("n_chars").cast("double"), 0.1).select(col("doc_id")))
+      },
+      // per-source caps at 5M docs: bounded k-heaps + survivor semi-join
+      // (DuckDB twin `source_cap` runs the window formulation)
+      "sf100_source_cap" -> { () =>
+        val docs = Tables.load(spark, sf100Dir, "documents")
+        noop(graft.operators.CorpusMix.capPerSource(docs, "source", "doc_id", 10000)
+          .select(col("doc_id")))
+      },
+      // BPE at the endpoint corpus: one word-count shuffle over 5M docs
+      // + the 256-merge driver loop; encode re-trains lazily once and
+      // measures the broadcast-probe scan
+      "sf100_bpe_train" -> { () =>
+        val docs = Tables.load(spark, sf100Dir, "documents")
+        val m = graft.operators.Bpe.train(docs, "text", 256, minCount = 2L)
+        require(m.merges.length == 256, s"sf100 bpe_train: ${m.merges.length} merges")
+      },
+      "sf100_bpe_encode" -> { () =>
+        val docs = Tables.load(spark, sf100Dir, "documents")
+        noop(graft.operators.Bpe.encode(docs, "text", bpeModel256Sf100)
+          .select(col("doc_id"), size(col("tokens")).as("n_tokens")))
       },
       // the vector family at the endpoint scale (3.2M × 64d, 20
       // queries, k=10): brute force is the honest O(N·d) floor;

@@ -428,6 +428,35 @@ queries = {
                           % 4294967296 * 2654435761)
                         % 4294967296 AS BIGINT) AS k1
             FROM kept)))""",
+    # graft: sf10_quantile_cut / sf100_quantile_cut — DuckDB's natural
+    # plan for the same shape of exact cut (its own quantile aggregate
+    # for the threshold, then the filter; rank differs by 1 from
+    # graft's n-ceil(0.1n)+1 — timing context, the q104 oracle owns
+    # value parity)
+    "quantile_cut": """
+      WITH t AS (SELECT quantile_disc(n_chars, 0.9) AS th FROM documents)
+      SELECT count(*), sum(n_chars) FROM documents, t WHERE n_chars >= th""",
+    # graft: sf100_source_cap — the window formulation over the pinned
+    # portable hash (survivors must MATCH graft's, so the hash recompute
+    # is part of the honest cost)
+    "source_cap": """
+      WITH h AS (
+        SELECT doc_id, source, CAST(xor(h2, h2 >> 13) AS BIGINT) AS hash
+        FROM (
+          SELECT doc_id, source,
+                 CAST((CAST(xor(h1, h1 >> 16) AS HUGEINT) * 2246822519)
+                      % 4294967296 AS BIGINT) AS h2
+          FROM (
+            SELECT doc_id, source,
+                   CAST((((CAST(doc_id AS HUGEINT) % 4294967296) + 4294967296)
+                          % 4294967296 * 2654435761)
+                        % 4294967296 AS BIGINT) AS h1
+            FROM documents))),
+      r AS (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY source ORDER BY hash, doc_id) AS rn
+        FROM h)
+      SELECT count(*), sum(doc_id) FROM r WHERE rn <= 10000""",
 }
 
 only = set(sys.argv[2:])  # optional query-name filter: time just these rows
