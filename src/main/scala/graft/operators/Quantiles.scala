@@ -40,6 +40,13 @@ object Quantiles {
         // bucket with shiftrightunsigned + mask and walk buckets 0..2^16
         .bitwiseXOR(lit(Long.MinValue)).as("__u"))
 
+  /** A surviving bucket at or under this many rows is COLLECTED and
+    * finished driver-side instead of running the remaining passes —
+    * the typical selection is 2 scans (histogram + collect), and the
+    * 4-pass worst case only fires when ≥ this many values share a
+    * 48-bit key prefix. */
+  private val collectCap = 1 << 16
+
   /** The k-th SMALLEST (1-based) non-null value, and the non-null count
     * piggybacked off the first pass's histogram (no separate count
     * scan). `k` may depend on n via `kOf`; throws if the resolved k is
@@ -66,14 +73,25 @@ object Quantiles {
       }
       var acc = 0L
       var chosen = -1L
+      var chosenCount = 0L
       hist.foreach { case (d, c) =>
         if (chosen < 0) {
-          if (acc + c >= remaining) { chosen = d; remaining -= acc }
+          if (acc + c >= remaining) { chosen = d; chosenCount = c; remaining -= acc }
           else acc += c
         }
       }
       assert(chosen >= 0, s"radix level $level lost rank $remaining — histogram drifted")
       prefix = (prefix << 16) | chosen
+      if (level < 4 && chosenCount <= collectCap) {
+        // the survivors fit the driver: one filtered collect finishes
+        // the selection without the remaining histogram passes
+        val keys = u.filter(shiftrightunsigned(col("__u"), shift) === lit(prefix))
+          .select(col("__u")).collect()
+          .map(_.getLong(0) ^ Long.MinValue).sorted
+        assert(keys.length == chosenCount,
+          s"early collect drifted: ${keys.length} vs $chosenCount rows")
+        return (DoubleBits.fromOrdered(keys((remaining - 1).toInt)), n)
+      }
       level += 1
     }
     (DoubleBits.fromOrdered(prefix ^ Long.MinValue), n)

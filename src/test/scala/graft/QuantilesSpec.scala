@@ -72,6 +72,20 @@ class QuantilesSpec extends AnyFunSuite {
     assert(keptTied == 10) // ceil(0.1·13)=2 ranks, but the 5.0 block ties
   }
 
+  test("the full 4-pass path (no early collect) still selects exactly") {
+    // >2^16 values sharing the top 48 key bits: every level-1..3 bucket
+    // stays over the collect cap, so all 4 histogram passes run
+    val base = DoubleBits.ordered(1.5) & ~0xFFFFL
+    val vs = (0 until 70000).map(i => DoubleBits.fromOrdered(base | (i % 50000).toLong))
+    val df = vs.toDF("x").repartition(8)
+    val sorted = vs.sorted
+    Seq(1, 33333, 70000).foreach { k =>
+      val got = Quantiles.kthSmallest(df, col("x"), k)
+      assert(java.lang.Double.doubleToLongBits(got) ==
+        java.lang.Double.doubleToLongBits(sorted(k - 1)), s"rank $k")
+    }
+  }
+
   test("per-group quantiles equal a per-group sort; group cut matches the window form") {
     val rnd = new scala.util.Random(23)
     val rows = (1 to 400).map { i =>
