@@ -2328,6 +2328,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // quality-stratified mixture (the DoReMi-lite shape): per-source
+    // exact QUARTILE thresholds (the 4-scan radix selection — 0.25 and
+    // 0.75 are FP-exact, so both engines bucket identically) stratify
+    // documents lo / mid / hi, and the mixture composes per stratum
+    // (lo ×0.25, mid ×1.0, hi ×2.5). DuckDB re-derives the thresholds
+    // with window ranks and replays the HUGEINT mixture rule.
+    "q109_quality_mixture" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val score = col("n_chars").cast("double")
+      val q = graft.operators.Quantiles
+      val t1 = q.quantileDiscByGroup(docs, col("source"), score, 0.25)
+      val t2 = q.quantileDiscByGroup(docs, col("source"), score, 0.75)
+      def litMap(m: Map[String, Double]) = map(m.toSeq.sortBy(_._1)
+        .flatMap { case (g, v) => Seq(lit(g), lit(v)) }: _*)
+      val bucket = when(score <= element_at(litMap(t1), col("source")), "lo")
+        .when(score <= element_at(litMap(t2), col("source")), "mid")
+        .otherwise("hi")
+      val mixed = graft.operators.CorpusMix.compose(
+        docs.withColumn("bucket", bucket), "bucket", "doc_id",
+        Map("lo" -> 0.25, "mid" -> 1.0, "hi" -> 2.5))
+      mixed.select(col("doc_id"), col("source"), col("bucket"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))
+    },
+
     // the full tokenize → pack flow: BPE token counts (the q106 model)
     // feed per-language sequence packing — pack k = the documents
     // whose cumulative BPE token count lands in [k·256, (k+1)·256).
@@ -4249,6 +4273,51 @@ object SparkEntry {
          |       CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
          |                      ROWS UNBOUNDED PRECEDING) - n_tokens) // 256 AS BIGINT) AS pack
          |FROM counts ORDER BY doc_id""".stripMargin
-    }
+    },
+    // per-source quartile thresholds via window ranks (0.25/0.75 are
+    // FP-exact), the lo/mid/hi CASE, then q96's HUGEINT mixture
+    // replay keyed on the bucket (lo: fl=0 th=round(.25·2^32);
+    // mid: fl=1 th=0; hi: fl=2 th=2^31).
+    "q109_quality_mixture" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |         row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        |         count(*) OVER (PARTITION BY source) AS c
+        |  FROM documents),
+        |t AS (
+        |  SELECT source,
+        |         max(CASE WHEN rn = CAST(ceil(0.25 * c) AS BIGINT) THEN n_chars END) AS t1,
+        |         max(CASE WHEN rn = CAST(ceil(0.75 * c) AS BIGINT) THEN n_chars END) AS t2
+        |  FROM r GROUP BY source),
+        |b AS (
+        |  SELECT d.doc_id, d.source,
+        |         CASE WHEN d.n_chars <= t.t1 THEN 'lo'
+        |              WHEN d.n_chars <= t.t2 THEN 'mid'
+        |              ELSE 'hi' END AS bucket
+        |  FROM documents d JOIN t USING (source)),
+        |w AS (
+        |  SELECT * FROM (VALUES ('lo', 0, 1073741824),
+        |                        ('mid', 1, 0),
+        |                        ('hi', 2, 2147483648)) AS t(bucket, fl, th)),
+        |h AS (
+        |  SELECT doc_id, source, bucket, CAST(xor(h2, h2 >> 13) AS BIGINT) AS hash
+        |  FROM (
+        |    SELECT doc_id, source, bucket,
+        |           CAST((CAST(xor(h1, h1 >> 16) AS HUGEINT) * 2246822519)
+        |                % 4294967296 AS BIGINT) AS h2
+        |    FROM (
+        |      SELECT doc_id, source, bucket,
+        |             CAST((((CAST(doc_id AS HUGEINT) % 4294967296) + 4294967296)
+        |                    % 4294967296 * 2654435761)
+        |                  % 4294967296 AS BIGINT) AS h1
+        |      FROM b))),
+        |kept AS (
+        |  SELECT h.doc_id, h.source, h.bucket, ep.epoch
+        |  FROM h JOIN w USING (bucket)
+        |  JOIN (SELECT CAST(unnest([0, 1, 2]) AS INT) AS epoch) ep
+        |    ON ep.epoch <= w.fl
+        |  WHERE ep.epoch < w.fl OR h.hash < w.th)
+        |SELECT doc_id, source, bucket, epoch FROM kept
+        |ORDER BY doc_id, epoch""".stripMargin
   )
 }
