@@ -2328,6 +2328,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // token-mass budget cut: keep the documents carrying the TOP 25%
+    // of total TOKEN mass by length score — the budget curation is
+    // actually denominated in (a document-count cut over-admits short
+    // docs). Threshold = the value at mass rank W − ceil(0.25·W) + 1,
+    // found by the same radix passes with mass-summing histograms.
+    // DuckDB re-derives it from a value-grouped cumulative-mass walk.
+    "q110_mass_quantile_cut" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val w = graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+      graft.operators.Quantiles.keepTopFractionByMass(
+          docs, col("n_chars").cast("double"), w, 0.25)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // quality-stratified mixture (the DoReMi-lite shape): per-source
     // exact QUARTILE thresholds (the 4-scan radix selection — 0.25 and
     // 0.75 are FP-exact, so both engines bucket identically) stratify
@@ -4274,6 +4289,23 @@ object SparkEntry {
          |                      ROWS UNBOUNDED PRECEDING) - n_tokens) // 256 AS BIGINT) AS pack
          |FROM counts ORDER BY doc_id""".stripMargin
     },
+    // mass-weighted threshold re-derived from a value-grouped
+    // cumulative token-mass walk: threshold = min value whose
+    // cumulative mass reaches rank W − ceil(0.25·W) + 1; survivors
+    // (every document, weight or not) ≥ threshold.
+    "q110_mass_quantile_cut" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(len(string_split_regex(trim(text), '[\t\n\x0B\f\r ]+')) AS BIGINT) AS w
+        |  FROM documents),
+        |tot AS (SELECT sum(w) AS tw FROM t WHERE w > 0),
+        |g AS (SELECT n_chars AS v, sum(w) AS m FROM t WHERE w > 0 GROUP BY 1),
+        |c AS (SELECT v, sum(m) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum FROM g),
+        |th AS (
+        |  SELECT min(v) AS t FROM c, tot
+        |  WHERE cum >= tw - CAST(ceil(0.25 * tw) AS BIGINT) + 1)
+        |SELECT d.doc_id, d.n_chars FROM documents d, th
+        |WHERE d.n_chars >= th.t ORDER BY d.doc_id""".stripMargin,
     // per-source quartile thresholds via window ranks (0.25/0.75 are
     // FP-exact), the lo/mid/hi CASE, then q96's HUGEINT mixture
     // replay keyed on the bucket (lo: fl=0 th=round(.25·2^32);

@@ -31,14 +31,19 @@ import org.apache.spark.sql.graft.ColumnBridge
  */
 object Quantiles {
 
-  private def keyed(df: DataFrame, value: Column): DataFrame =
-    df.filter(value.isNotNull)
+  private def keyed(df: DataFrame, value: Column, weight: Option[Column]): DataFrame = {
+    val base = df.filter(value.isNotNull)
       .select(ColumnBridge.column(
           DoubleBitsOrdered(ColumnBridge.expression(value.cast("double"))))
         // unsigned form: digits of (key XOR MIN_VALUE) ascend with the
         // double order under LOGICAL shifts, so every pass below can
         // bucket with shiftrightunsigned + mask and walk buckets 0..2^16
-        .bitwiseXOR(lit(Long.MinValue)).as("__u"))
+        .bitwiseXOR(lit(Long.MinValue)).as("__u"),
+        weight.getOrElse(lit(1L)).cast("long").as("__w"))
+    // zero-mass rows can never be selected; NULL weights carry no mass
+    // either (contract: weights are non-negative longs)
+    if (weight.isEmpty) base else base.filter(col("__w") > 0L)
+  }
 
   /** A surviving bucket at or under this many rows is COLLECTED and
     * finished driver-side instead of running the remaining passes —
@@ -47,12 +52,14 @@ object Quantiles {
     * 48-bit key prefix. */
   private val collectCap = 1 << 16
 
-  /** The k-th SMALLEST (1-based) non-null value, and the non-null count
-    * piggybacked off the first pass's histogram (no separate count
-    * scan). `k` may depend on n via `kOf`; throws if the resolved k is
-    * out of [1, n]. */
-  private def select(df: DataFrame, value: Column, kOf: Long => Long): (Double, Long) = {
-    val u = keyed(df, value)
+  /** The value at MASS rank `kOf(W)` (1-based, in weight units; W = the
+    * total mass, piggybacked off the first pass's histogram — no
+    * separate scan): the smallest value v with Σ weight(rows ≤ v) ≥ k.
+    * Unweighted selection is the weight-1 special case. Throws if the
+    * resolved rank is out of [1, W]. */
+  private def select(df: DataFrame, value: Column, weight: Option[Column],
+                     kOf: Long => Long): (Double, Long) = {
+    val u = keyed(df, value, weight)
     var prefix = 0L
     var remaining = 0L
     var n = 0L
@@ -61,10 +68,13 @@ object Quantiles {
       val shift = 64 - 16 * level
       val cur = if (level == 1) u
         else u.filter(shiftrightunsigned(col("__u"), shift + 16) === lit(prefix))
+      // mass picks the bucket; the row count gates the early collect
+      // (with weights ≥ 1, rows ≤ mass, so the unweighted path's cap
+      // reasoning carries over)
       val hist = cur
         .groupBy(shiftrightunsigned(col("__u"), shift).bitwiseAND(lit(0xFFFFL)).as("__d"))
-        .count()
-        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        .agg(sum(col("__w")).as("__m"), count(lit(1)).as("__c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
       if (level == 1) {
         n = hist.map(_._2).sum
         remaining = kOf(n)
@@ -73,24 +83,28 @@ object Quantiles {
       }
       var acc = 0L
       var chosen = -1L
-      var chosenCount = 0L
-      hist.foreach { case (d, c) =>
+      var chosenRows = 0L
+      hist.foreach { case (d, m, c) =>
         if (chosen < 0) {
-          if (acc + c >= remaining) { chosen = d; chosenCount = c; remaining -= acc }
-          else acc += c
+          if (acc + m >= remaining) { chosen = d; chosenRows = c; remaining -= acc }
+          else acc += m
         }
       }
       assert(chosen >= 0, s"radix level $level lost rank $remaining — histogram drifted")
       prefix = (prefix << 16) | chosen
-      if (level < 4 && chosenCount <= collectCap) {
+      if (level < 4 && chosenRows <= collectCap) {
         // the survivors fit the driver: one filtered collect finishes
         // the selection without the remaining histogram passes
-        val keys = u.filter(shiftrightunsigned(col("__u"), shift) === lit(prefix))
-          .select(col("__u")).collect()
-          .map(_.getLong(0) ^ Long.MinValue).sorted
-        assert(keys.length == chosenCount,
-          s"early collect drifted: ${keys.length} vs $chosenCount rows")
-        return (DoubleBits.fromOrdered(keys((remaining - 1).toInt)), n)
+        val rows = u.filter(shiftrightunsigned(col("__u"), shift) === lit(prefix))
+          .select(col("__u"), col("__w")).collect()
+          .map(r => (r.getLong(0) ^ Long.MinValue, r.getLong(1))).sortBy(_._1)
+        assert(rows.length == chosenRows,
+          s"early collect drifted: ${rows.length} vs $chosenRows rows")
+        var cum = 0L
+        var i = 0
+        while (cum < remaining && i < rows.length) { cum += rows(i)._2; i += 1 }
+        assert(cum >= remaining, s"early collect lost mass rank $remaining")
+        return (DoubleBits.fromOrdered(rows(i - 1)._1), n)
       }
       level += 1
     }
@@ -100,7 +114,7 @@ object Quantiles {
   /** The k-th smallest (1-based) non-null value of `value`. */
   def kthSmallest(df: DataFrame, value: Column, k: Long): Double = {
     require(k >= 1, s"kthSmallest needs k ≥ 1, got $k")
-    select(df, value, _ => k)._1
+    select(df, value, None, _ => k)._1
   }
 
   /** Exact discrete quantile — DuckDB's `quantile_disc(x, q)` contract:
@@ -108,7 +122,7 @@ object Quantiles {
     * 4 scans, no sort. */
   def quantileDisc(df: DataFrame, value: Column, q: Double): Double = {
     require(q > 0.0 && q <= 1.0, s"quantileDisc needs q in (0, 1], got $q")
-    select(df, value, n => math.ceil(q * n).toLong)._1
+    select(df, value, None, n => math.ceil(q * n).toLong)._1
   }
 
   /** The threshold for keeping the top `frac` of rows by `value`: the
@@ -116,7 +130,7 @@ object Quantiles {
     * exactly `ceil(frac·n)` rows plus any ties ON the threshold. */
   def topFractionThreshold(df: DataFrame, value: Column, frac: Double): Double = {
     require(frac > 0.0 && frac <= 1.0, s"topFraction needs frac in (0, 1], got $frac")
-    select(df, value, n => n - math.ceil(frac * n).toLong + 1)._1
+    select(df, value, None, n => n - math.ceil(frac * n).toLong + 1)._1
   }
 
   /** Keep the top `frac` of rows by `value` — `ceil(frac·n)` rows plus
@@ -127,6 +141,39 @@ object Quantiles {
     * threshold, then one pushable `≥ literal` filter. */
   def keepTopFraction(df: DataFrame, value: Column, frac: Double): DataFrame = {
     val t = topFractionThreshold(df, value, frac)
+    df.filter(value.cast("double") >= lit(t))
+  }
+
+  // ---- mass-weighted selection (token budgets, not document counts) ----
+
+  /** The value at weighted rank `k` (1-based, in units of `weight`):
+    * the smallest v with Σ weight(rows with value ≤ v) ≥ k. Weights
+    * are non-negative longs (a document's token count); zero/NULL-
+    * weight rows carry no mass. Same 4-pass radix selection, the
+    * histograms summing mass instead of counting rows. */
+  def kthSmallestWeighted(df: DataFrame, value: Column, weight: Column, k: Long): Double = {
+    require(k >= 1, s"kthSmallestWeighted needs k ≥ 1, got $k")
+    select(df, value, Some(weight), _ => k)._1
+  }
+
+  /** Weighted discrete quantile: the value at mass rank ceil(q·W). */
+  def quantileDiscWeighted(df: DataFrame, value: Column, weight: Column,
+                           q: Double): Double = {
+    require(q > 0.0 && q <= 1.0, s"quantileDiscWeighted needs q in (0, 1], got $q")
+    select(df, value, Some(weight), w => math.ceil(q * w).toLong)._1
+  }
+
+  /** Keep the rows carrying the TOP `frac` of total mass by `value` —
+    * the budget most curation decisions are actually denominated in:
+    * "the best 10% of TOKENS", not documents (a threshold on document
+    * counts over-admits short docs). Threshold = the value at mass
+    * rank W − ceil(frac·W) + 1; survivors = value ≥ threshold (mass on
+    * the threshold value included). */
+  def keepTopFractionByMass(df: DataFrame, value: Column, weight: Column,
+                            frac: Double): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"topFraction needs frac in (0, 1], got $frac")
+    val t = select(df, value, Some(weight),
+      w => w - math.ceil(frac * w).toLong + 1)._1
     df.filter(value.cast("double") >= lit(t))
   }
 

@@ -72,6 +72,33 @@ class QuantilesSpec extends AnyFunSuite {
     assert(keptTied == 10) // ceil(0.1·13)=2 ranks, but the 5.0 block ties
   }
 
+  test("weighted selection equals the expanded-multiset sort; mass cut matches cumsum") {
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 300).map(_ => (rnd.nextGaussian() * 100, 1L + rnd.nextInt(50))) ++
+      Seq((7.5, 0L), (-3.25, 5L), (7.5, 3L)) // a zero-mass row and value ties
+    val df = rows.toDF("x", "w").repartition(7)
+    // reference: expand each row into `w` copies, sort, index
+    val expanded = rows.flatMap { case (v, w) => Seq.fill(w.toInt)(v) }.sorted
+    val W = expanded.size.toLong
+    Seq(1L, W / 3, W / 2, W - 1, W).foreach { k =>
+      val got = Quantiles.kthSmallestWeighted(df, col("x"), col("w"), k)
+      assert(got == expanded((k - 1).toInt), s"mass rank $k")
+    }
+    assert(Quantiles.quantileDiscWeighted(df, col("x"), col("w"), 0.5) ==
+      expanded((math.ceil(0.5 * W) - 1).toInt))
+    // top-25%-of-mass cut: survivors ≥ the mass-rank threshold
+    val th = expanded((W - math.ceil(0.25 * W).toLong).toInt) // rank W-ceil(.25W)+1, 0-based
+    val kept = Quantiles.keepTopFractionByMass(df, col("x"), col("w"), 0.25)
+      .as[(Double, Long)].collect()
+    assert(kept.forall(_._1 >= th))
+    assert(kept.map(_._2).sum >= math.ceil(0.25 * W).toLong)
+    // the zero-mass row passes the FILTER iff its value clears the
+    // threshold, but never influences where the threshold lands
+    intercept[IllegalArgumentException] {
+      Quantiles.kthSmallestWeighted(df, col("x"), col("w"), W + 1)
+    }
+  }
+
   test("the full 4-pass path (no early collect) still selects exactly") {
     // >2^16 values sharing the top 48 key bits: every level-1..3 bucket
     // stays over the collect cap, so all 4 histogram passes run
