@@ -593,6 +593,15 @@ object VerifyDrive {
         .select(score.as("s")).collect().map(_.getDouble(0)).sorted
       assert(byGroup("src0") == oneSrc(math.ceil(0.5 * oneSrc.length).toInt - 1),
         "per-group median must equal that group's sorted rank")
+      // mass-weighted cut: kept docs carry ≥ the asked token fraction,
+      // and the threshold equals the expanded-multiset rank
+      val wCol = graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+      val massKept = graft.operators.Quantiles.keepTopFractionByMass(
+        docs, score, wCol, 0.3)
+      val totW = docs.select(sum(wCol)).head.getLong(0)
+      val keptW = massKept.select(sum(wCol)).head.getLong(0)
+      assert(keptW >= math.ceil(0.3 * totW).toLong,
+        s"mass cut kept $keptW of $totW tokens, need ≥ ${math.ceil(0.3 * totW).toLong}")
       // BPE: train end-to-end, encode round-trips the normalized text
       val model = graft.operators.Bpe.train(docs, "text", 16)
       assert(model.merges.length == 16, "training must produce 16 merges")
