@@ -19,14 +19,17 @@ import scala.collection.mutable
  * The ascending sweep is exact because a trained table only ever
  * consumes a merge-k product at ranks > k (see [[graft.operators.Bpe]]).
  *
- * The merge list ships once as a broadcast; each executor builds a
- * pair → rank hash probe from it once, soft-cached by broadcast id
- * (the [[LmScore]] scheme). Per word, only ranks actually PRESENT are
- * visited: the word's adjacent pairs probe the rank table and the
- * minimum present rank is applied next — O(len) probes per applied
- * merge instead of a numMerges-long replay, so a 30k-merge production
- * table costs what the word needs, not what the table holds. Encoding
- * is one scan, no shuffle, no UDF serialization.
+ * The merge list ships once as a broadcast; each executor INTERNS the
+ * table once — every symbol (left, right, product) gets an int id and
+ * the pair → rank probe is an open-addressed long table keyed by
+ * `(leftId << 32) | rightId` — soft-cached by broadcast id (the
+ * [[LmScore]] scheme). Per word the hot loop touches only int arrays:
+ * each adjacent pair is ONE long hash probe (no tuple, no string
+ * compare, no allocation), and only the lowest PRESENT rank is applied
+ * per round, so a 30k-merge production table costs what the word
+ * needs, not what the table holds. A symbol outside the trained vocab
+ * (id −1) can never merge and flows straight through to emission.
+ * Encoding is one scan, no shuffle, no UDF serialization.
  */
 case class BpeEncode(child: Expression, bc: Broadcast[Array[(String, String)]])
     extends UnaryExpression {
@@ -36,8 +39,7 @@ case class BpeEncode(child: Expression, bc: Broadcast[Array[(String, String)]])
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got ${child.dataType}")
 
-  @transient private lazy val ranks: mutable.HashMap[(String, String), Int] =
-    BpeEncode.ranksFor(bc)
+  @transient private lazy val tables: BpeEncode.Tables = BpeEncode.tablesFor(bc)
 
   def compute(u: UTF8String): ArrayData = {
     val text = u.toString
@@ -57,42 +59,54 @@ case class BpeEncode(child: Expression, bc: Broadcast[Array[(String, String)]])
 
   private def encodeWord(text: String, from: Int, until: Int,
                          out: mutable.ArrayBuffer[UTF8String]): Unit = {
-    // split to code points
-    var sym = new mutable.ArrayBuffer[String](until - from)
+    val t = tables
+    // split to code points: parallel (id, string) arrays — the string
+    // survives for emission of never-merged unknown symbols
+    var len = 0
+    var ids = new Array[Int](until - from)
+    var toks = new Array[String](until - from)
     var i = from
     while (i < until) {
       val cp = text.codePointAt(i)
-      sym += new String(Character.toChars(cp))
+      val s = new String(Character.toChars(cp))
+      ids(len) = t.idOf(s)
+      toks(len) = s
+      len += 1
       i += Character.charCount(cp)
     }
-    val r = ranks
-    val table = bc.value
-    // apply the lowest present rank until none of the word's pairs is
-    // in the table; within a rank, merge left-to-right non-overlapping
-    var done = sym.length < 2
+    // apply the lowest present rank until no adjacent pair probes in;
+    // within a rank, merge left-to-right non-overlapping
+    var done = len < 2
     while (!done) {
       var bestRank = Int.MaxValue
       var j = 0
-      while (j + 1 < sym.length) {
-        val rk = r.getOrElse((sym(j), sym(j + 1)), Int.MaxValue)
-        if (rk < bestRank) bestRank = rk
+      while (j + 1 < len) {
+        val a = ids(j); val b = ids(j + 1)
+        if (a >= 0 && b >= 0) {
+          val rk = t.rankOf(a, b)
+          if (rk >= 0 && rk < bestRank) bestRank = rk
+        }
         j += 1
       }
       if (bestRank == Int.MaxValue) done = true
       else {
-        val (l, rr) = table(bestRank)
-        val merged = new mutable.ArrayBuffer[String](sym.length)
+        val lId = t.leftId(bestRank)
+        val rId = t.rightId(bestRank)
+        val pId = t.productId(bestRank)
+        val pStr = t.symbol(pId)
+        var w = 0
         j = 0
-        while (j < sym.length) {
-          if (j + 1 < sym.length && sym(j) == l && sym(j + 1) == rr) {
-            merged += l + rr; j += 2
-          } else { merged += sym(j); j += 1 }
+        while (j < len) {
+          if (j + 1 < len && ids(j) == lId && ids(j + 1) == rId) {
+            ids(w) = pId; toks(w) = pStr; w += 1; j += 2
+          } else { ids(w) = ids(j); toks(w) = toks(j); w += 1; j += 1 }
         }
-        sym = merged
-        if (sym.length < 2) done = true
+        len = w
+        if (len < 2) done = true
       }
     }
-    sym.foreach(t => out += UTF8String.fromString(t))
+    var k = 0
+    while (k < len) { out += UTF8String.fromString(toks(k)); k += 1 }
   }
 
   override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
@@ -113,23 +127,76 @@ object BpeEncode {
   @inline private[functions] def isWs(c: Char): Boolean =
     c == ' ' || (c >= '\t' && c <= '\r')
 
-  private val cache = new java.util.concurrent.ConcurrentHashMap[
-    Long, java.lang.ref.SoftReference[mutable.HashMap[(String, String), Int]]]()
+  /** The interned probe tables: symbol strings ↔ int ids, per-rank
+    * (left, right, product) id triples, and an open-addressed
+    * `(l << 32 | r) → rank` long table (first rank wins on a repeated
+    * pair — the trainer never emits one, but the contract is pinned). */
+  private[functions] final class Tables(merges: Array[(String, String)]) {
+    private val vocab = new java.util.HashMap[String, Integer](merges.length * 4)
+    private val syms = new mutable.ArrayBuffer[String](merges.length * 3)
+    private def intern(s: String): Int = {
+      val got = vocab.get(s)
+      if (got != null) got.intValue()
+      else { val id = syms.length; syms += s; vocab.put(s, id); id }
+    }
+    val leftId = new Array[Int](merges.length)
+    val rightId = new Array[Int](merges.length)
+    val productId = new Array[Int](merges.length)
+    private val cap = {
+      var c = 16
+      while (c < merges.length * 2 + 1) c <<= 1
+      c
+    }
+    private val mask = cap - 1
+    private val probeKey = new Array[Long](cap)
+    private val probeVal = new Array[Int](cap)
+    java.util.Arrays.fill(probeVal, -1)
+    private def put(key: Long, rank: Int): Unit = {
+      var idx = (java.lang.Long.hashCode(key * 0x9E3779B97F4A7C15L)) & mask
+      while (probeVal(idx) >= 0 && probeKey(idx) != key) idx = (idx + 1) & mask
+      if (probeVal(idx) < 0) { probeKey(idx) = key; probeVal(idx) = rank }
+      // else: the pair already holds its FIRST (lowest) rank
+    }
+    locally {
+      var i = 0
+      while (i < merges.length) {
+        val (l, r) = merges(i)
+        leftId(i) = intern(l)
+        rightId(i) = intern(r)
+        productId(i) = intern(l + r)
+        put((leftId(i).toLong << 32) | (rightId(i).toLong & 0xFFFFFFFFL), i)
+        i += 1
+      }
+    }
+    private val symArr = syms.toArray
 
-  private[functions] def ranksFor(bc: Broadcast[Array[(String, String)]])
-      : mutable.HashMap[(String, String), Int] = {
+    def idOf(s: String): Int = {
+      val got = vocab.get(s)
+      if (got == null) -1 else got.intValue()
+    }
+    def symbol(id: Int): String = symArr(id)
+    def rankOf(l: Int, r: Int): Int = {
+      val key = (l.toLong << 32) | (r.toLong & 0xFFFFFFFFL)
+      var idx = (java.lang.Long.hashCode(key * 0x9E3779B97F4A7C15L)) & mask
+      while (true) {
+        val v = probeVal(idx)
+        if (v < 0) return -1
+        if (probeKey(idx) == key) return v
+        idx = (idx + 1) & mask
+      }
+      -1
+    }
+  }
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    Long, java.lang.ref.SoftReference[Tables]]()
+
+  private[functions] def tablesFor(bc: Broadcast[Array[(String, String)]]): Tables = {
     val ref = cache.get(bc.id)
     val hit = if (ref == null) null else ref.get()
     if (hit != null) return hit
-    val m = new mutable.HashMap[(String, String), Int]
-    val arr = bc.value
-    var i = 0
-    while (i < arr.length) {
-      // first (lowest) rank wins if a pair somehow repeats
-      if (!m.contains(arr(i))) m.update(arr(i), i)
-      i += 1
-    }
-    cache.put(bc.id, new java.lang.ref.SoftReference(m))
-    m
+    val built = new Tables(bc.value)
+    cache.put(bc.id, new java.lang.ref.SoftReference(built))
+    built
   }
 }

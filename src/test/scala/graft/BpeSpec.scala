@@ -103,6 +103,36 @@ class BpeSpec extends AnyFunSuite {
     assert(enc(3L).mkString == "unseenlowest")
   }
 
+  test("interned encode kernel ≡ naive rank replay (fuzz: unknown symbols, deep merges)") {
+    val rnd = new scala.util.Random(43)
+    (1 to 8).foreach { trial =>
+      val trainAlpha = "abc"
+      val dict = (1 to 40).map { _ =>
+        ((1 to (2 + rnd.nextInt(7))).map(_ => trainAlpha(rnd.nextInt(3))).mkString,
+          (1 + rnd.nextInt(9)).toLong)
+      }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toArray.sortBy(_._1)
+      val model = Bpe.trainFromDict(dict, 3 + rnd.nextInt(20))
+      // docs mix trained chars with UNSEEN ones (x/y/z never trained)
+      val docAlpha = "abcxyz"
+      val docs = (1 to 15).map { d =>
+        (d.toLong, (1 to (1 + rnd.nextInt(6))).map(_ =>
+          (1 to (1 + rnd.nextInt(9))).map(_ => docAlpha(rnd.nextInt(6))).mkString)
+          .mkString(" "))
+      }
+      val got = Bpe.encode(docs.toDF("id", "text"), "text", model)
+        .select($"id", $"tokens").collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+      docs.foreach { case (id, text) =>
+        val want = text.split("\\s+").filter(_.nonEmpty).toSeq.flatMap { w =>
+          var sym = w.toCharArray.map(_.toString).toVector
+          model.merges.foreach { case (l, r) => sym = naiveMergePass(sym, l, r) }
+          sym
+        }
+        assert(got(id) == want, s"trial $trial doc $id: ${got(id)} vs $want")
+      }
+    }
+  }
+
   test("distributed word counts feed the same model as a driver count; minCount prunes") {
     val docs = Seq("low low lower", "low\tnewest\nnewer", "newer newer").toDF("text")
     val m1 = Bpe.train(docs, "text", 4)
