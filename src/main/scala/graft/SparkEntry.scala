@@ -2328,6 +2328,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // token IDS — the tokenizer's actual deliverable: alphabet symbols
+    // id 0..|A|−1 in UTF-8 order, merge products |A|+rank (first id
+    // owns a repeated product string), out-of-vocab −1. DuckDB
+    // rebuilds the numbering from the replayed model alone and
+    // re-derives every document's id sequence.
+    "q111_bpe_token_ids" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val model = graft.operators.Bpe.train(docs, "text", 8)
+      val enc = graft.operators.Bpe.encodeIds(docs, "text", model)
+      enc.select(col("doc_id"),
+          when(col("token_ids").isNull, lit(null).cast("string"))
+            .otherwise(array_join(transform(col("token_ids"),
+              _.cast("string")), ",")).as("ids_str"),
+          when(col("token_ids").isNull, lit(null).cast("int"))
+            .otherwise(size(filter(col("token_ids"), _ === lit(-1)))).as("n_unk"))
+        .orderBy(col("doc_id"))
+    },
+
     // token-mass budget cut: keep the documents carrying the TOP 25%
     // of total TOKEN mass by length score — the budget curation is
     // actually denominated in (a document-count cut over-admits short
@@ -4288,6 +4306,63 @@ object SparkEntry {
          |       CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
          |                      ROWS UNBOUNDED PRECEDING) - n_tokens) // 256 AS BIGINT) AS pack
          |FROM counts ORDER BY doc_id""".stripMargin
+    },
+    // the q106 tokenizer replay + the model-intrinsic vocabulary:
+    // alphabet ids by binary-collation row_number over the dict's
+    // distinct characters, product ids |A|+rank with min(id) on a
+    // repeated product string, per-doc ids ordered (word, symbol).
+    "q111_bpe_token_ids" -> {
+      val prodUnion = (1 to 8).map { r =>
+        s"SELECT $r AS rank, a || b AS tok FROM b$r"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $bpeWordsCte,
+         |${bpeOracleRounds(8, carryWord = true)},
+         |final AS (
+         |  SELECT word, list_filter(string_split(sp, chr(1)), x -> x <> '') AS syms
+         |  FROM w8),
+         |alpha AS (
+         |  SELECT DISTINCT unnest(string_split(word, '')) AS tok FROM words),
+         |alphaId AS (
+         |  SELECT tok, CAST(row_number() OVER (ORDER BY tok) - 1 AS INT) AS id
+         |  FROM alpha),
+         |na AS (SELECT count(*) AS a FROM alpha),
+         |prod AS (
+         |  $prodUnion),
+         |vocab AS (
+         |  SELECT tok, min(id) AS id FROM (
+         |    SELECT tok, id FROM alphaId
+         |    UNION ALL
+         |    SELECT prod.tok, CAST(na.a + prod.rank - 1 AS INT) AS id FROM prod, na)
+         |  GROUP BY tok),
+         |tok AS (
+         |  SELECT doc_id, list_filter(string_split_regex(text, '$bpeWsClass'),
+         |                             x -> x <> '') AS ws
+         |  FROM documents WHERE text IS NOT NULL),
+         |docw AS (
+         |  SELECT doc_id, pos, ws[pos] AS word
+         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS pos
+         |        FROM tok WHERE len(ws) > 0)),
+         |dtok AS (
+         |  SELECT d.doc_id, d.pos AS wpos, f.spos, f.tok
+         |  FROM docw d JOIN (
+         |    SELECT word, spos, syms[spos] AS tok
+         |    FROM (SELECT word, syms, unnest(range(1, len(syms) + 1)) AS spos
+         |          FROM final)) f USING (word)),
+         |ids AS (
+         |  SELECT t.doc_id, t.wpos, t.spos, coalesce(v.id, -1) AS id
+         |  FROM dtok t LEFT JOIN vocab v ON v.tok = t.tok),
+         |agg AS (
+         |  SELECT doc_id,
+         |         string_agg(CAST(id AS VARCHAR), ',' ORDER BY wpos, spos) AS ids_str,
+         |         CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS INT) AS n_unk
+         |  FROM ids GROUP BY doc_id)
+         |SELECT doc.doc_id,
+         |       CASE WHEN doc.text IS NULL THEN NULL
+         |            ELSE coalesce(a.ids_str, '') END AS ids_str,
+         |       CASE WHEN doc.text IS NULL THEN NULL
+         |            ELSE coalesce(a.n_unk, 0) END AS n_unk
+         |FROM documents doc LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc.doc_id""".stripMargin
     },
     // mass-weighted threshold re-derived from a value-grouped
     // cumulative token-mass walk: threshold = min value whose

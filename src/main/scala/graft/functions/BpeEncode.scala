@@ -31,15 +31,36 @@ import scala.collection.mutable
  * (id −1) can never merge and flows straight through to emission.
  * Encoding is one scan, no shuffle, no UDF serialization.
  */
-case class BpeEncode(child: Expression, bc: Broadcast[Array[(String, String)]])
+case class BpeEncode(child: Expression, bc: Broadcast[Array[(String, String)]],
+                     vocabBc: Option[Broadcast[Array[String]]] = None)
     extends UnaryExpression {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  private def emitIds: Boolean = vocabBc.isDefined
+  override def dataType: DataType =
+    if (emitIds) ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+    else ArrayType(StringType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got ${child.dataType}")
 
   @transient private lazy val tables: BpeEncode.Tables = BpeEncode.tablesFor(bc)
+
+  /** token string → vocab id: alphabet first (given order), then merge
+    * products at |A|+rank, first id winning a repeated product string;
+    * built per plan instance (O(vocab), far off the hot path). */
+  @transient private lazy val vocabIds: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]
+    val alpha = vocabBc.get.value
+    var i = 0
+    while (i < alpha.length) { m.putIfAbsent(alpha(i), Integer.valueOf(i)); i += 1 }
+    val merges = bc.value
+    var r = 0
+    while (r < merges.length) {
+      m.putIfAbsent(merges(r)._1 + merges(r)._2, Integer.valueOf(alpha.length + r))
+      r += 1
+    }
+    m
+  }
 
   def compute(u: UTF8String): ArrayData = {
     val text = u.toString
@@ -54,7 +75,18 @@ case class BpeEncode(child: Expression, bc: Broadcast[Array[(String, String)]])
         encodeWord(text, s, i, out)
       }
     }
-    new GenericArrayData(out.toArray[Any])
+    if (!emitIds) new GenericArrayData(out.toArray[Any])
+    else {
+      val ids = new Array[Any](out.length)
+      val vm = vocabIds
+      var k = 0
+      while (k < out.length) {
+        val got = vm.get(out(k).toString)
+        ids(k) = if (got == null) Integer.valueOf(-1) else got
+        k += 1
+      }
+      new GenericArrayData(ids)
+    }
   }
 
   private def encodeWord(text: String, from: Int, until: Int,

@@ -45,9 +45,20 @@ object Bpe {
 
   /** A trained tokenizer: `merges(k)` is the rank-(k+1) merge; `counts`
     * is the pair's dict-weighted count at selection time (audit +
-    * oracle surface). */
+    * oracle surface); `alphabet` is the training dict's distinct code
+    * points in UTF-8 byte order — the base of the token-ID vocabulary.
+    *
+    * Token IDs ([[encodeIds]]): alphabet symbols take ids
+    * `0 .. |A|−1` in that sorted order, merge products take
+    * `|A| + rank` in merge order; when two merges produce the SAME
+    * string (e.g. `(a, bc)` and `(ab, c)` both → `abc`) the FIRST
+    * (lowest) id owns the string. Symbols outside the vocabulary
+    * (code points never seen in training) emit `-1` (UNK). The whole
+    * numbering is derivable from the model alone — the q111 oracle
+    * rebuilds it in SQL. */
   final case class BpeModel(merges: IndexedSeq[(String, String)],
-                            counts: IndexedSeq[Long]) {
+                            counts: IndexedSeq[Long],
+                            alphabet: IndexedSeq[String]) {
     require(merges.length == counts.length)
   }
 
@@ -143,6 +154,9 @@ object Bpe {
       }
     }
     words.indices.foreach(addWord)
+    // the base vocabulary: distinct code points, UTF-8 byte order
+    val alphabet = words.iterator.flatten.toSet.toIndexedSeq
+      .sortWith(utf8Compare(_, _) < 0)
 
     val merges = IndexedSeq.newBuilder[(String, String)]
     val mergeCounts = IndexedSeq.newBuilder[Long]
@@ -173,7 +187,7 @@ object Bpe {
         k += 1
       }
     }
-    BpeModel(merges.result(), mergeCounts.result())
+    BpeModel(merges.result(), mergeCounts.result(), alphabet)
   }
 
   /** Encode `textCol` with a trained model: whitespace-split words,
@@ -194,22 +208,48 @@ object Bpe {
       graft.functions.BpeEncode(
         org.apache.spark.sql.graft.ColumnBridge.expression(text), bc))
 
-  /** Persist a model as a one-file parquet artifact (rank, left, right,
-    * cnt) — train once on the reference corpus, encode every ingest. */
+  /** Encode to token IDS (ARRAY<INT>) — what a training pipeline packs
+    * and serves. The numbering is the model-intrinsic one documented
+    * on [[BpeModel]]: alphabet first (UTF-8 order), products by rank,
+    * first id owns a repeated product string, out-of-vocabulary
+    * symbols emit −1 (UNK). Same interned one-scan kernel. */
+  def encodeIds(docs: DataFrame, textCol: String, model: BpeModel,
+                out: String = "token_ids"): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(model.merges.toArray)
+    val vb = spark.sparkContext.broadcast(model.alphabet.toArray)
+    docs.withColumn(out,
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.BpeEncode(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col(textCol)),
+          bc, vocabBc = Some(vb))))
+  }
+
+  /** Persist a model as a one-file parquet artifact: merge rows
+    * (kind 'merge': rank, left, right, cnt) + alphabet rows (kind
+    * 'alpha': rank = vocab position, left = the symbol) — train once
+    * on the reference corpus, encode every ingest. */
   def save(model: BpeModel, spark: SparkSession, path: String): Unit = {
     import spark.implicits._
-    model.merges.zipWithIndex.map { case ((l, r), i) =>
-      (i + 1, l, r, model.counts(i))
-    }.toDF("rank", "left", "right", "cnt")
+    val m = model.merges.zipWithIndex.map { case ((l, r), i) =>
+      ("merge", i + 1, l, r, model.counts(i))
+    }
+    val a = model.alphabet.zipWithIndex.map { case (s, i) =>
+      ("alpha", i, s, null.asInstanceOf[String], 0L)
+    }
+    (m ++ a).toDF("kind", "rank", "left", "right", "cnt")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
   /** Load a model persisted by [[save]]. */
   def load(spark: SparkSession, path: String): BpeModel = {
-    val rows = spark.read.parquet(path)
-      .select(col("rank"), col("left"), col("right"), col("cnt"))
-      .collect().sortBy(_.getInt(0))
-    BpeModel(rows.map(r => (r.getString(1), r.getString(2))).toIndexedSeq,
-      rows.map(_.getLong(3)).toIndexedSeq)
+    val all = spark.read.parquet(path)
+      .select(col("kind"), col("rank"), col("left"), col("right"), col("cnt"))
+      .collect()
+    val m = all.filter(_.getString(0) == "merge").sortBy(_.getInt(1))
+    val a = all.filter(_.getString(0) == "alpha").sortBy(_.getInt(1))
+    BpeModel(m.map(r => (r.getString(2), r.getString(3))).toIndexedSeq,
+      m.map(_.getLong(4)).toIndexedSeq,
+      a.map(_.getString(2)).toIndexedSeq)
   }
 }

@@ -150,12 +150,35 @@ class BpeSpec extends AnyFunSuite {
     assert(tiny.merges == Seq(("a", "b"))) // then no pairs remain
   }
 
+  test("token ids: alphabet order, product ranks, repeated-product first-wins, UNK=-1") {
+    // alphabet {a,b,c} → ids 0,1,2; products: rank1 (a,b)→"ab" id 3,
+    // rank2 (ab,c)→"abc" id 4, rank3 (a,bc)→"abc" REPEATED → 4 owns it
+    val model = Bpe.BpeModel(
+      IndexedSeq(("a", "b"), ("ab", "c"), ("a", "bc")),
+      IndexedSeq(9L, 5L, 1L), IndexedSeq("a", "b", "c"))
+    val docs = Seq((1L, "abc c b"), (2L, "xyz a"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val got = Bpe.encodeIds(docs, "text", model)
+      .select($"id", $"token_ids").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getSeq[Int](1))).toMap
+    assert(got(1L) == Seq(4, 2, 1)) // "abc"→4 (first id wins), "c"→2, "b"→1
+    assert(got(2L) == Seq(-1, -1, -1, 0)) // x,y,z unseen → UNK; "a"→0
+    assert(got(3L) == null)
+    // trained-model ids: every dict-word token is in-vocab (no -1)
+    val trained = Bpe.trainFromDict(Array(("lower", 3L), ("low", 5L)), 4)
+    assert(trained.alphabet == Seq("e", "l", "o", "r", "w"))
+    val enc = Bpe.encodeIds(Seq("low lower").toDF("text"), "text", trained)
+      .select($"token_ids").head.getSeq[Int](0)
+    assert(enc.forall(_ >= 0))
+  }
+
   test("save/load round-trips the model; encode stays codegen'd") {
     val model = Bpe.trainFromDict(Array(("lower", 3L), ("lowest", 2L)), 5)
     val dir = java.nio.file.Files.createTempDirectory("bpe_model").toString
     Bpe.save(model, spark, s"$dir/m")
     val back = Bpe.load(spark, s"$dir/m")
     assert(back.merges == model.merges && back.counts == model.counts)
+    assert(back.alphabet == model.alphabet)
     val docs = Seq("lower lowest low").toDF("text")
     val plan = Bpe.encode(docs, "text", back)
       .queryExecution.executedPlan.toString
