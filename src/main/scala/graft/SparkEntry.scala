@@ -2361,6 +2361,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // per-source token-mass budget: EVERY source keeps the documents
+    // carrying its own top 30% of token mass by length score — the
+    // group and mass axes composed in the same 4 radix passes.
+    "q112_group_mass_cut" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val w = graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+      graft.operators.Quantiles.keepTopMassFractionByGroup(
+          docs, col("source"), col("n_chars").cast("double"), w, 0.3)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // quality-stratified mixture (the DoReMi-lite shape): per-source
     // exact QUARTILE thresholds (the 4-scan radix selection — 0.25 and
     // 0.75 are FP-exact, so both engines bucket identically) stratify
@@ -4380,6 +4392,29 @@ object SparkEntry {
         |  SELECT min(v) AS t FROM c, tot
         |  WHERE cum >= tw - CAST(ceil(0.25 * tw) AS BIGINT) + 1)
         |SELECT d.doc_id, d.n_chars FROM documents d, th
+        |WHERE d.n_chars >= th.t ORDER BY d.doc_id""".stripMargin,
+    // per-source grouped cumulative-mass walk: threshold(g) = min value
+    // whose cumulative token mass within source g reaches rank
+    // W_g − ceil(0.3·W_g) + 1; survivors ≥ their own source's threshold.
+    "q112_group_mass_cut" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, n_chars,
+        |         CAST(len(string_split_regex(trim(text), '[\t\n\x0B\f\r ]+')) AS BIGINT) AS w
+        |  FROM documents),
+        |tot AS (SELECT source, sum(w) AS tw FROM t WHERE w > 0 GROUP BY source),
+        |g AS (SELECT source, n_chars AS v, sum(w) AS m
+        |      FROM t WHERE w > 0 GROUP BY source, n_chars),
+        |c AS (SELECT source, v,
+        |             sum(m) OVER (PARTITION BY source ORDER BY v
+        |                          ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM g),
+        |th AS (
+        |  SELECT c.source, min(c.v) AS t
+        |  FROM c JOIN tot USING (source)
+        |  WHERE c.cum >= tot.tw - CAST(ceil(0.3 * tot.tw) AS BIGINT) + 1
+        |  GROUP BY c.source)
+        |SELECT d.doc_id, d.source, d.n_chars
+        |FROM documents d JOIN th USING (source)
         |WHERE d.n_chars >= th.t ORDER BY d.doc_id""".stripMargin,
     // per-source quartile thresholds via window ranks (0.25/0.75 are
     // FP-exact), the lo/mid/hi CASE, then q96's HUGEINT mixture

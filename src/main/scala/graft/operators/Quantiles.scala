@@ -189,12 +189,15 @@ object Quantiles {
     * (a threshold needs an owner); `maxGroups` bounds the literal map
     * and the collected histogram, loudly. */
   private def selectByGroup(df: DataFrame, group: Column, value: Column,
+                            weight: Option[Column],
                             kOf: Long => Long, maxGroups: Int): Map[String, (Double, Long)] = {
-    val u = df.filter(value.isNotNull && group.isNotNull)
+    val base = df.filter(value.isNotNull && group.isNotNull)
       .select(group.cast("string").as("__g"),
         ColumnBridge.column(
             DoubleBitsOrdered(ColumnBridge.expression(value.cast("double"))))
-          .bitwiseXOR(lit(Long.MinValue)).as("__u"))
+          .bitwiseXOR(lit(Long.MinValue)).as("__u"),
+        weight.getOrElse(lit(1L)).cast("long").as("__w"))
+    val u = if (weight.isEmpty) base else base.filter(col("__w") > 0L)
     var prefix = Map.empty[String, Long]   // group → accepted key prefix
     var remaining = Map.empty[String, Long]
     var n = Map.empty[String, Long]
@@ -209,7 +212,7 @@ object Quantiles {
       val hist = cur
         .groupBy(col("__g"),
           shiftrightunsigned(col("__u"), shift).bitwiseAND(lit(0xFFFFL)).as("__d"))
-        .count()
+        .agg(sum(col("__w")).as("__m"))
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
         .groupBy(_._1)
       if (level == 1) {
@@ -244,7 +247,7 @@ object Quantiles {
   def quantileDiscByGroup(df: DataFrame, group: Column, value: Column, q: Double,
                           maxGroups: Int = 100000): Map[String, Double] = {
     require(q > 0.0 && q <= 1.0, s"quantileDiscByGroup needs q in (0, 1], got $q")
-    selectByGroup(df, group, value, ng => math.ceil(q * ng).toLong, maxGroups)
+    selectByGroup(df, group, value, None, ng => math.ceil(q * ng).toLong, maxGroups)
       .view.mapValues(_._1).toMap
   }
 
@@ -258,8 +261,26 @@ object Quantiles {
   def keepTopFractionByGroup(df: DataFrame, group: Column, value: Column,
                              frac: Double, maxGroups: Int = 100000): DataFrame = {
     require(frac > 0.0 && frac <= 1.0, s"topFraction needs frac in (0, 1], got $frac")
-    val th = selectByGroup(df, group, value,
+    val th = selectByGroup(df, group, value, None,
       ng => ng - math.ceil(frac * ng).toLong + 1, maxGroups)
+    val m = map(th.toSeq.sortBy(_._1)
+      .flatMap { case (g, (t, _)) => Seq(lit(g), lit(t)) }: _*)
+    df.filter(value.cast("double") >= element_at(m, group.cast("string")))
+  }
+
+  /** Keep the rows carrying the TOP `frac` of every group's MASS by
+    * `value` — the per-language token budget ("each language keeps its
+    * best 25% of TOKENS"): each group's threshold sits at its own mass
+    * rank W_g − ceil(frac·W_g) + 1, all groups resolved in the same 4
+    * passes (mass-summing (group, digit) histograms + literal prefix
+    * maps). Survivors = value ≥ threshold(group), zero/NULL-mass rows
+    * included among survivors iff their value clears the cut. */
+  def keepTopMassFractionByGroup(df: DataFrame, group: Column, value: Column,
+                                 weight: Column, frac: Double,
+                                 maxGroups: Int = 100000): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"topFraction needs frac in (0, 1], got $frac")
+    val th = selectByGroup(df, group, value, Some(weight),
+      w => w - math.ceil(frac * w).toLong + 1, maxGroups)
     val m = map(th.toSeq.sortBy(_._1)
       .flatMap { case (g, (t, _)) => Seq(lit(g), lit(t)) }: _*)
     df.filter(value.cast("double") >= element_at(m, group.cast("string")))

@@ -99,6 +99,28 @@ class QuantilesSpec extends AnyFunSuite {
     }
   }
 
+  test("per-group mass cut: each group keeps its own top token fraction") {
+    val rnd = new scala.util.Random(37)
+    val rows = (1 to 240).map { i =>
+      (s"g${i % 3}", rnd.nextGaussian() * 10, 1L + rnd.nextInt(30)) }
+    val df = rows.toDF("g", "x", "w").repartition(5)
+    val kept = Quantiles.keepTopMassFractionByGroup(
+        df, col("g"), col("x"), col("w"), 0.25)
+      .as[(String, Double, Long)].collect()
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      // reference: expand to the weighted multiset per group
+      val expanded = rs.flatMap { case (_, v, w) => Seq.fill(w.toInt)(v) }.sorted
+      val wTot = expanded.size.toLong
+      val th = expanded((wTot - math.ceil(0.25 * wTot).toLong).toInt)
+      val keptG = kept.filter(_._1 == g)
+      assert(keptG.forall(_._2 >= th), s"group $g: a survivor under its threshold")
+      assert(keptG.map(_._3).sum >= math.ceil(0.25 * wTot).toLong,
+        s"group $g: kept mass short of the budget")
+      // and nothing above the threshold was dropped
+      assert(keptG.length == rs.count(_._2 >= th), s"group $g: survivor count")
+    }
+  }
+
   test("the full 4-pass path (no early collect) still selects exactly") {
     // >2^16 values sharing the top 48 key bits: every level-1..3 bucket
     // stays over the collect cap, so all 4 histogram passes run
