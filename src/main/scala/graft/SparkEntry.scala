@@ -2361,6 +2361,39 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // the reference's IMPUTATION applied to pipeline metadata: docs
+    // with doc_id % 5 == 0 "lose" their lang tag; a ring-trained LDA
+    // over two text-kernel features (token count, token byte mass)
+    // fills them in — cofactor lift on the observed stratum, pure-
+    // Column predict on the missing one, exactly the MICE column-
+    // update shape. The string class rides as an arithmetic int code
+    // (ascii·256+ascii), decoded back with char() — both engines
+    // re-derive the same coding, so DuckDB retrains the closed-form
+    // LDA from scratch and re-predicts every missing row.
+    "q113_impute_lang" -> { (s, dir) =>
+      Graft.register(s)
+      val g = graft.functions.TextFunctions.gopherStats(col("text"))
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), g.as("g"))
+        .select(col("doc_id"), col("lang"),
+          col("g.n_tokens").cast("double").as("f1"),
+          col("g.n_token_chars").cast("double").as("f2"),
+          (ascii(substring(col("lang"), 1, 1)) * 256 +
+            ascii(substring(col("lang"), 2, 1))).as("cls"))
+      val observed = docs.filter(col("doc_id") % 5 =!= 0)
+      val t = Graft.cofactor(observed.select(col("f1"), col("f2"), col("cls")),
+        Seq("f1", "f2"), Seq("cls"))
+      val m = graft.ml.Lda.train(t, label = 0)
+      docs
+        .withColumn("p", graft.ml.Lda.predict(m, Seq(col("f1"), col("f2")), Seq()))
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 =!= 0, col("lang"))
+            .otherwise(concat(expr("char(p div 256)"), expr("char(p % 256)")))
+            .as("lang_filled"),
+          (col("doc_id") % 5 === 0).as("was_imputed"))
+        .orderBy(col("doc_id"))
+    },
+
     // per-source token-mass budget: EVERY source keeps the documents
     // carrying its own top 30% of token mass by length score — the
     // group and mass axes composed in the same 4 radix passes.
@@ -4393,6 +4426,50 @@ object SparkEntry {
         |  WHERE cum >= tw - CAST(ceil(0.25 * tw) AS BIGINT) + 1)
         |SELECT d.doc_id, d.n_chars FROM documents d, th
         |WHERE d.n_chars >= th.t ORDER BY d.doc_id""".stripMargin,
+    // the q28 LDA algebra retrained on the OBSERVED stratum's
+    // text-kernel features, then argmax-predicted for every missing
+    // row (score DESC, class ASC ties — the trainer's first-max rule
+    // over ascending classes); the int class code decodes via chr.
+    "q113_impute_lang" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         list_filter(string_split_regex(text, '[\t\n\x0B\f\r ]+'),
+        |                     x -> x <> '') AS ts
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(ts) AS DOUBLE) AS f1,
+        |         CAST(coalesce(list_sum(list_transform(ts, x -> strlen(x))), 0) AS DOUBLE) AS f2,
+        |         ascii(substr(lang, 1, 1)) * 256 + ascii(substr(lang, 2, 1)) AS lcls
+        |  FROM t),
+        |d AS (SELECT f1 AS x1, f2 AS x2, lcls AS cls FROM f WHERE doc_id % 5 <> 0),
+        |cls AS (SELECT cls, count(*)::DOUBLE AS nc, sum(x1) AS s1, sum(x2) AS s2
+        |        FROM d GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*)::DOUBLE FROM d) AS n,
+        |               (SELECT sum(x1*x1) FROM d) AS q11,
+        |               (SELECT sum(x1*x2) FROM d) AS q12,
+        |               (SELECT sum(x2*x2) FROM d) AS q22,
+        |               sum(s1*s1/nc) AS w11, sum(s1*s2/nc) AS w12, sum(s2*s2/nc) AS w22
+        |        FROM cls),
+        |sm AS (SELECT n, (q11-w11)/n AS v11, (q12-w12)/n AS v12, (q22-w22)/n AS v22 FROM tot),
+        |inv AS (SELECT n, v22/(v11*v22-v12*v12) AS i11, -v12/(v11*v22-v12*v12) AS i12,
+        |               v11/(v11*v22-v12*v12) AS i22 FROM sm),
+        |coefs AS (SELECT cls.cls, i11*(s1/nc)+i12*(s2/nc) AS w1, i12*(s1/nc)+i22*(s2/nc) AS w2,
+        |                 -0.5*((s1/nc)*(i11*(s1/nc)+i12*(s2/nc))
+        |                       + (s2/nc)*(i12*(s1/nc)+i22*(s2/nc))) + ln(nc/n) AS b
+        |          FROM cls, inv),
+        |scored AS (
+        |  SELECT f.doc_id, c.cls,
+        |         row_number() OVER (PARTITION BY f.doc_id
+        |           ORDER BY c.w1*f.f1 + c.w2*f.f2 + c.b DESC, c.cls) AS rn
+        |  FROM f, coefs c WHERE f.doc_id % 5 = 0),
+        |pred AS (SELECT doc_id, cls FROM scored WHERE rn = 1)
+        |SELECT f.doc_id,
+        |       CASE WHEN f.doc_id % 5 <> 0 THEN f.lang
+        |            ELSE chr(p.cls // 256) || chr(p.cls % 256) END AS lang_filled,
+        |       f.doc_id % 5 = 0 AS was_imputed
+        |FROM f LEFT JOIN pred p USING (doc_id)
+        |ORDER BY f.doc_id""".stripMargin,
     // per-source grouped cumulative-mass walk: threshold(g) = min value
     // whose cumulative token mass within source g reaches rank
     // W_g − ceil(0.3·W_g) + 1; survivors ≥ their own source's threshold.
