@@ -358,6 +358,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("BPE encode is streaming-safe: the model trains offline, the stream tokenizes") {
+    // the tokenize-on-ingest shape: train once on a reference corpus,
+    // broadcast, then every micro-batch encodes statelessly — stream
+    // token sequences and ids == batch
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{array_join, col, transform => arrTransform}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val reference = Seq("low lower lowest", "new newer newest", "low new low")
+      .toDF("text")
+    val model = graft.operators.Bpe.train(reference, "text", 12)
+    def staged(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Bpe.encodeIds(
+          graft.operators.Bpe.encode(df, "text", model), "text", model)
+        .select(col("id"), array_join(col("tokens"), "|").as("toks"),
+          array_join(arrTransform(col("token_ids"), _.cast("string")), ",").as("ids"))
+    val docs = (0 until 30).map(i =>
+      (i.toLong, Seq("low", "newer", s"unseen$i", "lowest").take(i % 4 + 1).mkString(" ")))
+    val input = MemoryStream[(Long, String)]
+    val q = staged(input.toDF.toDF("id", "text"))
+      .writeStream.format("memory").queryName("bpe_stream").start()
+    input.addData(docs: _*)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("bpe_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val batch = staged(docs.toDF("id", "text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(streamed == batch && streamed.size == 30)
+  }
+
   test("curation quartet stateless stages are streaming-safe: gopher + LM score + mixture") {
     // the realistic ingest shape: the LM trains OFFLINE on a reference
     // corpus (broadcast), then gopher gate + LM score + mixture epochs
