@@ -730,6 +730,16 @@ object Bench {
         noop(graft.operators.CorpusMix.capPerSource(docs, "source", "doc_id", 10000)
           .select(col("doc_id")))
       },
+      // per-source token-mass cut at 5M docs: 20 sources resolved in
+      // the SAME mass-summing radix passes (group×digit histograms +
+      // literal prefix maps) — the shared-pass claim at scale
+      "sf100_group_mass_cut" -> { () =>
+        val docs = Tables.load(spark, sf100Dir, "documents")
+        noop(graft.operators.Quantiles.keepTopMassFractionByGroup(
+            docs, col("source"), col("n_chars").cast("double"),
+            col("n_chars"), 0.25)
+          .select(col("doc_id")))
+      },
       // BPE at the endpoint corpus: one word-count shuffle over 5M docs
       // + the 256-merge driver loop; encode re-trains lazily once and
       // measures the broadcast-probe scan
