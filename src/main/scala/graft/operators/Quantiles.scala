@@ -186,8 +186,11 @@ object Quantiles {
     * lookup, so a 50-language corpus still costs exactly 4 scans, not
     * 4·50. Returns group → (selected value, non-null count); groups
     * whose every score is NULL are absent. NULL group keys are dropped
-    * (a threshold needs an owner); `maxGroups` bounds the literal map
-    * and the collected histogram, loudly. */
+    * (a threshold needs an owner); `maxGroups` bounds the collected
+    * histogram AND the per-pass literal prefix maps, loudly — a
+    * 6-figure literal map would push plan canonicalization/hashing
+    * cost past the query itself (the typedLit cliff README documents),
+    * so the default stays at the realistic language/source scale. */
   private def selectByGroup(df: DataFrame, group: Column, value: Column,
                             weight: Option[Column],
                             kOf: Long => Long, maxGroups: Int): Map[String, (Double, Long)] = {
@@ -245,7 +248,7 @@ object Quantiles {
   /** Exact per-group discrete quantile (`quantile_disc(x, q) … GROUP BY
     * g` with the same ceil(q·n) contract): group → value. */
   def quantileDiscByGroup(df: DataFrame, group: Column, value: Column, q: Double,
-                          maxGroups: Int = 100000): Map[String, Double] = {
+                          maxGroups: Int = 10000): Map[String, Double] = {
     require(q > 0.0 && q <= 1.0, s"quantileDiscByGroup needs q in (0, 1], got $q")
     selectByGroup(df, group, value, None, ng => math.ceil(q * ng).toLong, maxGroups)
       .view.mapValues(_._1).toMap
@@ -259,7 +262,7 @@ object Quantiles {
     * lookup (still a pushable scan filter). NULL groups and NULL
     * scores drop. */
   def keepTopFractionByGroup(df: DataFrame, group: Column, value: Column,
-                             frac: Double, maxGroups: Int = 100000): DataFrame = {
+                             frac: Double, maxGroups: Int = 10000): DataFrame = {
     require(frac > 0.0 && frac <= 1.0, s"topFraction needs frac in (0, 1], got $frac")
     val th = selectByGroup(df, group, value, None,
       ng => ng - math.ceil(frac * ng).toLong + 1, maxGroups)
@@ -277,7 +280,7 @@ object Quantiles {
     * included among survivors iff their value clears the cut. */
   def keepTopMassFractionByGroup(df: DataFrame, group: Column, value: Column,
                                  weight: Column, frac: Double,
-                                 maxGroups: Int = 100000): DataFrame = {
+                                 maxGroups: Int = 10000): DataFrame = {
     require(frac > 0.0 && frac <= 1.0, s"topFraction needs frac in (0, 1], got $frac")
     val th = selectByGroup(df, group, value, Some(weight),
       w => w - math.ceil(frac * w).toLong + 1, maxGroups)
