@@ -127,6 +127,19 @@ class CorpusMixSpec extends AnyFunSuite {
     }
   }
 
+  test("capPerSource plans as a bounded aggregate — no window, no per-group sort") {
+    val docs = corpus(200)
+    val plan = CorpusMix.capPerSource(docs, "source", "id", 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"the cap must not plan a window:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"the k-heap aggregate must carry the rank:\n$plan")
+    // partial (map-side) aggregation before the exchange: the heap
+    // ships per task, not every row
+    assert(plan.contains("partial_topk_by_score") || plan.contains("partial topk"),
+      s"map-side partial heap missing:\n$plan")
+  }
+
   test("mixKey matches the driver reference and scatters epochs of one doc") {
     val out = CorpusMix.compose(corpus(60), "source", "id", Map("wiki" -> 3.0))
       .select($"id", $"epoch",
