@@ -2361,6 +2361,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // the reproducible dataset-card pipeline, end to end: per-source
+    // caps → source-weighted mixture → deterministic train/val/test
+    // split → the per-(split, source) card counts. Every stage keys
+    // off the same pinned portable hash, so DuckDB re-derives the
+    // ENTIRE funnel — survivor set, epoch copies, split buckets, and
+    // the final counts — from doc_id alone.
+    "q114_dataset_card" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val capped = graft.operators.CorpusMix.capPerSource(docs, "source", "doc_id", 15)
+      val mixed = graft.operators.CorpusMix.compose(capped, "source", "doc_id",
+        Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25, "src3" -> 1.5,
+            "src4" -> 0.5, "src5" -> 3.0))
+      mixed
+        .withColumn("split", graft.operators.StableSplit.stableSplit(
+          col("doc_id"), Seq(0.8, 0.1, 0.1)))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("n_chars")).as("chars"))
+        .orderBy(col("split"), col("source"))
+    },
+
     // the reference's IMPUTATION applied to pipeline metadata: docs
     // with doc_id % 5 == 0 "lose" their lang tag; a ring-trained LDA
     // over two text-kernel features (token count, token byte mass)
@@ -4426,6 +4448,50 @@ object SparkEntry {
         |  WHERE cum >= tw - CAST(ceil(0.25 * tw) AS BIGINT) + 1)
         |SELECT d.doc_id, d.n_chars FROM documents d, th
         |WHERE d.n_chars >= th.t ORDER BY d.doc_id""".stripMargin,
+    // the whole funnel from the HUGEINT hash: window-rank cap (≤15 per
+    // source), mixture epochs (floor + fractional threshold), split
+    // buckets at the 0.8/0.9 cumulative thresholds, then the card.
+    "q114_dataset_card" ->
+      """WITH h AS (
+        |  SELECT doc_id, CAST(xor(h2, h2 >> 13) AS BIGINT) AS hash
+        |  FROM (
+        |    SELECT doc_id,
+        |           CAST((CAST(xor(h1, h1 >> 16) AS HUGEINT) * 2246822519)
+        |                % 4294967296 AS BIGINT) AS h2
+        |    FROM (
+        |      SELECT doc_id,
+        |             CAST((((CAST(doc_id AS HUGEINT) % 4294967296) + 4294967296)
+        |                    % 4294967296 * 2654435761)
+        |                  % 4294967296 AS BIGINT) AS h1
+        |      FROM documents))),
+        |r AS (
+        |  SELECT d.doc_id, d.source, d.n_chars, h.hash,
+        |         row_number() OVER (PARTITION BY d.source
+        |                            ORDER BY h.hash, d.doc_id) AS rn
+        |  FROM documents d JOIN h USING (doc_id)),
+        |capped AS (SELECT doc_id, source, n_chars, hash FROM r WHERE rn <= 15),
+        |w AS (
+        |  SELECT * FROM (VALUES ('src0', 2, 2147483648),
+        |                        ('src1', 1, 0),
+        |                        ('src2', 0, 1073741824),
+        |                        ('src3', 1, 2147483648),
+        |                        ('src4', 0, 2147483648),
+        |                        ('src5', 3, 0)) AS t(source, fl, th)),
+        |kept AS (
+        |  SELECT c.doc_id, c.source, c.n_chars, c.hash
+        |  FROM capped c JOIN w USING (source)
+        |  JOIN (SELECT CAST(unnest([0, 1, 2, 3]) AS INT) AS epoch) ep
+        |    ON ep.epoch <= w.fl
+        |  WHERE ep.epoch < w.fl OR c.hash < w.th),
+        |sp AS (
+        |  SELECT *, CASE WHEN hash < 3435973837 THEN 0
+        |                 WHEN hash < 3865470566 THEN 1
+        |                 ELSE 2 END AS split
+        |  FROM kept)
+        |SELECT split, source, count(*) AS n_rows,
+        |       count(DISTINCT doc_id) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the q28 LDA algebra retrained on the OBSERVED stratum's
     // text-kernel features, then argmax-predicted for every missing
     // row (score DESC, class ASC ties — the trainer's first-max rule
