@@ -2361,6 +2361,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // Tukey-fence outlier gate with EXACT quartiles: drop documents
+    // whose length lies outside [q1 − 1.5·IQR, q3 + 1.5·IQR] — the
+    // robust fence a mean±σ rule can't give (outliers drag the mean).
+    // DuckDB re-derives both quartiles by window rank and re-applies
+    // the same fence arithmetic.
+    "q115_iqr_fence" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.Quantiles.keepWithinIqrFence(
+          docs, col("n_chars").cast("double"), 1.5)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // the reproducible dataset-card pipeline, end to end: per-source
     // caps → source-weighted mixture → deterministic train/val/test
     // split → the per-(split, source) card counts. Every stage keys
@@ -4448,6 +4461,26 @@ object SparkEntry {
         |  WHERE cum >= tw - CAST(ceil(0.25 * tw) AS BIGINT) + 1)
         |SELECT d.doc_id, d.n_chars FROM documents d, th
         |WHERE d.n_chars >= th.t ORDER BY d.doc_id""".stripMargin,
+    // quartiles at ranks ceil(0.25·n)/ceil(0.75·n) via window rank,
+    // then the 1.5·IQR fence applied in the same double arithmetic.
+    "q115_iqr_fence" ->
+      """WITH r AS (
+        |  SELECT n_chars,
+        |         row_number() OVER (ORDER BY n_chars) AS rn,
+        |         count(*) OVER () AS c
+        |  FROM documents),
+        |q AS (
+        |  SELECT
+        |    max(CASE WHEN rn = CAST(ceil(0.25 * c) AS BIGINT)
+        |             THEN CAST(n_chars AS DOUBLE) END) AS q1,
+        |    max(CASE WHEN rn = CAST(ceil(0.75 * c) AS BIGINT)
+        |             THEN CAST(n_chars AS DOUBLE) END) AS q3
+        |  FROM r)
+        |SELECT d.doc_id, d.n_chars
+        |FROM documents d, q
+        |WHERE CAST(d.n_chars AS DOUBLE) >= q.q1 - 1.5 * (q.q3 - q.q1)
+        |  AND CAST(d.n_chars AS DOUBLE) <= q.q3 + 1.5 * (q.q3 - q.q1)
+        |ORDER BY d.doc_id""".stripMargin,
     // the whole funnel from the HUGEINT hash: window-rank cap (≤15 per
     // source), mixture epochs (floor + fractional threshold), split
     // buckets at the 0.8/0.9 cumulative thresholds, then the card.

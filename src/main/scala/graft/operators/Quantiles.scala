@@ -144,6 +144,22 @@ object Quantiles {
     df.filter(value.cast("double") >= lit(t))
   }
 
+  /** Tukey-fence outlier filter: keep rows whose `value` lies inside
+    * `[q1 − k·IQR, q3 + k·IQR]` with EXACT quartiles (the robust
+    * "drop the pathological docs" gate — a mean±σ fence is itself
+    * dragged by the outliers it should drop). Two radix selections
+    * (quartiles 0.25/0.75 are FP-exact on every engine) + one pushable
+    * range filter; NULL scores never pass. Returns the filtered rows;
+    * the fences are re-derivable from the data alone. */
+  def keepWithinIqrFence(df: DataFrame, value: Column, k: Double = 1.5): DataFrame = {
+    require(k >= 0, s"IQR fence multiplier must be non-negative, got $k")
+    val q1 = quantileDisc(df, value, 0.25)
+    val q3 = quantileDisc(df, value, 0.75)
+    val iqr = q3 - q1
+    df.filter(value.cast("double") >= lit(q1 - k * iqr) &&
+      value.cast("double") <= lit(q3 + k * iqr))
+  }
+
   // ---- mass-weighted selection (token budgets, not document counts) ----
 
   /** The value at weighted rank `k` (1-based, in units of `weight`):

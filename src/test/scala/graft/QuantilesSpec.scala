@@ -167,6 +167,22 @@ class QuantilesSpec extends AnyFunSuite {
     }
   }
 
+  test("IQR fence keeps exactly the in-fence rows; k=0 keeps the quartile box") {
+    val vs = (1 to 100).map(_.toDouble) ++ Seq(1e9, -1e9) // two wild outliers
+    val df = vs.toDF("x")
+    val kept = Quantiles.keepWithinIqrFence(df, col("x"), 1.5)
+      .as[Double].collect().sorted
+    val s = vs.sorted
+    val (q1, q3) = (s(math.ceil(0.25 * s.size).toInt - 1), s(math.ceil(0.75 * s.size).toInt - 1))
+    val want = vs.filter(v => v >= q1 - 1.5 * (q3 - q1) && v <= q3 + 1.5 * (q3 - q1)).sorted
+    assert(kept.toSeq == want)
+    assert(!kept.contains(1e9) && !kept.contains(-1e9))
+    // k = 0: only [q1, q3] survives
+    val box = Quantiles.keepWithinIqrFence(df, col("x"), 0).as[Double].collect()
+    assert(box.min >= q1 && box.max <= q3)
+    intercept[IllegalArgumentException] { Quantiles.keepWithinIqrFence(df, col("x"), -1) }
+  }
+
   test("the selection plan aggregates — it never sorts or exchanges the data rows") {
     val df = (1 to 100).map(_.toDouble).toDF("x")
     val u = df.select(ColumnBridgeProbe.key(col("x")).as("__u"))
