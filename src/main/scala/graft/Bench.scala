@@ -44,6 +44,19 @@ object Bench {
     new java.io.File(dir + "/lineitem.parquet").exists()
 
   private val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+  // FULL mode restores the long-horizon rows (multi-round MICE chains,
+  // the bare-join adaptive floor) that round 17 proved cannot fit the
+  // driver's per-round time budget alongside everything else — they
+  // are measured out-of-band (BENCH_CONTEXT.md) instead of in the
+  // driver artifact. rc=124 with no parseable JSON is worse than a
+  // smaller suite that lands.
+  private val benchFull = sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")
+  // Global wall-clock budget (seconds): recertify forks and extra
+  // convergence passes are skipped once exceeded, so the round's
+  // artifact always lands inside the driver's timeout.
+  private val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1500").toLong
+  private val startedAt = System.nanoTime()
+  private def elapsedSec: Long = (System.nanoTime() - startedAt) / 1000000000L
   private val maxReps = math.max(reps, sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXREPS", "5").toInt)
   // 2 warmups: the first pays JIT/codegen, the second absorbs
   // ContextCleaner churn from the first (mice's localCheckpoints made
@@ -198,6 +211,21 @@ object Bench {
   private def factorizedBucketed(pair: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)): Unit = {
     graft.ml.Factorized.cofactorOverJoinAdaptive(
       pair._1, pair._2, "k", Seq("l_quantity"), Seq(), Seq("o_totalprice"), Seq())
+    ()
+  }
+  // the PINNED zero-exchange plan (no probe scans): +Inf routes the
+  // adaptive operator straight to its fused-aggregate-over-join
+  // fallback, which over bucketed inputs is the co-located join this
+  // row exists to time. Paired with the probe-routed adaptive row so
+  // the bench separates "the bucketed join plan" from "the probe
+  // routed to it"; both must sit near each other or routing regressed.
+  // (NOT cofactorOverJoin: the explicit per-key-triple identity is the
+  // wrong regime at ~4 rows/key — 150M key groups of ring objects
+  // OOM'd the round-18 first run's child JVM.)
+  private def factorizedBucketedPinned(pair: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)): Unit = {
+    graft.ml.Factorized.cofactorOverJoinAdaptive(
+      pair._1, pair._2, "k", Seq("l_quantity"), Seq(), Seq("o_totalprice"), Seq(),
+      minRowsPerKey = Double.MaxValue)
     ()
   }
   // Chained-MICE rounds over the bucketed star (the reference's Flight
@@ -615,7 +643,11 @@ object Bench {
       "sf10_knn_int8" -> (() => knnInt8(spark, sf10Dir))) ++
       bucketedPair(spark, sf10Dir, "sf10", 32).map(p => Seq(
         "sf10_factorized_bucketed" -> (() => factorizedBucketed(p)),
-        "sf10_mice_star_round" -> (() => miceStarRound(p)))).toSeq.flatten
+        "sf10_mice_star_round" -> (() => miceStarRound(p)))).toSeq.flatten,
+      // one warmup: the tier's rows are multi-second scans where
+      // steady-state is IO-bound, not JIT-bound — the second warmup
+      // bought nothing but wall-clock against the driver's budget
+      warmupOverride = Some(1), maxRepsOverride = Some(4)
     )
   }
 
@@ -678,8 +710,19 @@ object Bench {
           .agg(Graft.sumTriple(
             col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"),
             col("l_linenumber"), col("shipyear")).as("t")))
-      },
-      "sf100_factorized_adaptive" -> (() => factorizedAdaptiveRaw(spark, sf100Dir)),
+      }) ++
+      // the bare-join adaptive floor re-shuffles BOTH 600M/150M-row
+      // sides on every pass by construction (the operator's own runtime
+      // warning names it) — round 17 measured it UNSTABLE at 86% spread
+      // and 27-163 s/pass, the single worst consumer of the driver's
+      // budget. It stays measurable (FULL mode + sf10's raw row keeps
+      // the floor visible every round); the default sf100 rows time the
+      // operator over bucketed inputs, where the probe's zero-exchange
+      // routing is the design claim.
+      (if (benchFull)
+        Seq("sf100_factorized_adaptive_raw" -> (() => factorizedAdaptiveRaw(spark, sf100Dir)))
+      else Seq.empty) ++
+      Seq(
       // the text family at the endpoint scale (5M docs ≈ 1.5 GB,
       // tools/gen_sf100_docs.py — 10× the 550k-doc sf10 ceiling the
       // text wins were previously measured at, the same grounding move
@@ -782,14 +825,26 @@ object Bench {
       // tier so the multi-GB checkpoint working set cannot
       // contaminate the scan-aggregate rows.
       bucketedPair(spark, sf100Dir, "sf100", 256).map(p => Seq(
-        "sf100_factorized_bucketed" -> (() => factorizedBucketed(p)),
-        "sf100_mice_star_round" -> (() => miceStarRound(p)),
-        "sf100_mice_star_3round" -> (() => miceStarRound(p, iterations = 3)),
-        // 2 overlapping columns × 3 rounds: the branch-fragmentation
-        // cost of the multi-column chain at the endpoint scale
-        "sf100_mice_star_multi3" -> (() => miceStarMulti(p, iterations = 3)))).toSeq.flatten,
-      repsOverride = Some(3), warmupOverride = Some(1),
-      maxRepsOverride = Some(6), statMin = true)
+        "sf100_factorized_bucketed" -> (() => factorizedBucketedPinned(p)),
+        // the adaptive operator over the SAME bucketed inputs: the
+        // cardinality probe must route to the zero-exchange co-located
+        // tier, so this row certifies the routing every round at a cost
+        // close to the bucketed row's (round-17 advice item 3)
+        "sf100_factorized_adaptive" -> (() => factorizedBucketed(p)),
+        "sf100_mice_star_round" -> (() => miceStarRound(p))) ++
+        // the multi-round chains are 61 s and 174 s per PASS — they
+        // blew the driver's round-17 budget (rc=124, no artifact) and
+        // now run only in FULL mode; BENCH_CONTEXT.md carries their
+        // out-of-band numbers
+        (if (benchFull) Seq(
+          "sf100_mice_star_3round" -> (() => miceStarRound(p, iterations = 3)),
+          "sf100_mice_star_multi3" -> (() => miceStarMulti(p, iterations = 3)))
+        else Seq.empty)).toSeq.flatten,
+      // warmup+2 with retries capped at 3 (round-17 advice item 1): the
+      // floor-convergence gate needs only two quiet passes to certify a
+      // min, and six passes of a 30 s row is the budget, not the data
+      repsOverride = Some(2), warmupOverride = Some(1),
+      maxRepsOverride = Some(3), statMin = true)
   }
 
   private val tierNames = Seq("main", "sf1", "sf10", "sf100")
@@ -837,8 +892,13 @@ object Bench {
     else (s(1) - s(0)) / math.max(s(0), 1e-9)
   }
 
-  /** (name, seconds, noisy, failed) per row. */
-  private def timeTier(t: Tier, only: Option[String]): Seq[(String, Double, Boolean, Boolean)] = {
+  /** (name, seconds, noisy, failed) per row. `onRow` fires as each row
+    * completes so the child can persist partial progress — the parent
+    * streams it into an incremental stdout summary, and a driver kill
+    * mid-tier still leaves every completed row in the artifact. */
+  private def timeTier(t: Tier, only: Option[String],
+                       onRow: (String, Double, Boolean, Boolean) => Unit = (_, _, _, _) => ())
+      : Seq[(String, Double, Boolean, Boolean)] = {
     val suite = only match {
       case Some(rows) =>
         val want = rows.split(',').map(_.trim).filter(_.nonEmpty).toSet
@@ -884,7 +944,9 @@ object Bench {
           f"(warmup ${warm.map(w => f"$w%.2f").mkString(",")})")
       // a failed query must be impossible to mistake for a fast one: its
       // value is -1 and it is excluded from the total
-      (name, if (failed) -1.0 else stat(times), noisy, failed)
+      val row = (name, if (failed) -1.0 else stat(times), noisy, failed)
+      onRow(row._1, row._2, row._3, row._4)
+      row
     }
   }
 
@@ -895,18 +957,25 @@ object Bench {
     val frag = sys.env.getOrElse("SPARK_GRAFT_BENCH_FRAG",
       s"/tmp/graft_bench_$tierName.tsv")
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").filter(_.nonEmpty)
-    val rows: Seq[(String, Double, Boolean, Boolean)] =
-      if (tierName != "main" && !tierExists(tierDir(tierName))) Seq.empty
-      else {
-        val spark = makeSession()
-        try timeTier(buildTier(spark, tierName), only)
-        finally spark.stop()
-      }
-    val body = rows.map { case (n, v, noisy, failed) =>
-      f"$n\t$v%.3f\t$noisy\t$failed"
-    }.mkString("", "\n", "\n")
-    java.nio.file.Files.write(java.nio.file.Paths.get(frag),
-      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the fragment is REWRITTEN after every completed row (not once at
+    // the end): a driver kill mid-tier leaves all completed rows for
+    // the parent's incremental summary instead of an empty file
+    var done = Vector.empty[(String, Double, Boolean, Boolean)]
+    def flush(): Unit = {
+      val body = done.map { case (n, v, noisy, failed) =>
+        f"$n\t$v%.3f\t$noisy\t$failed"
+      }.mkString("", "\n", "\n")
+      java.nio.file.Files.write(java.nio.file.Paths.get(frag),
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    if (tierName != "main" && !tierExists(tierDir(tierName))) flush()
+    else {
+      val spark = makeSession()
+      try timeTier(buildTier(spark, tierName), only,
+        onRow = (n, v, noisy, failed) => { done :+= ((n, v, noisy, failed)); flush() })
+      finally spark.stop()
+    }
+    flush()
   }
 
   // -------------------------------------------------------- parent mode
@@ -916,7 +985,8 @@ object Bench {
     * can't be polluted; stderr (the [bench] progress lines) streams
     * through. Returns the parsed fragment, or None on fork/exit/timeout
     * failure (caller falls back or records the tier as failed). */
-  private def forkTier(tierName: String, only: Option[String]):
+  private def forkTier(tierName: String, only: Option[String],
+                       onPartial: Seq[(String, Double, Boolean, Boolean)] => Unit = _ => ()):
       Option[Seq[(String, Double, Boolean, Boolean)]] = {
     try {
       import scala.jdk.CollectionConverters._
@@ -948,19 +1018,38 @@ object Bench {
       System.err.println(s"[bench] forking fresh JVM for tier $tierName" +
         only.fold("")(r => s" (row $r only)"))
       val p = pb.start()
-      // a hung tier must not hang the round: generous cap (the sf100
-      // tier with the 3-round mice row runs ~10 min uncontended)
-      val done = p.waitFor(45, java.util.concurrent.TimeUnit.MINUTES)
-      if (!done) { p.destroyForcibly(); System.err.println(s"[bench] tier $tierName TIMED OUT (45 min)"); return None }
-      if (p.exitValue() != 0) {
-        System.err.println(s"[bench] tier $tierName child exited ${p.exitValue()} — see ${frag}.log")
-        return None
+      def readFrag(): Seq[(String, Double, Boolean, Boolean)] =
+        if (!java.nio.file.Files.exists(frag)) Seq.empty
+        else java.nio.file.Files.readAllLines(frag).asScala.toSeq
+          .filter(_.nonEmpty).flatMap { l =>
+            val f = l.split('\t')
+            // a partially-written trailing line parses short — skip it
+            if (f.length < 4) None
+            else try Some((f(0), f(1).toDouble, f(2).toBoolean, f(3).toBoolean))
+            catch { case _: Exception => None }
+          }
+      // Poll rather than block: every 15 s the parent re-reads the
+      // growing fragment and, on change, re-emits the cumulative
+      // summary line — so even a SIGKILL from the driver's timeout
+      // leaves the most recent complete summary in the output tail
+      // (round-17 advice item 1). 25-min per-tier cap (the trimmed
+      // sf100 tier runs ~8 min uncontended).
+      var seen = -1
+      val capMs = 25L * 60 * 1000
+      val t0 = System.currentTimeMillis()
+      var finished = false
+      while (!finished && System.currentTimeMillis() - t0 < capMs) {
+        finished = p.waitFor(15, java.util.concurrent.TimeUnit.SECONDS)
+        val part = readFrag()
+        if (part.size != seen) { seen = part.size; if (part.nonEmpty) onPartial(part) }
       }
-      val lines = java.nio.file.Files.readAllLines(frag).asScala.toSeq
-      Some(lines.filter(_.nonEmpty).map { l =>
-        val f = l.split('\t')
-        (f(0), f(1).toDouble, f(2).toBoolean, f(3).toBoolean)
-      })
+      if (!finished) { p.destroyForcibly(); System.err.println(s"[bench] tier $tierName TIMED OUT (25 min) — keeping completed rows"); return Some(readFrag()) }
+      if (p.exitValue() != 0) {
+        System.err.println(s"[bench] tier $tierName child exited ${p.exitValue()} — see ${frag}.log; keeping completed rows")
+        val part = readFrag()
+        return if (part.nonEmpty) Some(part) else None
+      }
+      Some(readFrag())
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] fork($tierName) failed: $e")
@@ -975,6 +1064,56 @@ object Bench {
     }
   }
 
+  /** The driver records only the LAST ~2000 characters of the bench
+    * run's output and parses the summary JSON line out of that window —
+    * rounds 10-17 printed a multi-KB line whose head fell outside the
+    * window, so every one of those rounds recorded `parsed: null`
+    * despite a green run. The stdout line is therefore COMPACT by
+    * contract (target ≤1600 chars): the full per-tier detail lives in
+    * BENCH_RESULT.json; stdout carries the main-tier queries map plus
+    * per-tier totals and failure/instability counts. Re-emitted
+    * cumulatively as tiers progress so a driver timeout kill still
+    * leaves the latest complete summary inside the tail window. */
+  private def compactLine(tiers: Map[String, Seq[(String, Double, Boolean, Boolean)]],
+                          recertN: Int, driftN: Int,
+                          partial: Option[String]): String = {
+    val main = tiers.getOrElse("main", Seq.empty)
+    def totalOf(rows: Seq[(String, Double, Boolean, Boolean)]): Double =
+      rows.collect { case (_, v, _, false) => v }.sum
+    val all = tierNames.flatMap(t => tiers.getOrElse(t, Seq.empty))
+    val failed = all.collect { case (k, _, _, true) => k }
+    val unstable = all.collect { case (k, _, true, _) => k }
+    def names(xs: Seq[String], cap: Int): String =
+      (xs.take(cap).map("\"" + _ + "\"")
+        ++ (if (xs.size > cap) Seq("\"+" + (xs.size - cap) + "\"") else Nil))
+        .mkString("[", ",", "]")
+    def build(withQueries: Boolean): String = {
+      val qs =
+        if (withQueries)
+          main.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+        else "{}"
+      val tierBits = Seq("sf1", "sf10", "sf100").flatMap { t =>
+        tiers.get(t).filter(_.nonEmpty).map { rows =>
+          val ff = rows.count(_._4)
+          "\"" + t + "_total\":" + f"${totalOf(rows)}%.3f" +
+            ",\"" + t + "_rows\":" + rows.size +
+            (if (ff > 0) ",\"" + t + "_failed_n\":" + ff else "")
+        }
+      }.mkString(",")
+      "{\"metric\":\"total\",\"value\":" + f"${totalOf(main)}%.3f" +
+        ",\"unit\":\"sec\",\"queries\":" + qs +
+        ",\"sf\":\"" + sfDir + "\",\"reps\":" + reps + ",\"stat\":\"median\"" +
+        ",\"failed\":" + names(failed, 8) +
+        ",\"unstable\":" + names(unstable, 6) +
+        ",\"recert_n\":" + recertN + ",\"drift_n\":" + driftN +
+        partial.fold("")(t => ",\"partial\":\"" + t + "\"") +
+        (if (tierBits.nonEmpty) "," + tierBits else "") +
+        ",\"detail\":\"BENCH_RESULT.json\"}"
+    }
+    val full = build(withQueries = true)
+    if (full.length <= 1600) full else build(withQueries = false)
+  }
+
   private def parentMain(): Unit = {
     val fork = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK", "1") != "0"
     val activeTiers = tierNames.filter(t => t == "main" || tierExists(tierDir(t)))
@@ -983,7 +1122,13 @@ object Bench {
     // with cache drops between tiers (legacy / fork-unavailable mode)
     var byTier: Map[String, Seq[(String, Double, Boolean, Boolean)]] =
       if (fork) {
-        val viaFork = activeTiers.map(t => t -> forkTier(t, None)).toMap
+        var completed = Map.empty[String, Seq[(String, Double, Boolean, Boolean)]]
+        val viaFork = activeTiers.map { t =>
+          val r = forkTier(t, None, onPartial = part =>
+            println(compactLine(completed + (t -> part), 0, 0, partial = Some(t))))
+          r.foreach(rows => completed += (t -> rows))
+          t -> r
+        }.toMap
         if (viaFork.values.exists(_.isEmpty))
           System.err.println("[bench] one or more tier forks failed — failed tiers report empty")
         viaFork.map { case (t, r) => t -> r.getOrElse(Seq.empty) }
@@ -1058,13 +1203,20 @@ object Bench {
     // leave a real regression uncertified on a slow-box day — is gone:
     // every flagged row is either recertified or individually logged.
     var recertified: Seq[String] = Seq.empty
-    if (fork) {
+    if (fork && elapsedSec < budgetSec) {
       val slowRows = driftScan(driftRef).filter(_._2 > 0).map(_._1)
       val byRecertTier = slowRows.groupBy(row =>
         tierNames.find(t => t != "main" && row.startsWith(t + "_")).getOrElse("main"))
       tierNames.filter(byRecertTier.contains).foreach { tier =>
         val rows = byRecertTier(tier)
-        forkTier(tier, Some(rows.mkString(","))) match {
+        // budget gate (round-17 advice item 1): recertify is an
+        // accuracy refinement, not a correctness requirement — blowing
+        // the driver's timeout over it destroys the whole artifact.
+        // Rows left unrecertified keep their drift flags.
+        if (elapsedSec >= budgetSec) {
+          System.err.println(s"[bench] recertify(${rows.mkString(",")}): skipped — " +
+            s"wall-clock budget ($budgetSec s) exhausted at $elapsedSec s; rows keep their flags")
+        } else forkTier(tier, Some(rows.mkString(","))) match {
           case Some(frag) =>
             val iso = frag.collect { case (n, v2, noisy2, false) => n -> (v2, noisy2) }.toMap
             byTier = byTier.updatedWith(tier)(_.map(_.map {
@@ -1167,10 +1319,14 @@ object Bench {
     val recertJson = recertified.map("\"" + _ + "\"").mkString("[", ",", "]")
     val isolatedJson = if (fork) "true" else "false"
     val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median","tier_isolation":$isolatedJson,"recertified":$recertJson$driftNote,"unstable":$flagged,"failed":$broken,"drift":$driftJson$driftPrevJson$sf1Json$sf10Json$sf100Json}"""
-    println(json)
-    // belt-and-braces: sbt's logger can prefix stdout lines ("[info] ..."),
-    // which broke round-1 parsing — also drop the line in a results file
+    // the FULL detail goes only to the results file (my committed drift
+    // reference); stdout gets the compact line LAST so it sits inside
+    // the driver's 2000-char tail window — see compactLine's contract
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val line = compactLine(byTier, recertified.size,
+      (drifted ++ driftedPrev).size, partial = None)
+    System.err.println(s"[bench] stdout summary line: ${line.length} chars (tail window 2000)")
+    println(line)
   }
 }

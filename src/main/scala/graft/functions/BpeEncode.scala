@@ -25,9 +25,9 @@ import scala.collection.mutable
  * `(leftId << 32) | rightId` — soft-cached by broadcast id (the
  * [[LmScore]] scheme). Per word the hot loop touches only int arrays:
  * each adjacent pair is ONE long hash probe (no tuple, no string
- * compare, no allocation), and only the lowest PRESENT rank is applied
- * per round, so a 30k-merge production table costs what the word
- * needs, not what the table holds. A symbol outside the trained vocab
+ * compare, no allocation), and each round applies the lowest present
+ * rank at or above the ascending floor, so a 30k-merge production
+ * table costs what the word needs, not what the table holds. A symbol outside the trained vocab
  * (id −1) can never merge and flows straight through to emission.
  * Encoding is one scan, no shuffle, no UDF serialization.
  */
@@ -106,8 +106,14 @@ case class BpeEncode(child: Expression, bc: Broadcast[Array[(String, String)]],
       len += 1
       i += Character.charCount(cp)
     }
-    // apply the lowest present rank until no adjacent pair probes in;
-    // within a rank, merge left-to-right non-overlapping
+    // STRICT single ascending replay (the trainer's, the q105/q106
+    // oracle's, and the spec reference's contract): each rank is
+    // considered exactly once in increasing order, so a pair re-created
+    // by a LATER merge's product — the (a,bc)/(ab,c) → abc family q111
+    // supports — is NOT re-merged. Implemented as "lowest present rank
+    // ≥ floor", floor = last applied rank + 1: equivalent to replaying
+    // ranks 0..R−1 one by one, without the O(R·len) full sweep.
+    var floor = 0
     var done = len < 2
     while (!done) {
       var bestRank = Int.MaxValue
@@ -116,12 +122,13 @@ case class BpeEncode(child: Expression, bc: Broadcast[Array[(String, String)]],
         val a = ids(j); val b = ids(j + 1)
         if (a >= 0 && b >= 0) {
           val rk = t.rankOf(a, b)
-          if (rk >= 0 && rk < bestRank) bestRank = rk
+          if (rk >= floor && rk < bestRank) bestRank = rk
         }
         j += 1
       }
       if (bestRank == Int.MaxValue) done = true
       else {
+        floor = bestRank + 1
         val lId = t.leftId(bestRank)
         val rId = t.rightId(bestRank)
         val pId = t.productId(bestRank)
@@ -227,6 +234,11 @@ object BpeEncode {
     val ref = cache.get(bc.id)
     val hit = if (ref == null) null else ref.get()
     if (hit != null) return hit
+    // GC cleared the SoftReference contents but the map keys stayed —
+    // a long-lived session encoding with many models would accumulate
+    // dead entries forever. Sweep them on the (rare) build path.
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) if (it.next().getValue.get() == null) it.remove()
     val built = new Tables(bc.value)
     cache.put(bc.id, new java.lang.ref.SoftReference(built))
     built

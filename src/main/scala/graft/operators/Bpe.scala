@@ -190,16 +190,36 @@ object Bpe {
     BpeModel(merges.result(), mergeCounts.result(), alphabet)
   }
 
+  // One broadcast per MODEL per context, not per encode call: a
+  // long-lived session that encodes the same model repeatedly was
+  // shipping (and leaking) a fresh broadcast every call (round-17
+  // advice). Weak keys let a dropped model release its entry; a
+  // restarted context rebuilds. Structural equality on BpeModel means
+  // equal models share one shipped table.
+  private val bcCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[BpeModel,
+      (org.apache.spark.SparkContext,
+       Broadcast[Array[(String, String)]], Broadcast[Array[String]])]())
+  private def modelBroadcasts(spark: SparkSession, model: BpeModel)
+      : (Broadcast[Array[(String, String)]], Broadcast[Array[String]]) = {
+    val sc = spark.sparkContext
+    val got = bcCache.get(model)
+    if (got != null && (got._1 eq sc) && !sc.isStopped) (got._2, got._3)
+    else {
+      val bm = sc.broadcast(model.merges.toArray)
+      val ba = sc.broadcast(model.alphabet.toArray)
+      bcCache.put(model, (sc, bm, ba))
+      (bm, ba)
+    }
+  }
+
   /** Encode `textCol` with a trained model: whitespace-split words,
     * each replayed through the merge list in rank order, token arrays
     * concatenated in word order. One broadcast, one scan, no shuffle —
     * see [[graft.functions.BpeEncode]]. */
   def encode(docs: DataFrame, textCol: String, model: BpeModel,
-             out: String = "tokens"): DataFrame = {
-    val spark = docs.sparkSession
-    val bc = spark.sparkContext.broadcast(model.merges.toArray)
-    docs.withColumn(out, encodeCol(col(textCol), bc))
-  }
+             out: String = "tokens"): DataFrame =
+    docs.withColumn(out, encodeCol(col(textCol), modelBroadcasts(docs.sparkSession, model)._1))
 
   /** The encode Column for a caller-managed broadcast (lets several
     * queries share one shipped model). */
@@ -215,9 +235,7 @@ object Bpe {
     * symbols emit −1 (UNK). Same interned one-scan kernel. */
   def encodeIds(docs: DataFrame, textCol: String, model: BpeModel,
                 out: String = "token_ids"): DataFrame = {
-    val spark = docs.sparkSession
-    val bc = spark.sparkContext.broadcast(model.merges.toArray)
-    val vb = spark.sparkContext.broadcast(model.alphabet.toArray)
+    val (bc, vb) = modelBroadcasts(docs.sparkSession, model)
     docs.withColumn(out,
       org.apache.spark.sql.graft.ColumnBridge.column(
         graft.functions.BpeEncode(

@@ -75,7 +75,7 @@ object Multimodal {
       * format header via ImageReader (cheap — no raster decode), then
       * decodes only when the declared size is bounded. Returns null for
       * undecodable, unrecognized, or oversized payloads. */
-    private def boundedDecode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    private[operators] def boundedDecode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
       val in = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
       if (in == null) return null // no ImageInputStream SPI registered
       try {
@@ -162,7 +162,7 @@ object Multimodal {
    * yield the zero vector, mirroring the null-payload convention.
    */
   object AudioDecoder extends Decoder {
-    private def pcmStream(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    private[operators] def pcmStream(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val f = in.getFormat
@@ -548,5 +548,132 @@ object Multimodal {
   private def substring_index_safe(bin: Column, i: Column, n: Int, frameSize: Int): Column = {
     val stride = greatest((length(bin) - frameSize) / lit(math.max(n - 1, 1)), lit(1))
     substring(bin, (i * stride + 1).cast("int"), lit(frameSize))
+  }
+
+  // ---- exact-integer media reductions (cross-engine certifiable) ----
+  // The float feature vectors above are the production surface, but
+  // floats accumulate in engine-specific order — useless as a DuckDB
+  // oracle target. These operators reduce the SAME real decodes to
+  // INTEGER statistics (milli-luminance sums, raw PCM sample sums,
+  // container metadata), which are bit-exact on any engine and
+  // therefore graded by the correctness gate (round-17 verdict item 4).
+
+  /** REAL image decode → per-cell g×g grid of INTEGER luminance stats:
+    * one output row per (image, cell) with `lum_milli` = Σ over the
+    * cell's pixels of `r·299 + g·587 + b·114` (the BT.601 luma
+    * numerators, exact in Long) and the pixel count. Cell assignment is
+    * `(y·g/h)·g + x·g/w` in integer division — re-derivable from pixel
+    * formulas alone. Undecodable/oversized/null payloads emit no rows.
+    * Same no-shuffle mapPartitions shape as [[extractFeatures]]. */
+  def imageGridStats(df: DataFrame, idCol: String, binCol: String, g: Int): DataFrame = {
+    require(g >= 1, s"grid must be >= 1, got $g")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("format", StringType),
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("cell", IntegerType), StructField("lum_milli", LongType),
+      StructField("n_pix", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val src = df.select(col(idCol).cast("long"), col(binCol))
+    src.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val img = if (bytes == null) null else ImageDecoder.boundedDecode(bytes)
+        if (img == null) Iterator.empty
+        else {
+          val id = r.getLong(0)
+          val fmt = ImageDecoder.meta(bytes)._1
+          val (w, h) = (img.getWidth, img.getHeight)
+          val sums = new Array[Long](g * g)
+          val counts = new Array[Long](g * g)
+          var y = 0
+          while (y < h) {
+            val gy = y * g / h
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val cell = gy * g + (x * g / w)
+              sums(cell) += ((rgb >> 16) & 0xff) * 299L + ((rgb >> 8) & 0xff) * 587L + (rgb & 0xff) * 114L
+              counts(cell) += 1L
+              x += 1
+            }
+            y += 1
+          }
+          (0 until g * g).iterator.filter(counts(_) > 0).map(c =>
+            Row(id, fmt, w, h, c, sums(c), counts(c)))
+        }
+      }
+    }(enc)
+  }
+
+  /** REAL audio decode → per-window INTEGER sample stats: the PCM
+    * stream (mixed format converted to signed 16-bit) is cut into
+    * `nWindows` equal time windows (window = frame·n/total, integer),
+    * each emitting the Long sum of its raw mono sample values and the
+    * frame count — exact on any engine, unlike the RMS float envelope.
+    * Multi-channel frames sum ALL channels (still integer). Metadata
+    * columns ride from [[AudioDecoder.meta]]. Undecodable/null → no rows. */
+  def audioWindowStats(df: DataFrame, idCol: String, binCol: String, nWindows: Int): DataFrame = {
+    require(nWindows >= 1, s"windows must be >= 1, got $nWindows")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("format", StringType),
+      StructField("sample_rate", IntegerType), StructField("channels", IntegerType),
+      StructField("duration_ms", LongType), StructField("win", IntegerType),
+      StructField("sample_sum", LongType), StructField("n_samples", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val src = df.select(col(idCol).cast("long"), col(binCol))
+    src.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val pcm = if (bytes == null) null
+          else try AudioDecoder.pcmStream(bytes) catch { case NonFatal(_) => null }
+        if (pcm == null) Iterator.empty
+        else try {
+          val channels = pcm.getFormat.getChannels
+          val data = pcm.readAllBytes()
+          val nFrames = data.length / (2 * channels)
+          if (nFrames == 0) Iterator.empty
+          else {
+            val id = r.getLong(0)
+            val (fmt, rate, ch, durMs) = AudioDecoder.meta(bytes)
+            val sums = new Array[Long](nWindows)
+            val counts = new Array[Long](nWindows)
+            var f = 0
+            while (f < nFrames) {
+              val win = (f.toLong * nWindows / nFrames).toInt
+              var c = 0
+              while (c < channels) {
+                val off = (f * channels + c) * 2
+                sums(win) += ((data(off) & 0xff) | (data(off + 1) << 8)).toShort.toLong
+                c += 1
+              }
+              counts(win) += 1L
+              f += 1
+            }
+            (0 until nWindows).iterator.filter(counts(_) > 0).map(w =>
+              Row(id, fmt, rate, ch, durMs, w, sums(w), counts(w)))
+          }
+        } finally pcm.close()
+      }
+    }(enc)
+  }
+
+  /** Video container metadata as a DataFrame — [[VideoMeta.meta]]'s
+    * pure-JVM MP4/AVI chunk walk per payload: (id, format, width,
+    * height, duration_ms). Unrecognized/null payloads emit no rows. */
+  def videoMetaStats(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("format", StringType),
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("duration_ms", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val src = df.select(col(idCol).cast("long"), col(binCol))
+    src.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val m = if (bytes == null) (null, -1, -1, -1L) else VideoMeta.meta(bytes)
+        if (m._1 == null) Iterator.empty
+        else Iterator.single(Row(r.getLong(0), m._1, m._2, m._3, m._4))
+      }
+    }(enc)
   }
 }

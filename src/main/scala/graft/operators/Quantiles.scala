@@ -48,17 +48,27 @@ object Quantiles {
   /** A surviving bucket at or under this many rows is COLLECTED and
     * finished driver-side instead of running the remaining passes —
     * the typical selection is 2 scans (histogram + collect), and the
-    * 4-pass worst case only fires when ≥ this many values share a
-    * 48-bit key prefix. */
-  private val collectCap = 1 << 16
+    * multi-pass worst case only fires when ≥ this many values share a
+    * 48-bit key prefix. 2^19 rows × 16 B ≈ 8 MB on the driver — small
+    * against any realistic driver heap, and at 5M-doc scale it lets the
+    * LEVEL-1 bucket (a score distribution's dense exponent band often
+    * holds a few hundred k rows) finish in one collect instead of two
+    * more histogram scans: the round-17 sf100_quantile_cut 3.5×-of-
+    * DuckDB gap was exactly those extra fixed-cost distributed passes.
+    * The per-task shuffle bound (≤65 536 HISTOGRAM cells) is untouched;
+    * this cap only sizes the driver-side finishing collect. */
+  private val collectCap = 1 << 19
 
   /** The value at MASS rank `kOf(W)` (1-based, in weight units; W = the
     * total mass, piggybacked off the first pass's histogram — no
     * separate scan): the smallest value v with Σ weight(rows ≤ v) ≥ k.
     * Unweighted selection is the weight-1 special case. Throws if the
-    * resolved rank is out of [1, W]. */
+    * resolved rank is out of [1, W]. Returns None when the input has NO
+    * scorable rows (all NULL/zero-mass, or empty) — a plausible state
+    * after an upstream filter, so the keep* callers map it to an empty
+    * result instead of crashing (round-17 advice). */
   private def select(df: DataFrame, value: Column, weight: Option[Column],
-                     kOf: Long => Long): (Double, Long) = {
+                     kOf: Long => Long): Option[(Double, Long)] = {
     val u = keyed(df, value, weight)
     var prefix = 0L
     var remaining = 0L
@@ -77,6 +87,7 @@ object Quantiles {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
       if (level == 1) {
         n = hist.map(_._2).sum
+        if (n == 0L) return None
         remaining = kOf(n)
         require(remaining >= 1 && remaining <= n,
           s"selection rank $remaining out of range [1, $n]")
@@ -104,17 +115,24 @@ object Quantiles {
         var i = 0
         while (cum < remaining && i < rows.length) { cum += rows(i)._2; i += 1 }
         assert(cum >= remaining, s"early collect lost mass rank $remaining")
-        return (DoubleBits.fromOrdered(rows(i - 1)._1), n)
+        return Some((DoubleBits.fromOrdered(rows(i - 1)._1), n))
       }
       level += 1
     }
-    (DoubleBits.fromOrdered(prefix ^ Long.MinValue), n)
+    Some((DoubleBits.fromOrdered(prefix ^ Long.MinValue), n))
   }
+
+  private def selectOrThrow(df: DataFrame, value: Column, weight: Option[Column],
+                            kOf: Long => Long, what: String): Double =
+    select(df, value, weight, kOf).map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"$what: input has no scorable rows (every value NULL, or every weight zero/NULL) — " +
+          "a scalar quantile of an empty set does not exist"))
 
   /** The k-th smallest (1-based) non-null value of `value`. */
   def kthSmallest(df: DataFrame, value: Column, k: Long): Double = {
     require(k >= 1, s"kthSmallest needs k ≥ 1, got $k")
-    select(df, value, None, _ => k)._1
+    selectOrThrow(df, value, None, _ => k, "kthSmallest")
   }
 
   /** Exact discrete quantile — DuckDB's `quantile_disc(x, q)` contract:
@@ -122,7 +140,7 @@ object Quantiles {
     * 4 scans, no sort. */
   def quantileDisc(df: DataFrame, value: Column, q: Double): Double = {
     require(q > 0.0 && q <= 1.0, s"quantileDisc needs q in (0, 1], got $q")
-    select(df, value, None, n => math.ceil(q * n).toLong)._1
+    selectOrThrow(df, value, None, n => math.ceil(q * n).toLong, "quantileDisc")
   }
 
   /** The threshold for keeping the top `frac` of rows by `value`: the
@@ -130,7 +148,8 @@ object Quantiles {
     * exactly `ceil(frac·n)` rows plus any ties ON the threshold. */
   def topFractionThreshold(df: DataFrame, value: Column, frac: Double): Double = {
     require(frac > 0.0 && frac <= 1.0, s"topFraction needs frac in (0, 1], got $frac")
-    select(df, value, None, n => n - math.ceil(frac * n).toLong + 1)._1
+    selectOrThrow(df, value, None, n => n - math.ceil(frac * n).toLong + 1,
+      "topFractionThreshold")
   }
 
   /** Keep the top `frac` of rows by `value` — `ceil(frac·n)` rows plus
@@ -140,8 +159,12 @@ object Quantiles {
     * NULL score never pass. 100 TB shape: 4 histogram scans to find the
     * threshold, then one pushable `≥ literal` filter. */
   def keepTopFraction(df: DataFrame, value: Column, frac: Double): DataFrame = {
-    val t = topFractionThreshold(df, value, frac)
-    df.filter(value.cast("double") >= lit(t))
+    require(frac > 0.0 && frac <= 1.0, s"topFraction needs frac in (0, 1], got $frac")
+    select(df, value, None, n => n - math.ceil(frac * n).toLong + 1) match {
+      case Some((t, _)) => df.filter(value.cast("double") >= lit(t))
+      // no scorable rows: the top-X% of nothing is nothing, not a crash
+      case None => df.filter(lit(false))
+    }
   }
 
   /** Tukey-fence outlier filter: keep rows whose `value` lies inside
@@ -153,11 +176,14 @@ object Quantiles {
     * the fences are re-derivable from the data alone. */
   def keepWithinIqrFence(df: DataFrame, value: Column, k: Double = 1.5): DataFrame = {
     require(k >= 0, s"IQR fence multiplier must be non-negative, got $k")
-    val q1 = quantileDisc(df, value, 0.25)
-    val q3 = quantileDisc(df, value, 0.75)
-    val iqr = q3 - q1
-    df.filter(value.cast("double") >= lit(q1 - k * iqr) &&
-      value.cast("double") <= lit(q3 + k * iqr))
+    select(df, value, None, n => math.ceil(0.25 * n).toLong) match {
+      case None => df.filter(lit(false)) // nothing scorable, nothing inside the fence
+      case Some((q1, _)) =>
+        val q3 = quantileDisc(df, value, 0.75)
+        val iqr = q3 - q1
+        df.filter(value.cast("double") >= lit(q1 - k * iqr) &&
+          value.cast("double") <= lit(q3 + k * iqr))
+    }
   }
 
   // ---- mass-weighted selection (token budgets, not document counts) ----
@@ -169,14 +195,15 @@ object Quantiles {
     * histograms summing mass instead of counting rows. */
   def kthSmallestWeighted(df: DataFrame, value: Column, weight: Column, k: Long): Double = {
     require(k >= 1, s"kthSmallestWeighted needs k ≥ 1, got $k")
-    select(df, value, Some(weight), _ => k)._1
+    selectOrThrow(df, value, Some(weight), _ => k, "kthSmallestWeighted")
   }
 
   /** Weighted discrete quantile: the value at mass rank ceil(q·W). */
   def quantileDiscWeighted(df: DataFrame, value: Column, weight: Column,
                            q: Double): Double = {
     require(q > 0.0 && q <= 1.0, s"quantileDiscWeighted needs q in (0, 1], got $q")
-    select(df, value, Some(weight), w => math.ceil(q * w).toLong)._1
+    selectOrThrow(df, value, Some(weight), w => math.ceil(q * w).toLong,
+      "quantileDiscWeighted")
   }
 
   /** Keep the rows carrying the TOP `frac` of total mass by `value` —
@@ -188,9 +215,10 @@ object Quantiles {
   def keepTopFractionByMass(df: DataFrame, value: Column, weight: Column,
                             frac: Double): DataFrame = {
     require(frac > 0.0 && frac <= 1.0, s"topFraction needs frac in (0, 1], got $frac")
-    val t = select(df, value, Some(weight),
-      w => w - math.ceil(frac * w).toLong + 1)._1
-    df.filter(value.cast("double") >= lit(t))
+    select(df, value, Some(weight), w => w - math.ceil(frac * w).toLong + 1) match {
+      case Some((t, _)) => df.filter(value.cast("double") >= lit(t))
+      case None => df.filter(lit(false))
+    }
   }
 
   // ---- per-group selection (the per-language threshold shape) ----
@@ -235,6 +263,8 @@ object Quantiles {
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
         .groupBy(_._1)
       if (level == 1) {
+        // no scorable rows in any group: empty map, callers keep nothing
+        if (hist.isEmpty) return Map.empty
         require(hist.size <= maxGroups,
           s"quantile group count ${hist.size} > maxGroups=$maxGroups — " +
             "a near-unique group key would collect an unbounded histogram")
@@ -282,6 +312,7 @@ object Quantiles {
     require(frac > 0.0 && frac <= 1.0, s"topFraction needs frac in (0, 1], got $frac")
     val th = selectByGroup(df, group, value, None,
       ng => ng - math.ceil(frac * ng).toLong + 1, maxGroups)
+    if (th.isEmpty) return df.filter(lit(false))
     val m = map(th.toSeq.sortBy(_._1)
       .flatMap { case (g, (t, _)) => Seq(lit(g), lit(t)) }: _*)
     df.filter(value.cast("double") >= element_at(m, group.cast("string")))
@@ -300,6 +331,7 @@ object Quantiles {
     require(frac > 0.0 && frac <= 1.0, s"topFraction needs frac in (0, 1], got $frac")
     val th = selectByGroup(df, group, value, Some(weight),
       w => w - math.ceil(frac * w).toLong + 1, maxGroups)
+    if (th.isEmpty) return df.filter(lit(false))
     val m = map(th.toSeq.sortBy(_._1)
       .flatMap { case (g, (t, _)) => Seq(lit(g), lit(t)) }: _*)
     df.filter(value.cast("double") >= element_at(m, group.cast("string")))

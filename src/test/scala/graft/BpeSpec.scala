@@ -190,4 +190,41 @@ class BpeSpec extends AnyFunSuite {
     }
     rm(new java.io.File(dir))
   }
+
+  test("encode is a STRICT single ascending replay: a pair re-created by a later merge is not re-merged") {
+    // Hand-built table (no trainer emits it; the persisted-model path
+    // accepts arbitrary tables): rank 0 = (a, bb), rank 1 = (b, b).
+    // On "abb": rank 0 finds no "bb" symbol yet; rank 1 makes [a, bb].
+    // The PAIR (a, bb) now exists with rank 0 — but rank 0 was already
+    // replayed, so the contracted ascending semantics (trainer, q105/
+    // q106 oracle, naive reference) must emit [a, bb], never "abb".
+    val model = Bpe.BpeModel(
+      IndexedSeq(("a", "bb"), ("b", "b")), IndexedSeq(1L, 1L), IndexedSeq("a", "b"))
+    val got = Bpe.encode(Seq((1L, "abb")).toDF("id", "text"), "text", model)
+      .select($"tokens").collect().head.getSeq[String](0)
+    // the naive reference replay agrees
+    var sym = Vector("a", "b", "b")
+    model.merges.foreach { case (l, r) => sym = naiveMergePass(sym, l, r) }
+    assert(sym == Vector("a", "bb"))
+    assert(got == Seq("a", "bb"), s"encode diverged from ascending replay: $got")
+    // and the ids path rides the same kernel
+    val ids = Bpe.encodeIds(Seq((1L, "abb")).toDF("id", "text"), "text", model)
+      .select($"token_ids").collect().head.getSeq[Int](0)
+    assert(ids == Seq(0, 3)) // a=0, b=1, "abb"=2 (rank0 product), "bb"=3
+  }
+
+  test("repeated encodes of one model reuse one broadcast (no per-call leak)") {
+    val model = Bpe.trainFromDict(Array(("low", 5L), ("lower", 3L)), 4)
+    val docs = Seq((1L, "low lower")).toDF("id", "text")
+    def bcIdOf(df: org.apache.spark.sql.DataFrame): Long = {
+      val expr = df.queryExecution.analyzed.expressions
+        .flatMap(_.collect { case e: graft.functions.BpeEncode => e }).head
+      expr.bc.id
+    }
+    val id1 = bcIdOf(Bpe.encode(docs, "text", model))
+    val id2 = bcIdOf(Bpe.encode(docs, "text", model))
+    val id3 = bcIdOf(Bpe.encodeIds(docs, "text", model))
+    assert(id1 == id2, "second encode of the same model shipped a new broadcast")
+    assert(id1 == id3, "encodeIds did not share the cached merge broadcast")
+  }
 }

@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.{MediaFixtures, Multimodal}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The q118-q120 contract, locally: real BMP/WAV/MP4 payloads built from
+  * the pinned formulas must decode back — through the REAL JDK paths —
+  * to the formula-derived integer reductions the DuckDB oracle
+  * restates. A failure here means writer, decoder, or reduction drifted
+  * from the pinned arithmetic. */
+class MediaOracleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val ids = Seq(0L, 1L, 7L, 123L, 4567L)
+
+  test("imageGridStats == pixel-formula reduction (BMP round trip)") {
+    val df = MediaFixtures.withBmp(ids.toDF("doc_id"), "doc_id")
+    val got = Multimodal.imageGridStats(df, "doc_id", "img", 3)
+      .collect().map(r => ((r.getLong(0), r.getInt(4)),
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getLong(5), r.getLong(6)))).toMap
+    for (id <- ids) {
+      val (w, h) = (MediaFixtures.imgW(id), MediaFixtures.imgH(id))
+      val sums = new Array[Long](9)
+      val counts = new Array[Long](9)
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = (id * 7 + x * 13 + y * 31) % 256
+        val g = (id * 11 + x * 3 + y * 17) % 256
+        val b = (id * 5 + x * 23 + y * 29) % 256
+        val cell = (y * 3 / h) * 3 + (x * 3 / w)
+        sums(cell) += r * 299 + g * 587 + b * 114
+        counts(cell) += 1
+      }
+      for (c <- 0 until 9 if counts(c) > 0) {
+        val (fmt, gw, gh, lum, np) = got((id, c))
+        assert(fmt == "bmp" && gw == w && gh == h, s"id=$id cell=$c meta")
+        assert(lum == sums(c) && np == counts(c), s"id=$id cell=$c: $lum/$np vs ${sums(c)}/${counts(c)}")
+      }
+    }
+  }
+
+  test("audioWindowStats == sample-formula reduction (WAV PCM round trip)") {
+    val df = MediaFixtures.withWav(ids.toDF("doc_id"), "doc_id")
+    val got = Multimodal.audioWindowStats(df, "doc_id", "audio", 4)
+      .collect().map(r => ((r.getLong(0), r.getInt(5)),
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(6), r.getLong(7)))).toMap
+    for (id <- ids) {
+      val n = MediaFixtures.wavSamples(id)
+      val sums = new Array[Long](4)
+      val counts = new Array[Long](4)
+      for (i <- 0 until n) {
+        val v = ((id * 31 + i.toLong * 7919) % 65536) - 32768
+        val w = (i.toLong * 4 / n).toInt
+        sums(w) += v
+        counts(w) += 1
+      }
+      for (w <- 0 until 4) {
+        val (fmt, rate, ch, dur, ss, ns) = got((id, w))
+        assert(fmt == "wave" && rate == 8000 && ch == 1, s"id=$id meta ($fmt, $rate, $ch)")
+        assert(dur == n * 1000L / 8000L, s"id=$id duration $dur vs ${n * 1000L / 8000L}")
+        assert(ss == sums(w) && ns == counts(w), s"id=$id win=$w: $ss/$ns vs ${sums(w)}/${counts(w)}")
+      }
+    }
+  }
+
+  test("videoMetaStats == box-formula metadata (ISO-BMFF walk round trip)") {
+    val df = MediaFixtures.withMp4(ids.toDF("doc_id"), "doc_id")
+    val got = Multimodal.videoMetaStats(df, "doc_id", "video")
+      .collect().map(r => (r.getLong(0),
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getLong(4)))).toMap
+    for (id <- ids) {
+      assert(got(id) == (("isom", MediaFixtures.vidW(id), MediaFixtures.vidH(id),
+        MediaFixtures.vidDurMs(id))), s"id=$id: ${got(id)}")
+    }
+  }
+
+  test("null payloads and undecodable bytes emit no stats rows") {
+    val junk = Seq((1L, Array[Byte](1, 2, 3)), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "img")
+    assert(Multimodal.imageGridStats(junk, "doc_id", "img", 3).count() == 0)
+    assert(Multimodal.audioWindowStats(junk, "doc_id", "img", 4).count() == 0)
+    assert(Multimodal.videoMetaStats(junk, "doc_id", "img").count() == 0)
+  }
+}

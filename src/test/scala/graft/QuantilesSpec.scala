@@ -191,6 +191,29 @@ class QuantilesSpec extends AnyFunSuite {
     assert(!plan.contains("Sort"), s"radix pass must not sort:\n$plan")
     assert(plan.contains("HashAggregate"), s"radix pass must hash-aggregate:\n$plan")
   }
+
+  test("empty / all-NULL / zero-mass inputs: keep* return empty, scalar quantiles throw a named error") {
+    val empty = Seq.empty[Double].toDF("x")
+    val allNull = Seq[(Long, Option[Double])]((1L, None), (2L, None)).toDF("id", "x")
+    val zeroMass = Seq((1L, 5.0, 0L), (2L, 7.0, 0L)).toDF("id", "x", "w")
+    // keep* operators: the top-X% of nothing is nothing, not a crash
+    // (a plausible state straight after an upstream filter)
+    assert(Quantiles.keepTopFraction(empty, col("x"), 0.1).count() == 0L)
+    assert(Quantiles.keepTopFraction(allNull, col("x"), 0.1).count() == 0L)
+    assert(Quantiles.keepWithinIqrFence(allNull, col("x")).count() == 0L)
+    assert(Quantiles.keepTopFractionByMass(zeroMass, col("x"), col("w"), 0.5).count() == 0L)
+    assert(Quantiles.keepTopFractionByGroup(allNull, lit("g"), col("x"), 0.5).count() == 0L)
+    assert(Quantiles.keepTopMassFractionByGroup(zeroMass, lit("g"), col("x"), col("w"), 0.5).count() == 0L)
+    // scalar quantiles of an empty set do not exist — named error, not
+    // a bare rank-out-of-range require
+    val e = intercept[IllegalArgumentException] { Quantiles.quantileDisc(allNull, col("x"), 0.5) }
+    assert(e.getMessage.contains("no scorable rows"), e.getMessage)
+    intercept[IllegalArgumentException] { Quantiles.kthSmallest(empty, col("x"), 1) }
+    intercept[IllegalArgumentException] {
+      Quantiles.kthSmallestWeighted(zeroMass, col("x"), col("w"), 1) }
+    // per-group scalar map: simply empty
+    assert(Quantiles.quantileDiscByGroup(allNull, lit("g"), col("x"), 0.5).isEmpty)
+  }
 }
 
 private object ColumnBridgeProbe {
