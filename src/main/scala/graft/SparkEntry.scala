@@ -2425,6 +2425,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
 
+    // the RIFF/AVI side of the same walk (little-endian chunk list +
+    // avih main header) — distinct formulas so a dispatch bug between
+    // the MP4 and AVI parsers cannot alias into a green row.
+    "q121_video_meta_avi" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val media = graft.operators.MediaFixtures.withAvi(docs, "doc_id")
+      graft.operators.Multimodal.videoMetaStats(media, "doc_id", "video")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
+    // streaming curation (quality gate → lang tag → watermark-bounded
+    // fingerprint dedup) over 4 real micro-batches, summarized
+    // arrival-order-free (duplicates share text, so per-language counts
+    // and char sums are deterministic); the oracle recomputes the whole
+    // pipeline from the q12 quality and q13 language formulas with
+    // text-keyed dedup. Threshold 0.1 sits 8e-4 from the nearest score
+    // on this corpus — no ulp hazard.
+    "q122_streaming_curation" -> { (s, dir) =>
+      graft.streaming.StreamingParity.curationSummary(s, dir)
+    },
+
     // the reproducible dataset-card pipeline, end to end: per-source
     // caps → source-weighted mixture → deterministic train/val/test
     // split → the per-(split, source) card counts. Every stage keys
@@ -4602,6 +4624,43 @@ object SparkEntry {
         |       CAST(240 + (doc_id % 9) * 8 AS INTEGER) AS height,
         |       CAST(1000 + doc_id % 5000 AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q121_video_meta_avi" ->
+      """SELECT doc_id, 'avi' AS format,
+        |       CAST(160 + (doc_id % 12) * 16 AS INTEGER) AS width,
+        |       CAST(120 + (doc_id % 7) * 16 AS INTEGER) AS height,
+        |       CAST(40000 * (25 + doc_id % 500) // 1000 AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q122_streaming_curation" ->
+      """WITH qd AS (
+        |  SELECT doc_id, text, n_chars,
+        |         least(1.0, length(text) / 500.0)
+        |         * (len(list_distinct(string_split_regex(trim(text), '\s+')))::DOUBLE
+        |            / len(string_split_regex(trim(text), '\s+')))
+        |         * greatest(0.0, 1.0 - (len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE
+        |                                / length(text)) * 4.0) AS quality
+        |  FROM documents),
+        |p AS (SELECT * FROM qd WHERE quality >= 0.1),
+        |surv AS (SELECT text, min(n_chars) AS n_chars FROM p GROUP BY text),
+        |langs(lang, words) AS (VALUES
+        |  ('de', ['der','die','das','und','ist','nicht','ein','eine','mit','für','auf','von']),
+        |  ('en', ['the','a','of','and','to','in','is','it','that','for','on','with','as']),
+        |  ('es', ['el','la','los','las','y','es','un','una','para','en','que','de']),
+        |  ('fr', ['le','la','les','et','est','un','une','pour','dans','que','des','du']),
+        |  ('it', ['il','lo','la','e','è','un','una','per','che','di','non','con'])),
+        |tok AS (SELECT text, string_split_regex(trim(lower(text)), '\s+') AS ts FROM surv),
+        |scored AS (SELECT text, lang,
+        |                  len(list_filter(ts, t -> list_contains(words, t))) AS score
+        |           FROM tok, langs),
+        |best AS (SELECT text, lang, score,
+        |                row_number() OVER (PARTITION BY text
+        |                  ORDER BY score DESC, lang DESC) AS rn
+        |         FROM scored),
+        |lg AS (SELECT s.text,
+        |              CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS lang,
+        |              s.n_chars
+        |       FROM surv s JOIN best b ON s.text = b.text AND b.rn = 1)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM lg GROUP BY lang ORDER BY lang""".stripMargin,
     // the whole funnel from the HUGEINT hash: window-rank cap (≤15 per
     // source), mixture epochs (floor + fractional threshold), split
     // buckets at the 0.8/0.9 cumulative thresholds, then the card.

@@ -355,6 +355,17 @@ object Dedup {
                          maxBucketSize: Int = 200): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
     installWarner(newDocs.sparkSession)
+    // exact pass: corpus content-hash set from its OWN skinny scan.
+    // Round 18 profiled the "share the near pass's checkpointed walk"
+    // alternative (derive the key set from csh's __cid): it was 2.4×
+    // SLOWER end-to-end — the checkpoint rows carry the shingle and
+    // band ARRAYS, and a third consumer deserializing them to read one
+    // 32-byte column costs far more than this pruned one-column
+    // codegen'd parquet scan. Two corpus walks is the floor.
+    val keys = corpus.select(md5(col(textCol)).as("__k")).distinct()
+      .withColumn("__ex", lit(true))
+    val withExact = newDocs.withColumn("__k", md5(col(textCol)))
+      .join(keys, Seq("__k"), "left")
     // near pass: asymmetric banded candidates, Jaccard-verified. The
     // shingle sets are computed ONCE per document and joined back to
     // the DEDUPED (new, corpus) candidate pairs — the naive form
@@ -378,14 +389,6 @@ object Dedup {
         minhashBands(col(textCol), numHashes, shingleSize, bands).as("__cbands"))
       .dropDuplicates("__cid")
       .transform(graft.Graft.checkpoint)
-    // exact pass rides the SAME checkpointed corpus walk: __cid IS the
-    // corpus content-hash set (md5, already distinct), so deriving the
-    // exact-match keys here removes what used to be a second full
-    // corpus scan — the round-17 sf10_dedup_incremental profile's
-    // finding (two checkpointed walks both started from raw corpus)
-    val keys = csh.select(col("__cid").as("__k")).withColumn("__ex", lit(true))
-    val withExact = newDocs.withColumn("__k", md5(col(textCol)))
-      .join(keys, Seq("__k"), "left")
     val cbx = csh.select(col("__cid"),
       posexplode(col("__cbands")).as(Seq("__band", "__bucket")))
     val sizes = cbx.groupBy("__band", "__bucket").agg(count(lit(1)).as("__n"))

@@ -110,6 +110,38 @@ object MediaFixtures {
     ftyp ++ box("moov", mvhd ++ box("trak", tkhd))
   }
 
+  // AVI formulas (distinct from MP4's so a dispatch bug can't alias)
+  val AviUsPerFrame = 40000L // 25 fps
+  def aviW(id: Long): Int = (160 + (id % 12) * 16).toInt
+  def aviH(id: Long): Int = (120 + (id % 7) * 16).toInt
+  def aviFrames(id: Long): Long = 25 + id % 500
+  def aviDurMs(id: Long): Long = AviUsPerFrame * aviFrames(id) / 1000L
+
+  /** Minimal RIFF/AVI skeleton: `RIFF…AVI ` + `LIST hdrl { avih }` with
+    * the main-header fields [[Multimodal.VideoMeta]]'s parseAvi reads —
+    * µs/frame, total frames, width, height. Covers the little-endian
+    * chunk walk the MP4 fixture can't. */
+  def aviBytes(id: Long): Array[Byte] = {
+    val avih = java.nio.ByteBuffer.allocate(8 + 56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    avih.put("avih".getBytes("US-ASCII")).putInt(56)
+      .putInt(AviUsPerFrame.toInt)  // µs per frame
+      .putInt(0).putInt(0).putInt(0) // maxBytesPerSec, padding, flags
+      .putInt(aviFrames(id).toInt)   // total frames
+      .putInt(0).putInt(1).putInt(0) // initialFrames, streams, suggBufSize
+      .putInt(aviW(id)).putInt(aviH(id))
+    // (4 reserved ints stay zero)
+    val hdrl = java.nio.ByteBuffer.allocate(12 + avih.capacity())
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hdrl.put("LIST".getBytes("US-ASCII")).putInt(4 + avih.capacity())
+      .put("hdrl".getBytes("US-ASCII")).put(avih.array())
+    val riff = java.nio.ByteBuffer.allocate(12 + hdrl.capacity())
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    riff.put("RIFF".getBytes("US-ASCII")).putInt(4 + hdrl.capacity())
+      .put("AVI ".getBytes("US-ASCII")).put(hdrl.array())
+    riff.array()
+  }
+
   // ---- DataFrame builders (no shuffle; one payload per row) ----
   private def withBinary(df: DataFrame, idCol: String, out: String,
                          gen: Long => Array[Byte]): DataFrame = {
@@ -128,4 +160,6 @@ object MediaFixtures {
     withBinary(df, idCol, out, wavBytes)
   def withMp4(df: DataFrame, idCol: String, out: String = "video"): DataFrame =
     withBinary(df, idCol, out, mp4Bytes)
+  def withAvi(df: DataFrame, idCol: String, out: String = "video"): DataFrame =
+    withBinary(df, idCol, out, aviBytes)
 }

@@ -164,4 +164,40 @@ object StreamingParity {
         max(col("events")).as("max_sess_events"))
       .orderBy(col("user_id"))
   }
+
+  /** Streaming curation ≡ batch curation, summarized order-free: the
+    * documents table (with a synthetic event time) streams through
+    * [[StreamingCuration.curate]] (quality gate → language tag →
+    * `dropDuplicatesWithinWatermark` on the content fingerprint) in 4
+    * micro-batches. WHICH doc survives a duplicate fingerprint depends
+    * on arrival order, but every duplicate shares the TEXT (the
+    * fingerprint is a content hash), so per-language survivor counts
+    * and char sums are arrival-independent — those are the certified
+    * output. All docs sit far inside the watermark horizon, so the
+    * state never evicts mid-replay. */
+  def curationSummary(spark: SparkSession, dir: String): DataFrame = {
+    val in = scratch("curation_in")
+    val src = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        timestamp_seconds(lit(1700000000L) + col("doc_id") % 100).as("ts"))
+    src.repartition(4).write.mode("overwrite").parquet(in.getAbsolutePath)
+
+    val qn = "graft_streampar_curation"
+    spark.catalog.dropTempView(qn)
+    runToCompletion(chk =>
+      StreamingCuration.curate(
+        spark.readStream.schema(src.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(in.getAbsolutePath),
+        "ts", watermark = "1 hour", textCol = "text", minQuality = 0.1)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start(), "curation")
+
+    spark.table(qn)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
 }

@@ -75,6 +75,17 @@ class MediaOracleSpec extends AnyFunSuite {
     }
   }
 
+  test("videoMetaStats on AVI == avih-formula metadata (RIFF walk round trip)") {
+    val df = MediaFixtures.withAvi(ids.toDF("doc_id"), "doc_id")
+    val got = Multimodal.videoMetaStats(df, "doc_id", "video")
+      .collect().map(r => (r.getLong(0),
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getLong(4)))).toMap
+    for (id <- ids) {
+      assert(got(id) == (("avi", MediaFixtures.aviW(id), MediaFixtures.aviH(id),
+        MediaFixtures.aviDurMs(id))), s"id=$id: ${got(id)}")
+    }
+  }
+
   test("null payloads and undecodable bytes emit no stats rows") {
     val junk = Seq((1L, Array[Byte](1, 2, 3)), (2L, null.asInstanceOf[Array[Byte]]))
       .toDF("doc_id", "img")
