@@ -2447,6 +2447,16 @@ object SparkEntry {
       graft.streaming.StreamingParity.curationSummary(s, dir)
     },
 
+    // streaming SEMANTIC dedup over ascending-id micro-batches: greedy
+    // first-arrival survivors (pairwise vs already-kept — deliberately
+    // NOT q60's transitive connected-components contract; see
+    // StreamingParity.semanticDedupSurvivors). The oracle replays the
+    // greedy scan with a recursive CTE over the exact-integer SDC pair
+    // list (the q60 code/pair derivation).
+    "q123_streaming_semantic_dedup" -> { (s, dir) =>
+      graft.streaming.StreamingParity.semanticDedupSurvivors(s, dir, synthCb, 0.55)
+    },
+
     // the reproducible dataset-card pipeline, end to end: per-source
     // caps → source-weighted mixture → deterministic train/val/test
     // split → the per-(split, source) card counts. Every stage keys
@@ -4661,6 +4671,53 @@ object SparkEntry {
         |       FROM surv s JOIN best b ON s.text = b.text AND b.rn = 1)
         |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM lg GROUP BY lang ORDER BY lang""".stripMargin,
+    // q123: the q60 code/pair derivation, finished by a GREEDY
+    // ascending-id scan (recursive CTE, one id per iteration) instead
+    // of connected components — the streaming operator's keep rule.
+    "q123_streaming_semantic_dedup" ->
+      """WITH RECURSIVE qz AS (
+        |  SELECT vec_id, list_transform(embedding, x ->
+        |    floor(x::DOUBLE * (CASE WHEN mx > 1e-300 THEN 127.0 / mx ELSE 0.0 END) + 0.5)) AS q
+        |  FROM (SELECT vec_id, embedding,
+        |               list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
+        |        FROM embeddings WHERE vec_id < 300)),
+        |d AS (
+        |  SELECT vec_id, j, k,
+        |         list_sum(list_transform(range(0, 8), t ->
+        |           (q[j*8 + t + 1] - (((k*5 + t*3 + j*2) % 17) - 8))
+        |           * (q[j*8 + t + 1] - (((k*5 + t*3 + j*2) % 17) - 8)))) AS d2
+        |  FROM qz, range(0, 8) js(j), range(0, 16) ks(k)),
+        |codes AS (
+        |  SELECT vec_id, j, k AS code FROM (
+        |    SELECT vec_id, j, k,
+        |           row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, k) AS rn
+        |    FROM d)
+        |  WHERE rn = 1),
+        |rec AS (
+        |  SELECT vec_id, flatten(list(sub ORDER BY j)) AS recon
+        |  FROM (SELECT vec_id, j, list_transform(range(0, 8), t ->
+        |          CAST(((code*5 + t*3 + j*2) % 17) - 8 AS DOUBLE)) AS sub
+        |        FROM codes)
+        |  GROUP BY vec_id),
+        |n2 AS (SELECT vec_id, recon, list_inner_product(recon, recon) AS na2 FROM rec),
+        |p AS (SELECT a.vec_id AS ida, b.vec_id AS idb
+        |      FROM n2 a JOIN n2 b ON a.vec_id < b.vec_id
+        |      WHERE list_inner_product(a.recon, b.recon)
+        |            / (sqrt(a.na2) * sqrt(b.na2)) >= 0.55),
+        |nbr AS (SELECT idb AS vec_id, list(ida) AS smaller FROM p GROUP BY idb),
+        |ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn FROM qz),
+        |g(rn, kept) AS (
+        |  SELECT 0, CAST([] AS BIGINT[])
+        |  UNION ALL
+        |  SELECT g.rn + 1,
+        |         CASE WHEN len(list_intersect(coalesce(n.smaller, []), g.kept)) = 0
+        |              THEN list_append(g.kept, i.vec_id) ELSE g.kept END
+        |  FROM g
+        |  JOIN ids i ON i.rn = g.rn + 1
+        |  LEFT JOIN nbr n ON n.vec_id = i.vec_id)
+        |SELECT unnest(kept) AS vec_id
+        |FROM g WHERE rn = (SELECT max(rn) FROM ids)
+        |ORDER BY vec_id""".stripMargin,
     // the whole funnel from the HUGEINT hash: window-rank cap (≤15 per
     // source), mixture epochs (floor + fractional threshold), split
     // buckets at the 0.8/0.9 cumulative thresholds, then the card.

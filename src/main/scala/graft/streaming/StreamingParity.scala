@@ -114,13 +114,7 @@ object StreamingParity {
       .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
       .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
 
-    // 8 ascending event-time ranges, written SEQUENTIALLY so both mtime
-    // and name order match event-time order (ordered arrival is the
-    // parity contract — an arbitrary interleave could close a session
-    // before its earlier events arrive, which batch never does)
     val span = maxUs - minUs + 1
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
     val chunks = (0 until 8).map { i =>
       val lo = minUs + span * i / 8
       val hi = if (i == 7) maxUs + 1 else minUs + span * (i + 1) / 8
@@ -132,15 +126,7 @@ object StreamingParity {
       Seq((-1L, new java.sql.Timestamp((maxUs / 1000) + gapMs + 7200000L)))
         .toDF("user_id", "ts")
     }
-    chunks.zipWithIndex.foreach { case (c, i) =>
-      val tmp = scratch(s"sessionize_tmp")
-      c.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
-      val part = Option(tmp.listFiles()).toSeq.flatten
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"sessionize parity: chunk $i wrote no parquet part"))
-      fs.rename(new org.apache.hadoop.fs.Path(part.getAbsolutePath),
-        new org.apache.hadoop.fs.Path(new java.io.File(in, f"chunk_$i%02d.parquet").getAbsolutePath))
-    }
+    writeOrderedChunks(spark, in, "sessionize", chunks)
 
     val qn = "graft_streampar_sessions"
     spark.catalog.dropTempView(qn)
@@ -163,6 +149,74 @@ object StreamingParity {
         sum(col("events")).as("n_events"),
         max(col("events")).as("max_sess_events"))
       .orderBy(col("user_id"))
+  }
+
+  /** Write each chunk as ONE parquet file under `in`, sequentially, so
+    * both mtime and name order match the chunk order (file sources pick
+    * oldest first) — ordered arrival is the parity contract for every
+    * order-sensitive streaming operator here. */
+  private def writeOrderedChunks(spark: SparkSession, in: java.io.File,
+                                 tag: String, chunks: Seq[DataFrame]): Unit = {
+    deleteRec(in)
+    in.mkdirs()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val tmp = scratch(s"${tag}_tmp")
+      c.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = Option(tmp.listFiles()).toSeq.flatten
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"$tag parity: chunk $i wrote no parquet part"))
+      fs.rename(new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+        new org.apache.hadoop.fs.Path(new java.io.File(in, f"chunk_$i%02d.parquet").getAbsolutePath))
+    }
+  }
+
+  /** Streaming semantic dedup ≡ the GREEDY first-arrival reference: the
+    * int8-quantized embeddings (vec_id < 300, the q60 corpus) stream in
+    * ascending-id order through [[StreamingSemanticDedup.dedup]] — one
+    * coarse cell (a single centroid), PQ codes from the same synthetic
+    * codebook as q60, an effectively-infinite suppression horizon — so
+    * the kept set is exactly the greedy scan "keep unless SDC-cosine ≥
+    * threshold against an already-kept row, ids ascending". The oracle
+    * replays that greedy scan in SQL (recursive CTE over the pair list).
+    * NOTE this is deliberately NOT q60's batch `semanticDedupEncoded`
+    * contract: that one drops whole connected COMPONENTS (transitive),
+    * the streaming operator is greedy (pairwise vs kept) — on a chain
+    * a~b, b~c, a≁c batch keeps {a}, greedy keeps {a, c}. */
+  def semanticDedupSurvivors(spark: SparkSession, dir: String,
+                             cb: graft.operators.Pq.PqCodebook,
+                             threshold: Double): DataFrame = {
+    val in = scratch("semdedup_in")
+    val src = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < 300)
+      .select(col("vec_id"),
+        graft.operators.Quantize.quantizeInt8(col("embedding")).getField("q").as("vec"),
+        timestamp_seconds(lit(1700000000L) + col("vec_id")).as("ts"))
+    val dim = 64
+    writeOrderedChunks(spark, in, "semdedup", (0 until 4).map { i =>
+      src.filter(col("vec_id") >= i * 75 && col("vec_id") < (i + 1) * 75)
+    })
+
+    val qn = "graft_streampar_semdedup"
+    spark.catalog.dropTempView(qn)
+    runToCompletion(chk =>
+      StreamingSemanticDedup.dedup(
+        spark.readStream.schema(src.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(in.getAbsolutePath),
+        "vec_id", "vec", "ts",
+        // one zero centroid: every row lands in cell 0, matching the
+        // q60 corpus's single-cell framing
+        centroids = Array((0, Array.fill(dim)(0.0))),
+        cb, threshold, watermark = "1 minute",
+        horizonMs = 1000L * 3600 * 24 * 3650)
+        .toDF()
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start(), "semdedup")
+
+    spark.table(qn).select(col("id").as("vec_id")).orderBy(col("vec_id"))
   }
 
   /** Streaming curation ≡ batch curation, summarized order-free: the
