@@ -2457,6 +2457,15 @@ object SparkEntry {
       graft.streaming.StreamingParity.semanticDedupSurvivors(s, dir, synthCb, 0.55)
     },
 
+    // streaming as-of join over both sides' ordered micro-batches
+    // (dual fenceposts — the union's global watermark is the min of
+    // the two sides'), projected to q44's shape and graded by q44's
+    // oracle verbatim: the last streaming operator without a certified
+    // row.
+    "q124_streaming_asof" -> { (s, dir) =>
+      graft.streaming.StreamingParity.asofSummary(s, dir, eventsSchema)
+    },
+
     // the reproducible dataset-card pipeline, end to end: per-source
     // caps → source-weighted mixture → deterministic train/val/test
     // split → the per-(split, source) card counts. Every stage keys
@@ -4718,6 +4727,18 @@ object SparkEntry {
         |SELECT unnest(kept) AS vec_id
         |FROM g WHERE rn = (SELECT max(rn) FROM ids)
         |ORDER BY vec_id""".stripMargin,
+    // q124: the streaming as-of must land on the batch answer — q44's
+    // oracle, verbatim.
+    "q124_streaming_asof" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t FROM events),
+        |c AS (SELECT event_id, user_id, t FROM e WHERE event_type = 'click'),
+        |v AS (SELECT user_id, t AS vt, max(event_id) AS v_eid
+        |      FROM e WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id,
+        |       coalesce(v.v_eid, -1) AS view_eid,
+        |       coalesce(c.t - v.vt, -1) AS dt_us
+        |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.vt <= c.t
+        |ORDER BY c.event_id""".stripMargin,
     // the whole funnel from the HUGEINT hash: window-rank cap (≤15 per
     // source), mixture epochs (floor + fractional threshold), split
     // buckets at the 0.8/0.9 cumulative thresholds, then the card.

@@ -219,6 +219,67 @@ object StreamingParity {
     spark.table(qn).select(col("id").as("vec_id")).orderBy(col("vec_id"))
   }
 
+  /** Streaming as-of join ≡ batch as-of (q44's click→view shape): both
+    * sides cut into ascending event-time range files (views PRE-deduped
+    * per (user, µs) in batch — input prep, identical to q44's), each
+    * side carrying a far-future sentinel (the GLOBAL watermark is the
+    * min across the union's sides, so BOTH must advance for pending
+    * lefts to flush). Matches project to q44's exact output shape, so
+    * the q44 oracle SQL grades the streaming operator. */
+  def asofSummary(spark: SparkSession, dir: String, eventsSchema: StructType): DataFrame = {
+    import spark.implicits._
+    val ev = spark.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val Array(minUs, maxUs) = ev
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val span = maxUs - minUs + 1
+    val sentinelTs = new java.sql.Timestamp((maxUs / 1000) + 7200000L)
+    def ranges(df: DataFrame, sentinel: DataFrame): Seq[DataFrame] =
+      (0 until 6).map { i =>
+        val lo = minUs + span * i / 6
+        val hi = if (i == 5) maxUs + 1 else minUs + span * (i + 1) / 6
+        df.filter(unix_micros(col("ts")) >= lo && unix_micros(col("ts")) < hi)
+      } :+ sentinel
+
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("v_eid"))
+      .select(col("v_eid"), col("user_id"), col("ts"))
+    val inL = scratch("asof_in_left")
+    val inR = scratch("asof_in_right")
+    writeOrderedChunks(spark, inL, "asof_left", ranges(clicks,
+      Seq((-1L, -1L, sentinelTs)).toDF("event_id", "user_id", "ts")))
+    writeOrderedChunks(spark, inR, "asof_right", ranges(views,
+      Seq((-1L, -1L, sentinelTs)).toDF("v_eid", "user_id", "ts")))
+
+    val qn = "graft_streampar_asof"
+    spark.catalog.dropTempView(qn)
+    runToCompletion(chk =>
+      StreamingAsofJoin.asof(
+        spark.readStream.schema(clicks.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inL.getAbsolutePath),
+        "user_id", "ts", "event_id",
+        spark.readStream.schema(views.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inR.getAbsolutePath),
+        "user_id", "ts", "v_eid",
+        watermark = "1 minute")
+        .toDF()
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start(), "asof")
+
+    spark.table(qn)
+      .filter(col("key") =!= -1L)
+      .select(col("leftId").as("event_id"), col("key").as("user_id"),
+        coalesce(col("rightId"), lit(-1L)).as("view_eid"),
+        coalesce(col("leftTsUs") - col("rightTsUs"), lit(-1L)).as("dt_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** Streaming curation ≡ batch curation, summarized order-free: the
     * documents table (with a synthetic event time) streams through
     * [[StreamingCuration.curate]] (quality gate → language tag →
