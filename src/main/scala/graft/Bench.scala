@@ -839,6 +839,11 @@ object Bench {
       maxRepsOverride = Some(3), statMin = true)
   }
 
+  /** Tiers whose fork timed out or exited nonzero this run — their
+    * completed rows are kept but the artifact marks them incomplete. */
+  private val incompleteTiers =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+
   private val tierNames = Seq("main", "sf1", "sf10", "sf100")
   private def tierDir(name: String): String = name match {
     case "main" => sfDir
@@ -1024,10 +1029,12 @@ object Bench {
       // growing fragment and, on change, re-emits the cumulative
       // summary line — so even a SIGKILL from the driver's timeout
       // leaves the most recent complete summary in the output tail
-      // (round-17 advice item 1). 25-min per-tier cap (the trimmed
-      // sf100 tier runs ~8 min uncontended).
+      // (round-17 advice item 1). 25-min per-tier cap for the trimmed
+      // default suite (~8 min uncontended); FULL mode restores the
+      // multi-round MICE rows (61 s + 174 s per PASS), so its cap must
+      // cover them or the flag would kill exactly the rows it restores.
       var seen = -1
-      val capMs = 25L * 60 * 1000
+      val capMs = (if (benchFull) 55L else 25L) * 60 * 1000
       val t0 = System.currentTimeMillis()
       var finished = false
       while (!finished && System.currentTimeMillis() - t0 < capMs) {
@@ -1035,9 +1042,19 @@ object Bench {
         val part = readFrag()
         if (part.size != seen) { seen = part.size; if (part.nonEmpty) onPartial(part) }
       }
-      if (!finished) { p.destroyForcibly(); System.err.println(s"[bench] tier $tierName TIMED OUT (25 min) — keeping completed rows"); return Some(readFrag()) }
+      // a tier that did not EXIT CLEANLY must stay visible as broken in
+      // the artifact: completed rows are kept (they are real timings),
+      // but the tier is flagged incomplete so a crash that drops the
+      // heavy tail rows can never read as a tier-total speedup
+      if (!finished) {
+        p.destroyForcibly()
+        System.err.println(s"[bench] tier $tierName TIMED OUT (${capMs / 60000} min) — keeping completed rows, tier marked INCOMPLETE")
+        incompleteTiers.add(tierName)
+        return Some(readFrag())
+      }
       if (p.exitValue() != 0) {
-        System.err.println(s"[bench] tier $tierName child exited ${p.exitValue()} — see ${frag}.log; keeping completed rows")
+        System.err.println(s"[bench] tier $tierName child exited ${p.exitValue()} — see ${frag}.log; keeping completed rows, tier marked INCOMPLETE")
+        incompleteTiers.add(tierName)
         val part = readFrag()
         return if (part.nonEmpty) Some(part) else None
       }
@@ -1098,6 +1115,13 @@ object Bench {
         ",\"failed\":" + names(failed, 8) +
         ",\"unstable\":" + names(unstable, 6) +
         ",\"recert_n\":" + recertN + ",\"drift_n\":" + driftN +
+        (if (!incompleteTiers.isEmpty)
+          ",\"incomplete\":" + names(
+            {
+              import scala.jdk.CollectionConverters._
+              incompleteTiers.asScala.toSeq.sorted
+            }, 4)
+        else "") +
         partial.fold("")(t => ",\"partial\":\"" + t + "\"") +
         (if (tierBits.nonEmpty) "," + tierBits else "") +
         ",\"detail\":\"BENCH_RESULT.json\"}"
@@ -1303,7 +1327,8 @@ object Bench {
           .distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
         val b = rows.collect { case (k, _, _, true) => "\"" + k + "\"" }.mkString("[", ",", "]")
         val statJson = stat.fold("")(s => s""""stat":"$s",""")
-        f""","$tag":{"dir":"$dir",$statJson"total":$t%.3f,"queries":$q,"unstable":$u,"failed":$b}"""
+        val inc = if (incompleteTiers.contains(tag)) """"incomplete":true,""" else ""
+        f""","$tag":{"dir":"$dir",$statJson$inc"total":$t%.3f,"queries":$q,"unstable":$u,"failed":$b}"""
       }
     val sf1Json = tierJson("sf1", sf1Dir, sf1Results, None)
     val sf10Json = tierJson("sf10", sf10Dir, sf10Results, None)

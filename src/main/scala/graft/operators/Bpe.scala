@@ -193,25 +193,41 @@ object Bpe {
   // One broadcast per MODEL per context, not per encode call: a
   // long-lived session that encodes the same model repeatedly was
   // shipping (and leaking) a fresh broadcast every call (round-17
-  // advice). Weak keys let a dropped model release its entry; a
-  // restarted context rebuilds. Structural equality on BpeModel means
-  // equal models share one shipped table.
-  private val bcCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[BpeModel,
-      (org.apache.spark.SparkContext,
-       Broadcast[Array[(String, String)]], Broadcast[Array[String]])]())
-  private def modelBroadcasts(spark: SparkSession, model: BpeModel)
-      : (Broadcast[Array[(String, String)]], Broadcast[Array[String]]) = {
-    val sc = spark.sparkContext
-    val got = bcCache.get(model)
-    if (got != null && (got._1 eq sc) && !sc.isStopped) (got._2, got._3)
-    else {
-      val bm = sc.broadcast(model.merges.toArray)
-      val ba = sc.broadcast(model.alphabet.toArray)
-      bcCache.put(model, (sc, bm, ba))
-      (bm, ba)
+  // advice). Weak keys let a dropped model release its entry; the
+  // context rides a WeakReference so a cache entry can never pin a
+  // STOPPED SparkContext's object graph through a still-live model
+  // (the value tuple held it strongly before); a restarted context
+  // rebuilds. The alphabet table ships LAZILY — only encodeIds reads
+  // it, and a merges-only encode() of a production vocab should not
+  // distribute a 30k-string array it never touches. Structural
+  // equality on BpeModel means equal models share one shipped table.
+  private final class ModelBc(sc: org.apache.spark.SparkContext,
+                              val merges: Broadcast[Array[(String, String)]]) {
+    private val scRef = new java.lang.ref.WeakReference(sc)
+    @volatile private var alphaBc: Broadcast[Array[String]] = _
+    def liveFor(other: org.apache.spark.SparkContext): Boolean = {
+      val got = scRef.get()
+      (got eq other) && got != null && !got.isStopped
+    }
+    def alphabet(model: BpeModel): Broadcast[Array[String]] = synchronized {
+      val sc = scRef.get()
+      if (alphaBc == null && sc != null) alphaBc = sc.broadcast(model.alphabet.toArray)
+      alphaBc
     }
   }
+  private val bcCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[BpeModel, ModelBc]())
+  private def modelBroadcasts(spark: SparkSession, model: BpeModel): ModelBc =
+    bcCache.synchronized {
+      val sc = spark.sparkContext
+      val got = bcCache.get(model)
+      if (got != null && got.liveFor(sc)) got
+      else {
+        val fresh = new ModelBc(sc, sc.broadcast(model.merges.toArray))
+        bcCache.put(model, fresh)
+        fresh
+      }
+    }
 
   /** Encode `textCol` with a trained model: whitespace-split words,
     * each replayed through the merge list in rank order, token arrays
@@ -219,7 +235,7 @@ object Bpe {
     * see [[graft.functions.BpeEncode]]. */
   def encode(docs: DataFrame, textCol: String, model: BpeModel,
              out: String = "tokens"): DataFrame =
-    docs.withColumn(out, encodeCol(col(textCol), modelBroadcasts(docs.sparkSession, model)._1))
+    docs.withColumn(out, encodeCol(col(textCol), modelBroadcasts(docs.sparkSession, model).merges))
 
   /** The encode Column for a caller-managed broadcast (lets several
     * queries share one shipped model). */
@@ -235,12 +251,12 @@ object Bpe {
     * symbols emit −1 (UNK). Same interned one-scan kernel. */
   def encodeIds(docs: DataFrame, textCol: String, model: BpeModel,
                 out: String = "token_ids"): DataFrame = {
-    val (bc, vb) = modelBroadcasts(docs.sparkSession, model)
+    val mb = modelBroadcasts(docs.sparkSession, model)
     docs.withColumn(out,
       org.apache.spark.sql.graft.ColumnBridge.column(
         graft.functions.BpeEncode(
           org.apache.spark.sql.graft.ColumnBridge.expression(col(textCol)),
-          bc, vocabBc = Some(vb))))
+          mb.merges, vocabBc = Some(mb.alphabet(model)))))
   }
 
   /** Persist a model as a one-file parquet artifact: merge rows

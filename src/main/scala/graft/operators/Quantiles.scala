@@ -49,15 +49,21 @@ object Quantiles {
     * finished driver-side instead of running the remaining passes —
     * the typical selection is 2 scans (histogram + collect), and the
     * multi-pass worst case only fires when ≥ this many values share a
-    * 48-bit key prefix. 2^19 rows × 16 B ≈ 8 MB on the driver — small
-    * against any realistic driver heap, and at 5M-doc scale it lets the
-    * LEVEL-1 bucket (a score distribution's dense exponent band often
-    * holds a few hundred k rows) finish in one collect instead of two
-    * more histogram scans: the round-17 sf100_quantile_cut 3.5×-of-
-    * DuckDB gap was exactly those extra fixed-cost distributed passes.
+    * 48-bit key prefix. Honest driver cost at the cap: the collect
+    * materializes 2^19 two-long Rows plus the mapped/sorted tuple
+    * array — ~50-100 MB of TRANSIENT driver allocation per select(),
+    * an order of magnitude over the raw 8 MB of payload. That sizing
+    * assumes a driver with a few GB of heap (any Spark driver running
+    * 5M-row curation does); on a smaller driver lower the cap via
+    * -Dgraft.quantiles.collectCap. The payoff measured at 5M docs:
+    * the LEVEL-1 bucket (a score distribution's dense exponent band,
+    * a few hundred k rows) finishes in one collect instead of two
+    * more histogram scans — the round-17 sf100_quantile_cut 3.5×-of-
+    * DuckDB gap was exactly those extra fixed-cost passes (2.1× after).
     * The per-task shuffle bound (≤65 536 HISTOGRAM cells) is untouched;
     * this cap only sizes the driver-side finishing collect. */
-  private val collectCap = 1 << 19
+  private val collectCap =
+    Integer.getInteger("graft.quantiles.collectCap", 1 << 19).intValue()
 
   /** The value at MASS rank `kOf(W)` (1-based, in weight units; W = the
     * total mass, piggybacked off the first pass's histogram — no
