@@ -1115,13 +1115,9 @@ object Bench {
         ",\"failed\":" + names(failed, 8) +
         ",\"unstable\":" + names(unstable, 6) +
         ",\"recert_n\":" + recertN + ",\"drift_n\":" + driftN +
-        (if (!incompleteTiers.isEmpty)
-          ",\"incomplete\":" + names(
-            {
-              import scala.jdk.CollectionConverters._
-              incompleteTiers.asScala.toSeq.sorted
-            }, 4)
-        else "") +
+        (if (incompleteTiers.isEmpty) ""
+         else ",\"incomplete\":" + names(
+           incompleteTiers.toArray(Array.empty[String]).toSeq.sorted, 4)) +
         partial.fold("")(t => ",\"partial\":\"" + t + "\"") +
         (if (tierBits.nonEmpty) "," + tierBits else "") +
         ",\"detail\":\"BENCH_RESULT.json\"}"

@@ -106,20 +106,10 @@ object StreamingParity {
   def sessionSummary(spark: SparkSession, dir: String, eventsSchema: StructType): DataFrame = {
     val gapMs = 1800000L // 30 min, the q33 gap (1 800 000 000 µs)
     val in = scratch("sessionize_in")
-    deleteRec(in)
-    in.mkdirs()
     val ev = spark.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
-      .select(col("user_id"), col("ts"))
-    val Array(minUs, maxUs) = ev
-      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
-      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-
-    val span = maxUs - minUs + 1
-    val chunks = (0 until 8).map { i =>
-      val lo = minUs + span * i / 8
-      val hi = if (i == 7) maxUs + 1 else minUs + span * (i + 1) / 8
-      ev.filter(unix_micros(col("ts")) >= lo && unix_micros(col("ts")) < hi)
-    } :+ {
+      .select(col("user_id"), col("ts")).cache()
+    val (minUs, maxUs) = tsBounds(ev)
+    val chunks = timeRangeChunks(ev, minUs, maxUs, 8) :+ {
       // fencepost: one far-future event on a sentinel key pushes the
       // watermark past every real session's last + gap
       import spark.implicits._
@@ -127,6 +117,7 @@ object StreamingParity {
         .toDF("user_id", "ts")
     }
     writeOrderedChunks(spark, in, "sessionize", chunks)
+    ev.unpersist()
 
     val qn = "graft_streampar_sessions"
     spark.catalog.dropTempView(qn)
@@ -171,6 +162,25 @@ object StreamingParity {
     }
   }
 
+  /** (min, max) of `ts` in epoch microseconds. */
+  private def tsBounds(df: DataFrame): (Long, Long) = {
+    val r = df.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).collect().head
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** `n` ascending event-time range slices of `df` covering [min, max]
+    * exactly — the ordered-arrival chunking shared by the time-keyed
+    * parity harnesses. */
+  private def timeRangeChunks(df: DataFrame, minUs: Long, maxUs: Long,
+                              n: Int): Seq[DataFrame] = {
+    val span = maxUs - minUs + 1
+    (0 until n).map { i =>
+      val lo = minUs + span * i / n
+      val hi = if (i == n - 1) maxUs + 1 else minUs + span * (i + 1) / n
+      df.filter(unix_micros(col("ts")) >= lo && unix_micros(col("ts")) < hi)
+    }
+  }
+
   /** Streaming semantic dedup ≡ the GREEDY first-arrival reference: the
     * int8-quantized embeddings (vec_id < 300, the q60 corpus) stream in
     * ascending-id order through [[StreamingSemanticDedup.dedup]] — one
@@ -192,10 +202,12 @@ object StreamingParity {
       .select(col("vec_id"),
         graft.operators.Quantize.quantizeInt8(col("embedding")).getField("q").as("vec"),
         timestamp_seconds(lit(1700000000L) + col("vec_id")).as("ts"))
-    val dim = 64
+      .cache()
+    val dim = cb.m * cb.dsub
     writeOrderedChunks(spark, in, "semdedup", (0 until 4).map { i =>
       src.filter(col("vec_id") >= i * 75 && col("vec_id") < (i + 1) * 75)
     })
+    src.unpersist()
 
     val qn = "graft_streampar_semdedup"
     spark.catalog.dropTempView(qn)
@@ -230,30 +242,23 @@ object StreamingParity {
     import spark.implicits._
     val ev = spark.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
-    val Array(minUs, maxUs) = ev
-      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
-      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-    val span = maxUs - minUs + 1
+    val (minUs, maxUs) = tsBounds(ev)
     val sentinelTs = new java.sql.Timestamp((maxUs / 1000) + 7200000L)
-    def ranges(df: DataFrame, sentinel: DataFrame): Seq[DataFrame] =
-      (0 until 6).map { i =>
-        val lo = minUs + span * i / 6
-        val hi = if (i == 5) maxUs + 1 else minUs + span * (i + 1) / 6
-        df.filter(unix_micros(col("ts")) >= lo && unix_micros(col("ts")) < hi)
-      } :+ sentinel
 
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("event_id"), col("user_id"), col("ts"))
+      .select(col("event_id"), col("user_id"), col("ts")).cache()
     val views = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id"), col("ts"))
       .agg(max(col("event_id")).as("v_eid"))
-      .select(col("v_eid"), col("user_id"), col("ts"))
+      .select(col("v_eid"), col("user_id"), col("ts")).cache()
     val inL = scratch("asof_in_left")
     val inR = scratch("asof_in_right")
-    writeOrderedChunks(spark, inL, "asof_left", ranges(clicks,
-      Seq((-1L, -1L, sentinelTs)).toDF("event_id", "user_id", "ts")))
-    writeOrderedChunks(spark, inR, "asof_right", ranges(views,
-      Seq((-1L, -1L, sentinelTs)).toDF("v_eid", "user_id", "ts")))
+    writeOrderedChunks(spark, inL, "asof_left", timeRangeChunks(clicks, minUs, maxUs, 6) :+
+      Seq((-1L, -1L, sentinelTs)).toDF("event_id", "user_id", "ts"))
+    writeOrderedChunks(spark, inR, "asof_right", timeRangeChunks(views, minUs, maxUs, 6) :+
+      Seq((-1L, -1L, sentinelTs)).toDF("v_eid", "user_id", "ts"))
+    clicks.unpersist()
+    views.unpersist()
 
     val qn = "graft_streampar_asof"
     spark.catalog.dropTempView(qn)
