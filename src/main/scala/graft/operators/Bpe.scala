@@ -210,8 +210,12 @@ object Bpe {
       (got eq other) && got != null && !got.isStopped
     }
     def alphabet(model: BpeModel): Broadcast[Array[String]] = synchronized {
-      val sc = scRef.get()
-      if (alphaBc == null && sc != null) alphaBc = sc.broadcast(model.alphabet.toArray)
+      if (alphaBc == null) {
+        val sc = scRef.get()
+        require(sc != null && !sc.isStopped,
+          "BPE model broadcast cache outlived its SparkContext — re-encode on the live session")
+        alphaBc = sc.broadcast(model.alphabet.toArray)
+      }
       alphaBc
     }
   }
