@@ -86,6 +86,26 @@ class MediaOracleSpec extends AnyFunSuite {
     }
   }
 
+  test("audioWindowStats sums ALL channels of a stereo WAV (the fixture corpus is mono-only)") {
+    // hand-built 2-channel WAV: frame f carries L = f+1, R = 10*(f+1)
+    val n = 8
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 4)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2) // PCM, stereo
+      .putInt(8000).putInt(8000 * 4).putShort(4).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(n * 4)
+    for (f <- 1 to n) { bb.putShort(f.toShort); bb.putShort((10 * f).toShort) }
+    val df = Seq((1L, bb.array())).toDF("doc_id", "audio")
+    val got = Multimodal.audioWindowStats(df, "doc_id", "audio", 2)
+      .collect().map(r => (r.getInt(5), (r.getInt(3), r.getLong(6), r.getLong(7)))).toMap
+    // window 0 = frames 1-4, window 1 = frames 5-8; sum = 11·Σf
+    assert(got(0) == ((2, 11 * (1 + 2 + 3 + 4), 4L)), got(0))
+    assert(got(1) == ((2, 11 * (5 + 6 + 7 + 8), 4L)), got(1))
+  }
+
   test("null payloads and undecodable bytes emit no stats rows") {
     val junk = Seq((1L, Array[Byte](1, 2, 3)), (2L, null.asInstanceOf[Array[Byte]]))
       .toDF("doc_id", "img")
