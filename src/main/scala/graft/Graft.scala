@@ -223,7 +223,7 @@ object Graft {
       val cols = num.map(c => org.apache.spark.sql.functions.col(c).cast("double")) ++
         cat.map(c => org.apache.spark.sql.functions.col(c).cast("int"))
       val agg = if (nb) sumNbAgg(cols: _*) else sumTriple(cols: _*)
-      tripleFromRow(df.agg(agg.as("t")).head.getStruct(0))
+      tripleFromRow(df.agg(agg.as("t")).head().getStruct(0))
     }
   }
 
@@ -251,7 +251,7 @@ object Graft {
     val clean = if (k == 0) df else df.where(cast.map(_.isNotNull).reduce(_ && _))
     val aggs: Seq[Column] = count(lit(1)) +: (cast.map(sum) ++
       (for { i <- 0 until k; j <- i until k } yield sum(cast(i) * cast(j))))
-    val row = clean.agg(aggs.head, aggs.tail: _*).head
+    val row = clean.agg(aggs.head, aggs.tail: _*).head()
     def d(idx: Int): Double = if (row.isNullAt(idx)) 0.0 else row.getDouble(idx)
     Triple(row.getLong(0),
       Array.tabulate(k)(i => d(1 + i)),

@@ -54,7 +54,7 @@ object ExampleFlightMice {
       count(when(col("miss"), 1)).as("n_imputed"),
       count(when(col("l_discount").isNull, 1)).as("nulls_left"),
       sqrt(avg(when(col("miss"), pow(col("l_discount") - col("d_true"), 2)))).as("rmse"),
-      stddev(col("d_true")).as("sd")).head
+      stddev(col("d_true")).as("sd")).head()
     val wall = (System.nanoTime() - t0) / 1e9
     println(s"[flight-mice] dir=$dir rows=${stats.getLong(0)} imputed=${stats.getLong(1)} " +
       s"nulls_left=${stats.getLong(2)}")

@@ -40,7 +40,7 @@ object ExampleLda {
       Lda.predict(model,
         Seq(col("l_quantity"), col("l_extendedprice"), col("l_discount")), Seq()))
     val acc = scored.select(avg(when(col("pred") === col("l_linenumber"), 1.0).otherwise(0.0)))
-      .head.getDouble(0)
+      .head().getDouble(0)
     println(f"train accuracy: $acc%.3f (7 classes, chance ≈ 0.143)")
     spark.stop()
   }

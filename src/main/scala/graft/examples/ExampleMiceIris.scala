@@ -94,11 +94,11 @@ object ExampleMiceIris {
       .join(orig.select(col("id"), col("sepal_length"), col("petal_length"), col("target")), "id")
     val n = orig.count().toInt
     val slRmse = joined.filter(col("id").isInCollection(IrisData.maskedIds(n, 0)))
-      .select(sqrt(avg(pow(col("sl") - col("sepal_length"), 2)))).head.getDouble(0)
+      .select(sqrt(avg(pow(col("sl") - col("sepal_length"), 2)))).head().getDouble(0)
     val plRmse = joined.filter(col("id").isInCollection(IrisData.maskedIds(n, 1)))
-      .select(sqrt(avg(pow(col("pl") - col("petal_length"), 2)))).head.getDouble(0)
+      .select(sqrt(avg(pow(col("pl") - col("petal_length"), 2)))).head().getDouble(0)
     val tgAcc = joined.filter(col("id").isInCollection(IrisData.maskedIds(n, 2)))
-      .select(avg(when(col("tg") === col("target"), 1.0).otherwise(0.0))).head.getDouble(0)
+      .select(avg(when(col("tg") === col("target"), 1.0).otherwise(0.0))).head().getDouble(0)
     println(f"sepal_length imputation RMSE: $slRmse%.3f")
     println(f"petal_length imputation RMSE: $plRmse%.3f")
     println(f"target imputation accuracy:   $tgAcc%.3f")

@@ -76,7 +76,7 @@ object Mice {
     val imputed = cfg.imputeCont ++ cfg.imputeCat
     val aggs = cfg.imputeCont.map(c => avg(col(c)).as(s"mean_$c")) ++
       cfg.imputeCat.map(c => mode(col(c)).as(s"mode_$c"))
-    val init = if (aggs.nonEmpty) df.agg(aggs.head, aggs.tail: _*).head else null
+    val init = if (aggs.nonEmpty) df.agg(aggs.head, aggs.tail: _*).head() else null
     var out = df
     for (c <- cfg.contCols) out = out.withColumn(c, col(c).cast("double"))
     for (c <- cfg.catCols) out = out.withColumn(c, col(c).cast("int"))

@@ -40,7 +40,7 @@ object Factorized {
     // probe scan is skipped — max multiplicity is 1 by construction.
     val row = hashJoinIfSafe(a, b, Seq("__k"), buildKeysUnique = true)
       .select(Graft.sumTripleOf(Graft.multiplyTriple(col("__A"), col("__B"))).as("t"))
-      .head
+      .head()
     // empty join → sum_triple yields NULL; the cofactor of zero rows is
     // the zero triple of the combined arity
     if (row.isNullAt(0))
@@ -192,7 +192,7 @@ object Factorized {
       else sum(col(s"as$i") * col(s"bs${j - kL}"))
     }
     val all = sum(an * bn) +: (sums ++ prods)
-    val row = joined.agg(all.head, all.tail: _*).head
+    val row = joined.agg(all.head, all.tail: _*).head()
     if (row.isNullAt(0)) Triple.zero(k, 0)
     else {
       def d(idx: Int): Double = if (row.isNullAt(idx)) 0.0 else row.getDouble(idx)
@@ -805,7 +805,7 @@ object Factorized {
         // strategy, where a NULL group and null-skipped rows must match
         // the default aggregate exactly) size the side-channel from this
         nullCols.map(c => count(col(c)))
-      val r = df.agg(aggs.head, aggs.tail: _*).head
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
       val rows = r.getLong(0)
       val shapes = keys.indices.map { i =>
         val base = 2 + 2 * i
@@ -985,7 +985,7 @@ object Factorized {
           .withColumn("__T", Graft.multiplyTriple(col("__T"), col("__D")))
           .drop("__D")
       }
-      val row = cur.select(Graft.sumTripleOf(col("__T")).as("t")).head
+      val row = cur.select(Graft.sumTripleOf(col("__T")).as("t")).head()
       val t = if (row.isNullAt(0))
         Triple.zero(numAll.length, catAll.length)
       else Graft.tripleFromRow(row.getStruct(0))
@@ -1021,7 +1021,7 @@ object Factorized {
     else {
       val kc = if (keyCols.length == 1) col(keyCols.head)
                else struct(keyCols.map(col): _*)
-      val r = df.agg(count(lit(1)).as("n"), approx_count_distinct(kc).as("k")).head
+      val r = df.agg(count(lit(1)).as("n"), approx_count_distinct(kc).as("k")).head()
       val v = (r.getLong(0), r.getLong(0).toDouble / math.max(1L, r.getLong(1)).toDouble)
       probeCache.put(ck, v)
       v

@@ -57,7 +57,7 @@ object TextRank {
       avg(element_at(col("__c"), nT + 1)).as("__avgdl") +:
       terms.indices.map(i =>
         sum(when(element_at(col("__c"), i + 1) > 0, 1L).otherwise(0L)).as(s"__df$i"))
-    val st = base.agg(statAggs.head, statAggs.tail: _*).head
+    val st = base.agg(statAggs.head, statAggs.tail: _*).head()
     val n = st.getLong(0)
     val avgdl = if (st.isNullAt(1)) 0.0 else st.getDouble(1)
     if (n == 0L || avgdl == 0.0)

@@ -85,7 +85,7 @@ object ColProfile {
         .withColumn("y", year(col("l_shipdate")))
         .agg(graft.Graft.sumTriple(
           (numNames.map(col) :+ col("l_linenumber") :+ col("y")): _*).as("t"))
-        .head.getStruct(0))
+        .head().getStruct(0))
     }
     spark.stop()
   }

@@ -42,9 +42,9 @@ object KnnProfile {
     }
 
     run("scan+decode", () =>
-      emb.agg(sum(element_at(col("embedding"), 1))).head)
+      emb.agg(sum(element_at(col("embedding"), 1))).head())
     run("scan+norm", () =>
-      emb.agg(sum(graft.operators.Similarity.norm(col("embedding")))).head)
+      emb.agg(sum(graft.operators.Similarity.norm(col("embedding")))).head())
     val q = emb.filter(col("vec_id") < 20)
     run("score (no rank)", () => {
       val qq = q.select(col("vec_id").as("qId"), col("embedding").as("__qv"))
@@ -54,7 +54,7 @@ object KnnProfile {
       c.crossJoin(broadcast(qq))
         .filter(col("qId") =!= col("cId"))
         .withColumn("cos", graft.operators.Similarity.dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
-        .agg(sum(col("cos")), count(lit(1))).head
+        .agg(sum(col("cos")), count(lit(1))).head()
     })
     run("topk agg full (shipped)", () =>
       graft.operators.Similarity.bruteForceTopK(q, emb,

@@ -36,14 +36,14 @@ object MinhashProbe {
     }
     graft.Graft.register(spark)
     // marginal-cost ladder over the same corpus pass
-    t("scan+length only")(docs.agg(sum(length(col("text")))).head)
+    t("scan+length only")(docs.agg(sum(length(col("text")))).head())
     t("tokenize only")(docs.select(size(TextFunctions.tokens(lower(col("text")))).as("n"))
-      .agg(sum(col("n"))).head)
+      .agg(sum(col("n"))).head())
     t("bands only (minhash, no shingle set)")(
-      docs.select(size(Dedup.minhashBands(col("text"))).as("n")).agg(sum(col("n"))).head)
+      docs.select(size(Dedup.minhashBands(col("text"))).as("n")).agg(sum(col("n"))).head())
     t("fused prepare, no materialize")(
       docs.select(Dedup.minhashPrepare(col("text")).as("__p"))
-        .select(size(col("__p").getField("sh")).as("n")).agg(sum(col("n"))).head)
+        .select(size(col("__p").getField("sh")).as("n")).agg(sum(col("n"))).head())
     // the operator's real first stage: prepare + persist both artifacts
     // (fields extracted below the persist — the operator's layout, so the
     // bucket stage's cache reads prune away the shingle sets)

@@ -27,17 +27,17 @@ object PerfProbe {
     }
     run("cofactor 4num+2cat", () =>
       li.agg(Graft.sumTriple(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
-        col("l_tax"), col("l_linenumber"), col("shipyear")).as("t")).head)
+        col("l_tax"), col("l_linenumber"), col("shipyear")).as("t")).head())
     run("cofactor 2num", () =>
-      li.agg(Graft.sumTriple(col("l_quantity"), col("l_extendedprice")).as("t")).head)
+      li.agg(Graft.sumTriple(col("l_quantity"), col("l_extendedprice")).as("t")).head())
     run("plain sum x6 (codegen reference)", () =>
       li.agg(sum(col("l_quantity")), sum(col("l_extendedprice")),
         sum(col("l_quantity") * col("l_quantity")),
         sum(col("l_quantity") * col("l_extendedprice")),
-        sum(col("l_discount")), sum(col("l_tax"))).head)
+        sum(col("l_discount")), sum(col("l_tax"))).head())
     run("grouped cofactor by returnflag", () =>
       li.groupBy(col("l_returnflag")).agg(Graft.sumTriple(col("l_quantity"),
-        col("l_extendedprice"), col("l_discount"), col("l_tax"), col("l_linenumber")).as("t")).head)
+        col("l_extendedprice"), col("l_discount"), col("l_tax"), col("l_linenumber")).as("t")).head())
 
     // 5M-row synthetic stress (no parquet IO; pure aggregate throughput)
     val big = spark.range(0, 5000000, 1, 32)
@@ -57,9 +57,9 @@ object PerfProbe {
       println(f"$name: $sec%.3f s/run  (${bn / sec / 1e6}%.2f M rows/s)")
     }
     runBig("cofactor 3num+2cat on 5M rows", () =>
-      big.agg(Graft.sumTriple(col("x1"), col("x2"), col("x3"), col("c1"), col("c2")).as("t")).head)
+      big.agg(Graft.sumTriple(col("x1"), col("x2"), col("x3"), col("c1"), col("c2")).as("t")).head())
     runBig("grouped (1009 keys) cofactor on 5M rows", () =>
-      big.groupBy(col("c2")).agg(Graft.sumTriple(col("x1"), col("x2"), col("c1")).as("t")).head)
+      big.groupBy(col("c2")).agg(Graft.sumTriple(col("x1"), col("x2"), col("c1")).as("t")).head())
     spark.stop()
   }
 }

@@ -40,7 +40,7 @@ object ScaleProbe {
       val rep = (0 until k).map(_ => li).reduce(_ unionByName _)
       time(s"cofactor 4num+1cat x$k (${600 * k}k rows)") {
         rep.agg(Graft.sumTriple(col("l_quantity"), col("l_extendedprice"),
-          col("l_discount"), col("l_tax"), col("l_linenumber")).as("t")).head
+          col("l_discount"), col("l_tax"), col("l_linenumber")).as("t")).head()
         600000L * k
       }
     }

@@ -19,7 +19,7 @@ object TextFamilyProbe {
     def t(name: String)(c: org.apache.spark.sql.Column): Unit = {
       for (p <- 1 to 2) {
         val t0 = System.nanoTime()
-        docs.agg(sum(c.cast("double"))).head
+        docs.agg(sum(c.cast("double"))).head()
         println(f"$name pass$p: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }

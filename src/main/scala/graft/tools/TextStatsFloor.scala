@@ -16,7 +16,7 @@ object TextStatsFloor {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     for (p <- 1 to 3) {
       var t0 = System.nanoTime()
-      docs.agg(sum(octet_length(col("text")))).head
+      docs.agg(sum(octet_length(col("text")))).head()
       val scanOnly = (System.nanoTime() - t0) / 1e9
       t0 = System.nanoTime()
       graft.SparkEntry.queries("q10_token_stats")(spark, dir)

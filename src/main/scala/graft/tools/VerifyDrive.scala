@@ -19,7 +19,7 @@ object VerifyDrive {
 
     println("== [1] fused cofactor over lineitem (2 num, 1 cat) ==")
     val t = spark.sql(
-      "SELECT sum_to_triple(l_quantity, l_extendedprice, l_linenumber) AS t FROM lineitem").head.getStruct(0)
+      "SELECT sum_to_triple(l_quantity, l_extendedprice, l_linenumber) AS t FROM lineitem").head().getStruct(0)
     val trip = Graft.tripleFromRow(t)
     println(s"N=${trip.n} lin=${trip.lin.toSeq} quad=${trip.quad.toSeq}")
     println(s"linCat=${trip.linCat.head.toSeq.sortBy(_._1)}")
@@ -28,7 +28,7 @@ object VerifyDrive {
     val chk = spark.sql(
       """SELECT count(*) n, sum(l_quantity) sq, sum(l_extendedprice) se,
         |       sum(l_quantity*l_quantity) sqq, sum(l_quantity*l_extendedprice) sqe
-        |FROM lineitem""".stripMargin).head
+        |FROM lineitem""".stripMargin).head()
     println(s"plain: n=${chk.getLong(0)} sq=${chk.getDouble(1)} se=${chk.getDouble(2)} sqq=${chk.getDouble(3)} sqe=${chk.getDouble(4)}")
     assert(trip.n == chk.getLong(0))
     assert(math.abs(trip.lin(0) - chk.getDouble(1)) < 1e-6)
@@ -42,10 +42,10 @@ object VerifyDrive {
       """SELECT sum_triple(multiply_triple(A, B)) AS t FROM
         |  (SELECT l_orderkey k, sum_to_triple(l_quantity, l_linenumber) AS A FROM lineitem GROUP BY l_orderkey) a
         |  JOIN (SELECT o_orderkey k, sum_to_triple(o_totalprice) AS B FROM orders GROUP BY o_orderkey) b USING (k)
-        |""".stripMargin).head.getStruct(0)
+        |""".stripMargin).head().getStruct(0)
     val mat = spark.sql(
       """SELECT sum_to_triple(l_quantity, o_totalprice, l_linenumber) AS t
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin).head.getStruct(0)
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin).head().getStruct(0)
     val (tf, tm) = (Graft.tripleFromRow(fact), Graft.tripleFromRow(mat))
     // factorized column order is (A nums, B nums); materialized matches here
     println(s"fact: N=${tf.n} lin=${tf.lin.toSeq}")
@@ -55,7 +55,7 @@ object VerifyDrive {
 
     println("== [4] probe: string column rejected ==")
     try {
-      spark.sql("SELECT sum_to_triple(l_quantity, l_returnflag) FROM lineitem").head
+      spark.sql("SELECT sum_to_triple(l_quantity, l_returnflag) FROM lineitem").head()
       println("ERROR: no exception raised")
     } catch {
       case e: Exception => println(s"rejected as expected: ${e.getMessage.linesIterator.next()}")
@@ -75,7 +75,7 @@ object VerifyDrive {
       graft.ml.LinReg.predict(lm, Seq(col("l_quantity")), Seq(col("l_linenumber"))))
     val stats = scored.select(
       sqrt(avg(pow(col("pred") - col("l_extendedprice"), 2))).as("rmse"),
-      stddev(col("l_extendedprice")).as("sd")).head
+      stddev(col("l_extendedprice")).as("sd")).head()
     println(f"rmse=${stats.getDouble(0)}%.1f label-stddev=${stats.getDouble(1)}%.1f")
     assert(stats.getDouble(0) < stats.getDouble(1), "regression no better than mean")
     println("linreg OK (explains variance)")
@@ -86,7 +86,7 @@ object VerifyDrive {
     val cls = Seq.tabulate(600)(i => (rng.nextGaussian() + (i % 2) * 4.0, i % 2)).toDF("x", "lbl")
     val nb = graft.ml.NaiveBayes.train(Graft.cofactorPerClass(cls, Seq("x"), Seq(), "lbl", nb = true))
     val acc = cls.withColumn("p", graft.ml.NaiveBayes.predict(nb, Seq($"x"), Seq()))
-      .select(avg(when($"p" === $"lbl", 1.0).otherwise(0.0))).head.getDouble(0)
+      .select(avg(when($"p" === $"lbl", 1.0).otherwise(0.0))).head().getDouble(0)
     println(s"NB train accuracy = $acc")
     assert(acc > 0.95)
     println("NB OK")
@@ -103,7 +103,7 @@ object VerifyDrive {
     val done = graft.mice.Mice.partitioned(base, mcfg)
     val nNull = done.filter($"l_discount".isNull).count()
     val mrmse = done.filter($"miss")
-      .select(sqrt(avg(pow($"l_discount" - $"true_disc", 2)))).head.getDouble(0)
+      .select(sqrt(avg(pow($"l_discount" - $"true_disc", 2)))).head().getDouble(0)
     println(s"nulls left=$nNull imputation rmse=$mrmse (l_discount sd ~ 0.03)")
     assert(nNull == 0)
     println("MICE OK")
@@ -139,9 +139,9 @@ object VerifyDrive {
       .agg(graft.Graft.sumTriple($"l_quantity", $"o_totalprice", $"l_linenumber").as("t"))
     val plan = q.queryExecution.optimizedPlan.toString
     assert(plan.contains("multiply_triple"), "rule did not fire on real tables")
-    val viaRule = graft.Graft.tripleFromRow(q.head.getStruct(0))
+    val viaRule = graft.Graft.tripleFromRow(q.head().getStruct(0))
     spark.experimental.extraOptimizations = Nil
-    val direct = graft.Graft.tripleFromRow(q.head.getStruct(0))
+    val direct = graft.Graft.tripleFromRow(q.head().getStruct(0))
     assert(viaRule.approxEquals(direct, 1e-9))
     println(s"rule fired; N=${viaRule.n} matches direct aggregation OK")
 
@@ -155,9 +155,9 @@ object VerifyDrive {
     val plan10 = q10.queryExecution.optimizedPlan.toString
     assert(plan10.contains("multiply_triple") && plan10.contains("permute_triple"),
       s"interleaved rule did not fire with permute:\n$plan10")
-    val viaPerm = graft.Graft.tripleFromRow(q10.head.getStruct(0))
+    val viaPerm = graft.Graft.tripleFromRow(q10.head().getStruct(0))
     spark.experimental.extraOptimizations = Nil
-    val direct10 = graft.Graft.tripleFromRow(interleaved.head.getStruct(0))
+    val direct10 = graft.Graft.tripleFromRow(interleaved.head().getStruct(0))
     assert(viaPerm.approxEquals(direct10, 1e-9), "permuted factorized != direct")
     println(s"interleaved rule fired with permute_triple; N=${viaPerm.n} matches direct OK")
 
@@ -246,7 +246,7 @@ object VerifyDrive {
         && !qPlan.contains("transform"),
       s"quantize must be the native expression, not the HOF tree:\n$qPlan")
     // and it must round-trip on real embeddings inside codegen
-    val qRow = emb15.select($"qz.q", $"qz.scale").head
+    val qRow = emb15.select($"qz.q", $"qz.scale").head()
     assert(qRow.getSeq[Byte](0).nonEmpty && qRow.getDouble(1) > 0)
     println("quantize plan OK: native codegen expression, real-data round-trip")
 
@@ -404,14 +404,14 @@ object VerifyDrive {
       val ref = graft.Graft.tripleFromRow(
         li.withColumn("shipyear", year(col("l_shipdate")))
           .agg(graft.Graft.sumTriple(col("l_quantity"), col("l_extendedprice"),
-            col("l_linenumber"), col("shipyear")).as("t")).head.getStruct(0))
+            col("l_linenumber"), col("shipyear")).as("t")).head().getStruct(0))
       assert(t.approxEquals(ref, 1e-9), "columnar cofactor != row aggregate")
       // a SIMPLE filter compiles to a per-batch mask and stays columnar
       val simple = li.filter(col("l_quantity") > 25 && col("l_returnflag") === "N")
       val tf = ColumnarCofactor.cofactor(simple, Seq(NumCol("l_quantity")))
         .getOrElse(sys.error("simple filter must stay on the columnar path"))
       val tfRef = graft.Graft.tripleFromRow(
-        simple.agg(graft.Graft.sumTriple(col("l_quantity")).as("t")).head.getStruct(0))
+        simple.agg(graft.Graft.sumTriple(col("l_quantity")).as("t")).head().getStruct(0))
       assert(tf.approxEquals(tfRef, 1e-9), "compiled filter mask != FilterExec")
       // an UNCOMPILABLE predicate must refuse (it would otherwise be
       // silently dropped) — production entry falls back row-based
@@ -420,7 +420,7 @@ object VerifyDrive {
       val filtered = graft.Graft.cofactor(li.filter(col("l_quantity") * 2 > 50), Seq("l_quantity"), Seq())
       val filteredRef = graft.Graft.tripleFromRow(
         li.filter(col("l_quantity") * 2 > 50)
-          .agg(graft.Graft.sumTriple(col("l_quantity")).as("t")).head.getStruct(0))
+          .agg(graft.Graft.sumTriple(col("l_quantity")).as("t")).head().getStruct(0))
       assert(filtered.approxEquals(filteredRef, 1e-12), "fallback path broken")
       println(s"columnar cofactor OK: N=${t.n} parity; compiled filter N=${tf.n}; uncompilable refused")
     }
@@ -471,7 +471,7 @@ object VerifyDrive {
       val agg = cleaned.agg(
         sum(col("n_removed_tokens")).as("rm"),
         sum(col("n_tokens")).as("all"),
-        sum(graft.functions.TextFunctions.tokenCount(col("text"))).as("kept")).head
+        sum(graft.functions.TextFunctions.tokenCount(col("text"))).as("kept")).head()
       assert(agg.getLong(0) == agg.getLong(1) - agg.getLong(2),
         s"token accounting broke: removed=${agg.getLong(0)} all=${agg.getLong(1)} kept=${agg.getLong(2)}")
       assert(agg.getLong(0) > 0, "synthetic docs share phrases — removal must fire")
@@ -484,7 +484,7 @@ object VerifyDrive {
       // documents come back as pure whitespace-normalizations.
       def dupMass(d: org.apache.spark.sql.DataFrame) =
         graft.operators.TextRank.duplicatedNgrams(d, "text", 3, 2L, k = 1000000)
-          .agg(sum(col("n_docs"))).head.getLong(0)
+          .agg(sum(col("n_docs"))).head().getLong(0)
       val (before, after) = (dupMass(docs), dupMass(cleaned))
       assert(after < before, s"duplicated-gram mass must drop: $before -> $after")
       val touched = cleaned.filter(col("n_removed_tokens") > 0).count()
@@ -521,7 +521,7 @@ object VerifyDrive {
       val deduped = graft.operators.Dedup.dedupLines(corpus, "doc_id", "text", 2L)
       val acct = deduped.agg(
         sum(col("n_removed_lines")).as("rm"), sum(col("n_lines")).as("all"),
-        sum(when(col("text") === "", 0).otherwise(size(split(col("text"), "\n")))).as("kept")).head
+        sum(when(col("text") === "", 0).otherwise(size(split(col("text"), "\n")))).as("kept")).head()
       assert(acct.getLong(0) == acct.getLong(1) - acct.getLong(2),
         s"line accounting broke: ${acct.getLong(0)} != ${acct.getLong(1)} - ${acct.getLong(2)}")
       assert(acct.getLong(0) > 0, "synthetic docs share 4-grams — removal must fire")
@@ -537,11 +537,11 @@ object VerifyDrive {
       val (scored, lm) = graft.operators.LmQuality.scoreCorpus(docs, "text")
       val plan = scored.queryExecution.executedPlan.toString
       assert(!plan.toLowerCase.contains("exchange"), "LM scoring must not shuffle")
-      val mean = scored.agg(avg(col("lm_score"))).head.getDouble(0)
+      val mean = scored.agg(avg(col("lm_score"))).head().getDouble(0)
       // a fully out-of-vocabulary probe scores the uniform floor ln(V)
       // exactly, and the uniform floor is the corpus's worst case
       val oov = docs.limit(1).select(
-        graft.operators.LmQuality.score(lm, lit("zzzz qqqq wwww")).as("s")).head.getDouble(0)
+        graft.operators.LmQuality.score(lm, lit("zzzz qqqq wwww")).as("s")).head().getDouble(0)
       assert(math.abs(oov - math.log(lm.vocab.toDouble)) < 1e-12,
         s"OOV probe $oov != ln(V)=${math.log(lm.vocab.toDouble)}")
       assert(mean < oov, s"in-distribution mean $mean must beat the uniform floor $oov")
@@ -598,8 +598,8 @@ object VerifyDrive {
       val wCol = graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
       val massKept = graft.operators.Quantiles.keepTopFractionByMass(
         docs, score, wCol, 0.3)
-      val totW = docs.select(sum(wCol)).head.getLong(0)
-      val keptW = massKept.select(sum(wCol)).head.getLong(0)
+      val totW = docs.select(sum(wCol)).head().getLong(0)
+      val keptW = massKept.select(sum(wCol)).head().getLong(0)
       assert(keptW >= math.ceil(0.3 * totW).toLong,
         s"mass cut kept $keptW of $totW tokens, need ≥ ${math.ceil(0.3 * totW).toLong}")
       // BPE: train end-to-end, encode round-trips the normalized text
@@ -612,11 +612,11 @@ object VerifyDrive {
         .withColumn("norm", concat_ws("", filter(split(col("text"), "\\s+"), t => t =!= "")))
         .filter(col("rebuilt") =!= col("norm")).count()
       assert(bad == 0, s"$bad docs whose concatenated tokens differ from their words")
-      val nTok = enc.agg(sum(size(col("tokens")))).head.getLong(0)
+      val nTok = enc.agg(sum(size(col("tokens")))).head().getLong(0)
       val nWords = docs.select(explode(split(col("text"), "\\s+")).as("w"))
         .filter(col("w") =!= "").count()
       val nChars = enc.agg(sum(aggregate(col("tokens"), lit(0),
-        (acc, t) => acc + length(t)))).head.getLong(0)
+        (acc, t) => acc + length(t)))).head().getLong(0)
       assert(nTok <= nChars && nTok >= nWords,
         s"token count $nTok must sit between words $nWords and chars $nChars")
       println(s"caps/quantiles/bpe OK: ${gotIds.size} cap survivors, " +
