@@ -60,6 +60,11 @@ object Bpe {
                             counts: IndexedSeq[Long],
                             alphabet: IndexedSeq[String]) {
     require(merges.length == counts.length)
+    // the broadcast cache probes this per encode() CALL — structural
+    // hashing of a 30k-merge table every call adds up (round-18
+    // advice). Hash once; equals stays structural (and only runs on a
+    // hash collision).
+    override lazy val hashCode: Int = scala.util.hashing.MurmurHash3.productHash(this)
   }
 
   /** UTF-8 byte order (unsigned) — DuckDB's binary string collation,
@@ -218,17 +223,60 @@ object Bpe {
       }
       alphaBc
     }
+    /** Release this entry's broadcasts on the driver AND executors when
+      * their context is still alive (a stopped context already tore its
+      * blocks down). Idempotent — an entry can surface both through the
+      * replacement path and the phantom queue. */
+    def destroyIfLive(): Unit = synchronized {
+      if (!destroyed) {
+        destroyed = true
+        val got = scRef.get()
+        if (got != null && !got.isStopped) {
+          try merges.destroy() catch { case _: Exception => () }
+          if (alphaBc != null) try alphaBc.destroy() catch { case _: Exception => () }
+        }
+      }
+    }
+    @volatile private var destroyed = false
   }
   private val bcCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[BpeModel, ModelBc]())
+  // Round-18 advice: a model GC'd while its context lives drops the
+  // WeakHashMap ENTRY but leaves the shipped merges/alphabet broadcasts
+  // resident on driver and executors until context stop. A phantom
+  // reference per entry (referent = the model, payload = its ModelBc)
+  // surfaces collected models on the queue; the next cache access
+  // drains it and destroys their broadcasts. Phantom refs never pin
+  // the model, and ModelBc never references the model, so entries
+  // still clear exactly as before.
+  private val bcQueue = new java.lang.ref.ReferenceQueue[BpeModel]()
+  private final class BcRef(m: BpeModel, val bc: ModelBc)
+      extends java.lang.ref.PhantomReference[BpeModel](m, bcQueue)
+  private val bcRefs = java.util.Collections.synchronizedSet(
+    new java.util.HashSet[BcRef]())
+  private def drainBcQueue(): Unit = {
+    var r = bcQueue.poll()
+    while (r != null) {
+      val br = r.asInstanceOf[BcRef]
+      bcRefs.remove(br)
+      br.bc.destroyIfLive()
+      r = bcQueue.poll()
+    }
+  }
   private def modelBroadcasts(spark: SparkSession, model: BpeModel): ModelBc =
     bcCache.synchronized {
+      drainBcQueue()
       val sc = spark.sparkContext
       val got = bcCache.get(model)
       if (got != null && got.liveFor(sc)) got
       else {
+        // replacement (stopped/changed context): the superseded entry's
+        // broadcasts are unreachable from the cache from here on —
+        // release them now rather than waiting for the model's GC
+        if (got != null) got.destroyIfLive()
         val fresh = new ModelBc(sc, sc.broadcast(model.merges.toArray))
         bcCache.put(model, fresh)
+        bcRefs.add(new BcRef(model, fresh))
         fresh
       }
     }

@@ -33,14 +33,23 @@ object StreamingCofactor {
   /** Driver-side incremental triple maintenance over micro-batches. */
   final class Incremental(num: Seq[String], cat: Seq[String]) extends Serializable {
     @volatile private var state: Triple = Triple.zero(num.length, cat.length)
+    @volatile private var lastApplied: Long = -1L
 
     def current: Triple = state
 
     /** foreachBatch sink: aggregates the micro-batch (distributed) and
-      * folds the one resulting triple into the running state (driver). */
+      * folds the one resulting triple into the running state (driver).
+      * foreachBatch is AT-LEAST-ONCE — a recovered/retried micro-batch
+      * re-invokes the sink with the same batchId, and ring addition is
+      * not idempotent, so a replayed batch would double-fold its triple
+      * (round-18 advice). Batch ids are monotonically increasing per
+      * query, so skipping ids ≤ the last applied makes the fold
+      * exactly-once over this in-memory state. */
     def sink(batch: DataFrame, batchId: Long): Unit = {
+      if (batchId <= lastApplied) return
       val t = Graft.cofactor(batch, num, cat)
       if (t.n > 0) state = Triple.add(state, t)
+      lastApplied = batchId
     }
   }
 }

@@ -29,13 +29,17 @@ import org.apache.spark.sql.types.StructType
  */
 object StreamingParity {
 
-  /** Fixed per-user scratch root (overwritten every run). */
-  private def scratch(name: String): java.io.File = {
-    val d = new java.io.File(
+  /** Per-user, per-APPLICATION scratch root (overwritten every run).
+    * The application-id suffix keeps two concurrent runs as the same
+    * user (the correctness gate plus a bench, or two gate sessions)
+    * from overwriting each other's micro-batch files and checkpoints
+    * mid-stream (round-18 advice — a shared fixed path corrupted
+    * certified rows nondeterministically). */
+  private def scratch(spark: SparkSession, name: String): java.io.File =
+    new java.io.File(
       new java.io.File(System.getProperty("java.io.tmpdir")),
-      s"graft_streampar_${System.getProperty("user.name", "u")}/$name")
-    d
-  }
+      s"graft_streampar_${System.getProperty("user.name", "u")}_" +
+        s"${spark.sparkContext.applicationId}/$name")
 
   private def deleteRec(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
@@ -45,9 +49,10 @@ object StreamingParity {
   /** Run a streaming query over `in` (one micro-batch per file) until
     * every available file AND every watermark-driven timeout batch has
     * been processed. */
-  private def runToCompletion(start: String => org.apache.spark.sql.streaming.StreamingQuery,
+  private def runToCompletion(spark: SparkSession,
+                              start: String => org.apache.spark.sql.streaming.StreamingQuery,
                               name: String): Unit = {
-    val chk = scratch(s"${name}_chk")
+    val chk = scratch(spark, s"${name}_chk")
     deleteRec(chk)
     val q = start(chk.getAbsolutePath)
     try {
@@ -66,14 +71,14 @@ object StreamingParity {
     * certifies it. Ring addition is associative, so the 8-way split
     * must land on the batch answer (to the oracle's 2-decimal round). */
   def cofactorFlat(spark: SparkSession, dir: String): DataFrame = {
-    val in = scratch("cofactor_in")
+    val in = scratch(spark, "cofactor_in")
     val src = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_quantity"), col("l_extendedprice"), col("l_linenumber"))
     src.repartition(8).write.mode("overwrite").parquet(in.getAbsolutePath)
 
     val inc = new StreamingCofactor.Incremental(
       Seq("l_quantity", "l_extendedprice"), Seq("l_linenumber"))
-    runToCompletion(chk =>
+    runToCompletion(spark, chk =>
       spark.readStream.schema(src.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(in.getAbsolutePath)
@@ -105,7 +110,7 @@ object StreamingParity {
     * q33 summary shape, certified by the q33 oracle SQL. */
   def sessionSummary(spark: SparkSession, dir: String, eventsSchema: StructType): DataFrame = {
     val gapMs = 1800000L // 30 min, the q33 gap (1 800 000 000 µs)
-    val in = scratch("sessionize_in")
+    val in = scratch(spark, "sessionize_in")
     val ev = spark.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
       .select(col("user_id"), col("ts")).cache()
     val (minUs, maxUs) = tsBounds(ev)
@@ -121,7 +126,7 @@ object StreamingParity {
 
     val qn = "graft_streampar_sessions"
     spark.catalog.dropTempView(qn)
-    runToCompletion(chk =>
+    runToCompletion(spark, chk =>
       StreamingSessionize.sessionize(
         spark.readStream.schema(StructType(eventsSchema.filter(f =>
             f.name == "user_id" || f.name == "ts")))
@@ -152,7 +157,7 @@ object StreamingParity {
     in.mkdirs()
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
     chunks.zipWithIndex.foreach { case (c, i) =>
-      val tmp = scratch(s"${tag}_tmp")
+      val tmp = scratch(spark, s"${tag}_tmp")
       c.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
       val part = Option(tmp.listFiles()).toSeq.flatten
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
@@ -196,7 +201,7 @@ object StreamingParity {
   def semanticDedupSurvivors(spark: SparkSession, dir: String,
                              cb: graft.operators.Pq.PqCodebook,
                              threshold: Double): DataFrame = {
-    val in = scratch("semdedup_in")
+    val in = scratch(spark, "semdedup_in")
     val src = spark.read.parquet(s"$dir/embeddings.parquet")
       .filter(col("vec_id") < 300)
       .select(col("vec_id"),
@@ -211,7 +216,7 @@ object StreamingParity {
 
     val qn = "graft_streampar_semdedup"
     spark.catalog.dropTempView(qn)
-    runToCompletion(chk =>
+    runToCompletion(spark, chk =>
       StreamingSemanticDedup.dedup(
         spark.readStream.schema(src.schema)
           .option("maxFilesPerTrigger", 1)
@@ -251,8 +256,8 @@ object StreamingParity {
       .groupBy(col("user_id"), col("ts"))
       .agg(max(col("event_id")).as("v_eid"))
       .select(col("v_eid"), col("user_id"), col("ts")).cache()
-    val inL = scratch("asof_in_left")
-    val inR = scratch("asof_in_right")
+    val inL = scratch(spark, "asof_in_left")
+    val inR = scratch(spark, "asof_in_right")
     writeOrderedChunks(spark, inL, "asof_left", timeRangeChunks(clicks, minUs, maxUs, 6) :+
       Seq((-1L, -1L, sentinelTs)).toDF("event_id", "user_id", "ts"))
     writeOrderedChunks(spark, inR, "asof_right", timeRangeChunks(views, minUs, maxUs, 6) :+
@@ -262,7 +267,7 @@ object StreamingParity {
 
     val qn = "graft_streampar_asof"
     spark.catalog.dropTempView(qn)
-    runToCompletion(chk =>
+    runToCompletion(spark, chk =>
       StreamingAsofJoin.asof(
         spark.readStream.schema(clicks.schema)
           .option("maxFilesPerTrigger", 1).parquet(inL.getAbsolutePath),
@@ -296,7 +301,7 @@ object StreamingParity {
     * output. All docs sit far inside the watermark horizon, so the
     * state never evicts mid-replay. */
   def curationSummary(spark: SparkSession, dir: String): DataFrame = {
-    val in = scratch("curation_in")
+    val in = scratch(spark, "curation_in")
     val src = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"), col("n_chars"),
         timestamp_seconds(lit(1700000000L) + col("doc_id") % 100).as("ts"))
@@ -304,7 +309,7 @@ object StreamingParity {
 
     val qn = "graft_streampar_curation"
     spark.catalog.dropTempView(qn)
-    runToCompletion(chk =>
+    runToCompletion(spark, chk =>
       StreamingCuration.curate(
         spark.readStream.schema(src.schema)
           .option("maxFilesPerTrigger", 1)

@@ -25,21 +25,30 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  */
 object StreamingSessionize {
 
-  final case class Event(key: Long, tsMs: Long)
-  final case class OpenSession(startMs: Long, lastMs: Long, events: Long)
-  final case class ClosedSession(key: Long, startMs: Long, endMs: Long, events: Long)
+  final case class Event(key: Long, tsUs: Long)
+  final case class OpenSession(startUs: Long, lastUs: Long, events: Long)
+  final case class ClosedSession(key: Long, startUs: Long, endUs: Long, events: Long)
 
   /**
-   * @param events  streaming Dataset of (key, event-time millis); the
+   * State and gap arithmetic run in MICROSECONDS — the engine-wide
+   * event-time resolution (round-18 advice: the former millisecond
+   * state truncated each event's µs before comparing, so an event gap
+   * within 1 ms of the boundary could split or merge differently from
+   * the batch operator's µs arithmetic; only Spark's watermark/timeout
+   * API, which is ms-domain by contract, sees rounded values — and
+   * only ever rounded UP, which can merely delay a close, never
+   * mis-compose a session).
+   *
+   * @param events  streaming Dataset of (key, event-time micros); the
    *                caller must have applied `withWatermark` on the
-   *                event-time column feeding `tsMs` AND kept that
+   *                event-time column feeding `tsUs` AND kept that
    *                watermarked column in the Dataset (otherwise Spark
    *                cannot pre-filter late rows; the timeout clamp below
    *                keeps the query alive, but deeply-late events then
    *                reach the merge logic) — [[sessionize]] does both
-   * @param gapMs   a gap larger than this closes the session
+   * @param gapUs   a gap larger than this (in µs) closes the session
    */
-  def sessions(events: Dataset[Event], gapMs: Long): Dataset[ClosedSession] = {
+  def sessions(events: Dataset[Event], gapUs: Long): Dataset[ClosedSession] = {
     implicit val closedEnc = Encoders.product[ClosedSession]
     implicit val openEnc = Encoders.product[OpenSession]
     implicit val longEnc = Encoders.scalaLong
@@ -48,14 +57,14 @@ object StreamingSessionize {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (key: Long, rows: Iterator[Event], state: GroupState[OpenSession]) =>
           if (state.hasTimedOut) {
-            // watermark passed lastMs + gap: the open session is closed
+            // watermark passed last + gap: the open session is closed
             val s = state.get
             state.remove()
-            Iterator.single(ClosedSession(key, s.startMs, s.lastMs, s.events))
+            Iterator.single(ClosedSession(key, s.startUs, s.lastUs, s.events))
           } else {
             // fold this micro-batch's events (in time order) into the
             // open session, emitting any sessions the new events close
-            val sorted = rows.toSeq.sortBy(_.tsMs)
+            val sorted = rows.toSeq.sortBy(_.tsUs)
             var open = state.getOption
             val closed = Seq.newBuilder[ClosedSession]
             for (e <- sorted) {
@@ -63,29 +72,33 @@ object StreamingSessionize {
                 // within gap of the open window on EITHER side (an
                 // out-of-order event may precede the open start) —
                 // merge, extending backward or forward as needed
-                case Some(s) if e.tsMs >= s.startMs - gapMs && e.tsMs <= s.lastMs + gapMs =>
-                  Some(OpenSession(math.min(s.startMs, e.tsMs),
-                    math.max(s.lastMs, e.tsMs), s.events + 1))
+                case Some(s) if e.tsUs >= s.startUs - gapUs && e.tsUs <= s.lastUs + gapUs =>
+                  Some(OpenSession(math.min(s.startUs, e.tsUs),
+                    math.max(s.lastUs, e.tsUs), s.events + 1))
                 // more than a gap BEFORE the open session: its own
                 // (already gap-closed) session — emit immediately
-                case Some(s) if e.tsMs < s.startMs - gapMs =>
-                  closed += ClosedSession(key, e.tsMs, e.tsMs, 1)
+                case Some(s) if e.tsUs < s.startUs - gapUs =>
+                  closed += ClosedSession(key, e.tsUs, e.tsUs, 1)
                   open
                 // more than a gap after: the open session is over
                 case Some(s) =>
-                  closed += ClosedSession(key, s.startMs, s.lastMs, s.events)
-                  Some(OpenSession(e.tsMs, e.tsMs, 1))
+                  closed += ClosedSession(key, s.startUs, s.lastUs, s.events)
+                  Some(OpenSession(e.tsUs, e.tsUs, 1))
                 case None =>
-                  Some(OpenSession(e.tsMs, e.tsMs, 1))
+                  Some(OpenSession(e.tsUs, e.tsUs, 1))
               }
             }
             open.foreach { s =>
               state.update(s)
               // fire once the watermark proves no more events can extend
               // it; never below the current watermark (a late event can
-              // put lastMs + gap in the past, which Spark rejects)
+              // put last + gap in the past, which Spark rejects). The
+              // timeout API is ms-domain: round the µs deadline UP so a
+              // watermark that passes it proves wm·1000 > lastUs+gapUs —
+              // no admissible event can still extend the session.
               state.setTimeoutTimestamp(
-                math.max(state.getCurrentWatermarkMs() + 1, s.lastMs + gapMs))
+                math.max(state.getCurrentWatermarkMs() + 1,
+                  (s.lastUs + gapUs) / 1000 + 1))
             }
             closed.result().iterator
           }
@@ -100,11 +113,10 @@ object StreamingSessionize {
     sessions(
       df.withWatermark(tsCol, watermark)
         .select(col(keyCol).cast("long").as("key"),
-          // integer `div` (floor), matching the engine-wide µs→ms
-          // convention — `/` would double-divide and truncate toward 0
-          expr(s"unix_micros(`$tsCol`) div 1000").as("tsMs"),
+          // full µs resolution into the state — the gap compares in µs
+          expr(s"unix_micros(`$tsCol`)").as("tsUs"),
           col(tsCol)) // event-time column must survive for the watermark
         .as[Event],
-      gapMs)
+      math.multiplyExact(gapMs, 1000L))
   }
 }

@@ -194,13 +194,13 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       val got = spark.table("sessions")
         .filter($"key" =!= 999L)
-        .select($"key", $"startMs", $"endMs", $"events").collect()
+        .select($"key", $"startUs", $"endUs", $"events").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
-      val base = 1760000000000L
+      val base = 1760000000000000L // µs — the session state's domain
       assert(got == Set(
-        (1L, base, base + 20000L, 3L),          // events 0,10,20
-        (1L, base + 100000L, base + 100000L, 1L), // the 100s singleton
-        (2L, base + 7000L, base + 7000L, 1L)),
+        (1L, base, base + 20000000L, 3L),          // events 0,10,20
+        (1L, base + 100000000L, base + 100000000L, 1L), // the 100s singleton
+        (2L, base + 7000000L, base + 7000000L, 1L)),
         s"got $got")
       // batch parity: same session count per key via the batch operator
       val batchDf = Seq((1L, 0L, 1L), (1L, 10L, 2L), (1L, 20L, 3L), (1L, 100L, 4L), (2L, 7L, 5L))
@@ -348,12 +348,12 @@ class StreamingSpec extends AnyFunSuite {
       input.addData((ts(100000), 999L)) // fencepost closes the rest
       q.processAllAvailable()
       val got = spark.table("sessions_ooo").filter($"key" === 1L)
-        .select($"startMs", $"endMs", $"events").collect()
+        .select($"startUs", $"endUs", $"events").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-      val base = 1760000000000L
+      val base = 1760000000000000L // µs
       assert(got == Set(
-        (base + 10000L, base + 10000L, 1L),   // deep-late singleton
-        (base + 80000L, base + 100000L, 2L)), // backward-extended session
+        (base + 10000000L, base + 10000000L, 1L),   // deep-late singleton
+        (base + 80000000L, base + 100000000L, 2L)), // backward-extended session
         s"got $got")
     } finally q.stop()
   }
