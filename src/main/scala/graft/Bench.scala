@@ -52,9 +52,15 @@ object Bench {
   // smaller suite that lands.
   private val benchFull = sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")
   // Global wall-clock budget (seconds): recertify forks and extra
-  // convergence passes are skipped once exceeded, so the round's
-  // artifact always lands inside the driver's timeout.
-  private val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1500").toLong
+  // convergence passes are trimmed once exceeded, so the round's
+  // artifact always lands inside the driver's timeout. 2000 s leaves
+  // headroom under the driver cap the r18 run measured (2617 s full
+  // run, rc=0) now that the per-tier recertify spends it as it goes
+  // and the one 80 s sf10 row moved behind FULL mode.
+  private val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "2000").toLong
+  // worst-K drifted rows recertified per tier (ONE batched fork per
+  // tier, so K only adds row passes, not JVM/setup cost)
+  private val recertK = sys.env.getOrElse("SPARK_GRAFT_BENCH_RECERT_K", "4").toInt
   private val startedAt = System.nanoTime()
   private def elapsedSec: Long = (System.nanoTime() - startedAt) / 1000000000L
   private val maxReps = math.max(reps, sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXREPS", "5").toInt)
@@ -86,6 +92,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Graft.register(spark)
+    // the SQL-surface kernel routes (grouped/flat cofactor + moments):
+    // the bench measures what a production session runs — rows that
+    // need the ROW aggregate on purpose construct non-qualifying shapes
+    // or call the aggregate API directly
+    Graft.enableSqlKernels(spark)
     spark
   }
 
@@ -179,6 +190,34 @@ object Bench {
     noop(graft.operators.Similarity.bruteForceTopK(
       emb.filter(col("vec_id") < 20), emb, "vec_id", "q8", "vec_id", "q8", k = 3))
   }
+  /** Incremental-ingest dedup bench body (q100's shape at tier scale):
+    * a derived new batch — verbatim / truncated / reversed thirds of
+    * doc_id % 7 ∈ {0,1,2} — flags against the corpus through the
+    * asymmetric exact-hash + banded-LSH passes (new×corpus only, never
+    * corpus×corpus). `corpusMod` keeps doc_id % corpusMod ∈ {0,1} of
+    * the tier's documents on BOTH sides — the sizing knob that keeps
+    * one row from swamping a tier (round-18 verdict: the full 215k new
+    * × 500k corpus row is an honest 25.9 s two-walk floor, 69% of the
+    * official sf10 tier; it runs in FULL mode, the always-on row keeps
+    * the same design visible at ~40% of each side). No DuckDB twin:
+    * the honest single-node equivalent is the exhaustive jaccard
+    * recompute the q100 oracle runs at sf0.01 — quadratic by design. */
+  private def dedupIncrementalRow(spark: SparkSession, dir: String,
+                                  corpusMod: Option[Int]): Unit = {
+    val all = Tables.load(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = corpusMod.fold(all)(m => all.filter(col("doc_id") % m < 2))
+    val newBatch = corpus.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + lit(900000000L)).as("doc_id"), col("text"))
+      .unionByName(corpus.filter(col("doc_id") % 7 === 1)
+        .select((col("doc_id") + lit(900000000L)).as("doc_id"),
+          regexp_replace(col("text"), "\\s+\\S+\\s*$", "").as("text")))
+      .unionByName(corpus.filter(col("doc_id") % 7 === 2)
+        .select((col("doc_id") + lit(900000000L)).as("doc_id"),
+          concat_ws(" ", reverse(split(col("text"), " "))).as("text")))
+    noop(graft.operators.Dedup.dedupAgainstCorpus(newBatch, corpus,
+      "doc_id", "text", threshold = 0.8))
+  }
+
   private def factorizedAdaptiveRaw(spark: SparkSession, dir: String): Unit = {
     graft.ml.Factorized.cofactorOverJoinAdaptive(
       Tables.load(spark, dir, "lineitem").select(col("l_orderkey").as("k"), col("l_quantity")),
@@ -325,8 +364,22 @@ object Bench {
     def withPq(f: PqSetup => Unit): () => Unit =
       () => pqSetup.fold(e => throw e, f)
 
+    // the SQL-surface kernel strategies are installed session-wide
+    // (makeSession), so q01_pricing / cofactor_full / cofactor_grouped
+    // now measure the KERNEL-ROUTED plans a production session runs
+    // (round-18 verdict item 3). The `_row` rows pop the strategies for
+    // one call, keeping the default row-aggregate route visible per
+    // round — the pair is the routing-delta measurement.
+    def withoutKernelStrategies(f: => Unit): Unit = {
+      val saved = spark.experimental.extraStrategies
+      spark.experimental.extraStrategies = Seq.empty
+      try f finally spark.experimental.extraStrategies = saved
+    }
+
     Tier("main", Seq(
       "q01_pricing" -> (() => noop(SparkEntry.queries("q01_agg_pricing")(spark, sfDir))),
+      "q01_pricing_row" -> (() => withoutKernelStrategies(
+        noop(SparkEntry.queries("q01_agg_pricing")(spark, sfDir)))),
       "q01_columnar" -> (() => columnarPricing(spark, sfDir)),
       "cofactor_filtered" -> (() => columnarCofactorFiltered(spark, sfDir)),
       "cofactor_full" -> { () =>
@@ -335,6 +388,12 @@ object Bench {
             col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"),
             col("l_linenumber"), col("shipyear")).as("t")))
       },
+      "cofactor_full_row" -> (() => withoutKernelStrategies {
+        noop(li.withColumn("shipyear", year(col("l_shipdate")))
+          .agg(Graft.sumTriple(
+            col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"),
+            col("l_linenumber"), col("shipyear")).as("t")))
+      }),
       "cofactor_columnar" -> (() => columnarCofactorFull(spark, sfDir)),
       "cofactor_grouped" -> { () =>
         noop(li.groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -342,6 +401,12 @@ object Bench {
             col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"),
             col("l_linenumber")).as("t")))
       },
+      "cofactor_grouped_row" -> (() => withoutKernelStrategies {
+        noop(li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(Graft.sumTriple(
+            col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"),
+            col("l_linenumber")).as("t")))
+      }),
       "cofactor_grouped_columnar" -> (() => columnarCofactorGrouped(spark, sfDir)),
       "cofactor_grouped_multikey" -> (() => columnarCofactorGroupedMulti(spark, sfDir)),
       "cofactor_grouped_dict" -> (() => columnarCofactorGroupedDict(spark, sfDir)),
@@ -428,6 +493,59 @@ object Bench {
   private def sf1Tier(spark: SparkSession): Tier = {
     def li1 = Tables.load(spark, sf1Dir, "lineitem")
     li1.count() // warm the 10× scan before any timed pass
+
+    // Streaming-throughput setup (untimed — round-18 verdict item 4:
+    // the streaming family is oracle-certified through q116/q123 but
+    // had ZERO perf visibility). Inputs are rewritten once as one
+    // parquet file per MICRO-BATCH (maxFilesPerTrigger=1, the parity
+    // harness's discipline); the timed rows below run a FRESH query
+    // (own checkpoint) per pass over the same files, so each pass pays
+    // the full micro-batch cadence. Expected range: dominated by
+    // per-micro-batch scheduling (~0.1–0.2 s × batches) plus the
+    // per-batch aggregate/state work — that fixed cadence IS the
+    // honest cost of the one-file-per-trigger discipline, and a
+    // regression here means the per-batch plan grew a new stage. A
+    // setup failure condemns only the streaming rows.
+    case class StreamSetup(cofIn: String, cofSchema: org.apache.spark.sql.types.StructType,
+                           embIn: String, embSchema: org.apache.spark.sql.types.StructType,
+                           cb: graft.operators.Pq.PqCodebook,
+                           cents: Array[(Int, Array[Double])])
+    lazy val streamSetup: Either[Throwable, StreamSetup] = try {
+      val base = new java.io.File(
+        new java.io.File(System.getProperty("java.io.tmpdir")),
+        s"graft_bench_stream_${spark.sparkContext.applicationId}")
+      val cofSrc = li1.select(col("l_quantity"), col("l_extendedprice"), col("l_linenumber"))
+      val cofIn = new java.io.File(base, "cof_in")
+      // 8 micro-batches: enough to prove cross-batch state merge at a
+      // measurable per-batch payload (~750k rows each at sf1); 32
+      // batches measured 0.73 s/batch of pure checkpoint+schedule
+      // overhead — cadence cost, not operator cost
+      cofSrc.repartition(8).write.mode("overwrite").parquet(cofIn.getAbsolutePath)
+      val emb = Tables.load(spark, sf1Dir, "embeddings")
+      val cb = graft.operators.Pq.train(emb, "vec_id", "embedding",
+        dim = 64, m = 16, ksub = 128, iters = 2)
+      val idx = graft.operators.Similarity.ivfBuild(emb, "vec_id", "embedding",
+        nCentroids = 64, kmeansIters = 2)
+      val embSrc = emb.select(col("vec_id"), col("embedding"),
+        timestamp_seconds(lit(1700000000L) + col("vec_id")).as("ts"))
+      val embIn = new java.io.File(base, "emb_in")
+      embSrc.repartition(8).write.mode("overwrite").parquet(embIn.getAbsolutePath)
+      Right(StreamSetup(cofIn.getAbsolutePath, cofSrc.schema,
+        embIn.getAbsolutePath, embSrc.schema, cb, idx.centroids))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] streaming setup failed — streaming rows report failed: $e")
+        Left(e)
+    }
+    def withStream(f: StreamSetup => Unit): () => Unit =
+      () => streamSetup.fold(e => throw e, f)
+    def freshChk(tag: String): java.io.File =
+      java.nio.file.Files.createTempDirectory(s"graft_bench_chk_$tag").toFile
+    def rmRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmRec)
+      f.delete()
+    }
+
     Tier("sf1", Seq(
       "sf1_q01_pricing" -> (() => noop(SparkEntry.queries("q01_agg_pricing")(spark, sf1Dir))),
       "sf1_cofactor_full" -> { () =>
@@ -444,8 +562,59 @@ object Bench {
       "sf1_range_join" -> (() => noop(SparkEntry.queries("q46_range_join")(spark, sf1Dir))),
       "sf1_minhash_neardup" -> (() => minhashNeardup(spark, sf1Dir)),
       "sf1_knn_bruteforce" -> (() => noop(SparkEntry.queries("q16_knn_bruteforce")(spark, sf1Dir))),
-      "sf1_knn_int8" -> (() => knnInt8(spark, sf1Dir))
-    ))
+      "sf1_knn_int8" -> (() => knnInt8(spark, sf1Dir)),
+      // 6M rows through 32 real file-source micro-batches into the
+      // incremental ring sink — mergeable-state maintenance throughput
+      "sf1_streaming_cofactor" -> withStream { s =>
+        val inc = new graft.streaming.StreamingCofactor.Incremental(
+          Seq("l_quantity", "l_extendedprice"), Seq("l_linenumber"))
+        val chk = freshChk("scof")
+        val q = spark.readStream.schema(s.cofSchema)
+          .option("maxFilesPerTrigger", 1).parquet(s.cofIn)
+          .writeStream.foreachBatch(inc.sink _)
+          .option("checkpointLocation", chk.getAbsolutePath)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        rmRec(chk)
+        require(inc.current.n > 0, "streaming cofactor bench saw no rows")
+      },
+      // 32k embeddings through 16 micro-batches of the stateful
+      // encode → per-cell SDC suppression pipeline (64 IVF cells, the
+      // near-uniform corpus keeps most rows, so the timing is encode +
+      // state-probe cost, the always-on-ingest shape)
+      "sf1_streaming_semdedup" -> withStream { s =>
+        var kept = 0L
+        val chk = freshChk("sdd")
+        // 8 state-store partitions for this query: each micro-batch
+        // commits one store per shuffle partition, and 32 stores × 8
+        // batches of per-store WAL/commit overhead dwarfed the actual
+        // 4k-rows-per-batch state work (the 64 live cells don't fill
+        // 8 partitions, let alone 32)
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = graft.streaming.StreamingSemanticDedup.dedup(
+            spark.readStream.schema(s.embSchema)
+              .option("maxFilesPerTrigger", 1).parquet(s.embIn),
+            "vec_id", "embedding", "ts", s.cents, s.cb, threshold = 0.9,
+            watermark = "1 minute", horizonMs = 1000L * 3600 * 24)
+            .toDF()
+            .writeStream
+            .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => { kept += b.count(); () })
+            .option("checkpointLocation", chk.getAbsolutePath)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        rmRec(chk)
+        require(kept > 0, "streaming semantic dedup bench kept no rows")
+      }),
+      // one warmup (like sf10): the tier is multi-second IO-bound scans
+      // plus the streaming rows' fixed micro-batch cadence — a second
+      // JIT warmup bought nothing but wall-clock once the streaming
+      // rows joined the tier
+      warmupOverride = Some(1), maxRepsOverride = Some(4))
   }
 
   // sf10 tier (60M-row lineitem, 500k docs, 320k vectors — gen_sf1.py
@@ -600,25 +769,16 @@ object Bench {
             out = "tokens")
           .select(col("doc_id"), size(col("tokens")).as("n_tokens")))
       },
-      // incremental-ingest dedup (q100's shape at tier scale): a 215k-doc
-      // derived batch (verbatim / truncated / reversed thirds) flags
-      // against the 500k-doc corpus through the asymmetric exact-hash +
-      // banded-LSH passes. No DuckDB twin: the honest single-node
-      // equivalent is the exhaustive 215k × 500k jaccard recompute the
-      // q100 oracle runs at sf0.01 — quadratic by construction.
-      "sf10_dedup_incremental" -> { () =>
-        val corpus = Tables.load(spark, sf10Dir, "documents").select(col("doc_id"), col("text"))
-        val newBatch = corpus.filter(col("doc_id") % 7 === 0)
-            .select((col("doc_id") + lit(900000000L)).as("doc_id"), col("text"))
-          .unionByName(corpus.filter(col("doc_id") % 7 === 1)
-            .select((col("doc_id") + lit(900000000L)).as("doc_id"),
-              regexp_replace(col("text"), "\\s+\\S+\\s*$", "").as("text")))
-          .unionByName(corpus.filter(col("doc_id") % 7 === 2)
-            .select((col("doc_id") + lit(900000000L)).as("doc_id"),
-              concat_ws(" ", reverse(split(col("text"), " "))).as("text")))
-        noop(graft.operators.Dedup.dedupAgainstCorpus(newBatch, corpus,
-          "doc_id", "text", threshold = 0.8))
-      },
+      // incremental-ingest dedup at ~40% of each side (86k new × 220k
+      // corpus) — see dedupIncrementalRow; the full 215k × 500k row
+      // (25.9 s quiet-box floor) runs only in FULL mode below
+      "sf10_dedup_incremental_220k" -> (() =>
+        dedupIncrementalRow(spark, sf10Dir, corpusMod = Some(5)))) ++
+      (if (benchFull)
+        Seq("sf10_dedup_incremental" -> (() =>
+          dedupIncrementalRow(spark, sf10Dir, corpusMod = None)))
+      else Seq.empty) ++
+      Seq(
       // the factorized family at sf10, both physical designs: the
       // probe-routed adaptive over raw parquet (two exchanges) vs the
       // same operator over bucketized tables (zero exchanges) — the
@@ -816,13 +976,19 @@ object Bench {
         // input, so this row isolates the steady-state repeat-call cost
         // over bucketed inputs (probe amortized to zero) — the pair
         // sitting together IS the routing-stability claim (round-17
-        // advice item 3). Two alternatives measured and rejected in
-        // round 18: the explicit per-key-triple identity OOMs at
-        // ~4 rows/key (150M ring-object groups), and the probe-free
-        // +Inf pin lands on a sort-merge join that sorts 600M rows
-        // (32 s vs 6.9 s) because WITHOUT the probes' exact row counts
-        // hashJoinIfSafe cannot prove the hash build fits.
-        "sf100_factorized_adaptive" -> (() => factorizedBucketed(p)),
+        // advice item 3). Named `_repeat` because it times the SAME
+        // thunk as the bucketed row by design (round-18 advice: the
+        // old `sf100_factorized_adaptive` name had previously carried
+        // the raw-join measurement, so cross-round comparisons of that
+        // key silently changed meaning — the raw row is
+        // `sf100_factorized_adaptive_raw` in FULL mode). Two
+        // alternatives measured and rejected in round 18: the explicit
+        // per-key-triple identity OOMs at ~4 rows/key (150M ring-object
+        // groups), and the probe-free +Inf pin lands on a sort-merge
+        // join that sorts 600M rows (32 s vs 6.9 s) because WITHOUT the
+        // probes' exact row counts hashJoinIfSafe cannot prove the hash
+        // build fits.
+        "sf100_factorized_adaptive_repeat" -> (() => factorizedBucketed(p)),
         "sf100_mice_star_round" -> (() => miceStarRound(p))) ++
         // the multi-round chains are 61 s and 174 s per PASS — they
         // blew the driver's round-17 budget (rc=124, no artifact) and
@@ -1130,6 +1296,110 @@ object Bench {
     val fork = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK", "1") != "0"
     val activeTiers = tierNames.filter(t => t == "main" || tierExists(tierDir(t)))
 
+    // drift references, resolved BEFORE the tiers run: the per-tier
+    // recertify below needs them as each tier completes
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_RESULT.json")
+    val driftRef = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", out)
+    // second, IMMUTABLE reference: the latest per-round snapshot
+    // (BENCH_r{N}.json, committed once by the driver and never
+    // rewritten). The committed-file guard resets whenever
+    // BENCH_RESULT.json is re-committed mid-round, so round-over-round
+    // drift could hide behind a refreshed baseline (round 9's +7.7%
+    // legacy drift was invisible to it). A per-round file can't be
+    // reset the same way.
+    val prevRef: Option[String] = sys.env.get("SPARK_GRAFT_BENCH_PREV")
+      .map(p => if (p.isEmpty) None else Some(p)).getOrElse {
+        val re = "BENCH_r(\\d+)\\.json".r
+        Option(new java.io.File(".").listFiles()).toSeq.flatten
+          .flatMap(f => f.getName match {
+            case re(n) => Some(n.toInt -> f.getName)
+            case _ => None
+          }) match {
+          case Seq() => None
+          case fs => Some(fs.maxBy(_._1)._2)
+        }
+      }
+
+    /** Rows of `rows` that sit >tolerance AND >driftAbs away from their
+      * value in `refPath` (either sign; new rows have no reference and
+      * never flag). A malformed env/file never aborts the bench. */
+    def driftScanRows(refPath: String,
+                      rows: Seq[(String, Double, Boolean, Boolean)]): Seq[(String, Double)] = (try {
+      val driftAbs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DRIFT_ABS", "0.08").toDouble
+      val raw = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(refPath)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      // the driver's per-round snapshot (BENCH_r{N}.json) is a WRAPPER
+      // object whose bench line lives in a "tail" STRING field with
+      // escaped quotes — unescaping first makes both formats scan
+      val txt = raw.replace("\\\"", "\"")
+      rows.collect { case (k, v, _, false) =>
+        // \s* after the colon: the per-round driver snapshot
+        // re-serializes the parsed line with ": " separators
+        val re = ("\"" + java.util.regex.Pattern.quote(k) + "\"\\s*:\\s*(-?[0-9.]+)").r
+        re.findFirstMatchIn(txt).map(_.group(1).toDouble) match {
+          case Some(old) if old > 0 && math.abs(v - old) > driftAbs
+              && math.abs(v - old) / old > tolerance => Some(k -> ((v - old) / old))
+          case _ => None
+        }
+      }.flatten
+    } catch { case _: Throwable => Seq.empty })
+
+    var recertified: Seq[String] = Seq.empty
+
+    /** Per-tier, as-it-completes recertification (round-18 verdict
+      * item 1): the old single post-pass was gated on a budget the
+      * suite itself consumed, so on a slow-box day the BIGGEST drifts
+      * were exactly the rows never recertified (r18: 33 drift rows,
+      * recertified: [], dedup_incremental +209% uncertified). Now the
+      * worst-K rows over EITHER reference get one batched isolated
+      * fork right after their tier's own fork returns — and past
+      * budget the worst 2 still do (one bounded fork per tier; an
+      * artifact whose largest drift carries no isolated evidence costs
+      * more than the minutes it saves). min(run, isolated) is honest
+      * because contention only ADDS time; a row slow in isolation too
+      * keeps its drift flag as a real regression. */
+    def recertifyTier(tier: String,
+                      rows: Seq[(String, Double, Boolean, Boolean)]):
+        Seq[(String, Double, Boolean, Boolean)] = {
+      if (!fork) return rows
+      val drifts = (driftScanRows(driftRef, rows)
+          ++ prevRef.toSeq.flatMap(p => driftScanRows(p, rows)))
+        .filter(_._2 > 0)
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toSeq
+        .sortBy(-_._2)
+      if (drifts.isEmpty) return rows
+      val k = if (elapsedSec < budgetSec) recertK else 2
+      if (elapsedSec >= budgetSec)
+        System.err.println(s"[bench] recertify($tier): wall-clock budget ($budgetSec s) " +
+          s"exhausted at $elapsedSec s — recertifying only the worst $k of ${drifts.size} drifts")
+      val pick = drifts.take(k).map(_._1)
+      drifts.drop(k).foreach { case (n, pct) =>
+        System.err.println(f"[bench] recertify($n): +${pct * 100}%.0f%% drift left to the " +
+          "post-pass (per-tier cap) — row keeps its flags if the budget runs out first")
+      }
+      forkTier(tier, Some(pick.mkString(","))) match {
+        case Some(frag) =>
+          val iso = frag.collect { case (n, v2, noisy2, false) => n -> (v2, noisy2) }.toMap
+          recertified ++= pick.filter(iso.contains)
+          pick.filterNot(iso.contains).foreach { n =>
+            System.err.println(s"[bench] recertify($n): isolated re-run failed or missing — row keeps its flags")
+          }
+          rows.map {
+            case (n, v1, noisy1, f1) if iso.contains(n) =>
+              val (v2, noisy2) = iso(n)
+              val better = math.min(v1, v2)
+              System.err.println(f"[bench] recertified $n: run $v1%.3f s, isolated $v2%.3f s -> $better%.3f s")
+              (n, better, noisy1 && noisy2, f1)
+            case other => other
+          }
+        case None =>
+          pick.foreach { n =>
+            System.err.println(s"[bench] recertify($n): isolated re-run unavailable — row keeps its flags")
+          }
+          rows
+      }
+    }
+
     // per-tier results, fresh JVM each (fork mode) or one shared JVM
     // with cache drops between tiers (legacy / fork-unavailable mode)
     var byTier: Map[String, Seq[(String, Double, Boolean, Boolean)]] =
@@ -1137,8 +1407,15 @@ object Bench {
         var completed = Map.empty[String, Seq[(String, Double, Boolean, Boolean)]]
         val viaFork = activeTiers.map { t =>
           val r = forkTier(t, None, onPartial = part =>
-            println(compactLine(completed + (t -> part), 0, 0, partial = Some(t))))
-          r.foreach(rows => completed += (t -> rows))
+            println(compactLine(completed + (t -> part), recertified.size, 0, partial = Some(t))))
+            .map(rows => recertifyTier(t, rows))
+          r.foreach { rows =>
+            completed += (t -> rows)
+            // cumulative re-emit AFTER the tier's recertify merge: a
+            // driver kill later in the run still leaves a summary whose
+            // recert_n reflects the work already done
+            println(compactLine(completed, recertified.size, 0, partial = Some(t)))
+          }
           t -> r
         }.toMap
         if (viaFork.values.exists(_.isEmpty))
@@ -1171,60 +1448,23 @@ object Bench {
     // marks the query unstable so the artifact can't silently record a
     // loaded-machine run as the new normal. New queries have no
     // reference and never flag.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_RESULT.json")
-    val driftRef = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", out)
     def allRows: Seq[(String, Double, Boolean, Boolean)] =
       tierNames.flatMap(t => byTier.getOrElse(t, Seq.empty))
-    def driftScan(refPath: String): Seq[(String, Double)] = (try {
-      // driftAbs parse sits INSIDE the try: the stated contract is that a
-      // setup/drift failure must not abort the bench before the artifact
-      // is written, and a malformed env value is exactly such a failure
-      val driftAbs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DRIFT_ABS", "0.08").toDouble
-      val raw = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(refPath)),
-        java.nio.charset.StandardCharsets.UTF_8)
-      // the driver's per-round snapshot (BENCH_r{N}.json) is a WRAPPER
-      // object whose bench line lives in a "tail" STRING field with
-      // escaped quotes (\"q01_pricing\":0.365) — the bare-quote regex
-      // below matched nothing against it, so round-over-round drift
-      // reported an empty rows:{} in a round where a tier total doubled
-      // (round-13 finding). Unescaping first makes both formats scan.
-      val txt = raw.replace("\\\"", "\"")
-      // ALL tiers: sf1/sf10/sf100 names are prefixed so the per-name
-      // regex can never confuse a tier with its main-tier namesake
-      allRows.collect { case (k, v, _, false) =>
-        // \s* after the colon: the per-round driver snapshot
-        // (BENCH_r{N}.json) re-serializes the parsed line with ": "
-        // separators, while BENCH_RESULT.json itself is compact
-        val re = ("\"" + java.util.regex.Pattern.quote(k) + "\"\\s*:\\s*(-?[0-9.]+)").r
-        re.findFirstMatchIn(txt).map(_.group(1).toDouble) match {
-          case Some(old) if old > 0 && math.abs(v - old) > driftAbs
-              && math.abs(v - old) / old > tolerance => Some(k -> ((v - old) / old))
-          case _ => None
-        }
-      }.flatten
-    } catch { case _: Throwable => Seq.empty })
+    def driftScan(refPath: String): Seq[(String, Double)] =
+      driftScanRows(refPath, allRows)
 
-    // AUTO-RECERTIFY (round-14 instrument fix, batched in round 17):
-    // every row that lands >tolerance over the committed reference gets
-    // a fresh-JVM isolated re-run before the artifact is written.
-    // Contention only adds time, so min(original, isolated) is the
-    // honest value; a row that stays slow in isolation is a real
-    // regression and keeps its drift flag. Rows are batched into ONE
-    // fork per tier (the JVM + session + tier setup is what a per-row
-    // fork pays over and over), so the former 6-row cap — which could
-    // leave a real regression uncertified on a slow-box day — is gone:
-    // every flagged row is either recertified or individually logged.
-    var recertified: Seq[String] = Seq.empty
+    // POST-PASS recertify: anything the per-tier worst-K pass left
+    // behind (rows past the cap, or rows whose tier had no time), one
+    // batched fork per tier, strictly budget-gated — the per-tier pass
+    // above already guarantees the biggest drifts carry isolated
+    // evidence, so this pass is pure refinement.
     if (fork && elapsedSec < budgetSec) {
       val slowRows = driftScan(driftRef).filter(_._2 > 0).map(_._1)
+        .filterNot(recertified.contains)
       val byRecertTier = slowRows.groupBy(row =>
         tierNames.find(t => t != "main" && row.startsWith(t + "_")).getOrElse("main"))
       tierNames.filter(byRecertTier.contains).foreach { tier =>
         val rows = byRecertTier(tier)
-        // budget gate (round-17 advice item 1): recertify is an
-        // accuracy refinement, not a correctness requirement — blowing
-        // the driver's timeout over it destroys the whole artifact.
-        // Rows left unrecertified keep their drift flags.
         if (elapsedSec >= budgetSec) {
           System.err.println(s"[bench] recertify(${rows.mkString(",")}): skipped — " +
             s"wall-clock budget ($budgetSec s) exhausted at $elapsedSec s; rows keep their flags")
@@ -1277,25 +1517,8 @@ object Bench {
           "committed baseline and every isolated re-run stayed slow — box-level environment")
         s""","drift_note":"uniform: ${posDrift.size}/$okRows rows over the committed baseline and every single-row isolated re-run stayed slow - box-level environment, not a code regression""""
       } else ""
-    // Second, IMMUTABLE reference: the latest per-round snapshot
-    // (BENCH_r{N}.json, committed once by the driver and never rewritten).
-    // The committed-file guard above resets whenever BENCH_RESULT.json is
-    // re-committed mid-round, so round-over-round drift could hide behind
-    // a refreshed baseline (round 9's +7.7% legacy drift was invisible to
-    // it). A per-round file can't be reset the same way. Report-only AND
-    // unstable-marking for slower rows, same thresholds.
-    val prevRef: Option[String] = sys.env.get("SPARK_GRAFT_BENCH_PREV")
-      .map(p => if (p.isEmpty) None else Some(p)).getOrElse {
-        val re = "BENCH_r(\\d+)\\.json".r
-        Option(new java.io.File(".").listFiles()).toSeq.flatten
-          .flatMap(f => f.getName match {
-            case re(n) => Some(n.toInt -> f.getName)
-            case _ => None
-          }) match {
-          case Seq() => None
-          case fs => Some(fs.maxBy(_._1)._2)
-        }
-      }
+    // vs the immutable per-round snapshot (prevRef, resolved above):
+    // report-only AND unstable-marking for slower rows, same thresholds
     val driftedPrev = prevRef.map(driftScan).getOrElse(Seq.empty)
     driftedPrev.foreach { case (k, pct) =>
       System.err.println(f"[bench] $k: DRIFT ${pct * 100}%+.0f%% vs previous round ${prevRef.get}")

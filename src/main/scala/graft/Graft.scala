@@ -665,6 +665,22 @@ object Graft {
         cur :+ graft.plans.GroupedCofactorStrategy(spark)
   }
 
+  /** Install the FULL kernel-routing strategy set (idempotent): the
+    * grouped + flat cofactor strategy above plus the SUM/AVG/COUNT
+    * moments strategy ([[graft.plans.GroupedMomentsStrategy]] — the
+    * TPC-H-Q1/curation-cut shape). This is what `Bench`, `Verify`, and
+    * `GraftExtensions` sessions run with, so the oracle gate certifies
+    * the kernel-routed plans; bare test sessions stay row-routed so the
+    * kernel-vs-row parity specs keep comparing two genuinely different
+    * physical plans. */
+  def enableSqlKernels(spark: SparkSession): Unit = {
+    enableSqlGroupedKernel(spark)
+    val cur = spark.experimental.extraStrategies
+    if (!cur.exists(_.isInstanceOf[graft.plans.GroupedMomentsStrategy]))
+      spark.experimental.extraStrategies =
+        cur :+ graft.plans.GroupedMomentsStrategy(spark)
+  }
+
   /** Kernel-route eligibility for a single-key grouped cofactor — the
     * shared gate behind [[cofactorGrouped]] and the SQL planner strategy
     * ([[graft.plans.GroupedCofactorStrategy]]). Ordered cheapest-first:

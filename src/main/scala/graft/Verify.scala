@@ -17,6 +17,10 @@ object Verify {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // certify the KERNEL-ROUTED plans: with the strategies installed,
+    // the flat/grouped cofactor and moments oracle rows grade the same
+    // physical routes a production session runs
+    Graft.enableSqlKernels(spark)
     new java.io.File(outDir).mkdirs()
     // optional comma-separated subset for fast local iteration; the
     // driver sets nothing and dumps every query

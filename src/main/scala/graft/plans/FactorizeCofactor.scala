@@ -243,9 +243,11 @@ object FactorizeCofactorRule extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => FactorizeCofactorRule)
-    // the SQL-surface grouped-cofactor kernel route rides along for
-    // sessions that opted into the extensions (per-session installs go
-    // through Graft.enableSqlGroupedKernel instead)
+    // the SQL-surface kernel routes ride along for sessions that opted
+    // into the extensions (per-session installs go through
+    // Graft.enableSqlKernels instead): grouped + flat cofactors, and
+    // the SUM/AVG/COUNT moments shape
     e.injectPlannerStrategy(session => GroupedCofactorStrategy(session))
+    e.injectPlannerStrategy(session => GroupedMomentsStrategy(session))
   }
 }

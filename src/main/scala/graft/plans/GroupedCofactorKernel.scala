@@ -64,6 +64,76 @@ import org.apache.spark.unsafe.types.UTF8String
 case class GroupedCofactorStrategy(session: SparkSession) extends SparkStrategy {
 
   def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    // UNGROUPED flat cofactor — `df.agg(sum_to_triple(...))`, the q02
+    // shape (round-18 verdict item 3: the row-aggregate route measured
+    // 2.4× the kernel on the identical sf100 scan; routing, not
+    // research). No NULL side channel is needed here: the row aggregate
+    // and the kernel share the skip-any-NULL-row contract exactly, and
+    // a flat aggregate always returns its one row (empty input = the
+    // empty triple on both routes). A `withColumn("y", year(ts))`
+    // Project under the aggregate (the shipyear idiom) is looked
+    // through: the alias becomes the kernel's own CatYear spec —
+    // same calendar rule, no Project in the way of the harvest.
+    case agg @ Aggregate(groupExprs, projList, child, _)
+        if groupExprs.isEmpty && projList.size == 1 && isPlainCofactor(projList.head) =>
+      val ae = projList.head.asInstanceOf[Alias].child.asInstanceOf[AggregateExpression]
+      val cof = ae.aggregateFunction.asInstanceOf[CofactorAggregate]
+      if (!cof.children.forall(_.isInstanceOf[AttributeReference])) return Nil
+      // resolve each aggregate input through an optional attrs+year
+      // Project: (underlying name, isYear). Any other computed column
+      // refuses the route.
+      // `functions.year(ts)` analyzes to Year(Cast(ts AS DATE)) — the
+      // session-tz cast-to-date + calendar year is exactly CatYear's
+      // TIMESTAMP rule (pinned by the cofactor_columnar parity spec),
+      // so the cast unwraps to the underlying attribute
+      def yearAttr(y: Year): Option[AttributeReference] = y.child match {
+        case a: AttributeReference => Some(a)
+        case c: Cast if c.dataType == org.apache.spark.sql.types.DateType =>
+          c.child match {
+            case a: AttributeReference => Some(a)
+            case _ => None
+          }
+        case _ => None
+      }
+      val (scanChild, resolveOf): (LogicalPlan, Map[ExprId, (String, Boolean)]) = child match {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project
+            if p.projectList.forall {
+              case _: AttributeReference => true
+              case Alias(y: Year, _) => yearAttr(y).isDefined
+              case Alias(_: AttributeReference, _) => true
+              case _ => false
+            } =>
+          val m = p.projectList.map {
+            case a: AttributeReference => a.exprId -> (a.name, false)
+            case al @ Alias(y: Year, _) => al.exprId -> (yearAttr(y).get.name, true)
+            case al @ Alias(a: AttributeReference, _) => al.exprId -> (a.name, false)
+          }.toMap
+          (p.child, m)
+        case other =>
+          (other, other.output.map(a => a.exprId -> (a.name, false)).toMap)
+      }
+      val names = scanChild.output.map(_.name.toLowerCase(java.util.Locale.ROOT))
+      if (names.distinct.size != names.size) return Nil
+      val inputs = cof.children.map(_.asInstanceOf[AttributeReference])
+      if (!inputs.forall(a => resolveOf.contains(a.exprId))) return Nil
+      val (numAttrs, catAttrs) = inputs.partition(a => a.dataType match {
+        case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType |
+             _: org.apache.spark.sql.types.DecimalType => true
+        case _ => false
+      })
+      // a year() alias is int-typed, so it can only land in cat position;
+      // a year() alias in NUM position cannot occur by the type split
+      if (numAttrs.exists(a => resolveOf(a.exprId)._2)) return Nil
+      val numSpecs = numAttrs.map(a =>
+        graft.agg.ColumnarCofactor.NumCol(resolveOf(a.exprId)._1))
+      val catSpecs: Seq[graft.agg.ColumnarCofactor.CatSpec] = catAttrs.map { a =>
+        val (n, isYear) = resolveOf(a.exprId)
+        if (isYear) graft.agg.ColumnarCofactor.CatYear(n)
+        else graft.agg.ColumnarCofactor.CatCol(n)
+      }
+      val df = ColumnBridge.ofRows(session, scanChild)
+      if (!graft.agg.ColumnarCofactor.canHarvest(df, numSpecs, catSpecs)) return Nil
+      FlatCofactorKernelExec(agg.output, numSpecs, catSpecs, cof.nbMode)(scanChild, session) :: Nil
     case agg @ Aggregate(groupExprs, projList, child, _)
         if groupExprs.nonEmpty && groupExprs.size <= 4 &&
           groupExprs.forall(_.isInstanceOf[AttributeReference]) &&
@@ -123,6 +193,33 @@ case class GroupedCofactorStrategy(session: SparkSession) extends SparkStrategy 
     case a: AttributeReference => a.exprId == k.exprId
     case Alias(a: AttributeReference, _) => a.exprId == k.exprId
     case _ => false
+  }
+}
+
+/**
+ * Physical node for the UNGROUPED case: run the flat columnar kernel
+ * over the child plan and return its one triple row. The heavy work
+ * (batch decode, moment accumulation, executor-side tree merge) is
+ * fully distributed; only the kilobyte triple lands on the driver.
+ */
+case class FlatCofactorKernelExec(
+    output: Seq[Attribute],
+    num: Seq[graft.agg.ColumnarCofactor.NumSpec],
+    cat: Seq[graft.agg.ColumnarCofactor.CatSpec], nb: Boolean)(
+    @transient private val childLogical: LogicalPlan,
+    @transient private val spark: SparkSession) extends LeafExecNode {
+
+  override def otherCopyArgs: Seq[AnyRef] = Seq(childLogical, spark)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val df = ColumnBridge.ofRows(spark, childLogical)
+    val t = graft.agg.ColumnarCofactor.cofactor(df, num, cat, nbMode = nb)
+      .getOrElse(throw new IllegalStateException(
+        "flat-cofactor kernel route regressed between planning and execution " +
+        "(input rewritten in place?) — re-run the query to re-plan"))
+    val proj = UnsafeProjection.create(output.map(_.dataType).toArray)
+    val row = proj(InternalRow.fromSeq(Seq(TripleCodec.toCatalyst(t, nb)))).copy()
+    sparkContext.parallelize(Seq(row), 1)
   }
 }
 

@@ -421,4 +421,110 @@ class PlansSpec extends AnyFunSuite {
       assert(q.count() == 5)
     } finally spark.experimental.extraStrategies = saved
   }
+
+  test("SQL flat-cofactor strategy: ungrouped agg routes through the kernel, year() Project looked through") {
+    Graft.register(spark)
+    val saved = spark.experimental.extraStrategies
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("gsqlF").toFile.getAbsolutePath
+      spark.range(5000).select(
+        (col("id") % 97).cast("double").as("x"),
+        (col("id") % 13).cast("double").as("y"),
+        (col("id") % 5).cast("int").as("c"),
+        timestamp_seconds(lit(1500000000L) + col("id") * 864000).as("ts"))
+        .write.mode("overwrite").parquet(tmp)
+      val base = spark.read.parquet(tmp)
+      // default-plan reference (no strategy)
+      spark.experimental.extraStrategies = saved
+      def run(df: org.apache.spark.sql.DataFrame) =
+        Graft.tripleFromRow(df.head().getStruct(0))
+      def flatQ = base.agg(Graft.sumTriple(col("x"), col("y"), col("c")).as("t"))
+      def yearQ = base.withColumn("sy", year(col("ts")))
+        .agg(Graft.sumTriple(col("x"), col("sy")).as("t"))
+      val expFlat = run(flatQ)
+      val expYear = run(yearQ)
+      spark.experimental.extraStrategies = saved :+ graft.plans.GroupedCofactorStrategy(spark)
+      val qf = flatQ
+      assert(qf.queryExecution.executedPlan.toString.contains("FlatCofactorKernel"),
+        s"ungrouped sum_to_triple must plan the flat kernel exec:\n${qf.queryExecution.executedPlan}")
+      assert(run(qf).approxEquals(expFlat, 1e-9), "flat kernel route result differs")
+      val qy = yearQ
+      assert(qy.queryExecution.executedPlan.toString.contains("FlatCofactorKernel"),
+        "a withColumn(year(ts)) Project must be looked through to a CatYear spec")
+      assert(run(qy).approxEquals(expYear, 1e-9), "year look-through result differs")
+      // NULL inputs: both routes skip any-NULL rows — parity holds
+      val tmpN = java.nio.file.Files.createTempDirectory("gsqlFN").toFile.getAbsolutePath
+      spark.range(300).select(
+        when(col("id") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("id").cast("double")).as("x"),
+        (col("id") % 3).cast("int").as("c")).write.mode("overwrite").parquet(tmpN)
+      val bn = spark.read.parquet(tmpN)
+      spark.experimental.extraStrategies = saved
+      val expN = run(bn.agg(Graft.sumTriple(col("x"), col("c")).as("t")))
+      spark.experimental.extraStrategies = saved :+ graft.plans.GroupedCofactorStrategy(spark)
+      val qn = bn.agg(Graft.sumTriple(col("x"), col("c")).as("t"))
+      assert(qn.queryExecution.executedPlan.toString.contains("FlatCofactorKernel"))
+      assert(run(qn).approxEquals(expN, 1e-9), "NULL-skip parity broken on the flat route")
+      // a computed NON-year column under the aggregate declines
+      val qd = base.withColumn("x2", col("x") * 2).agg(Graft.sumTriple(col("x2"), col("c")).as("t"))
+      assert(!qd.queryExecution.executedPlan.toString.contains("FlatCofactorKernel"),
+        "a computed non-year input must keep the default plan")
+      assert(run(qd).n == 5000)
+    } finally spark.experimental.extraStrategies = saved
+  }
+
+  test("SQL moments strategy: Q1-shaped SUM/AVG/COUNT group-by routes and matches the default plan") {
+    Graft.register(spark)
+    val saved = spark.experimental.extraStrategies
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("gsqlM").toFile.getAbsolutePath
+      spark.range(9000).select(
+        concat(lit("g"), (col("id") % 3).cast("string")).as("g"),
+        concat(lit("h"), (col("id") % 2).cast("string")).as("h"),
+        (col("id") % 100).cast("double").as("x"),
+        ((col("id") % 9).cast("double") / 10.0).as("d"),
+        (col("id") % 7).cast("int").as("i"))
+        .write.mode("overwrite").parquet(tmp)
+      spark.read.parquet(tmp).createOrReplaceTempView("gsql_m")
+      val sql =
+        """SELECT g, h, round(sum(x), 2) AS sx, round(avg(x), 2) AS ax,
+          |       round(avg(x * (1 - d)), 2) AS adp, count(*) AS cnt
+          |FROM gsql_m GROUP BY g, h ORDER BY g, h""".stripMargin
+      spark.experimental.extraStrategies = saved
+      val exp = spark.sql(sql).collect().map(_.toSeq).toSeq
+      spark.experimental.extraStrategies = saved :+ graft.plans.GroupedMomentsStrategy(spark)
+      val q = spark.sql(sql)
+      assert(q.queryExecution.executedPlan.toString.contains("GroupedMomentsKernel"),
+        s"Q1 shape must plan the moments kernel exec:\n${q.queryExecution.executedPlan}")
+      assert(q.collect().map(_.toSeq).toSeq == exp, "moments kernel result differs from the default plan")
+
+      // count(attr) with a probed null-free attribute still routes
+      val qc = spark.sql("SELECT g, count(x) AS c, round(sum(x), 1) AS s FROM gsql_m GROUP BY g")
+      assert(qc.queryExecution.executedPlan.toString.contains("GroupedMomentsKernel"))
+      assert(qc.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+        Map("g0" -> 3000L, "g1" -> 3000L, "g2" -> 3000L))
+
+      // an integer-typed SUM keeps the default plan (long accumulator
+      // exactness past 2^53 — double moments cannot promise it)
+      val qi = spark.sql("SELECT g, sum(i) AS si FROM gsql_m GROUP BY g")
+      assert(!qi.queryExecution.executedPlan.toString.contains("GroupedMomentsKernel"),
+        "integer SUM must keep the default plan")
+      // a non-SUM/AVG/COUNT aggregate keeps the default plan
+      val qm = spark.sql("SELECT g, max(x) AS mx, sum(x) AS sx FROM gsql_m GROUP BY g")
+      assert(!qm.queryExecution.executedPlan.toString.contains("GroupedMomentsKernel"))
+      // NULL-bearing inputs refuse the route (per-aggregate null
+      // skipping differs from the kernel's whole-row skip) and the
+      // default plan stays correct
+      val tmpN = java.nio.file.Files.createTempDirectory("gsqlMN").toFile.getAbsolutePath
+      spark.range(200).select(
+        (col("id") % 3).cast("int").as("g"),
+        when(col("id") % 11 === 0, lit(null).cast("double"))
+          .otherwise(col("id").cast("double")).as("x")).write.mode("overwrite").parquet(tmpN)
+      spark.read.parquet(tmpN).createOrReplaceTempView("gsql_mn")
+      val qn = spark.sql("SELECT g, sum(x) AS sx, count(*) AS c FROM gsql_mn GROUP BY g")
+      assert(!qn.queryExecution.executedPlan.toString.contains("GroupedMomentsKernel"),
+        "NULL-bearing inputs must keep the default plan exactly")
+      assert(qn.count() == 3)
+    } finally spark.experimental.extraStrategies = saved
+  }
 }

@@ -121,17 +121,66 @@ class QuantilesSpec extends AnyFunSuite {
     }
   }
 
-  test("the full 4-pass path (no early collect) still selects exactly") {
-    // >2^16 values sharing the top 48 key bits: every level-1..3 bucket
-    // stays over the collect cap, so all 4 histogram passes run
-    val base = DoubleBits.ordered(1.5) & ~0xFFFFL
-    val vs = (0 until 70000).map(i => DoubleBits.fromOrdered(base | (i % 50000).toLong))
-    val df = vs.toDF("x").repartition(8)
-    val sorted = vs.sorted
-    Seq(1, 33333, 70000).foreach { k =>
-      val got = Quantiles.kthSmallest(df, col("x"), k)
-      assert(java.lang.Double.doubleToLongBits(got) ==
-        java.lang.Double.doubleToLongBits(sorted(k - 1)), s"rank $k")
+  test("the full 4-pass path (no early collect, no fused exact) still selects exactly") {
+    // >2^16 values sharing the top 48 key bits, with BOTH shortcut caps
+    // forced below the data: the fused exact histogram refuses (merged
+    // distinct 50000 > 1000) and every level-1..3 bucket stays over the
+    // collect cap, so all 4 histogram passes genuinely run
+    System.setProperty("graft.quantiles.collectCap", "1000")
+    System.setProperty("graft.quantiles.exactMergeCap", "1000")
+    try {
+      val base = DoubleBits.ordered(1.5) & ~0xFFFFL
+      val vs = (0 until 70000).map(i => DoubleBits.fromOrdered(base | (i % 50000).toLong))
+      val df = vs.toDF("x").repartition(8)
+      val sorted = vs.sorted
+      Seq(1, 33333, 70000).foreach { k =>
+        val got = Quantiles.kthSmallest(df, col("x"), k)
+        assert(java.lang.Double.doubleToLongBits(got) ==
+          java.lang.Double.doubleToLongBits(sorted(k - 1)), s"rank $k")
+      }
+    } finally {
+      System.clearProperty("graft.quantiles.collectCap")
+      System.clearProperty("graft.quantiles.exactMergeCap")
+    }
+  }
+
+  test("fused exact first pass: tied scores resolve in ONE job; weighted and hostile agree") {
+    // the typical curation shape — heavily tied integer-ish scores,
+    // distinct count far under the caps — must finish in the single
+    // fused scan (round-18 verdict: the residual quantile_cut gap was
+    // the fixed per-job floor)
+    // shuffle-free source (a repartition would add an AQE stage job and
+    // muddy the count): 13-partition range scan, values heavily tied
+    val df = spark.range(0, 50000, 1, 13)
+      .select((col("id") % 997).cast("double").as("x"))
+    val sorted = (0L until 50000L).map(i => (i % 997).toDouble).sorted
+    val sc = spark.sparkContext
+    sc.setJobGroup("q_fused_probe", "fused exact quantile probe", false)
+    val got = Quantiles.kthSmallest(df, col("x"), 12345)
+    sc.clearJobGroup()
+    assert(got == sorted(12344))
+    // the status store is fed asynchronously — poll briefly
+    val deadline = System.currentTimeMillis() + 5000
+    def jobs() = sc.statusTracker.getJobIdsForGroup("q_fused_probe").length
+    while (jobs() < 1 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    Thread.sleep(200)
+    assert(jobs() == 1, s"fused exact selection should run exactly one job, ran ${jobs()}")
+    // hostile values (ties, signed zeros, infinities) through the same path
+    val hv = hostile
+    val hdf = hv.toDF("x").repartition(7)
+    val hs = hv.sorted
+    Seq(1, hv.size / 2, hv.size).foreach { k =>
+      val g = Quantiles.kthSmallest(hdf, col("x"), k)
+      assert(java.lang.Double.doubleToLongBits(g) ==
+        java.lang.Double.doubleToLongBits(hs(k - 1)), s"hostile rank $k")
+    }
+    // weighted mass ranks through the fused histogram
+    val wrows = (1 to 2000).map(i => ((i % 97).toDouble, 1L + (i % 7)))
+    val wdf = wrows.toDF("x", "w").repartition(5)
+    val expanded = wrows.flatMap { case (v, w) => Seq.fill(w.toInt)(v) }.sorted
+    Seq(1L, expanded.size / 2L, expanded.size.toLong).foreach { k =>
+      assert(Quantiles.kthSmallestWeighted(wdf, col("x"), col("w"), k) ==
+        expanded((k - 1).toInt), s"weighted mass rank $k")
     }
   }
 
