@@ -233,6 +233,8 @@ case class GroupedMomentsStrategy(session: SparkSession) extends SparkStrategy {
     val df = ColumnBridge.ofRows(session, child)
     // gate: harvestable scan, key widths/cardinality caps, and ZERO
     // probed nulls across keys + every referenced attribute
+    // nb = false: the NB (diagonal-only) buffer was A/B-probed at sf100
+    // and bought nothing — the scan is IO/decode-bound, not moment-bound
     val gated: Option[Long] =
       if (keys.size == 1)
         graft.Graft.groupedKernelGate(df, keys.head.name, inputNames, Nil, nb = false,
