@@ -511,9 +511,23 @@ object Bench {
                            cb: graft.operators.Pq.PqCodebook,
                            cents: Array[(Int, Array[Double])])
     lazy val streamSetup: Either[Throwable, StreamSetup] = try {
-      val base = new java.io.File(
-        new java.io.File(System.getProperty("java.io.tmpdir")),
+      val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
+      val base = new java.io.File(tmpRoot,
         s"graft_bench_stream_${spark.sparkContext.applicationId}")
+      // per-appId paths leak where a fixed path self-overwrote: remove
+      // this JVM's dir on clean exit, sweep >1-day-old siblings as the
+      // SIGKILL backstop (no run lasts a day — a concurrent run's
+      // files are never touched)
+      def rmTree(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmTree)
+        f.delete()
+      }
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(base)))
+      val dayAgo = System.currentTimeMillis() - 24L * 3600 * 1000
+      Option(tmpRoot.listFiles()).toSeq.flatten.foreach { f =>
+        if (f.getName.startsWith("graft_bench_stream_") && f != base
+            && f.lastModified() < dayAgo) rmTree(f)
+      }
       val cofSrc = li1.select(col("l_quantity"), col("l_extendedprice"), col("l_linenumber"))
       val cofIn = new java.io.File(base, "cof_in")
       // 8 micro-batches: enough to prove cross-batch state merge at a

@@ -241,42 +241,32 @@ object Bpe {
   }
   private val bcCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[BpeModel, ModelBc]())
-  // Round-18 advice: a model GC'd while its context lives drops the
-  // WeakHashMap ENTRY but leaves the shipped merges/alphabet broadcasts
-  // resident on driver and executors until context stop. A phantom
-  // reference per entry (referent = the model, payload = its ModelBc)
-  // surfaces collected models on the queue; the next cache access
-  // drains it and destroys their broadcasts. Phantom refs never pin
-  // the model, and ModelBc never references the model, so entries
-  // still clear exactly as before.
-  private val bcQueue = new java.lang.ref.ReferenceQueue[BpeModel]()
-  private final class BcRef(m: BpeModel, val bc: ModelBc)
-      extends java.lang.ref.PhantomReference[BpeModel](m, bcQueue)
-  private val bcRefs = java.util.Collections.synchronizedSet(
-    new java.util.HashSet[BcRef]())
-  private def drainBcQueue(): Unit = {
-    var r = bcQueue.poll()
-    while (r != null) {
-      val br = r.asInstanceOf[BcRef]
-      bcRefs.remove(br)
-      br.bc.destroyIfLive()
-      r = bcQueue.poll()
-    }
-  }
+  // Round-18 advice asked for eager destroy() of broadcasts whose model
+  // was GC'd — DELIBERATELY NOT DONE for GC'd-while-context-lives
+  // entries: a lazy `encode()` plan captures only the BROADCAST handle
+  // (BpeEncode ships the Broadcast, never the model), so the model can
+  // be unreachable while plans that read broadcast.value are still
+  // pending — an eager destroy would fail those plans with "Attempted
+  // to use Broadcast after it was destroyed" (worse with structural
+  // sharing: two equal models share one entry). Spark's ContextCleaner
+  // already reclaims a broadcast once the Broadcast OBJECT itself —
+  // including every plan holding it — becomes unreachable, which is
+  // the correct lifetime here. The one eager path kept is replacement
+  // below, where the superseded entry's context is stopped/changed and
+  // no live plan of the CURRENT context can hold its broadcasts.
   private def modelBroadcasts(spark: SparkSession, model: BpeModel): ModelBc =
     bcCache.synchronized {
-      drainBcQueue()
       val sc = spark.sparkContext
       val got = bcCache.get(model)
       if (got != null && got.liveFor(sc)) got
       else {
         // replacement (stopped/changed context): the superseded entry's
         // broadcasts are unreachable from the cache from here on —
-        // release them now rather than waiting for the model's GC
+        // release them now rather than waiting for GC (a no-op when the
+        // old context is stopped, which already tore its blocks down)
         if (got != null) got.destroyIfLive()
         val fresh = new ModelBc(sc, sc.broadcast(model.merges.toArray))
         bcCache.put(model, fresh)
-        bcRefs.add(new BcRef(model, fresh))
         fresh
       }
     }

@@ -91,8 +91,58 @@ object Quantiles {
     * Shuffle/driver bounds: each task ships ≤ 65 536 sparse digit cells
     * + ≤ 65 536 exact entries (~1 MB); the merged exact histogram is
     * ≤ [[exactMergeCap]] entries of 2 longs (~32 MB transient). */
+  /** One pass's mergeable payload: sparse digit cells + the exact
+    * per-key histogram (`exact == null` once any contributor blew a
+    * cap). Merging is associative/commutative, so the tree fold is
+    * order-insensitive; a payload never exceeds ~1 MB of digit cells +
+    * `mergeCap` exact entries. */
+  private final case class Pass1(digits: Array[(Int, Long, Long)],
+                                 exact: Array[(Long, Long)]) extends Serializable
+  private def mergePass1(a: Pass1, b: Pass1, mergeCap: Int): Pass1 = {
+    val mass = new Array[Long](65536)
+    val cnt = new Array[Long](65536)
+    a.digits.foreach { case (d, m, c) => mass(d) += m; cnt(d) += c }
+    b.digits.foreach { case (d, m, c) => mass(d) += m; cnt(d) += c }
+    val sparse = Array.newBuilder[(Int, Long, Long)]
+    var d = 0
+    while (d < 65536) {
+      if (cnt(d) != 0L) sparse += ((d, mass(d), cnt(d)))
+      d += 1
+    }
+    val ex: Array[(Long, Long)] =
+      if (a.exact == null || b.exact == null) null
+      else {
+        val m = new java.util.HashMap[Long, Array[Long]]()
+        var over = false
+        def fold(xs: Array[(Long, Long)]): Unit = xs.foreach { case (k, w) =>
+          if (!over) {
+            val e = m.get(k)
+            if (e != null) e(0) += w
+            else if (m.size() < mergeCap) m.put(k, Array(w))
+            else over = true
+          }
+        }
+        fold(a.exact); fold(b.exact)
+        if (over) null
+        else {
+          val out = new Array[(Long, Long)](m.size())
+          val eit = m.entrySet().iterator()
+          var i = 0
+          while (eit.hasNext) {
+            val e = eit.next()
+            out(i) = (e.getKey, e.getValue()(0))
+            i += 1
+          }
+          out
+        }
+      }
+    Pass1(sparse.result(), ex)
+  }
+
   private def firstPass(u: DataFrame):
       (Array[(Long, Long, Long)], Option[Array[(Long, Long)]]) = {
+    val localCap = exactCap
+    val mergeCap = exactMergeCap
     val parts = u.queryExecution.toRdd.mapPartitions { it =>
       val mass = new Array[Long](65536)
       val cnt = new Array[Long](65536)
@@ -107,7 +157,7 @@ object Quantiles {
         if (exact != null) {
           val e = exact.get(k)
           if (e != null) e(0) += w
-          else if (exact.size() < exactCap) exact.put(k, Array(w))
+          else if (exact.size() < localCap) exact.put(k, Array(w))
           else exact = null // locally too continuous — digit cells only
         }
       }
@@ -130,45 +180,22 @@ object Quantiles {
           }
           out
         }
-      Iterator.single((sparse.result(), ex))
-    }.collect()
-    val mMass = new Array[Long](65536)
-    val mCnt = new Array[Long](65536)
-    parts.foreach(_._1.foreach { case (d, m, c) => mMass(d) += m; mCnt(d) += c })
-    val digits = Array.newBuilder[(Long, Long, Long)]
-    var d = 0
-    while (d < 65536) {
-      if (mCnt(d) != 0L) digits += ((d.toLong, mMass(d), mCnt(d)))
-      d += 1
+      Iterator.single(Pass1(sparse.result(), ex))
     }
-    val exactMerged: Option[Array[(Long, Long)]] =
-      if (parts.exists(_._2 == null)) None
-      else {
-        val m = new java.util.HashMap[Long, Array[Long]]()
-        var over = false
-        parts.foreach { case (_, ex) =>
-          if (!over) ex.foreach { case (k, w) =>
-            val e = m.get(k)
-            if (e != null) e(0) += w
-            else if (m.size() < exactMergeCap) m.put(k, Array(w))
-            else over = true
-          }
-        }
-        if (over) None
-        else {
-          val out = new Array[(Long, Long)](m.size())
-          val eit = m.entrySet().iterator()
-          var i = 0
-          while (eit.hasNext) {
-            val e = eit.next()
-            out(i) = (e.getKey, e.getValue()(0))
-            i += 1
-          }
-          // keys are in the ORDERED (signed-comparable) domain already
-          Some(out.sortBy(_._1))
-        }
-      }
-    (digits.result(), exactMerged)
+    // EXECUTOR-side tree combine, not collect(): a per-partition collect
+    // would ship up to 65 536 exact entries + 65 536 digit cells PER
+    // TASK to the driver — at real split counts that re-materializes
+    // the whole column driver-side, exactly the unbounded-driver shape
+    // this operator exists to avoid. The tree fold keeps every merge on
+    // executors; the driver receives ONE payload ≤ ~1 MB of digit
+    // cells + `exactMergeCap` exact entries (~32 MB transient).
+    val merged: Pass1 =
+      if (parts.getNumPartitions == 0) Pass1(Array.empty, Array.empty)
+      else parts.treeReduce((a, b) => mergePass1(a, b, mergeCap), depth = 2)
+    val digits = merged.digits.map { case (d, m, c) => (d.toLong, m, c) }
+    // keys are in the ORDERED (signed-comparable) domain already
+    val exactMerged = Option(merged.exact).map(_.sortBy(_._1))
+    (digits, exactMerged)
   }
 
   /** The value at MASS rank `kOf(W)` (1-based, in weight units; W = the

@@ -267,33 +267,13 @@ case class GroupedCofactorKernelExec(
         num.map(ColumnarCofactor.NumCol), cat.map(ColumnarCofactor.CatCol), ls, nbMode = nb)
       .getOrElse(throw new IllegalStateException(
         "grouped-cofactor kernel harvest refused a plan the gate accepted"))
-    // merge in the ORIGINAL key-value space: kernel keys unpack first,
-    // then the side channel's groups ring-add (disjoint row sets — a
-    // key in both means a group with clean AND null-bearing rows, whose
-    // null-bearing side contributes the empty triple add is identity on)
-    def toOriginal(v: Long, dt: DataType): Any = dt match {
-      case StringType => ColumnarCofactor.unpackShortString(v)
-      case LongType => v
-      case ShortType => v.toShort
-      case ByteType => v.toByte
-      case _ => v.toInt
-    }
+    // merge in the ORIGINAL key-value space: kernel keys unpack first
+    // (shared decoder — KernelKeys), then the side channel's groups
+    // ring-add (disjoint row sets — a key in both means a group with
+    // clean AND null-bearing rows, whose null-bearing side contributes
+    // the empty triple add is identity on)
     val merged = scala.collection.mutable.LinkedHashMap[Seq[Any], Triple]()
-    ls match {
-      case pk: ColumnarCofactor.CatPackedKeys =>
-        groups.foreach { case (kv, t) =>
-          val fields = ColumnarCofactor.unpackPackedKeys(kv, pk.widths)
-          merged(fields.zip(keyTypes).map { case (f, dt) => toOriginal(f, dt) }) = t
-        }
-      case ds: ColumnarCofactor.CatDictString =>
-        // dictionary label: the key is its index into the broadcast
-        val d = ds.dict.value
-        groups.foreach { case (kv, t) =>
-          merged(Seq(new String(d(kv.toInt), java.nio.charset.StandardCharsets.UTF_8))) = t
-        }
-      case _ =>
-        groups.foreach { case (kv, t) => merged(Seq(toOriginal(kv, keyTypes.head))) = t }
-    }
+    groups.foreach { case (kv, t) => merged(KernelKeys.unpack(ls, keyTypes, kv)) = t }
     if (nullUB > 0) {
       // the NULL remainder: exactly the rows the kernel skipped. The
       // filter pushes to the scan, so this reads the small NULL-bearing

@@ -46,8 +46,10 @@ private[plans] final case class IrNeg(c: NumIR) extends NumIR {
     out
   }
 }
-/** op: '+' | '-' | '*' | '/' — double IEEE semantics, exactly what the
-  * default plan's codegen'd double arithmetic computes per row. */
+/** op: '+' | '-' | '*' — double IEEE semantics, exactly what the
+  * default plan's codegen'd double arithmetic computes per row
+  * (division is excluded: Spark's Divide is NULL-on-zero-divisor,
+  * which has no per-row representation here). */
 private[plans] final case class IrBin(op: Char, l: NumIR, r: NumIR) extends NumIR {
   def evalVec(in: Array[Array[Double]], n: Int): Array[Double] = {
     val a = l.evalVec(in, n)
@@ -58,7 +60,6 @@ private[plans] final case class IrBin(op: Char, l: NumIR, r: NumIR) extends NumI
       case '+' => while (i < n) { out(i) = a(i) + b(i); i += 1 }
       case '-' => while (i < n) { out(i) = a(i) - b(i); i += 1 }
       case '*' => while (i < n) { out(i) = a(i) * b(i); i += 1 }
-      case '/' => while (i < n) { out(i) = a(i) / b(i); i += 1 }
     }
     out
   }
@@ -117,7 +118,9 @@ case class GroupedMomentsStrategy(session: SparkSession) extends SparkStrategy {
       val idx = inputs.get(a.exprId).map(_ => inputs.keysIterator.indexWhere(_ == a.exprId))
         .getOrElse { inputs.put(a.exprId, (a.name, a.dataType)); inputs.size - 1 }
       Some(IrCol(idx))
-    case Literal(v, dt) => dt match {
+    // a NULL literal propagates NULL through SQL arithmetic (the row
+    // is then skipped by Sum/Average) — unrepresentable here; refuse
+    case Literal(v, dt) if v != null => dt match {
       case DoubleType => Some(IrConst(v.asInstanceOf[Double]))
       case FloatType => Some(IrConst(v.asInstanceOf[Float].toDouble))
       case IntegerType => Some(IrConst(v.asInstanceOf[Int].toDouble))
@@ -134,8 +137,11 @@ case class GroupedMomentsStrategy(session: SparkSession) extends SparkStrategy {
       for (l <- compileNum(s.left, inputs); r <- compileNum(s.right, inputs)) yield IrBin('-', l, r)
     case m: Multiply if m.dataType == DoubleType =>
       for (l <- compileNum(m.left, inputs); r <- compileNum(m.right, inputs)) yield IrBin('*', l, r)
-    case d: Divide if d.dataType == DoubleType =>
-      for (l <- compileNum(d.left, inputs); r <- compileNum(d.right, inputs)) yield IrBin('/', l, r)
+    // Divide is REFUSED: Spark's (non-ANSI) Divide returns NULL on a
+    // zero divisor and Sum/Average then SKIP that row, while IEEE
+    // division yields Inf/NaN and poisons the whole group — the one
+    // arithmetic op whose null behavior cannot be replayed without a
+    // per-row null channel. A division keeps the default plan.
     case u: UnaryMinus if u.dataType == DoubleType =>
       compileNum(u.child, inputs).map(IrNeg)
     case _ => None
@@ -189,7 +195,6 @@ case class GroupedMomentsStrategy(session: SparkSession) extends SparkStrategy {
       }
     }
     var descs = Vector.empty[(Expression, Int, Int)] // (canonical AE, kind, idx)
-    val resolver = session.sessionState.analyzer.resolver
     def childAttr(e: Expression): Option[AttributeReference] = e match {
       case a: AttributeReference => Some(a)
       case c: Cast => childAttr(c.child)
@@ -299,28 +304,8 @@ case class GroupedMomentsKernelExec(
     val groups = ColumnarCofactor.cofactorPerClassLong(df, numSpecs, Nil, ls, nbMode = false)
       .getOrElse(throw new IllegalStateException(
         "grouped-moments kernel harvest refused a plan the gate accepted"))
-    def toOriginal(v: Long, dt: DataType): Any = dt match {
-      case StringType => ColumnarCofactor.unpackShortString(v)
-      case LongType => v
-      case ShortType => v.toShort
-      case ByteType => v.toByte
-      case _ => v.toInt
-    }
-    val keyVals: Seq[(Long, Seq[Any])] = ls match {
-      case pk: ColumnarCofactor.CatPackedKeys =>
-        groups.map { case (kv, _) =>
-          kv -> ColumnarCofactor.unpackPackedKeys(kv, pk.widths)
-            .zip(keyTypes).map { case (f, dt) => toOriginal(f, dt) }
-        }
-      case ds: ColumnarCofactor.CatDictString =>
-        val d = ds.dict.value
-        groups.map { case (kv, _) =>
-          kv -> Seq(new String(d(kv.toInt), java.nio.charset.StandardCharsets.UTF_8))
-        }
-      case _ =>
-        groups.map { case (kv, _) => kv -> Seq(toOriginal(kv, keyTypes.head)) }
-    }
-    val keyValByLabel = keyVals.toMap
+    val keyValByLabel: Map[Long, Seq[Any]] =
+      groups.map { case (kv, _) => kv -> KernelKeys.unpack(ls, keyTypes, kv) }.toMap
     val keyIdToSlot = keys.map(_.exprId).zipWithIndex.toMap
     val proj = UnsafeProjection.create(output.map(_.dataType).toArray)
     val rows = groups.map { case (label, t: Triple) =>
@@ -336,7 +321,13 @@ case class GroupedMomentsKernelExec(
       }
       val vals = projList.map { ne =>
         val e = ne match { case Alias(c, _) => c; case other => other }
-        val folded = e.transformUp {
+        // transformDown, deliberately: an AggregateExpression must fold
+        // to its literal BEFORE any group-key attribute inside its
+        // child is rewritten (transformUp rewrote bottom-up, so
+        // `sum(x * k)` no longer matched its planned canonical form and
+        // the exec threw). Top-down, the aggregate matches first and
+        // descent stops at the substituted literal.
+        val folded = e.transformDown {
           case ae: AggregateExpression => Literal.create(aggValue(ae), ae.dataType)
           case a: AttributeReference if keyIdToSlot.contains(a.exprId) =>
             Literal.create(kvs(keyIdToSlot(a.exprId)), a.dataType)

@@ -30,7 +30,18 @@ object StreamingCofactor {
       .agg(Graft.sumTriple(cols: _*).as("triple"))
   }
 
-  /** Driver-side incremental triple maintenance over micro-batches. */
+  /** Driver-side incremental triple maintenance over micro-batches.
+    *
+    * LIFETIME CONTRACT: one instance serves ONE streaming-query
+    * LINEAGE (a query and its restarts from the same checkpoint, whose
+    * batch ids continue monotonically). The replay guard below skips
+    * `batchId <= lastApplied`, which makes at-least-once retries and
+    * checkpoint-recovery replays exactly-once over this state — but a
+    * NEW query (fresh checkpoint) restarts batch ids at 0, so feeding
+    * it into a used instance would silently skip its early batches:
+    * start each new query with a fresh Incremental (and fold the old
+    * state in via `Triple.add` if a running total across queries is
+    * wanted). */
   final class Incremental(num: Seq[String], cat: Seq[String]) extends Serializable {
     @volatile private var state: Triple = Triple.zero(num.length, cat.length)
     @volatile private var lastApplied: Long = -1L

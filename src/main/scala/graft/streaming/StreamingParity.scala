@@ -34,12 +34,29 @@ object StreamingParity {
     * user (the correctness gate plus a bench, or two gate sessions)
     * from overwriting each other's micro-batch files and checkpoints
     * mid-stream (round-18 advice — a shared fixed path corrupted
-    * certified rows nondeterministically). */
-  private def scratch(spark: SparkSession, name: String): java.io.File =
-    new java.io.File(
-      new java.io.File(System.getProperty("java.io.tmpdir")),
-      s"graft_streampar_${System.getProperty("user.name", "u")}_" +
-        s"${spark.sparkContext.applicationId}/$name")
+    * certified rows nondeterministically). Unique-per-run paths leak
+    * where the old fixed path self-overwrote, so this JVM's root is
+    * removed on clean exit (shutdown hook) and SIBLING roots older
+    * than a day — no live run lasts that long, so the sweep can never
+    * touch a concurrent run's files — are swept as a SIGKILL backstop. */
+  private def scratch(spark: SparkSession, name: String): java.io.File = {
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val prefix = s"graft_streampar_${System.getProperty("user.name", "u")}_"
+    val root = new java.io.File(base, prefix + spark.sparkContext.applicationId)
+    cleanupOnce(base, prefix, root)
+    new java.io.File(root, name)
+  }
+
+  private val cleanupArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def cleanupOnce(base: java.io.File, prefix: String, own: java.io.File): Unit =
+    if (cleanupArmed.compareAndSet(false, true)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(own)))
+      val dayAgo = System.currentTimeMillis() - 24L * 3600 * 1000
+      Option(base.listFiles()).toSeq.flatten.foreach { f =>
+        if (f.getName.startsWith(prefix) && f != own && f.lastModified() < dayAgo)
+          deleteRec(f)
+      }
+    }
 
   private def deleteRec(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)

@@ -504,6 +504,40 @@ class PlansSpec extends AnyFunSuite {
       assert(qc.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
         Map("g0" -> 3000L, "g1" -> 3000L, "g2" -> 3000L))
 
+      // DIVISION keeps the default plan: Spark's Divide THROWS on a
+      // zero divisor under ANSI (the default since 4.x) and returns
+      // NULL (row skipped by sum) otherwise — IEEE '/' would silently
+      // return Infinity-poisoned sums instead of either behavior.
+      // gsql_m's d column contains exact zeros; only the plan shape is
+      // asserted (collecting would raise DIVIDE_BY_ZERO under ANSI,
+      // which is exactly the default-plan behavior the route must not
+      // paper over).
+      val qdiv = spark.sql("SELECT g, round(sum(x / d), 2) AS sd FROM gsql_m GROUP BY g ORDER BY g")
+      assert(!qdiv.queryExecution.executedPlan.toString.contains("GroupedMomentsKernel"),
+        "a division must keep the default plan (ANSI throw / NULL-on-zero-divisor semantics)")
+      // a NULL literal inside an aggregate child keeps the default plan
+      val qnl = spark.sql("SELECT g, sum(x + CAST(NULL AS DOUBLE)) AS s FROM gsql_m GROUP BY g")
+      assert(!qnl.queryExecution.executedPlan.toString.contains("GroupedMomentsKernel"),
+        "a NULL literal must keep the default plan")
+      assert(qnl.collect().forall(_.isNullAt(1)))
+
+      // a GROUP KEY inside an aggregate child routes AND matches: the
+      // exec folds the aggregate to its literal top-down, so the key
+      // substitution cannot orphan the planned canonical form
+      val tmpK = java.nio.file.Files.createTempDirectory("gsqlMK").toFile.getAbsolutePath
+      spark.range(600).select(
+        (col("id") % 4).cast("int").as("k"),
+        (col("id") % 50).cast("double").as("x")).write.mode("overwrite").parquet(tmpK)
+      spark.read.parquet(tmpK).createOrReplaceTempView("gsql_mk")
+      val sqlK = "SELECT k, round(sum(x * k), 2) AS sxk, count(k) AS ck FROM gsql_mk GROUP BY k ORDER BY k"
+      spark.experimental.extraStrategies = saved
+      val expK = spark.sql(sqlK).collect().map(_.toSeq).toSeq
+      spark.experimental.extraStrategies = saved :+ graft.plans.GroupedMomentsStrategy(spark)
+      val qk = spark.sql(sqlK)
+      assert(qk.queryExecution.executedPlan.toString.contains("GroupedMomentsKernel"),
+        "a key referenced inside an aggregate child must still route")
+      assert(qk.collect().map(_.toSeq).toSeq == expK, "sum(x * k) differs from the default plan")
+
       // an integer-typed SUM keeps the default plan (long accumulator
       // exactness past 2^53 — double moments cannot promise it)
       val qi = spark.sql("SELECT g, sum(i) AS si FROM gsql_m GROUP BY g")
