@@ -2353,7 +2353,18 @@ object SparkEntry {
     // found by the same radix passes with mass-summing histograms.
     // DuckDB re-derives it from a value-grouped cumulative-mass walk.
     "q110_mass_quantile_cut" -> { (s, dir) =>
+      import s.implicits._
+      // two SYNTHETIC zero-mass docs (empty / whitespace-only text,
+      // n_chars above any real doc) unioned into BOTH engines' input:
+      // the round-17 empty-text weight guard (zero-mass rows carry no
+      // selection mass but still pass the value filter) is exercised on
+      // every run instead of depending on the generated corpus
+      // containing such a doc (round-18 verdict item 6)
+      val synth = Seq((900000001L, "", 1000000L), (900000002L, " \t\n ", 1000001L))
+        .toDF("doc_id", "text", "n_chars")
       val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars"))
+        .unionByName(synth)
       val w = graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
       graft.operators.Quantiles.keepTopFractionByMass(
           docs, col("n_chars").cast("double"), w, 0.25)
@@ -4541,19 +4552,23 @@ object SparkEntry {
     // cumulative mass reaches rank W − ceil(0.25·W) + 1; survivors
     // (every document, weight or not) ≥ threshold.
     "q110_mass_quantile_cut" ->
-      """WITH t AS (
+      """WITH docs_aug AS (
+        |  SELECT doc_id, text, n_chars FROM documents
+        |  UNION ALL SELECT 900000001, '', 1000000
+        |  UNION ALL SELECT 900000002, ' ' || chr(9) || chr(10) || ' ', 1000001),
+        |t AS (
         |  SELECT doc_id, n_chars,
         |         CASE WHEN length(trim(text)) = 0 THEN 0
         |              ELSE CAST(len(string_split_regex(trim(text), '[\t\n\x0B\f\r ]+')) AS BIGINT)
         |         END AS w
-        |  FROM documents),
+        |  FROM docs_aug),
         |tot AS (SELECT sum(w) AS tw FROM t WHERE w > 0),
         |g AS (SELECT n_chars AS v, sum(w) AS m FROM t WHERE w > 0 GROUP BY 1),
         |c AS (SELECT v, sum(m) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum FROM g),
         |th AS (
         |  SELECT min(v) AS t FROM c, tot
         |  WHERE cum >= tw - CAST(ceil(0.25 * tw) AS BIGINT) + 1)
-        |SELECT d.doc_id, d.n_chars FROM documents d, th
+        |SELECT d.doc_id, d.n_chars FROM docs_aug d, th
         |WHERE d.n_chars >= th.t ORDER BY d.doc_id""".stripMargin,
     // quartiles at ranks ceil(0.25·n)/ceil(0.75·n) via window rank,
     // then the 1.5·IQR fence applied in the same double arithmetic.
