@@ -561,4 +561,82 @@ class PlansSpec extends AnyFunSuite {
       assert(qn.count() == 3)
     } finally spark.experimental.extraStrategies = saved
   }
+
+  test("SQL moments strategy fuzz: random +/-/* expression trees match the default plan") {
+    Graft.register(spark)
+    val saved = spark.experimental.extraStrategies
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("gsqlMF").toFile.getAbsolutePath
+      spark.range(4000).select(
+        (col("id") % 5).cast("int").as("k"),
+        (col("id") % 83).cast("double").as("a"),
+        ((col("id") % 17).cast("double") / 4.0).as("b"),
+        (col("id") % 7).cast("int").as("ci"))
+        .write.mode("overwrite").parquet(tmp)
+      spark.read.parquet(tmp).createOrReplaceTempView("gsql_mf")
+      val rnd = new scala.util.Random(41)
+      // random arithmetic over {a, b, ci, k, literals} with +,-,* (no
+      // division — refused by design); depth ≤ 3. Int leaves are cast
+      // to double AT THE LEAF so every arithmetic node is double-typed:
+      // a bare int×int subtree correctly DECLINES the route (int-domain
+      // overflow wrap/ANSI-throw is not replayable in doubles), which
+      // would turn fuzz trials into silent no-ops
+      def expr(depth: Int): String =
+        if (depth == 0) rnd.nextInt(6) match {
+          case 0 => "a"
+          case 1 => "b"
+          case 2 => "CAST(ci AS DOUBLE)" // int leaf, double arithmetic
+          case 3 => "CAST(k AS DOUBLE)"  // the group key inside an aggregate child
+          case 4 => f"${rnd.nextDouble() * 4 - 2}%.3f"
+          case 5 => f"${(rnd.nextInt(9) - 4).toDouble}%.1f"
+        } else {
+          val op = "+-*".charAt(rnd.nextInt(3))
+          s"(${expr(depth - 1)} $op ${expr(depth - 1)})"
+        }
+      for (trial <- 1 to 12) {
+        // an aggregate over a CONSTANT expression folds to a literal and
+        // declines (no input column to harvest) — regenerate those.
+        // Column leaves are exactly "a", "b", or "CAST(… AS DOUBLE)";
+        // numeric literals contain no letters.
+        def colExpr(depth: Int): String = {
+          val e = expr(depth)
+          if ("\\b[ab]\\b".r.findFirstIn(e).isDefined || e.contains("CAST(")) e
+          else colExpr(depth)
+        }
+        val aggs = (1 to 1 + rnd.nextInt(3)).map { i =>
+          val e = colExpr(1 + rnd.nextInt(2))
+          // i == 1 is never count(*): a COUNT-only projection declines
+          // the route by design (the default plan needs no kernel)
+          rnd.nextInt(if (i == 1) 2 else 3) match {
+            case 0 => s"round(sum(CAST(($e) AS DOUBLE)), 6) AS s$i"
+            case 1 => s"round(avg(CAST(($e) AS DOUBLE)), 6) AS a$i"
+            case 2 => s"count(*) AS c$i"
+          }
+        }
+        val sql = s"SELECT k, ${aggs.mkString(", ")} FROM gsql_mf GROUP BY k ORDER BY k"
+        spark.experimental.extraStrategies = saved
+        val exp = spark.sql(sql).collect().map(_.toSeq).toSeq
+        spark.experimental.extraStrategies = saved :+ graft.plans.GroupedMomentsStrategy(spark)
+        val q = spark.sql(sql)
+        // every generated shape must ROUTE (inputs are null-free and
+        // double-typed after the explicit cast) — a silent decline
+        // would turn the fuzz into a no-op
+        assert(q.queryExecution.executedPlan.toString.contains("GroupedMomentsKernel"),
+          s"trial $trial did not route: $sql")
+        // doubles compare within 2e-6: partial sums fold in tree-merge
+        // order, so a last-ulp difference can land on the opposite side
+        // of the round(…, 6) boundary — the documented FP caveat, not a
+        // semantic divergence. Keys and counts compare exactly.
+        val got = q.collect().map(_.toSeq).toSeq
+        assert(got.size == exp.size, s"trial $trial row count differs: $sql")
+        got.zip(exp).foreach { case (gr, er) =>
+          gr.zip(er).foreach {
+            case (g: Double, e: Double) =>
+              assert(math.abs(g - e) <= 2e-6, s"trial $trial differs ($g vs $e): $sql")
+            case (g, e) => assert(g == e, s"trial $trial differs ($g vs $e): $sql")
+          }
+        }
+      }
+    } finally spark.experimental.extraStrategies = saved
+  }
 }
