@@ -103,6 +103,18 @@ object Bench {
   private def noop(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** noop(df) with the physical route ASSERTED — a gate/probe
+    * regression that silently demotes a strategy-routed row to the
+    * default plan fails the bench rather than recording a slower
+    * number (the same route-REQUIRED discipline as the grouped
+    * kernel rows). The executedPlan is cached on the QueryExecution,
+    * so the inspection does not re-plan. */
+  private def noopRouted(df: org.apache.spark.sql.DataFrame, marker: String): Unit = {
+    require(df.queryExecution.executedPlan.toString.contains(marker),
+      s"row must plan through $marker in the bench session")
+    noop(df)
+  }
+
   // ------------------------------------------------------- shared queries
   // the same moments as cofactor_full / q01_pricing through the
   // columnar-batch kernel (ColumnarCofactor): no ColumnarToRow, no
@@ -377,16 +389,17 @@ object Bench {
     }
 
     Tier("main", Seq(
-      "q01_pricing" -> (() => noop(SparkEntry.queries("q01_agg_pricing")(spark, sfDir))),
+      "q01_pricing" -> (() => noopRouted(
+        SparkEntry.queries("q01_agg_pricing")(spark, sfDir), "GroupedMomentsKernel")),
       "q01_pricing_row" -> (() => withoutKernelStrategies(
         noop(SparkEntry.queries("q01_agg_pricing")(spark, sfDir)))),
       "q01_columnar" -> (() => columnarPricing(spark, sfDir)),
       "cofactor_filtered" -> (() => columnarCofactorFiltered(spark, sfDir)),
       "cofactor_full" -> { () =>
-        noop(li.withColumn("shipyear", year(col("l_shipdate")))
+        noopRouted(li.withColumn("shipyear", year(col("l_shipdate")))
           .agg(Graft.sumTriple(
             col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"),
-            col("l_linenumber"), col("shipyear")).as("t")))
+            col("l_linenumber"), col("shipyear")).as("t")), "FlatCofactorKernel")
       },
       "cofactor_full_row" -> (() => withoutKernelStrategies {
         noop(li.withColumn("shipyear", year(col("l_shipdate")))
@@ -396,10 +409,10 @@ object Bench {
       }),
       "cofactor_columnar" -> (() => columnarCofactorFull(spark, sfDir)),
       "cofactor_grouped" -> { () =>
-        noop(li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        noopRouted(li.groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(Graft.sumTriple(
             col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"),
-            col("l_linenumber")).as("t")))
+            col("l_linenumber")).as("t")), "GroupedCofactorKernel")
       },
       "cofactor_grouped_row" -> (() => withoutKernelStrategies {
         noop(li.groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -561,12 +574,13 @@ object Bench {
     }
 
     Tier("sf1", Seq(
-      "sf1_q01_pricing" -> (() => noop(SparkEntry.queries("q01_agg_pricing")(spark, sf1Dir))),
+      "sf1_q01_pricing" -> (() => noopRouted(
+        SparkEntry.queries("q01_agg_pricing")(spark, sf1Dir), "GroupedMomentsKernel")),
       "sf1_cofactor_full" -> { () =>
-        noop(li1.withColumn("shipyear", year(col("l_shipdate")))
+        noopRouted(li1.withColumn("shipyear", year(col("l_shipdate")))
           .agg(Graft.sumTriple(
             col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"),
-            col("l_linenumber"), col("shipyear")).as("t")))
+            col("l_linenumber"), col("shipyear")).as("t")), "FlatCofactorKernel")
       },
       "sf1_cofactor_columnar" -> (() => columnarCofactorFull(spark, sf1Dir)),
       "sf1_factorized_adaptive" -> (() => factorizedAdaptiveRaw(spark, sf1Dir)),
@@ -858,7 +872,8 @@ object Bench {
       () => bigVec.fold(e => throw e, f)
 
     Tier("sf100", Seq(
-      "sf100_q01_pricing" -> (() => noop(SparkEntry.queries("q01_agg_pricing")(spark, sf100Dir))),
+      "sf100_q01_pricing" -> (() => noopRouted(
+        SparkEntry.queries("q01_agg_pricing")(spark, sf100Dir), "GroupedMomentsKernel")),
       "sf100_q01_columnar" -> (() => columnarPricing(spark, sf100Dir)),
       "sf100_cofactor_columnar" -> (() => columnarCofactorFull(spark, sf100Dir)),
       "sf100_cofactor_grouped_columnar" -> (() => columnarCofactorGrouped(spark, sf100Dir)),
@@ -866,10 +881,10 @@ object Bench {
       "sf100_cofactor_grouped_dict" -> (() => columnarCofactorGroupedDict(spark, sf100Dir)),
       "sf100_cofactor_filtered" -> (() => columnarCofactorFiltered(spark, sf100Dir)),
       "sf100_cofactor_full" -> { () =>
-        noop(li100.withColumn("shipyear", year(col("l_shipdate")))
+        noopRouted(li100.withColumn("shipyear", year(col("l_shipdate")))
           .agg(Graft.sumTriple(
             col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"),
-            col("l_linenumber"), col("shipyear")).as("t")))
+            col("l_linenumber"), col("shipyear")).as("t")), "FlatCofactorKernel")
       }) ++
       // the bare-join adaptive floor re-shuffles BOTH 600M/150M-row
       // sides on every pass by construction (the operator's own runtime
