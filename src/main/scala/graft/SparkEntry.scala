@@ -2477,6 +2477,19 @@ object SparkEntry {
       graft.streaming.StreamingParity.asofSummary(s, dir, eventsSchema)
     },
 
+    // UNGROUPED scan summary — the flat SUM/AVG/COUNT moments shape.
+    // Under the Verify session's installed strategies this plans as
+    // FlatMomentsKernelExec (one flat kernel scan, the single summary
+    // row folded driver-side), so the oracle certifies the ROUTED
+    // plan; without strategies it is the stock codegen aggregate —
+    // identical answer either way is exactly the claim.
+    "q125_flat_moments" -> { (s, dir) =>
+      li(s, dir).agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(avg(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("avg_disc_price"),
+        count(lit(1)).as("cnt"))
+    },
+
     // the reproducible dataset-card pipeline, end to end: per-source
     // caps → source-weighted mixture → deterministic train/val/test
     // split → the per-(split, source) card counts. Every stage keys
@@ -4754,6 +4767,11 @@ object SparkEntry {
         |       coalesce(c.t - v.vt, -1) AS dt_us
         |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.vt <= c.t
         |ORDER BY c.event_id""".stripMargin,
+    "q125_flat_moments" ->
+      """SELECT round(sum(l_quantity), 2) AS sum_qty,
+        |       round(avg(l_extendedprice * (1 - l_discount)), 2) AS avg_disc_price,
+        |       count(*) AS cnt
+        |FROM lineitem""".stripMargin,
     // the whole funnel from the HUGEINT hash: window-rank cap (≤15 per
     // source), mixture epochs (floor + fractional threshold), split
     // buckets at the 0.8/0.9 cumulative thresholds, then the card.

@@ -852,7 +852,36 @@ object Factorized {
     * file count or total bytes invalidate automatically (see
     * [[snapshotFingerprint]]); call this after a byte-identical-size
     * in-place rewrite, the one case the fingerprint can alias. */
-  def clearProbeCache(): Unit = { probeCache.clear(); topKeyCache.clear(); shapeCache.clear() }
+  /** Keyless null probe for the FLAT moments SQL route: (total rows,
+    * null-bearing-row upper bound = sum of per-column null counts) over
+    * `cols`. ONE fixed-memory scan, memoized with the same
+    * (plan, cols, file-snapshot) discipline as [[probeGroupedShape]]. */
+  private val nullProbeCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Long),
+      (Long, Long)](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Long),
+            (Long, Long)]): Boolean = size() > 256
+    })
+  private[graft] def probeNullCount(df: DataFrame, cols: Seq[String]): (Long, Long) = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val ck = (df.queryExecution.analyzed.canonicalized,
+      "nullprobe:" + cols.mkString("\u0001"), snapshotFingerprint(df))
+    val cached = nullProbeCache.get(ck)
+    if (cached != null) cached
+    else {
+      val aggs = count(lit(1)) +: cols.map(c => count(col(c)))
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      val rows = r.getLong(0)
+      val nullUB = cols.indices.map(i => rows - r.getLong(1 + i)).sum
+      val v = (rows, nullUB)
+      nullProbeCache.put(ck, v)
+      v
+    }
+  }
+
+  def clearProbeCache(): Unit =
+    { probeCache.clear(); topKeyCache.clear(); shapeCache.clear(); nullProbeCache.clear() }
 
   private[graft] def probeCacheSize: Int = probeCache.size()
 

@@ -148,8 +148,10 @@ case class GroupedMomentsStrategy(session: SparkSession) extends SparkStrategy {
   }
 
   def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    // 0 keys = the FLAT scan summary (`SELECT count(*), sum(x) FROM t`
+    // — the single most common analytics statement at corpus scale)
     case agg @ Aggregate(groupExprs, projList, child, _)
-        if groupExprs.nonEmpty && groupExprs.size <= 4 &&
+        if groupExprs.size <= 4 &&
           groupExprs.forall(_.isInstanceOf[AttributeReference]) =>
       planMoments(agg, groupExprs.map(_.asInstanceOf[AttributeReference]),
         projList, child).toSeq.flatten
@@ -159,7 +161,7 @@ case class GroupedMomentsStrategy(session: SparkSession) extends SparkStrategy {
   private def planMoments(agg: Aggregate, keys: Seq[AttributeReference],
                           projList: Seq[NamedExpression], child: LogicalPlan):
       Option[Seq[SparkPlan]] = {
-    val keysOk = keys.forall(_.dataType match {
+    val keysOk = keys.isEmpty || keys.forall(_.dataType match {
       case IntegerType | LongType | StringType => true
       case ShortType | ByteType => keys.size > 1
       case _ => false
@@ -236,6 +238,18 @@ case class GroupedMomentsStrategy(session: SparkSession) extends SparkStrategy {
 
     val inputNames = inputs.values.map(_._1).toSeq
     val df = ColumnBridge.ofRows(session, child)
+    if (keys.isEmpty) {
+      // FLAT gate: harvestable scan + ZERO probed nulls across every
+      // referenced attribute (one memoized fixed-memory scan). The
+      // exec returns SQL's one-row summary incl. the empty-input shape
+      // (count 0, NULL sums/avgs).
+      if (!graft.agg.ColumnarCofactor.canHarvest(df,
+          inputNames.map(graft.agg.ColumnarCofactor.NumCol), Nil)) return None
+      val (_, nullUB) = graft.ml.Factorized.probeNullCount(df, inputNames)
+      if (nullUB != 0L) return None
+      return Some(Seq(FlatMomentsKernelExec(agg.output, projList,
+        inputNames, derived.map(_._2), descs)(child, session)))
+    }
     // gate: harvestable scan, key widths/cardinality caps, and ZERO
     // probed nulls across keys + every referenced attribute
     // nb = false: the NB (diagonal-only) buffer was A/B-probed at sf100
@@ -294,48 +308,101 @@ case class GroupedMomentsKernelExec(
         graft.Graft.groupedKernelGateMulti(df, keys.map(_.name), inputNames, Nil, nb = false,
           maxGroups = -1, probeNulls = true).getOrElse(regressed)
     if (nullUB != 0L) regressed
-    val numSpecs: Seq[ColumnarCofactor.NumSpec] = derived.zipWithIndex.map { case (ir, i) =>
-      ColumnarCofactor.NumDerived(inputNames, s"__m$i",
+    val groups = ColumnarCofactor.cofactorPerClassLong(df,
+        MomentsEval.numSpecs(inputNames, derived), Nil, ls, nbMode = false)
+      .getOrElse(throw new IllegalStateException(
+        "grouped-moments kernel harvest refused a plan the gate accepted"))
+    val keyIdToSlot = keys.map(_.exprId).zipWithIndex.toMap
+    val proj = UnsafeProjection.create(output.map(_.dataType).toArray)
+    val rows = groups.map { case (label, t: Triple) =>
+      MomentsEval.row(projList, descs, t.n, t.lin,
+        keyIdToSlot, KernelKeys.unpack(ls, keyTypes, label), proj)
+    }
+    sparkContext.parallelize(rows, 1)
+  }
+}
+
+/**
+ * Physical node for the UNGROUPED moments shape: run the flat columnar
+ * kernel once and fold the single SQL summary row (SQL semantics on an
+ * EMPTY input — count 0, NULL sums/avgs — are reproduced explicitly,
+ * the one flat shape the kernel's zero triple does not state itself).
+ */
+case class FlatMomentsKernelExec(
+    output: Seq[Attribute],
+    projList: Seq[NamedExpression],
+    inputNames: Seq[String],
+    derived: Seq[NumIR],
+    descs: Seq[(Expression, Int, Int)])(
+    @transient private val childLogical: LogicalPlan,
+    @transient private val spark: SparkSession) extends LeafExecNode {
+
+  override def otherCopyArgs: Seq[AnyRef] = Seq(childLogical, spark)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    import graft.agg.ColumnarCofactor
+    val df = ColumnBridge.ofRows(spark, childLogical)
+    def regressed = throw new IllegalStateException(
+      "flat-moments kernel route regressed between planning and execution " +
+      "(input rewritten in place?) — re-run the query to re-plan")
+    val (_, nullUB) = graft.ml.Factorized.probeNullCount(df, inputNames)
+    if (nullUB != 0L) regressed
+    val t = ColumnarCofactor.cofactor(df,
+        MomentsEval.numSpecs(inputNames, derived), Nil)
+      .getOrElse(regressed)
+    val proj = UnsafeProjection.create(output.map(_.dataType).toArray)
+    val row = MomentsEval.row(projList, descs, t.n, t.lin,
+      Map.empty, Seq.empty, proj)
+    sparkContext.parallelize(Seq(row), 1)
+  }
+}
+
+/** Shared execution-side folding for the moments execs. */
+private[plans] object MomentsEval {
+
+  /** One [[graft.agg.ColumnarCofactor.NumDerived]] kernel column per
+    * compiled aggregate expression. */
+  def numSpecs(inputNames: Seq[String], derived: Seq[NumIR]):
+      Seq[graft.agg.ColumnarCofactor.NumSpec] =
+    derived.zipWithIndex.map { case (ir, i) =>
+      graft.agg.ColumnarCofactor.NumDerived(inputNames, s"__m$i",
         (in, out, n) => {
           val res = ir.evalVec(in, n)
           System.arraycopy(res, 0, out, 0, n)
         })
     }
-    val groups = ColumnarCofactor.cofactorPerClassLong(df, numSpecs, Nil, ls, nbMode = false)
-      .getOrElse(throw new IllegalStateException(
-        "grouped-moments kernel harvest refused a plan the gate accepted"))
-    val keyValByLabel: Map[Long, Seq[Any]] =
-      groups.map { case (kv, _) => kv -> KernelKeys.unpack(ls, keyTypes, kv) }.toMap
-    val keyIdToSlot = keys.map(_.exprId).zipWithIndex.toMap
-    val proj = UnsafeProjection.create(output.map(_.dataType).toArray)
-    val rows = groups.map { case (label, t: Triple) =>
-      val kvs = keyValByLabel(label)
-      def aggValue(ae: AggregateExpression): Any = {
-        val i = descs.indexWhere(_._1 semanticEquals ae.canonicalized)
-        require(i >= 0, s"unplanned aggregate $ae reached the moments exec")
-        descs(i) match {
-          case (_, 0, idx) => t.lin(idx)
-          case (_, 1, idx) => t.lin(idx) / t.n
-          case (_, 2, _) => t.n
-        }
+
+  /** Fold one result row: every AggregateExpression replaced by its
+    * moment value (n / sum / sum over n — SQL's NULL on an empty
+    * Sum/Average), every group-key attribute by its group value.
+    *
+    * transformDown, deliberately: an AggregateExpression must fold to
+    * its literal BEFORE any group-key attribute inside its child is
+    * rewritten (bottom-up, `sum(x * k)` no longer matched its planned
+    * canonical form and the exec threw). Top-down, the aggregate
+    * matches first and descent stops at the substituted literal. */
+  def row(projList: Seq[NamedExpression], descs: Seq[(Expression, Int, Int)],
+          n: Long, lin: Array[Double],
+          keySlot: Map[ExprId, Int], kvs: Seq[Any],
+          proj: UnsafeProjection): InternalRow = {
+    def aggValue(ae: AggregateExpression): Any = {
+      val i = descs.indexWhere(_._1 semanticEquals ae.canonicalized)
+      require(i >= 0, s"unplanned aggregate $ae reached the moments exec")
+      descs(i) match {
+        case (_, 0, idx) => if (n == 0L) null else lin(idx)
+        case (_, 1, idx) => if (n == 0L) null else lin(idx) / n
+        case (_, 2, _) => n
       }
-      val vals = projList.map { ne =>
-        val e = ne match { case Alias(c, _) => c; case other => other }
-        // transformDown, deliberately: an AggregateExpression must fold
-        // to its literal BEFORE any group-key attribute inside its
-        // child is rewritten (transformUp rewrote bottom-up, so
-        // `sum(x * k)` no longer matched its planned canonical form and
-        // the exec threw). Top-down, the aggregate matches first and
-        // descent stops at the substituted literal.
-        val folded = e.transformDown {
-          case ae: AggregateExpression => Literal.create(aggValue(ae), ae.dataType)
-          case a: AttributeReference if keyIdToSlot.contains(a.exprId) =>
-            Literal.create(kvs(keyIdToSlot(a.exprId)), a.dataType)
-        }
-        folded.eval(InternalRow.empty)
-      }
-      proj(InternalRow.fromSeq(vals)).copy()
     }
-    sparkContext.parallelize(rows, 1)
+    val vals = projList.map { ne =>
+      val e = ne match { case Alias(c, _) => c; case other => other }
+      val folded = e.transformDown {
+        case ae: AggregateExpression => Literal.create(aggValue(ae), ae.dataType)
+        case a: AttributeReference if keySlot.contains(a.exprId) =>
+          Literal.create(kvs(keySlot(a.exprId)), a.dataType)
+      }
+      folded.eval(InternalRow.empty)
+    }
+    proj(InternalRow.fromSeq(vals)).copy()
   }
 }

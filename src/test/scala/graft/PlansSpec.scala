@@ -562,6 +562,56 @@ class PlansSpec extends AnyFunSuite {
     } finally spark.experimental.extraStrategies = saved
   }
 
+  test("SQL flat moments: ungrouped SUM/AVG/COUNT routes, matches, and keeps SQL's empty-input NULLs") {
+    Graft.register(spark)
+    val saved = spark.experimental.extraStrategies
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("gsqlFlatM").toFile.getAbsolutePath
+      spark.range(5000).select(
+        (col("id") % 91).cast("double").as("x"),
+        ((col("id") % 11).cast("double") / 20.0).as("d"))
+        .write.mode("overwrite").parquet(tmp)
+      spark.read.parquet(tmp).createOrReplaceTempView("gsql_flatm")
+      val sql =
+        """SELECT round(sum(x), 6) AS s, round(avg(x * (1 - d)), 6) AS a, count(*) AS c
+          |FROM gsql_flatm""".stripMargin
+      spark.experimental.extraStrategies = saved
+      val exp = spark.sql(sql).collect().head
+      spark.experimental.extraStrategies = saved :+ graft.plans.GroupedMomentsStrategy(spark)
+      val q = spark.sql(sql)
+      assert(q.queryExecution.executedPlan.toString.contains("FlatMomentsKernel"),
+        s"flat moments must plan the flat kernel exec:\n${q.queryExecution.executedPlan}")
+      val got = q.collect().head
+      assert(math.abs(got.getDouble(0) - exp.getDouble(0)) <= 2e-6 &&
+        math.abs(got.getDouble(1) - exp.getDouble(1)) <= 2e-6 &&
+        got.getLong(2) == exp.getLong(2), s"flat moments differ: $got vs $exp")
+
+      // EMPTY input: SQL's one summary row with count 0 and NULL
+      // sums/avgs — the one flat shape the kernel's zero triple does
+      // not state itself, reproduced explicitly by the exec
+      val tmpE = java.nio.file.Files.createTempDirectory("gsqlFlatE").toFile.getAbsolutePath
+      spark.read.parquet(tmp).limit(0).write.mode("overwrite").parquet(tmpE)
+      spark.read.parquet(tmpE).createOrReplaceTempView("gsql_flate")
+      val qe = spark.sql("SELECT sum(x) AS s, avg(x) AS a, count(*) AS c FROM gsql_flate")
+      assert(qe.queryExecution.executedPlan.toString.contains("FlatMomentsKernel"))
+      val re = qe.collect().head
+      assert(re.isNullAt(0) && re.isNullAt(1) && re.getLong(2) == 0L,
+        s"empty input must give (NULL, NULL, 0), got $re")
+
+      // null-bearing input declines (per-aggregate null skip differs
+      // from the kernel's whole-row skip)
+      val tmpN = java.nio.file.Files.createTempDirectory("gsqlFlatN").toFile.getAbsolutePath
+      spark.range(100).select(
+        when(col("id") % 9 === 0, lit(null).cast("double"))
+          .otherwise(col("id").cast("double")).as("x")).write.mode("overwrite").parquet(tmpN)
+      spark.read.parquet(tmpN).createOrReplaceTempView("gsql_flatn")
+      val qn = spark.sql("SELECT sum(x) AS s, count(*) AS c FROM gsql_flatn")
+      assert(!qn.queryExecution.executedPlan.toString.contains("FlatMomentsKernel"),
+        "null-bearing flat input must keep the default plan")
+      assert(qn.collect().head.getLong(1) == 100L)
+    } finally spark.experimental.extraStrategies = saved
+  }
+
   test("SQL moments strategy fuzz: random +/-/* expression trees match the default plan") {
     Graft.register(spark)
     val saved = spark.experimental.extraStrategies
