@@ -54,10 +54,14 @@ object Bench {
   // Global wall-clock budget (seconds): recertify forks and extra
   // convergence passes are trimmed once exceeded, so the round's
   // artifact always lands inside the driver's timeout. 2000 s leaves
-  // headroom under the driver cap the r18 run measured (2617 s full
-  // run, rc=0) now that the per-tier recertify spends it as it goes
-  // and the one 80 s sf10 row moved behind FULL mode.
-  private val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "2000").toLong
+  // headroom under the driver cap for the ALWAYS-ON suite; a FULL run
+  // measured 2617 s at r18 — under the old shared default it always
+  // crossed the budget mid-suite and silently degraded recertify to
+  // worst-2 per tier (r19 advice), so FULL mode gets its own 3600 s
+  // default and finishes its recertify passes (FULL runs are builder-
+  // side, not under the driver's timeout).
+  private val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET").map(_.toLong)
+    .getOrElse(if (benchFull) 3600L else 2000L)
   // worst-K drifted rows recertified per tier (ONE batched fork per
   // tier, so K only adds row passes, not JVM/setup cost)
   private val recertK = sys.env.getOrElse("SPARK_GRAFT_BENCH_RECERT_K", "4").toInt
@@ -423,7 +427,21 @@ object Bench {
       "cofactor_grouped_columnar" -> (() => columnarCofactorGrouped(spark, sfDir)),
       "cofactor_grouped_multikey" -> (() => columnarCofactorGroupedMulti(spark, sfDir)),
       "cofactor_grouped_dict" -> (() => columnarCofactorGroupedDict(spark, sfDir)),
-      "factorized_join" -> (() => noop(SparkEntry.queries("q09_factorized_join")(spark, sfDir))),
+      // the explicit factorized identity — grouped cofactors FEEDING a
+      // join. The kernel strategies must REFUSE this shape (round-19's
+      // +140% regression: driver-materializing exec + single-partition
+      // join input); the negative assertion fails loud if a gate change
+      // ever re-admits it, and the `_row` twin keeps the routing delta
+      // measured per round (r19 verdict: the missing pair is exactly
+      // how the regression shipped).
+      "factorized_join" -> { () =>
+        val q = SparkEntry.queries("q09_factorized_join")(spark, sfDir)
+        require(!q.queryExecution.executedPlan.toString.contains("GroupedCofactorKernel"),
+          "a grouped cofactor feeding a join must NOT plan through the kernel exec")
+        noop(q)
+      },
+      "factorized_join_row" -> (() => withoutKernelStrategies(
+        noop(SparkEntry.queries("q09_factorized_join")(spark, sfDir)))),
       // what the engine actually picks for this key profile: the
       // cardinality probe sees ~4 rows/key and falls back to the plain
       // fused aggregate over the join (q09 above is the explicit
@@ -556,7 +574,19 @@ object Bench {
       val embSrc = emb.select(col("vec_id"), col("embedding"),
         timestamp_seconds(lit(1700000000L) + col("vec_id")).as("ts"))
       val embIn = new java.io.File(base, "emb_in")
-      embSrc.repartition(8).write.mode("overwrite").parquet(embIn.getAbsolutePath)
+      // ORDERED ascending-id chunks, one file per micro-batch: greedy
+      // streaming dedup is arrival-order-defined, so pinning the order
+      // (like the q123 parity harness) makes the row's kept-set — and
+      // therefore its work — identical across runs (r19 verdict noted
+      // the repartition(8) files arrived in nondeterministic order)
+      val ids = emb.agg(min(col("vec_id")), max(col("vec_id"))).collect().head
+      val (loId, hiId) = (ids.getLong(0), ids.getLong(1) + 1)
+      graft.streaming.StreamingParity.writeOrderedChunks(spark, embIn, "bench_emb",
+        (0 until 8).map { i =>
+          val lo = loId + (hiId - loId) * i / 8
+          val hi = loId + (hiId - loId) * (i + 1) / 8
+          embSrc.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        })
       Right(StreamSetup(cofIn.getAbsolutePath, cofSrc.schema,
         embIn.getAbsolutePath, embSrc.schema, cb, idx.centroids))
     } catch {

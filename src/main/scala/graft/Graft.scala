@@ -593,7 +593,8 @@ object Graft {
     * packed label spec plus the probed NULL-row bound. */
   private[graft] def groupedKernelGateMulti(df: DataFrame, keys: Seq[String],
       num: Seq[String], cat: Seq[String], nb: Boolean, maxGroups: Int,
-      probeNulls: Boolean = false): Option[(graft.agg.ColumnarCofactor.CatPackedKeys, Long)] = {
+      probeNulls: Boolean = false,
+      driverGroupCap: Long = Long.MaxValue): Option[(graft.agg.ColumnarCofactor.CatPackedKeys, Long)] = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
     val resolver = df.sparkSession.sessionState.analyzer.resolver
     if (keys.size < 2 || keys.size > 4) return None
@@ -611,9 +612,13 @@ object Graft {
     // affect harvestability, so probe-independent placeholders suffice
     val probeSpec = graft.agg.ColumnarCofactor.CatPackedKeys(keys, Seq.fill(keys.size)(1))
     if (!graft.agg.ColumnarCofactor.canHarvest(df, numSpecs, catSpecs :+ probeSpec)) return None
+    // a column the schema marks non-nullable can never hold a NULL —
+    // drop it from the probe's count list (fewer aggregate columns on
+    // the shared shape scan; the skip is exact, not a heuristic)
     val (rows, keyCard, keyShapes, catCards, nullUB) =
       graft.ml.Factorized.probeGroupedShape(df, keys, cat, isStr,
-        nullCols = if (probeNulls) (keys ++ num) ++ cat else Seq())
+        nullCols = if (probeNulls) ((keys ++ num) ++ cat).filter(c => schemaNullable(df, c))
+                   else Seq())
     // exact per-key byte budgets from the probe
     val widths = keys.indices.map { i =>
       val sh = keyShapes(i)
@@ -641,14 +646,35 @@ object Graft {
        else (for { i <- ePerCat.indices; j <- i until ePerCat.size }
          yield math.min(ePerCat(i) * ePerCat(j), rpk) * 56.0).sum)
     val bufBytes = 8.0 * (1 + d + (if (nb) d else d * (d + 1) / 2)) + catBytes
-    val groupCap: Long =
+    val groupCap: Long = math.min(driverGroupCap,
       if (maxGroups > 0)
         math.min(maxGroups.toLong, CofactorAggregate.confMaxCategories().toLong)
-      else math.min(1L << 20, ((64L << 20) / math.max(1.0, bufBytes)).toLong)
+      else math.min(1L << 20, ((64L << 20) / math.max(1.0, bufBytes)).toLong))
     if (keyCard > groupCap) None
     else if (probeNulls && nullUB > rows / 10) None
     else Some((graft.agg.ColumnarCofactor.CatPackedKeys(keys, widths), nullUB))
   }
+
+  /** True when the resolved schema field is nullable (or unresolved —
+    * assume the worst). Used to skip null-count probe columns the
+    * schema already proves clean. */
+  private[graft] def schemaNullable(df: DataFrame, c: String): Boolean = {
+    val resolver = df.sparkSession.sessionState.analyzer.resolver
+    df.schema.find(f => resolver(f.name, c)).forall(_.nullable)
+  }
+
+  /** Driver-output group cap for the SQL planner-strategy kernel routes
+    * (`spark.graft.sqlKernel.maxDriverGroups`, default 65 536). The
+    * byte-based gate above bounds EXECUTOR buffer memory; this bounds
+    * what the strategy execs materialize on the DRIVER (one key tuple +
+    * triple + UnsafeRow per group on a single thread — round-19 verdict
+    * item 2). Past it the default distributed aggregate plans, which
+    * handles any cardinality; the DataFrame API (`cofactorGrouped`)
+    * keeps its own byte-based cap and is unaffected. */
+  private[graft] def sqlKernelDriverGroupCap(): Long =
+    try org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.sqlKernel.maxDriverGroups", "65536").toLong
+    catch { case _: Throwable => 65536L }
 
   /** Install [[graft.plans.GroupedCofactorStrategy]] on the session's
     * experimental strategies (idempotent): SQL/DataFrame single-key
@@ -701,7 +727,8 @@ object Graft {
     * honest choice. */
   private[graft] def groupedKernelGate(df: DataFrame, key: String,
       num: Seq[String], cat: Seq[String], nb: Boolean, maxGroups: Int,
-      probeNulls: Boolean): Option[(graft.agg.ColumnarCofactor.CatSpec, Long)] = {
+      probeNulls: Boolean,
+      driverGroupCap: Long = Long.MaxValue): Option[(graft.agg.ColumnarCofactor.CatSpec, Long)] = {
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
     val resolver = df.sparkSession.sessionState.analyzer.resolver
     val keyType = df.schema.find(f => resolver(f.name, key)).map(_.dataType)
@@ -727,7 +754,8 @@ object Graft {
         // is exact (max over the scan), so the string gate is hard.
         val (rows, keyCard, keyShapes, catCards, nullUB) =
           graft.ml.Factorized.probeGroupedShape(df, Seq(key), cat, Seq(isStrKey),
-            nullCols = if (probeNulls) (key +: num) ++ cat else Seq())
+            nullCols = if (probeNulls) ((key +: num) ++ cat).filter(c => schemaNullable(df, c))
+                       else Seq())
         val keyWidth = keyShapes.head.width
         val rpk = rows.toDouble / math.max(1L, keyCard)
         // measured per-group buffer estimate: packed quad + lin fixed
@@ -755,10 +783,11 @@ object Graft {
           // groups × multi-MB buffers — the per-partition OOM this gate
           // exists to stop. A refused tiny-group case merely takes the
           // (always-correct) row aggregate.
-          if (maxGroups > 0)
-            math.min(maxGroups.toLong, CofactorAggregate.confMaxCategories().toLong)
-          else math.min(1L << 20,
-            ((64L << 20) / math.max(1.0, bufBytes)).toLong)
+          math.min(driverGroupCap,
+            if (maxGroups > 0)
+              math.min(maxGroups.toLong, CofactorAggregate.confMaxCategories().toLong)
+            else math.min(1L << 20,
+              ((64L << 20) / math.max(1.0, bufBytes)).toLong))
         if (keyCard > groupCap) None
         // past ~10% NULL-bearing rows the side channel stops being a
         // remainder — the default plan is the honest choice

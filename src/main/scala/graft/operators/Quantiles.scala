@@ -92,12 +92,18 @@ object Quantiles {
     * + ≤ 65 536 exact entries (~1 MB); the merged exact histogram is
     * ≤ [[exactMergeCap]] entries of 2 longs (~32 MB transient). */
   /** One pass's mergeable payload: sparse digit cells + the exact
-    * per-key histogram (`exact == null` once any contributor blew a
-    * cap). Merging is associative/commutative, so the tree fold is
-    * order-insensitive; a payload never exceeds ~1 MB of digit cells +
-    * `mergeCap` exact entries. */
+    * per-key histogram as SORTED parallel primitive arrays
+    * (`exactKeys == null` once any contributor blew a cap; keys are in
+    * the ordered/signed-comparable domain, ascending). Merging is
+    * associative/commutative, so the tree fold is order-insensitive; a
+    * payload never exceeds ~1 MB of digit cells + `mergeCap` exact
+    * entries, and a merge allocates only two primitive long arrays of
+    * ≤ `mergeCap` cells (~32 MB transient at the default 2^21 — the
+    * r19 advice found the old boxed-HashMap merge an order of
+    * magnitude over that documented budget). */
   private final case class Pass1(digits: Array[(Int, Long, Long)],
-                                 exact: Array[(Long, Long)]) extends Serializable
+                                 exactKeys: Array[Long],
+                                 exactWs: Array[Long]) extends Serializable
   private def mergePass1(a: Pass1, b: Pass1, mergeCap: Int): Pass1 = {
     val mass = new Array[Long](65536)
     val cnt = new Array[Long](65536)
@@ -109,34 +115,32 @@ object Quantiles {
       if (cnt(d) != 0L) sparse += ((d, mass(d), cnt(d)))
       d += 1
     }
-    val ex: Array[(Long, Long)] =
-      if (a.exact == null || b.exact == null) null
-      else {
-        val m = new java.util.HashMap[Long, Array[Long]]()
-        var over = false
-        def fold(xs: Array[(Long, Long)]): Unit = xs.foreach { case (k, w) =>
-          if (!over) {
-            val e = m.get(k)
-            if (e != null) e(0) += w
-            else if (m.size() < mergeCap) m.put(k, Array(w))
-            else over = true
-          }
-        }
-        fold(a.exact); fold(b.exact)
-        if (over) null
-        else {
-          val out = new Array[(Long, Long)](m.size())
-          val eit = m.entrySet().iterator()
-          var i = 0
-          while (eit.hasNext) {
-            val e = eit.next()
-            out(i) = (e.getKey, e.getValue()(0))
-            i += 1
-          }
-          out
-        }
-      }
-    Pass1(sparse.result(), ex)
+    if (a.exactKeys == null || b.exactKeys == null)
+      return Pass1(sparse.result(), null, null)
+    // sorted two-pointer merge over primitive arrays: distinct output
+    // is bounded by aLen + bLen, so sizing at min(aLen + bLen, cap)
+    // can only overflow when the TRUE distinct count exceeds the cap —
+    // exactly the blown-histogram degrade case
+    val aK = a.exactKeys; val aW = a.exactWs
+    val bK = b.exactKeys; val bW = b.exactWs
+    val outLen = math.min(aK.length.toLong + bK.length, mergeCap.toLong).toInt
+    val outK = new Array[Long](outLen)
+    val outW = new Array[Long](outLen)
+    var i = 0; var j = 0; var o = 0; var over = false
+    while (!over && (i < aK.length || j < bK.length)) {
+      val k =
+        if (j >= bK.length) aK(i)
+        else if (i >= aK.length) bK(j)
+        else math.min(aK(i), bK(j))
+      var w = 0L
+      if (i < aK.length && aK(i) == k) { w += aW(i); i += 1 }
+      if (j < bK.length && bK(j) == k) { w += bW(j); j += 1 }
+      if (o < outLen) { outK(o) = k; outW(o) = w; o += 1 }
+      else over = true
+    }
+    if (over) Pass1(sparse.result(), null, null)
+    else Pass1(sparse.result(),
+      java.util.Arrays.copyOf(outK, o), java.util.Arrays.copyOf(outW, o))
   }
 
   private def firstPass(u: DataFrame):
@@ -167,20 +171,23 @@ object Quantiles {
         if (cnt(d) != 0L) sparse += ((d, mass(d), cnt(d)))
         d += 1
       }
-      val ex: Array[(Long, Long)] =
-        if (exact == null) null
+      // dump to SORTED parallel primitive arrays in the ordered
+      // (signed-comparable) domain: sort the key array, then resolve
+      // each weight through the map — ≤65 536 probes, no boxed tuples
+      val (exK, exW): (Array[Long], Array[Long]) =
+        if (exact == null) (null, null)
         else {
-          val out = new Array[(Long, Long)](exact.size())
-          val eit = exact.entrySet().iterator()
+          val ks = new Array[Long](exact.size())
+          val kit = exact.keySet().iterator()
           var i = 0
-          while (eit.hasNext) {
-            val e = eit.next()
-            out(i) = (e.getKey ^ Long.MinValue, e.getValue()(0))
-            i += 1
-          }
-          out
+          while (kit.hasNext) { ks(i) = kit.next() ^ Long.MinValue; i += 1 }
+          java.util.Arrays.sort(ks)
+          val ws = new Array[Long](ks.length)
+          i = 0
+          while (i < ks.length) { ws(i) = exact.get(ks(i) ^ Long.MinValue)(0); i += 1 }
+          (ks, ws)
         }
-      Iterator.single(Pass1(sparse.result(), ex))
+      Iterator.single(Pass1(sparse.result(), exK, exW))
     }
     // EXECUTOR-side tree combine, not collect(): a per-partition collect
     // would ship up to 65 536 exact entries + 65 536 digit cells PER
@@ -190,11 +197,14 @@ object Quantiles {
     // executors; the driver receives ONE payload ≤ ~1 MB of digit
     // cells + `exactMergeCap` exact entries (~32 MB transient).
     val merged: Pass1 =
-      if (parts.getNumPartitions == 0) Pass1(Array.empty, Array.empty)
+      if (parts.getNumPartitions == 0)
+        Pass1(Array.empty, Array.emptyLongArray, Array.emptyLongArray)
       else parts.treeReduce((a, b) => mergePass1(a, b, mergeCap), depth = 2)
     val digits = merged.digits.map { case (d, m, c) => (d.toLong, m, c) }
-    // keys are in the ORDERED (signed-comparable) domain already
-    val exactMerged = Option(merged.exact).map(_.sortBy(_._1))
+    // keys are in the ORDERED (signed-comparable) domain and ascending
+    // already — zip the driver's ONE final payload into tuples for the
+    // CDF walk below
+    val exactMerged = Option(merged.exactKeys).map(_.zip(merged.exactWs))
     (digits, exactMerged)
   }
 

@@ -32,4 +32,11 @@ private[plans] object KernelKeys {
       case _ =>
         Seq(toOriginal(kv, keyTypes.head))
     }
+
+  /** Partition count for the re-parallelized kernel result: one slice
+    * for the common few-group answer, scaling by ~8k rows/slice up to
+    * the default parallelism for results near the driver group cap, so
+    * a downstream stage over the groups is never single-threaded. */
+  def resultSlices(rows: Int, sc: org.apache.spark.SparkContext): Int =
+    math.max(1, math.min(sc.defaultParallelism, rows / 8192 + 1))
 }

@@ -148,13 +148,25 @@ case class GroupedMomentsStrategy(session: SparkSession) extends SparkStrategy {
   }
 
   def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    // every top-level planning pass arrives wrapped in ReturnAnswer —
+    // record the root so planMoments can refuse grouped aggregates
+    // that feed a join (see KernelRouteContext)
+    case r: org.apache.spark.sql.catalyst.plans.logical.ReturnAnswer =>
+      KernelRouteContext.observe(r.child)
+      Nil
     // 0 keys = the FLAT scan summary (`SELECT count(*), sum(x) FROM t`
     // — the single most common analytics statement at corpus scale)
     case agg @ Aggregate(groupExprs, projList, child, _)
         if groupExprs.size <= 4 &&
           groupExprs.forall(_.isInstanceOf[AttributeReference]) =>
-      planMoments(agg, groupExprs.map(_.asInstanceOf[AttributeReference]),
-        projList, child).toSeq.flatten
+      // planning-time jobs (probes, harvest compilation) must never
+      // fail PLANNING: any non-fatal throw declines the route and the
+      // always-correct default plan runs (round-19 advice item 1)
+      val planned =
+        try planMoments(agg, groupExprs.map(_.asInstanceOf[AttributeReference]),
+          projList, child)
+        catch { case scala.util.control.NonFatal(_) => None }
+      planned.toSeq.flatten
     case _ => Nil
   }
 
@@ -245,27 +257,32 @@ case class GroupedMomentsStrategy(session: SparkSession) extends SparkStrategy {
       // (count 0, NULL sums/avgs).
       if (!graft.agg.ColumnarCofactor.canHarvest(df,
           inputNames.map(graft.agg.ColumnarCofactor.NumCol), Nil)) return None
-      val (_, nullUB) = graft.ml.Factorized.probeNullCount(df, inputNames)
-      if (nullUB != 0L) return None
+      if (MomentsEval.probedNullUB(df, inputNames) != 0L) return None
       return Some(Seq(FlatMomentsKernelExec(agg.output, projList,
         inputNames, derived.map(_._2), descs)(child, session)))
     }
-    // gate: harvestable scan, key widths/cardinality caps, and ZERO
-    // probed nulls across keys + every referenced attribute
+    // grouped moments that FEED a join keep the default distributed
+    // plan — the kernel exec's driver round-trip + re-parallelize is
+    // only the right contract when the groups ARE the answer
+    if (KernelRouteContext.feedsJoin(agg)) return None
+    // gate: harvestable scan, key widths/cardinality caps (executor
+    // bytes AND the driver-output cap), and ZERO probed nulls across
+    // keys + every referenced attribute
     // nb = false: the NB (diagonal-only) buffer was A/B-probed at sf100
     // and bought nothing — the scan is IO/decode-bound, not moment-bound
+    val driverCap = graft.Graft.sqlKernelDriverGroupCap()
     val gated: Option[Long] =
       if (keys.size == 1)
         graft.Graft.groupedKernelGate(df, keys.head.name, inputNames, Nil, nb = false,
-          maxGroups = -1, probeNulls = true).map(_._2)
+          maxGroups = -1, probeNulls = true, driverGroupCap = driverCap).map(_._2)
       else
         graft.Graft.groupedKernelGateMulti(df, keys.map(_.name), inputNames, Nil, nb = false,
-          maxGroups = -1, probeNulls = true).map(_._2)
+          maxGroups = -1, probeNulls = true, driverGroupCap = driverCap).map(_._2)
     gated match {
       case Some(0L) =>
         Some(Seq(GroupedMomentsKernelExec(agg.output, projList, keys,
           inputNames, inputs.keys.toSeq, derived.map(_._2), descs,
-          keys.map(_.dataType))(child, session)))
+          keys.map(_.dataType), driverCap)(child, session)))
       case _ => None // null-bearing or over-cap: the default plan is the honest one
     }
   }
@@ -288,7 +305,7 @@ case class GroupedMomentsKernelExec(
     inputIds: Seq[ExprId],
     derived: Seq[NumIR],
     descs: Seq[(Expression, Int, Int)],
-    keyTypes: Seq[DataType])(
+    keyTypes: Seq[DataType], driverCap: Long)(
     @transient private val childLogical: LogicalPlan,
     @transient private val spark: SparkSession) extends LeafExecNode {
 
@@ -303,10 +320,10 @@ case class GroupedMomentsKernelExec(
     val (ls, nullUB): (ColumnarCofactor.CatSpec, Long) =
       if (keys.size == 1)
         graft.Graft.groupedKernelGate(df, keys.head.name, inputNames, Nil, nb = false,
-          maxGroups = -1, probeNulls = true).getOrElse(regressed)
+          maxGroups = -1, probeNulls = true, driverGroupCap = driverCap).getOrElse(regressed)
       else
         graft.Graft.groupedKernelGateMulti(df, keys.map(_.name), inputNames, Nil, nb = false,
-          maxGroups = -1, probeNulls = true).getOrElse(regressed)
+          maxGroups = -1, probeNulls = true, driverGroupCap = driverCap).getOrElse(regressed)
     if (nullUB != 0L) regressed
     val groups = ColumnarCofactor.cofactorPerClassLong(df,
         MomentsEval.numSpecs(inputNames, derived), Nil, ls, nbMode = false)
@@ -318,7 +335,7 @@ case class GroupedMomentsKernelExec(
       MomentsEval.row(projList, descs, t.n, t.lin,
         keyIdToSlot, KernelKeys.unpack(ls, keyTypes, label), proj)
     }
-    sparkContext.parallelize(rows, 1)
+    sparkContext.parallelize(rows, KernelKeys.resultSlices(rows.size, sparkContext))
   }
 }
 
@@ -345,8 +362,7 @@ case class FlatMomentsKernelExec(
     def regressed = throw new IllegalStateException(
       "flat-moments kernel route regressed between planning and execution " +
       "(input rewritten in place?) — re-run the query to re-plan")
-    val (_, nullUB) = graft.ml.Factorized.probeNullCount(df, inputNames)
-    if (nullUB != 0L) regressed
+    if (MomentsEval.probedNullUB(df, inputNames) != 0L) regressed
     val t = ColumnarCofactor.cofactor(df,
         MomentsEval.numSpecs(inputNames, derived), Nil)
       .getOrElse(regressed)
@@ -359,6 +375,22 @@ case class FlatMomentsKernelExec(
 
 /** Shared execution-side folding for the moments execs. */
 private[plans] object MomentsEval {
+
+  /** Null-row upper bound for the flat moments route, CHEAPEST PROOF
+    * FIRST: (1) the schema marks every referenced column non-nullable
+    * — free; (2) parquet footer null_count statistics prove zero (or
+    * some) nulls — metadata IO, no scan (the r19 verdict's cold
+    * one-shot paid probe scan + kernel scan = 2 scans vs the default's
+    * 1; footers make the cold route scan ONCE); (3) the memoized
+    * one-scan probe, only when metadata can't answer. */
+  def probedNullUB(df: org.apache.spark.sql.DataFrame, cols: Seq[String]): Long =
+    if (cols.forall(c => !graft.Graft.schemaNullable(df, c))) 0L
+    else graft.sources.ParquetNullStats.verdict(df, cols) match {
+      case graft.sources.ParquetNullStats.ZeroNulls => 0L
+      case graft.sources.ParquetNullStats.HasNulls => 1L
+      case graft.sources.ParquetNullStats.Unknown =>
+        graft.ml.Factorized.probeNullCount(df, cols)._2
+    }
 
   /** One [[graft.agg.ColumnarCofactor.NumDerived]] kernel column per
     * compiled aggregate expression. */

@@ -47,9 +47,14 @@ object StreamingParity {
     new java.io.File(root, name)
   }
 
-  private val cleanupArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  // armed PER ROOT, not once per JVM: a second SparkSession in the same
+  // JVM (test suites) gets a new per-applicationId scratch root, which
+  // needs its own shutdown hook or it leaks until another JVM's >1-day
+  // sweep (round-19 advice)
+  private val armedRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def cleanupOnce(base: java.io.File, prefix: String, own: java.io.File): Unit =
-    if (cleanupArmed.compareAndSet(false, true)) {
+    if (armedRoots.add(own.getAbsolutePath)) {
       Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(own)))
       val dayAgo = System.currentTimeMillis() - 24L * 3600 * 1000
       Option(base.listFiles()).toSeq.flatten.foreach { f =>
@@ -168,8 +173,8 @@ object StreamingParity {
     * both mtime and name order match the chunk order (file sources pick
     * oldest first) — ordered arrival is the parity contract for every
     * order-sensitive streaming operator here. */
-  private def writeOrderedChunks(spark: SparkSession, in: java.io.File,
-                                 tag: String, chunks: Seq[DataFrame]): Unit = {
+  private[graft] def writeOrderedChunks(spark: SparkSession, in: java.io.File,
+                                        tag: String, chunks: Seq[DataFrame]): Unit = {
     deleteRec(in)
     in.mkdirs()
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)

@@ -689,4 +689,193 @@ class PlansSpec extends AnyFunSuite {
       }
     } finally spark.experimental.extraStrategies = saved
   }
+
+  test("SQL kernel strategies refuse grouped aggregates that FEED a join (factorized identity)") {
+    Graft.register(spark)
+    val t1 = java.nio.file.Files.createTempDirectory("fj_l").toFile.getAbsolutePath
+    val t2 = java.nio.file.Files.createTempDirectory("fj_r").toFile.getAbsolutePath
+    spark.range(400).select((col("id") % 50).cast("int").as("k"),
+      (col("id") % 11).cast("double").as("x")).write.mode("overwrite").parquet(t1)
+    spark.range(50).select(col("id").cast("int").as("k"),
+      (col("id") * 2).cast("double").as("y")).write.mode("overwrite").parquet(t2)
+    val saved = spark.experimental.extraStrategies
+    spark.experimental.extraStrategies = saved :+
+      graft.plans.GroupedCofactorStrategy(spark) :+ graft.plans.GroupedMomentsStrategy(spark)
+    try {
+      def groupedA = spark.read.parquet(t1).groupBy(col("k"))
+        .agg(Graft.sumTriple(col("x")).as("A"))
+      def groupedB = spark.read.parquet(t2).groupBy(col("k"))
+        .agg(Graft.sumTriple(col("y")).as("B"))
+      // the factorized identity: two per-key grouped cofactors joined
+      // and ring-multiplied — the q09 shape whose kernel routing was
+      // the round-19 +140% regression. The grouped aggregates must
+      // keep the default DISTRIBUTED plan (no driver round-trip, no
+      // single-partition join input).
+      val q = groupedA.join(groupedB, "k")
+        .select(Graft.sumTripleOf(Graft.multiplyTriple(col("A"), col("B"))).as("t"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("GroupedCofactorKernel"),
+        s"a grouped cofactor feeding a join must NOT take the kernel route:\n$plan")
+      // and the result is still the factorized join's triple
+      val got = Graft.tripleFromRow(q.head.getStruct(0))
+      spark.experimental.extraStrategies = saved
+      val exp = Graft.tripleFromRow(groupedA.join(groupedB, "k")
+        .select(Graft.sumTripleOf(Graft.multiplyTriple(col("A"), col("B"))).as("t"))
+        .head.getStruct(0))
+      spark.experimental.extraStrategies = saved :+
+        graft.plans.GroupedCofactorStrategy(spark) :+ graft.plans.GroupedMomentsStrategy(spark)
+      assert(got.approxEquals(exp, 1e-9) && got.n == 400)
+
+      // the SAME aggregate as the plan ROOT still routes
+      assert(groupedA.queryExecution.executedPlan.toString.contains("GroupedCofactorKernel"),
+        "a root grouped cofactor must keep the kernel route")
+
+      // grouped MOMENTS feeding a join decline too; at the root they route
+      def moments = spark.read.parquet(t1).groupBy(col("k")).agg(sum(col("x")).as("s"))
+      val mj = moments.join(spark.read.parquet(t2), "k")
+      assert(!mj.queryExecution.executedPlan.toString.contains("GroupedMomentsKernel"),
+        "grouped moments feeding a join must NOT take the kernel route")
+      assert(mj.count() == 50)
+      assert(moments.queryExecution.executedPlan.toString.contains("GroupedMomentsKernel"),
+        "root grouped moments must keep the kernel route")
+    } finally spark.experimental.extraStrategies = saved
+  }
+
+  test("SQL kernel routes respect the driver-output group cap") {
+    Graft.register(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("dcap").toFile.getAbsolutePath
+    spark.range(900).select((col("id") % 9).cast("int").as("k"),
+      (col("id") % 31).cast("double").as("x")).write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).createOrReplaceTempView("dcap_t")
+    val saved = spark.experimental.extraStrategies
+    spark.experimental.extraStrategies = saved :+
+      graft.plans.GroupedCofactorStrategy(spark) :+ graft.plans.GroupedMomentsStrategy(spark)
+    try {
+      val cofSql = "SELECT k, sum_to_triple(x) AS t FROM dcap_t GROUP BY k"
+      val momSql = "SELECT k, sum(x) AS s FROM dcap_t GROUP BY k"
+      // 9 groups > a pinned cap of 4: both strategies must decline to
+      // the default distributed plan (the cap bounds what the exec
+      // materializes on the DRIVER), with identical results
+      spark.conf.set("spark.graft.sqlKernel.maxDriverGroups", "4")
+      val qc = spark.sql(cofSql)
+      assert(!qc.queryExecution.executedPlan.toString.contains("GroupedCofactorKernel"),
+        "over the driver group cap the cofactor route must decline")
+      assert(qc.count() == 9)
+      val qm = spark.sql(momSql)
+      assert(!qm.queryExecution.executedPlan.toString.contains("GroupedMomentsKernel"),
+        "over the driver group cap the moments route must decline")
+      assert(qm.count() == 9)
+      // at or under the cap the route re-engages
+      spark.conf.set("spark.graft.sqlKernel.maxDriverGroups", "9")
+      assert(spark.sql(cofSql).queryExecution.executedPlan.toString
+        .contains("GroupedCofactorKernel"), "at the cap the route engages")
+      assert(spark.sql(momSql).queryExecution.executedPlan.toString
+        .contains("GroupedMomentsKernel"))
+    } finally {
+      spark.conf.unset("spark.graft.sqlKernel.maxDriverGroups")
+      spark.experimental.extraStrategies = saved
+    }
+  }
+
+  test("planning-time probe failures decline the route instead of failing planning") {
+    Graft.register(spark)
+    // a column whose NAME embeds a dot: col("x.y") re-parses as a
+    // struct-field access, so any probe that feeds the raw name back
+    // through col() throws at PLANNING time — the strategy must decline
+    // (default plan, correct answer), not fail the query (r19 advice)
+    val tmp = java.nio.file.Files.createTempDirectory("dotted").toFile.getAbsolutePath
+    spark.range(120).select((col("id") % 4).cast("int").as("k"),
+      (col("id") % 7).cast("double").as("x.y")).write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).createOrReplaceTempView("dotted_t")
+    val saved = spark.experimental.extraStrategies
+    spark.experimental.extraStrategies = saved :+
+      graft.plans.GroupedCofactorStrategy(spark) :+ graft.plans.GroupedMomentsStrategy(spark)
+    try {
+      val qm = spark.sql("SELECT k, sum(`x.y`) AS s FROM dotted_t GROUP BY k ORDER BY k")
+      val rows = qm.collect() // must not throw at planning
+      assert(rows.length == 4)
+      assert(math.abs(rows.map(_.getDouble(1)).sum - (0 until 120).map(_ % 7).sum) < 1e-9)
+      val qc = spark.sql("SELECT k, sum_to_triple(`x.y`) AS t FROM dotted_t GROUP BY k")
+      assert(qc.count() == 4) // must not throw at planning
+      val qf = spark.sql("SELECT sum(`x.y`) AS s FROM dotted_t")
+      assert(math.abs(qf.head.getDouble(0) - (0 until 120).map(_ % 7).sum) < 1e-9)
+    } finally spark.experimental.extraStrategies = saved
+  }
+
+  test("parquet footer null stats prove the flat route safe without a probe scan") {
+    import graft.sources.ParquetNullStats
+    Graft.register(spark)
+    val clean = java.nio.file.Files.createTempDirectory("fns_c").toFile.getAbsolutePath
+    spark.range(500).select(col("id").cast("double").as("x"),
+      (col("id") % 3).cast("double").as("y")).write.mode("overwrite").parquet(clean)
+    val dirty = java.nio.file.Files.createTempDirectory("fns_d").toFile.getAbsolutePath
+    spark.range(500).select(
+      when(col("id") % 50 === 0, lit(null).cast("double"))
+        .otherwise(col("id").cast("double")).as("x"),
+      (col("id") % 3).cast("double").as("y")).write.mode("overwrite").parquet(dirty)
+    val cleanDf = spark.read.parquet(clean)
+    val dirtyDf = spark.read.parquet(dirty)
+    assert(ParquetNullStats.verdict(cleanDf, Seq("x", "y")) == ParquetNullStats.ZeroNulls)
+    assert(ParquetNullStats.verdict(dirtyDf, Seq("x")) == ParquetNullStats.HasNulls)
+    assert(ParquetNullStats.verdict(dirtyDf, Seq("y")) == ParquetNullStats.ZeroNulls)
+    // a filter above a null-bearing file: footers can't prove the
+    // POST-filter rows dirty — unknown, the scan probe decides
+    assert(ParquetNullStats.verdict(dirtyDf.filter(col("x").isNotNull), Seq("x")) ==
+      ParquetNullStats.Unknown)
+    // a non-parquet child (in-memory relation) is unknown
+    import spark.implicits._
+    assert(ParquetNullStats.verdict(Seq(1.0).toDF("x"), Seq("x")) == ParquetNullStats.Unknown)
+
+    // end to end: the flat moments route engages on the clean file and
+    // declines on the dirty one (nulls make SQL's per-aggregate skip
+    // unrepresentable in the kernel's whole-row contract)
+    val saved = spark.experimental.extraStrategies
+    spark.experimental.extraStrategies = saved :+ graft.plans.GroupedMomentsStrategy(spark)
+    try {
+      val qc = cleanDf.agg(sum(col("x")).as("s"), avg(col("y")).as("a"))
+      assert(qc.queryExecution.executedPlan.toString.contains("FlatMomentsKernel"))
+      assert(math.abs(qc.head.getDouble(0) - (0 until 500).map(_.toDouble).sum) < 1e-6)
+      val qd = dirtyDf.agg(sum(col("x")).as("s"))
+      assert(!qd.queryExecution.executedPlan.toString.contains("FlatMomentsKernel"),
+        "null-bearing data must keep the default plan on the flat route")
+      // SQL semantics: null x rows are skipped by sum
+      val expect = (0 until 500).filter(_ % 50 != 0).map(_.toDouble).sum
+      assert(math.abs(qd.head.getDouble(0) - expect) < 1e-6)
+      // post-filter clean data still routes via the (scan) probe
+      val qf = dirtyDf.filter(col("x").isNotNull).agg(sum(col("x")).as("s"))
+      assert(qf.queryExecution.executedPlan.toString.contains("FlatMomentsKernel"),
+        "a filter removing every null must re-admit the route via the scan probe")
+      assert(math.abs(qf.head.getDouble(0) - expect) < 1e-6)
+    } finally spark.experimental.extraStrategies = saved
+  }
+
+  test("flat kernel route honors the aggregate's captured maxCategories cap") {
+    Graft.register(spark)
+    import org.apache.spark.sql.graft.ColumnBridge
+    val tmp = java.nio.file.Files.createTempDirectory("mcat").toFile.getAbsolutePath
+    spark.range(300).select((col("id") % 13).cast("double").as("x"),
+      (col("id") % 5).cast("int").as("c")).write.mode("overwrite").parquet(tmp)
+    def src = spark.read.parquet(tmp)
+    // an EXPLICIT cap of 2 over a 5-value categorical: the row
+    // aggregate throws its ID-not-a-category guard — the kernel route
+    // must throw identically, not silently aggregate past the cap
+    def cappedAgg = ColumnBridge.column(
+      graft.agg.CofactorAggregate(
+        Seq(ColumnBridge.expression(col("x")), ColumnBridge.expression(col("c"))),
+        nbMode = false, maxCategories = 2).toAggregateExpression()).as("t")
+    val saved = spark.experimental.extraStrategies
+    // row route reference: throws
+    spark.experimental.extraStrategies = saved
+    val rowEx = intercept[Exception] { src.agg(cappedAgg).collect() }
+    assert(rowEx.toString.contains("distinct") || rowEx.getCause != null)
+    // kernel route: same guard fires (r19 advice: the captured cap
+    // must ride into the kernel call)
+    spark.experimental.extraStrategies = saved :+ graft.plans.GroupedCofactorStrategy(spark)
+    try {
+      val q = src.agg(cappedAgg)
+      assert(q.queryExecution.executedPlan.toString.contains("FlatCofactorKernel"),
+        "the explicit-cap flat aggregate should still take the kernel route")
+      intercept[Exception] { q.collect() }
+    } finally spark.experimental.extraStrategies = saved
+  }
 }
