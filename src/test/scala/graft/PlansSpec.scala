@@ -741,6 +741,33 @@ class PlansSpec extends AnyFunSuite {
     } finally spark.experimental.extraStrategies = saved
   }
 
+  test("join-feed marks survive the gates' own nested planning passes") {
+    // a FLAT aggregate joined to a GROUPED one: the flat side's gate
+    // (canHarvest → executedPlan of its pruned child) starts a NESTED
+    // planning pass mid-outer-planning. The grouped side, offered
+    // AFTER that nested pass, must still be seen as feeding the join —
+    // the mark-set design (vs remembering one current root) is exactly
+    // this case. The flat side may route (one row to the driver is the
+    // harmless shape); the grouped side must not.
+    Graft.register(spark)
+    val t = java.nio.file.Files.createTempDirectory("nest").toFile.getAbsolutePath
+    spark.range(300).select((col("id") % 6).cast("int").as("k"),
+      (col("id") % 7).cast("double").as("x"),
+      (col("id") % 5).cast("double").as("y")).write.mode("overwrite").parquet(t)
+    val saved = spark.experimental.extraStrategies
+    spark.experimental.extraStrategies = saved :+ graft.plans.GroupedCofactorStrategy(spark)
+    try {
+      val flat = spark.read.parquet(t).agg(Graft.sumTriple(col("x")).as("A"))
+      val grouped = spark.read.parquet(t).groupBy(col("k"))
+        .agg(Graft.sumTriple(col("y")).as("B"))
+      val q = flat.crossJoin(grouped)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("GroupedCofactorKernel"),
+        s"the grouped side of the join must keep the default plan:\n$plan")
+      assert(q.count() == 6)
+    } finally spark.experimental.extraStrategies = saved
+  }
+
   test("SQL kernel routes respect the driver-output group cap") {
     Graft.register(spark)
     val tmp = java.nio.file.Files.createTempDirectory("dcap").toFile.getAbsolutePath
