@@ -2490,6 +2490,27 @@ object SparkEntry {
         count(lit(1)).as("cnt"))
     },
 
+    // the extractFeatures embedding PLUMBING, certified (r19 verdict
+    // gap 2): pinned BMP payloads decode through the REAL ImageIO path
+    // inside extractFeatures' mapPartitions batch shape, with the
+    // exact-integer grid decoder (per-cell milli-luminance sums mod
+    // 2^24 — bit-exact as Float on any engine), exploded to one row
+    // per (doc, cell). The oracle re-derives every float arithmetically
+    // from the fixture pixel formulas — a drift in the BMP writer, the
+    // JDK decode, the cell math, or the mapPartitions schema/null
+    // plumbing breaks the hash. StubDecoder stays the documented
+    // stand-in for codecs with no JVM decode; the plumbing it rides is
+    // what this row grades.
+    "q126_extract_features" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val media = graft.operators.MediaFixtures.withBmp(docs, "doc_id")
+      graft.operators.Multimodal.extractFeatures(media, "img", 9,
+          graft.operators.Multimodal.ExactGridDecoder)
+        .select(col("doc_id"), posexplode(col("features")))
+        .select(col("doc_id"), col("pos").as("cell"), col("col").as("feat"))
+        .orderBy(col("doc_id"), col("cell"))
+    },
+
     // the reproducible dataset-card pipeline, end to end: per-source
     // caps → source-weighted mixture → deterministic train/val/test
     // split → the per-(split, source) card counts. Every stage keys
@@ -4772,6 +4793,25 @@ object SparkEntry {
         |       round(avg(l_extendedprice * (1 - l_discount)), 2) AS avg_disc_price,
         |       count(*) AS cnt
         |FROM lineitem""".stripMargin,
+    // q126: the q118 fixture pixel formulas re-summed per 3×3 cell and
+    // reduced mod 2^24 — CAST to FLOAT is exact for integers < 2^24, so
+    // the hash grades the decoder's float output bit-for-bit.
+    "q126_extract_features" ->
+      """WITH d AS (SELECT doc_id,
+        |                 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |          FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(range(w)) AS x FROM d),
+        |px AS (SELECT doc_id, w, h, x, unnest(range(h)) AS y FROM xs),
+        |lum AS (SELECT doc_id,
+        |               ((y*3)//h)*3 + (x*3)//w AS cell,
+        |               ((doc_id*7  + x*13 + y*31) % 256) * 299
+        |             + ((doc_id*11 + x*3  + y*17) % 256) * 587
+        |             + ((doc_id*5  + x*23 + y*29) % 256) * 114 AS lm
+        |        FROM px)
+        |SELECT doc_id, CAST(cell AS INTEGER) AS cell,
+        |       CAST(sum(lm) % 16777216 AS FLOAT) AS feat
+        |FROM lum GROUP BY doc_id, cell
+        |ORDER BY doc_id, cell""".stripMargin,
     // the whole funnel from the HUGEINT hash: window-rank cap (≤15 per
     // source), mixture epochs (floor + fractional threshold), split
     // buckets at the 0.8/0.9 cumulative thresholds, then the card.

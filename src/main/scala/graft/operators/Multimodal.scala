@@ -55,6 +55,40 @@ object Multimodal {
     }
   }
 
+  /** REAL image decode whose feature values are EXACT integers: per
+    * grid cell (the [[imageGridStats]] cell math, g = ⌈√dim⌉), the Long
+    * milli-luminance sum reduced mod 2^24 — every value is an integer
+    * ≤ 2^24 and therefore bit-exact as a Float on any engine, at any
+    * image size. The float-averaged [[ImageDecoder]] is the production
+    * embedding surface; this decoder exists so the [[extractFeatures]]
+    * PLUMBING (mapPartitions batch shape, schema append, null/undecodable
+    * conventions) is certifiable against an arithmetic cross-engine
+    * oracle — the same discipline as the exact-integer media reductions
+    * below. Undecodable/oversized/null payloads yield the zero vector. */
+  object ExactGridDecoder extends Decoder {
+    val Mod: Long = 1L << 24
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val img = ImageDecoder.boundedDecode(bytes)
+      if (img == null) return new Array[Float](dim)
+      val g = math.ceil(math.sqrt(dim.toDouble)).toInt
+      val sums = new Array[Long](g * g)
+      val (w, h) = (img.getWidth, img.getHeight)
+      var y = 0
+      while (y < h) {
+        val gy = y * g / h
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val cell = gy * g + (x * g / w)
+          sums(cell) += ((rgb >> 16) & 0xff) * 299L + ((rgb >> 8) & 0xff) * 587L + (rgb & 0xff) * 114L
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(dim)(i => if (i < g * g) (sums(i) % Mod).toFloat else 0.0f)
+    }
+  }
+
   /**
    * REAL image decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF — no
    * external codecs needed): the image is decoded, averaged into a

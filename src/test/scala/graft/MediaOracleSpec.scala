@@ -40,6 +40,34 @@ class MediaOracleSpec extends AnyFunSuite {
     }
   }
 
+  test("extractFeatures(ExactGridDecoder) == pixel-formula cell sums mod 2^24 (q126 contract)") {
+    val df = MediaFixtures.withBmp(ids.toDF("doc_id"), "doc_id")
+    val got = Multimodal.extractFeatures(df, "img", 9, Multimodal.ExactGridDecoder)
+      .select(col("doc_id"), col("features"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    for (id <- ids) {
+      val (w, h) = (MediaFixtures.imgW(id), MediaFixtures.imgH(id))
+      val sums = new Array[Long](9)
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = (id * 7 + x * 13 + y * 31) % 256
+        val g = (id * 11 + x * 3 + y * 17) % 256
+        val b = (id * 5 + x * 23 + y * 29) % 256
+        sums((y * 3 / h) * 3 + (x * 3 / w)) += r * 299 + g * 587 + b * 114
+      }
+      val feats = got(id)
+      assert(feats.length == 9, s"id=$id dim")
+      for (c <- 0 until 9)
+        assert(feats(c) == (sums(c) % Multimodal.ExactGridDecoder.Mod).toFloat,
+          s"id=$id cell=$c: ${feats(c)} vs ${sums(c) % Multimodal.ExactGridDecoder.Mod}")
+    }
+    // null payload and undecodable bytes ride the plumbing's zero-vector
+    // convention (the contract the oracle row depends on for clean input)
+    val junk = Seq((1L, Array[Byte](1, 2, 3)), (2L, null)).toDF("doc_id", "img")
+    val z = Multimodal.extractFeatures(junk, "img", 9, Multimodal.ExactGridDecoder)
+      .select(col("features")).collect()
+    assert(z.forall(_.getSeq[Float](0).forall(_ == 0.0f)))
+  }
+
   test("audioWindowStats == sample-formula reduction (WAV PCM round trip)") {
     val df = MediaFixtures.withWav(ids.toDF("doc_id"), "doc_id")
     val got = Multimodal.audioWindowStats(df, "doc_id", "audio", 4)
