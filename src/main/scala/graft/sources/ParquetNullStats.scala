@@ -39,10 +39,13 @@ object ParquetNullStats {
   private def maxFiles: Int =
     Integer.getInteger("graft.parquet.nullStats.maxFiles", 4096).intValue()
 
-  // memoized per (sorted file list hash, cols): footers are immutable
-  // per path+size, and the probe-cache discipline (snapshot
-  // fingerprint) is already folded in by construction — the file list
-  // itself IS the snapshot
+  // memoized per (sorted file list hash + total bytes, cols): footers
+  // are immutable per path+size, so the key folds the relations' total
+  // size alongside the paths — the same snapshot discipline as
+  // `Factorized.snapshotFingerprint` (a path-only key would replay a
+  // stale ZeroNulls after an in-place rewrite that adds NULLs; with
+  // bytes folded in, only the documented byte-identical-size rewrite
+  // can alias, matching the probe cache's stated contract)
   private val cache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[(Long, String), Verdict](16, 0.75f, true) {
       override def removeEldestEntry(
@@ -70,7 +73,8 @@ object ParquetNullStats {
     }
     val files = relations.flatMap(_.location.inputFiles)
     if (files.isEmpty || files.length > maxFiles) return Unknown
-    val key = (files.sorted.foldLeft(17L)((h, f) => h * 31 + f.hashCode),
+    val totalBytes = relations.map(_.sizeInBytes).sum
+    val key = (files.sorted.foldLeft(17L)((h, f) => h * 31 + f.hashCode) * 31 + totalBytes,
       cols.map(_.toLowerCase(java.util.Locale.ROOT)).sorted.mkString("") +
         (if (filtered) ":f" else ""))
     val cached = cache.get(key)

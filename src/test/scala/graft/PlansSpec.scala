@@ -876,6 +876,36 @@ class PlansSpec extends AnyFunSuite {
     } finally spark.experimental.extraStrategies = saved
   }
 
+  test("footer null-stats cache invalidates on an in-place rewrite") {
+    import graft.sources.ParquetNullStats
+    // same file NAME, different bytes: the memo key folds the
+    // relations' total size alongside the paths (the probe-cache
+    // snapshot discipline), so a rewrite that changes bytes on disk
+    // can never replay a stale ZeroNulls and silently admit the
+    // null-skipping kernel over null-bearing data
+    val dir = java.nio.file.Files.createTempDirectory("fns_rw").toFile
+    val cleanTmp = java.nio.file.Files.createTempDirectory("fns_rw_c").toFile
+    val dirtyTmp = java.nio.file.Files.createTempDirectory("fns_rw_d").toFile
+    spark.range(400).select(col("id").cast("double").as("x"))
+      .coalesce(1).write.mode("overwrite").parquet(cleanTmp.getAbsolutePath)
+    spark.range(400).select(
+        when(col("id") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("id").cast("double")).as("x"))
+      .coalesce(1).write.mode("overwrite").parquet(dirtyTmp.getAbsolutePath)
+    def partFile(d: java.io.File): java.io.File =
+      d.listFiles().find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).get
+    val target = new java.io.File(dir, "part-00000.parquet")
+    java.nio.file.Files.copy(partFile(cleanTmp).toPath, target.toPath)
+    assert(ParquetNullStats.verdict(
+      spark.read.parquet(dir.getAbsolutePath), Seq("x")) == ParquetNullStats.ZeroNulls)
+    java.nio.file.Files.copy(partFile(dirtyTmp).toPath, target.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    assert(ParquetNullStats.verdict(
+      spark.read.parquet(dir.getAbsolutePath), Seq("x")) == ParquetNullStats.HasNulls,
+      "a rewrite that changes bytes must invalidate the footer-stats memo")
+  }
+
   test("flat kernel route honors the aggregate's captured maxCategories cap") {
     Graft.register(spark)
     import org.apache.spark.sql.graft.ColumnBridge
