@@ -388,8 +388,15 @@ object Bench {
     // round — the pair is the routing-delta measurement.
     def withoutKernelStrategies(f: => Unit): Unit = {
       val saved = spark.experimental.extraStrategies
+      val savedOpts = spark.experimental.extraOptimizations
       spark.experimental.extraStrategies = Seq.empty
-      try f finally spark.experimental.extraStrategies = saved
+      // the declarative cofactor rewrite is part of the same routing
+      // surface — the `_row` twins measure the true default plan
+      spark.experimental.extraOptimizations = Seq.empty
+      try f finally {
+        spark.experimental.extraStrategies = saved
+        spark.experimental.extraOptimizations = savedOpts
+      }
     }
 
     Tier("main", Seq(

@@ -228,6 +228,37 @@ object Graft {
   }
 
   /**
+   * Cofactor triples over `df`, one per entry of `filters`, computed in
+   * a SINGLE aggregation job — one scan answers what k filtered rescans
+   * would (optimization guide §1.2: fix the distributed algorithm
+   * first; §2.3: aggregate before you shuffle). `None` aggregates every
+   * row; `Some(pred)` aggregates exactly the rows where `pred` is true.
+   *
+   * Filtering is implemented by NULL-masking the lifted inputs
+   * (`when(pred, input)`): the cofactor aggregate's any-NULL rule skips
+   * the whole row before touching its buffer, which is semantically
+   * identical to aggregating `df.filter(pred)`, and the included rows
+   * accumulate in the same per-partition order as the filtered scan
+   * would see them — the fused triples match the separate-scan results
+   * value for value. Used by the MICE delta loops, whose per-column
+   * delta/refresh scans over the incomplete stratum all read the SAME
+   * frame and differ only in their row predicate.
+   */
+  def cofactorMasked(df: DataFrame, num: Seq[String], cat: Seq[String],
+                     filters: Seq[Option[Column]], nb: Boolean = false): Seq[Triple] = {
+    require(filters.nonEmpty, "cofactorMasked needs at least one filter slot")
+    register(df.sparkSession)
+    import org.apache.spark.sql.functions.{col, when}
+    val cols = num.map(c => col(c).cast("double")) ++ cat.map(c => col(c).cast("int"))
+    val aggs = filters.zipWithIndex.map { case (f, i) =>
+      val ins = f.fold(cols)(p => cols.map(c => when(p, c)))
+      (if (nb) sumNbAgg(ins: _*) else sumTriple(ins: _*)).as(s"__t$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    filters.indices.map(i => tripleFromRow(row.getStruct(i)))
+  }
+
+  /**
    * Numeric-only cofactor as PLAIN codegen'd aggregates: `count(*)` +
    * k linear + k(k+1)/2 upper-triangle product SUMs, assembled into the
    * [[Triple]] driver-side. Semantically ≡ [[cofactor]] with `cat = ∅`
@@ -705,6 +736,15 @@ object Graft {
     if (!cur.exists(_.isInstanceOf[graft.plans.GroupedMomentsStrategy]))
       spark.experimental.extraStrategies =
         cur :+ graft.plans.GroupedMomentsStrategy(spark)
+    // the declarative rewrite for numeric-only cofactors that FEED A
+    // JOIN — the shape the grouped kernel strategy refuses by design
+    // (driver materialization is wrong there); plain SUMs keep the
+    // whole pipeline in codegen'd hash aggregates instead of
+    // ObjectHashAggregate buffer objects
+    val opts = spark.experimental.extraOptimizations
+    if (!opts.contains(graft.plans.CofactorDeclarativeRewrite))
+      spark.experimental.extraOptimizations =
+        opts :+ graft.plans.CofactorDeclarativeRewrite
   }
 
   /** Kernel-route eligibility for a single-key grouped cofactor — the

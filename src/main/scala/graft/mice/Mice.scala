@@ -180,7 +180,13 @@ object Mice {
     var incomplete = incomplete0
     var lastCp = incomplete0
 
-    // static cofactor over the never-changing stratum (imputation_high.cpp:20-35)
+    val order = cfg.imputeCat ++ cfg.imputeCont
+    // static cofactor over the never-changing stratum (imputation_high.cpp:20-35).
+    // (Fusing this with iteration 1's full+delta into one masked scan of
+    // the pre-split frame was tried and REVERTED: the fused scan re-reads
+    // parquet and re-evaluates the whole prepare expression chain, while
+    // these split scans read already-materialized checkpoint blocks —
+    // measured 1.05 → 1.40 s on the mice_1round shape, sf0.1 local[32].)
     val staticTriple = tm.time("cofactor_static")(
       Graft.cofactor(complete, cfg.contCols, cfg.catCols))
     // NB needs per-class aggregates; the complete stratum's never change
@@ -190,19 +196,21 @@ object Mice {
     // triple gets, restoring the delta algebra for the NB path
     val nbStatic = scala.collection.mutable.Map[String, Seq[(Int, Triple)]]()
 
-    val order = cfg.imputeCat ++ cfg.imputeCont
     for (iter <- 1 to cfg.iterations) {
-      // one scan of the (small) incomplete stratum per iteration
-      // (recomputing full each round also stops float drift from the
-      // incremental adds below accumulating across iterations)
-      val incTriple = tm.time("cofactor_delta")(
-        Graft.cofactor(incomplete, cfg.contCols, cfg.catCols))
-      var full = Triple.add(staticTriple, incTriple)
-      for (c <- order) {
-        // delta = rows where c is missing (imputation_low.cpp:85-108);
-        // observed = full − delta by ring subtraction (:110)
-        val delta = tm.time("cofactor_delta")(
-          Graft.cofactor(incomplete.filter(col(flag(c))), cfg.contCols, cfg.catCols))
+      // ONE scan of the (small) incomplete stratum yields this round's
+      // full triple AND the first column's delta — the delta predicates
+      // all read the same frame, so they fuse into a single aggregation
+      // job (Graft.cofactorMasked) instead of per-column rescans.
+      // (Recomputing full each round also stops float drift from the
+      // incremental adds below accumulating across iterations.)
+      val head = tm.time("cofactor_delta")(Graft.cofactorMasked(
+        incomplete, cfg.contCols, cfg.catCols,
+        Seq(None, Some(col(flag(order.head))))))
+      var full = Triple.add(staticTriple, head(0))
+      // delta = rows where c is missing (imputation_low.cpp:85-108)
+      var delta = head(1)
+      for ((c, ci) <- order.zipWithIndex) {
+        // observed = full − delta by ring subtraction (imputation_low.cpp:110)
         val observed = Triple.subtract(full, delta)
         // NB trains on ALL observed rows (complete ∪ incomplete-observed):
         // static per-class aggregates over `complete` (computed once, see
@@ -220,10 +228,19 @@ object Mice {
         incomplete = imputeColumn(incomplete, cfg, c, observed, nbPc, iter, tm)
         // full := observed + recomputed delta over the freshly imputed
         // rows (imputation_low.cpp:188-194) so later columns in this
-        // round train against up-to-date values
-        val newDelta = tm.time("cofactor_delta")(
-          Graft.cofactor(incomplete.filter(col(flag(c))), cfg.contCols, cfg.catCols))
-        full = Triple.add(observed, newDelta)
+        // round train against up-to-date values. Both that refresh and
+        // the NEXT column's delta read the just-imputed frame — one
+        // fused scan answers both. After the LAST column the refreshed
+        // full is never read again (the next iteration rebuilds it from
+        // a fresh scan, and the loop ends) — that trailing scan was
+        // pure dead work and is skipped.
+        if (ci < order.length - 1) {
+          val pair = tm.time("cofactor_delta")(Graft.cofactorMasked(
+            incomplete, cfg.contCols, cfg.catCols,
+            Seq(Some(col(flag(c))), Some(col(flag(order(ci + 1)))))))
+          full = Triple.add(observed, pair(0))
+          delta = pair(1)
+        }
       }
       val next = tm.time("impute_update")(incomplete.transform(Graft.checkpoint))
       dropCheckpoint(lastCp) // the previous iteration's incomplete blocks

@@ -249,5 +249,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the SUM/AVG/COUNT moments shape
     e.injectPlannerStrategy(session => GroupedCofactorStrategy(session))
     e.injectPlannerStrategy(session => GroupedMomentsStrategy(session))
+    // numeric-only cofactors feeding a join: declarative SUM rewrite
+    // (the shape the grouped strategy refuses — see CofactorDeclarative)
+    e.injectOptimizerRule(_ => CofactorDeclarativeRewrite)
   }
 }

@@ -103,6 +103,36 @@ class MiceSpec extends AnyFunSuite {
     assert(rmse < 3.0, s"stochastic rmse $rmse")
   }
 
+  test("cofactorMasked: one fused scan equals the separate filtered scans, exactly") {
+    // the MICE delta loops' scan fusion (r20): every masked triple must
+    // match its filtered-rescan twin value for value — same rows, same
+    // per-partition accumulation order
+    val df = withNulls.withColumn("b", coalesce($"b", lit(0.0)))
+      .withColumn("c", coalesce($"c", lit(0)))
+      .withColumn("f1", $"id" % 3 === 0)
+      .withColumn("f2", $"id" % 2 === 0)
+      .localCheckpoint()
+    val num = Seq("a", "b"); val cat = Seq("c")
+    for (nb <- Seq(false, true)) {
+      val fused = Graft.cofactorMasked(df, num, cat,
+        Seq(None, Some($"f1"), Some($"f2"), Some($"f1" && !$"f2")), nb = nb)
+      val sep = Seq(
+        Graft.cofactor(df, num, cat, nb = nb),
+        Graft.cofactor(df.filter($"f1"), num, cat, nb = nb),
+        Graft.cofactor(df.filter($"f2"), num, cat, nb = nb),
+        Graft.cofactor(df.filter($"f1" && !$"f2"), num, cat, nb = nb))
+      fused.zip(sep).zipWithIndex.foreach { case ((m, s), i) =>
+        assert(m.n == s.n, s"[$i nb=$nb] n ${m.n} != ${s.n}")
+        assert(m.lin.sameElements(s.lin), s"[$i nb=$nb] lin")
+        assert(m.quad.sameElements(s.quad), s"[$i nb=$nb] quad")
+        assert(m.linCat.sameElements(s.linCat), s"[$i nb=$nb] linCat")
+      }
+    }
+    // a predicate matching nothing yields the empty (zero) triple
+    val none = Graft.cofactorMasked(df, num, cat, Seq(Some(lit(false))))
+    assert(none.head.n == 0)
+  }
+
   test("dropCheckpoint unpersists exactly the plan's checkpoint RDD") {
     // the MICE loops free each superseded working-set checkpoint
     // deterministically — columns × iterations copies of the fact would

@@ -935,4 +935,67 @@ class PlansSpec extends AnyFunSuite {
       intercept[Exception] { q.collect() }
     } finally spark.experimental.extraStrategies = saved
   }
+
+  test("declarative cofactor rewrite: factorized identity plans as plain hash aggregates, results unchanged") {
+    Graft.register(spark)
+    val t1 = java.nio.file.Files.createTempDirectory("dc_l").toFile.getAbsolutePath
+    val t2 = java.nio.file.Files.createTempDirectory("dc_r").toFile.getAbsolutePath
+    spark.range(400).select((col("id") % 50).cast("int").as("k"),
+      when(col("id") % 13 === 0, lit(null)).otherwise((col("id") % 11).cast("double")).as("x"),
+      (col("id") % 3).cast("int").as("cc")).write.mode("overwrite").parquet(t1)
+    spark.range(50).select(col("id").cast("int").as("k"),
+      (col("id") * 2).cast("double").as("y")).write.mode("overwrite").parquet(t2)
+    val savedO = spark.experimental.extraOptimizations
+    def fj = {
+      val a = spark.read.parquet(t1).groupBy(col("k")).agg(Graft.sumTriple(col("x")).as("A"))
+      val b = spark.read.parquet(t2).groupBy(col("k")).agg(Graft.sumTriple(col("y")).as("B"))
+      a.join(b, "k").select(Graft.sumTripleOf(Graft.multiplyTriple(col("A"), col("B"))).as("t"))
+    }
+    // default (no rewrite): the imperative route
+    val defPlan = fj.queryExecution.executedPlan.toString
+    assert(defPlan.contains("ObjectHashAggregate"), s"default route expected:\n$defPlan")
+    val exp = Graft.tripleFromRow(fj.head.getStruct(0))
+    spark.experimental.extraOptimizations =
+      savedO :+ graft.plans.CofactorDeclarativeRewrite
+    try {
+      // rewritten: NO imperative aggregate anywhere — grouped sides AND
+      // the final sum_triple(multiply_triple) all plain hash aggregates
+      val q = fj
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("ObjectHashAggregate"),
+        s"the rewrite must eliminate every imperative aggregate:\n$plan")
+      assert(!plan.contains("sum_to_triple") && !plan.contains("multiply_triple"),
+        s"no ring-object expressions should survive:\n$plan")
+      val got = Graft.tripleFromRow(q.head.getStruct(0))
+      assert(got.n == exp.n && got.approxEquals(exp, 1e-9),
+        s"rewritten result must match the default route: $got vs $exp")
+
+      // NULL semantics of the final aggregate preserved: an empty join
+      // yields a NULL triple on both routes
+      val emptyQ = {
+        val a = spark.read.parquet(t1).filter(col("k") < 0).groupBy(col("k"))
+          .agg(Graft.sumTriple(col("x")).as("A"))
+        val b = spark.read.parquet(t2).groupBy(col("k")).agg(Graft.sumTriple(col("y")).as("B"))
+        a.join(b, "k").select(Graft.sumTripleOf(Graft.multiplyTriple(col("A"), col("B"))).as("t"))
+      }
+      assert(emptyQ.head.isNullAt(0), "empty input must yield a NULL triple")
+
+      // a CAT-bearing grouped cofactor under a join keeps the
+      // imperative route (categorical maps don't decompose into SUMs)
+      val catQ = {
+        val a = spark.read.parquet(t1).groupBy(col("k"))
+          .agg(Graft.sumTriple(col("x"), col("cc")).as("A"))
+        val b = spark.read.parquet(t2).groupBy(col("k")).agg(Graft.sumTriple(col("y")).as("B"))
+        a.join(b, "k").select(Graft.sumTripleOf(Graft.multiplyTriple(col("A"), col("B"))).as("t"))
+      }
+      assert(catQ.queryExecution.executedPlan.toString.contains("ObjectHashAggregate"),
+        "cat-bearing cofactors must keep the imperative aggregate")
+
+      // a numeric-only grouped cofactor at the plan ROOT is left alone
+      // (the kernel strategies own that shape)
+      val root = spark.read.parquet(t1).groupBy(col("k")).agg(Graft.sumTriple(col("x")).as("A"))
+      assert(root.queryExecution.executedPlan.toString.contains("ObjectHashAggregate"),
+        "root aggregates are not this rewrite's business")
+    } finally spark.experimental.extraOptimizations = savedO
+  }
 }
