@@ -459,18 +459,23 @@ object Dedup {
     val lines = docs
       .select(col(idCol).as("__id"),
         posexplode(split(col(textCol), sepPattern)).as(Seq("__pos", "__line")))
-    val dups =
+    // Count per line content with a WINDOW over the exploded stream
+    // rather than groupBy + join-back (r20, guide §1.2/§2.4): the join
+    // form scanned and re-chunked the whole corpus TWICE (one explode
+    // feeding the count aggregate, one feeding the join) and moved the
+    // exploded lines through THREE exchanges (partial-count, join-side,
+    // rebuild). One window over partition-by-content computes the same
+    // per-line count (and the keep-first canonical pick) on a single
+    // explode and a single content exchange; the per-line groups the
+    // window buffers are a few rows each, so memory stays flat. Counts,
+    // canonical picks and the rebuild stream are value-identical to the
+    // join form (q97/q102 oracle rows pin it).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__line"))
+    val counted0 = lines.withColumn("__cnt", count(lit(1)).over(w))
+    val counted =
       if (keepFirst)
-        lines.groupBy(col("__line"))
-          .agg(count(lit(1)).as("__cnt"),
-            min(struct(col("__id"), col("__pos"))).as("__first"))
-          .filter(col("__cnt") >= minCount)
-          .select(col("__line"), lit(true).as("__dup"), col("__first"))
-      else // the remove-all rule never reads the canonical pick — don't aggregate it
-        lines.groupBy(col("__line"))
-          .agg(count(lit(1)).as("__cnt"))
-          .filter(col("__cnt") >= minCount)
-          .select(col("__line"), lit(true).as("__dup"))
+        counted0.withColumn("__first", min(struct(col("__id"), col("__pos"))).over(w))
+      else counted0
     // rebuild via repartition + spillable within-partition sort + a
     // streaming per-document concat (mapPartitions — the documented
     // last-resort tier, earned here): the collect_list formulation
@@ -480,10 +485,10 @@ object Dedup {
     // document at a time — O(longest document) memory, any corpus size.
     val removed =
       if (keepFirst)
-        col("__dup").isNotNull &&
+        col("__cnt") >= minCount &&
           !(struct(col("__id"), col("__pos")) === col("__first"))
-      else col("__dup").isNotNull
-    val joined = lines.join(dups, Seq("__line"), "left")
+      else col("__cnt") >= minCount
+    val joined = counted
       .select(col("__id"), col("__pos"), col("__line"),
         when(removed, lit(true)).as("__rm"))
     val outSchema = org.apache.spark.sql.types.StructType(Seq(

@@ -85,6 +85,27 @@ object R20Probe {
           System.err.println(s"[probe] mice phases: $tm")
         }
         med("mice_1round", 5)(mice1())
+      case "dedup_lines" =>
+        val corpus = graft.sources.Tables.load(spark, dir, "documents")
+          .select(col("doc_id"),
+            array_join(graft.functions.TextFunctions.chunkText(col("text"), 4, 0), "\n").as("text"))
+        val q = graft.operators.Dedup.dedupLines(corpus, "doc_id", "text", 2L)
+        println("=== dedup_lines plan ===")
+        println(q.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+        med("dedup_lines", 3)(noop(
+          graft.operators.Dedup.dedupLines(corpus, "doc_id", "text", 2L)))
+      case "mice_star" =>
+        // not wired here: miceStarRound needs the bench's bucketed setup
+        ()
+      case "minhash" =>
+        val docs = graft.sources.Tables.load(spark, dir, "documents").select(col("doc_id"), col("text"))
+        val mangled = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+            regexp_replace(col("text"), "\\s+\\S+\\s*$", "").as("text"))
+        val all = docs.unionByName(mangled)
+        med("minhash_neardup", 5)(noop(
+          graft.operators.Dedup.dedupNear(all, "doc_id", "text", threshold = 0.8)))
       case "masked" =>
         // cofactorMasked ≡ separate filtered scans, exactly
         val li = graft.sources.Tables.load(spark, dir, "lineitem")
