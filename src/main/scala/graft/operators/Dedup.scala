@@ -132,34 +132,98 @@ object Dedup {
     * nothing to free here; the outer operators' handles still release
     * their shared signature pass).
     *
-    * Shape note: bucket sizes come from a plain `count` aggregate — a
-    * codegen'd HashAggregate over longs with map-side partial combine —
-    * and pair generation is an equi-self-join restricted to the (few)
-    * buckets of size 2..cap. The obvious one-shuffle alternative,
-    * `collect_list` per bucket + in-bucket combinations, is a
-    * TypedImperativeAggregate: over n·bands MOSTLY-UNIQUE keys it
-    * overflows the object-hash-aggregate key budget and falls back to
-    * sort-based aggregation, external-sorting the entire exploded table
-    * (22 s of the 40 s sf10 near-dedup wall-clock; the join form
-    * measures 3 s, and Spark reuses the self-join's identical exchange
-    * twice). */
+    * Shape note (r21, guide §2.3/§2.4): the exploded (id, band, bucket)
+    * stream crosses ONE exchange — repartition by (band, bucket), sort
+    * within partitions, stream each bucket once emitting its pairs
+    * (2 ≤ size ≤ cap) or one NULL marker row (size > cap, the dropped-
+    * bucket accounting, counted by the observe() metric the warner
+    * reads). The previous groupBy-count + join-back + self-join form
+    * shuffled the per-bucket partial counts as a SECOND near-full-stream
+    * exchange (n·bands mostly-unique keys combine almost nowhere
+    * map-side) and re-sorted the stream twice under the self-join; the
+    * streamed form measures −48% (sf0.1) / −66% (sf1) on the warmed
+    * pair-generation phase with a byte-identical pair set (R21LshAb).
+    * mapPartitions is the documented last-resort tier, earned here: no
+    * declarative operator expresses "per sorted group, emit pairs with a
+    * streaming size cap", and the cap makes the walk skew-PROOF — a
+    * degenerate bucket streams through a counter holding at most cap+1
+    * buffered ids, where the window/collect_list forms buffer (or
+    * external-sort) every occurrence.
+    *
+    * Parity with the join form, pinned by DedupLshSpec: per bucket of
+    * total size n (NULL ids included, as the old count did), pairs are
+    * emitted among the non-NULL ids iff 2 ≤ n ≤ cap (the old
+    * `idA < idB` never paired a NULL side), in sort order so idA < idB,
+    * equal-id pairs skipped. Rows with a NULL bucket hash are filtered
+    * up front — an equi-join key never matched them, so the old form
+    * produced no pairs from them either (they differed only in the
+    * dropped-bucket METRIC when >cap NULL-bucket rows piled up, a shape
+    * no band-hash producer emits). Requires BIGINT bucket hashes (what
+    * [[minhashBands]]/[[minhashPrepare]] produce). */
   def lshCandidatePairsReleasable(df: DataFrame, id: Column, bandHashes: Column,
                                   maxBucketSize: Int = 200): (DataFrame, () => Unit) = {
     installWarner(df.sparkSession)
     val exploded = df.select(id.as("__id"), posexplode(bandHashes).as(Seq("__band", "__bucket")))
-    val sizes = exploded.groupBy("__band", "__bucket")
-      .agg(count(lit(1)).as("__n"))
+    require(exploded.schema("__bucket").dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"lshCandidatePairs needs ARRAY<BIGINT> band hashes, got ${exploded.schema("__bucket").dataType}")
+    val idType = exploded.schema("__id").dataType
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("idA", idType, nullable = true),
+      org.apache.spark.sql.types.StructField("idB", idType, nullable = true)))
+    val cap = maxBucketSize
+    val emitted = exploded
+      .filter(col("__bucket").isNotNull)
+      .repartition(col("__band"), col("__bucket"))
+      .sortWithinPartitions(col("__band"), col("__bucket"), col("__id"))
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[org.apache.spark.sql.Row] {
+          private var out: java.util.Iterator[org.apache.spark.sql.Row] =
+            java.util.Collections.emptyIterator()
+          private def refill(): Unit = {
+            while (!out.hasNext && buf.hasNext) {
+              val band = buf.head.getInt(1); val bucket = buf.head.getLong(2)
+              // non-NULL ids in sort order, capped; n counts EVERY row
+              val ids = new scala.collection.mutable.ArrayBuffer[Any](4)
+              var n = 0
+              while (buf.hasNext &&
+                  buf.head.getInt(1) == band && buf.head.getLong(2) == bucket) {
+                val r = buf.next(); n += 1
+                if (n <= cap && !r.isNullAt(0)) ids += r.get(0)
+              }
+              if (n > cap) {
+                // one NULL marker row per dropped bucket — the observe()
+                // metric counts these; the consumer filters them out
+                out = java.util.Collections.singletonList(
+                  org.apache.spark.sql.Row(null, null)).iterator()
+              } else if (n >= 2 && ids.length >= 2) {
+                val acc = new java.util.ArrayList[org.apache.spark.sql.Row](
+                  ids.length * (ids.length - 1) / 2)
+                var i = 0
+                while (i < ids.length) {
+                  var j = i + 1
+                  while (j < ids.length) {
+                    // equal ids (duplicate-id inputs) never satisfied the
+                    // old strict idA < idB — skip them here likewise
+                    if (ids(i) != ids(j)) acc.add(org.apache.spark.sql.Row(ids(i), ids(j)))
+                    j += 1
+                  }
+                  i += 1
+                }
+                out = acc.iterator()
+              }
+            }
+          }
+          override def hasNext: Boolean = { refill(); out.hasNext }
+          override def next(): org.apache.spark.sql.Row = { refill(); out.next() }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+    val pairs = emitted
       .observe(DroppedMetricPrefix + metricSeq.incrementAndGet(),
-        count(when(col("__n") > maxBucketSize, true)).as("dropped"),
+        count(when(col("idA").isNull, true)).as("dropped"),
         max(lit(maxBucketSize)).as("cap"))
-    val hot = sizes.filter(col("__n") >= 2 && col("__n") <= maxBucketSize)
-      .select(col("__band"), col("__bucket"))
-    val members = exploded.join(hot, Seq("__band", "__bucket"))
-    val a = members.select(col("__band"), col("__bucket"), col("__id").as("idA"))
-    val b = members.select(col("__band"), col("__bucket"), col("__id").as("idB"))
-    val pairs = a.join(b, Seq("__band", "__bucket"))
-      .filter(col("idA") < col("idB"))
-      .select(col("idA"), col("idB"))
+      .filter(col("idA").isNotNull)
       .distinct()
     (pairs, () => ())
   }
