@@ -783,6 +783,24 @@ object Bench {
             array_join(graft.functions.TextFunctions.chunkText(col("text"), 4, 0), "\n").as("text"))
         noop(graft.operators.Dedup.dedupLines(corpus, "doc_id", "text", 2L))
       },
+      // the r21 hot-line skew guard on a corpus with a DOMINANT
+      // boilerplate line (one footer in all 500k docs): the digest
+      // pre-pass routes the hot line around the counting window via a
+      // broadcast-joined exact aggregate — guarded 5.3 s vs unguarded
+      // 6.9 s median (and a 15.6 s straggler outlier) on this corpus,
+      // byte-identical output (R21HotLinesAb; DedupLinesSpec pins the
+      // value parity). The benign-corpus row above keeps the guard off:
+      // its pre-pass costs a second skinny scan+split that a corpus
+      // without a hot line pays for nothing.
+      "sf10_dedup_lines_hot" -> { () =>
+        val corpus = Tables.load(spark, sf10Dir, "documents")
+          .select(col("doc_id"),
+            concat(
+              array_join(graft.functions.TextFunctions.chunkText(col("text"), 4, 0), "\n"),
+              lit("\nGRAFT COOKIE BANNER FOOTER - ACCEPT ALL COOKIES TO CONTINUE")).as("text"))
+        noop(graft.operators.Dedup.dedupLines(corpus, "doc_id", "text", 2L,
+          hotLineThreshold = 10000L))
+      },
       // Gopher word-rule stats + keep decision, one byte walk per doc;
       // DuckDB twin `gopher_rules` recomputes compositionally
       "sf10_gopher_rules" -> { () =>

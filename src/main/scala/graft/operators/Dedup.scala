@@ -512,11 +512,35 @@ object Dedup {
     * occurrence costs one `min(struct(id, pos))` in the same counting
     * aggregate — no extra shuffle.
     *
+    * `hotLineThreshold` (r21, guide §2.5) is the skew guard for the
+    * counting window: the window partitions the exploded stream by line
+    * CONTENT, so one line duplicated a billion times puts every
+    * occurrence into a single WindowExec task group — it spills rather
+    * than OOMs, but serializes the stage behind one straggler. With the
+    * guard on (> 0), a skinny digest pre-pass (line hashes only — no
+    * ids, no positions, map-side-combined count, immune to the same
+    * skew) finds every line occurring ≥ hotLineThreshold times; the set
+    * is bounded by corpus/threshold and capped at 4096 digests (past
+    * the cap the guard logs loudly and falls back to the unguarded
+    * window — fail-safe, never wrong). Hot-line rows bypass the window:
+    * their exact counts/first-picks come from a tiny per-line aggregate
+    * over just the hot rows, attached by broadcast join; light lines
+    * keep the single-exchange window with every group now provably
+    * < hotLineThreshold rows. Digest collisions only route extra light
+    * lines through the hot path, where they are counted exactly — the
+    * output is byte-identical either way (DedupLinesSpec pins it). The
+    * guard costs one extra skinny scan+split of the corpus, so it is
+    * OFF by default: a benign corpus (no dominant boilerplate line)
+    * pays ~25% for nothing, while a skewed one should set the threshold
+    * to the row count a single window task can sort comfortably (e.g.
+    * 10⁶ at 100 TB).
+    *
     * Reference scope note: the reference engine has no text pipeline —
     * this operator is part of the library's LLM-curation extension. */
   def dedupLines(docs: DataFrame, idCol: String, textCol: String,
                  minCount: Long = 2L, sep: String = "\n",
-                 keepFirst: Boolean = false): DataFrame = {
+                 keepFirst: Boolean = false,
+                 hotLineThreshold: Long = 0L): DataFrame = {
     require(minCount > 1, "dedupLines needs minCount > 1 — at 1 it removes every line")
     require(sep.nonEmpty, "dedupLines needs a non-empty line separator")
     val sepPattern = java.util.regex.Pattern.quote(sep)
@@ -534,12 +558,54 @@ object Dedup {
     // window buffers are a few rows each, so memory stays flat. Counts,
     // canonical picks and the rebuild stream are value-identical to the
     // join form (q97/q102 oracle rows pin it).
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__line"))
-    val counted0 = lines.withColumn("__cnt", count(lit(1)).over(w))
-    val counted =
+    val hotDigests: Seq[Long] =
+      if (hotLineThreshold <= 0) Seq.empty
+      else {
+        val maxHot = 4096
+        val found = docs
+          .select(explode(split(col(textCol), sepPattern)).as("__l"))
+          .select(xxhash64(col("__l")).as("__d"))
+          .groupBy(col("__d")).agg(count(lit(1)).as("__c"))
+          .filter(col("__c") >= hotLineThreshold)
+          .select(col("__d"))
+          .limit(maxHot + 1)
+          .collect().map(_.getLong(0)).toSeq
+        if (found.length > maxHot) {
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"dedupLines: more than $maxHot lines occur >= $hotLineThreshold times — " +
+              "hot-line guard disabled for this call (unguarded window, one task per hot line); " +
+              "raise hotLineThreshold so the hot set is small enough to broadcast")
+          Seq.empty
+        } else found
+      }
+    def countWindowed(part: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__line"))
+      val c0 = part.withColumn("__cnt", count(lit(1)).over(w))
       if (keepFirst)
-        counted0.withColumn("__first", min(struct(col("__id"), col("__pos"))).over(w))
-      else counted0
+        c0.withColumn("__first", min(struct(col("__id"), col("__pos"))).over(w))
+      else c0
+    }
+    val counted =
+      if (hotDigests.isEmpty) countWindowed(lines)
+      else {
+        // InSet over ≤4096 longs is a codegen'd O(1) membership probe;
+        // hot rows never enter the window — their exact totals come
+        // from a per-line aggregate over just the hot stratum (≤4096
+        // distinct lines, map-side combined) broadcast-joined back
+        val isHot = xxhash64(col("__line")).isin(hotDigests: _*)
+        val light = countWindowed(lines.filter(!isHot))
+        val hotRows = lines.filter(isHot)
+        val firstAgg =
+          if (keepFirst) Seq(min(struct(col("__id"), col("__pos"))).as("__first"))
+          else Seq.empty
+        val totals = hotRows.groupBy(col("__line").as("__line_h"))
+          .agg(count(lit(1)).as("__cnt"), firstAgg: _*)
+        val hotCounted = hotRows
+          .join(broadcast(totals), col("__line") === col("__line_h"))
+          .drop("__line_h")
+          .select(light.columns.map(col): _*)
+        light.unionByName(hotCounted)
+      }
     // rebuild via repartition + spillable within-partition sort + a
     // streaming per-document concat (mapPartitions — the documented
     // last-resort tier, earned here): the collect_list formulation

@@ -38,6 +38,12 @@ object R21PlanDump {
       case "dedup_lines" =>
         val docs = Tables.load(spark, dir, "documents").select(col("doc_id"), col("text"))
         graft.operators.Dedup.dedupLines(docs, "doc_id", "text")
+      case "dedup_lines_hot" =>
+        val docs = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"),
+            concat(col("text"), lit("\nGRAFT FOOTER")).as("text"))
+        graft.operators.Dedup.dedupLines(docs, "doc_id", "text",
+          hotLineThreshold = 100L)
       case "sessionize" =>
         graft.SparkEntry.queries("q33_sessionize")(spark, dir)
       case "asof_join" =>

@@ -102,4 +102,44 @@ class DedupLinesSpec extends AnyFunSuite {
     // "common" (200×) strips; "odd"/"even" (100× each) strip; unique stays
     assert(five == "unique5")
   }
+
+  test("hot-line guard: byte-identical output with a dominant boilerplate line") {
+    // one synthetic hot key ("HOT FOOTER", 300×) plus light duplicates
+    // ("pair", 2×) and unique lines — the guard must route the hot line
+    // around the window and change NOTHING in the output
+    val docs = (0 until 300).map(i =>
+      (i.toLong, s"unique line $i\nHOT FOOTER\n${if (i < 2) "pair" else s"tail$i"}"))
+    val df = docs.toDF("id", "text")
+    def collectAll(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).sortBy(_._1).toSeq
+    val unguarded = collectAll(Dedup.dedupLines(df, "id", "text"))
+    val guarded = collectAll(Dedup.dedupLines(df, "id", "text", hotLineThreshold = 100L))
+    assert(guarded == unguarded, "guarded output must be byte-identical")
+    assert(unguarded.head._2 == "unique line 0\ntail0"
+      || unguarded.head._2 == "unique line 0", "hot footer must be stripped")
+    // keepFirst: the canonical pick must also survive the hot routing
+    val ug2 = Dedup.dedupLines(df, "id", "text", keepFirst = true)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val g2 = Dedup.dedupLines(df, "id", "text", keepFirst = true, hotLineThreshold = 100L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(g2 == ug2, "keepFirst canonical pick must be identical under the guard")
+    assert(g2.head._2.contains("HOT FOOTER"), "doc 0 holds the canonical occurrence")
+    // threshold below every line's count routes EVERYTHING hot — still identical
+    val g3 = collectAll(Dedup.dedupLines(df, "id", "text", hotLineThreshold = 1L))
+    assert(g3 == unguarded, "all-hot routing must be identical too")
+  }
+
+  test("hot-line guard falls back loudly past the 4096-digest cap") {
+    // 5000 distinct lines, each duplicated twice: at threshold 2 the hot
+    // set exceeds the broadcast cap, so the guard must fall back to the
+    // unguarded window and still produce the exact result
+    val docs = (0 until 5000).flatMap(i => Seq(
+      (2L * i, s"dup line $i"), (2L * i + 1, s"dup line $i")))
+    val df = docs.toDF("id", "text")
+    val got = Dedup.dedupLines(df, "id", "text", hotLineThreshold = 2L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sortBy(_._1)
+    assert(got.length == 10000)
+    assert(got.forall(_._2 == ""), "every line is duplicated — all docs rebuild empty")
+    assert(got.forall(_._3 == 1))
+  }
 }
