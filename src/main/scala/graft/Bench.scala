@@ -387,6 +387,13 @@ object Bench {
     // one call, keeping the default row-aggregate route visible per
     // round — the pair is the routing-delta measurement.
     def withoutKernelStrategies(f: => Unit): Unit = {
+      // popping experimental.* cannot reach rules injected via
+      // spark.sql.extensions=graft.plans.GraftExtensions — on such a
+      // session the `_row` twins would silently still run the rewrite
+      // and the routing-delta pair would lie (r20 advice item)
+      require(!spark.conf.getOption("spark.sql.extensions").exists(
+          _.contains("graft.plans.GraftExtensions")),
+        "the _row twins require an enableSqlKernels session, not GraftExtensions")
       val saved = spark.experimental.extraStrategies
       val savedOpts = spark.experimental.extraOptimizations
       spark.experimental.extraStrategies = Seq.empty

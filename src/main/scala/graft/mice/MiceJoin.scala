@@ -420,9 +420,30 @@ object MiceJoin {
   /** Fail loudly on a duplicated dim key (see the contract above): one
     * hash-agg + limit-1 probe, map-side combined, dim-sized. Shared with
     * every operator that left-joins a must-be-unique side (e.g.
-    * [[graft.operators.Multimodal.withTranscodeFallback]]). */
+    * [[graft.operators.Multimodal.withTranscodeFallback]]).
+    *
+    * A PASSING verdict is memoized on (canonicalized plan, key,
+    * file-snapshot fingerprint) — the same discipline (and the same
+    * documented byte-identical-in-place-rewrite aliasing caveat) as
+    * [[graft.ml.Factorized.probeRowsPerKey]]'s cache, cleared by the
+    * same [[graft.ml.Factorized.clearProbeCache]]. Measured r21: the
+    * probe was a near-unique-key hash aggregate over the WHOLE dim per
+    * call — 1.85 s of the 4.1 s sf10_mice_star_round pass, re-verifying
+    * an immutable bucketed table every round. Failures are never
+    * cached (they throw). */
+  private val uniqueKeyCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Long),
+      java.lang.Boolean](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Long),
+            java.lang.Boolean]): Boolean = size() > 256
+    })
+  private[graft] def clearUniqueKeyCache(): Unit = uniqueKeyCache.clear()
   private[graft] def requireUniqueKey(dim: DataFrame, key: String,
                                       caller: String = "MiceJoin"): Unit = {
+    val ck = (dim.queryExecution.analyzed.canonicalized, "unique:" + key,
+      Factorized.snapshotFingerprint(dim))
+    if (uniqueKeyCache.get(ck) != null) return
     // NULL keys are excluded: an equi-join can never match them, so
     // multiple NULL-keyed rows cannot fan anything out — aborting on
     // them would reject valid input. The count is aliased so a key
@@ -433,5 +454,6 @@ object MiceJoin {
     require(dup.isEmpty,
       s"$caller requires the joined side unique per '$key'; found duplicated key ${dup.head.get(0)} " +
         "(pre-aggregate or dropDuplicates that side explicitly before calling)")
+    uniqueKeyCache.put(ck, java.lang.Boolean.TRUE)
   }
 }

@@ -881,7 +881,8 @@ object Factorized {
   }
 
   def clearProbeCache(): Unit =
-    { probeCache.clear(); topKeyCache.clear(); shapeCache.clear(); nullProbeCache.clear() }
+    { probeCache.clear(); topKeyCache.clear(); shapeCache.clear(); nullProbeCache.clear()
+      graft.mice.MiceJoin.clearUniqueKeyCache() }
 
   private[graft] def probeCacheSize: Int = probeCache.size()
 

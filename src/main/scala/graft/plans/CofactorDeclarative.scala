@@ -64,24 +64,29 @@ import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType, FloatType
 object CofactorDeclarativeRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    // mark (by reference) every Aggregate under a Join — same scoping
-    // rule as KernelRouteContext.feedsJoin, computed locally because
-    // this rule sees the whole optimized plan in one call
-    val marked = java.util.Collections.newSetFromMap(
-      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    // mark every Aggregate under a Join — same scoping rule as
+    // KernelRouteContext.feedsJoin, computed locally because this rule
+    // sees the whole optimized plan in one call. Marks are the
+    // aggregate's OUTPUT exprIds (globally unique, stable across the
+    // node copies transformUp makes when a descendant changes) — an
+    // identity set of node references lost the mark for a join-feeding
+    // Aggregate stacked above another rewritten one (r20 advice).
+    val marked = scala.collection.mutable.HashSet[ExprId]()
     plan.foreach {
       case j: Join => j.foreach {
-        case a: Aggregate => marked.add(a); ()
+        case a: Aggregate => a.aggregateExpressions.foreach(marked += _.exprId)
         case _ => ()
       }
       case _ => ()
     }
+    def isMarked(agg: Aggregate): Boolean =
+      agg.aggregateExpressions.exists(ne => marked.contains(ne.exprId))
     plan.transformUp {
-      case agg: Aggregate if (marked.contains(agg) &&
+      case agg: Aggregate if (isMarked(agg) &&
             agg.aggregateExpressions.exists(rewritable)) ||
           agg.aggregateExpressions.exists(ne => sumMultRewritable(ne, agg.child)) =>
         val step1 =
-          if (marked.contains(agg)) agg.aggregateExpressions.map(rewriteOne)
+          if (isMarked(agg)) agg.aggregateExpressions.map(rewriteOne)
           else agg.aggregateExpressions
         agg.copy(aggregateExpressions = step1.map(rewriteSumMult(_, agg.child)))
     }
@@ -157,25 +162,39 @@ object CofactorDeclarativeRewrite extends Rule[LogicalPlan] {
 
   /** The statically-known numeric arity of the triple struct the given
     * attribute was produced as — defined only when the producer is one
-    * of this rule's own `named_struct`s (empty cat literals included). */
+    * of this rule's own `named_struct`s (empty cat literals included)
+    * AND the attribute traces to it through value-preserving nodes
+    * only. The r20 form searched the whole subtree by exprId, which the
+    * scaladoc's "traces through Project/Join" claim did not actually
+    * enforce — a Union reuses its first child's exprIds for rows from
+    * ALL children, so a union mixing different-arity (or imperative)
+    * triples under one exprId would have been silently mis-decomposed
+    * (r21, advice item). This walk descends only through Project /
+    * Aggregate (the producers), Join / Filter / Sort / SubqueryAlias
+    * (pass-through), and declines on anything else — Union, Expand,
+    * Window, generators — which merely keeps those shapes on the
+    * imperative route. */
   private def producedArity(plan: LogicalPlan, id: ExprId): Option[Int] = {
-    var found: Option[Int] = None
-    plan.foreach { node =>
-      if (found.isEmpty) {
-        val nes: Seq[NamedExpression] = node match {
-          case p: org.apache.spark.sql.catalyst.plans.logical.Project => p.projectList
-          case a: Aggregate => a.aggregateExpressions
-          case _ => Nil
-        }
-        nes.foreach {
-          case al @ Alias(cns: CreateNamedStruct, _)
-              if al.exprId == id && found.isEmpty =>
-            found = shapeOf(cns)
-          case _ => ()
-        }
-      }
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def fromNamed(nes: Seq[NamedExpression], child: LogicalPlan): Option[Int] =
+      nes.collectFirst {
+        case al @ Alias(cns: CreateNamedStruct, _) if al.exprId == id => shapeOf(cns)
+        case al @ Alias(ar: AttributeReference, _) if al.exprId == id =>
+          producedArity(child, ar.exprId)
+        case ar: AttributeReference if ar.exprId == id => producedArity(child, id)
+      }.flatten
+    plan match {
+      case p: Project => fromNamed(p.projectList, p.child)
+      case a: Aggregate => fromNamed(a.aggregateExpressions, a.child)
+      case j: Join =>
+        j.children.collectFirst {
+          case c if c.output.exists(_.exprId == id) => producedArity(c, id)
+        }.flatten
+      case f: Filter => producedArity(f.child, id)
+      case s: Sort => producedArity(s.child, id)
+      case s: SubqueryAlias => producedArity(s.child, id)
+      case _ => None
     }
-    found
   }
 
   private def shapeOf(cns: CreateNamedStruct): Option[Int] = {

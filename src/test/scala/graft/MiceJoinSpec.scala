@@ -69,6 +69,14 @@ class MiceJoinSpec extends AnyFunSuite {
         target = "y", factNum = Seq("x1"))
     }
     assert(ex.getMessage.contains("unique"))
+    // the failing probe must NOT have been memoized: the same duplicated
+    // dim fails again (only passing verdicts are cached, r21)
+    val ex2 = intercept[IllegalArgumentException] {
+      MiceJoin.imputeContOverStar(starFact,
+        Seq(StarDim(dimA, "ka", Seq("d1")), StarDim(dupB, "kb", Seq("d2"))),
+        target = "y", factNum = Seq("x1"))
+    }
+    assert(ex2.getMessage.contains("unique"))
   }
 
   test("star impute with a CATEGORICAL dim feature recovers per-category offsets exactly") {
