@@ -733,12 +733,16 @@ object SparkEntry {
           unix_micros(col("ts")).as("t_us"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("t_us"))
-      // one view per (user, µs): DuckDB's ASOF JOIN picks an ARBITRARY
-      // row among ties at the winning timestamp, so ties are removed
-      // identically on both sides to keep the oracle deterministic
+      // ties at the winning timestamp resolve to max(event_id): the
+      // oracle pre-aggregates one view per (user, µs) because DuckDB's
+      // ASOF JOIN picks an ARBITRARY tied row, but on the Spark side
+      // rightOrder = v_eid makes the asof window's running-last pick
+      // exactly the max event id at the winning timestamp — the r20
+      // groupBy(user, t) pre-aggregate computed the same winner through
+      // an EXTRA full exchange of the view stream (r21, guide §2.4; the
+      // q44 oracle hash pins the equivalence)
       val views = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id"), col("t_us").as("vt"))
-        .agg(max(col("event_id")).as("v_eid"))
+        .select(col("user_id"), col("t_us").as("vt"), col("event_id").as("v_eid"))
       graft.operators.AsofJoin.asofBackward(
           clicks, views, col("user_id"), col("user_id"),
           col("t_us"), col("vt"), rightOrder = col("v_eid"))
